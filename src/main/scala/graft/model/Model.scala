@@ -1,0 +1,162 @@
+package graft.model
+
+/** Typed data model for the engine.
+  *
+  * Mirrors the reference's abstractions (SURVEY.md §1.1):
+  *  - snapshot/commit log entries (Iceberg `Snapshot` analog,
+  *    reference: AwsTableManagementMetricsEvaluator.java:74,108-140)
+  *  - commit events (Iceberg `CommitReport` analog, :64-85)
+  *  - data-file metadata (the compaction unit, AwsManageProperties.java:48-50)
+  *  - job runs (submit/poll lifecycle, AthenaOptimizeDataExecutor.java:122-155)
+  *
+  * Pure Scala — no Spark imports — so these stay usable as Dataset element
+  * types (Encoders.product) and in plain unit tests.
+  */
+
+/** A commit event pushed on every table write (CommitReport analog). */
+final case class CommitEvent(
+    eventId: Long,
+    tsMillis: Long,
+    tableId: Long,
+    operation: String,
+    bytesWritten: Double,
+    propsJson: String)
+
+/** One entry of a table's snapshot/commit log (Snapshot analog). */
+final case class SnapshotMeta(
+    tableId: Long,
+    snapshotId: Long,
+    tsMillis: Long,
+    operation: String)
+
+/** Metadata for one data file of a table (the compaction unit). */
+final case class FileMeta(
+    table: String,
+    path: String,
+    sizeBytes: Long,
+    partition: String)
+
+/** A submitted maintenance job plus one observed state transition. */
+final case class JobRun(jobId: String, state: String, tsMillis: Long)
+
+object JobState {
+  // Union of the four reference state machines (SURVEY.md §2.1 job_poll_state):
+  // Athena AthenaOptimizeDataExecutor.java:122-155, EMR-EC2 :101-116,
+  // EKS :165-182, Serverless :154-172.
+  val NonTerminal: Set[String] =
+    Set("SUBMITTED", "PENDING", "SCHEDULED", "RUNNING", "QUEUED")
+  val Terminal: Set[String] = Set("SUCCEEDED", "FAILED", "CANCELLED")
+  def isTerminal(s: String): Boolean = Terminal.contains(s)
+}
+
+/** What to do when a table triggers: the typed form of the SQL text the
+  * reference generates (EMRSparkUtil.java:101-128). */
+final case class CompactionSpec(
+    table: String,
+    strategy: String = EngineConfig.DefaultStrategy,
+    options: Map[String, String] = EngineConfig.DefaultOptions,
+    sortOrder: Option[String] = None) {
+  require(strategy == "binpack" || strategy == "sort",
+    s"unknown strategy: $strategy")
+  require(strategy == "sort" || sortOrder.isEmpty,
+    "sort_order requires strategy=sort")
+}
+
+/** Typed mirror of the reference's property namespace with its defaults
+  * (AwsManageProperties.java:11-66) and mandatory-property checks
+  * (SURVEY.md §2.1 required_prop_check). */
+final case class EngineConfig(
+    commitThreshold: Int = EngineConfig.DefaultCommitThreshold,
+    timeThresholdMs: Long = EngineConfig.DefaultTimeThresholdMs,
+    synchronousEnabled: Boolean = false,
+    sleepWaitMs: Long = EngineConfig.DefaultSleepWaitMs,
+    strategy: String = EngineConfig.DefaultStrategy,
+    options: Map[String, String] = EngineConfig.DefaultOptions,
+    sortOrder: Option[String] = None,
+    sparkConfigs: Map[String, String] = EngineConfig.DefaultSparkConfigs) {
+  require(commitThreshold > 0, "commit-threshold must be positive")
+  require(timeThresholdMs > 0, "time-threshold-ms must be positive")
+  require(sleepWaitMs >= 0, "sleep-wait-ms must be non-negative")
+}
+
+object EngineConfig {
+  // AwsManageProperties.java:11-13
+  val DefaultCommitThreshold = 10
+  // AwsManageProperties.java:15-18 (3 h)
+  val DefaultTimeThresholdMs = 10800000L
+  // AwsManageProperties.java:26-29
+  val DefaultSleepWaitMs = 2000L
+  // AwsManageProperties.java:52-54
+  val DefaultStrategy = "binpack"
+  // AwsManageProperties.java:48-50
+  val DefaultOptions: Map[String, String] = Map(
+    "partial-progress.enabled" -> "true",
+    "max-file-group-size-bytes" -> "10737418240")
+  // AwsManageProperties.java:60-66
+  val DefaultSparkConfigs: Map[String, String] = Map(
+    "spark.driver.cores" -> "4",
+    "spark.driver.memory" -> "32g",
+    "spark.executor.cores" -> "4",
+    "spark.executor.memory" -> "16g",
+    "spark.executor.instances" -> "10",
+    "spark.dynamicAllocation.enabled" -> "false")
+
+  /** Property keys, mirroring AwsManageProperties.java. */
+  val CommitThresholdKey = "optimize-data.commit-threshold"
+  val TimeThresholdKey = "optimize-data.time-threshold-ms"
+  val SynchronousKey = "optimize-data.synchronous-enabled"
+  val SleepWaitKey = "optimize-data.sleep-wait-ms"
+  val ImplKey = "optimize-data.impl"
+  val StrategyKey = "optimize-data.strategy"
+  val SortOrderKey = "optimize-data.sort-order"
+  val OptionsPrefix = "optimize-data.options."
+  val SparkConfigsPrefix = "optimize-data.spark.configs."
+  // Reporter keys stripped before building the inner catalog
+  // (AwsTableManagementMetricsEvaluator.java:93-99).
+  val ReporterImplKey = "metrics-reporter-impl"
+  val ReporterPrefix = "metrics-reporter."
+
+  /** Parse a flat properties map (the reference's config surface) into a
+    * typed config, applying defaults for absent keys. */
+  def fromProperties(props: Map[String, String]): EngineConfig = {
+    def prefixed(prefix: String): Map[String, String] = {
+      val m = props.collect {
+        case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+      }
+      m
+    }
+    val opts = prefixed(OptionsPrefix)
+    val confs = prefixed(SparkConfigsPrefix)
+    EngineConfig(
+      commitThreshold =
+        props.get(CommitThresholdKey).map(_.toInt).getOrElse(DefaultCommitThreshold),
+      timeThresholdMs =
+        props.get(TimeThresholdKey).map(_.toLong).getOrElse(DefaultTimeThresholdMs),
+      synchronousEnabled =
+        props.get(SynchronousKey).exists(_.toBoolean),
+      sleepWaitMs =
+        props.get(SleepWaitKey).map(_.toLong).getOrElse(DefaultSleepWaitMs),
+      strategy = props.getOrElse(StrategyKey, DefaultStrategy),
+      options = if (opts.isEmpty) DefaultOptions else opts,
+      sortOrder = props.get(SortOrderKey),
+      sparkConfigs = if (confs.isEmpty) DefaultSparkConfigs else confs)
+  }
+}
+
+/** Fixture constants shared by the Spark queries and the DuckDB oracle SQL
+  * (FIXTURES.md §3 determinism contract). */
+object Fixture {
+  /** Injected "now" (the reference uses wall-clock at
+    * AwsTableManagementMetricsEvaluator.java:119 — non-deterministic, so the
+    * engine parameterizes it). Chosen just past the testdata's max ts. */
+  val NowUtc = "2024-01-31 00:00:00"
+  /** now − timeThreshold (3 h): the staleness cutoff as an absolute instant. */
+  val StaleCutoffUtc = "2024-01-30 21:00:00"
+  /** event_type values that count as table-write commits (CommitReport
+    * analog); 'error' models non-commit MetricsReports that the filter at
+    * AwsTableManagementMetricsEvaluator.java:68 drops. */
+  val WriteOps: Seq[String] = Seq("click", "purchase", "signup", "view")
+  /** event_type standing in for the REPLACE (compaction) operation —
+    * the optimize_cutoff marker (FIXTURES.md §3). */
+  val ReplaceOp = "purchase"
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.model.Fixture
+
+/** Commit-event ingestion and snapshot-log derivation.
+  *
+  * The reference receives push-style `CommitReport` events and filters out
+  * every other report type (AwsTableManagementMetricsEvaluator.java:64-85);
+  * the event stream analog here is `events.parquet` (FIXTURES.md §1,§3):
+  * `user_id` = table id, `event_id` = snapshot id, `event_type` = operation,
+  * with 'purchase' mapped to the REPLACE (compaction) operation and 'error'
+  * modeling non-commit reports.
+  */
+object EventOps {
+
+  /** Raw events with `ts` normalized to epoch-millis (`ts_ms`).
+    *
+    * The testdata stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; `nanosAsLong` reads it as a nanos Long and
+    * the `div 1000000` truncation matches DuckDB's ns→µs→ms floor for
+    * post-epoch instants, keeping the oracle deterministic.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(spark, dir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+  }
+
+  /** commit_event_filter (SURVEY.md §2.1): keep only table-write commits,
+    * dropping non-commit report types — the `report instanceof CommitReport`
+    * dispatch at AwsTableManagementMetricsEvaluator.java:68 as a
+    * Dataset.filter. A filter on a typed column is pushed into the parquet
+    * scan by Catalyst, so at 100 TB non-commit events are skipped via
+    * row-group statistics rather than read and discarded. */
+  def commitEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).filter(col("event_type").isin(Fixture.WriteOps: _*))
+
+  /** The per-table snapshot/commit log (Iceberg snapshot-log analog,
+    * SURVEY.md §1.1): one row per commit with the operation mapping from
+    * FIXTURES.md §3 ('purchase' ⇒ replace, other writes ⇒ append). */
+  def snapshotLog(spark: SparkSession, dir: String): DataFrame =
+    commitEvents(spark, dir).select(
+      col("user_id").as("table_id"),
+      col("event_id").as("snapshot_id"),
+      col("ts_ms"),
+      when(col("event_type") === Fixture.ReplaceOp, lit("replace"))
+        .otherwise(lit("append")).as("operation"))
+
+  /** snapshot_ancestor_scan (SURVEY.md §2.1): the current snapshot's
+    * ancestor chain newest→oldest (`SnapshotUtil.currentAncestors`,
+    * AwsTableManagementMetricsEvaluator.java:74). The log is linear per
+    * table, so ancestry = ordering by commit time; `rn` is the ancestor
+    * position (1 = current snapshot). Partitioned by table: on a cluster
+    * each table's log sorts locally after one hash shuffle. */
+  def ancestorScan(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("table_id"))
+      .orderBy(col("ts_ms").desc, col("snapshot_id").desc)
+    snapshotLog(spark, dir).withColumn("rn", row_number().over(w))
+  }
+
+  /** event_json_encode (SURVEY.md §2.1): serialize the commit event to JSON
+    * (`CommitReportParser.toJson`, AwsTableManagementMetricsEvaluator.java:70)
+    * and the inverse — parse the event's `props` JSON payload. */
+  def jsonEncode(spark: SparkSession, dir: String): DataFrame = {
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    commitEvents(spark, dir).select(
+      col("event_id"),
+      to_json(struct(col("event_id"), col("event_type"))).as("ev_json"),
+      from_json(col("props"), propsSchema).getField("k").as("prop_k"))
+  }
+
+  /** table_ident_parse (SURVEY.md §2.1): drop the first (catalog) level of a
+    * dotted table name — `cat.db.t` → `db.t` (AwsManageUtil.java:19-24).
+    * Fixture names are synthesized from `nation`. */
+  def identParse(spark: SparkSession, dir: String): DataFrame = {
+    val full = concat(lit("glue."), lower(col("n_name")), lit(".t"))
+    Tables.load(spark, dir, "nation").select(
+      col("n_nationkey"),
+      full.as("full_name"),
+      array_join(slice(split(full, "\\."), 2, 100), ".").as("table_ident"))
+  }
+
+  /** Pure-Scala ident parse used on the engine (non-query) path. */
+  def parseIdent(name: String): String =
+    name.split('.').drop(1).mkString(".")
+}

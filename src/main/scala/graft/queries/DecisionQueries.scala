@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.model.EngineConfig
+import graft.ops.{Decide, EventOps}
+
+/** Driver-contract queries for the event/decision operators
+  * (SURVEY.md §2.1 rows 1-9). Every oracle below recomputes the snapshot-log
+  * derivation (FIXTURES.md §3) in DuckDB SQL so both engines run the same
+  * pure rule over `events`. */
+object DecisionQueries {
+
+  private val cfg = EngineConfig()
+
+  /** Epoch-ms constants pinned in graft.model.Fixture / Decide. */
+  private val nowMs = Decide.NowMs                  // 2024-01-31T00:00:00Z
+  private val staleMs = Decide.staleCutoffMs(cfg)   // now − 3 h
+
+  private val writeOpsSql = "('click','purchase','signup','view')"
+
+  /** Shared CTE: the snapshot log derived from events. */
+  private val logCte =
+    s"""log AS (
+       |  SELECT user_id AS table_id, event_id AS snapshot_id,
+       |         epoch_ms(ts) AS ts_ms,
+       |         CASE WHEN event_type = 'purchase' THEN 'replace'
+       |              ELSE 'append' END AS operation
+       |  FROM events WHERE event_type IN $writeOpsSql)""".stripMargin
+
+  /** Shared CTE: log restricted to commits newer than the last replace. */
+  private val cutCte =
+    s"""marked AS (
+       |  SELECT *, max(CASE WHEN operation = 'replace' THEN ts_ms END)
+       |              OVER (PARTITION BY table_id) AS lr
+       |  FROM log),
+       |cut AS (
+       |  SELECT table_id, snapshot_id, ts_ms, operation FROM marked
+       |  WHERE lr IS NULL OR ts_ms > lr)""".stripMargin
+
+  val pack: QueryPack = QueryPack(
+    queries = Map(
+      "commit_event_filter" -> ((s, dir) =>
+        EventOps.commitEvents(s, dir)
+          .select(col("event_id"), col("user_id").as("table_id"),
+            col("event_type"))),
+
+      "event_json_encode" -> ((s, dir) => EventOps.jsonEncode(s, dir)),
+
+      "table_ident_parse" -> ((s, dir) => EventOps.identParse(s, dir)),
+
+      "snapshot_ancestor_scan" -> ((s, dir) => EventOps.ancestorScan(s, dir)),
+
+      "optimize_cutoff" -> ((s, dir) =>
+        Decide.optimizeCutoff(EventOps.snapshotLog(s, dir))
+          .select("table_id", "snapshot_id", "ts_ms")),
+
+      "time_threshold_pred" -> ((s, dir) =>
+        Decide.timeThresholdPred(EventOps.snapshotLog(s, dir), cfg)
+          .select("table_id", "snapshot_id", "ts_ms", "age_ms")),
+
+      "commit_threshold_count" -> ((s, dir) =>
+        Decide.commitThresholdCount(
+          Decide.optimizeCutoff(EventOps.snapshotLog(s, dir)), cfg)
+          .select("table_id", "snapshot_id", "commits_so_far", "triggered")),
+
+      "should_optimize" -> ((s, dir) =>
+        Decide.shouldOptimize(EventOps.snapshotLog(s, dir), cfg))),
+
+    oracles = Map(
+      "commit_event_filter" ->
+        s"""SELECT event_id, user_id AS table_id, event_type
+           |FROM events WHERE event_type IN $writeOpsSql""".stripMargin,
+
+      "event_json_encode" ->
+        s"""SELECT event_id,
+           |  to_json(struct_pack(event_id := event_id,
+           |                      event_type := event_type))::VARCHAR AS ev_json,
+           |  CAST(json_extract_string(props, '$$.k') AS INTEGER) AS prop_k
+           |FROM events WHERE event_type IN $writeOpsSql""".stripMargin,
+
+      "table_ident_parse" ->
+        """SELECT n_nationkey,
+          |  'glue.' || lower(n_name) || '.t' AS full_name,
+          |  array_to_string(
+          |    string_split('glue.' || lower(n_name) || '.t', '.')[2:],
+          |    '.') AS table_ident
+          |FROM nation""".stripMargin,
+
+      "snapshot_ancestor_scan" ->
+        s"""WITH $logCte
+           |SELECT table_id, snapshot_id, ts_ms, operation,
+           |  CAST(row_number() OVER (PARTITION BY table_id
+           |       ORDER BY ts_ms DESC, snapshot_id DESC) AS INTEGER) AS rn
+           |FROM log""".stripMargin,
+
+      "optimize_cutoff" ->
+        s"""WITH $logCte, $cutCte
+           |SELECT table_id, snapshot_id, ts_ms FROM cut""".stripMargin,
+
+      "time_threshold_pred" ->
+        s"""WITH $logCte
+           |SELECT table_id, snapshot_id, ts_ms, $nowMs - ts_ms AS age_ms
+           |FROM log WHERE ts_ms <= $staleMs""".stripMargin,
+
+      "commit_threshold_count" ->
+        s"""WITH $logCte, $cutCte
+           |SELECT table_id, snapshot_id,
+           |  CAST(row_number() OVER (PARTITION BY table_id
+           |       ORDER BY ts_ms DESC, snapshot_id DESC) AS INTEGER)
+           |    AS commits_so_far,
+           |  CAST(row_number() OVER (PARTITION BY table_id
+           |       ORDER BY ts_ms DESC, snapshot_id DESC) AS INTEGER)
+           |    >= ${cfg.commitThreshold} AS triggered
+           |FROM cut""".stripMargin,
+
+      "should_optimize" ->
+        s"""WITH $logCte, $cutCte,
+           |agg AS (
+           |  SELECT table_id, count(*) AS n, min(ts_ms) AS oldest,
+           |         max(CASE WHEN ts_ms <= $staleMs THEN 1 ELSE 0 END) AS stale
+           |  FROM cut GROUP BY table_id),
+           |t AS (SELECT DISTINCT table_id FROM log)
+           |SELECT t.table_id,
+           |  COALESCE(n, 0) AS n_commits_since_replace,
+           |  COALESCE(oldest, -1) AS oldest_pending_ts_ms,
+           |  COALESCE(stale, 0) = 1 AS time_triggered,
+           |  (COALESCE(n, 0) >= ${cfg.commitThreshold}
+           |    OR COALESCE(stale, 0) = 1) AS should_optimize
+           |FROM t LEFT JOIN agg USING (table_id)""".stripMargin))
+}
