@@ -17,7 +17,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: QueryPack = Seq(
-    DecisionQueries.pack
+    DecisionQueries.pack,
+    MaintenanceQueries.pack
   ).foldLeft(QueryPack.empty)(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

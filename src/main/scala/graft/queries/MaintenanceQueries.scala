@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.ops.{Codegen, EventOps, FilePlan, Props}
+
+/** Driver-contract queries for property-map ops, maintenance-command
+  * codegen, and file-group planning (SURVEY.md §2.1 rows 11-16, §2.2). */
+object MaintenanceQueries {
+
+  private val writeOpsSql = "('click','purchase','signup','view')"
+
+  /** KV properties fixture CTE — mirrors Props.propsRelation. */
+  private val propsCte =
+    """props AS (
+      |  SELECT event_id,
+      |    CASE
+      |      WHEN event_id % 10 = 0 THEN 'metrics-reporter-impl'
+      |      WHEN event_id % 10 = 1 THEN 'metrics-reporter.queue-size'
+      |      WHEN event_id % 10 = 2 THEN 'optimize-data.commit-threshold'
+      |      WHEN event_id % 10 = 3 THEN 'optimize-data.spark.configs.spark.executor.memory'
+      |      WHEN event_id % 10 = 4 THEN 'optimize-data.spark.configs.spark.executor.cores'
+      |      WHEN event_id % 10 = 5 THEN 'optimize-data.options.partial-progress.enabled'
+      |      ELSE 'other.prop.' || (event_id % 10)
+      |    END AS key,
+      |    event_type AS value
+      |  FROM events)""".stripMargin
+
+  /** Snapshot-log CTE (same derivation as DecisionQueries). */
+  private val logCte =
+    s"""log AS (
+       |  SELECT user_id AS table_id, event_id AS snapshot_id,
+       |         epoch_ms(ts) AS ts_ms
+       |  FROM events WHERE event_type IN $writeOpsSql)""".stripMargin
+
+  /** File-metadata fixture CTE — mirrors FilePlan.fileRelation. */
+  private val filesCte =
+    """files AS (
+      |  SELECT o_orderstatus AS part_key, o_orderkey AS file_seq,
+      |         'f_' || o_orderkey AS path,
+      |         CAST(floor(o_totalprice) AS BIGINT) * 1000 AS size_bytes
+      |  FROM orders)""".stripMargin
+
+  private val cap = FilePlan.DefaultGroupCapBytes
+
+  val pack: QueryPack = QueryPack(
+    queries = Map(
+      "reporter_prop_strip" -> ((s, dir) =>
+        Props.stripReporterRelation(Props.propsRelation(s, dir))),
+
+      "props_prefix_select" -> ((s, dir) =>
+        Props.prefixSelectRelation(Props.propsRelation(s, dir),
+          "optimize-data.spark.configs.")),
+
+      "sql_options_literal" -> ((s, dir) =>
+        Codegen.optionsLiteralPerTable(EventOps.snapshotLog(s, dir))),
+
+      "rewrite_sql_codegen" -> ((s, dir) =>
+        Codegen.rewriteSqlPerTable(EventOps.snapshotLog(s, dir))),
+
+      "athena_sql_codegen" -> ((s, dir) =>
+        Codegen.athenaSqlPerTable(EventOps.snapshotLog(s, dir))),
+
+      "spark_conf_flags" -> ((s, dir) =>
+        Codegen.confFlagRows(EventOps.snapshotLog(s, dir))),
+
+      "filegroup_planning" -> ((s, dir) =>
+        FilePlan.filegroupPlanning(FilePlan.fileRelation(s, dir))),
+
+      "small_file_metrics" -> ((s, dir) =>
+        FilePlan.smallFileMetrics(FilePlan.fileRelation(s, dir)))),
+
+    oracles = Map(
+      "reporter_prop_strip" ->
+        s"""WITH $propsCte
+           |SELECT event_id, key, value FROM props
+           |WHERE NOT (key = 'metrics-reporter-impl'
+           |           OR key LIKE 'metrics-reporter.%')""".stripMargin,
+
+      "props_prefix_select" ->
+        s"""WITH $propsCte
+           |SELECT event_id, substr(key, 29) AS conf_key, value FROM props
+           |WHERE key LIKE 'optimize-data.spark.configs.%'""".stripMargin,
+
+      "sql_options_literal" ->
+        s"""WITH $logCte
+           |SELECT table_id,
+           |  'map(''commit-count'',''' || count(*) ||
+           |  ''',''max-file-group-size-bytes'',''10737418240'',' ||
+           |  '''partial-progress.enabled'',''true'')' AS options_sql
+           |FROM log GROUP BY table_id""".stripMargin,
+
+      "rewrite_sql_codegen" ->
+        s"""WITH $logCte
+           |SELECT DISTINCT table_id,
+           |  'CALL aws_ebtm.system.rewrite_data_files(table => ''db.tbl_'
+           |  || table_id ||
+           |  ''', options => map(''partial-progress.enabled'',''true'',' ||
+           |  '''max-file-group-size-bytes'',''10737418240''), ' ||
+           |  'strategy => ''binpack'')' AS rewrite_sql
+           |FROM log""".stripMargin,
+
+      "athena_sql_codegen" ->
+        s"""WITH $logCte
+           |SELECT DISTINCT table_id,
+           |  'OPTIMIZE db.tbl_' || table_id ||
+           |  ' REWRITE DATA USING BIN_PACK;' AS athena_sql
+           |FROM log""".stripMargin,
+
+      "spark_conf_flags" ->
+        s"""WITH $logCte,
+           |confs(conf_key, val) AS (VALUES
+           |  ('spark.driver.cores', '4'),
+           |  ('spark.driver.memory', '32g'),
+           |  ('spark.dynamicAllocation.enabled', 'false'),
+           |  ('spark.executor.cores', '4'),
+           |  ('spark.executor.instances', '10'),
+           |  ('spark.executor.memory', '16g')),
+           |t AS (SELECT DISTINCT table_id FROM log)
+           |SELECT table_id, conf_key,
+           |  '--conf ' || conf_key || '=' || val AS arg
+           |FROM t CROSS JOIN confs""".stripMargin,
+
+      "filegroup_planning" ->
+        s"""WITH $filesCte
+           |SELECT part_key, path, size_bytes,
+           |  CAST(floor(CAST(sum(size_bytes) OVER (
+           |    PARTITION BY part_key ORDER BY file_seq
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS DOUBLE) / $cap) AS BIGINT) AS group_id
+           |FROM files""".stripMargin,
+
+      "small_file_metrics" ->
+        s"""WITH $filesCte
+           |SELECT part_key,
+           |  count(*) AS n_files,
+           |  CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           |  min(size_bytes) AS min_bytes,
+           |  max(size_bytes) AS max_bytes,
+           |  CAST(sum(CASE WHEN size_bytes < ${FilePlan.SmallFileBytes}
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+           |  CAST(sum(size_bytes) AS BIGINT) // count(*) AS avg_bytes
+           |FROM files GROUP BY part_key""".stripMargin))
+}
