@@ -18,7 +18,9 @@ object SparkEntry {
 
   private val packs: QueryPack = Seq(
     DecisionQueries.pack,
-    MaintenanceQueries.pack
+    MaintenanceQueries.pack,
+    JobQueries.pack,
+    RelationalQueries.pack
   ).foldLeft(QueryPack.empty)(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,134 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{CompactionSpec, FileMeta, SnapshotMeta}
+import graft.ops.FilePlan
+
+/** Native compaction — the data-processing work the reference delegates to
+  * `rewrite_data_files` / Athena OPTIMIZE (SURVEY.md §2.2).
+  *
+  * Semantics preserved from the reference's configuration surface:
+  *  - binpack (default): rewrite small files into ~target-size files
+  *  - file groups capped at `max-file-group-size-bytes` (10 GiB default)
+  *  - partial progress: one REPLACE commit per completed group rather than
+  *    one atomic commit (AwsManageProperties.java:48-50)
+  *  - sort strategy: rewrite clustered by a sort order
+  *    (AwsManageProperties.java:52-57)
+  *
+  * Spark has no transactional REPLACE over raw parquet, so commits are
+  * modeled in a metadata snapshot log (returned to the caller / appended by
+  * [[Maintenance]]), not in the filesystem — SURVEY.md §7.4.
+  *
+  * Scale: the rewrite itself is `read → repartition(n) → write`, embarrassingly
+  * parallel, with n sized from real byte counts so output files hit the
+  * target size at any input scale. Per-group rewrites read only that group's
+  * files, bounding each job to ≤cap bytes regardless of table size.
+  */
+object Compact {
+
+  /** Default rewrite target file size (Iceberg's write.target-file-size
+    * default, 512 MB — the implied output size of binpack). */
+  val DefaultTargetFileSizeBytes: Long = 536870912L
+
+  /** List a parquet table directory's data files as FileMeta. */
+  def listFiles(dir: String): Seq[FileMeta] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return Seq.empty
+    Files.walk(p).iterator().asScala
+      .filter(f => Files.isRegularFile(f))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => FileMeta(
+        table = dir,
+        path = f.toString,
+        sizeBytes = Files.size(f),
+        partition = ""))
+      .toSeq.sortBy(_.path)
+  }
+
+  /** Plan file groups: greedy in-order accumulation up to the cap; a single
+    * oversized file gets its own group. Pure Scala (metadata-scale) twin of
+    * FilePlan.filegroupPlanning's window form. */
+  def planGroups(files: Seq[FileMeta], capBytes: Long): Seq[Seq[FileMeta]] = {
+    val groups = Seq.newBuilder[Seq[FileMeta]]
+    var cur = Seq.newBuilder[FileMeta]
+    var curBytes = 0L
+    var curN = 0
+    files.foreach { f =>
+      if (curN > 0 && curBytes + f.sizeBytes > capBytes) {
+        groups += cur.result(); cur = Seq.newBuilder[FileMeta]
+        curBytes = 0L; curN = 0
+      }
+      cur += f; curBytes += f.sizeBytes; curN += 1
+    }
+    if (curN > 0) groups += cur.result()
+    groups.result()
+  }
+
+  /** Number of output files for a byte total at a target size. */
+  def outputFileCount(totalBytes: Long, targetBytes: Long): Int =
+    math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+  /** binpack_compaction: rewrite a whole table directory into ~target-size
+    * files. Returns (filesBefore, filesAfter). */
+  def binpack(spark: SparkSession, inputDir: String, outputDir: String,
+      targetBytes: Long = DefaultTargetFileSizeBytes): (Int, Int) = {
+    val before = listFiles(inputDir)
+    val n = outputFileCount(before.map(_.sizeBytes).sum, targetBytes)
+    spark.read.parquet(inputDir)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outputDir)
+    (before.size, listFiles(outputDir).size)
+  }
+
+  /** sort_compaction: rewrite clustered by the sort order — range
+    * partitioning keeps a global order across output files, so downstream
+    * range predicates prune whole files. */
+  def sortRewrite(spark: SparkSession, inputDir: String, outputDir: String,
+      sortCols: Seq[String],
+      targetBytes: Long = DefaultTargetFileSizeBytes): (Int, Int) = {
+    val before = listFiles(inputDir)
+    val n = outputFileCount(before.map(_.sizeBytes).sum, targetBytes)
+    val df = spark.read.parquet(inputDir)
+    val cols = sortCols.map(col)
+    df.repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(outputDir)
+    (before.size, listFiles(outputDir).size)
+  }
+
+  /** Partial-progress compaction: plan groups under the cap, rewrite one
+    * group at a time, emit one REPLACE snapshot per completed group
+    * (`partial-progress.enabled`, AwsManageProperties.java:48-50). Output
+    * lands in `outputDir/group=<i>/`; returns the per-group commit log. */
+  def partialProgress(spark: SparkSession, inputDir: String, outputDir: String,
+      tableId: Long, capBytes: Long, nowMs: Long,
+      targetBytes: Long = DefaultTargetFileSizeBytes): Seq[SnapshotMeta] = {
+    val groups = planGroups(listFiles(inputDir), capBytes)
+    groups.zipWithIndex.map { case (group, i) =>
+      val n = outputFileCount(group.map(_.sizeBytes).sum, targetBytes)
+      spark.read.parquet(group.map(_.path): _*)
+        .repartition(n)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outputDir/group=$i")
+      SnapshotMeta(tableId = tableId, snapshotId = i.toLong,
+        tsMillis = nowMs + i, operation = "replace")
+    }
+  }
+
+  /** Dispatch a CompactionSpec (the typed form of the generated SQL) against
+    * local table directories. */
+  def run(spark: SparkSession, spec: CompactionSpec, inputDir: String,
+      outputDir: String): (Int, Int) =
+    spec.strategy match {
+      case "sort" =>
+        val cols = spec.sortOrder.getOrElse("").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "sort strategy requires sort_order columns")
+        sortRewrite(spark, inputDir, outputDir, cols)
+      case _ => binpack(spark, inputDir, outputDir)
+    }
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Relational operator coverage (SURVEY.md §2.3): equi/semi/anti joins,
+  * hash aggregation + distinct, window top-k, set operations, scalar string
+  * /math/date functions, sort+limit — the extension surface the reference
+  * delegates to its remote engines, implemented as declarative DataFrame
+  * plans so Catalyst does pushdown, pruning, and join selection.
+  *
+  * Money columns use exact integer cents (`round(x*100) AS BIGINT`) instead
+  * of floating sums so both engines agree bit-for-bit at any scale and the
+  * aggregates stay map-side combinable.
+  */
+object RelationalQueries {
+
+  /** Exact cents expression shared by Spark and oracle sides. */
+  private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+  /** discount/tax as exact integer percent. */
+  private def pct(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+
+  val pack: QueryPack = QueryPack(
+    queries = Map(
+      // TPC-H Q1 shape: scan → filter → hash agg, fully codegen'd,
+      // partial-aggregated map-side before one shuffle on the group keys.
+      "q1_pricing_summary" -> ((s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+          .withColumn("qty", expr("CAST(round(l_quantity) AS BIGINT)"))
+          .withColumn("base_cents", cents("l_extendedprice"))
+          .withColumn("disc_pct", pct("l_discount"))
+          .withColumn("tax_pct", pct("l_tax"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("qty")).as("sum_qty"),
+            sum(col("base_cents")).as("sum_base_cents"),
+            sum(col("base_cents") * (lit(100L) - col("disc_pct")))
+              .as("sum_disc_x10k"),
+            sum(col("base_cents") * (lit(100L) - col("disc_pct")) *
+              (lit(100L) + col("tax_pct"))).as("sum_charge_x1m"),
+            count(lit(1)).as("count_order"))
+      }),
+
+      // TPC-H Q3 shape: selective dim filter → broadcast join into the
+      // fact, agg, global top-k (orderBy+limit = TakeOrderedAndProject).
+      "q3_shipping_priority" -> ((s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))")
+              .as("o_orderdate_ms"))
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            (cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+              .as("rev_x10k"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate_ms"))
+          .agg(sum(col("rev_x10k")).as("revenue_x10k"))
+          .orderBy(col("revenue_x10k").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+      // TPC-H Q5 shape: multi-join across dims + fact with an agg by
+      // nation; dims broadcast, fact shuffles once.
+      "q5_region_revenue" -> ((s, dir) => {
+        val region = Tables.load(s, dir, "region")
+          .filter(col("r_regionkey") < 2).select("r_regionkey")
+        val nation = Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val cust = Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")
+        val sup = Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+        val ord = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+              .as("rev_x10k"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("rev_x10k")).as("revenue_x10k"))
+      }),
+
+      // EXISTS via left-semi: never multiplies rows, no fact shuffle of
+      // the orders side beyond the join itself.
+      "join_semi" -> ((s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val ord = Tables.load(s, dir, "orders").select("o_custkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers_with_orders"))
+      }),
+
+      // NOT EXISTS via left-anti (filter the right side first so the
+      // anti-join is selective and broadcastable).
+      "join_anti" -> ((s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers_without_urgent"))
+      }),
+
+      // Per-group top-k via ranking window (no global sort).
+      "window_topk" -> ((s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rank"),
+            cents("o_totalprice").as("totalprice_cents"))
+      }),
+
+      // Exact distinct aggregation (Expand-based two-phase plan).
+      "agg_distinct" -> ((s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"))),
+
+      // Set operations: symmetric difference of deep-debt customer nations
+      // vs negative-balance supplier nations = (A ∪ B) \ (A ∩ B).
+      "set_ops" -> ((s, dir) => {
+        val custNations = Tables.load(s, dir, "customer")
+          .filter(col("c_acctbal") < -800)
+          .select(col("c_nationkey").as("nationkey")).distinct()
+        val supNations = Tables.load(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0)
+          .select(col("s_nationkey").as("nationkey")).distinct()
+        custNations.union(supNations).distinct()
+          .except(custNations.intersect(supNations))
+      }),
+
+      // Scalar string/math expressions, single codegen'd projection.
+      "scalar_funcs" -> ((s, dir) =>
+        Tables.load(s, dir, "part").select(
+          col("p_partkey"),
+          upper(expr("substring(p_name, 1, 12)")).as("name12"),
+          (col("p_size") % 7).as("size_mod7"),
+          length(col("p_type")).as("type_len"),
+          when(cents("p_retailprice") >= 150000L, "premium")
+            .otherwise("standard").as("price_band"))),
+
+      // Date/time bucketing + agg.
+      "date_agg" -> ((s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("o_year"),
+            month(col("o_orderdate")).as("o_month"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(cents("o_totalprice")).as("total_cents")))),
+
+    oracles = Map(
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+          |    AS sum_base_cents,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |    AS sum_disc_x10k,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT)) *
+          |      (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)
+          |    AS sum_charge_x1m,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q3_shipping_priority" ->
+        """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |    AS revenue_x10k
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderdate_ms
+          |ORDER BY revenue_x10k DESC, o_orderkey
+          |LIMIT 10""".stripMargin,
+
+      "q5_region_revenue" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |    AS revenue_x10k
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_regionkey < 2
+          |GROUP BY n_name""".stripMargin,
+
+      "join_semi" ->
+        """SELECT c_nationkey, count(*) AS n_customers_with_orders
+          |FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY c_nationkey""".stripMargin,
+
+      "join_anti" ->
+        """SELECT c_nationkey, count(*) AS n_customers_without_urgent
+          |FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          |GROUP BY c_nationkey""".stripMargin,
+
+      "window_topk" ->
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(rank AS INTEGER) AS rank,
+          |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
+          |FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          |  FROM orders)
+          |WHERE rank <= 3""".stripMargin,
+
+      "agg_distinct" ->
+        """SELECT o_orderstatus,
+          |  count(*) AS n_orders,
+          |  count(DISTINCT o_custkey) AS n_customers,
+          |  count(DISTINCT o_orderpriority) AS n_priorities
+          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+      "set_ops" ->
+        """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+          |           WHERE c_acctbal < -800),
+          |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+          |      WHERE s_acctbal < 0)
+          |(SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+          |EXCEPT
+          |(SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)""".stripMargin,
+
+      "scalar_funcs" ->
+        """SELECT p_partkey,
+          |  upper(substr(p_name, 1, 12)) AS name12,
+          |  p_size % 7 AS size_mod7,
+          |  CAST(length(p_type) AS INTEGER) AS type_len,
+          |  CASE WHEN CAST(round(p_retailprice*100) AS BIGINT) >= 150000
+          |       THEN 'premium' ELSE 'standard' END AS price_band
+          |FROM part""".stripMargin,
+
+      "date_agg" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+          |    AS total_cents
+          |FROM orders GROUP BY 1, 2""".stripMargin))
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{CompactionSpec, EngineConfig}
+import graft.ops.{Codegen, EventOps, Props}
+
+/** Golden-string tests for maintenance-command codegen (exact expected text
+  * per EMRSparkUtil.java:93-95 javadoc shape and
+  * AthenaOptimizeDataExecutor.java:35) plus config/property pure functions. */
+class CodegenSpec extends AnyFunSuite {
+
+  test("rewrite SQL with explicit single option matches reference shape") {
+    val spec = CompactionSpec("db_name.table_name", "binpack",
+      options = Map("partial-progress.enabled" -> "true"))
+    assert(Codegen.rewriteDataFilesSql(spec) ===
+      "CALL aws_ebtm.system.rewrite_data_files(table => 'db_name.table_name', " +
+        "options => map('partial-progress.enabled','true'), strategy => 'binpack')")
+  }
+
+  test("rewrite SQL with default options") {
+    val spec = CompactionSpec("db.t")
+    assert(Codegen.rewriteDataFilesSql(spec) ===
+      "CALL aws_ebtm.system.rewrite_data_files(table => 'db.t', options => " +
+        "map('partial-progress.enabled','true'," +
+        "'max-file-group-size-bytes','10737418240'), strategy => 'binpack')")
+  }
+
+  test("rewrite SQL with sort strategy appends sort_order clause") {
+    val spec = CompactionSpec("db.t", "sort", Map("k" -> "v"), Some("c1 ASC"))
+    assert(Codegen.rewriteDataFilesSql(spec) ===
+      "CALL aws_ebtm.system.rewrite_data_files(table => 'db.t', " +
+        "options => map('k','v'), strategy => 'sort', sort_order => 'c1 ASC')")
+  }
+
+  test("rewrite SQL omits empty options clause") {
+    val spec = CompactionSpec("db.t", options = Map.empty)
+    assert(Codegen.rewriteDataFilesSql(spec) ===
+      "CALL aws_ebtm.system.rewrite_data_files(table => 'db.t', strategy => 'binpack')")
+  }
+
+  test("athena golden string") {
+    assert(Codegen.athenaOptimizeSql("db.t") ===
+      "OPTIMIZE db.t REWRITE DATA USING BIN_PACK;")
+  }
+
+  test("conf flags render sorted --conf k=v") {
+    assert(Codegen.confFlags(Map("b" -> "2", "a" -> "1")) ===
+      Seq("--conf a=1", "--conf b=2"))
+  }
+
+  test("sort_order requires sort strategy") {
+    intercept[IllegalArgumentException] {
+      CompactionSpec("db.t", "binpack", Map.empty, Some("c1"))
+    }
+  }
+
+  test("table ident parse drops catalog level") {
+    assert(EventOps.parseIdent("glue.db.t") === "db.t")
+    assert(EventOps.parseIdent("db.t") === "t")
+  }
+
+  test("EngineConfig defaults mirror the reference") {
+    val c = EngineConfig()
+    assert(c.commitThreshold === 10)
+    assert(c.timeThresholdMs === 10800000L)
+    assert(c.sleepWaitMs === 2000L)
+    assert(c.strategy === "binpack")
+    assert(c.options === Map(
+      "partial-progress.enabled" -> "true",
+      "max-file-group-size-bytes" -> "10737418240"))
+  }
+
+  test("EngineConfig.fromProperties parses overrides and prefixed maps") {
+    val c = EngineConfig.fromProperties(Map(
+      "optimize-data.commit-threshold" -> "5",
+      "optimize-data.time-threshold-ms" -> "1000",
+      "optimize-data.synchronous-enabled" -> "true",
+      "optimize-data.strategy" -> "sort",
+      "optimize-data.sort-order" -> "c1 DESC",
+      "optimize-data.options.foo" -> "bar",
+      "optimize-data.spark.configs.spark.executor.memory" -> "8g"))
+    assert(c.commitThreshold === 5)
+    assert(c.timeThresholdMs === 1000L)
+    assert(c.synchronousEnabled)
+    assert(c.strategy === "sort")
+    assert(c.sortOrder === Some("c1 DESC"))
+    assert(c.options === Map("foo" -> "bar"))
+    assert(c.sparkConfigs === Map("spark.executor.memory" -> "8g"))
+  }
+
+  test("invalid config rejected") {
+    intercept[IllegalArgumentException] { EngineConfig(commitThreshold = 0) }
+  }
+
+  test("reporter props stripped before inner catalog build") {
+    val props = Map(
+      "metrics-reporter-impl" -> "X",
+      "metrics-reporter.queue" -> "9",
+      "optimize-data.impl" -> "local")
+    assert(Props.stripReporterProps(props) === Map("optimize-data.impl" -> "local"))
+  }
+
+  test("prefix select strips prefix and falls back to defaults when empty") {
+    val props = Map("optimize-data.options.a" -> "1", "other" -> "x")
+    assert(Props.prefixSelect(props, "optimize-data.options.") === Map("a" -> "1"))
+    assert(Props.prefixSelect(Map.empty, "p.", Map("d" -> "1")) === Map("d" -> "1"))
+  }
+}

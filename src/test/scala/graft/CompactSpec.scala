@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Compact
+import graft.model.FileMeta
+
+/** End-to-end compaction effect tests (SURVEY.md §5.2(4)): fragment a real
+  * table into many small files, compact, assert file count drops and
+  * content is preserved. */
+class CompactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val src = "/root/testdata/sf0.001/lineitem.parquet"
+
+  /** Order-insensitive content hash (decimal sum: ANSI-safe, no overflow).
+    * Reads the data files directly so `group=<i>/` partition dirs don't
+    * inject an inferred partition column into the hashed schema. */
+  private def contentHash(dir: String): String = {
+    val files = Compact.listFiles(dir).map(_.path)
+    spark.read.parquet(files: _*)
+      .select(sum(xxhash64(struct(col("*"))).cast("decimal(38,0)")).as("h"))
+      .collect()(0).get(0).toString
+  }
+
+  private def fragment(nFiles: Int): String = {
+    val dir = Files.createTempDirectory("graft-frag").toString
+    spark.read.parquet(src).repartition(nFiles).write
+      .mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("binpack reduces file count and preserves content") {
+    val in = fragment(40)
+    val out = Files.createTempDirectory("graft-out").toString
+    val hBefore = contentHash(in)
+    val nBefore = Compact.listFiles(in).size
+    assert(nBefore >= 40)
+    val (_, nAfter) = Compact.binpack(spark, in, out)
+    assert(nAfter < nBefore)
+    assert(nAfter === 1) // ~200 kB total well under the 512 MB target
+    assert(contentHash(out) === hBefore)
+  }
+
+  test("sort rewrite clusters by sort column and preserves content") {
+    val in = fragment(16)
+    val out = Files.createTempDirectory("graft-out").toString
+    val hBefore = contentHash(in)
+    Compact.sortRewrite(spark, in, out, Seq("l_orderkey", "l_linenumber"))
+    assert(contentHash(out) === hBefore)
+    // sortedness within each output file
+    import spark.implicits._
+    val files = Compact.listFiles(out).map(_.path)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .as[(Long, Int)].collect().toSeq
+      assert(keys === keys.sorted, s"unsorted file $f")
+    }
+  }
+
+  test("planGroups respects cap, preserves order, isolates oversized files") {
+    def f(i: Int, size: Long) = FileMeta("t", f"p$i%03d", size, "")
+    val files = Seq(f(1, 4L), f(2, 4L), f(3, 4L), f(4, 15L), f(5, 1L), f(6, 9L))
+    val groups = Compact.planGroups(files, capBytes = 10L)
+    // greedy: [4,4] (next 4 would exceed), [4], [15] alone, [1,9]
+    assert(groups.map(_.map(_.sizeBytes)) ===
+      Seq(Seq(4L, 4L), Seq(4L), Seq(15L), Seq(1L, 9L)))
+    assert(groups.flatten === files) // order preserved
+    groups.filter(_.size > 1).foreach(g =>
+      assert(g.map(_.sizeBytes).sum <= 10L))
+  }
+
+  test("partial progress emits one replace commit per group, content intact") {
+    val in = fragment(12)
+    val out = Files.createTempDirectory("graft-out").toString
+    val hBefore = contentHash(in)
+    val totalBytes = Compact.listFiles(in).map(_.sizeBytes).sum
+    val cap = totalBytes / 3 // force ~4 groups
+    val commits = Compact.partialProgress(spark, in, out,
+      tableId = 7L, capBytes = cap, nowMs = 1000L)
+    assert(commits.size >= 3)
+    assert(commits.forall(_.operation === "replace"))
+    assert(commits.forall(_.tableId === 7L))
+    assert(commits.map(_.snapshotId) === commits.indices.map(_.toLong))
+    assert(contentHash(out) === hBefore)
+  }
+
+  test("CompactionSpec dispatch: sort strategy requires sort order") {
+    intercept[IllegalArgumentException] {
+      Compact.run(spark, graft.model.CompactionSpec("t", "sort",
+        Map.empty, None), "/tmp/none", "/tmp/none2")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Compact, DryRunExecutor, Executors, JobStateLog, LocalSparkExecutor}
+import graft.model.JobRun
+
+/** Executor lifecycle: submit → state log → poll → terminal
+  * (SURVEY.md §2.1 job_submit_*, job_poll_state, sync_async_gate,
+  * executor_dynload). */
+class ExecutorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fragmented(): String = {
+    val dir = Files.createTempDirectory("graft-exec-in").toString
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("synchronous local executor runs compaction to SUCCEEDED") {
+    val log = new JobStateLog
+    val in = fragmented()
+    val out = Files.createTempDirectory("graft-exec-out").toString
+    val ex = new LocalSparkExecutor(spark, log)
+    ex.initialize("db.t", Map(
+      "optimize-data.synchronous-enabled" -> "true",
+      "optimize-data.sleep-wait-ms" -> "50",
+      "local.input-dir" -> in,
+      "local.output-dir" -> out))
+    val jobId = ex.execute()
+    assert(log.currentState(jobId) === Some("SUCCEEDED"))
+    assert(Compact.listFiles(out).nonEmpty)
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(in).count())
+  }
+
+  test("async local executor returns immediately; poll reaches terminal") {
+    val log = new JobStateLog
+    val in = fragmented()
+    val out = Files.createTempDirectory("graft-exec-out").toString
+    val ex = new LocalSparkExecutor(spark, log)
+    ex.initialize("db.t2", Map(
+      "local.input-dir" -> in, "local.output-dir" -> out))
+    val jobId = ex.execute()
+    // fire-and-forget default (synchronous-enabled=false): poll explicitly
+    val state = Executors.waitForCompletion(log, jobId, sleepWaitMs = 20)
+    assert(state === "SUCCEEDED")
+  }
+
+  test("failed job surfaces through the poll loop as an error") {
+    val log = new JobStateLog
+    log.append(JobRun("j1", "SUBMITTED", 1L))
+    log.append(JobRun("j1", "RUNNING", 2L))
+    log.append(JobRun("j1", "FAILED", 3L))
+    intercept[IllegalStateException] {
+      Executors.waitForCompletion(log, "j1", sleepWaitMs = 1)
+    }
+  }
+
+  test("missing mandatory dirs rejected (required_prop_check)") {
+    val ex = new LocalSparkExecutor(spark, new JobStateLog)
+    ex.initialize("db.t", Map.empty)
+    intercept[IllegalArgumentException] { ex.execute() }
+  }
+
+  test("dry-run executor emits the generated SQL") {
+    val log = new JobStateLog
+    val ex = new DryRunExecutor(log)
+    ex.initialize("db.t", Map.empty)
+    val jobId = ex.execute()
+    assert(ex.generatedSql.get.startsWith(
+      "CALL aws_ebtm.system.rewrite_data_files(table => 'db.t'"))
+    assert(log.currentState(jobId) === Some("SUCCEEDED"))
+  }
+
+  test("executor_dynload: known names resolve, unknown class fails cleanly") {
+    val log = new JobStateLog
+    assert(Executors.load("local", spark, log).isInstanceOf[LocalSparkExecutor])
+    assert(Executors.load("dry-run", spark, log).isInstanceOf[DryRunExecutor])
+    intercept[IllegalArgumentException] {
+      Executors.load("com.example.NoSuchExecutor", spark, log)
+    }
+  }
+}
