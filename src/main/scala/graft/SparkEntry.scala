@@ -20,7 +20,8 @@ object SparkEntry {
     DecisionQueries.pack,
     MaintenanceQueries.pack,
     JobQueries.pack,
-    RelationalQueries.pack
+    RelationalQueries.pack,
+    PipelineQueries.pack
   ).foldLeft(QueryPack.empty)(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,206 @@
+package graft.exts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Document deduplication — exact and near-dup (north star extension).
+  *
+  * The testdata corpus has no natural duplicates, so the dedup queries work
+  * over `corpus` = documents ∪ deterministically planted copies (exact
+  * copies for exact dedup; tail-perturbed copies for near-dup). Planting
+  * inside the query keeps every operator self-contained, nontrivial, and
+  * oracle-checkable.
+  *
+  * Scale shapes:
+  *  - exact dedup: hash-groupBy on the full text (at 100 TB: groupBy on a
+  *    64/128-bit content hash instead of the raw string — same plan, narrow
+  *    shuffle key);
+  *  - n-gram Jaccard: shingle inverted-index self-join — pair candidates
+  *    are generated only for docs sharing a shingle, so cost tracks shared
+  *    shingle frequency, not |corpus|²; the Jaccard threshold is evaluated
+  *    in pure integer arithmetic (3·|A∩B| ≥ |A|+|B| ⟺ J ≥ ½), bit-exact
+  *    on any engine;
+  *  - MinHash-LSH and SimHash: constant-size signatures per doc (shuffle
+  *    bytes independent of doc length), banded bucketing so candidate
+  *    generation is again an equi-join.
+  */
+object Dedup {
+
+  /** Word 5-gram shingles (distinct) of a text column. */
+  val ShingleN = 5
+
+  private def words(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Distinct shingle array for a text column (empty if < N words —
+    * guarded because Spark's `sequence(1, 0)` counts downward). */
+  def shingles(text: Column): Column = {
+    val w = words(text)
+    when(size(w) >= ShingleN,
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (ShingleN - 1)),
+        i => array_join(slice(w, i, lit(ShingleN)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** documents ∪ planted exact copies (every 10th doc, id+100000). */
+  def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ planted near-copies (every 7th doc, two novel tail
+    * tokens appended: high but not perfect Jaccard overlap). */
+  def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zqx wvk")).as("text")))
+  }
+
+  /** Exact dedup: group by text, keep the minimum id (canonical), report
+    * group size. Returns only groups with duplicates. */
+  def exactDupGroups(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact dedup, kept rows: distinct texts keeping min doc_id. */
+  def exactDedup(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+  /** N-gram Jaccard near-dup pairs at threshold ½ via the integer
+    * inequality 3·inter ≥ |A|+|B|. Output is all-integer. */
+  def ngramJaccardPairs(corpus: DataFrame): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .filter(col("inter") * 3 >= col("n_a") + col("n_b"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_size"))
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Number of MinHash permutations and LSH bands (16 bands × 4 rows). */
+  val NumHashes = 64
+  val NumBands = 16
+  private val RowsPerBand = NumHashes / NumBands
+  /** Mersenne prime modulus for the affine permutations. */
+  private val P = 2147483647L
+
+  /** Deterministic affine permutation parameters (LCG from a fixed seed). */
+  private[exts] val perms: Seq[(Long, Long)] = {
+    var s = 42L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); (s >>> 33) % (P - 1) }
+    Seq.fill(NumHashes)((next() + 1, next()))
+  }
+
+  /** MinHash signatures (array of [[NumHashes]] longs per doc) via
+    * explode → hash-once → 64 min-aggregates: each shingle is hashed
+    * exactly once and the 64 permutation minima are partial aggregates
+    * (map-side combinable), so the shuffle carries 64 longs per doc
+    * regardless of document length. */
+  def signatures(corpus: DataFrame): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket, with the MinHash
+    * similarity estimate (matching signature positions / NumHashes). */
+  def minhashLshPairs(corpus: DataFrame,
+      estThreshold: Double = 0.5): DataFrame = {
+    val signed = signatures(corpus)
+    val bands = signed.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
+            .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / NumHashes)
+      .filter(col("est_sim") >= estThreshold)
+      .select(col("a_id"), col("b_id"), col("est_sim"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash from the token multiset: per-bit weight = Σ ±1 over
+    * token hashes; bit set where the weight is positive. */
+  def simhash(text: Column): Column = {
+    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
+    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n)
+    val tokenHashes = transform(words(text), t => xxhash64(t))
+    val weights = aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(shr(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(weights, sequence(lit(0), lit(63)),
+        (wt, i) => when(wt > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
+    * via 4 × 16-bit chunk equality (pigeonhole: d ≤ 3 ⟹ one chunk equal). */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = corpus.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftright", col("sig"), c * 16)
+            .bitwiseAND(0xFFFFL).as("v"))))
+        .as("cc"))
+      .select(col("doc_id"), col("sig"),
+        col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

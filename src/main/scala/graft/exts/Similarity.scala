@@ -1,0 +1,109 @@
+package graft.exts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over embedding columns (`Array[Float]`), the
+  * training-data-pipeline extension (north star; SURVEY.md §7.3).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: the exact baseline — broadcast the (small)
+  *    query set against the corpus, one pass, no shuffle of the corpus;
+  *  - sign-bucket LSH (random-hyperplane style with fixed axis-aligned
+  *    planes): each vector hashes to a bucket from the sign bits of its
+  *    leading dimensions, candidates are same-bucket only. At 100 TB the
+  *    bucket id is a shuffle/partition key: candidate generation becomes a
+  *    co-partitioned self-join instead of a cross product, cutting pair
+  *    count by ~#buckets.
+  *
+  * All float math is done in double via sequential fold (`aggregate`), so
+  * results are deterministic and reproducible across runs and engines.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Number of leading dimensions whose sign forms the LSH bucket id. */
+  val BucketBits = 6
+
+  /** Sign-bucket id: Σ_k (v[k] ≥ 0) · 2^k over the first [[BucketBits]]
+    * dims. Scale-invariant (a scaled copy lands in the same bucket). */
+  def signBucket(v: Column): Column =
+    (1 to BucketBits).map { k =>
+      when(element_at(v, k) >= 0f, lit(1 << (k - 1))).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Embeddings with bucket id attached. */
+  def bucketed(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signBucket(col("embedding")))
+
+  /** Brute-force cosine top-k: for each query vector (small set, broadcast),
+    * rank all corpus vectors by cosine. Exact baseline for ANN. */
+  def bruteTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n"))
+    val queries = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("emb_q"), col("emb_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's sign bucket —
+    * the scale path. Rank is within-bucket. */
+  def lshTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5): DataFrame = {
+    val all = bucketed(spark, dir)
+    val corpus = all.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_n"), col("bucket"))
+    val queries = all.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
+        col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("emb_q"), col("emb_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: corpus ∪ planted scaled copies
+    * (cosine exactly 1 in exact math), bucketed self-join, exact cosine ≥
+    * threshold within bucket. Output is id pairs only — integer-exact. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.999): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+      .withColumn("bucket", signBucket(col("embedding")))
+    val a = corpus.select(col("vec_id").as("a_id"),
+      col("embedding").as("emb_a"), col("bucket"))
+    val b = corpus.select(col("vec_id").as("b_id"),
+      col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.exts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.RollingHash
+
+/** Text analysis over the `documents` table (north star extension):
+  * token counting, quality scoring, n-gram/marker-word language ID, and
+  * content fingerprinting. Everything is a single codegen'd projection or
+  * one hash aggregate — embarrassingly parallel at any corpus size, no
+  * shuffle except final aggregates.
+  *
+  * All scores are exact integers (counts, ratios ×1000 via integer
+  * division) so the DuckDB oracle matches bit-for-bit.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count per document plus character length. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(words(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars_measured"),
+      col("n_chars"))
+
+  /** Marker words per supported language (mirrored in oracle SQL). */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|is)\\b",
+    "es" -> "\\b(el|la|de|que|es)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|des|et|est)\\b")
+
+  /** Quality scoring: length stats, stopword ratio, punctuation ratio,
+    * mean token length — integer arithmetic only (`div`, ratios ×1000) so
+    * the oracle compare is exact. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", size(words(col("text"))))
+      .withColumn("n_chars_measured", length(col("text")))
+      .withColumn("n_stopwords",
+        regexp_count(col("text"), lit(LangMarkers.head._2)))
+      .withColumn("n_punct", regexp_count(col("text"), lit("[.,;:!?]")))
+      .withColumn("mean_token_len_x100",
+        expr("(n_chars_measured * 100) div greatest(n_tokens, 1)"))
+      .withColumn("stopword_ratio_x1000",
+        expr("(n_stopwords * 1000) div greatest(n_tokens, 1)"))
+      .withColumn("passes_quality",
+        col("n_chars_measured") >= 100 && col("n_chars_measured") <= 20000 &&
+          col("stopword_ratio_x1000") >= 20)
+      .select("doc_id", "n_chars_measured", "n_tokens", "n_stopwords",
+        "n_punct", "mean_token_len_x100", "stopword_ratio_x1000",
+        "passes_quality")
+
+  /** Language ID: marker-word counts per language, deterministic argmax
+    * with fixed preference order (en > es > de > fr on ties). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val counts = LangMarkers.map { case (lang, pat) =>
+      lang -> regexp_count(col("text"), lit(pat))
+    }
+    val Seq(en, es, de, fr) = counts.map(_._2)
+    val predicted = when(en >= greatest(es, de, fr), "en")
+      .when(es >= greatest(de, fr), "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      en.as("score_en"), es.as("score_es"),
+      de.as("score_de"), fr.as("score_fr"),
+      predicted.as("predicted_lang"),
+      col("lang").as("labeled_lang"),
+      (predicted === col("lang")).as("is_match"))
+  }
+
+  /** Content fingerprints via the custom codegen'd rolling-hash expression:
+    * whole-doc polynomial hash window-min (winnowing-style), stable under
+    * row order. No oracle (not expressible in portable SQL) — covered by
+    * ScalaTest golden values. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    RollingHash.register(spark)
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      RollingHash.rolling_hash(col("text")).as("fingerprint"))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.exts.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver-contract queries for the training-data-pipeline extensions:
+  * text analysis, deduplication, similarity search, multimodal metadata.
+  * Oracles recompute the same pure derivations (including planted
+  * duplicates) in DuckDB; MinHash/SimHash/fingerprint use engine-specific
+  * hashing and are registered rows-only (covered by ScalaTest instead). */
+object PipelineQueries {
+
+  /** documents ∪ planted exact copies — DuckDB side. */
+  private val exactCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** documents ∪ planted near-copies — DuckDB side. */
+  private val nearCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' zqx wvk'
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** embeddings ∪ planted scaled copies — DuckDB side. */
+  private val embCorpusCte =
+    """corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2)
+      |  FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
+
+  /** Sign-bucket expression over a lists column — DuckDB side (1-based). */
+  private val bucketSql = (1 to Similarity.BucketBits).map { k =>
+    s"(CASE WHEN embedding[$k] >= 0 THEN ${1 << (k - 1)} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val langEn = "\\b(the|a|of|and|is)\\b"
+  private val langEs = "\\b(el|la|de|que|es)\\b"
+  private val langDe = "\\b(der|die|das|und|ist)\\b"
+  private val langFr = "\\b(le|les|des|et|est)\\b"
+
+  val pack: QueryPack = QueryPack(
+    queries = Map(
+      "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
+      "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(s, dir)),
+      "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+      "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+
+      "dedup_exact" -> ((s, dir) =>
+        Dedup.exactDupGroups(Dedup.corpusWithExactDups(s, dir))),
+      "dedup_ngram_jaccard" -> ((s, dir) =>
+        Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir))),
+      "dedup_minhash_lsh" -> ((s, dir) =>
+        Dedup.minhashLshPairs(Dedup.corpusWithNearDups(s, dir))),
+      "dedup_simhash" -> ((s, dir) =>
+        Dedup.simhashPairs(Dedup.corpusWithNearDups(s, dir))),
+      "dedup_embedding" -> ((s, dir) => Similarity.nearDupPairs(s, dir)),
+
+      "sim_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+      "sim_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+
+      "mm_meta" -> ((s, dir) => Multimodal.metadata(s, dir))),
+
+    oracles = Map(
+      "text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+          |    AS n_tokens,
+          |  CAST(length(text) AS INTEGER) AS n_chars_measured,
+          |  n_chars
+          |FROM documents""".stripMargin,
+
+      "text_quality" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS INTEGER) AS n_chars_measured,
+           |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+           |      AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '$langEn')) AS INTEGER)
+           |      AS n_stopwords,
+           |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER)
+           |      AS n_punct
+           |  FROM documents)
+           |SELECT doc_id, n_chars_measured, n_tokens, n_stopwords, n_punct,
+           |  CAST((n_chars_measured * 100) // greatest(n_tokens, 1) AS BIGINT)
+           |    AS mean_token_len_x100,
+           |  CAST((n_stopwords * 1000) // greatest(n_tokens, 1) AS BIGINT)
+           |    AS stopword_ratio_x1000,
+           |  (n_chars_measured >= 100 AND n_chars_measured <= 20000 AND
+           |   (n_stopwords * 1000) // greatest(n_tokens, 1) >= 20)
+           |    AS passes_quality
+           |FROM t""".stripMargin,
+
+      "text_langid" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(regexp_extract_all(text, '$langEn')) AS INTEGER) AS score_en,
+           |    CAST(len(regexp_extract_all(text, '$langEs')) AS INTEGER) AS score_es,
+           |    CAST(len(regexp_extract_all(text, '$langDe')) AS INTEGER) AS score_de,
+           |    CAST(len(regexp_extract_all(text, '$langFr')) AS INTEGER) AS score_fr
+           |  FROM documents)
+           |SELECT doc_id, score_en, score_es, score_de, score_fr,
+           |  CASE WHEN score_en >= greatest(score_es, score_de, score_fr) THEN 'en'
+           |       WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
+           |       WHEN score_de >= score_fr THEN 'de'
+           |       ELSE 'fr' END AS predicted_lang,
+           |  lang AS labeled_lang,
+           |  (CASE WHEN score_en >= greatest(score_es, score_de, score_fr) THEN 'en'
+           |        WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
+           |        WHEN score_de >= score_fr THEN 'de'
+           |        ELSE 'fr' END) = lang AS is_match
+           |FROM t""".stripMargin,
+
+      "dedup_exact" ->
+        s"""WITH $exactCorpusCte
+           |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM corpus GROUP BY text HAVING count(*) > 1""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH $nearCorpusCte,
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM corpus),
+           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+           |  WHERE len(words) >= 5),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, inter,
+           |  na.n_sh + nb.n_sh - inter AS union_size
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = a_id
+           |JOIN sizes nb ON nb.doc_id = b_id
+           |WHERE inter * 3 >= na.n_sh + nb.n_sh""".stripMargin,
+
+      "dedup_embedding" ->
+        s"""WITH $embCorpusCte,
+           |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM corpus)
+           |SELECT x.vec_id AS a_id, y.vec_id AS b_id
+           |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.999""".stripMargin,
+
+      "sim_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS e_q
+          |           FROM embeddings WHERE vec_id < 8),
+          |c AS (SELECT vec_id AS neighbor_id, embedding AS e_n FROM embeddings),
+          |scored AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_cosine_similarity(e_q, e_n) AS cos
+          |  FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+          |FROM (SELECT query_id, neighbor_id,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos DESC, neighbor_id) AS rank
+          |      FROM scored)
+          |WHERE rank <= 5""".stripMargin,
+
+      "sim_ann_lsh" ->
+        s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+           |           FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS e_q, bucket
+           |      FROM b WHERE vec_id < 8),
+           |scored AS (
+           |  SELECT query_id, c.vec_id AS neighbor_id,
+           |    list_cosine_similarity(e_q, c.embedding) AS cos
+           |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id)
+           |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+           |FROM (SELECT query_id, neighbor_id,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM scored)
+           |WHERE rank <= 5""".stripMargin,
+
+      "mm_meta" ->
+        """SELECT doc_id,
+          |  CASE (doc_id % 3) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+          |       ELSE 'webp' END AS format,
+          |  CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+          |  CAST(n_chars * 7 % 480 + 16 AS INTEGER) AS height,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+          |FROM documents""".stripMargin))
+}

