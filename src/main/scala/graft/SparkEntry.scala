@@ -21,7 +21,8 @@ object SparkEntry {
     MaintenanceQueries.pack,
     JobQueries.pack,
     RelationalQueries.pack,
-    PipelineQueries.pack
+    PipelineQueries.pack,
+    StreamQueries.pack
   ).foldLeft(QueryPack.empty)(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
