@@ -34,16 +34,13 @@ object Dedup {
   private def words(text: Column): Column =
     split(trim(text), "\\s+")
 
-  /** Distinct shingle array for a text column (empty if < N words —
-    * guarded because Spark's `sequence(1, 0)` counts downward). */
-  def shingles(text: Column): Column = {
-    val w = words(text)
-    when(size(w) >= ShingleN,
-      array_distinct(transform(
-        sequence(lit(1), size(w) - (ShingleN - 1)),
-        i => array_join(slice(w, i, lit(ShingleN)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct shingle array for a text column, via the native
+    * [[graft.functions.ShingleSet]] expression — one compiled pass per
+    * document (the interpreted higher-order-function formulation dominated
+    * the dedup bench). Semantics match the DuckDB oracle's
+    * regexp_split_to_array + slice + DISTINCT derivation. */
+  def shingles(text: Column): Column =
+    graft.functions.Signatures.shingle_set(text)
 
   /** documents ∪ planted exact copies (every 10th doc, id+100000). */
   def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
@@ -99,36 +96,19 @@ object Dedup {
   // ---- MinHash + LSH ----
 
   /** Number of MinHash permutations and LSH bands (16 bands × 4 rows). */
-  val NumHashes = 64
+  val NumHashes: Int = graft.functions.SigImpl.NumHashes
   val NumBands = 16
   private val RowsPerBand = NumHashes / NumBands
-  /** Mersenne prime modulus for the affine permutations. */
-  private val P = 2147483647L
 
-  /** Deterministic affine permutation parameters (LCG from a fixed seed). */
-  private[exts] val perms: Seq[(Long, Long)] = {
-    var s = 42L
-    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); (s >>> 33) % (P - 1) }
-    Seq.fill(NumHashes)((next() + 1, next()))
-  }
-
-  /** MinHash signatures (array of [[NumHashes]] longs per doc) via
-    * explode → hash-once → 64 min-aggregates: each shingle is hashed
-    * exactly once and the 64 permutation minima are partial aggregates
-    * (map-side combinable), so the shuffle carries 64 longs per doc
-    * regardless of document length. */
-  def signatures(corpus: DataFrame): DataFrame = {
-    val sh = corpus
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
-    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"m$i")
-    }
-    sh.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+  /** MinHash signatures (array of [[NumHashes]] longs per doc) via the
+    * native [[graft.functions.MinHashSig]] expression: one compiled pass
+    * per document inside whole-stage codegen — no explode, no aggregate,
+    * the shuffle carries a fixed 64-long signature per doc. */
+  def signatures(corpus: DataFrame): DataFrame =
+    corpus
+      .filter(size(words(col("text"))) >= ShingleN)
       .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+        graft.functions.Signatures.minhash_sig(col("text")).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band bucket, with the MinHash
     * similarity estimate (matching signature positions / NumHashes). */
@@ -162,29 +142,13 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash from the token multiset: per-bit weight = Σ ±1 over
-    * token hashes; bit set where the weight is positive. */
-  def simhash(text: Column): Column = {
-    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
-    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n)
-    val tokenHashes = transform(words(text), t => xxhash64(t))
-    val weights = aggregate(
-      tokenHashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(shr(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (x, y) => x + y))
-    aggregate(
-      zip_with(weights, sequence(lit(0), lit(63)),
-        (wt, i) => when(wt > 0, shl(lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
-
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
-    * via 4 × 16-bit chunk equality (pigeonhole: d ≤ 3 ⟹ one chunk equal). */
+    * via 4 × 16-bit chunk equality (pigeonhole: d ≤ 3 ⟹ one chunk equal).
+    * Signatures come from the native [[graft.functions.SimHash64]]
+    * expression (one compiled pass per document). */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = corpus.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sigs = corpus.select(col("doc_id"),
+      graft.functions.Signatures.simhash64(col("text")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         struct(c.as("chunk"),

@@ -73,6 +73,8 @@ object RollingHash {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
 
-  /** Column API (session must have [[register]]ed the function). */
-  def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+  /** Column API (registry-free). */
+  def rolling_hash(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      RollingHash(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 }

@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document-signature expressions for near-duplicate detection.
+  *
+  * MinHash and SimHash are tight per-document loops (tokens × 64); Spark's
+  * higher-order functions (`transform`/`aggregate`) evaluate lambdas
+  * interpreted, which made the signature stage dominate the dedup bench.
+  * These native expressions run one compiled JVM pass per document inside
+  * whole-stage codegen — the signature stage becomes I/O-bound, which is
+  * the behavior a 100 TB dedup sweep needs (hash work scales with bytes
+  * read, shuffle carries only the fixed-size signature).
+  */
+object SigImpl {
+  /** Mersenne prime modulus for affine MinHash permutations. */
+  val P = 2147483647L
+  val NumHashes = 64
+  val ShingleN = 5
+
+  /** Deterministic affine permutation parameters (LCG, fixed seed). */
+  val permA = new Array[Long](NumHashes)
+  val permB = new Array[Long](NumHashes)
+  locally {
+    var s = 42L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33) % (P - 1)
+    }
+    var i = 0
+    while (i < NumHashes) { permA(i) = next() + 1; permB(i) = next(); i += 1 }
+  }
+
+  private def tokenize(s: String): Array[String] =
+    s.trim.split("\\s+")
+
+  /** Distinct word 5-gram shingles in first-occurrence order — semantics
+    * identical to `array_distinct(transform(...))` over `split(trim(t),
+    * '\s+')` (and to the DuckDB oracle's regexp_split_to_array slices). */
+  def shingleSet(text: UTF8String): ArrayData = {
+    val words = tokenize(text.toString)
+    if (words.length < ShingleN)
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + ShingleN <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < ShingleN) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** FNV-1a 64-bit over a string's chars, reduced mod P (non-negative). */
+  private def hashMod(s: String): Long = {
+    var h = -3750763034362895579L // FNV offset basis
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 1099511628211L
+      i += 1
+    }
+    val m = h % P
+    if (m < 0) m + P else m
+  }
+
+  /** MinHash signature over word 5-gram shingles, one compiled pass. */
+  def minhashSig(text: UTF8String): ArrayData = {
+    val words = tokenize(text.toString)
+    val sig = new Array[Long](NumHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (words.length >= ShingleN) {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + ShingleN <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < ShingleN) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val h = hashMod(sb.toString)
+        var k = 0
+        while (k < NumHashes) {
+          val v = (h * permA(k) + permB(k)) % P
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over the token multiset, one compiled pass. */
+  def simhash(text: UTF8String): Long = {
+    val words = tokenize(text.toString)
+    val weights = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      var h = hashMod(words(i)) * 0x9E3779B97F4A7C15L // spread to 64 bits
+      h ^= (h >>> 32)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (weights(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** MinHash signature expression: `array<bigint>` of 64 permutation minima. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.minhashSig(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.minhashSig($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Shingle-set expression: `array<string>` of distinct word 5-grams. */
+case class ShingleSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.shingleSet(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.shingleSet($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** SimHash expression: 64-bit signature as a bigint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object Signatures {
+  import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+
+  /** Register the signature functions for SQL use (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
+  }
+
+  /** Column APIs (no registration required). */
+  def minhash_sig(c: Column): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c)))
+  def simhash64(c: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+  def shingle_set(c: Column): Column =
+    ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(c)))
+}
