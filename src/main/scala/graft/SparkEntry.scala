@@ -22,7 +22,8 @@ object SparkEntry {
     JobQueries.pack,
     RelationalQueries.pack,
     PipelineQueries.pack,
-    StreamQueries.pack
+    StreamQueries.pack,
+    AdvancedQueries.pack
   ).foldLeft(QueryPack.empty)(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+import graft.sources.PartitionedStore
+
+/** Approximate-sketch accuracy, salted-join equivalence, and partitioned
+  * layout pruning. */
+class AdvancedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact") {
+    val exact = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = queries.AdvancedQueries.pack
+      .queries("agg_approx_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("approx median within 5% of exact median") {
+    val exact = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = queries.AdvancedQueries.pack
+      .queries("agg_approx_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) / e <= 0.05, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(ord, Seq("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedEquiJoin(li, ord, "l_orderkey", saltBuckets = 8)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("partitioned write lays out key=value dirs and prunes on read") {
+    val out = Files.createTempDirectory("graft-part").toString
+    PartitionedStore.writeEventsByDay(spark, dir, out)
+    val days = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_date="))
+    assert(days.length >= 25) // ~30 days of events
+    val all = PartitionedStore.read(spark, out)
+    val oneDay = all.filter(col("event_date") === "2024-01-15")
+    // partition pruning visible in the physical plan
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_date"), s"no partition filter in:\n$plan")
+    assert(oneDay.count() > 0)
+    assert(all.count() ===
+      graft.ops.EventOps.events(spark, dir).count())
+  }
+}
