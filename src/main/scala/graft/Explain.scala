@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection tool: prints the formatted physical plan of selected
+  * driver-contract queries and flags the properties that matter at scale
+  * (filter pushdown, broadcast selection, exchange count, codegen). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+      "should_optimize", "commit_event_filter", "filegroup_planning",
+      "sim_topk", "dedup_ngram_jaccard", "dedup_minhash_lsh", "window_topk")
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      val df = SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      val smj = "SortMergeJoin".r.findAllIn(plan).size
+      val pushed = plan.contains("PushedFilters: [") &&
+        !plan.contains("PushedFilters: []")
+      println(s"[summary] exchanges=$exchanges broadcastJoins=$bhj " +
+        s"sortMergeJoins=$smj pushedFilters=$pushed")
+    }
+    spark.stop()
+  }
+}
