@@ -85,6 +85,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF-style ANN: a fixed set of "centroids" (deterministic: the first
+    * [[IvfCentroids]] vectors — a trained k-means would slot in the same
+    * way), each corpus vector assigned to its nearest centroid (inverted
+    * file cell), and each query searched only within its own cell.
+    *
+    * Scale shape: the cell id is the partition key — the corpus is
+    * bucketed once (one shuffle, or a bucketed table layout at rest), and
+    * a query probes one (or nprobe) cells instead of the whole corpus. */
+  val IvfCentroids = 16
+
+  def ivfTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    def assign(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      df.join(broadcast(centroids))
+        .withColumn("cent_cos", cosine(col(embCol), col("cent")))
+        .withColumn("cent_rn", row_number().over(w))
+        .filter(col("cent_rn") === 1)
+        .select(col(idCol), col(embCol), col("cent_id").as("cell"))
+    }
+    val corpus = assign(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n")),
+      "neighbor_id", "emb_n")
+    val queries = assign(
+      emb.filter(col("vec_id") < maxQueryId)
+        .select(col("vec_id").as("query_id"), col("embedding").as("emb_q")),
+      "query_id", "emb_q")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("emb_q"), col("emb_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: corpus ∪ planted scaled copies
     * (cosine exactly 1 in exact math), bucketed self-join, exact cosine ≥
     * threshold within bucket. Output is id pairs only — integer-exact. */

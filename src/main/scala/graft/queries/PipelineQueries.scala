@@ -62,6 +62,7 @@ object PipelineQueries {
 
       "sim_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
       "sim_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+      "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
 
       "mm_meta" -> ((s, dir) => Multimodal.metadata(s, dir))),
 
@@ -178,6 +179,38 @@ object PipelineQueries {
            |          ORDER BY cos DESC, neighbor_id) AS rank
            |      FROM scored)
            |WHERE rank <= 5""".stripMargin,
+
+      "sim_ivf" ->
+        """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent
+          |              FROM embeddings WHERE vec_id < 16),
+          |ca AS (
+          |  SELECT neighbor_id, emb_n, cell FROM (
+          |    SELECT e.vec_id AS neighbor_id, e.embedding AS emb_n,
+          |      c.cent_id AS cell,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+          |                 c.cent_id) AS rn
+          |    FROM embeddings e CROSS JOIN cent c)
+          |  WHERE rn = 1),
+          |qa AS (
+          |  SELECT query_id, emb_q, cell FROM (
+          |    SELECT e.vec_id AS query_id, e.embedding AS emb_q,
+          |      c.cent_id AS cell,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+          |                 c.cent_id) AS rn
+          |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8)
+          |  WHERE rn = 1),
+          |scored AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_cosine_similarity(emb_q, emb_n) AS cos
+          |  FROM qa JOIN ca USING (cell) WHERE neighbor_id <> query_id)
+          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+          |FROM (SELECT query_id, neighbor_id,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos DESC, neighbor_id) AS rank
+          |      FROM scored)
+          |WHERE rank <= 5""".stripMargin,
 
       "mm_meta" ->
         """SELECT doc_id,

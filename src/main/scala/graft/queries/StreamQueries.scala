@@ -12,8 +12,31 @@ object StreamQueries {
   val pack: QueryPack = QueryPack(
     queries = Map(
       "stream_should_optimize" -> ((s, dir) =>
-        EventPipeline.decisionsViaStream(s, dir, EngineConfig()))),
+        EventPipeline.decisionsViaStream(s, dir, EngineConfig())),
+      "session_windows" -> ((s, dir) =>
+        EventPipeline.sessionWindows(graft.ops.EventOps.events(s, dir)))),
     oracles = Map(
       "stream_should_optimize" ->
-        DecisionQueries.pack.oracles("should_optimize")))
+        DecisionQueries.pack.oracles("should_optimize"),
+      // Gaps-and-islands in epoch millis; a session breaks when the gap
+      // since the previous event is at least 30 min (Spark merges events
+      // whose [t, t+gap) ranges overlap; a touch at exactly t+gap merges).
+      "session_windows" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |m AS (
+          |  SELECT user_id, ts_ms,
+          |    CASE WHEN lag(ts_ms) OVER w IS NULL
+          |           OR ts_ms - lag(ts_ms) OVER w > 1800000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+          |s AS (
+          |  SELECT user_id, ts_ms,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM m)
+          |SELECT user_id,
+          |  min(ts_ms) AS session_start_ms,
+          |  max(ts_ms) + 1800000 AS session_end_ms,
+          |  count(*) AS n_events
+          |FROM s GROUP BY user_id, sid""".stripMargin))
 }

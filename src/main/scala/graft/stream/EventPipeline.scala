@@ -110,6 +110,21 @@ object EventPipeline {
     override def execute(): String = "noop"
   }
 
+  /** Session-window analysis (extension): per-user activity sessions with
+    * a fixed inactivity gap. Event times are truncated to millis before
+    * sessionization so the SQL gaps-and-islands oracle (which works in
+    * epoch millis) sees identical instants. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"))
+
   /** Tumbling-window event metrics (extension, SURVEY.md §2.3 streaming):
     * per event-type counts and byte totals per window. Works on the batch
     * and streaming frame alike; with a stream, pair with a watermark on
