@@ -19,11 +19,17 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Token count per document plus character length. */
+  /** BPE-ish wordpiece pattern: letter runs, single digits, single
+    * non-alphanumeric glyphs — a tokenizer-grade token-count estimate. */
+  val WordpiecePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  /** Token counts per document: whitespace tokens, wordpiece estimate,
+    * character length. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents").select(
       col("doc_id"),
       size(words(col("text"))).as("n_tokens"),
+      regexp_count(col("text"), lit(WordpiecePattern)).as("n_wordpieces"),
       length(col("text")).as("n_chars_measured"),
       col("n_chars"))
 

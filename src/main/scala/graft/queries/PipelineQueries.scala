@@ -71,6 +71,8 @@ object PipelineQueries {
         """SELECT doc_id,
           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
           |    AS n_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+          |    AS INTEGER) AS n_wordpieces,
           |  CAST(length(text) AS INTEGER) AS n_chars_measured,
           |  n_chars
           |FROM documents""".stripMargin,

@@ -14,7 +14,10 @@ object StreamQueries {
       "stream_should_optimize" -> ((s, dir) =>
         EventPipeline.decisionsViaStream(s, dir, EngineConfig())),
       "session_windows" -> ((s, dir) =>
-        EventPipeline.sessionWindows(graft.ops.EventOps.events(s, dir)))),
+        EventPipeline.sessionWindows(graft.ops.EventOps.events(s, dir))),
+      "window_metrics" -> ((s, dir) =>
+        EventPipeline.windowedMetrics(
+          graft.ops.EventOps.events(s, dir), "1 hour"))),
     oracles = Map(
       "stream_should_optimize" ->
         DecisionQueries.pack.oracles("should_optimize"),
@@ -38,5 +41,13 @@ object StreamQueries {
           |  min(ts_ms) AS session_start_ms,
           |  max(ts_ms) + 1800000 AS session_end_ms,
           |  count(*) AS n_events
-          |FROM s GROUP BY user_id, sid""".stripMargin))
+          |FROM s GROUP BY user_id, sid""".stripMargin,
+
+      "window_metrics" ->
+        """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+          |  event_type,
+          |  count(*) AS n_events,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |    AS value_cents
+          |FROM events GROUP BY 1, 2""".stripMargin))
 }

@@ -133,8 +133,10 @@ object EventPipeline {
     events
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("event_time"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
-        col("event_type"), col("n_events"), col("total_value"))
+        col("event_type"), col("n_events"), col("value_cents"))
 }
