@@ -42,6 +42,10 @@ object MaintenanceQueries {
 
   private val cap = FilePlan.DefaultGroupCapBytes
 
+  /** now − timeThreshold in epoch ms (shared with DecisionQueries). */
+  private val Decide_staleMs =
+    graft.ops.Decide.staleCutoffMs(graft.model.EngineConfig())
+
   val pack: QueryPack = QueryPack(
     queries = Map(
       "reporter_prop_strip" -> ((s, dir) =>
@@ -67,7 +71,20 @@ object MaintenanceQueries {
         FilePlan.filegroupPlanning(FilePlan.fileRelation(s, dir))),
 
       "small_file_metrics" -> ((s, dir) =>
-        FilePlan.smallFileMetrics(FilePlan.fileRelation(s, dir)))),
+        FilePlan.smallFileMetrics(FilePlan.fileRelation(s, dir))),
+
+      // Composition: the decision joined with the generated command —
+      // exactly what dispatch submits per triggered table (SURVEY.md §3.1).
+      "maintenance_report" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val decisions = graft.ops.Decide.shouldOptimize(
+          EventOps.snapshotLog(s, dir), graft.model.EngineConfig())
+        val cmds = Codegen.rewriteSqlPerTable(EventOps.snapshotLog(s, dir))
+        decisions.filter(col("should_optimize"))
+          .join(cmds, Seq("table_id"))
+          .select(col("table_id"), col("n_commits_since_replace"),
+            col("rewrite_sql"))
+      })),
 
     oracles = Map(
       "reporter_prop_strip" ->
@@ -128,6 +145,37 @@ object MaintenanceQueries {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS DOUBLE) / $cap) AS BIGINT) AS group_id
            |FROM files""".stripMargin,
+
+      "maintenance_report" ->
+        s"""WITH fulllog AS (
+           |  SELECT user_id AS table_id, epoch_ms(ts) AS ts_ms,
+           |    CASE WHEN event_type = 'purchase' THEN 'replace'
+           |         ELSE 'append' END AS operation
+           |  FROM events WHERE event_type IN $writeOpsSql),
+           |marked AS (
+           |  SELECT *, max(CASE WHEN operation = 'replace' THEN ts_ms END)
+           |              OVER (PARTITION BY table_id) AS lr
+           |  FROM fulllog),
+           |cut AS (
+           |  SELECT table_id, ts_ms FROM marked
+           |  WHERE lr IS NULL OR ts_ms > lr),
+           |agg AS (
+           |  SELECT table_id, count(*) AS n,
+           |         max(CASE WHEN ts_ms <= ${Decide_staleMs} THEN 1 ELSE 0 END)
+           |           AS stale
+           |  FROM cut GROUP BY table_id),
+           |t AS (SELECT DISTINCT table_id FROM fulllog),
+           |d AS (
+           |  SELECT t.table_id, COALESCE(n, 0) AS n_commits_since_replace,
+           |    (COALESCE(n, 0) >= 10 OR COALESCE(stale, 0) = 1) AS so
+           |  FROM t LEFT JOIN agg USING (table_id))
+           |SELECT table_id, n_commits_since_replace,
+           |  'CALL aws_ebtm.system.rewrite_data_files(table => ''db.tbl_'
+           |  || table_id ||
+           |  ''', options => map(''partial-progress.enabled'',''true'',' ||
+           |  '''max-file-group-size-bytes'',''10737418240''), ' ||
+           |  'strategy => ''binpack'')' AS rewrite_sql
+           |FROM d WHERE so""".stripMargin,
 
       "small_file_metrics" ->
         s"""WITH $filesCte
