@@ -39,15 +39,18 @@ object Compact {
   def listFiles(dir: String): Seq[FileMeta] = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) return Seq.empty
-    Files.walk(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(f => FileMeta(
-        table = dir,
-        path = f.toString,
-        sizeBytes = Files.size(f),
-        partition = ""))
-      .toSeq.sortBy(_.path)
+    val stream = Files.walk(p)
+    try {
+      stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => FileMeta(
+          table = dir,
+          path = f.toString,
+          sizeBytes = Files.size(f),
+          partition = ""))
+        .toSeq.sortBy(_.path)
+    } finally stream.close()
   }
 
   /** Plan file groups: greedy in-order accumulation up to the cap; a single

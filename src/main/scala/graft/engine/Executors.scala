@@ -27,8 +27,11 @@ trait Executor {
   * APIs the reference polls (GetQueryExecution / DescribeStep / ...). */
 final class JobStateLog {
   private val log = new ConcurrentLinkedQueue[JobRun]()
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
   def append(run: JobRun): Unit = log.add(run)
   def all: Seq[JobRun] = log.iterator().asScala.toSeq
+  /** Unique job sequence number (atomic — executors may share a log). */
+  def nextJobSeq(): Long = seq.getAndIncrement()
   /** Latest observed state for a job, if any. */
   def currentState(jobId: String): Option[String] =
     all.filter(_.jobId == jobId).sortBy(_.tsMillis).lastOption.map(_.state)
@@ -89,7 +92,7 @@ final class LocalSparkExecutor(spark: SparkSession, log: JobStateLog)
   }
 
   override def execute(): String = {
-    val jobId = s"local-$table-${log.all.size}"
+    val jobId = s"local-$table-${log.nextJobSeq()}"
     val input = props.getOrElse("local.input-dir",
       throw new IllegalArgumentException("local.input-dir is required"))
     val output = props.getOrElse("local.output-dir",
@@ -130,7 +133,7 @@ final class DryRunExecutor(log: JobStateLog) extends Executor {
   }
 
   override def execute(): String = {
-    val jobId = s"dry-$table-${log.all.size}"
+    val jobId = s"dry-$table-${log.nextJobSeq()}"
     val spec = CompactionSpec(table, cfg.strategy, cfg.options, cfg.sortOrder)
     generatedSql = Some(Codegen.rewriteDataFilesSql(spec))
     val now = System.currentTimeMillis()

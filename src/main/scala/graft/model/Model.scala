@@ -132,8 +132,9 @@ object EngineConfig {
         props.get(CommitThresholdKey).map(_.toInt).getOrElse(DefaultCommitThreshold),
       timeThresholdMs =
         props.get(TimeThresholdKey).map(_.toLong).getOrElse(DefaultTimeThresholdMs),
+      // lenient like the reference's Boolean.parseBoolean: non-"true" = false
       synchronousEnabled =
-        props.get(SynchronousKey).exists(_.toBoolean),
+        props.get(SynchronousKey).exists(java.lang.Boolean.parseBoolean),
       sleepWaitMs =
         props.get(SleepWaitKey).map(_.toLong).getOrElse(DefaultSleepWaitMs),
       strategy = props.getOrElse(StrategyKey, DefaultStrategy),

@@ -41,16 +41,24 @@ object EventOps {
   def commitEvents(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).filter(col("event_type").isin(Fixture.WriteOps: _*))
 
+  /** Snapshot-log derivation from any events frame with (event_id, ts
+    * [nanos long], user_id, event_type) — the single source of the
+    * FIXTURES.md §3 rule, shared by the batch and streaming paths. */
+  def snapshotLogFrom(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin(Fixture.WriteOps: _*))
+      .select(
+        col("user_id").as("table_id"),
+        col("event_id").as("snapshot_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        when(col("event_type") === Fixture.ReplaceOp, lit("replace"))
+          .otherwise(lit("append")).as("operation"))
+
   /** The per-table snapshot/commit log (Iceberg snapshot-log analog,
     * SURVEY.md §1.1): one row per commit with the operation mapping from
     * FIXTURES.md §3 ('purchase' ⇒ replace, other writes ⇒ append). */
   def snapshotLog(spark: SparkSession, dir: String): DataFrame =
-    commitEvents(spark, dir).select(
-      col("user_id").as("table_id"),
-      col("event_id").as("snapshot_id"),
-      col("ts_ms"),
-      when(col("event_type") === Fixture.ReplaceOp, lit("replace"))
-        .otherwise(lit("append")).as("operation"))
+    snapshotLogFrom(events(spark, dir))
 
   /** snapshot_ancestor_scan (SURVEY.md §2.1): the current snapshot's
     * ancestor chain newest→oldest (`SnapshotUtil.currentAncestors`,

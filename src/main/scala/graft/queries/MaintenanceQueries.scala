@@ -102,8 +102,8 @@ object MaintenanceQueries {
         s"""WITH $logCte
            |SELECT table_id,
            |  'map(''commit-count'',''' || count(*) ||
-           |  ''',''max-file-group-size-bytes'',''10737418240'',' ||
-           |  '''partial-progress.enabled'',''true'')' AS options_sql
+           |  ''',''partial-progress.enabled'',''true'',' ||
+           |  '''max-file-group-size-bytes'',''10737418240'')' AS options_sql
            |FROM log GROUP BY table_id""".stripMargin,
 
       "rewrite_sql_codegen" ->

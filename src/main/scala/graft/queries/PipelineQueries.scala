@@ -38,10 +38,10 @@ object PipelineQueries {
     s"(CASE WHEN embedding[$k] >= 0 THEN ${1 << (k - 1)} ELSE 0 END)"
   }.mkString(" + ")
 
-  private val langEn = "\\b(the|a|of|and|is)\\b"
-  private val langEs = "\\b(el|la|de|que|es)\\b"
-  private val langDe = "\\b(der|die|das|und|ist)\\b"
-  private val langFr = "\\b(le|les|des|et|est)\\b"
+  /** Marker regexes interpolated from the single source in TextAnalysis so
+    * Spark and oracle sides cannot drift. */
+  private val Seq(langEn, langEs, langDe, langFr) =
+    TextAnalysis.LangMarkers.map(_._2)
 
   val pack: QueryPack = QueryPack(
     queries = Map(
@@ -68,10 +68,10 @@ object PipelineQueries {
 
     oracles = Map(
       "text_tokens" ->
-        """SELECT doc_id,
-          |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+        s"""SELECT doc_id,
+          |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
           |    AS n_tokens,
-          |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.WordpiecePattern}'))
           |    AS INTEGER) AS n_wordpieces,
           |  CAST(length(text) AS INTEGER) AS n_chars_measured,
           |  n_chars

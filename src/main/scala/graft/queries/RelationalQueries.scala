@@ -19,8 +19,8 @@ object RelationalQueries {
 
   /** Exact cents expression shared by Spark and oracle sides. */
   private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
-  /** discount/tax as exact integer percent. */
-  private def pct(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+  /** discount/tax as exact integer percent — same ×100 rounding as cents. */
+  private val pct: String => org.apache.spark.sql.Column = cents
 
   val pack: QueryPack = QueryPack(
     queries = Map(

@@ -36,16 +36,9 @@ object EventPipeline {
     StructField("props", StringType)))
 
   /** Snapshot-log derivation from a (batch or micro-batch) events frame —
-    * same pure rule as EventOps.snapshotLog (FIXTURES.md §3). */
+    * shared with the batch path (single source of the FIXTURES.md §3 rule). */
   def snapshotLogFrom(events: DataFrame): DataFrame =
-    events
-      .filter(col("event_type").isin(Fixture.WriteOps: _*))
-      .select(
-        col("user_id").as("table_id"),
-        col("event_id").as("snapshot_id"),
-        expr("ts div 1000000").as("ts_ms"),
-        when(col("event_type") === Fixture.ReplaceOp, lit("replace"))
-          .otherwise(lit("append")).as("operation"))
+    graft.ops.EventOps.snapshotLogFrom(events)
 
   /** Open the events parquet as a file stream (the file-stream source needs
     * a directory, so glob-filter the events file inside the sf dir). */
@@ -56,41 +49,68 @@ object EventPipeline {
       .parquet(dir)
   }
 
-  /** Result of one pipeline run: final decisions + submitted job ids. */
-  final case class RunResult(decisions: Seq[Row], submittedJobs: Seq[String])
+  /** Result of one pipeline run: final decisions + submitted job ids.
+    * (collection.Seq: runStreaming returns live buffers that fill as
+    * micro-batches complete; runOnce snapshots them after termination.) */
+  final case class RunResult(
+      decisions: scala.collection.Seq[Row],
+      submittedJobs: scala.collection.Seq[String])
 
-  /** Run the full pipeline over all currently-available events
-    * (Trigger.AvailableNow): stream → filter commits → decide → dispatch
-    * an executor per triggered table. Returns the final batch's decisions
-    * and the submitted job ids. */
-  def runOnce(spark: SparkSession, dir: String, cfg: EngineConfig,
-      executorFor: String => Executor): RunResult = {
+  /** Run the pipeline over a streaming events frame until no more data is
+    * available: each micro-batch appends its derived snapshot-log rows to
+    * an accumulating log store (an append-only parquet dir — the state
+    * lives in the log, like the reference rescanning `currentAncestors`),
+    * then the decision runs over the FULL accumulated log, so per-table
+    * thresholds hold across micro-batch boundaries. Tables whose decision
+    * flips to true in this batch (and weren't already dispatched) get one
+    * maintenance job. */
+  def runStreaming(events: DataFrame, cfg: EngineConfig,
+      executorFor: String => Executor,
+      logStoreDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : (org.apache.spark.sql.streaming.StreamingQuery, RunResult) = {
+    val spark = events.sparkSession
     val decisions = scala.collection.mutable.ArrayBuffer.empty[Row]
     val submitted = scala.collection.mutable.ArrayBuffer.empty[String]
-    val q = readEventStream(spark, dir).writeStream
-      .trigger(Trigger.AvailableNow())
+    val dispatched = scala.collection.mutable.Set.empty[Long]
+    val q = events.writeStream
+      .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val d = Decide.shouldOptimize(snapshotLogFrom(batch), cfg)
-        val rows = d.collect()
+        snapshotLogFrom(batch).write.mode("append").parquet(logStoreDir)
+        val fullLog = spark.read.parquet(logStoreDir)
+        val rows = Decide.shouldOptimize(fullLog, cfg).collect()
         decisions.clear()
         decisions ++= rows
-        rows.filter(_.getBoolean(4)).foreach { r =>
-          val table = s"db.tbl_${r.getLong(0)}"
-          val ex = executorFor(table)
-          ex.initialize(table, Map.empty)
-          submitted += ex.execute()
-        }
+        rows.filter(_.getBoolean(4)).map(_.getLong(0))
+          .filterNot(dispatched.contains).foreach { tableId =>
+            val table = s"db.tbl_$tableId"
+            val ex = executorFor(table)
+            ex.initialize(table, Map.empty)
+            submitted += ex.execute()
+            dispatched += tableId
+          }
         ()
       }
       .start()
+    (q, RunResult(decisions, submitted))
+  }
+
+  /** Run the full pipeline over all currently-available fixture events.
+    * Returns the final decisions and the submitted job ids. */
+  def runOnce(spark: SparkSession, dir: String, cfg: EngineConfig,
+      executorFor: String => Executor): RunResult = {
+    val logStore = java.nio.file.Files
+      .createTempDirectory("graft-logstore").toString
+    val (q, result) =
+      runStreaming(readEventStream(spark, dir), cfg, executorFor, logStore)
     q.awaitTermination()
-    RunResult(decisions.toSeq, submitted.toSeq)
+    RunResult(result.decisions.toSeq, result.submittedJobs.toSeq)
   }
 
   /** Streaming decision query for the driver contract: same output (and
     * oracle) as the batch should_optimize, produced through the streaming
-    * path. The single AvailableNow batch covers the whole fixture file. */
+    * path over the accumulated log store. */
   def decisionsViaStream(spark: SparkSession, dir: String,
       cfg: EngineConfig): DataFrame = {
     val result = runOnce(spark, dir, cfg, _ => NoopExecutor)

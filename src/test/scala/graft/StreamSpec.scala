@@ -38,6 +38,36 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("decisions hold across micro-batch boundaries (accumulated log)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sql = spark.sqlContext
+    val now = graft.ops.Decide.NowMs
+    // 12 fresh commits for table 9, split 6 + 6 across two micro-batches:
+    // per-batch evaluation would never reach the 10-commit threshold.
+    def ev(id: Long): (Long, Long, Long, String, Double, String) =
+      (id, (now - 60000 + id) * 1000000L, 9L, "click", 1.0, "{}")
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDS().toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val logStore = java.nio.file.Files
+      .createTempDirectory("graft-logstore-test").toString
+    val jobLog = new JobStateLog
+    val (q, result) = graft.stream.EventPipeline.runStreaming(
+      events, cfg, _ => new DryRunExecutor(jobLog), logStore,
+      Trigger.ProcessingTime(0))
+    input.addData((1L to 6L).map(ev): _*)
+    q.processAllAvailable()
+    assert(result.decisions.count(_.getBoolean(4)) === 0)
+    input.addData((7L to 12L).map(ev): _*)
+    q.processAllAvailable()
+    q.stop()
+    val triggered = result.decisions.filter(_.getBoolean(4)).map(_.getLong(0))
+    assert(triggered === Seq(9L)) // 12 cumulative commits >= threshold
+    assert(result.submittedJobs.size === 1) // dispatched exactly once
+  }
+
   test("windowed metrics: batch/stream-shared aggregation is consistent") {
     val metrics = EventPipeline.windowedMetrics(
       EventOps.events(spark, dir), "1 day").collect()
