@@ -24,13 +24,11 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns, computed in double by
+    * the native fused [[graft.functions.CosineSim]] expression (index-order
+    * accumulation — bit-identical to a sequential fold, codegen'd). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Number of leading dimensions whose sign forms the LSH bucket id. */
   val BucketBits = 6
