@@ -115,23 +115,27 @@ object Dedup {
   def minhashLshPairs(corpus: DataFrame,
       estThreshold: Double = 0.5): DataFrame = {
     val signed = signatures(corpus)
+    // bands carry only (doc_id, band, bucket) — the 64-long signature is
+    // joined back for surviving candidates only, so the band equi-join
+    // shuffles 24 bytes per row instead of ~550
     val bands = signed.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
         struct(b.as("band"),
           xxhash64(concat_ws(",",
             slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
             .as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     cand
+      .join(signed.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(signed.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("est_sim",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),

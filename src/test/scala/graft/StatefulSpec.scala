@@ -55,6 +55,33 @@ class StatefulSpec extends AnyFunSuite {
     assert(d2 === d)
   }
 
+  test("aggregator equals windowed decision on seeded random logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val now = Decide.NowMs
+    val log = (1 to 2000).map { i =>
+      SnapshotMeta(
+        tableId = rnd.nextInt(50).toLong,
+        snapshotId = i.toLong,
+        tsMillis = now - rnd.nextInt(6 * 3600000),
+        operation = if (rnd.nextInt(8) == 0) "replace" else "append")
+    }
+    val ds = log.toDS()
+    val agg = DecideAggregator(cfg)
+    val viaAgg = ds.groupByKey(_.tableId).agg(agg.toColumn.name("d"))
+      .collect().map { case (t, d) =>
+        t -> ((d.n_commits_since_replace, d.oldest_pending_ts_ms,
+          d.time_triggered, d.should_optimize))
+      }.toMap
+    val viaWindow = Decide.shouldOptimize(
+        ds.toDF("tableId", "snapshotId", "tsMillis", "operation")
+          .toDF("table_id", "snapshot_id", "ts_ms", "operation"), cfg)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(viaAgg === viaWindow)
+  }
+
   test("job tracker emits exactly one terminal event per job via streaming") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
