@@ -16,10 +16,15 @@ object Bench {
     spark.range(1000000L).repartition(8).groupBy((col("id") % 7).as("k"))
       .count().count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two passes per query, report the min: steady-state throughput rather
+    // than first-run plan-compilation cost.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(once(fn), once(fn))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

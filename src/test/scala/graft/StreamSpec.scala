@@ -68,6 +68,24 @@ class StreamSpec extends AnyFunSuite {
     assert(result.submittedJobs.size === 1) // dispatched exactly once
   }
 
+  test("metrics listener captures per-batch commit metrics as a table") {
+    val listener = new graft.stream.CommitMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      EventPipeline.runOnce(spark, dir, cfg, _ => new DryRunExecutor(new JobStateLog))
+      // listener callbacks are async; wait briefly for delivery
+      val deadline = System.nanoTime() + 10000000000L
+      while (listener.all.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val rows = listener.all
+      assert(rows.nonEmpty)
+      assert(rows.map(_.numInputRows).sum === 1000L) // all sf0.001 events
+      val df = listener.asDataFrame(spark)
+      assert(df.columns.toSet.contains("numInputRows"))
+      assert(df.count() === rows.size)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("windowed metrics: batch/stream-shared aggregation is consistent") {
     val metrics = EventPipeline.windowedMetrics(
       EventOps.events(spark, dir), "1 day").collect()
