@@ -50,6 +50,16 @@ class ExecutorSpec extends AnyFunSuite {
     assert(state === "SUCCEEDED")
   }
 
+  test("poll loop times out if a job never reaches a terminal state") {
+    val log = new JobStateLog
+    log.append(JobRun("stuck", "RUNNING", 1L))
+    val e = intercept[IllegalStateException] {
+      Executors.waitForCompletion(log, "stuck", sleepWaitMs = 10,
+        maxWaitMs = 80)
+    }
+    assert(e.getMessage.contains("timed out"))
+  }
+
   test("failed job surfaces through the poll loop as an error") {
     val log = new JobStateLog
     log.append(JobRun("j1", "SUBMITTED", 1L))
