@@ -68,6 +68,43 @@ class StreamSpec extends AnyFunSuite {
     assert(result.submittedJobs.size === 1) // dispatched exactly once
   }
 
+  test("watermarked tumbling windows finalize and drop late data") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)] // (tsMillis, event_type)
+    val agg = input.toDS().toDF("ts_ms", "event_type")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w"), col("event_type"),
+        col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    val base = 1706659200000L // fixture "now", window-aligned
+    // two events in window [base, base+5m)
+    input.addData((base + 60000, "click"), (base + 120000, "click"))
+    q.processAllAvailable()
+    // advance watermark past that window's end (+5m) + delay (10m)
+    input.addData((base + 20 * 60000, "view"))
+    q.processAllAvailable()
+    val afterAdvance = spark.table("wm_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(afterAdvance.contains((base, "click", 2L))) // window finalized
+    // a late event for the finalized window must be dropped
+    input.addData((base + 90000, "click"))
+    q.processAllAvailable()
+    input.addData((base + 40 * 60000, "view")) // push watermark further
+    q.processAllAvailable()
+    q.stop()
+    val finals = spark.table("wm_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(finals.count(_ == ((base, "click", 2L))) === 1)
+    assert(!finals.contains((base, "click", 3L))) // late row never counted
+  }
+
   test("metrics listener captures per-batch commit metrics as a table") {
     val listener = new graft.stream.CommitMetricsListener
     spark.streams.addListener(listener)
