@@ -44,6 +44,18 @@ object RelationalQueries {
             count(lit(1)).as("count_order"))
       }),
 
+      // TPC-H Q6 shape: every predicate pushed into the parquet scan,
+      // single partial+final agg — the canonical scan-efficiency plan.
+      "q6_forecast_revenue" -> ((s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+            col("l_quantity") < 24)
+          .agg(
+            sum(cents("l_extendedprice") * pct("l_discount")).as("revenue_x10k"),
+            count(lit(1)).as("n_items"))),
+
       // TPC-H Q3 shape: selective dim filter → broadcast join into the
       // fact, agg, global top-k (orderBy+limit = TakeOrderedAndProject).
       "q3_shipping_priority" -> ((s, dir) => {
@@ -186,6 +198,18 @@ object RelationalQueries {
           |FROM lineitem
           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q6_forecast_revenue" ->
+        """SELECT
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+          |    AS revenue_x10k,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND l_discount >= 0.03 AND l_discount <= 0.05
+          |  AND l_quantity < 24""".stripMargin,
 
       "q3_shipping_priority" ->
         """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
