@@ -17,19 +17,28 @@ object Bench {
       .count().count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     // Two passes per query, report the min: steady-state throughput rather
-    // than first-run plan-compilation cost.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // than first-run plan-compilation cost. A crashed run is reported as -1
+    // (plus an entry in "errors"), never as its elapsed time.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case t: Throwable =>
+        errors += s"$name: ${t.getClass.getSimpleName}"
+        -1.0
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      val (a, b) = (once(name, fn), once(name, fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,19 +40,21 @@ object Similarity {
       when(element_at(v, k) >= 0f, lit(1 << (k - 1))).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Embeddings with bucket id attached. */
-  def bucketed(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
-      .withColumn("bucket", signBucket(col("embedding")))
+  /** Attach the sign-bucket id to a (vec_id, embedding) corpus frame. */
+  def withBucket(corpus: DataFrame): DataFrame =
+    corpus.withColumn("bucket", signBucket(col("embedding")))
 
-  /** Brute-force cosine top-k: for each query vector (small set, broadcast),
-    * rank all corpus vectors by cosine. Exact baseline for ANN. */
-  def bruteTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
-      k: Int = 5): DataFrame = {
-    val corpus = Tables.load(spark, dir, "embeddings")
+  /** Embeddings table with bucket id attached. */
+  def bucketed(spark: SparkSession, dir: String): DataFrame =
+    withBucket(Tables.load(spark, dir, "embeddings"))
+
+  /** Brute-force cosine top-k over an arbitrary (vec_id, embedding) corpus:
+    * for each query vector (small set, broadcast), rank all corpus vectors
+    * by cosine. Exact baseline for ANN. */
+  def bruteTopK(corpus0: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+    val corpus = corpus0
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n"))
-    val queries = Tables.load(spark, dir, "embeddings")
-      .filter(col("vec_id") < maxQueryId)
+    val queries = corpus0.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -63,11 +65,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates restricted to the query's sign bucket —
-    * the scale path. Rank is within-bucket. */
-  def lshTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
-      k: Int = 5): DataFrame = {
-    val all = bucketed(spark, dir)
+  def bruteTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5): DataFrame =
+    bruteTopK(Tables.load(spark, dir, "embeddings"), maxQueryId, k)
+
+  /** LSH-bucketed ANN over an arbitrary corpus: candidates restricted to
+    * the query's sign bucket — the scale path. Rank is within-bucket. */
+  def lshTopK(corpus0: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+    val all = withBucket(corpus0)
     val corpus = all.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("emb_n"), col("bucket"))
     val queries = all.filter(col("vec_id") < maxQueryId)
@@ -82,6 +87,10 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  def lshTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5): DataFrame =
+    lshTopK(Tables.load(spark, dir, "embeddings"), maxQueryId, k)
 
   /** IVF-style ANN: a fixed set of "centroids" (deterministic: the first
     * [[IvfCentroids]] vectors — a trained k-means would slot in the same

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,8 +12,11 @@ import graft.Tables
   * compute the small-file stats that motivate optimizing.
   *
   * Scale shape: file metadata is ~1 row per data file (100 TB at 128 MB
-  * files ≈ 800 k rows), partitioned by table partition. The window cum-sum
-  * runs per partition after a single hash shuffle; no global sort. A skewed
+  * files ≈ 800 k rows), partitioned by table partition. Greedy group
+  * assignment is sequential *within* a partition by construction (each
+  * group boundary depends on every earlier file), so the plan is one hash
+  * shuffle on `part_key` followed by a streaming linear scan per partition —
+  * parallel across partitions, constant memory within one. A skewed
   * partition with millions of files would serialize in one task — at that
   * point pre-split by `file_seq div N` salt; not needed at current scale.
   */
@@ -25,27 +27,66 @@ object FilePlan {
   /** "Small file" cutoff for metrics: files under 100 MB want compaction. */
   val SmallFileBytes: Long = 100000000L
 
+  /** Typed row shapes for the greedy scan (top-level so encoders resolve). */
+  final case class FileRec(
+      part_key: String, file_seq: Long, path: String, size_bytes: Long)
+  final case class PlannedFile(
+      part_key: String, path: String, size_bytes: Long, group_id: Long)
+
   /** Deterministic file-metadata fixture derived from `orders`
     * (FIXTURES.md §2): one "data file" per order, size ≈ 100 MB scale so the
-    * 10 GiB default cap yields ~100-file groups. Mirrored in oracle SQL. */
+    * 10 GiB default cap yields ~100-file groups. Partition key =
+    * status × (orderkey mod 64): ~190 partitions, the realistic shape where
+    * planning parallelism comes from partition count. Mirrored in oracle
+    * SQL (MaintenanceQueries.filesCte). */
   def fileRelation(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders").select(
-      col("o_orderstatus").as("part_key"),
+      concat(col("o_orderstatus"), lit("_"), col("o_orderkey") % 64)
+        .as("part_key"),
       col("o_orderkey").as("file_seq"),
       concat(lit("f_"), col("o_orderkey")).as("path"),
       (floor(col("o_totalprice")) * 1000).as("size_bytes"))
 
-  /** filegroup_planning: greedy-in-order accumulation into groups of ≤cap
-    * bytes via per-partition running sum (SURVEY.md §2.2): group_id =
-    * floor(cumulative_bytes / cap). */
+  /** filegroup_planning: true greedy in-order accumulation into groups of
+    * ≤cap bytes, per partition — a new group starts exactly when adding the
+    * next file would push the open group past the cap, and an oversized
+    * file (> cap) sits alone in its own group. Identical semantics to
+    * [[graft.engine.Compact.planGroups]] (its metadata-scale Scala twin);
+    * verified against it property-style in PlanPropertySpec.
+    *
+    * Distributed form: hash-shuffle on `part_key`, sort within partitions,
+    * then a single streaming pass (`mapPartitions`) carrying (group, acc)
+    * state that resets on each key change — no window cum-sum approximation
+    * (floor(cumsum/cap) can overfill a group up to ~2×cap). */
   def filegroupPlanning(files: DataFrame,
       capBytes: Long = DefaultGroupCapBytes): DataFrame = {
-    val w = Window.partitionBy(col("part_key")).orderBy(col("file_seq"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spark = files.sparkSession
+    import spark.implicits._
     files.select(
-      col("part_key"), col("path"), col("size_bytes"),
-      floor(sum(col("size_bytes")).over(w).cast("double") / capBytes)
-        .as("group_id"))
+        col("part_key").cast("string").as("part_key"),
+        col("file_seq").cast("long").as("file_seq"),
+        col("path").cast("string").as("path"),
+        col("size_bytes").cast("long").as("size_bytes"))
+      .as[FileRec]
+      .repartition(col("part_key"))
+      .sortWithinPartitions("part_key", "file_seq")
+      .mapPartitions { it =>
+        var key: String = null
+        var acc = 0L
+        var inGroup = 0
+        var gid = 0L
+        it.map { f =>
+          if (f.part_key != key) {
+            key = f.part_key; acc = 0L; inGroup = 0; gid = 0L
+          }
+          if (inGroup > 0 && acc + f.size_bytes > capBytes) {
+            gid += 1; acc = 0L; inGroup = 0
+          }
+          acc += f.size_bytes; inGroup += 1
+          PlannedFile(f.part_key, f.path, f.size_bytes, gid)
+        }
+      }
+      .toDF()
   }
 
   /** small_file_metrics: per-partition file-size stats (count/avg/min/max,

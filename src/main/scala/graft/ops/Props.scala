@@ -14,14 +14,18 @@ import graft.model.EngineConfig
   */
 object Props {
 
-  /** reporter_prop_strip: drop reporter-registration keys before spawning an
-    * inner catalog, guarding the optimize-triggers-optimize recursion
-    * (AwsTableManagementMetricsEvaluator.java:93-99). */
+  /** reporter_prop_strip: drop the three recursion-guard keys before spawning
+    * an inner catalog — the reporter registration plus both optimize-trigger
+    * thresholds, exactly the set the reference removes
+    * (AwsTableManagementMetricsEvaluator.java:93-99). Other
+    * `metrics-reporter.*`-prefixed keys are kept, as in the reference. */
+  val StrippedKeys: Set[String] = Set(
+    EngineConfig.ReporterImplKey,
+    EngineConfig.CommitThresholdKey,
+    EngineConfig.TimeThresholdKey)
+
   def stripReporterProps(props: Map[String, String]): Map[String, String] =
-    props.filterNot { case (k, _) =>
-      k == EngineConfig.ReporterImplKey ||
-        k.startsWith(EngineConfig.ReporterPrefix)
-    }
+    props.filterNot { case (k, _) => StrippedKeys.contains(k) }
 
   /** props_prefix_select: sub-map by key prefix, prefix stripped, defaults
     * when empty (PropertyUtil.propertiesWithPrefix, EMRSparkUtil.java:71-77). */
@@ -54,8 +58,7 @@ object Props {
 
   /** DataFrame form of reporter_prop_strip over the KV relation. */
   def stripReporterRelation(props: DataFrame): DataFrame =
-    props.filter(!(col("key") === EngineConfig.ReporterImplKey ||
-      col("key").startsWith(EngineConfig.ReporterPrefix)))
+    props.filter(!col("key").isin(StrippedKeys.toSeq.map(lit): _*))
 
   /** DataFrame form of props_prefix_select: keep prefix matches, strip the
     * prefix from the key. */

@@ -35,7 +35,8 @@ object MaintenanceQueries {
   /** File-metadata fixture CTE — mirrors FilePlan.fileRelation. */
   private val filesCte =
     """files AS (
-      |  SELECT o_orderstatus AS part_key, o_orderkey AS file_seq,
+      |  SELECT o_orderstatus || '_' || (o_orderkey % 64) AS part_key,
+      |         o_orderkey AS file_seq,
       |         'f_' || o_orderkey AS path,
       |         CAST(floor(o_totalprice) AS BIGINT) * 1000 AS size_bytes
       |  FROM orders)""".stripMargin
@@ -90,8 +91,9 @@ object MaintenanceQueries {
       "reporter_prop_strip" ->
         s"""WITH $propsCte
            |SELECT event_id, key, value FROM props
-           |WHERE NOT (key = 'metrics-reporter-impl'
-           |           OR key LIKE 'metrics-reporter.%')""".stripMargin,
+           |WHERE key NOT IN ('metrics-reporter-impl',
+           |                  'optimize-data.commit-threshold',
+           |                  'optimize-data.time-threshold-ms')""".stripMargin,
 
       "props_prefix_select" ->
         s"""WITH $propsCte
@@ -137,14 +139,28 @@ object MaintenanceQueries {
            |  '--conf ' || conf_key || '=' || val AS arg
            |FROM t CROSS JOIN confs""".stripMargin,
 
+      // True greedy capping needs running state (each boundary depends on
+      // every earlier file), so the oracle walks files in order per
+      // partition with a recursive CTE carrying (group_id, acc).
       "filegroup_planning" ->
-        s"""WITH $filesCte
-           |SELECT part_key, path, size_bytes,
-           |  CAST(floor(CAST(sum(size_bytes) OVER (
-           |    PARTITION BY part_key ORDER BY file_seq
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |    AS DOUBLE) / $cap) AS BIGINT) AS group_id
-           |FROM files""".stripMargin,
+        s"""WITH RECURSIVE $filesCte,
+           |seq AS (
+           |  SELECT part_key, path, size_bytes,
+           |    CAST(row_number() OVER (
+           |      PARTITION BY part_key ORDER BY file_seq) AS BIGINT) AS rn
+           |  FROM files),
+           |g AS (
+           |  SELECT part_key, path, size_bytes, rn,
+           |    CAST(0 AS BIGINT) AS group_id, size_bytes AS acc
+           |  FROM seq WHERE rn = 1
+           |  UNION ALL
+           |  SELECT s.part_key, s.path, s.size_bytes, s.rn,
+           |    CASE WHEN g.acc + s.size_bytes > $cap
+           |         THEN g.group_id + 1 ELSE g.group_id END AS group_id,
+           |    CASE WHEN g.acc + s.size_bytes > $cap
+           |         THEN s.size_bytes ELSE g.acc + s.size_bytes END AS acc
+           |  FROM g JOIN seq s ON s.part_key = g.part_key AND s.rn = g.rn + 1)
+           |SELECT part_key, path, size_bytes, group_id FROM g""".stripMargin,
 
       "maintenance_report" ->
         s"""WITH fulllog AS (

@@ -63,7 +63,11 @@ object EventPipeline {
     * then the decision runs over the FULL accumulated log, so per-table
     * thresholds hold across micro-batch boundaries. Tables whose decision
     * flips to true in this batch (and weren't already dispatched) get one
-    * maintenance job. */
+    * maintenance job; once a table's decision flips back to false (its
+    * compaction replace-commit landed in the log), its dispatched mark is
+    * cleared so a later re-trigger dispatches again — matching the
+    * reference, which re-evaluates on every commit event
+    * (AwsTableManagementMetricsEvaluator.java:60-80). */
   def runStreaming(events: DataFrame, cfg: EngineConfig,
       executorFor: String => Executor,
       logStoreDir: String,
@@ -82,8 +86,12 @@ object EventPipeline {
         val rows = Decide.shouldOptimize(fullLog, cfg).collect()
         decisions.clear()
         decisions ++= rows
-        rows.filter(_.getBoolean(4)).map(_.getLong(0))
-          .filterNot(dispatched.contains).foreach { tableId =>
+        val triggered = rows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+        // Quiesce: a table whose decision is no longer true may trigger
+        // (and dispatch) again later in the same query.
+        dispatched.filterInPlace(triggered.contains)
+        triggered.filterNot(dispatched.contains).toSeq.sorted
+          .foreach { tableId =>
             val table = s"db.tbl_$tableId"
             val ex = executorFor(table)
             ex.initialize(table, Map.empty)

@@ -94,11 +94,18 @@ class CodegenSpec extends AnyFunSuite {
   }
 
   test("reporter props stripped before inner catalog build") {
+    // Reference removes exactly metrics-reporter-impl + the two optimize
+    // thresholds; other metrics-reporter.* keys survive
+    // (AwsTableManagementMetricsEvaluator.java:93-99).
     val props = Map(
       "metrics-reporter-impl" -> "X",
       "metrics-reporter.queue" -> "9",
+      "optimize-data.commit-threshold" -> "10",
+      "optimize-data.time-threshold-ms" -> "10800000",
       "optimize-data.impl" -> "local")
-    assert(Props.stripReporterProps(props) === Map("optimize-data.impl" -> "local"))
+    assert(Props.stripReporterProps(props) === Map(
+      "metrics-reporter.queue" -> "9",
+      "optimize-data.impl" -> "local"))
   }
 
   test("prefix select strips prefix and falls back to defaults when empty") {

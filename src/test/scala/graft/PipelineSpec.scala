@@ -73,20 +73,43 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("sign-bucket LSH topk agrees with brute force for same-bucket hits") {
-    val brute = Similarity.bruteTopK(spark, dir).collect()
+    import org.apache.spark.sql.functions._
+    // Plant a scaled copy of each query vector: scaling preserves both the
+    // sign bucket and the direction (cosine exactly 1), so every query's
+    // brute-force #1 neighbor is guaranteed to live in its own bucket —
+    // the implication below is exercised for all 8 queries, not vacuously.
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val brute = Similarity.bruteTopK(corpus, 8, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val lsh = Similarity.lshTopK(spark, dir).collect()
+    val lsh = Similarity.lshTopK(corpus, 8, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(lsh.nonEmpty)
     // every query produces ranked neighbors 1..k without gaps
     lsh.groupBy(_._1).foreach { case (_, rows) =>
       assert(rows.map(_._3).sorted.toSeq === (1 to rows.size))
     }
-    // the global #1 neighbor, when in the query's bucket, must match brute
+    // Implication: when the brute-force global #1 neighbor shares the
+    // query's sign bucket, the within-bucket ranking must also put it
+    // first (same ordering over a candidate subset that contains it).
+    val buckets = Similarity.withBucket(corpus)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val bruteTop = brute.filter(_._3 == 1)
     val lshTop = lsh.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
-    bruteTop.foreach { case (q, n, _) =>
-      if (lshTop.contains(q) && lshTop(q) == n) assert(true)
+    val sameBucket = bruteTop.filter { case (q, n, _) =>
+      buckets(q) == buckets(n)
+    }
+    assert(sameBucket.nonEmpty,
+      "fixture must yield at least one query whose brute #1 shares its bucket")
+    sameBucket.foreach { case (q, n, _) =>
+      assert(lshTop.get(q).contains(n),
+        s"query $q: brute #1 neighbor $n is in bucket ${buckets(q)} " +
+          s"but LSH top-1 was ${lshTop.get(q)}")
     }
   }
 

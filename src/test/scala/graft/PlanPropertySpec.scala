@@ -50,4 +50,39 @@ class PlanPropertySpec extends AnyFunSuite {
       assert(EventOps.parseIdent(s"$a.$b.$c") === s"$b.$c")
     }
   }
+
+  test("DataFrame filegroupPlanning ≡ planGroups greedy, per partition") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val cap = 50L + rnd.nextInt(100)
+      val rows = for {
+        pk <- List("a", "b", "c")
+        i <- 1 to (20 + rnd.nextInt(60))
+      } yield (pk, i.toLong,
+        s"${pk}_f$i",
+        // mix of small files and occasional oversized (> cap) ones
+        if (rnd.nextInt(12) == 0) cap + 1 + rnd.nextInt(40)
+        else 1L + rnd.nextInt(40))
+      val df = rows.toDF("part_key", "file_seq", "path", "size_bytes")
+      val got = graft.ops.FilePlan.filegroupPlanning(df, cap).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+      // expected via the Scala twin, independently per part_key
+      val expected = rows.groupBy(_._1).flatMap { case (pk, fs) =>
+        val metas = fs.sortBy(_._2)
+          .map(f => FileMeta("t", f._3, f._4, pk))
+        Compact.planGroups(metas, cap).zipWithIndex.flatMap {
+          case (g, gid) => g.map(f => (pk, f.path, f.sizeBytes, gid.toLong))
+        }
+      }.toSet
+      assert(got.toSet === expected, s"trial $trial cap $cap")
+
+      // invariants on the DataFrame form itself
+      got.groupBy(t => (t._1, t._4)).foreach { case ((pk, gid), g) =>
+        if (g.length > 1)
+          assert(g.map(_._3).sum <= cap, s"group ($pk,$gid) over cap")
+      }
+    }
+  }
 }
