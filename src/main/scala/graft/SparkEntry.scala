@@ -23,7 +23,8 @@ object SparkEntry {
     RelationalQueries.pack,
     PipelineQueries.pack,
     StreamQueries.pack,
-    AdvancedQueries.pack
+    AdvancedQueries.pack,
+    TimeJoinQueries.pack
   ).foldLeft(QueryPack.empty)(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

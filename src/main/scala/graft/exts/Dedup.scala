@@ -93,6 +93,37 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).as("union_size"))
   }
 
+  /** N-gram Jaccard with a stop-shingle document-frequency cap — the
+    * 100 TB path. A shingle shared by more than `maxShingleDf` documents
+    * (boilerplate, licenses, navigation chrome) is dropped from the
+    * inverted index *and* from the per-doc set sizes, so the self-join's
+    * candidate count per shingle is bounded by `maxShingleDf²` instead of
+    * the square of the hottest shingle's frequency — the classic skew
+    * blowup in shingle-based dedup. Jaccard is then computed over the
+    * kept-shingle sets (both sides consistently), same integer-exact
+    * threshold test as [[ngramJaccardPairs]]. */
+  def ngramJaccardPairsCapped(corpus: DataFrame,
+      maxShingleDf: Int = 100): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val rare = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("sh"))
+    val kept = sh.join(rare, "sh")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .filter(col("inter") * 3 >= col("n_a") + col("n_b"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_size"))
+  }
+
   // ---- MinHash + LSH ----
 
   /** Number of MinHash permutations and LSH bands (16 bands × 4 rows). */

@@ -102,27 +102,32 @@ object Similarity {
     * a query probes one (or nprobe) cells instead of the whole corpus. */
   val IvfCentroids = 16
 
+  /** @param nprobe how many nearest cells each *query* probes. Corpus
+    *   vectors always live in exactly one cell; raising nprobe trades
+    *   proportional extra candidate work for recall (the standard IVF
+    *   knob) without touching the corpus layout. */
   def ivfTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, nprobe: Int = 1): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val centroids = emb.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    def assign(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    def assign(df: DataFrame, idCol: String, embCol: String,
+        cells: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cent_cos").desc, col("cent_id"))
       df.join(broadcast(centroids))
         .withColumn("cent_cos", cosine(col(embCol), col("cent")))
         .withColumn("cent_rn", row_number().over(w))
-        .filter(col("cent_rn") === 1)
+        .filter(col("cent_rn") <= cells)
         .select(col(idCol), col(embCol), col("cent_id").as("cell"))
     }
     val corpus = assign(
       emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n")),
-      "neighbor_id", "emb_n")
+      "neighbor_id", "emb_n", 1)
     val queries = assign(
       emb.filter(col("vec_id") < maxQueryId)
         .select(col("vec_id").as("query_id"), col("embedding").as("emb_q")),
-      "query_id", "emb_q")
+      "query_id", "emb_q", nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), Seq("cell"))

@@ -81,6 +81,49 @@ object TextAnalysis {
       (predicted === col("lang")).as("is_match"))
   }
 
+  /** Per-document term frequencies joined with corpus document frequencies.
+    * Shared base for [[tfidfTop]] / [[docFreqTop]]: one explode + two hash
+    * aggregates — the map-side partial aggregation absorbs most of the
+    * token volume before the shuffle, so shuffle bytes track *distinct*
+    * (doc, term) pairs, not corpus token count. */
+  private def termStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+  }
+
+  /** TF-IDF top term per document, with an integer-exact idf surrogate:
+    * `score = tf * n_docs div df` (monotone in tf·(N/df), no float math so
+    * the oracle compare is bit-exact). Ties break by tf desc, then term. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tf").desc, col("term"))
+    termStats(spark, dir)
+      .withColumn("score", expr("(tf * n_docs) div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Corpus-level document-frequency head: the `topN` terms appearing in
+    * the most documents (df = docs containing the term, not total
+    * occurrences). Deterministic order: df desc, term asc. */
+  def docFreqTop(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(words(col("text"))))
+        .as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topN)
+
   /** Content fingerprints via the custom codegen'd rolling-hash expression:
     * whole-doc polynomial hash window-min (winnowing-style), stable under
     * row order. No oracle (not expressible in portable SQL) — covered by

@@ -54,6 +54,8 @@ object PipelineQueries {
         Dedup.exactDupGroups(Dedup.corpusWithExactDups(s, dir))),
       "dedup_ngram_jaccard" -> ((s, dir) =>
         Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir))),
+      "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+        Dedup.ngramJaccardPairsCapped(Dedup.corpusWithNearDups(s, dir))),
       "dedup_minhash_lsh" -> ((s, dir) =>
         Dedup.minhashLshPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_simhash" -> ((s, dir) =>
@@ -63,6 +65,10 @@ object PipelineQueries {
       "sim_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
       "sim_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
       "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+      "sim_ivf_probe2" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
+
+      "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
+      "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
 
       "mm_meta" -> ((s, dir) => Multimodal.metadata(s, dir))),
 
@@ -144,6 +150,57 @@ object PipelineQueries {
            |JOIN sizes nb ON nb.doc_id = b_id
            |WHERE inter * 3 >= na.n_sh + nb.n_sh""".stripMargin,
 
+      "dedup_ngram_jaccard_capped" ->
+        s"""WITH $nearCorpusCte,
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM corpus),
+           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+           |  WHERE len(words) >= 5),
+           |rare AS (
+           |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+           |  WHERE df <= 100),
+           |kept AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, inter,
+           |  na.n_sh + nb.n_sh - inter AS union_size
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = a_id
+           |JOIN sizes nb ON nb.doc_id = b_id
+           |WHERE inter * 3 >= na.n_sh + nb.n_sh""".stripMargin,
+
+      "text_tfidf" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |s AS (
+          |  SELECT doc_id, term, tf, df, (tf * n_docs) // df AS score
+          |  FROM tf JOIN dfr USING (term) CROSS JOIN n)
+          |SELECT doc_id, term, tf, df, score
+          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, tf DESC, term) AS rn
+          |      FROM s)
+          |WHERE rn = 1""".stripMargin,
+
+      "text_docfreq" ->
+        """WITH tok AS (
+          |  SELECT DISTINCT doc_id, term FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |    FROM documents))
+          |SELECT term, count(*) AS df FROM tok
+          |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
       "dedup_embedding" ->
         s"""WITH $embCorpusCte,
            |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM corpus)
@@ -203,6 +260,38 @@ object PipelineQueries {
           |                 c.cent_id) AS rn
           |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8)
           |  WHERE rn = 1),
+          |scored AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_cosine_similarity(emb_q, emb_n) AS cos
+          |  FROM qa JOIN ca USING (cell) WHERE neighbor_id <> query_id)
+          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+          |FROM (SELECT query_id, neighbor_id,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos DESC, neighbor_id) AS rank
+          |      FROM scored)
+          |WHERE rank <= 5""".stripMargin,
+
+      "sim_ivf_probe2" ->
+        """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent
+          |              FROM embeddings WHERE vec_id < 16),
+          |ca AS (
+          |  SELECT neighbor_id, emb_n, cell FROM (
+          |    SELECT e.vec_id AS neighbor_id, e.embedding AS emb_n,
+          |      c.cent_id AS cell,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+          |                 c.cent_id) AS rn
+          |    FROM embeddings e CROSS JOIN cent c)
+          |  WHERE rn = 1),
+          |qa AS (
+          |  SELECT query_id, emb_q, cell FROM (
+          |    SELECT e.vec_id AS query_id, e.embedding AS emb_q,
+          |      c.cent_id AS cell,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+          |                 c.cent_id) AS rn
+          |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8)
+          |  WHERE rn <= 2),
           |scored AS (
           |  SELECT query_id, neighbor_id,
           |    list_cosine_similarity(emb_q, emb_n) AS cos

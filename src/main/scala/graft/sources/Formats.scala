@@ -21,6 +21,15 @@ object Formats {
       .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(dir)
 
+  /** ORC: columnar at-rest alternative to parquet (built into Spark).
+    * Schema travels in the file, but reads still pass the expected schema
+    * so drift fails loudly instead of surfacing as nulls. */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
   def writeJsonLines(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")

@@ -12,8 +12,11 @@ import graft.model.{JobRun, JobState}
   * one record when a job reaches a terminal state.
   *
   * State per key is one (latestState, latestTs, emitted) record; terminal
-  * jobs keep a tombstone so late duplicate statuses don't re-emit (reclaim
-  * tombstones with a state timeout at scale).
+  * jobs keep a tombstone so late duplicate statuses don't re-emit. With a
+  * `tombstoneTtlMs` the tombstone is reclaimed by a processing-time state
+  * timeout — at 100 TB-scale event volumes (millions of job ids over a
+  * long-running query) unbounded tombstones are a state-store leak; the
+  * TTL bounds state size at (jobs active within the TTL window).
   */
 object JobTracker {
 
@@ -22,9 +25,19 @@ object JobTracker {
   final case class TerminalEvent(
       jobId: String, finalState: String, tsMillis: Long, succeeded: Boolean)
 
-  /** The per-group transition function (shared by streaming and tests). */
-  def track(jobId: String, updates: Iterator[JobRun],
+  /** The per-group transition function (shared by streaming and tests).
+    * `tombstoneTtlMs` > 0 arms a processing-time timeout after a terminal
+    * emit; on the timeout callback the tombstone is dropped. */
+  def track(tombstoneTtlMs: Long)(jobId: String, updates: Iterator[JobRun],
       state: GroupState[TrackerState]): Iterator[TerminalEvent] = {
+    if (state.hasTimedOut) {
+      // tombstone TTL expired: reclaim the state slot. A later duplicate
+      // status for this job would re-open state, but only re-emit if it is
+      // itself a fresh terminal transition — the TTL is chosen >> the
+      // at-least-once redelivery horizon.
+      state.remove()
+      return Iterator.empty
+    }
     val sorted = updates.toSeq.sortBy(_.tsMillis)
     var cur = state.getOption.getOrElse(TrackerState("SUBMITTED", 0L, emitted = false))
     var out = List.empty[TerminalEvent]
@@ -38,18 +51,24 @@ object JobTracker {
         }
       }
     }
-    // terminal jobs keep a tombstone so late duplicates don't re-emit;
-    // production pairs this with a state timeout to reclaim old tombstones
     state.update(cur)
+    if (tombstoneTtlMs > 0 && cur.emitted)
+      state.setTimeoutDuration(tombstoneTtlMs)
     out.reverseIterator
   }
 
-  /** Wire the tracker over a (streaming) Dataset[JobRun]. */
-  def terminalEvents(runs: Dataset[JobRun]): Dataset[TerminalEvent] = {
+  /** Wire the tracker over a (streaming) Dataset[JobRun]. Pass a positive
+    * `tombstoneTtlMs` to reclaim terminal-job tombstones (recommended for
+    * long-running queries); 0 keeps them forever (test/short-lived). */
+  def terminalEvents(runs: Dataset[JobRun],
+      tombstoneTtlMs: Long = 0L): Dataset[TerminalEvent] = {
     val spark = runs.sparkSession
     import spark.implicits._
+    val timeout =
+      if (tombstoneTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     runs.groupByKey(_.jobId)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(track)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        track(tombstoneTtlMs))
   }
 }

@@ -26,6 +26,15 @@ class FormatsSpec extends AnyFunSuite {
     assert(hash(back) === hash(src))
   }
 
+  test("ORC round-trip preserves schema and content") {
+    val src = Tables.load(spark, dir, "orders")
+    val out = Files.createTempDirectory("graft-orc").toString
+    Formats.writeOrc(src, out)
+    val back = Formats.readOrc(spark, out, src.schema)
+    assert(back.schema === src.schema)
+    assert(hash(back) === hash(src))
+  }
+
   test("JSON-lines round-trip preserves schema and content") {
     val src = Tables.load(spark, dir, "orders")
     val out = Files.createTempDirectory("graft-json").toString

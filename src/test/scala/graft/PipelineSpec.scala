@@ -34,6 +34,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(plantedEsts.forall(_ >= 0.5))
   }
 
+  test("stop-shingle cap drops boilerplate-only pairs, keeps real near-dups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 30 docs sharing ONLY a boilerplate header (would pair quadratically),
+    // plus one genuine near-dup pair with unique content.
+    val boiler = "all rights reserved license header applies to this file"
+    val docs =
+      (1 to 30).map(i => (i.toLong, s"$boiler unique$i a$i b$i c$i d$i e$i f$i g$i h$i")) ++
+        Seq(
+          (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+          (101L, "the quick brown fox jumps over the lazy dog again and again now"))
+    val corpus = docs.toDF("doc_id", "text")
+    val capped = graft.exts.Dedup.ngramJaccardPairsCapped(corpus, maxShingleDf = 10)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate-header docs share only capped shingles → no pairs among them
+    assert(!capped.exists { case (a, b) => a <= 30 && b <= 30 })
+    // the genuine near-dup pair survives (its shingles are rare)
+    assert(capped.contains((100L, 101L)))
+    // with a cap nothing hits, capped == uncapped exactly
+    val uncapped = graft.exts.Dedup.ngramJaccardPairs(corpus)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bigCap = graft.exts.Dedup.ngramJaccardPairsCapped(corpus, maxShingleDf = 1000)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigCap === uncapped)
+  }
+
+  test("IVF nprobe=2 recall vs brute force is >= nprobe=1 recall") {
+    val brute = Similarity.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(spark, dir, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(r2 > 0.0)
+  }
+
   test("simhash: planted near-copies within small hamming distance") {
     val pairs = Dedup.simhashPairs(Dedup.corpusWithNearDups(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

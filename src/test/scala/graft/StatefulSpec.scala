@@ -107,4 +107,29 @@ class StatefulSpec extends AnyFunSuite {
     assert(spark.table("tracker_out").count() === 2)
     q.stop()
   }
+
+  test("tombstone TTL: terminal emit arms a timeout; timeout reclaims state") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = 3600000L
+    // terminal transition: emits once and arms the processing-time timeout
+    val live = TestGroupState.create[JobTracker.TrackerState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out = JobTracker.track(ttl)("j1",
+      Iterator(JobRun("j1", "RUNNING", 1), JobRun("j1", "SUCCEEDED", 2)),
+      live).toList
+    assert(out.map(e => (e.jobId, e.finalState)) === List(("j1", "SUCCEEDED")))
+    assert(live.isUpdated && live.get.emitted)
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "terminal emit must arm the tombstone timeout")
+    // timeout callback: tombstone removed, nothing emitted
+    val timedOut = TestGroupState.create[JobTracker.TrackerState](
+      Optional.of(JobTracker.TrackerState("SUCCEEDED", 2, emitted = true)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      ttl + 2000L, Optional.empty[Long](), hasTimedOut = true)
+    val out2 = JobTracker.track(ttl)("j1", Iterator.empty, timedOut).toList
+    assert(out2.isEmpty)
+    assert(timedOut.isRemoved)
+  }
 }
