@@ -1,0 +1,72 @@
+package graft.exts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dataset-curation operators for training-data assembly (north star
+  * extension): deterministic sampling, train/valid/test splitting, class
+  * re-balancing, and distribution histograms.
+  *
+  * Sampling and splitting hash the *stable document id*, never `rand()`:
+  * the assignment is reproducible run-to-run, independent of partitioning
+  * and row order, and a document keeps its split forever (no train/test
+  * leakage when the corpus is re-processed incrementally). All pure
+  * per-row projections or single hash aggregates — no extra shuffles
+  * beyond the final groupBy at any corpus size.
+  */
+object Sampling {
+
+  /** Knuth multiplicative-hash bucket in [0, 100): deterministic,
+    * order-independent, integer-exact on both engines. The fixture's ids
+    * are small; at real scale (ids beyond ~3×10^9) this must switch to a
+    * 64-bit mixing hash (e.g. xxhash64) to avoid multiplication overflow —
+    * kept as plain arithmetic here so the DuckDB oracle is bit-identical. */
+  def hashBucket(id: Column): Column = (id * 2654435761L) % 100
+
+  /** Deterministic ~pct% sample of documents. Uniform ids hit each
+    * language stratum at the same rate, so strata are preserved without a
+    * per-group pass. */
+  def sampleDocs(spark: SparkSession, dir: String, pct: Int = 10): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < pct)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+
+  /** Stable 80/10/10 train/valid/test assignment, reported as per-language
+    * split sizes (the aggregate a pipeline monitors for balance drift). */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Inverse-frequency class weights per language: weight_x1000 =
+    * (largest class size × 1000) div class size — the up-weighting factor
+    * an imbalanced-class sampler applies. Integer-exact. */
+  def classBalanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val maxN = counts.agg(max(col("n_docs")).as("max_n"))
+    counts.crossJoin(broadcast(maxN))
+      .select(col("lang"), col("n_docs"),
+        expr("(max_n * 1000) div n_docs").as("weight_x1000"))
+  }
+
+  /** Token-count histogram: documents bucketed by whitespace-token count
+    * (width-25 bins) — the length-distribution check before packing
+    * sequences. One projection + one hash aggregate. */
+  def tokenLenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("bin_lo", expr("(n_tokens div 25) * 25"))
+      .groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.exts.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.exts.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver-contract queries for the training-data-pipeline extensions:
   * text analysis, deduplication, similarity search, multimodal metadata.
@@ -70,7 +70,12 @@ object PipelineQueries {
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
 
-      "mm_meta" -> ((s, dir) => Multimodal.metadata(s, dir))),
+      "mm_meta" -> ((s, dir) => Multimodal.metadata(s, dir)),
+
+      "sample_docs" -> ((s, dir) => Sampling.sampleDocs(s, dir)),
+      "train_test_split" -> ((s, dir) => Sampling.trainTestSplit(s, dir)),
+      "class_balance" -> ((s, dir) => Sampling.classBalanceWeights(s, dir)),
+      "token_histogram" -> ((s, dir) => Sampling.tokenLenHistogram(s, dir))),
 
     oracles = Map(
       "text_tokens" ->
@@ -302,6 +307,41 @@ object PipelineQueries {
           |          ORDER BY cos DESC, neighbor_id) AS rank
           |      FROM scored)
           |WHERE rank <= 5""".stripMargin,
+
+      "sample_docs" ->
+        """SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+          |FROM documents
+          |WHERE (doc_id * 2654435761) % 100 < 10""".stripMargin,
+
+      "train_test_split" ->
+        """WITH b AS (
+          |  SELECT lang, (doc_id * 2654435761) % 100 AS bucket
+          |  FROM documents)
+          |SELECT lang,
+          |  CASE WHEN bucket < 80 THEN 'train'
+          |       WHEN bucket < 90 THEN 'valid'
+          |       ELSE 'test' END AS split,
+          |  count(*) AS n_docs
+          |FROM b GROUP BY 1, 2""".stripMargin,
+
+      "class_balance" ->
+        """WITH c AS (
+          |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+          |m AS (SELECT max(n_docs) AS max_n FROM c)
+          |SELECT lang, n_docs,
+          |  CAST((max_n * 1000) // n_docs AS BIGINT) AS weight_x1000
+          |FROM c CROSS JOIN m""".stripMargin,
+
+      "token_histogram" ->
+        """WITH t AS (
+          |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+          |    AS INTEGER) AS n_tokens
+          |  FROM documents)
+          |SELECT CAST((n_tokens // 25) * 25 AS BIGINT) AS bin_lo,
+          |  count(*) AS n_docs,
+          |  min(n_tokens) AS min_tokens,
+          |  max(n_tokens) AS max_tokens
+          |FROM t GROUP BY 1""".stripMargin,
 
       "mm_meta" ->
         """SELECT doc_id,

@@ -63,6 +63,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(bigCap === uncapped)
   }
 
+  test("hash-bucket sampling is order-independent with sane coverage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = (1L to 1000L).toDF("doc_id")
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.withColumn("b", graft.exts.Sampling.hashBucket(col("doc_id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = buckets(ids)
+    val shuffled = buckets(ids.repartition(7).orderBy(rand(42)))
+    // deterministic: same id → same bucket regardless of order/partitioning
+    assert(base === shuffled)
+    // a 10% cut lands near 10% (multiplicative hash spreads uniformly)
+    val frac = base.values.count(_ < 10).toDouble / base.size
+    assert(frac > 0.05 && frac < 0.15, s"10% sample fraction was $frac")
+  }
+
   test("IVF nprobe=2 recall vs brute force is >= nprobe=1 recall") {
     val brute = Similarity.bruteTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

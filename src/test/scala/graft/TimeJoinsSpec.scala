@@ -41,6 +41,24 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("temporal-join plans avoid nested-loop joins") {
+    val e = events.select("event_id", "user_id", "ts_ms", "event_type")
+    // as-of: no join operator at all — one hash shuffle + window pass
+    val asofPlan = TimeJoins.asofViewToPurchase(e)
+      .queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("BroadcastNestedLoopJoin") &&
+      !asofPlan.contains("CartesianProduct"), asofPlan)
+    assert(!asofPlan.contains("Join"),
+      s"as-of rewrite must be join-free (window carry-forward):\n$asofPlan")
+    // range join: the bucketed rewrite keeps an equi-join; Spark left with
+    // the raw inequality predicate would pick a nested-loop join
+    val rangePlan = TimeJoins.viewsBeforePurchase(e)
+      .queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("BroadcastNestedLoopJoin") &&
+      !rangePlan.contains("CartesianProduct"),
+      s"range rewrite must stay an equi-join:\n$rangePlan")
+  }
+
   test("range-count join equals brute-force window count, zeros included") {
     val e = events.select("event_id", "user_id", "ts_ms", "event_type")
     val p = e.filter(col("event_type") === "purchase")
