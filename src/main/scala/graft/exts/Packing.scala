@@ -1,0 +1,57 @@
+package graft.exts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data assembly (north star extension):
+  * greedily pack documents, in stable id order, into training sequences of
+  * at most `tokenBudget` tokens — the step that turns a curated corpus
+  * into fixed-length batches without splitting documents.
+  *
+  * Same algorithmic shape as compaction file-group planning
+  * ([[graft.ops.FilePlan.filegroupPlanning]], its metadata twin): greedy
+  * accumulation is inherently sequential *within* a partition (every
+  * boundary depends on all earlier docs), so the distributed form is one
+  * hash shuffle on the partition key (`lang` here — the unit a curriculum
+  * schedules by), a sort within partitions, and a single streaming
+  * `mapPartitions` pass carrying (seq, acc) — parallel across languages,
+  * constant memory within one. An oversized document (> budget) sits
+  * alone in its own sequence rather than being dropped.
+  */
+object Packing {
+
+  /** Typed row shapes (top-level so encoders resolve). */
+  final case class DocTok(lang: String, doc_id: Long, n_tokens: Int)
+  final case class PackedDoc(
+      lang: String, doc_id: Long, n_tokens: Int, seq_id: Long)
+
+  /** Assign each document to a packed sequence. Input needs
+    * (lang, doc_id, text); token count is the whitespace tokenization used
+    * across the text operators. */
+  def packSequences(docs: DataFrame, tokenBudget: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("lang").cast("string").as("lang"),
+        col("doc_id").cast("long").as("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .as[DocTok]
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .mapPartitions { it =>
+        var key: String = null
+        var acc = 0L
+        var inSeq = 0
+        var sid = 0L
+        it.map { d =>
+          if (d.lang != key) { key = d.lang; acc = 0L; inSeq = 0; sid = 0L }
+          if (inSeq > 0 && acc + d.n_tokens > tokenBudget) {
+            sid += 1; acc = 0L; inSeq = 0
+          }
+          acc += d.n_tokens; inSeq += 1
+          PackedDoc(d.lang, d.doc_id, d.n_tokens, sid)
+        }
+      }
+      .toDF()
+  }
+}

@@ -48,7 +48,43 @@ object AdvancedQueries {
           .agg(
             approx_count_distinct(col("o_custkey")).as("approx_customers"),
             percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-              .as("approx_median_price"))) ),
+              .as("approx_median_price"))),
+
+      // Pivot: one Expand-free hash agg with fixed pivot values (no extra
+      // distinct-values job, no second shuffle).
+      "pivot_status" -> ((s, dir) =>
+        Tables.load(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .groupBy(col("o_year"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_year"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))),
+
+      // Exact percentiles by index arithmetic (rn == ceil(p·n)), not an
+      // engine quantile function — deterministic and integer-exact on both
+      // engines; one window pass, one agg, single shuffle on the group key.
+      "price_percentiles" -> ((s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_orderstatus"))))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            max(when(col("rn") === expr("(cnt + 1) div 2"), col("cents")))
+              .as("p50_cents"),
+            max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("cents")))
+              .as("p90_cents"),
+            max(col("cnt")).as("n_orders"))
+      })),
 
     oracles = Map(
       "rollup_agg" ->
@@ -63,6 +99,32 @@ object AdvancedQueries {
           |    AS total_cents,
           |  CAST(GROUPING(o_year, o_month) AS BIGINT) AS gid
           |FROM t GROUP BY ROLLUP (o_year, o_month)""".stripMargin,
+
+      "pivot_status" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+          |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+          |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+          |FROM orders GROUP BY 1""".stripMargin,
+
+      "price_percentiles" ->
+        """WITH c AS (
+          |  SELECT o_orderstatus, o_orderkey,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM orders),
+          |r AS (
+          |  SELECT o_orderstatus, cents,
+          |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+          |      ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+          |      AS cnt
+          |  FROM c)
+          |SELECT o_orderstatus,
+          |  max(CASE WHEN rn = (cnt + 1) // 2 THEN cents END) AS p50_cents,
+          |  max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN cents END)
+          |    AS p90_cents,
+          |  max(cnt) AS n_orders
+          |FROM r GROUP BY 1""".stripMargin,
 
       "grouping_sets_agg" ->
         """SELECT l_returnflag, l_linestatus,

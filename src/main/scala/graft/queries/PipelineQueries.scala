@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.exts.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.exts.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.Tables
 
 /** Driver-contract queries for the training-data-pipeline extensions:
   * text analysis, deduplication, similarity search, multimodal metadata.
@@ -75,7 +76,9 @@ object PipelineQueries {
       "sample_docs" -> ((s, dir) => Sampling.sampleDocs(s, dir)),
       "train_test_split" -> ((s, dir) => Sampling.trainTestSplit(s, dir)),
       "class_balance" -> ((s, dir) => Sampling.classBalanceWeights(s, dir)),
-      "token_histogram" -> ((s, dir) => Sampling.tokenLenHistogram(s, dir))),
+      "token_histogram" -> ((s, dir) => Sampling.tokenLenHistogram(s, dir)),
+      "pack_sequences" -> ((s, dir) =>
+        Packing.packSequences(Tables.load(s, dir, "documents")))),
 
     oracles = Map(
       "text_tokens" ->
@@ -307,6 +310,34 @@ object PipelineQueries {
           |          ORDER BY cos DESC, neighbor_id) AS rank
           |      FROM scored)
           |WHERE rank <= 5""".stripMargin,
+
+      // Greedy packing needs running state (each sequence boundary depends
+      // on every earlier doc), so the oracle walks docs in id order per
+      // language with a recursive CTE carrying (seq_id, acc).
+      "pack_sequences" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT lang, doc_id,
+          |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+          |      AS n_tokens
+          |  FROM documents),
+          |seq AS (
+          |  SELECT lang, doc_id, n_tokens,
+          |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+          |      AS BIGINT) AS rn
+          |  FROM t),
+          |g AS (
+          |  SELECT lang, doc_id, n_tokens, rn,
+          |    CAST(0 AS BIGINT) AS seq_id, CAST(n_tokens AS BIGINT) AS acc
+          |  FROM seq WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s.lang, s.doc_id, s.n_tokens, s.rn,
+          |    CASE WHEN g.acc + s.n_tokens > 256
+          |         THEN g.seq_id + 1 ELSE g.seq_id END AS seq_id,
+          |    CASE WHEN g.acc + s.n_tokens > 256
+          |         THEN CAST(s.n_tokens AS BIGINT)
+          |         ELSE g.acc + s.n_tokens END AS acc
+          |  FROM g JOIN seq s ON s.lang = g.lang AND s.rn = g.rn + 1)
+          |SELECT lang, doc_id, n_tokens, seq_id FROM g""".stripMargin,
 
       "sample_docs" ->
         """SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket

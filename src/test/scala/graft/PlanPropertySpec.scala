@@ -51,6 +51,50 @@ class PlanPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: budget respected, sequences contiguous per lang") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val budget = 50
+    val rows = for {
+      lang <- List("en", "de", "fr")
+      i <- 1 to 60
+    } yield {
+      val k = if (rnd.nextInt(10) == 0) budget + 1 + rnd.nextInt(20)
+        else 1 + rnd.nextInt(30)
+      (lang, (i * 7).toLong, Seq.fill(k)("w").mkString(" "))
+    }
+    val got = graft.exts.Packing
+      .packSequences(rows.toDF("lang", "doc_id", "text"), budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // every multi-doc sequence fits the budget; oversized docs sit alone
+    got.groupBy(t => (t._1, t._4)).foreach { case ((lang, sid), docs) =>
+      if (docs.length > 1)
+        assert(docs.map(_._3).sum <= budget, s"seq ($lang,$sid) over budget")
+    }
+    // seq ids are contiguous and non-decreasing in doc order per lang
+    got.groupBy(_._1).foreach { case (lang, docs) =>
+      val ordered = docs.sortBy(_._2).map(_._4)
+      assert(ordered.head === 0L, lang)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b == a || b == a + 1, s"$lang: seq id jumped $a -> $b")
+        case _ =>
+      }
+    }
+    // greedy maximality: first doc of seq s+1 would overflow seq s
+    got.groupBy(_._1).foreach { case (lang, docs) =>
+      val ordered = docs.sortBy(_._2)
+      ordered.groupBy(_._4).toSeq.sortBy(_._1).sliding(2).foreach {
+        case Seq((_, cur), (_, next)) =>
+          val curSum = cur.map(_._3).sum
+          assert(curSum + next.head._3 > budget,
+            s"$lang: seq was closed early (sum $curSum, next ${next.head._3})")
+        case _ =>
+      }
+    }
+  }
+
   test("DataFrame filegroupPlanning ≡ planGroups greedy, per partition") {
     val spark = TestSpark.spark
     import spark.implicits._
