@@ -124,6 +124,25 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).as("union_size"))
   }
 
+  /** Streaming ingest dedup: exact-duplicate suppression as documents
+    * arrive, keyed by a 64-bit content hash (the shuffle key stays 8 bytes
+    * regardless of document length). `dropDuplicatesWithinWatermark`
+    * bounds the dedup state: a hash is remembered only inside the
+    * watermark horizon, so state size tracks ingest rate × horizon, not
+    * corpus size — the piece plain `dropDuplicates` gets wrong on an
+    * unbounded stream. Cross-horizon duplicates are caught by the batch
+    * sweep ([[exactDupGroups]]) over the accumulated corpus.
+    *
+    * Input needs (doc_id, text, ingest_ts_ms). */
+  def streamingDedup(docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withColumn("event_time", timestamp_millis(col("ingest_ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
+
   // ---- MinHash + LSH ----
 
   /** Number of MinHash permutations and LSH bands (16 bands × 4 rows). */

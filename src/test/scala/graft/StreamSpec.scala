@@ -105,6 +105,37 @@ class StreamSpec extends AnyFunSuite {
     assert(!finals.contains((base, "click", 3L))) // late row never counted
   }
 
+  test("streaming ingest dedup suppresses duplicates within the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val base = 1706659200000L
+    val out = graft.exts.Dedup.streamingDedup(
+      input.toDS().toDF("doc_id", "text", "ingest_ts_ms"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: two distinct docs + an in-batch duplicate of doc 1
+    input.addData(
+      (1L, "alpha beta", base),
+      (2L, "gamma delta", base + 1000),
+      (3L, "alpha beta", base + 2000))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate inside the horizon + one new doc
+    input.addData(
+      (4L, "gamma delta", base + 3000),
+      (5L, "epsilon zeta", base + 4000))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // exactly one row per distinct text, the first arrival wins
+    assert(kept.map(_._2).sorted.toSeq ===
+      Seq("alpha beta", "epsilon zeta", "gamma delta"))
+    assert(kept.toSet === Set(
+      (1L, "alpha beta"), (2L, "gamma delta"), (5L, "epsilon zeta")))
+  }
+
   test("metrics listener captures per-batch commit metrics as a table") {
     val listener = new graft.stream.CommitMetricsListener
     spark.streams.addListener(listener)
