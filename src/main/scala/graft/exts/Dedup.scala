@@ -106,11 +106,16 @@ object Dedup {
       maxShingleDf: Int = 100): DataFrame = {
     val sh = corpus
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val rare = sh.groupBy(col("sh"))
+    // The *hot* set (df > cap) is small by construction (at most
+    // total-occurrences / cap distinct shingles, and in practice a handful
+    // of boilerplate strings), so exclusion is an anti-join against it —
+    // AQE sees the actual build size at runtime and converts it to a
+    // broadcast, without risking an OOM hint on an adversarial corpus.
+    val hot = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
+      .filter(col("df") > maxShingleDf)
       .select(col("sh"))
-    val kept = sh.join(rare, "sh")
+    val kept = sh.join(hot, Seq("sh"), "left_anti")
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
