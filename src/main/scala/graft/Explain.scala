@@ -18,7 +18,10 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
       "should_optimize", "commit_event_filter", "filegroup_planning",
-      "sim_topk", "dedup_ngram_jaccard", "dedup_minhash_lsh", "window_topk")
+      "sim_topk", "dedup_ngram_jaccard", "dedup_minhash_lsh", "window_topk",
+      "join_asof", "join_range_count", "pack_sequences", "text_tfidf",
+      "dedup_exact", "dedup_ngram_jaccard_capped", "sim_ivf_probe2",
+      "sample_docs", "pivot_status", "price_percentiles")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -62,17 +62,22 @@ object Dedup {
           concat(col("text"), lit(" zqx wvk")).as("text")))
   }
 
-  /** Exact dedup: group by text, keep the minimum id (canonical), report
-    * group size. Returns only groups with duplicates. */
+  /** Exact dedup: group by the 128-bit content hash (md5 — identical on
+    * both engines, so the oracle mirrors it), keep the minimum id
+    * (canonical), report group size. Returns only groups with duplicates.
+    * Hashing before the shuffle means the exchange carries a 16-byte key
+    * instead of the document text — the difference between shuffling
+    * ~hash·rows and shuffling the whole corpus at 100 TB. Collision odds
+    * at 2^64 documents are the standard content-address tradeoff. */
   def exactDupGroups(corpus: DataFrame): DataFrame =
-    corpus.groupBy(col("text"))
+    corpus.groupBy(md5(col("text")))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select(col("keep_id"), col("n_copies"))
 
-  /** Exact dedup, kept rows: distinct texts keeping min doc_id. */
+  /** Exact dedup, kept rows: distinct content hashes keeping min doc_id. */
   def exactDedup(corpus: DataFrame): DataFrame =
-    corpus.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    corpus.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
   /** N-gram Jaccard near-dup pairs at threshold ½ via the integer

@@ -135,7 +135,7 @@ object PipelineQueries {
       "dedup_exact" ->
         s"""WITH $exactCorpusCte
            |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-           |FROM corpus GROUP BY text HAVING count(*) > 1""".stripMargin,
+           |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH $nearCorpusCte,
