@@ -63,6 +63,18 @@ object AdvancedQueries {
             coalesce(col("O"), lit(0L)).as("n_o"),
             coalesce(col("P"), lit(0L)).as("n_p"))),
 
+      // Unpivot (wide → long): one Expand node, no shuffle at all — the
+      // long form feeds generic per-metric pipelines downstream.
+      "unpivot_metrics" -> ((s, dir) =>
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+              .as("total_cents"),
+            col("o_custkey"))
+          .unpivot(Array(col("o_orderkey")),
+            Array(col("total_cents"), col("o_custkey")),
+            "metric", "value")),
+
       // Exact percentiles by index arithmetic (rn == ceil(p·n)), not an
       // engine quantile function — deterministic and integer-exact on both
       // engines; one window pass, one agg, single shuffle on the group key.
@@ -106,6 +118,14 @@ object AdvancedQueries {
           |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
           |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
           |FROM orders GROUP BY 1""".stripMargin,
+
+      "unpivot_metrics" ->
+        """SELECT o_orderkey, 'total_cents' AS metric,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS value
+          |FROM orders
+          |UNION ALL
+          |SELECT o_orderkey, 'o_custkey' AS metric, o_custkey AS value
+          |FROM orders""".stripMargin,
 
       "price_percentiles" ->
         """WITH c AS (

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -66,7 +67,19 @@ object DecisionQueries {
           .select("table_id", "snapshot_id", "commits_so_far", "triggered")),
 
       "should_optimize" -> ((s, dir) =>
-        Decide.shouldOptimize(EventOps.snapshotLog(s, dir), cfg))),
+        Decide.shouldOptimize(EventOps.snapshotLog(s, dir), cfg)),
+
+      // Commit cadence via lag(): per-commit gap to the previous commit of
+      // the same table (-1 for a table's first commit) — the signal behind
+      // the time-threshold trigger, and the lead/lag window shape.
+      "commit_interarrival" -> ((s, dir) => {
+        val w = Window.partitionBy(col("table_id"))
+          .orderBy(col("ts_ms"), col("snapshot_id"))
+        EventOps.snapshotLog(s, dir)
+          .withColumn("gap_ms",
+            coalesce(col("ts_ms") - lag(col("ts_ms"), 1).over(w), lit(-1L)))
+          .select("table_id", "snapshot_id", "ts_ms", "gap_ms")
+      })),
 
     oracles = Map(
       "commit_event_filter" ->
@@ -114,6 +127,13 @@ object DecisionQueries {
            |       ORDER BY ts_ms DESC, snapshot_id DESC) AS INTEGER)
            |    >= ${cfg.commitThreshold} AS triggered
            |FROM cut""".stripMargin,
+
+      "commit_interarrival" ->
+        s"""WITH $logCte
+           |SELECT table_id, snapshot_id, ts_ms,
+           |  COALESCE(ts_ms - lag(ts_ms) OVER (PARTITION BY table_id
+           |    ORDER BY ts_ms, snapshot_id), -1) AS gap_ms
+           |FROM log""".stripMargin,
 
       "should_optimize" ->
         s"""WITH $logCte, $cutCte,

@@ -105,6 +105,32 @@ class StreamSpec extends AnyFunSuite {
     assert(!finals.contains((base, "click", 3L))) // late row never counted
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    // static dimension: table_id → owning region (from nation fixture)
+    val dim = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("table_id"),
+        lower(col("n_name")).as("owner"))
+    val input = MemoryStream[(Long, Long)] // (snapshot_id, table_id)
+    val enriched = input.toDS().toDF("snapshot_id", "table_id")
+      .join(broadcast(dim), Seq("table_id"), "left")
+      .select("table_id", "snapshot_id", "owner")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    input.addData((101L, 1L), (102L, 3L), (103L, 999L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    val batchDim = dim.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === batchDim.get(1L))
+    assert(out(3L) === batchDim.get(3L))
+    assert(out(999L) === None) // unmatched stream row survives the left join
+  }
+
   test("streaming ingest dedup suppresses duplicates within the horizon") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
