@@ -9,6 +9,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

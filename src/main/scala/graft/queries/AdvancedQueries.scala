@@ -63,6 +63,17 @@ object AdvancedQueries {
             coalesce(col("O"), lit(0L)).as("n_o"),
             coalesce(col("P"), lit(0L)).as("n_p"))),
 
+      // CUBE over (status, priority): all four grouping combinations from
+      // one Expand + one hash agg — same single-shuffle shape as rollup.
+      "cube_agg" -> ((s, dir) =>
+        Tables.load(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .as("total_cents"),
+            grouping_id().as("gid"))),
+
       // Unpivot (wide → long): one Expand node, no shuffle at all — the
       // long form feeds generic per-metric pipelines downstream.
       "unpivot_metrics" -> ((s, dir) =>
@@ -118,6 +129,14 @@ object AdvancedQueries {
           |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
           |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
           |FROM orders GROUP BY 1""".stripMargin,
+
+      "cube_agg" ->
+        """SELECT o_orderstatus, o_orderpriority,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS total_cents,
+          |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
       "unpivot_metrics" ->
         """SELECT o_orderkey, 'total_cents' AS metric,

@@ -93,6 +93,24 @@ class CodegenSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { EngineConfig(commitThreshold = 0) }
   }
 
+  test("GraftExtensions exposes native expressions on the SQL surface") {
+    // TestSpark's session is built with spark.sql.extensions =
+    // graft.GraftExtensions — no imperative register() calls anywhere.
+    val s = TestSpark.spark
+    import s.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs")
+    val row = s.sql(
+      """SELECT rolling_hash(text) AS rh, simhash64(text) AS sh,
+        |  size(minhash_sig(text)) AS n_sig, size(shingle_set(text)) AS n_sh,
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos
+        |FROM ext_docs""".stripMargin).collect()(0)
+    assert(row.getInt(2) === 64)  // 64 minhash permutations
+    assert(row.getInt(3) === 2)   // 6 words -> 2 distinct 5-gram shingles
+    assert(row.getDouble(4) === 1.0)
+  }
+
   test("reporter props stripped before inner catalog build") {
     // Reference removes exactly metrics-reporter-impl + the two optimize
     // thresholds; other metrics-reporter.* keys survive
