@@ -69,6 +69,20 @@ object DecisionQueries {
       "should_optimize" -> ((s, dir) =>
         Decide.shouldOptimize(EventOps.snapshotLog(s, dir), cfg)),
 
+      // Snapshot expiration (the other half of Iceberg table maintenance
+      // next to compaction): a snapshot is expirable when it is BOTH
+      // outside the retain-last-5 window AND older than the staleness
+      // cutoff — the per-table window + predicate form of
+      // expire_snapshots(older_than, retain_last).
+      "expire_snapshots" -> ((s, dir) => {
+        val w = Window.partitionBy(col("table_id"))
+          .orderBy(col("ts_ms").desc, col("snapshot_id").desc)
+        EventOps.snapshotLog(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") > 5 && col("ts_ms") <= staleMs)
+          .select("table_id", "snapshot_id", "ts_ms")
+      }),
+
       // Commit cadence via lag(): per-commit gap to the previous commit of
       // the same table (-1 for a table's first commit) — the signal behind
       // the time-threshold trigger, and the lead/lag window shape.
@@ -127,6 +141,15 @@ object DecisionQueries {
            |       ORDER BY ts_ms DESC, snapshot_id DESC) AS INTEGER)
            |    >= ${cfg.commitThreshold} AS triggered
            |FROM cut""".stripMargin,
+
+      "expire_snapshots" ->
+        s"""WITH $logCte
+           |SELECT table_id, snapshot_id, ts_ms FROM (
+           |  SELECT table_id, snapshot_id, ts_ms,
+           |    row_number() OVER (PARTITION BY table_id
+           |      ORDER BY ts_ms DESC, snapshot_id DESC) AS rn
+           |  FROM log)
+           |WHERE rn > 5 AND ts_ms <= $staleMs""".stripMargin,
 
       "commit_interarrival" ->
         s"""WITH $logCte
