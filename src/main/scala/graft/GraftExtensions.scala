@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinHashSig, RollingHash, ShingleSet, SimHash64}
+import graft.functions.{CosineSim, MinHashSig, RollingHash, ShingleSet, SimHash64, ZOrder2}
 
 /** The library's `SparkSessionExtensions` entry point: registers every
   * native graft expression into the SQL function registry at session
@@ -39,5 +39,6 @@ object GraftExtensions {
     "minhash_sig" -> (es => MinHashSig(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "shingle_set" -> (es => ShingleSet(es.head)),
-    "cosine_sim" -> (es => CosineSim(es(0), es(1))))
+    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "z_order2" -> (es => ZOrder2(es(0), es(1))))
 }

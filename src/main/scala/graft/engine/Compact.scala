@@ -104,6 +104,28 @@ object Compact {
     (before.size, listFiles(outputDir).size)
   }
 
+  /** zorder_compaction: rewrite clustered along the Morton curve of two
+    * columns — range-partition + sort on the interleaved-bit z-value, so
+    * every output file covers a compact region in BOTH dimensions and
+    * min/max file stats prune on either column's predicate (a plain sort
+    * only prunes on its leading column). Same plan shape as
+    * [[sortRewrite]]: one range exchange, local sort, no global sort. */
+  def zorderRewrite(spark: SparkSession, inputDir: String, outputDir: String,
+      colA: String, colB: String,
+      targetBytes: Long = DefaultTargetFileSizeBytes): (Int, Int) = {
+    val before = listFiles(inputDir)
+    val n = outputFileCount(before.map(_.sizeBytes).sum, targetBytes)
+    val z = graft.functions.ZOrder2.z_order2(
+      col(colA).cast("int"), col(colB).cast("int"))
+    spark.read.parquet(inputDir)
+      .withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outputDir)
+    (before.size, listFiles(outputDir).size)
+  }
+
   /** Partial-progress compaction: plan groups under the cap, rewrite one
     * group at a time, emit one REPLACE snapshot per completed group
     * (`partial-progress.enabled`, AwsManageProperties.java:48-50). Output

@@ -111,6 +111,19 @@ class CodegenSpec extends AnyFunSuite {
     assert(row.getDouble(4) === 1.0)
   }
 
+  test("z_order2 interleaves bits (golden values, SQL surface)") {
+    val s = TestSpark.spark
+    // golden: z(0,0)=0, z(1,0)=1, z(0,1)=2, z(3,5)=0b100111=39
+    assert(graft.functions.ZOrderImpl.interleave(0, 0) === 0L)
+    assert(graft.functions.ZOrderImpl.interleave(1, 0) === 1L)
+    assert(graft.functions.ZOrderImpl.interleave(0, 1) === 2L)
+    assert(graft.functions.ZOrderImpl.interleave(3, 5) === 39L)
+    // full-width: interleaving is a bijection on (int, int)
+    assert(graft.functions.ZOrderImpl.interleave(-1, -1) === -1L)
+    val row = s.sql("SELECT z_order2(3, 5) AS z").collect()(0)
+    assert(row.getLong(0) === 39L)
+  }
+
   test("reporter props stripped before inner catalog build") {
     // Reference removes exactly metrics-reporter-impl + the two optimize
     // thresholds; other metrics-reporter.* keys survive

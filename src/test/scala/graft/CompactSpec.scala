@@ -74,6 +74,41 @@ class CompactSpec extends AnyFunSuite {
       assert(g.map(_.sizeBytes).sum <= 10L))
   }
 
+  test("zorder rewrite bounds per-file spans on BOTH cluster columns") {
+    import spark.implicits._
+    // uniform 32x32 grid: with z-order each output file covers a compact
+    // quadrant; a plain sort on `a` leaves `b` spanning the full domain.
+    val grid = for (a <- 0 until 32; b <- 0 until 32)
+      yield (a, b, s"payload_${a}_$b" * 8)
+    val in = Files.createTempDirectory("graft-zin").toString
+    grid.toDF("a", "b", "payload").repartition(8).write
+      .mode("overwrite").parquet(in)
+    val hBefore = contentHash(in)
+    def spans(dir: String): Seq[(Long, Long)] =
+      Compact.listFiles(dir).map(_.path).map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("a")) - min(col("a")), max(col("b")) - min(col("b")))
+          .collect()(0)
+        (r.getInt(0).toLong, r.getInt(1).toLong)
+      }
+    val zOut = Files.createTempDirectory("graft-zout").toString
+    val totalBytes = Compact.listFiles(in).map(_.sizeBytes).sum
+    Compact.zorderRewrite(spark, in, zOut, "a", "b",
+      targetBytes = totalBytes / 8 + 1) // force ~8 output files
+    assert(contentHash(zOut) === hBefore)
+    val zSpans = spans(zOut)
+    assert(zSpans.size >= 4)
+    // every z-ordered file is tight in BOTH dims (quadrant, not a slice)
+    zSpans.foreach { case (sa, sb) =>
+      assert(sa < 31 && sb < 31, s"z-file spans ($sa,$sb) not clustered")
+    }
+    // contrast: plain sort by `a` leaves b spanning the whole domain
+    val sOut = Files.createTempDirectory("graft-sout").toString
+    Compact.sortRewrite(spark, in, sOut, Seq("a"),
+      targetBytes = totalBytes / 8 + 1)
+    assert(spans(sOut).forall(_._2 === 31L))
+  }
+
   test("partial progress emits one replace commit per group, content intact") {
     val in = fragment(12)
     val out = Files.createTempDirectory("graft-out").toString
