@@ -74,6 +74,20 @@ object MaintenanceQueries {
       "small_file_metrics" -> ((s, dir) =>
         FilePlan.smallFileMetrics(FilePlan.fileRelation(s, dir))),
 
+      // Orphan files — the third Iceberg maintenance action next to
+      // compaction and snapshot expiry: data files on disk that no live
+      // snapshot references. An anti-join of the file listing against the
+      // referenced-path set; at scale both sides are metadata (~1 row per
+      // file) and the join key is the path, so this never touches data.
+      "orphan_files" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val disk = FilePlan.fileRelation(s, dir)
+          .select(col("path"), col("size_bytes"))
+        val live = EventOps.snapshotLog(s, dir)
+          .select(concat(lit("f_"), col("snapshot_id")).as("path"))
+        disk.join(live, Seq("path"), "left_anti")
+      }),
+
       // Composition: the decision joined with the generated command —
       // exactly what dispatch submits per triggered table (SURVEY.md §3.1).
       "maintenance_report" -> ((s, dir) => {
@@ -161,6 +175,15 @@ object MaintenanceQueries {
            |         THEN s.size_bytes ELSE g.acc + s.size_bytes END AS acc
            |  FROM g JOIN seq s ON s.part_key = g.part_key AND s.rn = g.rn + 1)
            |SELECT part_key, path, size_bytes, group_id FROM g""".stripMargin,
+
+      "orphan_files" ->
+        s"""WITH $filesCte,
+           |live AS (
+           |  SELECT DISTINCT 'f_' || event_id AS path FROM events
+           |  WHERE event_type IN $writeOpsSql)
+           |SELECT f.path, f.size_bytes
+           |FROM files f LEFT JOIN live l ON f.path = l.path
+           |WHERE l.path IS NULL""".stripMargin,
 
       "maintenance_report" ->
         s"""WITH fulllog AS (
