@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Compact, Maintenance}
-import graft.exts.{Dedup, Similarity, TextAnalysis}
+import graft.exts.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import graft.model.{EngineConfig, SnapshotMeta}
-import graft.ops.{Decide, EventOps}
+import graft.ops.{Decide, EventOps, TimeJoins}
 
 /** End-to-end walkthrough of the engine on sf0.001: event ingestion →
   * decision → compaction loop closure → pipeline extensions. */
@@ -62,6 +62,43 @@ object Demo {
       .map(r => s"q${r.getLong(0)}->n${r.getLong(1)}#${r.getInt(2)}")
       .mkString(" ")
     println(s"   cosine top-5 for 2 queries: $topk")
+
+    println("== 4. Temporal joins on the event stream")
+    val asof = TimeJoins.asofViewToPurchase(EventOps.events(spark, dir))
+    println(s"   as-of: ${asof.count()} views matched to their latest " +
+      "prior purchase (union+window, zero joins in the plan)")
+    val ranged = TimeJoins.viewsBeforePurchase(
+      EventOps.events(spark, dir), windowMs = 3600000L)
+    val withViews = ranged.filter(col("n_views_before") > 0).count()
+    println(s"   range: ${ranged.count()} purchases scored, $withViews had " +
+      "views in the prior hour (bucketed equi-join)")
+
+    println("== 5. Dataset curation -> packed training sequences")
+    val split = Sampling.trainTestSplit(spark, dir)
+      .groupBy(col("split")).agg(sum(col("n_docs")).as("n")).collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")
+    println(s"   stable hash split: $split")
+    val packed = Packing.packSequences(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val seqs = packed.select(col("lang"), col("seq_id")).distinct().count()
+    println(s"   ${packed.count()} docs packed into $seqs sequences " +
+      "(<=256 tokens each, greedy per language)")
+
+    println("== 6. Z-order clustering vs single-column sort")
+    val zin = Files.createTempDirectory("demo-zin").toString
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .write.mode("overwrite").parquet(zin)
+    val zout = Files.createTempDirectory("demo-zout").toString
+    val zBytes = Compact.listFiles(zin).map(_.sizeBytes).sum
+    Compact.zorderRewrite(spark, zin, zout, "l_orderkey", "l_partkey",
+      targetBytes = zBytes / 4 + 1)
+    val zstats = Compact.listFiles(zout).map(_.path).map { f =>
+      val r = spark.read.parquet(f).agg(
+        max(col("l_partkey")) - min(col("l_partkey"))).collect()(0)
+      r.getLong(0)
+    }
+    println(s"   ${zstats.size} z-ordered files; per-file l_partkey spans: " +
+      zstats.mkString(", "))
     spark.stop()
   }
 }

@@ -109,16 +109,30 @@ object Compact {
     * every output file covers a compact region in BOTH dimensions and
     * min/max file stats prune on either column's predicate (a plain sort
     * only prunes on its leading column). Same plan shape as
-    * [[sortRewrite]]: one range exchange, local sort, no global sort. */
+    * [[sortRewrite]]: one range exchange, local sort, no global sort.
+    *
+    * Each dimension is min-max normalized to 16 bits before interleaving
+    * (one tiny stats agg up front): raw interleaving of columns with
+    * different magnitudes is dominated by the wider column's high bits and
+    * degenerates to a single-column sort. Normalization makes the curve
+    * split both dimensions evenly regardless of their value ranges. */
   def zorderRewrite(spark: SparkSession, inputDir: String, outputDir: String,
       colA: String, colB: String,
       targetBytes: Long = DefaultTargetFileSizeBytes): (Int, Int) = {
     val before = listFiles(inputDir)
     val n = outputFileCount(before.map(_.sizeBytes).sum, targetBytes)
+    val df = spark.read.parquet(inputDir)
+    val s = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double")))
+      .collect()(0)
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0)
+      else ((col(c).cast("double") - lo) / (hi - lo) * 65535.0).cast("int")
     val z = graft.functions.ZOrder2.z_order2(
-      col(colA).cast("int"), col(colB).cast("int"))
-    spark.read.parquet(inputDir)
-      .withColumn("__z", z)
+      norm(colA, s.getDouble(0), s.getDouble(1)),
+      norm(colB, s.getDouble(2), s.getDouble(3)))
+    df.withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
