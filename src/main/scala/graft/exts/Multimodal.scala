@@ -105,6 +105,25 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "byte_offset", "frame_byte")
   }
 
+  /** Audio-style windowing: fixed-size sample windows over the payload
+    * with per-window energy (mean centered-byte magnitude) — the
+    * frame/hop batch shape an audio featurizer (MFCC, VAD) runs in.
+    * STUB math over raw bytes (no audio codec in this environment); the
+    * tiling, per-window iteration, and output schema are the real
+    * plumbing. O(payload bytes) per asset, no shuffle. */
+  def audioWindows(assets: Dataset[MediaAsset],
+      windowBytes: Int = 256): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      a.media.grouped(windowBytes).zipWithIndex.map { case (w, i) =>
+        val energy =
+          if (w.isEmpty) 0L
+          else w.map(b => math.abs((b & 0xff) - 128).toLong).sum / w.length
+        (a.doc_id, i, w.length, energy)
+      }
+    }.toDF("doc_id", "window_idx", "n_bytes", "energy")
+  }
+
   /** Resize stub: metadata-level resize (a real one transforms pixels). */
   def resizeMeta(assets: Dataset[MediaAsset], maxDim: Int): DataFrame = {
     import assets.sparkSession.implicits._

@@ -193,6 +193,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: audio windows tile the payload exactly") {
+    import org.apache.spark.sql.functions._
+    val assets = graft.exts.Multimodal.assets(spark, dir)
+    val w = graft.exts.Multimodal.audioWindows(assets, windowBytes = 256)
+    // windows cover every byte exactly once, per asset
+    val tiled = w.groupBy(col("doc_id"))
+      .agg(sum(col("n_bytes")).as("covered"),
+        count(lit(1)).as("n_windows"),
+        max(col("energy")).as("max_e"))
+      .join(assets.toDF().select(col("doc_id"), col("byte_len")), "doc_id")
+      .collect()
+    assert(tiled.nonEmpty)
+    tiled.foreach { r =>
+      val (covered, nWin, maxE, byteLen) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(covered === byteLen, s"doc ${r.getLong(0)} windows don't tile")
+      assert(nWin === (byteLen + 255) / 256)
+      assert(maxE >= 0 && maxE <= 128)
+    }
+  }
+
   test("multimodal: resize preserves aspect ratio bound") {
     val resized = Multimodal.resizeMeta(Multimodal.assets(spark, dir), 64)
     resized.collect().foreach { r =>
