@@ -100,17 +100,24 @@ object TextAnalysis {
 
   /** TF-IDF top term per document, with an integer-exact idf surrogate:
     * `score = tf * n_docs div df` (monotone in tf·(N/df), no float math so
-    * the oracle compare is bit-exact). Ties break by tf desc, then term. */
-  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("tf").desc, col("term"))
+    * the oracle compare is bit-exact). Ties break by tf desc, then term.
+    *
+    * The per-doc argmax is a `min_by` over a lexicographic ordering struct
+    * (−score, −tf, term) instead of a sort window: a hash aggregate with
+    * map-side partial combine — no per-group sort, and shuffle rows drop
+    * to one candidate per (doc, partition) before the exchange. The DuckDB
+    * oracle keeps the independent row_number() formulation. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame =
     termStats(spark, dir)
       .withColumn("score", expr("(tf * n_docs) div df"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("term"), col("tf"), col("df"), col("score")),
+        struct((-col("score")).as("ns"), (-col("tf")).as("nt"), col("term")))
+        .as("top"))
+      .select(col("doc_id"), col("top.term").as("term"),
+        col("top.tf").as("tf"), col("top.df").as("df"),
+        col("top.score").as("score"))
 
   /** Corpus-level document-frequency head: the `topN` terms appearing in
     * the most documents (df = docs containing the term, not total
