@@ -138,6 +138,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of the embedding column: per-vector scale
+    * s = max|x| / 127, q_i = round(x_i / s) ∈ [-127, 127] — 4 bytes/dim
+    * compressed to 1 at rest, the standard storage/serving format for
+    * large embedding corpora. Pure per-row projection (no shuffle);
+    * registered rows-only (float scale arithmetic is engine-specific),
+    * with reconstruction quality asserted in PipelineSpec. */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val absMax = aggregate(col("embedding"), lit(0.0f),
+      (acc, x) => greatest(acc, abs(x)))
+    corpus
+      .withColumn("scale", (absMax / 127.0f).cast("float"))
+      .withColumn("q", when(col("scale") > 0f,
+          transform(col("embedding"),
+            x => round(x / col("scale")).cast("tinyint")))
+        .otherwise(transform(col("embedding"), _ => lit(0).cast("tinyint"))))
+      .select(col("vec_id"), col("scale"), col("q"))
+  }
+
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8(Tables.load(spark, dir, "embeddings"))
+
   /** Embedding near-duplicate pairs: corpus ∪ planted scaled copies
     * (cosine exactly 1 in exact math), bucketed self-join, exact cosine ≥
     * threshold within bucket. Output is id pairs only — integer-exact. */

@@ -67,6 +67,9 @@ object PipelineQueries {
       "sim_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
       "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
       "sim_ivf_probe2" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
+      // rows-only: per-vector float scale is engine-specific arithmetic;
+      // reconstruction quality is asserted in PipelineSpec.
+      "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
 
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),

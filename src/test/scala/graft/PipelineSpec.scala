@@ -193,6 +193,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization bounds values and preserves cosine geometry") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = Similarity.quantizeInt8(base)
+      .join(base, "vec_id")
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val scale = r.getFloat(1)
+      val codes = r.getSeq[Byte](2)
+      val orig = r.getSeq[Float](3)
+      // codes bounded to int8 symmetric range
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(scale >= 0f)
+      // dequantized vector stays geometrically close: cosine >= 0.99
+      val deq = codes.map(_.toDouble * scale)
+      val o = orig.map(_.toDouble)
+      val dot = deq.zip(o).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(deq.map(x => x * x).sum)
+      val nb = math.sqrt(o.map(x => x * x).sum)
+      if (na > 0 && nb > 0)
+        assert(dot / (na * nb) >= 0.99,
+          s"vec ${r.getLong(0)} cosine ${dot / (na * nb)} after dequant")
+    }
+  }
+
   test("multimodal: audio windows tile the payload exactly") {
     import org.apache.spark.sql.functions._
     val assets = graft.exts.Multimodal.assets(spark, dir)
