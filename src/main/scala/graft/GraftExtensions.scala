@@ -33,12 +33,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Arity guard: a wrong argument count becomes a proper analysis-time
+    * error (standard WRONG_NUM_ARGS error class) instead of an
+    * IndexOutOfBoundsException from the builder. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es =>
+      if (es.length == n) build(es)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> es.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** name → expression builder for every native graft function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "rolling_hash" -> (es => RollingHash(es.head)),
-    "minhash_sig" -> (es => MinHashSig(es.head)),
-    "simhash64" -> (es => SimHash64(es.head)),
-    "shingle_set" -> (es => ShingleSet(es.head)),
-    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
-    "z_order2" -> (es => ZOrder2(es(0), es(1))))
+    "rolling_hash" -> arity("rolling_hash", 1)(es => RollingHash(es.head)),
+    "minhash_sig" -> arity("minhash_sig", 1)(es => MinHashSig(es.head)),
+    "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
+    "shingle_set" -> arity("shingle_set", 1)(es => ShingleSet(es.head)),
+    "cosine_sim" -> arity("cosine_sim", 2)(es => CosineSim(es(0), es(1))),
+    "z_order2" -> arity("z_order2", 2)(es => ZOrder2(es(0), es(1))))
 }

@@ -126,6 +126,14 @@ object Compact {
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double")))
       .collect()(0)
+    if (s.isNullAt(0) || s.isNullAt(2)) {
+      // empty input or an all-null cluster column: the z-value is
+      // undefined — fall back to a plain lexicographic sort rewrite.
+      df.repartitionByRange(n, col(colA), col(colB))
+        .sortWithinPartitions(col(colA), col(colB))
+        .write.mode(SaveMode.Overwrite).parquet(outputDir)
+      return (before.size, listFiles(outputDir).size)
+    }
     def norm(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0)
       else ((col(c).cast("double") - lo) / (hi - lo) * 65535.0).cast("int")

@@ -159,6 +159,24 @@ object Similarity {
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8(Tables.load(spark, dir, "embeddings"))
 
+  /** Driver-contract projection of [[quantizeInt8]]: per-vector scalar
+    * stats of the int8 code instead of the code array itself (the
+    * harness's row-sort cannot hash array cells, so the registered query
+    * must be scalar-only). Same per-row plan — the array lives only
+    * inside the projection. Rows-only gate: the stats depend on float
+    * rounding, which is engine-specific; reconstruction quality is
+    * asserted in PipelineSpec. */
+  def quantizeInt8Stats(corpus: DataFrame): DataFrame =
+    quantizeInt8(corpus).select(
+      col("vec_id"),
+      size(col("q")).as("n_dims"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(col("q")).cast("int").as("q_min"),
+      array_max(col("q")).cast("int").as("q_max"))
+
+  def quantizeInt8Stats(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8Stats(Tables.load(spark, dir, "embeddings"))
+
   /** Embedding near-duplicate pairs: corpus ∪ planted scaled copies
     * (cosine exactly 1 in exact math), bucketed self-join, exact cosine ≥
     * threshold within bucket. Output is id pairs only — integer-exact. */

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Z-order (Morton) curve value for two integer dimensions: interleaves
   * the low 32 bits of each input into one 64-bit key. Ordering by the
@@ -30,9 +30,14 @@ object ZOrderImpl {
   }
 }
 
-/** z-value of two int columns: `z_order2(a, b)` — bigint. */
+/** z-value of two int columns: `z_order2(a, b)` — bigint. Declares
+  * `int` inputs so narrower integrals coerce and wider/non-integral
+  * arguments fail at analysis time, not with a cast error mid-job. */
 case class ZOrder2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // Seq is covariant: Seq[DataType] satisfies Seq[AbstractDataType]
+  // without naming the private[sql] AbstractDataType.
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =

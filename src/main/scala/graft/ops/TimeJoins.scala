@@ -33,7 +33,12 @@ object TimeJoins {
     *
     * Input frame needs (event_id, user_id, ts_ms, event_type). At equal
     * timestamps the purchase sorts first (boolean `is_left` ascending), so
-    * `ts >= ts` inclusion holds. */
+    * `ts >= ts` inclusion holds. Tie-break: among several purchases at the
+    * same (user_id, ts_ms) the one with the LARGEST event_id wins (the
+    * window is ordered by event_id ascending and `last` carries the final
+    * one forward); the DuckDB oracle mirrors this by pre-aggregating
+    * purchases to max(event_id) per (user_id, ts_ms), since a native ASOF
+    * JOIN leaves the choice among equal-timestamp matches unspecified. */
   def asofViewToPurchase(events: DataFrame): DataFrame = {
     val tagged = events
       .filter(col("event_type").isin("view", "purchase"))

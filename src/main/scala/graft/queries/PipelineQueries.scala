@@ -68,8 +68,10 @@ object PipelineQueries {
       "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
       "sim_ivf_probe2" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
       // rows-only: per-vector float scale is engine-specific arithmetic;
-      // reconstruction quality is asserted in PipelineSpec.
-      "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
+      // reconstruction quality is asserted in PipelineSpec. Scalar stats
+      // projection (not the int8 array) — the harness row-sort can't
+      // hash array cells.
+      "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(s, dir)),
 
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),

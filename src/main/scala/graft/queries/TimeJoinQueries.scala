@@ -25,12 +25,17 @@ object TimeJoinQueries {
         TimeJoins.viewsBeforePurchase(EventOps.events(s, dir)))),
 
     oracles = Map(
+      // p is pre-aggregated to one row per (user_id, ts_ms) — max
+      // event_id, mirroring the Spark op's documented tie-break — so the
+      // native ASOF JOIN (which leaves the pick among equal-timestamp
+      // matches unspecified) is deterministic even if a fixture carries
+      // duplicate purchase timestamps per user.
       "join_asof" ->
         s"""WITH $eCte,
            |v AS (SELECT event_id, user_id, ts_ms FROM e
            |      WHERE event_type = 'view'),
-           |p AS (SELECT event_id, user_id, ts_ms FROM e
-           |      WHERE event_type = 'purchase')
+           |p AS (SELECT max(event_id) AS event_id, user_id, ts_ms FROM e
+           |      WHERE event_type = 'purchase' GROUP BY user_id, ts_ms)
            |SELECT v.event_id AS event_id, v.user_id AS user_id,
            |       v.ts_ms AS ts_ms,
            |       p.event_id AS purchase_event_id,

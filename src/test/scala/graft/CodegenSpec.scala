@@ -124,6 +124,36 @@ class CodegenSpec extends AnyFunSuite {
     assert(row.getLong(0) === 39L)
   }
 
+  test("z_order2 coerces integrals via declared input types, rejects non-numeric") {
+    val s = TestSpark.spark
+    // smallint/bigint get an analysis-time cast to the declared int input
+    // (interleave is defined on the low 32 bits), instead of the former
+    // mid-job ClassCastException
+    val r = s.sql(
+      """SELECT z_order2(CAST(3 AS SMALLINT), 5) AS z1,
+        |       z_order2(CAST(3 AS BIGINT), 5) AS z2""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 39L)
+    assert(r.getLong(1) === 39L)
+    // non-numeric input: analysis-time error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT z_order2(array(1), 5)").collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.toLowerCase.contains("cannot resolve"))
+  }
+
+  test("SQL functions reject wrong arity with an analysis error") {
+    val s = TestSpark.spark
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(e1.getMessage.contains("cosine_sim"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT rolling_hash('a', 'b')").collect()
+    }
+    assert(e2.getMessage.contains("rolling_hash"))
+  }
+
   test("reporter props stripped before inner catalog build") {
     // Reference removes exactly metrics-reporter-impl + the two optimize
     // thresholds; other metrics-reporter.* keys survive

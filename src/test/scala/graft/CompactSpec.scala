@@ -109,6 +109,27 @@ class CompactSpec extends AnyFunSuite {
     assert(spans(sOut).forall(_._2 === 31L))
   }
 
+  test("zorder rewrite falls back to plain sort when stats are absent") {
+    // all-null cluster column: no min/max stats → lexicographic sort
+    // fallback, not an NPE
+    val in = Files.createTempDirectory("graft-znull").toString
+    spark.range(100)
+      .select(lit(null).cast("int").as("a"), col("id").cast("int").as("b"))
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft-zout").toString
+    val (_, after) = Compact.zorderRewrite(spark, in, out, "a", "b")
+    assert(after >= 1)
+    assert(spark.read.parquet(out).count() === 100L)
+    // empty input: zero rows, still no NPE
+    val emptyIn = Files.createTempDirectory("graft-zempty").toString
+    spark.range(0)
+      .select(col("id").cast("int").as("a"), col("id").cast("int").as("b"))
+      .write.mode("overwrite").parquet(emptyIn)
+    val emptyOut = Files.createTempDirectory("graft-zeout").toString
+    Compact.zorderRewrite(spark, emptyIn, emptyOut, "a", "b")
+    assert(spark.read.parquet(emptyOut).count() === 0L)
+  }
+
   test("partial progress emits one replace commit per group, content intact") {
     val in = fragment(12)
     val out = Files.createTempDirectory("graft-out").toString
