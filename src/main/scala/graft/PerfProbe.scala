@@ -1,11 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-import graft.exts.Dedup
-
-/** Throwaway perf probe for the dedup plans (not part of the engine). */
+/** Throwaway perf probe (not part of the engine): times individual driver
+  * queries under the same session shape as [[Bench]] (local[32], 32
+  * shuffle partitions) to chase hot spots. Pass query names as args. */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -16,7 +15,7 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -25,22 +24,13 @@ object PerfProbe {
       r
     }
 
-    val corpus = Dedup.corpusWithNearDups(spark, dir)
-    time("corpus.count")(corpus.count())
-    val sh = corpus.select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
-    time("shingles.count")(sh.count())
-    time("shingles.count again")(sh.count())
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    time("inter.count")(inter.count())
-    time("jaccard full")(Dedup.ngramJaccardPairs(corpus).count())
-
-    val signed = Dedup.signatures(corpus)
-    time("signatures.count")(signed.count())
-    time("minhash full")(Dedup.minhashLshPairs(corpus).count())
-    time("simhash full")(Dedup.simhashPairs(corpus).count())
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      time(s"$name #1")(fn(spark, dir).count())
+      time(s"$name #2")(fn(spark, dir).count())
+      time(s"$name #3")(fn(spark, dir).count())
+    }
     spark.stop()
   }
 }

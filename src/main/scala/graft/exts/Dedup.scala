@@ -134,6 +134,93 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).as("union_size"))
   }
 
+  /** Transitive duplicate groups (connected components) over a near-dup
+    * pair list: A~B and B~C put A, B, C in one group even when A and C
+    * don't pair directly — the step every production dedup pipeline runs
+    * after pairwise candidate generation, since "keep one per pair" both
+    * over- and under-deletes on chains.
+    *
+    * Algorithm: iterative min-label propagation. Each node starts at
+    * `min(self, min neighbor)`; every round each node takes the minimum
+    * label among itself and its neighbors; fixpoint in at most
+    * graph-diameter rounds (dup chains are shallow — near-dup clusters are
+    * cliques or short chains, so 2-3 rounds in practice). Each round is
+    * one shuffled join + one aggregate, all distributed; the driver only
+    * checks the "any label changed?" bit. `localCheckpoint` truncates the
+    * per-round lineage so the plan doesn't grow exponentially. At larger
+    * diameters the standard refinement is alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce"),
+    * which converges in O(log n) rounds with the same per-round shape.
+    *
+    * Output: one row per node that appears in any pair — (doc_id,
+    * component, is_canonical) where component = min doc_id reachable and
+    * is_canonical marks the member to keep. */
+  def dupComponents(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint(true)
+    var comp = und.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("m"))
+      .select(col("doc_id"), least(col("doc_id"), col("m")).as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = und
+        .join(comp.withColumnRenamed("doc_id", "v"), "v")
+        .select(col("u").as("doc_id"), col("comp"))
+      val next = comp.unionByName(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(comp.as("c"), "doc_id")
+        .filter(col("n.comp") < col("c.comp"))
+        .limit(1).count() == 0
+      comp = next
+    }
+    comp.select(col("doc_id"), col("comp").as("component"),
+      (col("doc_id") === col("comp")).as("is_canonical"))
+  }
+
+  /** documents ∪ planted "leaks": a near-copy of every eval document
+    * (doc_id % modulus == 0) re-enters the corpus under a fresh id — the
+    * train-on-benchmark contamination [[contaminationPairs]] must catch.
+    * (500000 % 97 != 0, so leaked ids never land in the eval partition.) */
+  def corpusWithLeaks(spark: SparkSession, dir: String,
+      modulus: Int = 97): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % modulus === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" zqx wvk")).as("text")))
+  }
+
+  /** Benchmark-contamination check: which corpus documents share at least
+    * `minShared` word 5-gram shingles with any held-out eval document
+    * (the n-gram-overlap decontamination step run before training on a
+    * scraped corpus, with the eval set standing in for benchmark data).
+    * Here the eval set is carved deterministically from the same table:
+    * doc_id % modulus == 0.
+    *
+    * The eval side is tiny relative to the corpus (1/modulus here; a
+    * benchmark suite in production), so its exploded shingle index is
+    * broadcast — the corpus-side shingle stream never shuffles, and the
+    * whole check rides the corpus scan. Output is all-integer:
+    * (corpus_id, eval_id, n_shared). */
+  def contaminationPairs(docs: DataFrame, modulus: Int = 97,
+      minShared: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"))).as("sh"))
+    val evalSide = broadcast(
+      sh.filter(col("doc_id") % modulus === 0)
+        .select(col("doc_id").as("eval_id"), col("sh")))
+    sh.filter(col("doc_id") % modulus =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("sh"))
+      .join(evalSide, "sh")
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Streaming ingest dedup: exact-duplicate suppression as documents
     * arrive, keyed by a 64-bit content hash (the shuffle key stays 8 bytes
     * regardless of document length). `dropDuplicatesWithinWatermark`

@@ -58,6 +58,26 @@ object Sampling {
         expr("(max_n * 1000) div n_docs").as("weight_x1000"))
   }
 
+  /** Stratified sample: exactly `perClass` documents per language (fewer
+    * only if the stratum is smaller), chosen by a deterministic
+    * content-keyed ranking — row_number over (md5(text), doc_id) within
+    * each language. Unlike [[sampleDocs]]'s uniform hash (which preserves
+    * strata *proportions*), this equalizes strata absolutely — the
+    * balanced-evaluation-set draw. One ranking window per stratum; the
+    * shuffle is by `lang`, so skewed strata are the scale hazard — at
+    * 100 TB, pre-filter with a per-lang uniform hash gate (keep ~2×
+    * perClass survivors) so the window input per stratum is bounded. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      perClass: Int = 40): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perClass)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
   /** Token-count histogram: documents bucketed by whitespace-token count
     * (width-25 bins) — the length-distribution check before packing
     * sequences. One projection + one hash aggregate. */

@@ -95,7 +95,13 @@ object TextAnalysis {
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(df, "term").crossJoin(broadcast(nDocs))
+    // df is vocabulary-sized after its aggregate — broadcast it so tf
+    // (the big side, already partitioned by (doc_id, term)) is never
+    // re-shuffled onto `term` for the join, and the downstream per-doc
+    // aggregate is the only remaining exchange. On a corpus whose
+    // vocabulary outgrows the broadcast threshold (web-scale tokenizer
+    // junk), drop the hint and let AQE pick a shuffle join.
+    tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
   }
 
   /** TF-IDF top term per document, with an integer-exact idf surrogate:

@@ -62,6 +62,11 @@ object PipelineQueries {
       "dedup_simhash" -> ((s, dir) =>
         Dedup.simhashPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_embedding" -> ((s, dir) => Similarity.nearDupPairs(s, dir)),
+      "dedup_groups" -> ((s, dir) =>
+        Dedup.dupComponents(
+          Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir)))),
+      "decontaminate" -> ((s, dir) =>
+        Dedup.contaminationPairs(Dedup.corpusWithLeaks(s, dir))),
 
       "sim_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
       "sim_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
@@ -82,6 +87,7 @@ object PipelineQueries {
       "train_test_split" -> ((s, dir) => Sampling.trainTestSplit(s, dir)),
       "class_balance" -> ((s, dir) => Sampling.classBalanceWeights(s, dir)),
       "token_histogram" -> ((s, dir) => Sampling.tokenLenHistogram(s, dir)),
+      "stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
       "pack_sequences" -> ((s, dir) =>
         Packing.packSequences(Tables.load(s, dir, "documents")))),
 
@@ -187,6 +193,65 @@ object PipelineQueries {
            |JOIN sizes na ON na.doc_id = a_id
            |JOIN sizes nb ON nb.doc_id = b_id
            |WHERE inter * 3 >= na.n_sh + nb.n_sh""".stripMargin,
+
+      // Transitive closure of the jaccard pair list (UNION dedups, so the
+      // recursion terminates); component = min reachable id, mirroring
+      // the Spark min-label propagation's fixpoint.
+      "dedup_groups" ->
+        s"""WITH RECURSIVE $nearCorpusCte,
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM corpus),
+           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+           |  WHERE len(words) >= 5),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM inter
+           |  JOIN sizes na ON na.doc_id = a_id
+           |  JOIN sizes nb ON nb.doc_id = b_id
+           |  WHERE inter * 3 >= na.n_sh + nb.n_sh),
+           |bi AS (SELECT a_id AS u, b_id AS v FROM pairs
+           |       UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM bi
+           |  UNION
+           |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u)
+           |SELECT u AS doc_id, least(u, min(v)) AS component,
+           |  (u = least(u, min(v))) AS is_canonical
+           |FROM reach GROUP BY u""".stripMargin,
+
+      "decontaminate" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 500000, text || ' zqx wvk'
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM corpus),
+          |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+          |  WHERE len(words) >= 5)
+          |SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+          |  count(*) AS n_shared
+          |FROM sh c JOIN sh e ON c.sh = e.sh
+          |WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+      "stratified_sample" ->
+        """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
+          |FROM (SELECT doc_id, lang,
+          |        row_number() OVER (PARTITION BY lang
+          |          ORDER BY md5(text), doc_id) AS rn
+          |      FROM documents)
+          |WHERE rn <= 40""".stripMargin,
 
       "text_tfidf" ->
         """WITH tok AS (

@@ -128,6 +128,22 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_customers_without_urgent"))
       }),
 
+      // Skew-safe equi-join: orders salted into 8 sub-keys, customer
+      // replicated per salt ([[graft.ops.Skew]]). The aggregate result is
+      // salt-invariant, so the oracle is the plain join — verifying the
+      // rewrite changes the plan, not the semantics.
+      "join_salted" -> ((s, dir) => {
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"),
+            cents("o_totalprice").as("price_cents"))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        graft.ops.Skew.saltedEquiJoin(ord, cust, "custkey", saltBuckets = 8)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("revenue_cents"))
+      }),
+
       // Per-group top-k via ranking window (no global sort).
       "window_topk" -> ((s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
@@ -249,6 +265,13 @@ object RelationalQueries {
           |FROM customer
           |WHERE NOT EXISTS (SELECT 1 FROM orders
           |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          |GROUP BY c_nationkey""".stripMargin,
+
+      "join_salted" ->
+        """SELECT c_nationkey, count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS revenue_cents
+          |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_nationkey""".stripMargin,
 
       "window_topk" ->

@@ -248,4 +248,57 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getInt(3) >= 1 && r.getInt(4) >= 1)
     }
   }
+
+  test("dup components: transitive chains collapse to min-id groups") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (no direct 1-3 edge) + separate pair 10-11 + a
+    // triangle 20-21, 21-22, 20-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val comp = Dedup.dupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(comp(1L) === ((1L, true)))
+    assert(comp(2L) === ((1L, false)))
+    assert(comp(3L) === ((1L, false)))   // transitive: no direct 1-3 pair
+    assert(comp(10L) === ((10L, true)))
+    assert(comp(11L) === ((10L, false)))
+    assert(Seq(20L, 21L, 22L).map(comp(_)._1).distinct === Seq(20L))
+    assert(comp.size === 8)
+  }
+
+  test("dup components: long chain needs multiple propagation rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-9: diameter 9, so one propagation round is not
+    // enough — exercises the fixpoint loop
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.dupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(comp(_) === 0L))
+  }
+
+  test("contamination: doc sharing >=3 shingles with eval doc is flagged") {
+    import spark.implicits._
+    // doc 97 is "eval" (97 % 97 == 0); doc 1 copies 8 of its words (4
+    // shared shingles), doc 2 is disjoint
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (97L, evalText),
+      (1L, evalText + " iota"),
+      (2L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 97L, 4L)))
+  }
+
+  test("stratified sample: exact per-language quota, deterministic") {
+    import org.apache.spark.sql.functions._
+    val a = graft.exts.Sampling.stratifiedSample(spark, dir, perClass = 10)
+    val counts = a.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 10L))
+    assert(counts.values.exists(_ === 10L))
+    val b = graft.exts.Sampling.stratifiedSample(spark, dir, perClass = 10)
+    assert(a.collect().toSet === b.collect().toSet)
+  }
 }
