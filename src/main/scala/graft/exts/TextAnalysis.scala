@@ -137,6 +137,27 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("term"))
       .limit(topN)
 
+  /** φ-heavy hitters over the token stream: every term whose document
+    * frequency exceeds n_docs/φ — threshold-based (complete above the
+    * threshold, unlike [[docFreqTop]]'s fixed top-N). Two hash aggregates
+    * + a broadcast scalar; exact and integer-only. At corpus scale the
+    * approximate path is a count-min sketch (Spark's built-in
+    * `count_min_sketch` aggregate) sized at eps ≈ 1/(2φ), which never
+    * under-counts — the CMS estimate gates a second exact pass over only
+    * the flagged candidates (AdvancedSpec exercises the sketch bound). */
+  def heavyHitters(spark: SparkSession, dir: String, phi: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * phi > col("n_docs"))
+      .select(col("term"), col("df"))
+  }
+
   /** Content fingerprints via the custom codegen'd rolling-hash expression:
     * whole-doc polynomial hash window-min (winnowing-style), stable under
     * row order. No oracle (not expressible in portable SQL) — covered by

@@ -80,6 +80,7 @@ object PipelineQueries {
 
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
+      "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
 
       "mm_meta" -> ((s, dir) => Multimodal.metadata(s, dir)),
 
@@ -278,6 +279,16 @@ object PipelineQueries {
           |    FROM documents))
           |SELECT term, count(*) AS df FROM tok
           |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+      "text_heavy_hitters" ->
+        """WITH tok AS (
+          |  SELECT DISTINCT doc_id, term FROM (
+          |    SELECT doc_id,
+          |      unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |    FROM documents)),
+          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT term, count(*) AS df FROM tok CROSS JOIN n
+          |GROUP BY term, n_docs HAVING count(*) * 20 > n_docs""".stripMargin,
 
       "dedup_embedding" ->
         s"""WITH $embCorpusCte,

@@ -128,6 +128,26 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_customers_without_urgent"))
       }),
 
+      // TPC-H Q18 shape (large-volume orders): pre-aggregate lineitem to
+      // per-order quantity BEFORE joining — the having-filter runs on the
+      // aggregate's output (tiny), so the 3-way join only ever sees
+      // qualifying orders, never the raw lineitem fact table twice.
+      "q18_large_orders" -> ((s, dir) => {
+        val bigOrders = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            cents("o_totalprice").as("totalprice_cents"))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        ord.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"),
+            col("totalprice_cents"), col("sum_qty"))
+      }),
+
       // Skew-safe equi-join: orders salted into 8 sub-keys, customer
       // replicated per salt ([[graft.ops.Skew]]). The aggregate result is
       // salt-invariant, so the oracle is the plain join — verifying the
@@ -266,6 +286,19 @@ object RelationalQueries {
           |WHERE NOT EXISTS (SELECT 1 FROM orders
           |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
           |GROUP BY c_nationkey""".stripMargin,
+
+      "q18_large_orders" ->
+        """WITH big AS (
+          |  SELECT l_orderkey,
+          |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |  FROM lineitem GROUP BY l_orderkey
+          |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+          |SELECT c_name, o_orderkey,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+          |  sum_qty
+          |FROM orders
+          |JOIN big ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
       "join_salted" ->
         """SELECT c_nationkey, count(*) AS n_orders,

@@ -55,6 +55,36 @@ class AdvancedSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("count-min sketch never under-counts; exact heavy hitters complete") {
+    // The CMS path gates the heavy-hitter candidate set at scale: its
+    // estimates are one-sided (>= true count), so filtering on the sketch
+    // never drops a true heavy hitter.
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+    val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cmsBytes = tok
+      .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("cms"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cmsBytes))
+    exact.foreach { case (term, n) =>
+      assert(cms.estimateCount(term) >= n, s"CMS under-counted $term")
+    }
+    // exact heavy hitters: every term above the φ-threshold is present
+    val n = docs.count()
+    val hh = graft.exts.TextAnalysis.heavyHitters(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docFreq = docs
+      .select(col("doc_id"), explode(array_distinct(
+        split(trim(col("text")), "\\s+"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docFreq.filter { case (_, df) => df * 20 > n }
+    assert(hh === expected)
+    assert(hh.nonEmpty)
+  }
+
   test("partitioned write lays out key=value dirs and prunes on read") {
     val out = Files.createTempDirectory("graft-part").toString
     PartitionedStore.writeEventsByDay(spark, dir, out)
