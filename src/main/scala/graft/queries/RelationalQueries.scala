@@ -175,6 +175,40 @@ object RelationalQueries {
             cents("o_totalprice").as("totalprice_cents"))
       }),
 
+      // Full outer join: per-nation deep-debt customer vs negative-balance
+      // supplier counts — both aggregated BEFORE the join (tiny inputs),
+      // null sides surfaced as zero.
+      "join_outer" -> ((s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .filter(col("c_acctbal") < -800)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("nc"))
+        val sp = Tables.load(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("ns"))
+        c.join(sp, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("nc"), lit(0L)).as("n_debt_customers"),
+            coalesce(col("ns"), lit(0L)).as("n_neg_suppliers"))
+      }),
+
+      // RANGE-frame window: trailing-90-day order count + revenue per
+      // customer (frame bounded by the ORDER BY *value*, not row offsets —
+      // ties on the same day all join the frame).
+      "window_range_frame" -> ((s, dir) => {
+        val day = datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01")))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-90, Window.currentRow)
+        Tables.load(s, dir, "orders")
+          .withColumn("day", day)
+          .withColumn("cents", cents("o_totalprice"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day"),
+            count(lit(1)).over(w).as("n_orders_90d"),
+            sum(col("cents")).over(w).as("rev_90d_cents"))
+      }),
+
       // Exact distinct aggregation (Expand-based two-phase plan).
       "agg_distinct" -> ((s, dir) =>
         Tables.load(s, dir, "orders")
@@ -317,6 +351,29 @@ object RelationalQueries {
           |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
           |  FROM orders)
           |WHERE rank <= 3""".stripMargin,
+
+      "join_outer" ->
+        """WITH c AS (
+          |  SELECT c_nationkey AS nationkey, count(*) AS nc
+          |  FROM customer WHERE c_acctbal < -800 GROUP BY 1),
+          |s AS (
+          |  SELECT s_nationkey AS nationkey, count(*) AS ns
+          |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+          |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+          |  CAST(coalesce(nc, 0) AS BIGINT) AS n_debt_customers,
+          |  CAST(coalesce(ns, 0) AS BIGINT) AS n_neg_suppliers
+          |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin,
+
+      "window_range_frame" ->
+        """SELECT o_custkey, o_orderkey, CAST(day AS INTEGER) AS day,
+          |  CAST(count(*) OVER w AS BIGINT) AS n_orders_90d,
+          |  CAST(sum(cents) OVER w AS BIGINT) AS rev_90d_cents
+          |FROM (SELECT o_custkey, o_orderkey,
+          |        datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+          |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |      FROM orders)
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+          |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)""".stripMargin,
 
       "agg_distinct" ->
         """SELECT o_orderstatus,
