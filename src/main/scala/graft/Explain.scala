@@ -22,7 +22,10 @@ object Explain {
       "sim_topk", "dedup_ngram_jaccard", "dedup_minhash_lsh", "window_topk",
       "join_asof", "join_range_count", "pack_sequences", "text_tfidf",
       "dedup_exact", "dedup_ngram_jaccard_capped", "sim_ivf_probe2",
-      "sample_docs", "pivot_status", "price_percentiles")
+      "sample_docs", "pivot_status", "price_percentiles",
+      "decontaminate", "join_salted", "q18_large_orders",
+      "text_heavy_hitters", "join_outer", "window_range_frame",
+      "stratified_sample")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -88,6 +88,14 @@ object TextAnalysis {
     * (doc, term) pairs, not corpus token count. */
   private def termStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // Both downstream aggregates (per-doc tf join and corpus df) consume
+    // the token frequencies; Catalyst plans two scan+explode+aggregate
+    // subtrees (column pruning makes them non-identical, so ReuseExchange
+    // can't kick in). Measured at sf0.1 the duplicated codegen'd scan is
+    // cheaper than pinning the intermediate (persist() doubled steady
+    // runtime), so the plan stays fully streaming; at corpus scale, where
+    // re-reading text dominates, materialize tf to a staging table /
+    // checkpoint first and point both aggregates at it.
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
