@@ -209,6 +209,26 @@ object RelationalQueries {
             sum(col("cents")).over(w).as("rev_90d_cents"))
       }),
 
+      // Ranking-function family over one window pass: rank / dense_rank /
+      // percent_rank / cume_dist per supplier by quantity. Only tie-stable
+      // functions (all rank-derived) — row-position functions like ntile
+      // would be nondeterministic under ties. Floats are floored at 1e6 on
+      // both engines ((rank-1)/(n-1) is the same double everywhere).
+      "window_rank_funcs" -> ((s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_quantity").desc)
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("int").as("qty"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            floor(percent_rank().over(w) * 1000000).cast("long")
+              .as("pct_rank_x1m"),
+            floor(cume_dist().over(w) * 1000000).cast("long")
+              .as("cume_x1m"))
+          .filter(col("rnk") <= 5)
+      }),
+
       // Exact distinct aggregation (Expand-based two-phase plan).
       "agg_distinct" -> ((s, dir) =>
         Tables.load(s, dir, "orders")
@@ -374,6 +394,19 @@ object RelationalQueries {
           |      FROM orders)
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
           |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+      "window_rank_funcs" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |  CAST(l_quantity AS INTEGER) AS qty,
+          |  CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,
+          |  CAST(floor(pr * 1000000) AS BIGINT) AS pct_rank_x1m,
+          |  CAST(floor(cd * 1000000) AS BIGINT) AS cume_x1m
+          |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+          |        rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+          |        percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+          |      FROM lineitem
+          |      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC))
+          |WHERE rnk <= 5""".stripMargin,
 
       "agg_distinct" ->
         """SELECT o_orderstatus,
