@@ -62,6 +62,12 @@ object Demo {
       .map(r => s"q${r.getLong(0)}->n${r.getLong(1)}#${r.getInt(2)}")
       .mkString(" ")
     println(s"   cosine top-5 for 2 queries: $topk")
+    val groups = Dedup.dupComponents(
+      Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(spark, dir)))
+    val nGroups = groups.filter(col("is_canonical")).count()
+    println(s"   transitive dup groups=$nGroups over ${groups.count()} grouped docs")
+    val leaks = Dedup.contaminationPairs(Dedup.corpusWithLeaks(spark, dir)).count()
+    println(s"   contamination: $leaks corpus docs overlap the eval split")
 
     println("== 4. Temporal joins on the event stream")
     val asof = TimeJoins.asofViewToPurchase(EventOps.events(spark, dir))

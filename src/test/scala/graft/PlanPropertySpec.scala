@@ -129,4 +129,34 @@ class PlanPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("plan shapes: broadcast where intended, bounded exchanges") {
+    // Plan-shape guards for scale-sensitive operators: a silent fallback
+    // to a shuffled or nested-loop join here is a 100 TB regression even
+    // when results stay correct.
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+    val decon = plan("decontaminate")
+    assert(decon.contains("BroadcastHashJoin"), "decontaminate eval side must broadcast")
+    assert(!decon.contains("NestedLoopJoin"))
+
+    val tfidf = plan("text_tfidf")
+    assert(tfidf.contains("BroadcastHashJoin"), "tfidf vocabulary join must broadcast")
+    assert(!tfidf.contains("SortMergeJoin"))
+
+    val strat = plan("stratified_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(strat).size <= 1,
+      "stratified_sample should shuffle once (by lang)")
+
+    val rangeFrame = plan("window_range_frame")
+    assert("Exchange hashpartitioning".r.findAllIn(rangeFrame).size <= 1,
+      "window_range_frame should shuffle once (by customer)")
+
+    Seq("join_asof", "join_range_count", "q18_large_orders").foreach { n =>
+      assert(!plan(n).contains("NestedLoopJoin"), s"$n plans a nested-loop join")
+    }
+  }
 }
