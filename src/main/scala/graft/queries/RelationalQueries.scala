@@ -175,6 +175,38 @@ object RelationalQueries {
             cents("o_totalprice").as("totalprice_cents"))
       }),
 
+      // MERGE INTO semantics ([[graft.ops.Merge]]): one full-outer join
+      // applies a deterministic change-set (delete %10==0, update %10 in
+      // 1-3, insert from %10==4 under fresh keys, plus an ignored
+      // matched-insert and an ignored unmatched-update) to the customer
+      // base. Oracle recomputes the merged state set-algebraically.
+      "merge_upsert" -> ((s, dir) => {
+        val base = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"),
+            cents("c_acctbal").as("bal_cents"),
+            col("c_nationkey").as("nationkey"))
+        val m = col("custkey") % 10
+        val del = base.filter(m === 0)
+          .select(col("custkey"), col("bal_cents"), col("nationkey"),
+            lit("D").as("op"))
+        val upd = base.filter(m >= 1 && m <= 3)
+          .select(col("custkey"), (col("custkey") * 100).as("bal_cents"),
+            col("nationkey"), lit("U").as("op"))
+        val ins = base.filter(m === 4)
+          .select((col("custkey") + 1000000L).as("custkey"),
+            col("custkey").as("bal_cents"), col("nationkey"),
+            lit("I").as("op"))
+        val insMatched = base.filter(m === 5)
+          .select(col("custkey"), lit(-1L).as("bal_cents"),
+            col("nationkey"), lit("I").as("op"))
+        val updMissing = base.filter(m === 6)
+          .select((col("custkey") + 2000000L).as("custkey"),
+            lit(-2L).as("bal_cents"), col("nationkey"), lit("U").as("op"))
+        val changes = del.unionByName(upd).unionByName(ins)
+          .unionByName(insMatched).unionByName(updMissing)
+        graft.ops.Merge.applyChangeSet(base, changes, "custkey")
+      }),
+
       // Full outer join: per-nation deep-debt customer vs negative-balance
       // supplier counts — both aggregated BEFORE the join (tiny inputs),
       // null sides surfaced as zero.
@@ -371,6 +403,21 @@ object RelationalQueries {
           |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
           |  FROM orders)
           |WHERE rank <= 3""".stripMargin,
+
+      "merge_upsert" ->
+        """WITH base AS (
+          |  SELECT c_custkey AS custkey,
+          |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+          |    c_nationkey AS nationkey
+          |  FROM customer)
+          |SELECT custkey, bal_cents, nationkey
+          |FROM base WHERE custkey % 10 >= 4
+          |UNION ALL
+          |SELECT custkey, custkey * 100, nationkey
+          |FROM base WHERE custkey % 10 BETWEEN 1 AND 3
+          |UNION ALL
+          |SELECT custkey + 1000000, custkey, nationkey
+          |FROM base WHERE custkey % 10 = 4""".stripMargin,
 
       "join_outer" ->
         """WITH c AS (
