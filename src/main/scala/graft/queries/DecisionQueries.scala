@@ -83,6 +83,29 @@ object DecisionQueries {
           .select("table_id", "snapshot_id", "ts_ms")
       }),
 
+      // Time-travel resolve + rollback plan (rollback_to_timestamp
+      // analog): per table, the snapshot that was current as of the
+      // staleness cutoff and how many newer snapshots a rollback would
+      // orphan. Metadata-only — one window + one aggregate over the log;
+      // tables born after the cutoff have nothing to roll back to and
+      // are absent by construction.
+      "snapshot_rollback" -> ((s, dir) => {
+        val w = Window.partitionBy(col("table_id"))
+          .orderBy(col("ts_ms").desc, col("snapshot_id").desc)
+        val log = EventOps.snapshotLog(s, dir)
+        val asof = log.filter(col("ts_ms") <= staleMs)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("table_id"), col("snapshot_id").as("rollback_to"),
+            col("ts_ms").as("rollback_ts_ms"))
+        val newer = log.filter(col("ts_ms") > staleMs)
+          .groupBy(col("table_id")).agg(count(lit(1)).as("n_orphaned"))
+        asof.join(newer, Seq("table_id"), "left")
+          .select(col("table_id"), col("rollback_to"),
+            col("rollback_ts_ms"),
+            coalesce(col("n_orphaned"), lit(0L)).as("n_orphaned"))
+      }),
+
       // Commit cadence via lag(): per-commit gap to the previous commit of
       // the same table (-1 for a table's first commit) — the signal behind
       // the time-threshold trigger, and the lead/lag window shape.
@@ -150,6 +173,23 @@ object DecisionQueries {
            |      ORDER BY ts_ms DESC, snapshot_id DESC) AS rn
            |  FROM log)
            |WHERE rn > 5 AND ts_ms <= $staleMs""".stripMargin,
+
+      "snapshot_rollback" ->
+        s"""WITH $logCte,
+           |resolved AS (
+           |  SELECT table_id, snapshot_id AS rollback_to,
+           |         ts_ms AS rollback_ts_ms
+           |  FROM (SELECT table_id, snapshot_id, ts_ms,
+           |          row_number() OVER (PARTITION BY table_id
+           |            ORDER BY ts_ms DESC, snapshot_id DESC) AS rn
+           |        FROM log WHERE ts_ms <= $staleMs)
+           |  WHERE rn = 1),
+           |newer AS (
+           |  SELECT table_id, count(*) AS n FROM log
+           |  WHERE ts_ms > $staleMs GROUP BY 1)
+           |SELECT r.table_id, rollback_to, rollback_ts_ms,
+           |  CAST(COALESCE(n, 0) AS BIGINT) AS n_orphaned
+           |FROM resolved r LEFT JOIN newer USING (table_id)""".stripMargin,
 
       "commit_interarrival" ->
         s"""WITH $logCte
