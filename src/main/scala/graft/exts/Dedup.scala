@@ -80,6 +80,36 @@ object Dedup {
     corpus.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
+  /** Canonical text normalization — lowercase, non-alphanumerics to
+    * spaces, whitespace collapsed, trimmed. The projection every
+    * normalization-keyed dedup runs before hashing, so case and
+    * punctuation variants collapse to one key. Pure per-row expression
+    * chain (codegen'd, no shuffle). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** documents ∪ planted case/punctuation variants (every 11th doc
+    * upper-cased with trailing punctuation): raw-byte exact dedup misses
+    * them; normalization-keyed dedup must not. */
+  def corpusWithCaseDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+  }
+
+  /** Exact dedup keyed by the md5 of the NORMALIZED text — same
+    * 16-byte-shuffle-key plan as [[exactDupGroups]], different equality
+    * relation. Returns only groups with duplicates. */
+  def exactDupGroupsNormalized(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(normalize(col("text"))))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+
   /** N-gram Jaccard near-dup pairs at threshold ½ via the integer
     * inequality 3·inter ≥ |A|+|B|. Output is all-integer. */
   def ngramJaccardPairs(corpus: DataFrame): DataFrame = {

@@ -53,6 +53,8 @@ object PipelineQueries {
 
       "dedup_exact" -> ((s, dir) =>
         Dedup.exactDupGroups(Dedup.corpusWithExactDups(s, dir))),
+      "dedup_exact_normalized" -> ((s, dir) =>
+        Dedup.exactDupGroupsNormalized(Dedup.corpusWithCaseDups(s, dir))),
       "dedup_ngram_jaccard" -> ((s, dir) =>
         Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_ngram_jaccard_capped" -> ((s, dir) =>
@@ -194,6 +196,20 @@ object PipelineQueries {
            |JOIN sizes na ON na.doc_id = a_id
            |JOIN sizes nb ON nb.doc_id = b_id
            |WHERE inter * 3 >= na.n_sh + nb.n_sh""".stripMargin,
+
+      "dedup_exact_normalized" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 300000, upper(text) || ' !!'
+          |  FROM documents WHERE doc_id % 11 = 0),
+          |norm AS (
+          |  SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+          |  FROM corpus)
+          |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM norm GROUP BY h HAVING count(*) > 1""".stripMargin,
 
       // Transitive closure of the jaccard pair list (UNION dedups, so the
       // recursion terminates); component = min reachable id, mirroring

@@ -291,6 +291,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 97L, 4L)))
   }
 
+  test("normalized dedup catches case/punct variants raw hashing misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "HELLO, World!"),
+      (3L, "hello   world"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val raw = Dedup.exactDupGroups(docs).count()
+    assert(raw === 0L)
+    val norm = Dedup.exactDupGroupsNormalized(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(norm.toSeq === Seq((1L, 3L)))
+  }
+
   test("stratified sample: exact per-language quota, deterministic") {
     import org.apache.spark.sql.functions._
     val a = graft.exts.Sampling.stratifiedSample(spark, dir, perClass = 10)
