@@ -175,6 +175,25 @@ object RelationalQueries {
             cents("o_totalprice").as("totalprice_cents"))
       }),
 
+      // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+      // scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
+      // becomes a per-part pre-aggregate + equi-join, and the fractional
+      // threshold is cleared to integers (5·qty·cnt < sum_qty) so both
+      // engines compare exactly. Per-part aggregate output is tiny →
+      // broadcast; the fact side never shuffles.
+      "q17_small_qty_revenue" -> ((s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            col("l_quantity").cast("long").as("qty"),
+            cents("l_extendedprice").as("price_cents"))
+        val perPart = li.groupBy(col("l_partkey"))
+          .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+        li.join(broadcast(perPart), "l_partkey")
+          .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+          .agg(sum(col("price_cents")).as("revenue_cents"),
+            count(lit(1)).as("n_lineitems"))
+      }),
+
       // MERGE INTO semantics ([[graft.ops.Merge]]): one full-outer join
       // applies a deterministic change-set (delete %10==0, update %10 in
       // 1-3, insert from %10==4 under fresh keys, plus an ignored
@@ -403,6 +422,20 @@ object RelationalQueries {
           |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
           |  FROM orders)
           |WHERE rank <= 3""".stripMargin,
+
+      "q17_small_qty_revenue" ->
+        """WITH li AS (
+          |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+          |  FROM lineitem),
+          |pp AS (
+          |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+          |    count(*) AS cnt
+          |  FROM li GROUP BY l_partkey)
+          |SELECT CAST(sum(price_cents) AS BIGINT) AS revenue_cents,
+          |  count(*) AS n_lineitems
+          |FROM li JOIN pp USING (l_partkey)
+          |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
 
       "merge_upsert" ->
         """WITH base AS (
