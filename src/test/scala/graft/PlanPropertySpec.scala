@@ -155,7 +155,12 @@ class PlanPropertySpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(rangeFrame).size <= 1,
       "window_range_frame should shuffle once (by customer)")
 
-    Seq("join_asof", "join_range_count", "q18_large_orders").foreach { n =>
+    val q17 = plan("q17_small_qty_revenue")
+    assert(q17.contains("BroadcastHashJoin"),
+      "q17 per-part aggregate must broadcast")
+
+    Seq("join_asof", "join_range_count", "q18_large_orders",
+      "merge_upsert", "snapshot_rollback").foreach { n =>
       assert(!plan(n).contains("NestedLoopJoin"), s"$n plans a nested-loop join")
     }
   }
