@@ -162,6 +162,33 @@ class StreamSpec extends AnyFunSuite {
       (1L, "alpha beta"), (2L, "gamma delta"), (5L, "epsilon zeta")))
   }
 
+  test("streaming heavy hitters emit exactly once, at the crossing batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = graft.stream.HeavyHitters.crossings(input.toDS(), threshold = 3L)
+    val q = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    // batch 1: 'hot' at df=2 (below), 'cold' at 1
+    input.addData("hot", "hot", "cold")
+    q.processAllAvailable()
+    assert(spark.table("hh_out").count() === 0)
+    // batch 2: 'hot' crosses (2+2=4 >= 3); 'cold' still below
+    input.addData("hot", "hot", "cold")
+    q.processAllAvailable()
+    val afterCross = spark.table("hh_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(afterCross.toSeq === Seq(("hot", 4L)))
+    // batch 3: more 'hot' occurrences never re-emit; 'cold' now crosses
+    input.addData("hot", "cold")
+    q.processAllAvailable()
+    q.stop()
+    val finals = spark.table("hh_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(finals.toSet === Set(("hot", 4L), ("cold", 3L)))
+  }
+
   test("metrics listener captures per-batch commit metrics as a table") {
     val listener = new graft.stream.CommitMetricsListener
     spark.streams.addListener(listener)
