@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Z-order (Morton) curve value for two integer dimensions: interleaves
   * the low 32 bits of each input into one 64-bit key. Ordering by the
@@ -30,18 +31,30 @@ object ZOrderImpl {
   }
 }
 
-/** z-value of two int columns: `z_order2(a, b)` — bigint. Declares
-  * `int` inputs so narrower integrals coerce and wider/non-integral
-  * arguments fail at analysis time, not with a cast error mid-job. */
+/** z-value of two int columns: `z_order2(a, b)` — bigint. Accepts 32-bit
+  * and narrower integrals only; wider or non-integral arguments fail at
+  * analysis time (implicit numeric casts would otherwise silently
+  * value-truncate a bigint/double to its low 32 bits — a caller who means
+  * that writes the cast explicitly, as [[graft.engine.Compact]] does
+  * after range-normalizing to 16 bits). */
 case class ZOrder2(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
-  // Seq is covariant: Seq[DataType] satisfies Seq[AbstractDataType]
-  // without naming the private[sql] AbstractDataType.
-  override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ByteType | ShortType | IntegerType => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "z_order2 requires int-or-narrower integral arguments, got (" +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString})" +
+        "; cast explicitly if low-32-bit truncation is intended")
+  }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
-    ZOrderImpl.interleave(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    ZOrderImpl.interleave(a.asInstanceOf[Number].intValue,
+      b.asInstanceOf[Number].intValue)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.ZOrderImpl.interleave($a, $b)")

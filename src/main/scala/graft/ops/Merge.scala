@@ -25,16 +25,26 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Apply a change-set to `base`. `changes` must carry the same columns
-    * as `base` plus an `op` column in {'U','I','D'}. Change keys are
-    * assumed unique (pre-aggregate upstream if a batch can carry several
-    * ops per key — last-writer-wins is a `row_number` over the batch). */
+    * as `base` plus an `op` column in {'U','I','D'}. Change keys must be
+    * unique — a batch with several ops per key would otherwise yield
+    * duplicated/contradictory rows out of the full-outer join, so the
+    * precondition is enforced in-plan: a count over the change keys (the
+    * small side — one narrow window, no extra driver action) raises at
+    * execution time on the first duplicate. Pre-aggregate upstream if a
+    * batch can legitimately carry several ops per key — last-writer-wins
+    * is a `row_number` over the batch. */
   def applyChangeSet(base: DataFrame, changes: DataFrame,
       key: String): DataFrame = {
     require(changes.columns.contains("op"), "changes needs an 'op' column")
     val payload = base.columns.filterNot(_ == key).toIndexedSeq
+    val perKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+    val guardedOp = when(count(lit(1)).over(perKey) > 1,
+      raise_error(concat(lit(s"duplicate change key in merge batch: $key="),
+        col(key).cast("string")))).otherwise(col("op"))
     val ch = changes.select(
       col(key).as("__ck") +:
-        col("op").as("__op") +:
+        guardedOp.as("__op") +:
         payload.map(c => col(c).as(s"__c_$c")): _*)
     val joined = base.join(ch, col(key) === col("__ck"), "full_outer")
     val matched = col(key).isNotNull && col("__ck").isNotNull

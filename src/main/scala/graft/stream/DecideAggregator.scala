@@ -28,37 +28,62 @@ object DecideAggregator {
       time_triggered: Boolean,
       should_optimize: Boolean)
 
+  /** The four aggregation primitives, standalone so the streaming pipeline
+    * can merge executor-side partial buffers into long-lived per-table
+    * state on the driver (EventPipeline) with exactly the semantics the
+    * batch aggregate has. */
+  val zeroBuf: DecideBuf = DecideBuf(Long.MinValue, Nil)
+
+  def reduceBuf(b: DecideBuf, s: SnapshotMeta): DecideBuf =
+    if (s.operation == "replace") {
+      if (s.tsMillis >= b.lastReplaceTs)
+        DecideBuf(s.tsMillis, b.pending.filter(_ > s.tsMillis))
+      else b
+    } else if (s.tsMillis > b.lastReplaceTs) {
+      b.copy(pending = b.pending :+ s.tsMillis)
+    } else b
+
+  def mergeBuf(x: DecideBuf, y: DecideBuf): DecideBuf = {
+    val lr = math.max(x.lastReplaceTs, y.lastReplaceTs)
+    DecideBuf(lr, (x.pending ++ y.pending).filter(_ > lr))
+  }
+
+  def finishBuf(b: DecideBuf, cfg: EngineConfig): Decision = {
+    val n = b.pending.size.toLong
+    val oldest = if (n == 0) -1L else b.pending.min
+    val stale = n > 0 &&
+      oldest <= graft.ops.Decide.NowMs - cfg.timeThresholdMs
+    Decision(
+      n_commits_since_replace = n,
+      oldest_pending_ts_ms = oldest,
+      time_triggered = stale,
+      should_optimize = n >= cfg.commitThreshold || stale)
+  }
+
   def apply(cfg: EngineConfig): Aggregator[SnapshotMeta, DecideBuf, Decision] =
     new Aggregator[SnapshotMeta, DecideBuf, Decision] {
-      override def zero: DecideBuf = DecideBuf(Long.MinValue, Nil)
-
+      override def zero: DecideBuf = zeroBuf
       override def reduce(b: DecideBuf, s: SnapshotMeta): DecideBuf =
-        if (s.operation == "replace") {
-          if (s.tsMillis >= b.lastReplaceTs)
-            DecideBuf(s.tsMillis, b.pending.filter(_ > s.tsMillis))
-          else b
-        } else if (s.tsMillis > b.lastReplaceTs) {
-          b.copy(pending = b.pending :+ s.tsMillis)
-        } else b
-
-      override def merge(x: DecideBuf, y: DecideBuf): DecideBuf = {
-        val lr = math.max(x.lastReplaceTs, y.lastReplaceTs)
-        DecideBuf(lr, (x.pending ++ y.pending).filter(_ > lr))
-      }
-
-      override def finish(b: DecideBuf): Decision = {
-        val n = b.pending.size.toLong
-        val oldest = if (n == 0) -1L else b.pending.min
-        val stale = n > 0 &&
-          oldest <= graft.ops.Decide.NowMs - cfg.timeThresholdMs
-        Decision(
-          n_commits_since_replace = n,
-          oldest_pending_ts_ms = oldest,
-          time_triggered = stale,
-          should_optimize = n >= cfg.commitThreshold || stale)
-      }
-
+        reduceBuf(b, s)
+      override def merge(x: DecideBuf, y: DecideBuf): DecideBuf =
+        mergeBuf(x, y)
+      override def finish(b: DecideBuf): Decision = finishBuf(b, cfg)
       override def bufferEncoder: Encoder[DecideBuf] = Encoders.product
       override def outputEncoder: Encoder[Decision] = Encoders.product
+    }
+
+  /** Partial form: emits the merge-able buffer instead of the finished
+    * decision, so a micro-batch can be reduced executor-side to one small
+    * buffer per table and merged into accumulated state elsewhere. */
+  val partial: Aggregator[SnapshotMeta, DecideBuf, DecideBuf] =
+    new Aggregator[SnapshotMeta, DecideBuf, DecideBuf] {
+      override def zero: DecideBuf = zeroBuf
+      override def reduce(b: DecideBuf, s: SnapshotMeta): DecideBuf =
+        reduceBuf(b, s)
+      override def merge(x: DecideBuf, y: DecideBuf): DecideBuf =
+        mergeBuf(x, y)
+      override def finish(b: DecideBuf): DecideBuf = b
+      override def bufferEncoder: Encoder[DecideBuf] = Encoders.product
+      override def outputEncoder: Encoder[DecideBuf] = Encoders.product
     }
 }

@@ -19,9 +19,18 @@ import graft.ops.Decide
   * (SURVEY.md §3.1), and the remote-engine network boundary becomes the
   * executor SPI.
   *
-  * State lives in the snapshot log itself (like the reference, which
-  * rescans `currentAncestors` per event) — no managed streaming state is
-  * required; `foreachBatch` recomputes the windowed decision per batch.
+  * The decision is maintained INCREMENTALLY: each micro-batch is reduced
+  * executor-side to one small `DecideAggregator.DecideBuf` per touched
+  * table (distributed partial aggregation), then merged into accumulated
+  * per-table state on the driver — so per-batch work is O(batch rows +
+  * tables), never O(accumulated history). The reference instead rescans
+  * `currentAncestors` on every event
+  * (AwsTableManagementMetricsEvaluator.java:74); that rescan form is kept
+  * behind `incremental = false` as a cross-check (StreamSpec asserts the
+  * two paths agree and that only the rescan's per-batch input grows).
+  * State per table is (last replace ts, pending commit ts list), bounded
+  * by `commitThreshold` in steady state — compaction fires before the
+  * pending list grows past O(threshold).
   */
 object EventPipeline {
 
@@ -49,41 +58,87 @@ object EventPipeline {
       .parquet(dir)
   }
 
-  /** Result of one pipeline run: final decisions + submitted job ids.
+  /** Result of one pipeline run: final decisions + submitted job ids +
+    * per-batch decision-input row counts (how many log rows the decision
+    * computation consumed in each micro-batch — flat for the incremental
+    * path, cumulative for the rescan path; StreamSpec asserts this).
     * (collection.Seq: runStreaming returns live buffers that fill as
     * micro-batches complete; runOnce snapshots them after termination.) */
   final case class RunResult(
       decisions: scala.collection.Seq[Row],
-      submittedJobs: scala.collection.Seq[String])
+      submittedJobs: scala.collection.Seq[String],
+      decisionInputRows: scala.collection.Seq[Long] = Nil)
 
   /** Run the pipeline over a streaming events frame until no more data is
     * available: each micro-batch appends its derived snapshot-log rows to
-    * an accumulating log store (an append-only parquet dir — the state
-    * lives in the log, like the reference rescanning `currentAncestors`),
-    * then the decision runs over the FULL accumulated log, so per-table
-    * thresholds hold across micro-batch boundaries. Tables whose decision
-    * flips to true in this batch (and weren't already dispatched) get one
-    * maintenance job; once a table's decision flips back to false (its
-    * compaction replace-commit landed in the log), its dispatched mark is
-    * cleared so a later re-trigger dispatches again — matching the
-    * reference, which re-evaluates on every commit event
-    * (AwsTableManagementMetricsEvaluator.java:60-80). */
+    * an append-only parquet log store (the durable audit trail), reduces
+    * the batch executor-side to one `DecideBuf` per touched table, and
+    * merges those partials into accumulated per-table state — so per-table
+    * thresholds hold across micro-batch boundaries at O(batch) cost per
+    * batch. With `incremental = false` the decision instead re-reads the
+    * FULL accumulated log store each batch (the reference's per-event
+    * `currentAncestors` rescan — O(history) per batch; cross-check only).
+    * Tables whose decision flips to true in this batch (and weren't
+    * already dispatched) get one maintenance job; once a table's decision
+    * flips back to false (its compaction replace-commit landed in the
+    * log), its dispatched mark is cleared so a later re-trigger dispatches
+    * again — matching the reference, which re-evaluates on every commit
+    * event (AwsTableManagementMetricsEvaluator.java:60-80). */
   def runStreaming(events: DataFrame, cfg: EngineConfig,
       executorFor: String => Executor,
       logStoreDir: String,
-      trigger: Trigger = Trigger.AvailableNow())
+      trigger: Trigger = Trigger.AvailableNow(),
+      incremental: Boolean = true)
       : (org.apache.spark.sql.streaming.StreamingQuery, RunResult) = {
     val spark = events.sparkSession
     val decisions = scala.collection.mutable.ArrayBuffer.empty[Row]
     val submitted = scala.collection.mutable.ArrayBuffer.empty[String]
     val dispatched = scala.collection.mutable.Set.empty[Long]
+    val inputRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Accumulated per-table decision state (incremental path). Bounded:
+    // one entry per table, each O(commitThreshold) pending timestamps.
+    val state = scala.collection.mutable.Map.empty[Long, DecideAggregator.DecideBuf]
     val q = events.writeStream
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        snapshotLogFrom(batch).write.mode("append").parquet(logStoreDir)
-        val fullLog = spark.read.parquet(logStoreDir)
-        val rows = Decide.shouldOptimize(fullLog, cfg).collect()
+        val batchLog = snapshotLogFrom(batch)
+        // The incremental path runs two actions over the micro-batch (log
+        // append + partial aggregation); persist so the source is scanned
+        // once per trigger (also keeps numInputRows accurate).
+        if (incremental) batchLog.persist()
+        batchLog.write.mode("append").parquet(logStoreDir)
+        val rows: Array[Row] =
+          if (incremental) try {
+            import spark.implicits._
+            val seen = spark.sparkContext.longAccumulator
+            // Executor-side partial aggregation: the shuffle carries one
+            // small buffer per (partition, table), not the log rows.
+            val partials = batchLog.select(
+                col("table_id").as("tableId"),
+                col("snapshot_id").as("snapshotId"),
+                col("ts_ms").as("tsMillis"),
+                col("operation"))
+              .as[graft.model.SnapshotMeta]
+              .groupByKey { s => seen.add(1L); s.tableId }
+              .agg(DecideAggregator.partial.toColumn.name("buf"))
+              .collect()
+            inputRows += seen.value
+            partials.foreach { case (tid, buf) =>
+              state(tid) = DecideAggregator.mergeBuf(
+                state.getOrElse(tid, DecideAggregator.zeroBuf), buf)
+            }
+            state.toSeq.sortBy(_._1).map { case (tid, buf) =>
+              val d = DecideAggregator.finishBuf(buf, cfg)
+              Row(tid, d.n_commits_since_replace, d.oldest_pending_ts_ms,
+                d.time_triggered, d.should_optimize)
+            }.toArray
+          } finally batchLog.unpersist()
+          else {
+            val fullLog = spark.read.parquet(logStoreDir)
+            inputRows += fullLog.count()
+            Decide.shouldOptimize(fullLog, cfg).collect()
+          }
         decisions.clear()
         decisions ++= rows
         val triggered = rows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
@@ -101,19 +156,21 @@ object EventPipeline {
         ()
       }
       .start()
-    (q, RunResult(decisions, submitted))
+    (q, RunResult(decisions, submitted, inputRows))
   }
 
   /** Run the full pipeline over all currently-available fixture events.
     * Returns the final decisions and the submitted job ids. */
   def runOnce(spark: SparkSession, dir: String, cfg: EngineConfig,
-      executorFor: String => Executor): RunResult = {
+      executorFor: String => Executor,
+      incremental: Boolean = true): RunResult = {
     val logStore = java.nio.file.Files
       .createTempDirectory("graft-logstore").toString
-    val (q, result) =
-      runStreaming(readEventStream(spark, dir), cfg, executorFor, logStore)
+    val (q, result) = runStreaming(readEventStream(spark, dir), cfg,
+      executorFor, logStore, incremental = incremental)
     q.awaitTermination()
-    RunResult(result.decisions.toSeq, result.submittedJobs.toSeq)
+    RunResult(result.decisions.toSeq, result.submittedJobs.toSeq,
+      result.decisionInputRows.toSeq)
   }
 
   /** Streaming decision query for the driver contract: same output (and

@@ -68,6 +68,45 @@ class StreamSpec extends AnyFunSuite {
     assert(result.submittedJobs.size === 1) // dispatched exactly once
   }
 
+  test("incremental decision path does O(batch) work; rescan cross-check agrees") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val now = Decide.NowMs
+    // 4 batches × 6 fresh commits, alternating tables 20 and 21 — each
+    // table ends with 12 cumulative commits (>= the 10-commit threshold).
+    def ev(id: Long): (Long, Long, Long, String, Double, String) =
+      (id, (now - 60000 + id) * 1000000L, 20L + id % 2, "click", 1.0, "{}")
+    def run(incremental: Boolean) = {
+      implicit val sql = spark.sqlContext
+      val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+      val events = input.toDS().toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      val logStore = java.nio.file.Files
+        .createTempDirectory("graft-logstore-inc").toString
+      val (q, result) = EventPipeline.runStreaming(
+        events, cfg, _ => new DryRunExecutor(new JobStateLog), logStore,
+        Trigger.ProcessingTime(0), incremental = incremental)
+      (0 until 4).foreach { b =>
+        input.addData((1L to 6L).map(i => ev(b * 6 + i)): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val decisions = result.decisions.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3), r.getBoolean(4))).sortBy(_._1)
+      (decisions, result.decisionInputRows.toSeq, result.submittedJobs.size)
+    }
+    val (incDecisions, incRows, incJobs) = run(incremental = true)
+    val (rsDecisions, rsRows, rsJobs) = run(incremental = false)
+    assert(incDecisions === rsDecisions) // identical final decisions
+    assert(incJobs === rsJobs) // identical dispatch behavior
+    // incremental: per-batch decision input never exceeds one batch's rows
+    assert(incRows.max === 6L)
+    assert(incRows.count(_ > 0L) === 4)
+    // rescan: the last batch re-reads the whole accumulated history
+    assert(rsRows.max === 24L)
+  }
+
   test("watermarked tumbling windows finalize and drop late data") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
