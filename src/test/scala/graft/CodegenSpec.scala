@@ -124,16 +124,25 @@ class CodegenSpec extends AnyFunSuite {
     assert(row.getLong(0) === 39L)
   }
 
-  test("z_order2 coerces integrals via declared input types, rejects non-numeric") {
+  test("z_order2 accepts int-or-narrower, rejects wider integrals and non-numeric") {
     val s = TestSpark.spark
-    // smallint/bigint get an analysis-time cast to the declared int input
-    // (interleave is defined on the low 32 bits), instead of the former
-    // mid-job ClassCastException
+    // tinyint/smallint/int are accepted as-is (interleave is defined on the
+    // low 32 bits and these fit); an explicit CAST to INT is the contract
+    // for wider types
     val r = s.sql(
       """SELECT z_order2(CAST(3 AS SMALLINT), 5) AS z1,
-        |       z_order2(CAST(3 AS BIGINT), 5) AS z2""".stripMargin).collect()(0)
+        |       z_order2(CAST(3 AS TINYINT), CAST(5 AS INT)) AS z2,
+        |       z_order2(CAST(CAST(3 AS BIGINT) AS INT), 5) AS z3""".stripMargin)
+      .collect()(0)
     assert(r.getLong(0) === 39L)
     assert(r.getLong(1) === 39L)
+    assert(r.getLong(2) === 39L)
+    // bigint WITHOUT an explicit cast: analysis-time reject, never a silent
+    // low-32-bit value truncation mid-job
+    val eb = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT z_order2(CAST(3 AS BIGINT), 5)").collect()
+    }
+    assert(eb.getMessage.contains("int-or-narrower"))
     // non-numeric input: analysis-time error
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       s.sql("SELECT z_order2(array(1), 5)").collect()
