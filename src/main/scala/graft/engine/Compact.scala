@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.{CompactionSpec, FileMeta, SnapshotMeta}
+import graft.model.{CompactionSpec, FileMeta, SnapshotMeta, SortTerm}
 import graft.ops.FilePlan
 
 /** Native compaction — the data-processing work the reference delegates to
@@ -88,16 +88,35 @@ object Compact {
     (before.size, listFiles(outputDir).size)
   }
 
+  /** A parsed sort term as a Spark ordering Column. */
+  def termColumn(t: SortTerm): org.apache.spark.sql.Column =
+    (t.ascending, t.nullsFirst) match {
+      case (true, true)   => col(t.column).asc_nulls_first
+      case (true, false)  => col(t.column).asc_nulls_last
+      case (false, true)  => col(t.column).desc_nulls_first
+      case (false, false) => col(t.column).desc_nulls_last
+    }
+
   /** sort_compaction: rewrite clustered by the sort order — range
     * partitioning keeps a global order across output files, so downstream
-    * range predicates prune whole files. */
+    * range predicates prune whole files. Plain-ASC convenience form. */
   def sortRewrite(spark: SparkSession, inputDir: String, outputDir: String,
       sortCols: Seq[String],
+      targetBytes: Long = DefaultTargetFileSizeBytes): (Int, Int) =
+    sortRewriteOrdered(spark, inputDir, outputDir,
+      sortCols.map(SortTerm(_, ascending = true, nullsFirst = true)),
+      targetBytes)
+
+  /** sort_compaction with full per-column direction + null placement —
+    * the grammar the reference's `sort_order` string carries
+    * (EMRSparkUtil.java:118-124). */
+  def sortRewriteOrdered(spark: SparkSession, inputDir: String,
+      outputDir: String, terms: Seq[SortTerm],
       targetBytes: Long = DefaultTargetFileSizeBytes): (Int, Int) = {
     val before = listFiles(inputDir)
     val n = outputFileCount(before.map(_.sizeBytes).sum, targetBytes)
     val df = spark.read.parquet(inputDir)
-    val cols = sortCols.map(col)
+    val cols = terms.map(termColumn)
     df.repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite).parquet(outputDir)
@@ -172,10 +191,9 @@ object Compact {
       outputDir: String): (Int, Int) =
     spec.strategy match {
       case "sort" =>
-        val cols = spec.sortOrder.getOrElse("").split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq
-        require(cols.nonEmpty, "sort strategy requires sort_order columns")
-        sortRewrite(spark, inputDir, outputDir, cols)
+        val terms = SortTerm.parseOrder(spec.sortOrder.getOrElse(""))
+        require(terms.nonEmpty, "sort strategy requires sort_order columns")
+        sortRewriteOrdered(spark, inputDir, outputDir, terms)
       case _ => binpack(spark, inputDir, outputDir)
     }
 }

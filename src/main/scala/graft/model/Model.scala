@@ -49,6 +49,42 @@ object JobState {
   def isTerminal(s: String): Boolean = Terminal.contains(s)
 }
 
+/** One parsed sort-order term: column + direction + null placement.
+  * Defaults follow Iceberg/Spark: ASC, and NULLS FIRST for ASC /
+  * NULLS LAST for DESC. */
+final case class SortTerm(column: String, ascending: Boolean,
+    nullsFirst: Boolean)
+
+object SortTerm {
+  /** Parse an Iceberg-style sort-order string — comma-separated
+    * `col [ASC|DESC] [NULLS FIRST|LAST]` terms, case-insensitive — the
+    * grammar the reference passes through to `rewrite_data_files`'s
+    * `sort_order` argument (EMRSparkUtil.java:118-124). Splitting on
+    * commas alone would turn `"c1 DESC"` into a (nonexistent) column
+    * named `c1 DESC`; unknown trailing tokens are rejected loudly. */
+  def parseOrder(order: String): Seq[SortTerm] =
+    order.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { term =>
+      val toks = term.split("\\s+").toList
+      def bad(): Nothing = throw new IllegalArgumentException(
+        s"cannot parse sort-order term '$term': expected " +
+          "`col [ASC|DESC] [NULLS FIRST|LAST]`")
+      val name = toks.head
+      var rest = toks.tail.map(_.toUpperCase)
+      val asc = rest match {
+        case ("ASC" | "DESC") :: tail =>
+          val a = rest.head == "ASC"; rest = tail; a
+        case _ => true
+      }
+      val nullsFirst = rest match {
+        case "NULLS" :: ("FIRST" | "LAST") :: tail =>
+          val nf = rest(1) == "FIRST"; rest = tail; nf
+        case _ => asc
+      }
+      if (rest.nonEmpty) bad()
+      SortTerm(name, asc, nullsFirst)
+    }
+}
+
 /** What to do when a table triggers: the typed form of the SQL text the
   * reference generates (EMRSparkUtil.java:101-128). */
 final case class CompactionSpec(
@@ -60,6 +96,8 @@ final case class CompactionSpec(
     s"unknown strategy: $strategy")
   require(strategy == "sort" || sortOrder.isEmpty,
     "sort_order requires strategy=sort")
+  // reject malformed sort-order strings at spec construction, not mid-rewrite
+  sortOrder.foreach(SortTerm.parseOrder)
 }
 
 /** Typed mirror of the reference's property namespace with its defaults

@@ -27,10 +27,12 @@ class CodegenSpec extends AnyFunSuite {
   }
 
   test("rewrite SQL with sort strategy appends sort_order clause") {
-    val spec = CompactionSpec("db.t", "sort", Map("k" -> "v"), Some("c1 ASC"))
+    val spec = CompactionSpec("db.t", "sort", Map("k" -> "v"),
+      Some("c1 DESC NULLS LAST, c2 ASC"))
     assert(Codegen.rewriteDataFilesSql(spec) ===
       "CALL aws_ebtm.system.rewrite_data_files(table => 'db.t', " +
-        "options => map('k','v'), strategy => 'sort', sort_order => 'c1 ASC')")
+        "options => map('k','v'), strategy => 'sort', " +
+        "sort_order => 'c1 DESC NULLS LAST, c2 ASC')")
   }
 
   test("rewrite SQL omits empty options clause") {

@@ -151,4 +151,48 @@ class CompactSpec extends AnyFunSuite {
         Map.empty, None), "/tmp/none", "/tmp/none2")
     }
   }
+
+  test("sort-order grammar: directions, nulls placement, defaults, rejects") {
+    import graft.model.SortTerm
+    assert(SortTerm.parseOrder("c1") ===
+      Seq(SortTerm("c1", ascending = true, nullsFirst = true)))
+    assert(SortTerm.parseOrder("c1 DESC, c2 asc nulls last, c3 NULLS LAST") ===
+      Seq(
+        SortTerm("c1", ascending = false, nullsFirst = false),
+        SortTerm("c2", ascending = true, nullsFirst = false),
+        SortTerm("c3", ascending = true, nullsFirst = false)))
+    // DESC defaults to NULLS LAST; ASC to NULLS FIRST (Iceberg/Spark default)
+    assert(SortTerm.parseOrder("a desc nulls first")(0).nullsFirst)
+    intercept[IllegalArgumentException] { SortTerm.parseOrder("c1 SIDEWAYS") }
+    intercept[IllegalArgumentException] { SortTerm.parseOrder("c1 ASC NULLS") }
+    // malformed order string rejected at spec construction
+    intercept[IllegalArgumentException] {
+      graft.model.CompactionSpec("t", "sort", Map.empty, Some("c1 DESCENDING"))
+    }
+  }
+
+  test("sort rewrite honors mixed ASC/DESC and NULLS placement") {
+    import spark.implicits._
+    val rows = Seq[(Option[Int], Option[Int])](
+      (Some(1), Some(10)), (Some(1), Some(20)), (None, Some(5)),
+      (Some(2), Some(30)), (Some(2), None), (Some(1), None), (Some(3), Some(1)))
+    val in = Files.createTempDirectory("graft-mixin").toString
+    rows.toDF("a", "b").repartition(4).write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft-mixout").toString
+    Compact.run(spark,
+      graft.model.CompactionSpec("t", "sort", Map.empty,
+        Some("a DESC NULLS LAST, b ASC NULLS LAST")),
+      in, out)
+    // single output file (tiny input): its row order IS the sort order
+    val got = spark.read.parquet(Compact.listFiles(out).map(_.path): _*)
+      .collect().map(r =>
+        (Option(r.get(0)).map(_.asInstanceOf[Int]),
+         Option(r.get(1)).map(_.asInstanceOf[Int]))).toSeq
+    val expected = Seq(
+      (Some(3), Some(1)),
+      (Some(2), Some(30)), (Some(2), None),
+      (Some(1), Some(10)), (Some(1), Some(20)), (Some(1), None),
+      (None, Some(5)))
+    assert(got === expected)
+  }
 }
