@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
-import graft.model.{CompactionSpec, EngineConfig, JobRun, JobState}
+import graft.model.{CompactionSpec, EngineConfig, JobRun, PollPolicy}
 import graft.ops.Codegen
 
 /** Executor SPI — the engine-binding abstraction (Executor.java:9-23) with
@@ -38,21 +38,26 @@ final class JobStateLog {
 }
 
 object Executors {
-  /** job_poll_state: block until the job reaches a terminal state, checking
-    * every sleepWaitMs — the loop shape of
-    * AthenaOptimizeDataExecutor.java:122-155. Throws on FAILED/CANCELLED
-    * like the Athena variant. */
+  /** job_poll_state: block until the job leaves the engine's non-terminal
+    * set, checking every sleepWaitMs — the loop shape of
+    * AthenaOptimizeDataExecutor.java:122-155 and its three EMR siblings.
+    * The per-engine machine (which states spin, which raise) comes from
+    * the [[PollPolicy]]; the default is the local composite, which keeps
+    * the union non-terminal set and the Athena-style raise on
+    * FAILED/CANCELLED. */
   def waitForCompletion(log: JobStateLog, jobId: String,
-      sleepWaitMs: Long, maxWaitMs: Long = 600000L): String = {
+      sleepWaitMs: Long, maxWaitMs: Long = 600000L,
+      policy: PollPolicy = PollPolicy.Local): String = {
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
-    var state = log.currentState(jobId).getOrElse("SUBMITTED")
-    while (!JobState.isTerminal(state)) {
+    def cur(): String = log.currentState(jobId).getOrElse(policy.initial)
+    var state = cur()
+    while (policy.nonTerminal.contains(state)) {
       if (System.nanoTime() > deadline)
         throw new IllegalStateException(s"job $jobId timed out in $state")
       Thread.sleep(sleepWaitMs)
-      state = log.currentState(jobId).getOrElse("SUBMITTED")
+      state = cur()
     }
-    if (state == "FAILED" || state == "CANCELLED")
+    if (policy.raiseOn.contains(state))
       throw new IllegalStateException(s"job $jobId terminated: $state")
     state
   }

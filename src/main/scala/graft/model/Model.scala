@@ -49,6 +49,48 @@ object JobState {
   def isTerminal(s: String): Boolean = Terminal.contains(s)
 }
 
+/** One engine's poll-state machine: which states keep the poll loop
+  * spinning, which raise, and what an unobserved job reads as.
+  *
+  * The four reference engines differ in BOTH respects:
+  *  - non-terminal sets: Athena {QUEUED, RUNNING}
+  *    (AthenaOptimizeDataExecutor.java:128-149, the `default:` arm sleeps),
+  *    EMR-EC2 {PENDING, RUNNING} (EmrOnEc2OptimizeDataExecutor.java:104),
+  *    EMR-on-EKS {SUBMITTED, PENDING, RUNNING}
+  *    (EmrOnEksOptimizeDataExecutor.java:168-170), EMR Serverless
+  *    {SUBMITTED, PENDING, SCHEDULED, RUNNING}
+  *    (EmrServerlessOptimizeDataExecutor.java:157-160).
+  *  - failure handling: only Athena raises on FAILED / CANCELLED
+  *    (AthenaOptimizeDataExecutor.java:133-140); the three EMR loops exit
+  *    silently on ANY state outside their non-terminal set — a failed EMR
+  *    job does not error the poll (reference behavior, preserved here).
+  */
+final case class PollPolicy(
+    engine: String,
+    nonTerminal: Set[String],
+    raiseOn: Set[String],
+    initial: String)
+
+object PollPolicy {
+  val Athena: PollPolicy = PollPolicy("athena",
+    Set("QUEUED", "RUNNING"), Set("FAILED", "CANCELLED"), "QUEUED")
+  val EmrEc2: PollPolicy = PollPolicy("emr-on-ec2",
+    Set("PENDING", "RUNNING"), Set.empty, "PENDING")
+  val EmrEks: PollPolicy = PollPolicy("emr-on-eks",
+    Set("SUBMITTED", "PENDING", "RUNNING"), Set.empty, "SUBMITTED")
+  val EmrServerless: PollPolicy = PollPolicy("emr-serverless",
+    Set("SUBMITTED", "PENDING", "SCHEDULED", "RUNNING"), Set.empty,
+    "SUBMITTED")
+  /** The local executor's machine: union non-terminal set, Athena-style
+    * raise — the strictest composite, so local runs never mask failures. */
+  val Local: PollPolicy = PollPolicy("local",
+    JobState.NonTerminal, Set("FAILED", "CANCELLED"), "SUBMITTED")
+
+  val byEngine: Map[String, PollPolicy] =
+    Seq(Athena, EmrEc2, EmrEks, EmrServerless, Local)
+      .map(p => p.engine -> p).toMap
+}
+
 /** One parsed sort-order term: column + direction + null placement.
   * Defaults follow Iceberg/Spark: ASC, and NULLS FIRST for ASC /
   * NULLS LAST for DESC. */

@@ -86,6 +86,65 @@ class ExecutorSpec extends AnyFunSuite {
     assert(log.currentState(jobId) === Some("SUCCEEDED"))
   }
 
+  test("per-engine poll machines: spin sets, success states, raise semantics") {
+    import graft.model.PollPolicy
+    // (policy, success-terminal the engine's enum uses)
+    val table = Seq(
+      (PollPolicy.Athena, "SUCCEEDED"),
+      (PollPolicy.EmrEc2, "COMPLETED"),
+      (PollPolicy.EmrEks, "COMPLETED"),
+      (PollPolicy.EmrServerless, "SUCCESS"))
+    table.foreach { case (policy, done) =>
+      // every non-terminal state keeps the loop spinning (times out here)
+      policy.nonTerminal.foreach { s =>
+        val log = new JobStateLog
+        log.append(JobRun("j", s, 1L))
+        val e = intercept[IllegalStateException] {
+          Executors.waitForCompletion(log, "j", sleepWaitMs = 5,
+            maxWaitMs = 40, policy = policy)
+        }
+        assert(e.getMessage.contains("timed out"),
+          s"${policy.engine}/$s should spin")
+      }
+      // the engine's success terminal exits the loop and is returned
+      val ok = new JobStateLog
+      ok.append(JobRun("j", done, 1L))
+      assert(Executors.waitForCompletion(ok, "j", sleepWaitMs = 1,
+        policy = policy) === done, policy.engine)
+      // an unobserved job reads as the engine's initial (non-terminal) state
+      val empty = new JobStateLog
+      intercept[IllegalStateException] {
+        Executors.waitForCompletion(empty, "nope", sleepWaitMs = 5,
+          maxWaitMs = 40, policy = policy)
+      }
+    }
+    // only Athena raises on failure (AthenaOptimizeDataExecutor.java:133-140)
+    Seq("FAILED", "CANCELLED").foreach { s =>
+      val log = new JobStateLog
+      log.append(JobRun("j", s, 1L))
+      val e = intercept[IllegalStateException] {
+        Executors.waitForCompletion(log, "j", sleepWaitMs = 1,
+          policy = PollPolicy.Athena)
+      }
+      assert(e.getMessage.contains("terminated"))
+    }
+    // ...the three EMR loops exit silently on any out-of-set state — a
+    // failed EMR job does NOT error the poll (reference behavior)
+    Seq(PollPolicy.EmrEc2, PollPolicy.EmrEks, PollPolicy.EmrServerless)
+      .foreach { policy =>
+        val log = new JobStateLog
+        log.append(JobRun("j", "FAILED", 1L))
+        assert(Executors.waitForCompletion(log, "j", sleepWaitMs = 1,
+          policy = policy) === "FAILED", policy.engine)
+      }
+    // machines are genuinely distinct: QUEUED spins Athena but is
+    // out-of-set (immediate exit) for EMR-EC2
+    val q = new JobStateLog
+    q.append(JobRun("j", "QUEUED", 1L))
+    assert(Executors.waitForCompletion(q, "j", sleepWaitMs = 1,
+      policy = PollPolicy.EmrEc2) === "QUEUED")
+  }
+
   test("executor_dynload: known names resolve, unknown class fails cleanly") {
     val log = new JobStateLog
     assert(Executors.load("local", spark, log).isInstanceOf[LocalSparkExecutor])
