@@ -51,10 +51,16 @@ object Similarity {
   /** Brute-force cosine top-k over an arbitrary (vec_id, embedding) corpus:
     * for each query vector (small set, broadcast), rank all corpus vectors
     * by cosine. Exact baseline for ANN. */
-  def bruteTopK(corpus0: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+  def bruteTopK(corpus0: DataFrame, maxQueryId: Long, k: Int): DataFrame =
+    bruteTopKWhere(corpus0, col("vec_id") < maxQueryId, k)
+
+  /** [[bruteTopK]] with an arbitrary query predicate (recall tests pick
+    * query sets disjoint from the IVF seeds/sample). */
+  private[graft] def bruteTopKWhere(corpus0: DataFrame, queryPred: Column,
+      k: Int): DataFrame = {
     val corpus = corpus0
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n"))
-    val queries = corpus0.filter(col("vec_id") < maxQueryId)
+    val queries = corpus0.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -92,15 +98,61 @@ object Similarity {
       k: Int = 5): DataFrame =
     lshTopK(Tables.load(spark, dir, "embeddings"), maxQueryId, k)
 
-  /** IVF-style ANN: a fixed set of "centroids" (deterministic: the first
-    * [[IvfCentroids]] vectors — a trained k-means would slot in the same
-    * way), each corpus vector assigned to its nearest centroid (inverted
-    * file cell), and each query searched only within its own cell.
+  /** IVF-style ANN: k-means centroids trained by [[trainedCentroids]],
+    * each corpus vector assigned to its nearest centroid (inverted file
+    * cell), and each query searched only within its own cell.
     *
     * Scale shape: the cell id is the partition key — the corpus is
     * bucketed once (one shuffle, or a bucketed table layout at rest), and
     * a query probes one (or nprobe) cells instead of the whole corpus. */
   val IvfCentroids = 16
+
+  /** Fixed training sample: centroids are fit on `vec_id <
+    * IvfTrainSample` only, so training cost is a constant (sample × k
+    * assignment + a tiny per-dimension mean) at ANY corpus scale — the
+    * standard IVF recipe of training on a bounded sample, then assigning
+    * the full corpus in one pass. */
+  val IvfTrainSample = 256L
+
+  /** Lloyd iterations. Small and fixed: each iteration is one more
+    * assignment + mean pass over the bounded sample. */
+  val IvfIters = 2
+
+  /** Deterministic seeded k-means over the training sample: seeds are the
+    * first [[IvfCentroids]] vectors, then [[IvfIters]] Lloyd iterations —
+    * assign each sample vector to its max-cosine centroid (ties break to
+    * the lowest cent_id), recompute each cell's centroid as the
+    * per-dimension mean. Means are cast to FLOAT so the engine and the SQL
+    * oracle round identically; a cell left empty by an iteration drops out
+    * (its seed attracted nothing — both sides mirror this). No RNG
+    * anywhere: same data → same centroids, run to run and engine to
+    * engine. */
+  def trainedCentroids(emb: DataFrame, k: Int = IvfCentroids,
+      iters: Int = IvfIters): DataFrame = {
+    val sample = emb.filter(col("vec_id") < IvfTrainSample)
+      .select(col("vec_id"), col("embedding"))
+    var cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = sample.join(broadcast(cent))
+        .withColumn("cent_cos", cosine(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cent_id").as("cell"), col("embedding"))
+      cent = assigned
+        .select(col("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("val")).as("m"))
+        .groupBy(col("cell")).agg(
+          transform(
+            array_sort(collect_list(struct(col("dim"), col("m")))),
+            s => s.getField("m").cast("float")).as("cent"))
+        .select(col("cell").as("cent_id"), col("cent"))
+    }
+    cent
+  }
 
   /** @param nprobe how many nearest cells each *query* probes. Corpus
     *   vectors always live in exactly one cell; raising nprobe trades
@@ -109,8 +161,15 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
       k: Int = 5, nprobe: Int = 1): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") < IvfCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    ivfSearch(emb, trainedCentroids(emb), col("vec_id") < maxQueryId,
+      k, nprobe)
+  }
+
+  /** IVF search against an explicit centroid set — the assignment +
+    * within-cell ranking common to the trained and (test-baseline)
+    * untrained variants. */
+  private[graft] def ivfSearch(emb: DataFrame, centroids: DataFrame,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame = {
     def assign(df: DataFrame, idCol: String, embCol: String,
         cells: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
@@ -125,7 +184,7 @@ object Similarity {
       emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n")),
       "neighbor_id", "emb_n", 1)
     val queries = assign(
-      emb.filter(col("vec_id") < maxQueryId)
+      emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("emb_q")),
       "query_id", "emb_q", nprobe)
     val w = Window.partitionBy(col("query_id"))

@@ -44,6 +44,69 @@ object PipelineQueries {
   private val Seq(langEn, langEs, langDe, langFr) =
     TextAnalysis.LangMarkers.map(_._2)
 
+  /** DuckDB mirror of [[Similarity.trainedCentroids]] + the IVF search:
+    * seeds → [[Similarity.IvfIters]] Lloyd iterations (assignment CTE +
+    * per-dimension mean via parallel unnest, centroid cast to FLOAT so
+    * both engines round the same double mean) → corpus/query assignment
+    * against the final centroids. Generated so the iteration count stays
+    * sourced from the one constant. @param probeRn the query-assignment
+    * rank predicate (`rn = 1` / `rn <= 2`). */
+  private def ivfOracleSql(probeRn: String): String = {
+    val iterCtes = (1 to Similarity.IvfIters).map { i =>
+      s"""asg$i AS (
+         |  SELECT cell, embedding FROM (
+         |    SELECT s.vec_id, s.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY list_cosine_similarity(s.embedding, c.cent) DESC,
+         |                 c.cent_id) AS rn
+         |    FROM samp s CROSS JOIN cent${i - 1} c)
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cell, dim, avg(val) AS m FROM (
+         |    SELECT cell, unnest(embedding) AS val,
+         |           unnest(range(len(embedding))) AS dim
+         |    FROM asg$i)
+         |  GROUP BY cell, dim),
+         |cent$i AS (SELECT cell AS cent_id,
+         |             list(CAST(m AS FLOAT) ORDER BY dim) AS cent
+         |           FROM m$i GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"cent${Similarity.IvfIters}"
+    s"""WITH samp AS (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id < ${Similarity.IvfTrainSample}),
+       |cent0 AS (SELECT vec_id AS cent_id, embedding AS cent
+       |          FROM embeddings WHERE vec_id < ${Similarity.IvfCentroids}),
+       |$iterCtes,
+       |ca AS (
+       |  SELECT neighbor_id, emb_n, cell FROM (
+       |    SELECT e.vec_id AS neighbor_id, e.embedding AS emb_n,
+       |      c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+       |                 c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN $fin c)
+       |  WHERE rn = 1),
+       |qa AS (
+       |  SELECT query_id, emb_q, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS emb_q,
+       |      c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+       |                 c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN $fin c WHERE e.vec_id < 8)
+       |  WHERE $probeRn),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_cosine_similarity(emb_q, emb_n) AS cos
+       |  FROM qa JOIN ca USING (cell) WHERE neighbor_id <> query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val pack: QueryPack = QueryPack(
     queries = Map(
       "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
@@ -344,69 +407,9 @@ object PipelineQueries {
            |      FROM scored)
            |WHERE rank <= 5""".stripMargin,
 
-      "sim_ivf" ->
-        """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent
-          |              FROM embeddings WHERE vec_id < 16),
-          |ca AS (
-          |  SELECT neighbor_id, emb_n, cell FROM (
-          |    SELECT e.vec_id AS neighbor_id, e.embedding AS emb_n,
-          |      c.cent_id AS cell,
-          |      row_number() OVER (PARTITION BY e.vec_id
-          |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
-          |                 c.cent_id) AS rn
-          |    FROM embeddings e CROSS JOIN cent c)
-          |  WHERE rn = 1),
-          |qa AS (
-          |  SELECT query_id, emb_q, cell FROM (
-          |    SELECT e.vec_id AS query_id, e.embedding AS emb_q,
-          |      c.cent_id AS cell,
-          |      row_number() OVER (PARTITION BY e.vec_id
-          |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
-          |                 c.cent_id) AS rn
-          |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8)
-          |  WHERE rn = 1),
-          |scored AS (
-          |  SELECT query_id, neighbor_id,
-          |    list_cosine_similarity(emb_q, emb_n) AS cos
-          |  FROM qa JOIN ca USING (cell) WHERE neighbor_id <> query_id)
-          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
-          |FROM (SELECT query_id, neighbor_id,
-          |        row_number() OVER (PARTITION BY query_id
-          |          ORDER BY cos DESC, neighbor_id) AS rank
-          |      FROM scored)
-          |WHERE rank <= 5""".stripMargin,
+      "sim_ivf" -> ivfOracleSql("rn = 1"),
 
-      "sim_ivf_probe2" ->
-        """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent
-          |              FROM embeddings WHERE vec_id < 16),
-          |ca AS (
-          |  SELECT neighbor_id, emb_n, cell FROM (
-          |    SELECT e.vec_id AS neighbor_id, e.embedding AS emb_n,
-          |      c.cent_id AS cell,
-          |      row_number() OVER (PARTITION BY e.vec_id
-          |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
-          |                 c.cent_id) AS rn
-          |    FROM embeddings e CROSS JOIN cent c)
-          |  WHERE rn = 1),
-          |qa AS (
-          |  SELECT query_id, emb_q, cell FROM (
-          |    SELECT e.vec_id AS query_id, e.embedding AS emb_q,
-          |      c.cent_id AS cell,
-          |      row_number() OVER (PARTITION BY e.vec_id
-          |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
-          |                 c.cent_id) AS rn
-          |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8)
-          |  WHERE rn <= 2),
-          |scored AS (
-          |  SELECT query_id, neighbor_id,
-          |    list_cosine_similarity(emb_q, emb_n) AS cos
-          |  FROM qa JOIN ca USING (cell) WHERE neighbor_id <> query_id)
-          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
-          |FROM (SELECT query_id, neighbor_id,
-          |        row_number() OVER (PARTITION BY query_id
-          |          ORDER BY cos DESC, neighbor_id) AS rank
-          |      FROM scored)
-          |WHERE rank <= 5""".stripMargin,
+      "sim_ivf_probe2" -> ivfOracleSql("rn <= 2"),
 
       // Greedy packing needs running state (each sequence boundary depends
       // on every earlier doc), so the oracle walks docs in id order per

@@ -93,6 +93,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2 > 0.0)
   }
 
+  test("trained IVF centroids: honest recall >= untrained seeds") {
+    // Queries must be disjoint from BOTH the seed set (vec_id < 16) and
+    // the training sample (vec_id < 256): a query that IS a seed centroid
+    // sits in its own private cell collecting exactly its nearest
+    // neighbors, inflating recall artificially. On honest queries the
+    // trained centroids must match or beat the raw seeds at every nprobe.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val qPred = col("vec_id") >= 300 && col("vec_id") < 316
+    val brute = Similarity.bruteTopKWhere(emb, qPred, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Similarity.trainedCentroids(emb)
+    val seeds = emb.filter(col("vec_id") < Similarity.IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    def recall(cent: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
+      val got = Similarity.ivfSearch(emb, cent, qPred, 5, nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val (t1, t2) = (recall(trained, 1), recall(trained, 2))
+    val (u1, u2) = (recall(seeds, 1), recall(seeds, 2))
+    assert(t1 >= u1, s"trained probe1 recall $t1 < untrained $u1")
+    assert(t2 >= u2, s"trained probe2 recall $t2 < untrained $u2")
+    assert(t2 >= t1, s"trained recall not monotone in nprobe: $t1 -> $t2")
+    assert(t1 > 0.0)
+  }
+
   test("simhash: planted near-copies within small hamming distance") {
     val pairs = Dedup.simhashPairs(Dedup.corpusWithNearDups(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
