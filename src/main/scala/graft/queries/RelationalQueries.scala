@@ -290,16 +290,22 @@ object RelationalQueries {
             countDistinct(col("o_orderpriority")).as("n_priorities"))),
 
       // Set operations: symmetric difference of deep-debt customer nations
-      // vs negative-balance supplier nations = (A ∪ B) \ (A ∩ B).
+      // vs negative-balance supplier nations. One pass per table: tag each
+      // side and keep nations seen from exactly one side — the naive
+      // (A ∪ B) \ (A ∩ B) references A and B twice each, so customer and
+      // supplier would both be scanned twice at any scale.
       "set_ops" -> ((s, dir) => {
-        val custNations = Tables.load(s, dir, "customer")
+        val cust = Tables.load(s, dir, "customer")
           .filter(col("c_acctbal") < -800)
-          .select(col("c_nationkey").as("nationkey")).distinct()
-        val supNations = Tables.load(s, dir, "supplier")
+          .select(col("c_nationkey").as("nationkey"), lit("c").as("side"))
+        val sup = Tables.load(s, dir, "supplier")
           .filter(col("s_acctbal") < 0)
-          .select(col("s_nationkey").as("nationkey")).distinct()
-        custNations.union(supNations).distinct()
-          .except(custNations.intersect(supNations))
+          .select(col("s_nationkey").as("nationkey"), lit("s").as("side"))
+        cust.unionByName(sup)
+          .groupBy(col("nationkey"))
+          .agg(countDistinct(col("side")).as("n_sides"))
+          .filter(col("n_sides") === 1)
+          .select(col("nationkey"))
       }),
 
       // Scalar string/math expressions, single codegen'd projection.
