@@ -170,18 +170,31 @@ object Compact {
   /** Partial-progress compaction: plan groups under the cap, rewrite one
     * group at a time, emit one REPLACE snapshot per completed group
     * (`partial-progress.enabled`, AwsManageProperties.java:48-50). Output
-    * lands in `outputDir/group=<i>/`; returns the per-group commit log. */
+    * lands in `outputDir/group=<i>/`; returns the per-group commit log.
+    *
+    * The point of partial progress is failure isolation: each group's
+    * commit becomes durable the moment that group finishes (`onCommit`
+    * fires — the local analog of the snapshot-log append), so a crash
+    * mid-run loses only the in-flight group; completed groups stay
+    * committed and visible. `beforeGroup` is the failure-injection seam
+    * the CompactSpec kill test uses.
+    */
   def partialProgress(spark: SparkSession, inputDir: String, outputDir: String,
       tableId: Long, capBytes: Long, nowMs: Long,
-      targetBytes: Long = DefaultTargetFileSizeBytes): Seq[SnapshotMeta] = {
+      targetBytes: Long = DefaultTargetFileSizeBytes,
+      onCommit: SnapshotMeta => Unit = _ => (),
+      beforeGroup: Int => Unit = _ => ()): Seq[SnapshotMeta] = {
     val groups = planGroups(listFiles(inputDir), capBytes)
     groups.zipWithIndex.map { case (group, i) =>
+      beforeGroup(i)
       val n = outputFileCount(group.map(_.sizeBytes).sum, targetBytes)
       spark.read.parquet(group.map(_.path): _*)
         .repartition(n)
         .write.mode(SaveMode.Overwrite).parquet(s"$outputDir/group=$i")
-      SnapshotMeta(tableId = tableId, snapshotId = i.toLong,
+      val snap = SnapshotMeta(tableId = tableId, snapshotId = i.toLong,
         tsMillis = nowMs + i, operation = "replace")
+      onCommit(snap)
+      snap
     }
   }
 

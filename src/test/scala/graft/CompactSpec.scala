@@ -145,6 +145,41 @@ class CompactSpec extends AnyFunSuite {
     assert(contentHash(out) === hBefore)
   }
 
+  test("partial progress survives a mid-run kill: exactly groups < i committed") {
+    val in = fragment(12)
+    val out = Files.createTempDirectory("graft-kill").toString
+    val totalBytes = Compact.listFiles(in).map(_.sizeBytes).sum
+    val cap = totalBytes / 3 // ~4 groups
+    val nGroups = Compact.planGroups(Compact.listFiles(in), cap).size
+    assert(nGroups >= 3)
+    val killAt = 2
+    val committed = Seq.newBuilder[graft.model.SnapshotMeta]
+    val boom = intercept[RuntimeException] {
+      Compact.partialProgress(spark, in, out, tableId = 9L, capBytes = cap,
+        nowMs = 5000L,
+        onCommit = committed += _,
+        beforeGroup = i => if (i == killAt) throw new RuntimeException("kill"))
+    }
+    assert(boom.getMessage === "kill")
+    // exactly the groups before the kill are committed...
+    val commits = committed.result()
+    assert(commits.map(_.snapshotId) === (0 until killAt).map(_.toLong))
+    assert(commits.forall(_.operation === "replace"))
+    // ...and exactly their output is visible on disk; the killed group and
+    // everything after left no partial output behind
+    val visible = Compact.listFiles(out).map(_.path)
+      .flatMap(p => "group=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+      .distinct.sorted
+    assert(visible === (0 until killAt))
+    // committed groups' data is complete: re-reading them matches the
+    // planned groups' source rows exactly
+    val plannedGroups = Compact.planGroups(Compact.listFiles(in), cap)
+    val expectRows = plannedGroups.take(killAt).flatten.map(_.path)
+    val expected = spark.read.parquet(expectRows: _*).count()
+    assert(spark.read.parquet(Compact.listFiles(out).map(_.path): _*)
+      .count() === expected)
+  }
+
   test("CompactionSpec dispatch: sort strategy requires sort order") {
     intercept[IllegalArgumentException] {
       Compact.run(spark, graft.model.CompactionSpec("t", "sort",
