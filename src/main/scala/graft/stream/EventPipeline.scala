@@ -1,6 +1,8 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -69,26 +71,61 @@ object EventPipeline {
       submittedJobs: scala.collection.Seq[String],
       decisionInputRows: scala.collection.Seq[Long] = Nil)
 
+  /** Batch subdirectories of a log store that finished writing (_SUCCESS
+    * marker present): (batchId, path), sorted by id. A dir without the
+    * marker is a write the dying run never completed — its replay
+    * overwrites it. */
+  private def committedBatchDirs(logStoreDir: String): Seq[(Long, String)] = {
+    val root = java.nio.file.Paths.get(logStoreDir)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val stream = java.nio.file.Files.list(root)
+    try stream.iterator().asScala
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("batch=") &&
+            java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+          Some(name.stripPrefix("batch=").toLong -> p.toString)
+        else None
+      }.toSeq.sortBy(_._1)
+    finally stream.close()
+  }
+
   /** Run the pipeline over a streaming events frame until no more data is
-    * available: each micro-batch appends its derived snapshot-log rows to
-    * an append-only parquet log store (the durable audit trail), reduces
-    * the batch executor-side to one `DecideBuf` per touched table, and
-    * merges those partials into accumulated per-table state — so per-table
-    * thresholds hold across micro-batch boundaries at O(batch) cost per
-    * batch. With `incremental = false` the decision instead re-reads the
-    * FULL accumulated log store each batch (the reference's per-event
+    * available: each micro-batch writes its derived snapshot-log rows to
+    * the parquet log store (the durable audit trail), reduces the batch
+    * executor-side to one `DecideBuf` per touched table, and merges those
+    * partials into accumulated per-table state — so per-table thresholds
+    * hold across micro-batch boundaries at O(batch) cost per batch. With
+    * `incremental = false` the decision instead re-reads the FULL
+    * accumulated log store each batch (the reference's per-event
     * `currentAncestors` rescan — O(history) per batch; cross-check only).
     * Tables whose decision flips to true in this batch (and weren't
     * already dispatched) get one maintenance job; once a table's decision
     * flips back to false (its compaction replace-commit landed in the
     * log), its dispatched mark is cleared so a later re-trigger dispatches
     * again — matching the reference, which re-evaluates on every commit
-    * event (AwsTableManagementMetricsEvaluator.java:60-80). */
+    * event (AwsTableManagementMetricsEvaluator.java:60-80).
+    *
+    * Fault tolerance: every side effect is keyed on `batchId`. Each batch
+    * lands in `logStoreDir/batch=<id>/` with Overwrite semantics, so a
+    * retried micro-batch replaces its own partial output instead of
+    * appending duplicates; the state merge is skipped for a batch id that
+    * is already folded in. On restart, pass `checkpointDir` (the SAME dir
+    * as the original run): per-table state is rebuilt from the committed
+    * batch dirs in one bounded scan, and Spark's checkpoint replays only
+    * uncommitted batches — together the decisions continue exactly where
+    * the dead run left off. Opening a non-empty log store WITHOUT its
+    * checkpoint is rejected loudly: a fresh checkpoint would replay the
+    * whole source on top of the rebuilt state and double-count. Dispatch
+    * stays at-least-once across a crash (a table triggered but not yet
+    * quiesced re-dispatches after restart), matching the reference's
+    * re-evaluate-on-every-commit behavior. */
   def runStreaming(events: DataFrame, cfg: EngineConfig,
       executorFor: String => Executor,
       logStoreDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      incremental: Boolean = true)
+      incremental: Boolean = true,
+      checkpointDir: Option[String] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery, RunResult) = {
     val spark = events.sparkSession
     val decisions = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -98,36 +135,68 @@ object EventPipeline {
     // Accumulated per-table decision state (incremental path). Bounded:
     // one entry per table, each O(commitThreshold) pending timestamps.
     val state = scala.collection.mutable.Map.empty[Long, DecideAggregator.DecideBuf]
-    val q = events.writeStream
+    val prior = committedBatchDirs(logStoreDir)
+    require(prior.isEmpty || checkpointDir.isDefined,
+      s"log store $logStoreDir already holds batches ${prior.map(_._1)}; " +
+        "resume it with the original checkpointDir (a fresh checkpoint " +
+        "would replay the source over rebuilt state and double-count)")
+    // Highest batch id whose effects are already durable: merges for ids
+    // <= this are skipped (idempotent replay).
+    var lastBatchId = prior.lastOption.map(_._1).getOrElse(-1L)
+    if (incremental && prior.nonEmpty) {
+      // Restart: rebuild per-table state from the committed log in ONE
+      // bounded scan (the log is ~1 row per commit, metadata-scale).
+      import spark.implicits._
+      spark.read.parquet(prior.map(_._2): _*)
+        .select(
+          col("table_id").as("tableId"),
+          col("snapshot_id").as("snapshotId"),
+          col("ts_ms").as("tsMillis"),
+          col("operation"))
+        .as[graft.model.SnapshotMeta]
+        .groupByKey(_.tableId)
+        .agg(DecideAggregator.partial.toColumn.name("buf"))
+        .collect()
+        .foreach { case (tid, buf) => state(tid) = buf }
+    }
+    val writer = events.writeStream
       .trigger(trigger)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val batchLog = snapshotLogFrom(batch)
         // The incremental path runs two actions over the micro-batch (log
-        // append + partial aggregation); persist so the source is scanned
+        // write + partial aggregation); persist so the source is scanned
         // once per trigger (also keeps numInputRows accurate).
         if (incremental) batchLog.persist()
-        batchLog.write.mode("append").parquet(logStoreDir)
+        // Idempotent log write: a retried batch overwrites its own dir.
+        batchLog.write.mode(SaveMode.Overwrite)
+          .parquet(s"$logStoreDir/batch=$batchId")
+        val isReplay = batchId <= lastBatchId
         val rows: Array[Row] =
           if (incremental) try {
             import spark.implicits._
-            val seen = spark.sparkContext.longAccumulator
-            // Executor-side partial aggregation: the shuffle carries one
-            // small buffer per (partition, table), not the log rows.
-            val partials = batchLog.select(
-                col("table_id").as("tableId"),
-                col("snapshot_id").as("snapshotId"),
-                col("ts_ms").as("tsMillis"),
-                col("operation"))
-              .as[graft.model.SnapshotMeta]
-              .groupByKey { s => seen.add(1L); s.tableId }
-              .agg(DecideAggregator.partial.toColumn.name("buf"))
-              .collect()
-            inputRows += seen.value
-            partials.foreach { case (tid, buf) =>
-              state(tid) = DecideAggregator.mergeBuf(
-                state.getOrElse(tid, DecideAggregator.zeroBuf), buf)
-            }
+            if (!isReplay) {
+              val seen = spark.sparkContext.longAccumulator
+              // Executor-side partial aggregation: the shuffle carries one
+              // small buffer per (partition, table), not the log rows.
+              val partials = batchLog.select(
+                  col("table_id").as("tableId"),
+                  col("snapshot_id").as("snapshotId"),
+                  col("ts_ms").as("tsMillis"),
+                  col("operation"))
+                .as[graft.model.SnapshotMeta]
+                .groupByKey { s => seen.add(1L); s.tableId }
+                .agg(DecideAggregator.partial.toColumn.name("buf"))
+                .collect()
+              inputRows += seen.value
+              partials.foreach { case (tid, buf) =>
+                state(tid) = DecideAggregator.mergeBuf(
+                  state.getOrElse(tid, DecideAggregator.zeroBuf), buf)
+              }
+              lastBatchId = batchId
+            } else inputRows += 0L // already folded in; nothing re-merged
             state.toSeq.sortBy(_._1).map { case (tid, buf) =>
               val d = DecideAggregator.finishBuf(buf, cfg)
               Row(tid, d.n_commits_since_replace, d.oldest_pending_ts_ms,

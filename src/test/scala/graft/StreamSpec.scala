@@ -107,6 +107,69 @@ class StreamSpec extends AnyFunSuite {
     assert(rsRows.max === 24L)
   }
 
+  test("restart with checkpoint resumes decision state from the durable log") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val now = Decide.NowMs
+    def ev(id: Long): (Long, Long, Long, String, Double, String) =
+      (id, (now - 60000 + id) * 1000000L, 30L, "click", 1.0, "{}")
+    val srcDir = Files.createTempDirectory("graft-restart-src").toString
+    val logStore = Files.createTempDirectory("graft-restart-log").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    // Drop one single-file parquet wave into the source dir per phase (the
+    // file-stream source picks up new files across restarts).
+    def addWave(name: String, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft-wave").toString
+      ids.map(ev).toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp)).iterator()
+      var copied = false
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.copy(p, java.nio.file.Paths.get(srcDir, name))
+          copied = true
+        }
+      }
+      assert(copied)
+    }
+    def openStream() = spark.readStream
+      .schema(EventPipeline.eventSchema).parquet(srcDir)
+    val jobLog = new JobStateLog
+    // run 1: 6 commits — below the 10-commit threshold, no dispatch
+    addWave("wave1.parquet", 1L to 6L)
+    val (q1, r1) = EventPipeline.runStreaming(openStream(), cfg,
+      _ => new DryRunExecutor(jobLog), logStore,
+      checkpointDir = Some(ckpt))
+    q1.awaitTermination()
+    assert(r1.decisions.count(_.getBoolean(4)) === 0)
+    assert(r1.submittedJobs.isEmpty)
+    // the dead run's state is GONE (fresh runStreaming = fresh driver);
+    // reopening the store without its checkpoint must fail loudly
+    // instead of silently double-counting
+    intercept[IllegalArgumentException] {
+      EventPipeline.runStreaming(openStream(), cfg,
+        _ => new DryRunExecutor(jobLog), logStore)
+    }
+    // run 2 = restart: same checkpoint + log store, 6 MORE commits. State
+    // is rebuilt from the committed batch dirs, so the cumulative count
+    // reaches 12 and table 30 triggers exactly once.
+    addWave("wave2.parquet", 7L to 12L)
+    val (q2, r2) = EventPipeline.runStreaming(openStream(), cfg,
+      _ => new DryRunExecutor(jobLog), logStore,
+      checkpointDir = Some(ckpt))
+    q2.awaitTermination()
+    val d30 = r2.decisions.find(_.getLong(0) === 30L).get
+    assert(d30.getLong(1) === 12L) // commits survived the restart
+    assert(d30.getBoolean(4))
+    assert(r2.submittedJobs.size === 1)
+    // run 2 merged only its own batch — O(new data), not a re-merge of
+    // run 1's rows
+    assert(r2.decisionInputRows.toSeq === Seq(6L))
+    // the durable log holds each commit exactly once across both runs
+    assert(spark.read.parquet(logStore).count() === 12L)
+  }
+
   test("watermarked tumbling windows finalize and drop late data") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
