@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale rehearsal (10× the bench scale): builds a 50k-doc / 20k-vector
+  * corpus from sf0.1 and times the three scale-path pipeline queries at
+  * both scales. Numbers are recorded in SCALE.md; the thing being checked
+  * is the growth FACTOR (linear in corpus size = the plans hold), not the
+  * absolute seconds.
+  *
+  * The 10× corpus is NOT ten verbatim copies: each replica's text goes
+  * through a replica-specific letter substitution, so replicas share no
+  * shingles and the per-replica near-dup structure (including the planted
+  * dups the dedup queries add at runtime) replicates instead of every doc
+  * gaining nine cross-replica near-copies — candidate-pair structure
+  * scales linearly, the honest 10× shape. Embeddings are rotated by the
+  * replica index (norm-preserving, distribution-preserving). Replica id
+  * offsets stay below the +100000/+500000 planted-id conventions in
+  * graft.exts.Dedup.
+  *
+  * Usage: runMain graft.ScaleRehearsal [srcDir] [outDir]
+  */
+object ScaleRehearsal {
+
+  val Replicas = 10
+  val IdStride = 10000L // > max sf0.1 doc/vec id, < planted-dup offsets
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, out)
+    val queries = Seq("dedup_ngram_jaccard_capped", "decontaminate", "sim_ivf")
+    val timings = for {
+      (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
+      q <- queries
+    } yield {
+      val fn = SparkEntry.queries(q)
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(pass(), pass())
+      println(f"[scale] $label%-6s $q%-28s $t%8.2f s")
+      (label, q, t)
+    }
+    // growth factor per query: sf1 time / sf0.1 time
+    queries.foreach { q =>
+      val t01 = timings.collectFirst { case ("sf0.1", `q`, t) => t }.get
+      val t1 = timings.collectFirst { case ("sf1", `q`, t) => t }.get
+      println(f"[scale] growth $q%-28s ${t1 / t01}%6.2fx (10x data)")
+    }
+    spark.stop()
+  }
+
+  /** Replica-specific letter substitution: shift the 20 most common
+    * letters by r so every word (and so every shingle) differs between
+    * replicas while length/whitespace structure is preserved. r=0 is the
+    * identity (the original sf0.1 rows survive verbatim). */
+  private def scramble(textCol: org.apache.spark.sql.Column,
+      r: Int): org.apache.spark.sql.Column = {
+    val letters = "abcdefghijklmnopqrst"
+    if (r == 0) textCol
+    else translate(textCol, letters,
+      letters.drop(r % letters.length) + letters.take(r % letters.length))
+  }
+
+  /** Build the sf1 corpus once (skipped if the output already exists). */
+  def build(spark: SparkSession, src: String, out: String): Unit = {
+    val marker = java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")
+    if (java.nio.file.Files.exists(marker)) return
+    val docs = Tables.load(spark, src, "documents")
+    val emb = Tables.load(spark, src, "embeddings")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    (0 until Replicas).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * IdStride)).as("doc_id"),
+        scramble(col("text"), r).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    (0 until Replicas).map { r =>
+      val rot = r % dims
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), rot + 1, dims - rot),
+          slice(col("embedding"), 1, rot))
+      emb.select(
+        (col("vec_id") + lit(r * IdStride)).as("vec_id"),
+        rotated.as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+  }
+}
