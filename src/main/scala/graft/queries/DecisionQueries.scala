@@ -116,6 +116,26 @@ object DecisionQueries {
           .withColumn("gap_ms",
             coalesce(col("ts_ms") - lag(col("ts_ms"), 1).over(w), lit(-1L)))
           .select("table_id", "snapshot_id", "ts_ms", "gap_ms")
+      }),
+
+      // SCD2 history: turn the append-only snapshot log into
+      // slowly-changing-dimension type-2 rows — per table, each commit is
+      // a version with a [valid_from, valid_to] interval closed by the
+      // next commit (open = current). One window pass (row_number + lead),
+      // the standard change-tracking shape a warehouse derives from a
+      // commit stream.
+      "scd2_history" -> ((s, dir) => {
+        val w = Window.partitionBy(col("table_id"))
+          .orderBy(col("ts_ms"), col("snapshot_id"))
+        EventOps.snapshotLog(s, dir)
+          .withColumn("version", row_number().over(w))
+          .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+          .select(
+            col("table_id"), col("snapshot_id"),
+            col("ts_ms").as("valid_from_ms"),
+            col("version"),
+            coalesce(col("next_ts") - 1, lit(-1L)).as("valid_to_ms"),
+            col("next_ts").isNull.as("is_current"))
       })),
 
     oracles = Map(
@@ -197,6 +217,16 @@ object DecisionQueries {
            |  COALESCE(ts_ms - lag(ts_ms) OVER (PARTITION BY table_id
            |    ORDER BY ts_ms, snapshot_id), -1) AS gap_ms
            |FROM log""".stripMargin,
+
+      "scd2_history" ->
+        s"""WITH $logCte
+           |SELECT table_id, snapshot_id, ts_ms AS valid_from_ms,
+           |  CAST(row_number() OVER w AS INTEGER) AS version,
+           |  COALESCE(lead(ts_ms) OVER w - 1, -1) AS valid_to_ms,
+           |  lead(ts_ms) OVER w IS NULL AS is_current
+           |FROM log
+           |WINDOW w AS (PARTITION BY table_id
+           |             ORDER BY ts_ms, snapshot_id)""".stripMargin,
 
       "should_optimize" ->
         s"""WITH $logCte, $cutCte,

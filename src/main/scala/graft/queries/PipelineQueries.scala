@@ -113,6 +113,7 @@ object PipelineQueries {
       "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(s, dir)),
       "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
       "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+      "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(s, dir)),
 
       "dedup_exact" -> ((s, dir) =>
         Dedup.exactDupGroups(Dedup.corpusWithExactDups(s, dir))),
@@ -208,6 +209,34 @@ object PipelineQueries {
            |        WHEN score_de >= score_fr THEN 'de'
            |        ELSE 'fr' END) = lang AS is_match
            |FROM t""".stripMargin,
+
+      "text_repetition" ->
+        """WITH t AS (SELECT doc_id,
+          |            regexp_split_to_array(trim(text), '\s+') AS w
+          |          FROM documents),
+          |wc AS (SELECT doc_id, word, count(*) AS c
+          |       FROM (SELECT doc_id, unnest(w) AS word FROM t)
+          |       GROUP BY doc_id, word),
+          |ws AS (SELECT doc_id, max(c) AS top_word_count,
+          |         CAST(sum(c) AS BIGINT) AS n_tokens
+          |       FROM wc GROUP BY doc_id),
+          |bgr AS (SELECT doc_id, bg, count(*) AS c FROM (
+          |    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+          |    FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+          |                     AS i) x
+          |    WHERE len(w) >= 2)
+          |  GROUP BY doc_id, bg),
+          |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |         count(*) AS d_bigrams
+          |       FROM bgr GROUP BY doc_id)
+          |SELECT ws.doc_id, n_tokens,
+          |  CAST(top_word_count AS BIGINT) AS top_word_count,
+          |  CAST(top_word_count * 1000 // n_tokens AS BIGINT)
+          |    AS top_word_x1000,
+          |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0)
+          |    AS BIGINT) AS dup_bigram_x1000
+          |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
 
       "dedup_exact" ->
         s"""WITH $exactCorpusCte

@@ -93,6 +93,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2 > 0.0)
   }
 
+  test("repetition signals: repeated text scores high, clean text low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam"),
+      (2L, "one two three four five"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = graft.exts.TextAnalysis.repetitionSignals(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (n_tokens, top_word_x1000, n_bigrams, dup_bigram_x1000)
+    assert(out(1L) === ((3L, 1000L, 2L, 500L))) // "spam spam" duplicated
+    assert(out(2L) === ((5L, 200L, 4L, 0L)))    // all words distinct
+    assert(out(3L) === ((1L, 1000L, 0L, 0L)))   // single token: no bigrams
+  }
+
   test("trained IVF centroids: honest recall >= untrained seeds") {
     // Queries must be disjoint from BOTH the seed set (vec_id < 16) and
     // the training sample (vec_id < 256): a query that IS a seed centroid
