@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinHashSig, RollingHash, ShingleSet, SimHash64, ZOrder2}
+import graft.functions.{CosineSim, MinHashSig, RepetitionStats, RollingHash, ShingleSet, SimHash64, ZOrder2}
 
 /** The library's `SparkSessionExtensions` entry point: registers every
   * native graft expression into the SQL function registry at session
@@ -55,5 +55,7 @@ object GraftExtensions {
     "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
     "shingle_set" -> arity("shingle_set", 1)(es => ShingleSet(es.head)),
     "cosine_sim" -> arity("cosine_sim", 2)(es => CosineSim(es(0), es(1))),
-    "z_order2" -> arity("z_order2", 2)(es => ZOrder2(es(0), es(1))))
+    "z_order2" -> arity("z_order2", 2)(es => ZOrder2(es(0), es(1))),
+    "repetition_stats" ->
+      arity("repetition_stats", 1)(es => RepetitionStats(es.head)))
 }

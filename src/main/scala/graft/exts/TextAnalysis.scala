@@ -182,35 +182,23 @@ object TextAnalysis {
     * common word and the duplicate-bigram fraction. Machine-generated or
     * boilerplate text scores high on both; clean prose stays low. All
     * integer arithmetic (ratios ×1000 via `div`) so the oracle compare is
-    * exact. Two hash aggregates over exploded tokens — map-side combine
-    * collapses each doc's terms before the exchange, so the shuffle
-    * carries (doc, term, count) partials, not raw token streams. */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), words(col("text")).as("w"))
-    val wstats = toks
-      .select(col("doc_id"), explode(col("w")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        max(col("c")).as("top_word_count"),
-        sum(col("c")).as("n_tokens"))
-    val bstats = toks.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
-        .as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("d_bigrams"))
-    wstats.join(bstats, Seq("doc_id"), "left")
+    * exact. One codegen'd per-row pass (`functions.RepetitionStats`) —
+    * shuffle-free at any corpus size, where the explode + groupBy
+    * formulation would shuffle every token; the oracle recomputes the
+    * same counts relationally in DuckDB, so the semantics (not the
+    * implementation) are what's pinned. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.Signatures.repetition_stats(col("text")).as("rs"))
       .select(
         col("doc_id"),
-        col("n_tokens"),
-        col("top_word_count"),
-        expr("top_word_count * 1000 div n_tokens").as("top_word_x1000"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(expr("(n_bigrams - d_bigrams) * 1000 div n_bigrams"),
-          lit(0L)).as("dup_bigram_x1000"))
-  }
+        col("rs").getItem(0).as("n_tokens"),
+        col("rs").getItem(1).as("top_word_count"),
+        expr("rs[1] * 1000 div rs[0]").as("top_word_x1000"),
+        col("rs").getItem(2).as("n_bigrams"),
+        when(col("rs").getItem(2) === 0L, lit(0L))
+          .otherwise(expr("(rs[2] - rs[3]) * 1000 div rs[2]"))
+          .as("dup_bigram_x1000"))
 
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
     repetitionSignals(Tables.load(spark, dir, "documents"))

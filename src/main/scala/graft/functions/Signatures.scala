@@ -110,6 +110,39 @@ object SigImpl {
     new GenericArrayData(sig)
   }
 
+  /** Per-document repetition stats in one compiled pass:
+    * `[n_tokens, top_word_count, n_bigrams, distinct_bigrams]`. Feeds the
+    * Gopher-style repetitious-text quality signals — as a per-row
+    * projection the whole filter runs shuffle-free at any corpus size,
+    * where the explode + groupBy formulation would shuffle every token. */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val words = tokenize(text.toString)
+    val n = words.length
+    val wc = new java.util.HashMap[String, Long]()
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val c = wc.getOrDefault(words(i), 0L) + 1L
+      wc.put(words(i), c)
+      if (c > top) top = c
+      i += 1
+    }
+    var distinctBg = 0L
+    if (n >= 2) {
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder(32)
+      i = 0
+      while (i + 1 < n) {
+        sb.setLength(0)
+        sb.append(words(i)).append(' ').append(words(i + 1))
+        if (seen.add(sb.toString)) distinctBg += 1
+        i += 1
+      }
+    }
+    val nBg = if (n >= 2) (n - 1).toLong else 0L
+    new GenericArrayData(Array[Any](n.toLong, top, nBg, distinctBg))
+  }
+
   /** 64-bit SimHash over the token multiset, one compiled pass. */
   def simhash(text: UTF8String): Long = {
     val words = tokenize(text.toString)
@@ -159,6 +192,20 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Repetition-stats expression: `array<bigint>` of
+  * [n_tokens, top_word_count, n_bigrams, distinct_bigrams]. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.repetitionStats($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** SimHash expression: 64-bit signature as a bigint. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -191,4 +238,6 @@ object Signatures {
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def shingle_set(c: Column): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(c)))
+  def repetition_stats(c: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 }
