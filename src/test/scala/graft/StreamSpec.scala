@@ -291,6 +291,27 @@ class StreamSpec extends AnyFunSuite {
     assert(finals.toSet === Set(("hot", 4L), ("cold", 3L)))
   }
 
+  test("streaming top-k re-ranks the running counts every batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = graft.stream.TopK.currentTopK(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("complete").start()
+    def snapshot(): Set[(String, Long)] = spark.table("topk_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // batch 1: a=2, b=1, c=1 → top2 = a, then b (tie broken by term)
+    input.addData("a", "a", "b", "c")
+    q.processAllAvailable()
+    assert(snapshot() === Set(("a", 2L), ("b", 1L)))
+    // batch 2: c overtakes — running counts, not per-batch counts
+    input.addData("c", "c", "c")
+    q.processAllAvailable()
+    q.stop()
+    assert(snapshot() === Set(("c", 4L), ("a", 2L)))
+  }
+
   test("metrics listener captures per-batch commit metrics as a table") {
     val listener = new graft.stream.CommitMetricsListener
     spark.streams.addListener(listener)
