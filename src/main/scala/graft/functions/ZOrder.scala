@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, NullType, ShortType}
 
 /** Z-order (Morton) curve value for two integer dimensions: interleaves
   * the low 32 bits of each input into one 64-bit key. Ordering by the
@@ -40,8 +40,10 @@ object ZOrderImpl {
 case class ZOrder2(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType is allowed: the expression is null-intolerant, so an untyped
+    // null literal just yields null — no value truncation is possible.
     val bad = Seq(left, right).map(_.dataType).filterNot {
-      case ByteType | ShortType | IntegerType => true
+      case ByteType | ShortType | IntegerType | NullType => true
       case _ => false
     }
     if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess

@@ -178,7 +178,11 @@ object EventPipeline {
           if (incremental) try {
             import spark.implicits._
             if (!isReplay) {
-              val seen = spark.sparkContext.longAccumulator
+              // Decision-input size = this batch's log rows; counted on the
+              // persisted frame (a task-retry-safe action), not via an
+              // accumulator in a transformation closure, which speculative
+              // execution would over-count.
+              inputRows += batchLog.count()
               // Executor-side partial aggregation: the shuffle carries one
               // small buffer per (partition, table), not the log rows.
               val partials = batchLog.select(
@@ -187,10 +191,9 @@ object EventPipeline {
                   col("ts_ms").as("tsMillis"),
                   col("operation"))
                 .as[graft.model.SnapshotMeta]
-                .groupByKey { s => seen.add(1L); s.tableId }
+                .groupByKey(_.tableId)
                 .agg(DecideAggregator.partial.toColumn.name("buf"))
                 .collect()
-              inputRows += seen.value
               partials.foreach { case (tid, buf) =>
                 state(tid) = DecideAggregator.mergeBuf(
                   state.getOrElse(tid, DecideAggregator.zeroBuf), buf)

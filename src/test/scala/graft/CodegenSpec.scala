@@ -139,6 +139,10 @@ class CodegenSpec extends AnyFunSuite {
     assert(r.getLong(0) === 39L)
     assert(r.getLong(1) === 39L)
     assert(r.getLong(2) === 39L)
+    // untyped NULL literal: accepted (null-intolerant expression — result is
+    // null; no value truncation possible), not an analysis error
+    val rn = s.sql("SELECT z_order2(NULL, 5) AS zn").collect()(0)
+    assert(rn.isNullAt(0))
     // bigint WITHOUT an explicit cast: analysis-time reject, never a silent
     // low-32-bit value truncation mid-job
     val eb = intercept[org.apache.spark.sql.AnalysisException] {
