@@ -78,6 +78,52 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
+  /** Default target mixture (×1000 shares) for [[mixSources]]: the
+    * "half English" recipe common to multilingual pretraining mixes. */
+  val DefaultMixWeights: Seq[(String, Long)] =
+    Seq("en" -> 500L, "es" -> 250L, "de" -> 125L, "fr" -> 125L)
+
+  /** Source-mixture planning + execution: given target token *shares* per
+    * source (language), compute the per-source sampling rate that realizes
+    * the mixture at the largest feasible scale — no source is upsampled,
+    * so `scale = min over sources of tokens(s)·1000 div weight(s)` and
+    * `rate_x1000(s) = weight(s)·scale div (tokens(s)·1000)`, capped at
+    * 1000. Documents are then kept by the same deterministic id hash as
+    * [[sampleDocs]] (mod 1000 for rate resolution), and the realized
+    * per-source doc/token counts are reported next to the plan.
+    *
+    * Scale shape: one stats pass (hash aggregate, map-side combined), a
+    * 4-row broadcast of the rates, one filter pass — the corpus is never
+    * shuffled. Everything integer, so the plan is engine-exact. */
+  def mixSources(docs: DataFrame,
+      weights: Seq[(String, Long)] = DefaultMixWeights): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF("lang", "w")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val stats = toks.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("t"))
+      .join(broadcast(wdf), "lang")
+    val scale = stats.agg(min(expr("t * 1000 div w")).as("scale"))
+    val rates = stats.crossJoin(broadcast(scale))
+      .withColumn("rate_x1000", least(lit(1000L), expr("(w * scale) div t")))
+    val kept = toks
+      .join(broadcast(rates.select(col("lang"), col("rate_x1000"))), "lang")
+      .filter((col("doc_id") * 2654435761L) % 1000 < col("rate_x1000"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("t").as("n_tokens"),
+        col("w").as("weight_x1000"), col("rate_x1000"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
+  def mixSources(spark: SparkSession, dir: String): DataFrame =
+    mixSources(Tables.load(spark, dir, "documents"))
+
   /** Token-count histogram: documents bucketed by whitespace-token count
     * (width-25 bins) — the length-distribution check before packing
     * sequences. One projection + one hash aggregate. */

@@ -236,23 +236,65 @@ object Similarity {
   def quantizeInt8Stats(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8Stats(Tables.load(spark, dir, "embeddings"))
 
-  /** Embedding near-duplicate pairs: corpus ∪ planted scaled copies
-    * (cosine exactly 1 in exact math), bucketed self-join, exact cosine ≥
-    * threshold within bucket. Output is id pairs only — integer-exact. */
-  def nearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.999): DataFrame = {
+  /** embeddings ∪ planted scaled copies (every 10th vector ×2 — cosine
+    * exactly 1 in exact math): the fixture both near-dup variants dedupe. */
+  def corpusWithScaledDups(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-    val corpus = base.unionByName(planted)
+    base.unionByName(
+      base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+  }
+
+  /** Embedding near-duplicate pairs: corpus ∪ planted scaled copies,
+    * bucketed self-join, exact cosine ≥ threshold within bucket. Output is
+    * id pairs only — integer-exact. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.999): DataFrame = {
+    val corpus = corpusWithScaledDups(spark, dir)
       .withColumn("bucket", signBucket(col("embedding")))
     val a = corpus.select(col("vec_id").as("a_id"),
       col("embedding").as("emb_a"), col("bucket"))
     val b = corpus.select(col("vec_id").as("b_id"),
       col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Semantic dedup (the SemDeDup recipe): cluster the corpus with the
+    * trained k-means centroids, then search for near-duplicate pairs only
+    * WITHIN each cluster — cosine ≥ threshold, exact, id pairs out.
+    *
+    * vs [[nearDupPairs]]'s sign-bucket LSH: the candidate cells here are
+    * *learned* from the data, so they follow its density (a hot region
+    * splits across several centroids where a fixed hyperplane bucket would
+    * pile up) — the published large-corpus embedding-dedup shape. The cell
+    * id is the shuffle/partition key exactly like the IVF search: corpus
+    * clustered once, pair generation is a co-partitioned within-cell
+    * self-join, never a cross product. Centroids train on the clean base
+    * sample ([[trainedCentroids]] bounds training cost at any scale);
+    * scaled copies land in their original's cell because cosine is
+    * scale-invariant. */
+  def semanticDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.999): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+    val centroids = trainedCentroids(base)
+    val corpus = corpusWithScaledDups(spark, dir)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val a = assigned.select(col("vec_id").as("a_id"),
+      col("embedding").as("emb_a"), col("cell"))
+    val b = assigned.select(col("vec_id").as("b_id"),
+      col("embedding").as("emb_b"), col("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("a_id"), col("b_id"))

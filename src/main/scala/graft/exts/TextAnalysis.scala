@@ -202,4 +202,93 @@ object TextAnalysis {
 
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
     repetitionSignals(Tables.load(spark, dir, "documents"))
+
+  /** Rule-based corpus filter (the C4/Gopher-style keep/drop pass): every
+    * length, stopword, token-shape, and repetition signal evaluated
+    * together, with per-document machine-readable reason codes. The whole
+    * filter is ONE codegen'd per-row projection over a single scan — the
+    * signals are recomputed inline rather than joined from the separate
+    * signal queries, because a self-join of two derivations of the same
+    * table would shuffle the corpus twice for no reason at 100 TB. Reason
+    * codes are emitted in a fixed order via `concat_ws` (null-skipping on
+    * both engines), so the string is deterministic; `keep = (reasons =
+    * '')`. Thresholds are integer ratios ×1000/×100 — oracle-exact. */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("rs",
+        graft.functions.Signatures.repetition_stats(col("text")))
+      .withColumn("n_chars_measured", length(col("text")))
+      .withColumn("n_tokens", size(words(col("text"))))
+      .withColumn("n_stopwords",
+        regexp_count(col("text"), lit(LangMarkers.head._2)))
+      .withColumn("mean_token_len_x100",
+        expr("(n_chars_measured * 100) div greatest(n_tokens, 1)"))
+      .withColumn("stopword_ratio_x1000",
+        expr("(n_stopwords * 1000) div greatest(n_tokens, 1)"))
+      .withColumn("top_word_x1000", expr("rs[1] * 1000 div rs[0]"))
+      .withColumn("dup_bigram_x1000",
+        when(col("rs").getItem(2) === 0L, lit(0L))
+          .otherwise(expr("(rs[2] - rs[3]) * 1000 div rs[2]")))
+      .withColumn("reasons", concat_ws(",",
+        when(col("n_chars_measured") < 100, "too_short"),
+        when(col("n_chars_measured") > 20000, "too_long"),
+        when(col("mean_token_len_x100") < 300 ||
+          col("mean_token_len_x100") > 1200, "token_shape"),
+        when(col("stopword_ratio_x1000") < 20, "low_stopword"),
+        when(col("top_word_x1000") > 200, "top_word"),
+        when(col("dup_bigram_x1000") > 200, "dup_bigram")))
+      .select(col("doc_id"), col("n_chars_measured"),
+        col("mean_token_len_x100"), col("stopword_ratio_x1000"),
+        col("top_word_x1000"), col("dup_bigram_x1000"), col("reasons"),
+        (col("reasons") === "").as("keep"))
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilter(Tables.load(spark, dir, "documents"))
+
+  /** PII patterns, chosen to parse and match identically under Java regex
+    * (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround.
+    * Redaction order matters — emails first, so the host part is gone
+    * before the bare-IPv4 pass runs. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\d{3}-\\d{3}-\\d{4}"
+  val Ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** documents ∪ planted PII-bearing variants (every 13th doc gets a
+    * contact line appended) — the fixture that makes the redaction
+    * measurable; mirrored in the oracle CTE. */
+  val PlantedPii = " reach me at jane.doe@example.com or 555-123-4567 from 10.0.0.1"
+  def corpusWithPii(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(PlantedPii)).as("text")))
+  }
+
+  /** PII detection + redaction: count emails / phone numbers / IPv4
+    * literals per document and rewrite them to typed placeholders. Output
+    * carries the counts and the md5 of the redacted text (the full text
+    * stays out of the result so the driver compare hashes a 16-byte
+    * digest, and so the operator's contract — "the redacted text is
+    * deterministic" — is what's pinned). One codegen'd per-row pass,
+    * shuffle-free at any corpus size. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailPattern)))
+      .withColumn("n_phones", regexp_count(col("text"), lit(PhonePattern)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+            PhonePattern, "<PHONE>"),
+          Ipv4Pattern, "<IP>"))
+      // IPv4 is counted on the email-redacted text: a host part like
+      // mail.10.x would otherwise double-count (order pinned in the doc).
+      .withColumn("n_ips", regexp_count(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        lit(Ipv4Pattern)))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"),
+        md5(col("redacted")).as("redacted_md5"))
 }

@@ -89,6 +89,48 @@ object FilePlan {
       .toDF()
   }
 
+  /** Zone-map (min/max file-statistics) pruning plan — the metadata query
+    * behind Iceberg-style file skipping, and the payoff of
+    * `sort_compaction`: per data file, the min/max of each indexed column;
+    * a predicate can skip a file whose range provably misses it.
+    *
+    * Files are modeled as month-clustered row groups of `lineitem`
+    * (`file_id = year·12 + month` of l_shipdate) — the layout a
+    * date-sorted rewrite produces. The plan flags, per file, whether the
+    * fixed ship-date window [1997-01-01, 1997-04-01) can skip it
+    * (`max < lo` or `min ≥ hi`) and whether a `l_quantity < 5` predicate
+    * can (`min_qty ≥ 5`). The date column is clustered, so nearly every
+    * file skips; quantity is uncorrelated with the layout, so its zone
+    * maps are useless — none skip. That contrast IS the 100 TB design
+    * point: zone maps only prune on columns the physical sort actually
+    * clustered (CompactSpec asserts the same contrast on real files).
+    *
+    * One scan + one hash aggregate over ~1 row per (file, columns) —
+    * metadata-plane cost; the data itself is never re-read at plan time in
+    * a real layout (the stats live in the manifest, as in small_file_
+    * metrics). */
+  def zoneMapPrune(lineitem: DataFrame): DataFrame = {
+    // Bounds go through the same session-TZ cast as the data column, so
+    // the skip flags are timezone-shift-invariant.
+    val loMs = expr("unix_millis(TIMESTAMP'1997-01-01 00:00:00')")
+    val hiMs = expr("unix_millis(TIMESTAMP'1997-04-01 00:00:00')")
+    lineitem
+      .withColumn("ship_ms", expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))"))
+      .withColumn("file_id",
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("ship_ms")).as("min_ship_ms"),
+        max(col("ship_ms")).as("max_ship_ms"),
+        min(col("l_quantity").cast("int")).as("min_qty"),
+        max(col("l_quantity").cast("int")).as("max_qty"))
+      .withColumn("skip_ship",
+        col("max_ship_ms") < loMs || col("min_ship_ms") >= hiMs)
+      .withColumn("skip_qty", col("min_qty") >= 5)
+  }
+
   /** small_file_metrics: per-partition file-size stats (count/avg/min/max,
     * small-file count) — the signal that motivates optimize (README.md:3).
     * avg is floor-integer (`div`) so both engines stay in exact arithmetic. */

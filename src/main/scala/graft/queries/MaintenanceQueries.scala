@@ -74,6 +74,9 @@ object MaintenanceQueries {
       "small_file_metrics" -> ((s, dir) =>
         FilePlan.smallFileMetrics(FilePlan.fileRelation(s, dir))),
 
+      "zone_map_prune" -> ((s, dir) =>
+        FilePlan.zoneMapPrune(graft.Tables.load(s, dir, "lineitem"))),
+
       // Orphan files — the third Iceberg maintenance action next to
       // compaction and snapshot expiry: data files on disk that no live
       // snapshot references. An anti-join of the file listing against the
@@ -215,6 +218,23 @@ object MaintenanceQueries {
            |  '''max-file-group-size-bytes'',''10737418240''), ' ||
            |  'strategy => ''binpack'')' AS rewrite_sql
            |FROM d WHERE so""".stripMargin,
+
+      "zone_map_prune" ->
+        """WITH z AS (
+          |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+          |           AS BIGINT) AS file_id,
+          |    count(*) AS n_rows,
+          |    min(epoch_ms(l_shipdate)) AS min_ship_ms,
+          |    max(epoch_ms(l_shipdate)) AS max_ship_ms,
+          |    min(CAST(l_quantity AS INTEGER)) AS min_qty,
+          |    max(CAST(l_quantity AS INTEGER)) AS max_qty
+          |  FROM lineitem GROUP BY 1)
+          |SELECT file_id, n_rows, min_ship_ms, max_ship_ms, min_qty, max_qty,
+          |  (max_ship_ms < epoch_ms(TIMESTAMP '1997-01-01 00:00:00') OR
+          |   min_ship_ms >= epoch_ms(TIMESTAMP '1997-04-01 00:00:00'))
+          |    AS skip_ship,
+          |  (min_qty >= 5) AS skip_qty
+          |FROM z""".stripMargin,
 
       "small_file_metrics" ->
         s"""WITH $filesCte

@@ -51,7 +51,11 @@ object PipelineQueries {
     * against the final centroids. Generated so the iteration count stays
     * sourced from the one constant. @param probeRn the query-assignment
     * rank predicate (`rn = 1` / `rn <= 2`). */
-  private def ivfOracleSql(probeRn: String): String = {
+  /** Shared k-means training CTE chain (seeds + Lloyd iterations); the
+    * final centroid set is CTE `cent${Similarity.IvfIters}` (see
+    * [[trainFinalCte]]). Used by the IVF search oracles AND the semantic
+    * dedup oracle, so all three pin the same training semantics. */
+  private def trainCtes: String = {
     val iterCtes = (1 to Similarity.IvfIters).map { i =>
       s"""asg$i AS (
          |  SELECT cell, embedding FROM (
@@ -71,12 +75,18 @@ object PipelineQueries {
          |             list(CAST(m AS FLOAT) ORDER BY dim) AS cent
          |           FROM m$i GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    val fin = s"cent${Similarity.IvfIters}"
-    s"""WITH samp AS (SELECT vec_id, embedding FROM embeddings
-       |              WHERE vec_id < ${Similarity.IvfTrainSample}),
+    s"""samp AS (SELECT vec_id, embedding FROM embeddings
+       |         WHERE vec_id < ${Similarity.IvfTrainSample}),
        |cent0 AS (SELECT vec_id AS cent_id, embedding AS cent
        |          FROM embeddings WHERE vec_id < ${Similarity.IvfCentroids}),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  private def trainFinalCte: String = s"cent${Similarity.IvfIters}"
+
+  private def ivfOracleSql(probeRn: String): String = {
+    val fin = trainFinalCte
+    s"""WITH $trainCtes,
        |ca AS (
        |  SELECT neighbor_id, emb_n, cell FROM (
        |    SELECT e.vec_id AS neighbor_id, e.embedding AS emb_n,
@@ -114,6 +124,11 @@ object PipelineQueries {
       "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
       "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
       "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(s, dir)),
+      "quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(s, dir)),
+      "text_pii_redact" -> ((s, dir) =>
+        TextAnalysis.piiRedact(TextAnalysis.corpusWithPii(s, dir))),
+      "mix_sources" -> ((s, dir) => Sampling.mixSources(s, dir)),
+      "dedup_semantic" -> ((s, dir) => Similarity.semanticDupPairs(s, dir)),
 
       "dedup_exact" -> ((s, dir) =>
         Dedup.exactDupGroups(Dedup.corpusWithExactDups(s, dir))),
@@ -237,6 +252,135 @@ object PipelineQueries {
           |  CAST(coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0)
           |    AS BIGINT) AS dup_bigram_x1000
           |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+      // Mirrors the one-pass Spark filter: quality CTE + repetition CTEs
+      // joined on doc_id, reason codes concat_ws'd in the same fixed order
+      // (both engines skip NULL args).
+      "quality_filter" ->
+        s"""WITH t AS (SELECT doc_id,
+           |            CAST(length(text) AS INTEGER) AS n_chars_measured,
+           |            CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |              AS INTEGER) AS n_tokens,
+           |            CAST(len(regexp_extract_all(text, '$langEn'))
+           |              AS INTEGER) AS n_stopwords,
+           |            regexp_split_to_array(trim(text), '\\s+') AS w
+           |          FROM documents),
+           |wc AS (SELECT doc_id, word, count(*) AS c
+           |       FROM (SELECT doc_id, unnest(w) AS word FROM t)
+           |       GROUP BY doc_id, word),
+           |ws AS (SELECT doc_id, max(c) AS top_word_count,
+           |         CAST(sum(c) AS BIGINT) AS rep_tokens
+           |       FROM wc GROUP BY doc_id),
+           |bgr AS (SELECT doc_id, bg, count(*) AS c FROM (
+           |    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           |    FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+           |                     AS i) x
+           |    WHERE len(w) >= 2)
+           |  GROUP BY doc_id, bg),
+           |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |         count(*) AS d_bigrams
+           |       FROM bgr GROUP BY doc_id),
+           |sig AS (
+           |  SELECT t.doc_id, n_chars_measured,
+           |    CAST((n_chars_measured * 100) // greatest(n_tokens, 1)
+           |      AS BIGINT) AS mean_token_len_x100,
+           |    CAST((n_stopwords * 1000) // greatest(n_tokens, 1)
+           |      AS BIGINT) AS stopword_ratio_x1000,
+           |    CAST(top_word_count * 1000 // rep_tokens AS BIGINT)
+           |      AS top_word_x1000,
+           |    CAST(coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0)
+           |      AS BIGINT) AS dup_bigram_x1000
+           |  FROM t JOIN ws ON ws.doc_id = t.doc_id
+           |  LEFT JOIN bs ON bs.doc_id = t.doc_id),
+           |flagged AS (
+           |  SELECT *, concat_ws(',',
+           |    CASE WHEN n_chars_measured < 100 THEN 'too_short' END,
+           |    CASE WHEN n_chars_measured > 20000 THEN 'too_long' END,
+           |    CASE WHEN mean_token_len_x100 < 300
+           |           OR mean_token_len_x100 > 1200 THEN 'token_shape' END,
+           |    CASE WHEN stopword_ratio_x1000 < 20 THEN 'low_stopword' END,
+           |    CASE WHEN top_word_x1000 > 200 THEN 'top_word' END,
+           |    CASE WHEN dup_bigram_x1000 > 200 THEN 'dup_bigram' END)
+           |    AS reasons
+           |  FROM sig)
+           |SELECT doc_id, n_chars_measured, mean_token_len_x100,
+           |  stopword_ratio_x1000, top_word_x1000, dup_bigram_x1000,
+           |  reasons, (reasons = '') AS keep
+           |FROM flagged""".stripMargin,
+
+      "text_pii_redact" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 700000, text || '${TextAnalysis.PlantedPii}'
+           |  FROM documents WHERE doc_id % 13 = 0),
+           |r AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))
+           |      AS INTEGER) AS n_emails,
+           |    CAST(len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}'))
+           |      AS INTEGER) AS n_phones,
+           |    regexp_replace(text, '${TextAnalysis.EmailPattern}',
+           |      '<EMAIL>', 'g') AS t1
+           |  FROM corpus),
+           |r2 AS (
+           |  SELECT doc_id, n_emails, n_phones,
+           |    CAST(len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Pattern}'))
+           |      AS INTEGER) AS n_ips,
+           |    regexp_replace(regexp_replace(t1,
+           |      '${TextAnalysis.PhonePattern}', '<PHONE>', 'g'),
+           |      '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g') AS redacted
+           |  FROM r)
+           |SELECT doc_id, n_emails, n_phones, n_ips,
+           |  (n_emails + n_phones + n_ips) > 0 AS has_pii,
+           |  md5(redacted) AS redacted_md5
+           |FROM r2""".stripMargin,
+
+      "mix_sources" ->
+        s"""WITH w(lang, wt) AS (VALUES ${Sampling.DefaultMixWeights
+             .map { case (l, v) => s"('$l', $v)" }.mkString(", ")}),
+           |tok AS (SELECT doc_id, lang,
+           |          CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |            AS BIGINT) AS n_tokens
+           |        FROM documents),
+           |stats AS (SELECT lang, count(*) AS n_docs,
+           |            CAST(sum(n_tokens) AS BIGINT) AS t
+           |          FROM tok GROUP BY lang),
+           |sw AS (SELECT s.lang, n_docs, t, CAST(wt AS BIGINT) AS wt
+           |       FROM stats s JOIN w USING (lang)),
+           |sc AS (SELECT CAST(min(t * 1000 // wt) AS BIGINT) AS scale FROM sw),
+           |rates AS (SELECT lang, n_docs, t, wt,
+           |            CAST(least(1000, (wt * scale) // t) AS BIGINT)
+           |              AS rate_x1000
+           |          FROM sw CROSS JOIN sc),
+           |kept AS (SELECT lang, count(*) AS n_docs_kept,
+           |           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+           |         FROM tok JOIN rates USING (lang)
+           |         WHERE (doc_id * 2654435761) % 1000 < rate_x1000
+           |         GROUP BY lang)
+           |SELECT lang, n_docs, t AS n_tokens, wt AS weight_x1000,
+           |  rate_x1000,
+           |  CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           |  CAST(coalesce(n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+           |FROM rates LEFT JOIN kept USING (lang)""".stripMargin,
+
+      // Same training CTEs as the sim_ivf oracles; corpus (with planted
+      // scaled copies) assigned to its nearest trained centroid, pairs
+      // searched within-cell only.
+      "dedup_semantic" ->
+        s"""WITH $trainCtes,
+           |$embCorpusCte,
+           |asgn AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+           |                 c.cent_id) AS rn
+           |    FROM corpus e CROSS JOIN $trainFinalCte c)
+           |  WHERE rn = 1)
+           |SELECT x.vec_id AS a_id, y.vec_id AS b_id
+           |FROM asgn x JOIN asgn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.999""".stripMargin,
 
       "dedup_exact" ->
         s"""WITH $exactCorpusCte

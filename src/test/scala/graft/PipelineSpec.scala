@@ -357,4 +357,99 @@ class PipelineSpec extends AnyFunSuite {
     val b = graft.exts.Sampling.stratifiedSample(spark, dir, perClass = 10)
     assert(a.collect().toSet === b.collect().toSet)
   }
+
+  test("quality filter: each rule fires on its planted bad doc, clean passes") {
+    import spark.implicits._
+    val clean = "the cat sat on a mat and the dog ran to a tree while " +
+      "birds sing of morning light in this quiet town near the old river " +
+      "bank today"
+    val docs = Seq(
+      (1L, clean),                               // passes everything
+      (2L, "the of and is a"),                   // < 100 chars
+      (3L, "the spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam is of a word and some other words appear here " +
+        "once only today"),                      // top word ≫ 20% of tokens
+      (4L, ("the pair is here and the pair is here and the pair is here " +
+        "and the pair is here and the pair is here and a of it ")), // dup_bigram
+      (5L, "x ".*(60) + "the a of and is then some more padding words here"),
+      (6L, ("zzqqj wvkkx pplmn " * 10) + "no stopwords here at all today"))
+    val out = graft.exts.TextAnalysis.qualityFilter(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(6), r.getBoolean(7))).toMap
+    assert(out(1L) === ("", true))
+    assert(out(2L)._1.contains("too_short") && !out(2L)._2)
+    assert(out(3L)._1.contains("top_word") && !out(3L)._2)
+    assert(out(4L)._1.contains("dup_bigram") && !out(4L)._2)
+    assert(out(5L)._1.contains("token_shape") && !out(5L)._2) // mean len < 3
+    assert(out(6L)._1.contains("low_stopword") && !out(6L)._2)
+  }
+
+  test("pii redact: counts and placeholders for planted emails/phones/ips") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to a.b@x.co or c@d.org, call 555-123-4567, host 10.0.0.1"),
+      (2L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = graft.exts.TextAnalysis.piiRedact(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4),
+          r.getString(5))).toMap
+    assert(out(1L)._1 === 2 && out(1L)._2 === 1 && out(1L)._3 === 1)
+    assert(out(1L)._4 === true)
+    val expected = "write to <EMAIL> or <EMAIL>, call <PHONE>, host <IP>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._5 === md)
+    assert(out(2L) === ((0, 0, 0, false, out(2L)._5)))
+  }
+
+  test("mix sources: argmin source keeps everything, shares track weights") {
+    import org.apache.spark.sql.functions._
+    val out = graft.exts.Sampling.mixSources(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(6))).toMap // lang -> (n_tokens, weight, rate, tokens_kept)
+    // the binding source (min tokens·1000/weight) samples at ~full rate
+    val scale = out.values.map { case (t, w, _, _) => t * 1000 / w }.min
+    val binding = out.collect {
+      case (l, (t, w, _, _)) if t * 1000 / w == scale => l }.head
+    assert(out(binding)._3 >= 999L)
+    assert(out.values.forall(_._3 <= 1000L))
+    // realized token mass stays within sampling noise of the target share:
+    // kept(s) ≈ rate·tokens, and rate·tokens·1000 div (w·scale) = 1 ± ε
+    out.values.foreach { case (t, w, rate, _) =>
+      val planned = rate * t // x1000 token mass
+      val target = w * scale
+      assert(planned <= target, s"planned $planned exceeds target $target")
+      assert(planned * 1000 >= target * 995,
+        s"planned $planned far below target $target")
+    }
+  }
+
+  test("zone maps: date-clustered files skip, unclustered quantity never") {
+    val z = graft.ops.FilePlan.zoneMapPrune(
+      Tables.load(spark, dir, "lineitem")).collect()
+    assert(z.length > 12) // multi-year shipdate range → many month-files
+    val skipped = z.count(_.getAs[Boolean]("skip_ship"))
+    // the [1997-01, 1997-04) window touches exactly 3 month-files
+    assert(z.length - skipped === 3)
+    // quantity is uncorrelated with the date clustering, so its zone maps
+    // barely prune (a tiny file can skip by chance at this scale) — the
+    // clustered column must prune at least 5x more than the unclustered
+    val skippedQty = z.count(_.getAs[Boolean]("skip_qty"))
+    assert(skippedQty * 5 <= skipped,
+      s"qty skipped $skippedQty of ${z.length}, ship skipped $skipped")
+  }
+
+  test("semantic dedup finds every planted scaled copy within its cluster") {
+    val pairs = Similarity.semanticDupPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedIds = Tables.load(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(plantedIds.nonEmpty)
+    // scaled copies share their original's cell (cosine is scale-invariant)
+    // and cosine 1 — every planted pair must surface
+    plantedIds.foreach { id =>
+      assert(pairs.contains((id, id + 100000L)), s"missing planted pair $id")
+    }
+  }
 }
