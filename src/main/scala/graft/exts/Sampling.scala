@@ -105,8 +105,12 @@ object Sampling {
     val stats = toks.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("t"))
       .join(broadcast(wdf), "lang")
-    val scale = stats.agg(min(expr("t * 1000 div w")).as("scale"))
-    val rates = stats.crossJoin(broadcast(scale))
+    // scale = global min over the (sources-sized) aggregate — a window
+    // over the whole tiny frame, NOT a second aggregate + cross join,
+    // which would plan the corpus stats subtree twice.
+    val rates = stats
+      .withColumn("scale", min(expr("t * 1000 div w"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("rate_x1000", least(lit(1000L), expr("(w * scale) div t")))
     val kept = toks
       .join(broadcast(rates.select(col("lang"), col("rate_x1000"))), "lang")
@@ -114,7 +118,7 @@ object Sampling {
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs_kept"),
         sum(col("n_tokens")).as("n_tokens_kept"))
-    rates.join(kept, Seq("lang"), "left")
+    rates.join(broadcast(kept), Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("t").as("n_tokens"),
         col("w").as("weight_x1000"), col("rate_x1000"),
         coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),

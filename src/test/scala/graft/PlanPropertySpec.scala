@@ -163,5 +163,29 @@ class PlanPropertySpec extends AnyFunSuite {
       "merge_upsert", "snapshot_rollback").foreach { n =>
       assert(!plan(n).contains("NestedLoopJoin"), s"$n plans a nested-loop join")
     }
+
+    // quality_filter and text_pii_redact are pure per-row passes: any
+    // exchange in their plan means a signal got computed via join/agg
+    // instead of inline — a corpus-wide shuffle at 100 TB.
+    Seq("quality_filter", "text_pii_redact").foreach { n =>
+      assert(!plan(n).contains("Exchange"), s"$n must be shuffle-free")
+    }
+
+    // zone maps are one hash aggregate over the scan
+    assert("Exchange hashpartitioning".r.findAllIn(plan("zone_map_prune"))
+      .size <= 1, "zone_map_prune should shuffle once (by file)")
+
+    // mix_sources: the 4-row rate table joins the corpus via broadcast,
+    // never a corpus re-shuffle on lang
+    val mix = plan("mix_sources")
+    assert(mix.contains("BroadcastHashJoin"),
+      "mix_sources rate join must broadcast")
+    assert(!mix.contains("SortMergeJoin"))
+
+    // dedup_semantic: centroid attachment is an intended
+    // BroadcastNestedLoopJoin (each row scores all 16 centroids), but an
+    // unbroadcast cross product anywhere is a scale killer
+    assert(!plan("dedup_semantic").contains("CartesianProduct"),
+      "dedup_semantic must never plan an unbroadcast cross product")
   }
 }
