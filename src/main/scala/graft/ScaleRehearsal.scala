@@ -37,12 +37,21 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     build(spark, src, out)
-    val queries = Seq("dedup_ngram_jaccard_capped", "decontaminate", "sim_ivf")
+    // dedup_semantic's within-cell pair search is quadratic in cell size,
+    // so its centroid count scales with the corpus (k ∝ n keeps cells the
+    // same size and total pair work linear) — the knob a 100 TB run turns.
+    val kFor = Map(src -> 16, out -> 160)
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_ngram_jaccard_capped" -> SparkEntry.queries("dedup_ngram_jaccard_capped"),
+      "decontaminate" -> SparkEntry.queries("decontaminate"),
+      "sim_ivf" -> SparkEntry.queries("sim_ivf"),
+      "quality_filter" -> SparkEntry.queries("quality_filter"),
+      "dedup_semantic(k~n)" -> ((s: SparkSession, d: String) =>
+        graft.exts.Similarity.semanticDupPairs(s, d, k = kFor(d))))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
-      q <- queries
+      (q, fn) <- queries
     } yield {
-      val fn = SparkEntry.queries(q)
       def pass(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).count()
@@ -53,7 +62,7 @@ object ScaleRehearsal {
       (label, q, t)
     }
     // growth factor per query: sf1 time / sf0.1 time
-    queries.foreach { q =>
+    queries.foreach { case (q, _) =>
       val t01 = timings.collectFirst { case ("sf0.1", `q`, t) => t }.get
       val t1 = timings.collectFirst { case ("sf1", `q`, t) => t }.get
       println(f"[scale] growth $q%-28s ${t1 / t01}%6.2fx (10x data)")

@@ -277,11 +277,16 @@ object Similarity {
     * self-join, never a cross product. Centroids train on the clean base
     * sample ([[trainedCentroids]] bounds training cost at any scale);
     * scaled copies land in their original's cell because cosine is
-    * scale-invariant. */
+    * scale-invariant.
+    *
+    * @param k centroid count — THE scale knob: within-cell pair search is
+    *   quadratic in cell size, so k must grow with the corpus (k ∝ n
+    *   keeps cells bounded and total pair work linear). The default
+    *   matches the IVF index; ScaleRehearsal drives k ∝ n at sf1. */
   def semanticDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.999): DataFrame = {
+      threshold: Double = 0.999, k: Int = IvfCentroids): DataFrame = {
     val base = Tables.load(spark, dir, "embeddings")
-    val centroids = trainedCentroids(base)
+    val centroids = trainedCentroids(base, k)
     val corpus = corpusWithScaledDups(spark, dir)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
