@@ -128,6 +128,45 @@ object Sampling {
   def mixSources(spark: SparkSession, dir: String): DataFrame =
     mixSources(Tables.load(spark, dir, "documents"))
 
+  /** Shard assignment for training-data export: the id hash (same family
+    * as [[hashBucket]]) maps every document to one of `nShards` shards —
+    * deterministic, order-independent, and balanced in expectation, so
+    * re-exporting an incrementally grown corpus never moves an existing
+    * document between shards (downstream dataloader caches stay valid). */
+  def shardPlan(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs.withColumn("shard", (col("doc_id") * 2654435761L) % nShards)
+
+  /** Per-shard manifest — the sidecar a training job reads instead of
+    * listing files: doc/token/char totals and language spread per shard.
+    * One projection + one hash aggregate (map-side combined); the token
+    * counting streams through the same scan. */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+    shardPlan(docs, nShards)
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars_total"),
+        count_distinct(col("lang")).as("n_langs"))
+
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.load(spark, dir, "documents"))
+
+  /** Write the corpus as `shard=<k>/` parquet partitions: one shuffle on
+    * the shard key co-locates each shard into its own task, so each
+    * partition directory is written by exactly one writer (no
+    * many-small-files explosion from every task appending to every
+    * shard — the `maxRecordsPerFile`-style knob then bounds file size
+    * within a shard at real scale). */
+  def writeShards(docs: DataFrame, outDir: String,
+      nShards: Int = 16): Unit =
+    shardPlan(docs, nShards)
+      .repartition(col("shard"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+
   /** Token-count histogram: documents bucketed by whitespace-token count
     * (width-25 bins) — the length-distribution check before packing
     * sequences. One projection + one hash aggregate. */

@@ -128,6 +128,7 @@ object PipelineQueries {
       "text_pii_redact" -> ((s, dir) =>
         TextAnalysis.piiRedact(TextAnalysis.corpusWithPii(s, dir))),
       "mix_sources" -> ((s, dir) => Sampling.mixSources(s, dir)),
+      "shard_manifest" -> ((s, dir) => Sampling.shardManifest(s, dir)),
       "dedup_semantic" -> ((s, dir) => Similarity.semanticDupPairs(s, dir)),
 
       "dedup_exact" -> ((s, dir) =>
@@ -363,6 +364,19 @@ object PipelineQueries {
            |  CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
            |  CAST(coalesce(n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
            |FROM rates LEFT JOIN kept USING (lang)""".stripMargin,
+
+      "shard_manifest" ->
+        """WITH s AS (
+          |  SELECT (doc_id * 2654435761) % 16 AS shard,
+          |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          |      AS n_tokens,
+          |    CAST(length(text) AS BIGINT) AS n_chars, lang
+          |  FROM documents)
+          |SELECT shard, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+          |  count(DISTINCT lang) AS n_langs
+          |FROM s GROUP BY shard""".stripMargin,
 
       // Same training CTEs as the sim_ivf oracles; corpus (with planted
       // scaled copies) assigned to its nearest trained centroid, pairs

@@ -439,6 +439,34 @@ class PipelineSpec extends AnyFunSuite {
       s"qty skipped $skippedQty of ${z.length}, ship skipped $skipped")
   }
 
+  test("shard export: partitioned write round-trips and matches manifest") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    graft.exts.Sampling.writeShards(docs, out)
+    val back = spark.read.parquet(out)
+    // nothing lost, nothing duplicated
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    // every shard directory is a real partition with its manifest counts
+    val manifest = graft.exts.Sampling.shardManifest(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (partition-column inference reads shard back as int — normalize)
+    val perShard = back.groupBy(col("shard").cast("long").as("shard"))
+      .count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perShard === manifest)
+    // re-export of a grown corpus keeps old assignments: shard(doc) is a
+    // pure id hash, independent of the rest of the corpus
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val a = graft.exts.Sampling.shardPlan(half).select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = graft.exts.Sampling.shardPlan(docs).select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    a.foreach { case (id, s) => assert(b(id) === s) }
+  }
+
   test("semantic dedup finds every planted scaled copy within its cluster") {
     val pairs = Similarity.semanticDupPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -330,6 +330,31 @@ class StreamSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming quality filter equals the batch filter (stateless pass)") {
+    import org.apache.spark.sql.types._
+    // qualityFilter is one stateless per-row projection, so it runs
+    // unchanged on a stream — the ingest-time filtering shape: score and
+    // drop documents as they arrive, no state, no watermark.
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = graft.exts.TextAnalysis.qualityFilter(stream)
+      .writeStream.format("memory").queryName("qf_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("qf_stream").collect()
+      .map(r => r.getLong(0) -> (r.getString(6), r.getBoolean(7))).toMap
+    val batch = graft.exts.TextAnalysis.qualityFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(6), r.getBoolean(7))).toMap
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("windowed metrics: batch/stream-shared aggregation is consistent") {
     val metrics = EventPipeline.windowedMetrics(
       EventOps.events(spark, dir), "1 day").collect()
