@@ -166,6 +166,26 @@ object TextAnalysis {
       .select(col("term"), col("df"))
   }
 
+  /** Token-rarity scoring (the CCNet-shaped unigram-frequency signal,
+    * integer surrogate): per document, the mean corpus document-frequency
+    * of its token occurrences and the fraction of occurrences whose token
+    * appears in only one document. Noisy/garbled text scores low mean-df
+    * and high rare-fraction; formulaic text the opposite. Same plan shape
+    * as [[tfidfTop]]: per-doc tf aggregate joined with the broadcast
+    * vocabulary df — shuffle bytes track distinct (doc, term) pairs. All
+    * integer arithmetic, oracle-exact. */
+  def rarityScores(spark: SparkSession, dir: String): DataFrame =
+    termStats(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("df")).as("df_mass"),
+        sum(when(col("df") === 1, col("tf")).otherwise(0L)).as("rare_occ"))
+      .select(col("doc_id"), col("n_terms"), col("n_tokens"),
+        expr("df_mass div n_tokens").as("mean_token_df"),
+        expr("rare_occ * 1000 div n_tokens").as("rare_frac_x1000"))
+
   /** Content fingerprints via the custom codegen'd rolling-hash expression:
     * whole-doc polynomial hash window-min (winnowing-style), stable under
     * row order. No oracle (not expressible in portable SQL) — covered by

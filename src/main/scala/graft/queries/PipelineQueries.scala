@@ -161,6 +161,7 @@ object PipelineQueries {
       "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(s, dir)),
 
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
+      "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
       "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
 
@@ -536,6 +537,23 @@ object PipelineQueries {
           |        ORDER BY score DESC, tf DESC, term) AS rn
           |      FROM s)
           |WHERE rn = 1""".stripMargin,
+
+      "text_rarity" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_terms,
+          |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |  CAST(CAST(sum(tf * df) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+          |    AS BIGINT) AS mean_token_df,
+          |  CAST(CAST(sum(CASE WHEN df = 1 THEN tf ELSE 0 END) AS BIGINT)
+          |    * 1000 // CAST(sum(tf) AS BIGINT) AS BIGINT)
+          |    AS rare_frac_x1000
+          |FROM tf JOIN dfr USING (term)
+          |GROUP BY doc_id""".stripMargin,
 
       "text_docfreq" ->
         """WITH tok AS (

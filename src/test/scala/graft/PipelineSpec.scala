@@ -439,6 +439,20 @@ class PipelineSpec extends AnyFunSuite {
       s"qty skipped $skippedQty of ${z.length}, ship skipped $skipped")
   }
 
+  test("rarity scores: bounds hold and rare mass is where gibberish lives") {
+    val rows = graft.exts.TextAnalysis.rarityScores(spark, dir).collect()
+    assert(rows.length === Tables.load(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val (nTerms, nTokens) = (r.getLong(1), r.getLong(2))
+      val (meanDf, rareFrac) = (r.getLong(3), r.getLong(4))
+      assert(nTokens >= nTerms)
+      assert(meanDf >= 1L, "a token's df is at least its own document")
+      assert(rareFrac >= 0L && rareFrac <= 1000L)
+    }
+    // the corpus has shared vocabulary: mean df must exceed 1 somewhere
+    assert(rows.exists(_.getLong(3) > 1L))
+  }
+
   test("shard export: partitioned write round-trips and matches manifest") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, dir, "documents")
