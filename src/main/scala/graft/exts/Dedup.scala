@@ -210,6 +210,72 @@ object Dedup {
       (col("doc_id") === col("comp")).as("is_canonical"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the deep-graph scale path next to [[dupComponents]]'s min-label
+    * propagation: propagation needs O(diameter) rounds (a 10^6-long
+    * near-dup chain = 10^6 shuffles), star contraction needs
+    * O(log n) because every round rewires whole neighborhoods to their
+    * minimum, halving component height.
+    *
+    * large-star: each node's HIGHER neighbors re-attach to the minimum of
+    * its closed neighborhood; small-star: the lower neighbors (and the
+    * node) do. Both are one groupBy + one join per round over the edge
+    * list — the same shapes as propagation, just O(log n) of them.
+    * Output contract is identical to [[dupComponents]] (PipelineSpec
+    * asserts equality on chains, cliques, random graphs, and the
+    * fixture); dup groups in a real corpus are shallow, so the registered
+    * query keeps the propagation form and this is the documented switch
+    * for adversarially deep graphs. */
+  def dupComponentsStars(pairs: DataFrame): DataFrame = {
+    // Undirected edge list, kept symmetric each round so every node sees
+    // its full neighborhood in the groupBy.
+    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+
+    def round(es: DataFrame, large: Boolean): DataFrame = {
+      val m = es.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val joined = es.join(m, "u")
+      val rewired =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(m.select(col("u"), col("m").as("v")))
+      rewired.filter(col("u") =!= col("v")).distinct()
+    }
+
+    var converged = false
+    while (!converged) {
+      val afterLarge = round(edges, large = true)
+      val next = round(afterLarge, large = false)
+        // restore symmetry for the next round's neighborhoods
+        .select(col("u"), col("v"))
+      val sym = next.unionByName(next.select(col("v").as("u"), col("u").as("v")))
+        .distinct().localCheckpoint(true)
+      converged =
+        sym.exceptAll(edges).limit(1).count() == 0 &&
+          edges.exceptAll(sym).limit(1).count() == 0
+      edges = sym
+    }
+    // At the fixpoint every non-root points directly at its component
+    // minimum: comp(u) = min over u's edges; roots (the minima) keep
+    // themselves.
+    val nodes = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+    nodes.join(
+        edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("m")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("m"), col("doc_id")))
+          .as("component"))
+      .withColumn("is_canonical", col("doc_id") === col("component"))
+  }
+
   /** documents ∪ planted "leaks": a near-copy of every eval document
     * (doc_id % modulus == 0) re-enters the corpus under a fresh id — the
     * train-on-benchmark contamination [[contaminationPairs]] must catch.

@@ -439,6 +439,36 @@ class PipelineSpec extends AnyFunSuite {
       s"qty skipped $skippedQty of ${z.length}, ship skipped $skipped")
   }
 
+  test("star-contraction components equal propagation on every graph shape") {
+    import spark.implicits._
+    def check(edges: Seq[(Long, Long)], label: String): Unit = {
+      val pairs = edges.toDF("a_id", "b_id")
+      val prop = Dedup.dupComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val stars = Dedup.dupComponentsStars(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(stars === prop, s"graph: $label")
+    }
+    // deep chain — the shape propagation is slowest on
+    check((1L until 40L).map(i => (i, i + 1)), "chain-40")
+    // two cliques + an isolated pair
+    val cliqueA = for (i <- 1 to 5; j <- i + 1 to 5) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 to 13; j <- i + 1 to 13) yield (i.toLong, j.toLong)
+    check(cliqueA ++ cliqueB ++ Seq((100L, 101L)), "cliques+pair")
+    // star with reversed edge directions
+    check((2L to 8L).map(i => (i, 1L)), "in-star")
+    // seeded random graph
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    check(random, "random-30x60")
+    // the real fixture pair list
+    val fixture = Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(spark, dir))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    check(fixture, "fixture-jaccard")
+  }
+
   test("rarity scores: bounds hold and rare mass is where gibberish lives") {
     val rows = graft.exts.TextAnalysis.rarityScores(spark, dir).collect()
     assert(rows.length === Tables.load(spark, dir, "documents").count())
