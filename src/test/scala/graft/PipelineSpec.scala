@@ -424,6 +424,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mix sources invariants hold for random weight vectors") {
+    val langs = Seq("en", "es", "de", "fr")
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      val weights = langs.map(_ -> (1L + rnd.nextInt(999)))
+      val docs = Tables.load(spark, dir, "documents")
+      val out = graft.exts.Sampling.mixSources(docs, weights).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))).toMap
+      assert(out.keySet === langs.toSet, s"trial $trial")
+      // rates stay in [0, 1000]; the binding source saturates (>= 999
+      // rather than == 1000: floor division can shave one part-per-mille)
+      assert(out.values.forall(v => v._3 >= 0 && v._3 <= 1000))
+      val scale = out.values.map { case (t, w, _, _) => t * 1000 / w }.min
+      val binding = out.collectFirst {
+        case (l, (t, w, _, _)) if t * 1000 / w == scale => l }.get
+      assert(out(binding)._3 >= 999L, s"trial $trial binding=$binding")
+      // planned token mass never exceeds its target share
+      out.values.foreach { case (t, w, rate, _) =>
+        assert(rate * t <= w * scale, s"trial $trial")
+      }
+      // deterministic: same weights, same plan
+      val again = graft.exts.Sampling.mixSources(docs, weights).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))).toMap
+      assert(again === out)
+    }
+  }
+
   test("zone maps: date-clustered files skip, unclustered quantity never") {
     val z = graft.ops.FilePlan.zoneMapPrune(
       Tables.load(spark, dir, "lineitem")).collect()
