@@ -25,7 +25,9 @@ object Explain {
       "sample_docs", "pivot_status", "price_percentiles",
       "decontaminate", "join_salted", "q18_large_orders",
       "text_heavy_hitters", "join_outer", "window_range_frame",
-      "stratified_sample")
+      "stratified_sample", "quality_filter", "text_pii_redact",
+      "mix_sources", "zone_map_prune", "dedup_semantic", "shard_manifest",
+      "text_rarity")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)
