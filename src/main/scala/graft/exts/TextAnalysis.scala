@@ -234,6 +234,17 @@ object TextAnalysis {
     * both engines), so the string is deterministic; `keep = (reasons =
     * '')`. Thresholds are integer ratios ×1000/×100 — oracle-exact. */
   def qualityFilter(docs: DataFrame): DataFrame =
+    qualitySignals(docs)
+      .select(col("doc_id"), col("n_chars_measured"),
+        col("mean_token_len_x100"), col("stopword_ratio_x1000"),
+        col("top_word_x1000"), col("dup_bigram_x1000"), col("reasons"),
+        col("keep"))
+
+  /** The signal pass behind [[qualityFilter]], keeping every input column
+    * (plus the signals, `reasons`, `keep`) so compositions like
+    * [[curateCorpus]] can keep filtering and grouping on the original
+    * schema without a self-join. Still one codegen'd projection. */
+  def qualitySignals(docs: DataFrame): DataFrame =
     docs
       .withColumn("rs",
         graft.functions.Signatures.repetition_stats(col("text")))
@@ -257,13 +268,30 @@ object TextAnalysis {
         when(col("stopword_ratio_x1000") < 20, "low_stopword"),
         when(col("top_word_x1000") > 200, "top_word"),
         when(col("dup_bigram_x1000") > 200, "dup_bigram")))
-      .select(col("doc_id"), col("n_chars_measured"),
-        col("mean_token_len_x100"), col("stopword_ratio_x1000"),
-        col("top_word_x1000"), col("dup_bigram_x1000"), col("reasons"),
-        (col("reasons") === "").as("keep"))
+      .withColumn("keep", col("reasons") === "")
 
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     qualityFilter(Tables.load(spark, dir, "documents"))
+
+  /** End-to-end corpus curation as ONE declarative plan: quality-filter
+    * (per-row, fused into the scan) → exact dedup keeping the minimum id
+    * per content hash (a hash aggregate on md5 — the exchange carries
+    * 16-byte keys, never documents) → per-language kept counts and token
+    * totals. The shape a real cleaning job runs before training: Catalyst
+    * pipelines filter + hash into the scan, so the corpus is read once
+    * and shuffled only as (hash, few counters) rows. */
+  def curateCorpus(docs: DataFrame): DataFrame =
+    qualitySignals(docs)
+      .filter(col("keep"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")),
+        col("doc_id")).as("kept"))
+      .groupBy(col("kept.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("kept.n_tokens").cast("long")).as("n_tokens_kept"))
+
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame =
+    curateCorpus(Tables.load(spark, dir, "documents"))
 
   /** PII patterns, chosen to parse and match identically under Java regex
     * (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround.

@@ -129,6 +129,18 @@ object PipelineQueries {
         TextAnalysis.piiRedact(TextAnalysis.corpusWithPii(s, dir))),
       "mix_sources" -> ((s, dir) => Sampling.mixSources(s, dir)),
       "shard_manifest" -> ((s, dir) => Sampling.shardManifest(s, dir)),
+      // end-to-end curation over documents ∪ planted exact copies: the
+      // dedup stage must collapse every planted copy for the per-lang
+      // totals to match the oracle
+      "corpus_curate" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        TextAnalysis.curateCorpus(base.unionByName(
+          base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+              col("lang"))))
+      }),
       "dedup_semantic" -> ((s, dir) => Similarity.semanticDupPairs(s, dir)),
 
       "dedup_exact" -> ((s, dir) =>
@@ -309,6 +321,58 @@ object PipelineQueries {
            |  stopword_ratio_x1000, top_word_x1000, dup_bigram_x1000,
            |  reasons, (reasons = '') AS keep
            |FROM flagged""".stripMargin,
+
+      // Mirrors the fused curation plan: quality rules over the planted
+      // corpus → keep → md5 dedup keeping min doc_id → per-lang totals.
+      "corpus_curate" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text, lang FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text, lang FROM documents
+           |  WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, lang, text,
+           |        CAST(length(text) AS INTEGER) AS n_chars_measured,
+           |        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |          AS INTEGER) AS n_tokens,
+           |        CAST(len(regexp_extract_all(text, '$langEn'))
+           |          AS INTEGER) AS n_stopwords,
+           |        regexp_split_to_array(trim(text), '\\s+') AS w
+           |      FROM corpus),
+           |wc AS (SELECT doc_id, word, count(*) AS c
+           |       FROM (SELECT doc_id, unnest(w) AS word FROM t)
+           |       GROUP BY doc_id, word),
+           |ws AS (SELECT doc_id, max(c) AS top_word_count,
+           |         CAST(sum(c) AS BIGINT) AS rep_tokens
+           |       FROM wc GROUP BY doc_id),
+           |bgr AS (SELECT doc_id, bg, count(*) AS c FROM (
+           |    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           |    FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+           |                     AS i) x
+           |    WHERE len(w) >= 2)
+           |  GROUP BY doc_id, bg),
+           |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |         count(*) AS d_bigrams
+           |       FROM bgr GROUP BY doc_id),
+           |sig AS (
+           |  SELECT t.doc_id, t.lang, t.text, t.n_tokens,
+           |    n_chars_measured,
+           |    (n_chars_measured * 100) // greatest(n_tokens, 1) AS mt,
+           |    (n_stopwords * 1000) // greatest(n_tokens, 1) AS sr,
+           |    top_word_count * 1000 // rep_tokens AS tw,
+           |    coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0) AS db
+           |  FROM t JOIN ws ON ws.doc_id = t.doc_id
+           |  LEFT JOIN bs ON bs.doc_id = t.doc_id),
+           |keep AS (
+           |  SELECT * FROM sig
+           |  WHERE NOT (n_chars_measured < 100 OR n_chars_measured > 20000
+           |    OR mt < 300 OR mt > 1200 OR sr < 20 OR tw > 200 OR db > 200)),
+           |ded AS (
+           |  SELECT arg_min(lang, doc_id) AS lang,
+           |         arg_min(n_tokens, doc_id) AS n_tokens
+           |  FROM keep GROUP BY md5(text))
+           |SELECT lang, count(*) AS n_docs_kept,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+           |FROM ded GROUP BY lang""".stripMargin,
 
       "text_pii_redact" ->
         s"""WITH corpus AS (

@@ -498,6 +498,25 @@ class PipelineSpec extends AnyFunSuite {
     check(fixture, "fixture-jaccard")
   }
 
+  test("curation: planted exact copies never inflate the kept totals") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("lang")))
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      graft.exts.TextAnalysis.curateCorpus(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact copies collapse onto their originals: the curated output of
+    // the padded corpus is identical to the clean corpus's
+    assert(totals(planted) === totals(base))
+    // and curation is a real filter: it never yields more docs than exist
+    val kept = totals(base).values.map(_._1).sum
+    assert(kept > 0 && kept <= base.count())
+  }
+
   test("rarity scores: bounds hold and rare mass is where gibberish lives") {
     val rows = graft.exts.TextAnalysis.rarityScores(spark, dir).collect()
     assert(rows.length === Tables.load(spark, dir, "documents").count())
