@@ -355,6 +355,45 @@ class StreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming curation: filter + dedup + sharded sink lands a clean corpus") {
+    import org.apache.spark.sql.functions._
+    // source corpus on disk: documents ∪ planted exact copies, with a
+    // synthetic monotone ingest time
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-curate-src").toString
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .withColumn("ingest_ts_ms", col("doc_id") * 1000L)
+      .write.mode("overwrite").parquet(srcDir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-curate-out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-curate-ckpt").toString
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_ts_ms LONG")
+      .parquet(srcDir)
+    val q = graft.stream.CurationPipeline.run(stream, outDir, ckpt)
+    q.awaitTermination()
+    val landed = spark.read.parquet(outDir)
+    // batch expectation: quality keepers, one copy per distinct text
+    val keepers = graft.exts.TextAnalysis.qualitySignals(
+        spark.read.parquet(srcDir))
+      .filter(col("keep"))
+    val expectedTexts = keepers.select(md5(col("text"))).distinct().count()
+    assert(landed.count() === expectedTexts)
+    assert(landed.select(md5(col("text"))).distinct().count() === expectedTexts)
+    // everything landed passes the filter (no dropped doc leaked through)
+    val keeperIds = keepers.select("doc_id").collect().map(_.getLong(0)).toSet
+    landed.select("doc_id").collect().map(_.getLong(0))
+      .foreach(id => assert(keeperIds.contains(id)))
+    // shards are the stable id hash
+    landed.select(col("doc_id"), col("shard").cast("long")).collect()
+      .foreach(r => assert(r.getLong(1) === (r.getLong(0) * 2654435761L) % 16))
+  }
+
   test("windowed metrics: batch/stream-shared aggregation is consistent") {
     val metrics = EventPipeline.windowedMetrics(
       EventOps.events(spark, dir), "1 day").collect()
