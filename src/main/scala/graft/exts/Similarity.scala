@@ -30,15 +30,43 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim.cosine_sim(a, b)
 
-  /** Number of leading dimensions whose sign forms the LSH bucket id. */
+  /** Minimum (and historical default) number of leading dimensions whose
+    * sign forms the LSH bucket id. */
   val BucketBits = 6
 
-  /** Sign-bucket id: Σ_k (v[k] ≥ 0) · 2^k over the first [[BucketBits]]
-    * dims. Scale-invariant (a scaled copy lands in the same bucket). */
-  def signBucket(v: Column): Column =
-    (1 to BucketBits).map { k =>
-      when(element_at(v, k) >= 0f, lit(1 << (k - 1))).otherwise(lit(0))
+  /** Upper clamp on adaptive bucket bits (bucket ids stay comfortably in
+    * a BIGINT; requires embedding dim ≥ this — the corpus is 64-dim). */
+  val MaxBucketBits = 30
+
+  /** Near-dup candidate cells aim for ~this many vectors per sign bucket;
+    * within-cell pair search is quadratic in cell size, so the bucket
+    * count — not the cell size — must grow with the corpus. */
+  val TargetCellVectors = 64L
+
+  /** THE dedup_embedding scale knob: smallest b in [[[BucketBits]],
+    * [[MaxBucketBits]]] with n ≤ [[TargetCellVectors]]·2^b, i.e. just
+    * enough hyperplanes that the average cell stays ~constant as the
+    * corpus grows (bits ∝ log₂ n ⇒ total within-cell pair work stays
+    * linear in n instead of quadratic). Integer-only arithmetic so the
+    * DuckDB oracle reproduces the same b bit-for-bit — no float log₂
+    * whose rounding could differ across engines. */
+  def adaptiveBucketBits(n: Long, target: Long = TargetCellVectors): Int = {
+    var b = BucketBits
+    while (b < MaxBucketBits && n > (target << b)) b += 1
+    b
+  }
+
+  /** Sign-bucket id: Σ_k (v[k] ≥ 0) · 2^(k-1) over the first `bits` dims.
+    * Scale-invariant (a scaled copy lands in the same bucket). */
+  def signBucketBits(v: Column, bits: Int): Column =
+    (1 to bits).map { k =>
+      when(element_at(v, k) >= 0f, lit(1L << (k - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** [[signBucketBits]] at the fixed [[BucketBits]] width (the ANN search
+    * path, where within-bucket work is linear per query — the adaptive
+    * width only matters for the quadratic pair-generation path). */
+  def signBucket(v: Column): Column = signBucketBits(v, BucketBits)
 
   /** Attach the sign-bucket id to a (vec_id, embedding) corpus frame. */
   def withBucket(corpus: DataFrame): DataFrame =
@@ -161,7 +189,9 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
       k: Int = 5, nprobe: Int = 1): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    ivfSearch(emb, trainedCentroids(emb), col("vec_id") < maxQueryId,
+    // Index/query split: centroids come from the session-scoped IvfIndex
+    // memo (trained once per (dir, k)), not re-trained per invocation.
+    ivfSearch(emb, IvfIndex.centroids(spark, dir), col("vec_id") < maxQueryId,
       k, nprobe)
   }
 
@@ -222,16 +252,23 @@ object Similarity {
     * stats of the int8 code instead of the code array itself (the
     * harness's row-sort cannot hash array cells, so the registered query
     * must be scalar-only). Same per-row plan — the array lives only
-    * inside the projection. Rows-only gate: the stats depend on float
-    * rounding, which is engine-specific; reconstruction quality is
-    * asserted in PipelineSpec. */
+    * inside the projection.
+    *
+    * Oracle-checkable: every step is IEEE-deterministic — the float
+    * inputs are exact, both engines promote to double for the division,
+    * round half-away-from-zero, and round-to-nearest back to float for
+    * the scale — so the identical SQL mirror in DuckDB reproduces the
+    * code array bit-for-bit. `q_md5` (md5 of the comma-joined int8
+    * codes) pins the ENTIRE code array through the scalar-only gate, not
+    * just its summary stats. */
   def quantizeInt8Stats(corpus: DataFrame): DataFrame =
     quantizeInt8(corpus).select(
       col("vec_id"),
       size(col("q")).as("n_dims"),
       aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
       array_min(col("q")).cast("int").as("q_min"),
-      array_max(col("q")).cast("int").as("q_max"))
+      array_max(col("q")).cast("int").as("q_max"),
+      md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
 
   def quantizeInt8Stats(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8Stats(Tables.load(spark, dir, "embeddings"))
@@ -249,11 +286,22 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: corpus ∪ planted scaled copies,
     * bucketed self-join, exact cosine ≥ threshold within bucket. Output is
-    * id pairs only — integer-exact. */
+    * id pairs only — integer-exact.
+    *
+    * The bucket width is [[adaptiveBucketBits]] of the corpus size (one
+    * metadata-cheap count job), so cells stay ~[[TargetCellVectors]]
+    * vectors at any corpus scale: at sf0.01 this resolves to the
+    * historical 6 bits (64 cells), at 100× the data it grows to 12-13
+    * bits — within-cell pair work stays linear in n, never quadratic.
+    * Recall on true duplicates is unaffected by the width: a scaled or
+    * near-identical copy has the same leading-dimension signs at any
+    * number of hyperplanes. */
   def nearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.999): DataFrame = {
-    val corpus = corpusWithScaledDups(spark, dir)
-      .withColumn("bucket", signBucket(col("embedding")))
+    val corpus0 = corpusWithScaledDups(spark, dir)
+    val bits = adaptiveBucketBits(corpus0.count())
+    val corpus = corpus0
+      .withColumn("bucket", signBucketBits(col("embedding"), bits))
     val a = corpus.select(col("vec_id").as("a_id"),
       col("embedding").as("emb_a"), col("bucket"))
     val b = corpus.select(col("vec_id").as("b_id"),
@@ -285,8 +333,9 @@ object Similarity {
     *   matches the IVF index; ScaleRehearsal drives k ∝ n at sf1. */
   def semanticDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.999, k: Int = IvfCentroids): DataFrame = {
-    val base = Tables.load(spark, dir, "embeddings")
-    val centroids = trainedCentroids(base, k)
+    // Same index/query split as ivfTopK: the cell centroids are an
+    // artifact shared with the IVF searches, not re-trained per query.
+    val centroids = IvfIndex.centroids(spark, dir, k)
     val corpus = corpusWithScaledDups(spark, dir)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))

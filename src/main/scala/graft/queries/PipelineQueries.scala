@@ -166,10 +166,11 @@ object PipelineQueries {
       "sim_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
       "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
       "sim_ivf_probe2" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
-      // rows-only: per-vector float scale is engine-specific arithmetic;
-      // reconstruction quality is asserted in PipelineSpec. Scalar stats
-      // projection (not the int8 array) — the harness row-sort can't
-      // hash array cells.
+      // Scalar stats + md5-of-codes projection (not the int8 array) —
+      // the harness row-sort can't hash array cells; q_md5 pins the full
+      // code array. Oracle mirrors the IEEE-exact float→double→round
+      // chain, so this is hash-gated (reconstruction quality additionally
+      // asserted in PipelineSpec).
       "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(s, dir)),
 
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
@@ -638,11 +639,26 @@ object PipelineQueries {
           |SELECT term, count(*) AS df FROM tok CROSS JOIN n
           |GROUP BY term, n_docs HAVING count(*) * 20 > n_docs""".stripMargin,
 
+      // Mirrors Similarity.adaptiveBucketBits: smallest b in
+      // [BucketBits, MaxBucketBits] with n <= TargetCellVectors * 2^b,
+      // integer arithmetic only (identical b on both engines), then the
+      // first-b-dims sign bucket.
       "dedup_embedding" ->
         s"""WITH $embCorpusCte,
-           |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM corpus)
+           |n AS (SELECT count(*) AS n_corpus FROM corpus),
+           |p AS (SELECT coalesce(min(b), ${Similarity.MaxBucketBits}) AS bits
+           |      FROM (SELECT unnest(range(${Similarity.BucketBits},
+           |                               ${Similarity.MaxBucketBits + 1})) AS b), n
+           |      WHERE n_corpus <= ${Similarity.TargetCellVectors}
+           |                        * (CAST(1 AS BIGINT) << b)),
+           |bkt AS (SELECT vec_id, embedding,
+           |    CAST(list_sum(list_transform(range(1, bits + 1),
+           |      k -> CASE WHEN embedding[k] >= 0
+           |                THEN CAST(1 AS BIGINT) << (k - 1)
+           |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+           |  FROM corpus CROSS JOIN p)
            |SELECT x.vec_id AS a_id, y.vec_id AS b_id
-           |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           |FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
            |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.999""".stripMargin,
 
       "sim_topk" ->
@@ -679,6 +695,33 @@ object PipelineQueries {
       "sim_ivf" -> ivfOracleSql("rn = 1"),
 
       "sim_ivf_probe2" -> ivfOracleSql("rn <= 2"),
+
+      // IEEE-deterministic mirror of Similarity.quantizeInt8Stats: the
+      // float inputs are exact, both engines promote to DOUBLE for the
+      // divisions, round() is half-away-from-zero in both, and the scale
+      // rounds to nearest back to REAL — so the int8 code array (pinned
+      // whole via q_md5) matches bit-for-bit.
+      "emb_quantize" ->
+        """WITH s AS (
+          |  SELECT vec_id, embedding,
+          |    CAST(CAST(list_max(list_transform(embedding, x -> abs(x)))
+          |      AS DOUBLE) / CAST(127 AS DOUBLE) AS REAL) AS scale
+          |  FROM embeddings),
+          |qv AS (
+          |  SELECT vec_id, len(embedding) AS nd,
+          |    CASE WHEN scale > 0 THEN
+          |      list_transform(embedding, x ->
+          |        CAST(round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE))
+          |          AS TINYINT))
+          |    ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
+          |    END AS q
+          |  FROM s)
+          |SELECT vec_id, CAST(nd AS INTEGER) AS n_dims,
+          |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+          |  CAST(list_min(q) AS INTEGER) AS q_min,
+          |  CAST(list_max(q) AS INTEGER) AS q_max,
+          |  md5(array_to_string(q, ',')) AS q_md5
+          |FROM qv""".stripMargin,
 
       // Greedy packing needs running state (each sequence boundary depends
       // on every earlier doc), so the oracle walks docs in id order per

@@ -135,6 +135,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(t1 > 0.0)
   }
 
+  test("IVF index artifact: memo = fresh training; save/load round-trips") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    graft.exts.IvfIndex.clear()
+    val memod = graft.exts.IvfIndex.centroids(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toSet
+    val fresh = Similarity.trainedCentroids(emb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toSet
+    assert(memod === fresh)
+    // persist → load → search must reproduce the memoized-index results
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    graft.exts.IvfIndex.save(
+      graft.exts.IvfIndex.centroids(spark, dir), s"$tmp/centroids.parquet")
+    val loaded = graft.exts.IvfIndex.load(spark, s"$tmp/centroids.parquet")
+    val viaArtifact = Similarity
+      .ivfSearch(emb, loaded, col("vec_id") < 8, 5, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Similarity.ivfTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaArtifact === direct)
+  }
+
   test("simhash: planted near-copies within small hamming distance") {
     val pairs = Dedup.simhashPairs(Dedup.corpusWithNearDups(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -199,7 +221,7 @@ class PipelineSpec extends AnyFunSuite {
     // first (same ordering over a candidate subset that contains it).
     val buckets = Similarity.withBucket(corpus)
       .select("vec_id", "bucket").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bruteTop = brute.filter(_._3 == 1)
     val lshTop = lsh.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
     val sameBucket = bruteTop.filter { case (q, n, _) =>
