@@ -70,6 +70,7 @@ object Executors {
     name match {
       case "local" => new LocalSparkExecutor(spark, log)
       case "dry-run" => new DryRunExecutor(log)
+      case "athena-dry-run" => new AthenaDryRunExecutor(log)
       case className =>
         try Class.forName(className).getDeclaredConstructor()
           .newInstance().asInstanceOf[Executor]
@@ -123,6 +124,36 @@ final class LocalSparkExecutor(spark: SparkSession, log: JobStateLog)
   /** Test/shutdown hook: block on the in-flight job if any. */
   private[graft] def awaitLast(): Unit =
     lastJob.foreach(f => Await.ready(f, Duration.Inf))
+}
+
+/** Athena-path analog of [[DryRunExecutor]]: emits the full
+  * `StartQueryExecution`-shaped parameter block instead of calling AWS.
+  * Faithful to AthenaOptimizeDataExecutor.java in the two places the
+  * engines differ:
+  *  - initialize REQUIRES the result-output bucket (:64) — missing prop
+  *    rejects at initialize time, before any job is submitted;
+  *  - the data-catalog property (default `AwsDataCatalog`,
+  *    AwsManageProperties.java:33-35) rides into the execution context
+  *    (:89-90). */
+final class AthenaDryRunExecutor(log: JobStateLog) extends Executor {
+  private var table: String = _
+  private var cfg: EngineConfig = EngineConfig()
+  var generatedParams: Option[String] = None
+
+  override def initialize(table: String, properties: Map[String, String]): Unit = {
+    this.table = table
+    this.cfg = EngineConfig.fromProperties(properties)
+    cfg.requireAthenaOutputBucket()
+  }
+
+  override def execute(): String = {
+    val jobId = s"athena-$table-${log.nextJobSeq()}"
+    generatedParams = Some(Codegen.athenaStartQueryParams(table, cfg))
+    val now = System.currentTimeMillis()
+    log.append(JobRun(jobId, "QUEUED", now))
+    log.append(JobRun(jobId, "SUCCEEDED", now))
+    jobId
+  }
 }
 
 /** Emits the generated SQL instead of running anything — the codegen path

@@ -153,10 +153,20 @@ final case class EngineConfig(
     strategy: String = EngineConfig.DefaultStrategy,
     options: Map[String, String] = EngineConfig.DefaultOptions,
     sortOrder: Option[String] = None,
-    sparkConfigs: Map[String, String] = EngineConfig.DefaultSparkConfigs) {
+    sparkConfigs: Map[String, String] = EngineConfig.DefaultSparkConfigs,
+    athenaDataCatalog: String = EngineConfig.DefaultAthenaDataCatalog,
+    athenaOutputBucket: Option[String] = None) {
   require(commitThreshold > 0, "commit-threshold must be positive")
   require(timeThresholdMs > 0, "time-threshold-ms must be positive")
   require(sleepWaitMs >= 0, "sleep-wait-ms must be non-negative")
+
+  /** The Athena path's required-prop check: the reference refuses to
+    * initialize without a result-output bucket
+    * (AthenaOptimizeDataExecutor.java:64, message preserved). Only the
+    * Athena executor calls this — the other engines don't need it. */
+  def requireAthenaOutputBucket(): String =
+    athenaOutputBucket.getOrElse(
+      throw new IllegalArgumentException("Invalid output bucket: null"))
 }
 
 object EngineConfig {
@@ -181,12 +191,27 @@ object EngineConfig {
     "spark.executor.instances" -> "10",
     "spark.dynamicAllocation.enabled" -> "false")
 
+  // AwsManageProperties.java:33-35. NOTE the reference quirk (SURVEY §3.3):
+  // this *data catalog* value is passed as the Athena QueryExecutionContext
+  // *database* (AthenaOptimizeDataExecutor.java:89-90). The config surface
+  // is modeled faithfully; the rendered parameter block documents the field
+  // it actually lands in.
+  val DefaultAthenaDataCatalog = "AwsDataCatalog"
+
   /** Property keys, mirroring AwsManageProperties.java. */
   val CommitThresholdKey = "optimize-data.commit-threshold"
   val TimeThresholdKey = "optimize-data.time-threshold-ms"
   val SynchronousKey = "optimize-data.synchronous-enabled"
   val SleepWaitKey = "optimize-data.sleep-wait-ms"
   val ImplKey = "optimize-data.impl"
+  // AwsManageProperties.java:31-35
+  val AthenaOutputBucketKey = "optimize-data.athena.output-bucket"
+  val AthenaDataCatalogKey = "optimize-data.athena.data-catalog"
+  // AwsManageProperties.java:37-43 — the EMR submission surface
+  val EmrClusterIdKey = "optimize-data.emr.cluster-id"
+  val IamExecutionRoleArnKey = "optimize-data.iam.execution-role-arn"
+  val EmrReleaseLabelKey = "optimize-data.emr.release-label"
+  val EmrUploadBucketKey = "optimize-data.emr.upload-bucket"
   val StrategyKey = "optimize-data.strategy"
   val SortOrderKey = "optimize-data.sort-order"
   val OptionsPrefix = "optimize-data.options."
@@ -220,7 +245,10 @@ object EngineConfig {
       strategy = props.getOrElse(StrategyKey, DefaultStrategy),
       options = if (opts.isEmpty) DefaultOptions else opts,
       sortOrder = props.get(SortOrderKey),
-      sparkConfigs = if (confs.isEmpty) DefaultSparkConfigs else confs)
+      sparkConfigs = if (confs.isEmpty) DefaultSparkConfigs else confs,
+      athenaDataCatalog =
+        props.getOrElse(AthenaDataCatalogKey, DefaultAthenaDataCatalog),
+      athenaOutputBucket = props.get(AthenaOutputBucketKey))
   }
 }
 

@@ -46,6 +46,34 @@ class CodegenSpec extends AnyFunSuite {
       "OPTIMIZE db.t REWRITE DATA USING BIN_PACK;")
   }
 
+  test("athena StartQueryExecution golden: context + result configuration") {
+    // AthenaOptimizeDataExecutor.java:86-104 — the data-catalog property
+    // value rides in the QueryExecutionContext *database* field (the
+    // reference quirk, :89-90), the output bucket in ResultConfiguration.
+    val cfg = EngineConfig.fromProperties(Map(
+      "optimize-data.athena.output-bucket" -> "s3://results/athena/"))
+    assert(cfg.athenaDataCatalog === "AwsDataCatalog") // default, :33-35
+    assert(Codegen.athenaStartQueryParams("db.t", cfg) ===
+      "StartQueryExecution(" +
+        "QueryString='OPTIMIZE db.t REWRITE DATA USING BIN_PACK;', " +
+        "QueryExecutionContext(Database='AwsDataCatalog'), " +
+        "ResultConfiguration(OutputLocation='s3://results/athena/'))")
+    // explicit catalog overrides the default
+    val cfg2 = EngineConfig.fromProperties(Map(
+      "optimize-data.athena.output-bucket" -> "s3://b",
+      "optimize-data.athena.data-catalog" -> "my_catalog"))
+    assert(Codegen.athenaStartQueryParams("db.t", cfg2).contains(
+      "QueryExecutionContext(Database='my_catalog')"))
+  }
+
+  test("athena StartQueryExecution requires the output bucket") {
+    val e = intercept[IllegalArgumentException] {
+      Codegen.athenaStartQueryParams("db.t", EngineConfig())
+    }
+    // reference message preserved (AthenaOptimizeDataExecutor.java:64)
+    assert(e.getMessage.contains("Invalid output bucket: null"))
+  }
+
   test("conf flags render sorted --conf k=v") {
     assert(Codegen.confFlags(Map("b" -> "2", "a" -> "1")) ===
       Seq("--conf a=1", "--conf b=2"))

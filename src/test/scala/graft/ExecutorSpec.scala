@@ -86,6 +86,28 @@ class ExecutorSpec extends AnyFunSuite {
     assert(log.currentState(jobId) === Some("SUCCEEDED"))
   }
 
+  test("athena executor: missing output bucket rejected at initialize") {
+    val ex = new graft.engine.AthenaDryRunExecutor(new JobStateLog)
+    val e = intercept[IllegalArgumentException] {
+      ex.initialize("db.t", Map.empty)
+    }
+    assert(e.getMessage.contains("Invalid output bucket: null"))
+  }
+
+  test("athena executor emits the StartQueryExecution parameter block") {
+    val log = new JobStateLog
+    val ex = new graft.engine.AthenaDryRunExecutor(log)
+    ex.initialize("db.t", Map(
+      "optimize-data.athena.output-bucket" -> "s3://results/"))
+    val jobId = ex.execute()
+    assert(ex.generatedParams.get ===
+      "StartQueryExecution(" +
+        "QueryString='OPTIMIZE db.t REWRITE DATA USING BIN_PACK;', " +
+        "QueryExecutionContext(Database='AwsDataCatalog'), " +
+        "ResultConfiguration(OutputLocation='s3://results/'))")
+    assert(log.currentState(jobId) === Some("SUCCEEDED"))
+  }
+
   test("per-engine poll machines: spin sets, success states, raise semantics") {
     import graft.model.PollPolicy
     // (policy, success-terminal the engine's enum uses)
