@@ -37,6 +37,52 @@ class QueryFilesSpec extends AnyFunSuite {
     assert(content.endsWith(".show()"))
   }
 
+  private val eksProps = Map(
+    "optimize-data.emr.cluster-id" -> "vc-123",
+    "optimize-data.iam.execution-role-arn" -> "arn:aws:iam::1:role/r",
+    "optimize-data.emr.release-label" -> "emr-6.9.0-latest",
+    "optimize-data.emr.upload-bucket" -> "s3://uploads",
+    "optimize-data.spark.configs.spark.executor.memory" -> "16g")
+
+  test("EKS StartJobRun golden: monitoring block rides with the job driver") {
+    val got = QueryFiles.eksStartJobRunParams("db.t", "s3://uploads/query/query-j1.sql", eksProps)
+    assert(got ===
+      "StartJobRun(Name='OptimizeJob-db.t', VirtualClusterId='vc-123', " +
+        "ExecutionRoleArn='arn:aws:iam::1:role/r', " +
+        "ReleaseLabel='emr-6.9.0-latest', " +
+        "JobDriver(SparkSqlJobDriver(EntryPoint='s3://uploads/query/query-j1.sql', " +
+        "SparkSqlParameters='--conf spark.sql.extensions=" +
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions " +
+        "--conf spark.executor.memory=16g " +
+        "--jars /usr/share/aws/iceberg/lib/iceberg-spark3-runtime.jar " +
+        "--conf spark.kubernetes.file.upload.path=s3://uploads ')), " +
+        "ConfigurationOverrides(MonitoringConfiguration(" +
+        "PersistentAppUI='ENABLED', " +
+        "CloudWatchMonitoringConfiguration(LogGroupName='/aws/emr-containers', " +
+        "LogStreamNamePrefix='iceberg'), " +
+        "S3MonitoringConfiguration(LogUri='s3://uploads/logs/'))))")
+  }
+
+  test("EKS monitoring block is prop-driven off") {
+    val got = QueryFiles.eksStartJobRunParams("db.t", "s3://u/q.sql",
+      eksProps + (QueryFiles.MonitoringEnabledKey -> "false"))
+    assert(!got.contains("MonitoringConfiguration"))
+    assert(got.contains("SparkSqlJobDriver"))
+  }
+
+  test("EKS StartJobRun rejects each missing required prop") {
+    Seq("optimize-data.emr.cluster-id",
+      "optimize-data.iam.execution-role-arn",
+      "optimize-data.emr.release-label",
+      "optimize-data.emr.upload-bucket").foreach { key =>
+      val e = intercept[IllegalArgumentException] {
+        QueryFiles.eksStartJobRunParams("db.t", "s3://u/q.sql", eksProps - key)
+      }
+      // reference message shape (EmrOnEksOptimizeDataExecutor.java:56-69)
+      assert(e.getMessage === s"$key should be be set")
+    }
+  }
+
   test("createFile overwrites existing content") {
     val dir = Files.createTempDirectory("graft-qf").toString
     QueryFiles.createFile(dir, "a.sql", "one")
