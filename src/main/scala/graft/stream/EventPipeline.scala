@@ -2,13 +2,13 @@ package graft.stream
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.engine.{Executor, JobStateLog}
-import graft.model.{EngineConfig, Fixture}
+import graft.model.{EngineConfig, Fixture, SnapshotMeta}
 import graft.ops.Decide
 
 /** The event-driven maintenance pipeline (SURVEY.md §3.1), Spark-native:
@@ -231,6 +231,121 @@ object EventPipeline {
     (q, RunResult(decisions, submitted, inputRows))
   }
 
+  // ---- stateful-streaming decision path (the primary form) ----
+
+  /** Per-table decision row emitted by the stateful path. */
+  final case class TableDecision(
+      table_id: Long,
+      n_commits_since_replace: Long,
+      oldest_pending_ts_ms: Long,
+      time_triggered: Boolean,
+      should_optimize: Boolean)
+
+  /** The `flatMapGroupsWithState` transition function (the JobTracker
+    * pattern): fold the micro-batch's snapshot rows for one table into its
+    * `DecideBuf` — which lives in Spark's CHECKPOINTED STATE STORE, not in
+    * driver memory — and emit the refreshed decision. `reduceBuf` is
+    * order-insensitive at the fixpoint (a replace prunes exactly the
+    * commits it supersedes regardless of arrival order), so no per-group
+    * sort is needed. State per table is O(commitThreshold) pending
+    * timestamps; with the state store the table-cardinality ceiling is the
+    * cluster's disk, not the driver heap — 10⁹ tables is just a bigger
+    * state store. */
+  def decideGroup(cfg: EngineConfig)(tableId: Long,
+      rows: Iterator[SnapshotMeta],
+      state: GroupState[DecideAggregator.DecideBuf])
+      : Iterator[TableDecision] = {
+    val buf = rows.foldLeft(
+      state.getOption.getOrElse(DecideAggregator.zeroBuf))(
+      DecideAggregator.reduceBuf)
+    state.update(buf)
+    val d = DecideAggregator.finishBuf(buf, cfg)
+    Iterator.single(TableDecision(tableId, d.n_commits_since_replace,
+      d.oldest_pending_ts_ms, d.time_triggered, d.should_optimize))
+  }
+
+  /** Streaming decision frame: events → snapshot-log rows → per-table
+    * stateful fold. Only tables touched by the current micro-batch emit
+    * (Update semantics) — an untouched table's decision cannot change, so
+    * consumers keep a last-value view keyed by table_id. */
+  def statefulDecisions(events: DataFrame,
+      cfg: EngineConfig): Dataset[TableDecision] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    snapshotLogFrom(events)
+      .select(
+        col("table_id").as("tableId"),
+        col("snapshot_id").as("snapshotId"),
+        col("ts_ms").as("tsMillis"),
+        col("operation"))
+      .as[SnapshotMeta]
+      .groupByKey(_.tableId)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(decideGroup(cfg))
+  }
+
+  /** [[runStreaming]] with the per-table decision state in the state store
+    * instead of a driver-side map: restart recovery is Spark's checkpoint
+    * mechanism itself (no log-store rebuild scan, no
+    * reopen-without-checkpoint failure mode), and state capacity scales
+    * with the cluster, not the driver heap. The driver keeps only a
+    * LAST-VALUE VIEW of emitted decisions for reporting plus the dispatch
+    * dedup set — both bounded by (triggered) table count and neither
+    * load-bearing for correctness across restarts (dispatch stays
+    * at-least-once, exactly like the reference's re-evaluate-per-commit).
+    * The foreachBatch/driver-map form above remains as the cross-check
+    * (StreamSpec asserts the two paths agree through the restart
+    * scenario). */
+  def runStatefulStreaming(events: DataFrame, cfg: EngineConfig,
+      executorFor: String => Executor,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : (org.apache.spark.sql.streaming.StreamingQuery, RunResult) = {
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val byTable = scala.collection.mutable.Map.empty[Long, TableDecision]
+    val submitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dispatched = scala.collection.mutable.Set.empty[Long]
+    val q = statefulDecisions(events, cfg).writeStream
+      .trigger(trigger)
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[TableDecision], _: Long) =>
+        val rows = batch.collect()
+        rows.foreach(d => byTable(d.table_id) = d)
+        decisions.clear()
+        decisions ++= byTable.toSeq.sortBy(_._1).map { case (_, d) =>
+          Row(d.table_id, d.n_commits_since_replace,
+            d.oldest_pending_ts_ms, d.time_triggered, d.should_optimize)
+        }
+        // Quiesce: a table whose decision flipped back to false may
+        // trigger (and dispatch) again later.
+        rows.filter(!_.should_optimize).foreach(d => dispatched -= d.table_id)
+        rows.filter(_.should_optimize).map(_.table_id)
+          .filterNot(dispatched.contains).sorted.foreach { tableId =>
+            val table = s"db.tbl_$tableId"
+            val ex = executorFor(table)
+            ex.initialize(table, Map.empty)
+            submitted += ex.execute()
+            dispatched += tableId
+          }
+        ()
+      }
+      .start()
+    (q, RunResult(decisions, submitted))
+  }
+
+  /** Run the stateful pipeline over all currently-available fixture
+    * events (fresh checkpoint). */
+  def runStatefulOnce(spark: SparkSession, dir: String, cfg: EngineConfig,
+      executorFor: String => Executor): RunResult = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stateful-ckpt").toString
+    val (q, result) = runStatefulStreaming(readEventStream(spark, dir), cfg,
+      executorFor, ckpt)
+    q.awaitTermination()
+    RunResult(result.decisions.toSeq, result.submittedJobs.toSeq)
+  }
+
   /** Run the full pipeline over all currently-available fixture events.
     * Returns the final decisions and the submitted job ids. */
   def runOnce(spark: SparkSession, dir: String, cfg: EngineConfig,
@@ -246,11 +361,12 @@ object EventPipeline {
   }
 
   /** Streaming decision query for the driver contract: same output (and
-    * oracle) as the batch should_optimize, produced through the streaming
-    * path over the accumulated log store. */
+    * oracle) as the batch should_optimize, produced through the PRIMARY
+    * stateful-streaming path (per-table state in the checkpointed state
+    * store; the foreachBatch/log-store form remains the cross-check). */
   def decisionsViaStream(spark: SparkSession, dir: String,
       cfg: EngineConfig): DataFrame = {
-    val result = runOnce(spark, dir, cfg, _ => NoopExecutor)
+    val result = runStatefulOnce(spark, dir, cfg, _ => NoopExecutor)
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(result.decisions).asJava),

@@ -170,6 +170,80 @@ class StreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(logStore).count() === 12L)
   }
 
+  test("stateful decision path equals the driver-map path through restart") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val now = Decide.NowMs
+    def ev(id: Long): (Long, Long, Long, String, Double, String) =
+      (id, (now - 60000 + id) * 1000000L, 40L, "click", 1.0, "{}")
+    def addWave(srcDir: String, name: String, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft-swave").toString
+      ids.map(ev).toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp)).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, java.nio.file.Paths.get(srcDir, name))
+      }
+    }
+    def openStream(srcDir: String) = spark.readStream
+      .schema(EventPipeline.eventSchema).parquet(srcDir)
+
+    // stateful path: two runs over the SAME checkpoint — state survives
+    // purely via the state store (no log store, no manual rebuild)
+    val src = Files.createTempDirectory("graft-sf-src").toString
+    val ckpt = Files.createTempDirectory("graft-sf-ckpt").toString
+    val jobLog = new JobStateLog
+    addWave(src, "wave1.parquet", 1L to 6L)
+    val (q1, r1) = EventPipeline.runStatefulStreaming(openStream(src), cfg,
+      _ => new DryRunExecutor(jobLog), ckpt)
+    q1.awaitTermination()
+    assert(r1.decisions.count(_.getBoolean(4)) === 0)
+    assert(r1.submittedJobs.isEmpty)
+    addWave(src, "wave2.parquet", 7L to 12L)
+    val (q2, r2) = EventPipeline.runStatefulStreaming(openStream(src), cfg,
+      _ => new DryRunExecutor(jobLog), ckpt)
+    q2.awaitTermination()
+    val d40 = r2.decisions.find(_.getLong(0) === 40L).get
+    assert(d40.getLong(1) === 12L) // pending commits survived the restart
+    assert(d40.getBoolean(4))
+    assert(r2.submittedJobs.size === 1) // dispatched exactly once
+
+    // cross-check: the driver-map (foreachBatch + log store) form over the
+    // same two waves lands on the identical final decision row
+    val src2 = Files.createTempDirectory("graft-fm-src").toString
+    val log2 = Files.createTempDirectory("graft-fm-log").toString
+    val ckpt2 = Files.createTempDirectory("graft-fm-ckpt").toString
+    addWave(src2, "wave1.parquet", 1L to 6L)
+    val (p1, _) = EventPipeline.runStreaming(openStream(src2), cfg,
+      _ => new DryRunExecutor(new JobStateLog), log2,
+      checkpointDir = Some(ckpt2))
+    p1.awaitTermination()
+    addWave(src2, "wave2.parquet", 7L to 12L)
+    val (p2, rp) = EventPipeline.runStreaming(openStream(src2), cfg,
+      _ => new DryRunExecutor(new JobStateLog), log2,
+      checkpointDir = Some(ckpt2))
+    p2.awaitTermination()
+    val expected = rp.decisions.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    val got = r2.decisions.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(got === expected)
+  }
+
+  test("stateful decision path equals the batch decision on the fixture") {
+    val batch = Decide.shouldOptimize(EventOps.snapshotLog(spark, dir), cfg)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val stateful = EventPipeline.runStatefulOnce(spark, dir, cfg,
+      _ => new DryRunExecutor(new JobStateLog))
+    val got = stateful.decisions.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got === batch)
+    assert(stateful.submittedJobs.size === got.values.count(_._4))
+  }
+
   test("watermarked tumbling windows finalize and drop late data") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
