@@ -27,7 +27,7 @@ object Explain {
       "text_heavy_hitters", "join_outer", "window_range_frame",
       "stratified_sample", "quality_filter", "text_pii_redact",
       "mix_sources", "zone_map_prune", "dedup_semantic", "shard_manifest",
-      "text_rarity")
+      "text_rarity", "corpus_curate")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -257,9 +257,11 @@ object Dedup {
         .select(col("u"), col("v"))
       val sym = next.unionByName(next.select(col("v").as("u"), col("u").as("v")))
         .distinct().localCheckpoint(true)
-      converged =
-        sym.exceptAll(edges).limit(1).count() == 0 &&
-          edges.exceptAll(sym).limit(1).count() == 0
+      // Both sides are distinct sets, so equality = equal cardinality +
+      // one-direction containment: one exceptAll join per round instead
+      // of two (counts over the localCheckpointed frames are cheap).
+      converged = edges.count() == sym.count() &&
+        sym.exceptAll(edges).isEmpty
       edges = sym
     }
     // At the fixpoint every non-root points directly at its component

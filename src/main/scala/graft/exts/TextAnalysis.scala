@@ -42,7 +42,10 @@ object TextAnalysis {
 
   /** Quality scoring: length stats, stopword ratio, punctuation ratio,
     * mean token length — integer arithmetic only (`div`, ratios ×1000) so
-    * the oracle compare is exact. */
+    * the oracle compare is exact. The n_stopwords column here is
+    * English-calibrated BY CONTRACT (it reports the en-marker count as an
+    * inspectable signal); the curation path ([[qualitySignals]]) keys the
+    * marker on the document's language instead. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .withColumn("n_tokens", size(words(col("text"))))
@@ -243,15 +246,31 @@ object TextAnalysis {
   /** The signal pass behind [[qualityFilter]], keeping every input column
     * (plus the signals, `reasons`, `keep`) so compositions like
     * [[curateCorpus]] can keep filtering and grouping on the original
-    * schema without a self-join. Still one codegen'd projection. */
-  def qualitySignals(docs: DataFrame): DataFrame =
+    * schema without a self-join. Still one codegen'd projection.
+    *
+    * The stopword signal uses the marker for the document's labeled
+    * language (CASE over [[LangMarkers]] — only the matched branch's
+    * regex runs per row), so the low_stopword rule doesn't systematically
+    * drop es/de/fr documents and skew the kept corpus toward English —
+    * which would fight the multilingual [[Sampling.DefaultMixWeights]]
+    * recipe downstream. Unlabeled corpora (no `lang` column) fall back to
+    * the English marker. */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val markerCounts = LangMarkers.map { case (l, p) =>
+      l -> regexp_count(col("text"), lit(p))
+    }
+    val nStopwords =
+      if (!docs.columns.contains("lang")) markerCounts.head._2
+      else markerCounts.tail.reverse
+        .foldLeft(markerCounts.head._2: Column) {
+          case (acc, (l, c)) => when(col("lang") === l, c).otherwise(acc)
+        }
     docs
       .withColumn("rs",
         graft.functions.Signatures.repetition_stats(col("text")))
       .withColumn("n_chars_measured", length(col("text")))
       .withColumn("n_tokens", size(words(col("text"))))
-      .withColumn("n_stopwords",
-        regexp_count(col("text"), lit(LangMarkers.head._2)))
+      .withColumn("n_stopwords", nStopwords)
       .withColumn("mean_token_len_x100",
         expr("(n_chars_measured * 100) div greatest(n_tokens, 1)"))
       .withColumn("stopword_ratio_x1000",
@@ -269,6 +288,7 @@ object TextAnalysis {
         when(col("top_word_x1000") > 200, "top_word"),
         when(col("dup_bigram_x1000") > 200, "dup_bigram")))
       .withColumn("keep", col("reasons") === "")
+  }
 
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     qualityFilter(Tables.load(spark, dir, "documents"))
@@ -325,17 +345,17 @@ object TextAnalysis {
     docs
       .withColumn("n_emails", regexp_count(col("text"), lit(EmailPattern)))
       .withColumn("n_phones", regexp_count(col("text"), lit(PhonePattern)))
-      .withColumn("redacted",
+      // IPv4 is counted on the SAME intermediate the redaction applies
+      // its IPv4 pass to (emails AND phones already replaced): counting
+      // on any earlier form could disagree with the redacted output when
+      // a phone match overlaps an IPv4-shaped substring.
+      .withColumn("pre_ip",
         regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
-            PhonePattern, "<PHONE>"),
-          Ipv4Pattern, "<IP>"))
-      // IPv4 is counted on the email-redacted text: a host part like
-      // mail.10.x would otherwise double-count (order pinned in the doc).
-      .withColumn("n_ips", regexp_count(
-        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
-        lit(Ipv4Pattern)))
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+      .withColumn("n_ips", regexp_count(col("pre_ip"), lit(Ipv4Pattern)))
+      .withColumn("redacted",
+        regexp_replace(col("pre_ip"), Ipv4Pattern, "<IP>"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"),
         md5(col("redacted")).as("redacted_md5"))

@@ -44,6 +44,15 @@ object PipelineQueries {
   private val Seq(langEn, langEs, langDe, langFr) =
     TextAnalysis.LangMarkers.map(_._2)
 
+  /** Lang-keyed stopword count (mirror of the qualitySignals CASE: the
+    * labeled language's marker, English fallback) — generated from
+    * LangMarkers so the branch set stays single-sourced. */
+  private val stopwordCaseSql =
+    "CASE lang " + TextAnalysis.LangMarkers.tail.map { case (l, p) =>
+      s"WHEN '$l' THEN len(regexp_extract_all(text, '$p'))"
+    }.mkString(" ") +
+      s" ELSE len(regexp_extract_all(text, '${TextAnalysis.LangMarkers.head._2}')) END"
+
   /** DuckDB mirror of [[Similarity.trainedCentroids]] + the IVF search:
     * seeds → [[Similarity.IvfIters]] Lloyd iterations (assignment CTE +
     * per-dimension mean via parallel unnest, centroid cast to FLOAT so
@@ -276,7 +285,7 @@ object PipelineQueries {
            |            CAST(length(text) AS INTEGER) AS n_chars_measured,
            |            CAST(len(regexp_split_to_array(trim(text), '\\s+'))
            |              AS INTEGER) AS n_tokens,
-           |            CAST(len(regexp_extract_all(text, '$langEn'))
+           |            CAST($stopwordCaseSql
            |              AS INTEGER) AS n_stopwords,
            |            regexp_split_to_array(trim(text), '\\s+') AS w
            |          FROM documents),
@@ -335,7 +344,7 @@ object PipelineQueries {
            |        CAST(length(text) AS INTEGER) AS n_chars_measured,
            |        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
            |          AS INTEGER) AS n_tokens,
-           |        CAST(len(regexp_extract_all(text, '$langEn'))
+           |        CAST($stopwordCaseSql
            |          AS INTEGER) AS n_stopwords,
            |        regexp_split_to_array(trim(text), '\\s+') AS w
            |      FROM corpus),
@@ -387,15 +396,15 @@ object PipelineQueries {
            |      AS INTEGER) AS n_emails,
            |    CAST(len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}'))
            |      AS INTEGER) AS n_phones,
-           |    regexp_replace(text, '${TextAnalysis.EmailPattern}',
-           |      '<EMAIL>', 'g') AS t1
+           |    regexp_replace(regexp_replace(text,
+           |      '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+           |      '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS pre_ip
            |  FROM corpus),
            |r2 AS (
            |  SELECT doc_id, n_emails, n_phones,
-           |    CAST(len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Pattern}'))
+           |    CAST(len(regexp_extract_all(pre_ip, '${TextAnalysis.Ipv4Pattern}'))
            |      AS INTEGER) AS n_ips,
-           |    regexp_replace(regexp_replace(t1,
-           |      '${TextAnalysis.PhonePattern}', '<PHONE>', 'g'),
+           |    regexp_replace(pre_ip,
            |      '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g') AS redacted
            |  FROM r)
            |SELECT doc_id, n_emails, n_phones, n_ips,
