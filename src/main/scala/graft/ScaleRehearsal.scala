@@ -47,7 +47,18 @@ object ScaleRehearsal {
       "sim_ivf" -> SparkEntry.queries("sim_ivf"),
       "quality_filter" -> SparkEntry.queries("quality_filter"),
       "dedup_semantic(k~n)" -> ((s: SparkSession, d: String) =>
-        graft.exts.Similarity.semanticDupPairs(s, d, k = kFor(d))))
+        graft.exts.Similarity.semanticDupPairs(s, d, k = kFor(d))),
+      // adaptiveBucketBits IS the knob here: 6 bits at sf0.1 → 9 at sf1
+      // (22k corpus vectors / 64-per-cell target), so within-cell pair
+      // work stays ~linear — with the old fixed 6 bits it would be ~100×.
+      "dedup_embedding" -> SparkEntry.queries("dedup_embedding"),
+      // two hash aggregates + broadcast vocabulary join — shuffle tracks
+      // distinct (doc, term) pairs, so 10× docs ⇒ ~10× shuffle rows.
+      "text_tfidf" -> SparkEntry.queries("text_tfidf"),
+      // banding = equi-join on (band, bucket); candidate pairs follow the
+      // real near-dup structure (replicas are shingle-disjoint), so the
+      // join stays linear in corpus size.
+      "dedup_minhash_lsh" -> SparkEntry.queries("dedup_minhash_lsh"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries
