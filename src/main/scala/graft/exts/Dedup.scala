@@ -210,6 +210,28 @@ object Dedup {
       (col("doc_id") === col("comp")).as("is_canonical"))
   }
 
+  /** The end-to-end dedup VERDICT — one row per corpus document with the
+    * final keep/drop decision a training run consumes: near-dup pairs →
+    * transitive components ([[dupComponents]]) → keep the component
+    * minimum, drop the rest; documents in no pair keep themselves. This is
+    * the artifact the pairwise/group queries exist to produce — pairs and
+    * components are diagnostics, the keep-list is what gates the corpus.
+    *
+    * Plan shape: the component frame is bounded by documents that appear
+    * in ANY near-dup pair (per-mille of a real corpus), so the join back
+    * to the full corpus broadcasts the verdict side; the corpus itself is
+    * never shuffled. */
+  def dupKeepList(corpus: DataFrame): DataFrame = {
+    val comps = dupComponents(ngramJaccardPairs(corpus))
+      .select(col("doc_id"), col("component"))
+    corpus.select(col("doc_id"))
+      .join(broadcast(comps), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .as("keep"))
+  }
+
   /** Connected components via alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the deep-graph scale path next to [[dupComponents]]'s min-label

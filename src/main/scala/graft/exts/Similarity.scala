@@ -227,6 +227,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF index-build statistics: every corpus vector assigned to its
+    * nearest trained centroid, one row per cell with its occupancy and
+    * canonical member. This is the INDEX itself viewed as a table (the
+    * cell id is the partition key a 100 TB layout clusters by), and the
+    * operator that makes the build step first-class: a deployment runs it
+    * once at ingest, persists the assignment, and every search probes the
+    * resulting cells. Occupancy is also the health check — a skewed cell
+    * histogram says the centroid count needs raising before the
+    * within-cell work blows up. */
+  def ivfCells(spark: SparkSession, dir: String,
+      k: Int = IvfCentroids): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = IvfIndex.centroids(spark, dir, k)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    emb.join(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cent_id").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector scale
     * s = max|x| / 127, q_i = round(x_i / s) ∈ [-127, 127] — 4 bytes/dim
     * compressed to 1 at rest, the standard storage/serving format for

@@ -313,6 +313,32 @@ object TextAnalysis {
   def curateCorpus(spark: SparkSession, dir: String): DataFrame =
     curateCorpus(Tables.load(spark, dir, "documents"))
 
+  /** Duplicated-span scoring — the exact-substring-dedup signal
+    * (RefinedWeb/MassiveText run it at substring granularity; here at
+    * word-[[Dedup.ShingleN]]-gram granularity, the relational form): per
+    * document, how many of its distinct word spans appear verbatim in at
+    * least one OTHER document, as an integer-exact fraction. A doc that is
+    * mostly copied from elsewhere scores near 1000 and is what a real
+    * pipeline's span-removal pass rewrites; organic docs score near 0.
+    *
+    * Plan: one native shingle pass per doc (codegen'd ShingleSet), one
+    * hash aggregate for span document-frequencies, one shuffle join back
+    * on the span, one per-doc aggregate — shuffle rows track distinct
+    * (doc, span) pairs, the [[tfidfTop]]/[[rarityScores]] shape. df > 1
+    * means "in another doc" because the span array per doc is DISTINCT. */
+  def dupSpanScores(corpus: DataFrame): DataFrame = {
+    val sh = corpus.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"))).as("sh"))
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        expr("n_dup_spans * 1000 div n_spans").as("dup_span_frac_x1000"))
+  }
+
   /** PII patterns, chosen to parse and match identically under Java regex
     * (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround.
     * Redaction order matters — emails first, so the host part is gone

@@ -168,6 +168,11 @@ object PipelineQueries {
       "dedup_groups" -> ((s, dir) =>
         Dedup.dupComponents(
           Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir)))),
+      "dedup_keep_list" -> ((s, dir) =>
+        Dedup.dupKeepList(Dedup.corpusWithNearDups(s, dir))),
+      "text_dup_spans" -> ((s, dir) =>
+        TextAnalysis.dupSpanScores(Dedup.corpusWithNearDups(s, dir))),
+      "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
       "decontaminate" -> ((s, dir) =>
         Dedup.contaminationPairs(Dedup.corpusWithLeaks(s, dir))),
 
@@ -567,6 +572,74 @@ object PipelineQueries {
            |SELECT u AS doc_id, least(u, min(v)) AS component,
            |  (u = least(u, min(v))) AS is_canonical
            |FROM reach GROUP BY u""".stripMargin,
+
+      // Same recursive-closure CTEs as dedup_groups, then the verdict:
+      // every corpus doc, keep = (component minimum or untouched).
+      "dedup_keep_list" ->
+        s"""WITH RECURSIVE $nearCorpusCte,
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM corpus),
+           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+           |  WHERE len(words) >= 5),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM inter
+           |  JOIN sizes na ON na.doc_id = a_id
+           |  JOIN sizes nb ON nb.doc_id = b_id
+           |  WHERE inter * 3 >= na.n_sh + nb.n_sh),
+           |bi AS (SELECT a_id AS u, b_id AS v FROM pairs
+           |       UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM bi
+           |  UNION
+           |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+           |comp AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u)
+           |SELECT c.doc_id,
+           |  coalesce(component, c.doc_id) AS component,
+           |  (coalesce(component, c.doc_id) = c.doc_id) AS keep
+           |FROM corpus c LEFT JOIN comp USING (doc_id)""".stripMargin,
+
+      "text_dup_spans" ->
+        s"""WITH $nearCorpusCte,
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM corpus),
+           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+           |  WHERE len(words) >= 5),
+           |dfr AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+           |SELECT doc_id, count(*) AS n_spans,
+           |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_spans,
+           |  CAST(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000 // count(*) AS BIGINT) AS dup_span_frac_x1000
+           |FROM sh JOIN dfr USING (sh)
+           |GROUP BY doc_id""".stripMargin,
+
+      // Index-build stats: the sim_ivf training CTEs + full-corpus
+      // assignment, rolled up per cell.
+      "ivf_cells" ->
+        s"""WITH $trainCtes,
+           |asgn AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cent_id AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+           |                 c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN $trainFinalCte c)
+           |  WHERE rn = 1)
+           |SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+           |FROM asgn GROUP BY cell""".stripMargin,
 
       "decontaminate" ->
         """WITH corpus AS (

@@ -157,6 +157,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaArtifact === direct)
   }
 
+  test("keep-list: planted copies dropped, kept count = component count") {
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    val kl = Dedup.dupKeepList(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(kl.size.toLong === corpus.count()) // total: one verdict per doc
+    val planted = kl.keys.filter(_ >= 100000L)
+    assert(planted.nonEmpty)
+    planted.foreach { p =>
+      assert(!kl(p)._2, s"planted copy $p must be dropped")
+      assert(kl(p)._1 <= p - 100000L) // grouped with (at least) its original
+    }
+    // keep ⟺ the doc is its component's minimum; kept count = #components
+    kl.foreach { case (id, (comp, keep)) => assert(keep === (id == comp)) }
+    assert(kl.values.count(_._2) === kl.values.map(_._1).toSet.size)
+  }
+
+  test("dup-span scores: planted copies near 1000, organic docs near 0") {
+    val out = graft.exts.TextAnalysis
+      .dupSpanScores(Dedup.corpusWithNearDups(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val planted = out.keys.filter(_ >= 100000L)
+    assert(planted.nonEmpty)
+    // a planted copy shares every span except the few crossing its novel
+    // two-token tail
+    planted.foreach { p =>
+      val (n, dup, frac) = out(p)
+      assert(dup >= n - 6 && frac >= 700, s"copy $p scored ($n, $dup, $frac)")
+    }
+    // docs with no planted counterpart share no spans (tiny-vocab chance
+    // collisions aside, their fraction is 0)
+    val organic = out.collect {
+      case (id, (_, _, f)) if id < 100000L && id % 7 != 0 => f
+    }
+    assert(organic.count(_ == 0L) * 2 > organic.size)
+  }
+
+  test("ivf cells: occupancy sums to the corpus, one row per cell") {
+    val cells = Similarity.ivfCells(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.map(_._2).sum ===
+      graft.Tables.load(spark, dir, "embeddings").count())
+    assert(cells.map(_._1).distinct.length === cells.length)
+    assert(cells.length > 1)
+    cells.foreach { case (cell, n, minId) =>
+      assert(n > 0 && minId >= 0 && cell >= 0)
+    }
+  }
+
   test("simhash: planted near-copies within small hamming distance") {
     val pairs = Dedup.simhashPairs(Dedup.corpusWithNearDups(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
