@@ -27,7 +27,8 @@ object Explain {
       "text_heavy_hitters", "join_outer", "window_range_frame",
       "stratified_sample", "quality_filter", "text_pii_redact",
       "mix_sources", "zone_map_prune", "dedup_semantic", "shard_manifest",
-      "text_rarity", "corpus_curate")
+      "text_rarity", "corpus_curate", "dedup_keep_list", "text_dup_spans",
+      "ivf_cells")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -2,7 +2,9 @@ package graft.exts
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -73,4 +75,66 @@ object IvfIndex {
 
   /** Test seam: drop all memoized indexes. */
   private[graft] def clear(): Unit = memo.clear()
+
+  // ---- the index AT REST: cell-partitioned corpus layout ----
+
+  /** Nearest-centroid cell for every (vec_id, embedding) row. */
+  private def assigned(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    corpus.join(broadcast(centroids))
+      .withColumn("cent_cos",
+        Similarity.cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** Write the corpus CLUSTERED BY CELL — one `cell=<id>/` parquet
+    * directory per inverted-file cell. This is the 100 TB layout the IVF
+    * design assumes: the cell is the partition key at rest, so a probe
+    * reads only its own cells' files (directory-level pruning — verified
+    * in PipelineSpec via `PartitionFilters` in the scan node) instead of
+    * filtering the whole corpus post-scan. Build once at ingest alongside
+    * [[save]]ing the centroid artifact. */
+  def writeClustered(corpus: DataFrame, centroids: DataFrame,
+      path: String): Unit =
+    assigned(corpus, centroids).write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+
+  /** IVF search against a [[writeClustered]] layout: queries are assigned
+    * to their nprobe nearest cells (a broadcast-sized computation — the
+    * query set is small by definition), and the corpus scan is filtered
+    * to exactly those cell literals, so partition pruning skips every
+    * other cell's files. Collecting the probed cell ids to the driver is
+    * metadata-scale (≤ |queries|·nprobe ints) and is what turns the
+    * probe set into prunable literals. Results are identical to the
+    * unclustered [[Similarity.ivfSearch]] with the same centroids. */
+  def searchClustered(spark: SparkSession, path: String,
+      centroids: DataFrame, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      .join(broadcast(centroids))
+      .withColumn("cent_cos", Similarity.cosine(col("emb_q"), col("cent")))
+      .withColumn("cent_rn", row_number().over(w))
+      .filter(col("cent_rn") <= nprobe)
+      .select(col("query_id"), col("emb_q"), col("cent_id").as("cell"))
+    val probedCells = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_n"), col("cell"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("emb_q"), col("emb_n")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }

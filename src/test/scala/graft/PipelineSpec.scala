@@ -206,6 +206,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered IVF layout: partition-pruned probes = in-memory search") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val cent = graft.exts.IvfIndex.centroids(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf-clustered").toString + "/emb_by_cell"
+    graft.exts.IvfIndex.writeClustered(emb, cent, path)
+    val got = graft.exts.IvfIndex.searchClustered(spark, path, cent,
+      emb.filter(col("vec_id") < 8))
+    val expected = Similarity.ivfSearch(emb, cent, col("vec_id") < 8, 5, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotRows === expected)
+    // the corpus scan prunes to the probed cells at the directory level
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no cell partition filter in:\n$plan")
+  }
+
   test("simhash: planted near-copies within small hamming distance") {
     val pairs = Dedup.simhashPairs(Dedup.corpusWithNearDups(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
