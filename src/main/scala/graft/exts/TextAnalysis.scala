@@ -248,23 +248,21 @@ object TextAnalysis {
     * [[curateCorpus]] can keep filtering and grouping on the original
     * schema without a self-join. Still one codegen'd projection.
     *
-    * The stopword signal uses the marker for the document's labeled
-    * language (CASE over [[LangMarkers]] — only the matched branch's
-    * regex runs per row), so the low_stopword rule doesn't systematically
-    * drop es/de/fr documents and skew the kept corpus toward English —
-    * which would fight the multilingual [[Sampling.DefaultMixWeights]]
-    * recipe downstream. Unlabeled corpora (no `lang` column) fall back to
-    * the English marker. */
+    * The stopword signal is the MAX marker count across all
+    * [[LangMarkers]] languages: a document passes if it reads fluent in
+    * ANY supported language, so the low_stopword rule doesn't
+    * systematically drop non-English documents and skew the kept corpus
+    * toward English — which would fight the multilingual
+    * [[Sampling.DefaultMixWeights]] recipe downstream. Max-across (not
+    * keyed on the `lang` column) is deliberate: it needs no label, is
+    * immune to mislabeled documents, and degrades gracefully for
+    * languages outside the marker set (they're judged by the closest
+    * marker language rather than silently falling back to English). */
   def qualitySignals(docs: DataFrame): DataFrame = {
-    val markerCounts = LangMarkers.map { case (l, p) =>
-      l -> regexp_count(col("text"), lit(p))
+    val markerCounts = LangMarkers.map { case (_, p) =>
+      regexp_count(col("text"), lit(p))
     }
-    val nStopwords =
-      if (!docs.columns.contains("lang")) markerCounts.head._2
-      else markerCounts.tail.reverse
-        .foldLeft(markerCounts.head._2: Column) {
-          case (acc, (l, c)) => when(col("lang") === l, c).otherwise(acc)
-        }
+    val nStopwords = greatest(markerCounts: _*)
     docs
       .withColumn("rs",
         graft.functions.Signatures.repetition_stats(col("text")))
@@ -312,6 +310,50 @@ object TextAnalysis {
 
   def curateCorpus(spark: SparkSession, dir: String): DataFrame =
     curateCorpus(Tables.load(spark, dir, "documents"))
+
+  /** [[curateCorpus]] with the SEMANTIC tier added — the full modern
+    * curation recipe over BOTH modalities of the corpus (text + aligned
+    * embeddings, joined on doc_id = vec_id):
+    *
+    *   quality filter → exact dedup (md5, min id) → embedding-level
+    *   semantic demotion → per-language kept totals.
+    *
+    * The planted fixture makes each tier load-bearing: every 10th doc
+    * re-enters with two novel tail tokens (so its md5 DIFFERS — exact
+    * dedup cannot catch it) while its embedding re-enters ×2-scaled
+    * (cosine exactly 1 — the semantic tier catches it). Demotion is
+    * pair-based (drop the higher id of each within-cell pair at cosine ≥
+    * threshold); the transitive component verdict lives in
+    * [[Dedup.dupKeepList]].
+    *
+    * Scale shape: the text side is the [[curateCorpus]] plan (signals
+    * fused into the scan, 16-byte dedup keys); the semantic side is the
+    * [[Similarity.semanticDupPairs]] cell join whose output (true
+    * near-dups) is per-mille of the corpus, so the drop set broadcasts
+    * into a left-anti join — the corpus never shuffles for it. */
+  def curateCorpusSemantic(spark: SparkSession, dir: String,
+      threshold: Double = 0.999,
+      k: Int = Similarity.IvfCentroids): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zqx wvk")).as("text"), col("lang")))
+    val kept = qualitySignals(corpus).filter(col("keep"))
+    val exact = kept
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")),
+        col("doc_id")).as("kept"))
+      .select(col("kept.doc_id").as("doc_id"), col("kept.lang").as("lang"),
+        col("kept.n_tokens").as("n_tokens"))
+    val drops = Similarity.semanticDupPairs(spark, dir, threshold, k)
+      .select(col("b_id").as("doc_id")).distinct()
+    exact.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens").cast("long")).as("n_tokens_kept"))
+  }
 
   /** Duplicated-span scoring — the exact-substring-dedup signal
     * (RefinedWeb/MassiveText run it at substring granularity; here at

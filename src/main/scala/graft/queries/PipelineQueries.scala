@@ -44,14 +44,13 @@ object PipelineQueries {
   private val Seq(langEn, langEs, langDe, langFr) =
     TextAnalysis.LangMarkers.map(_._2)
 
-  /** Lang-keyed stopword count (mirror of the qualitySignals CASE: the
-    * labeled language's marker, English fallback) — generated from
-    * LangMarkers so the branch set stays single-sourced. */
+  /** Max-across-languages stopword count (mirror of the qualitySignals
+    * `greatest` over all markers) — generated from LangMarkers so the
+    * marker set stays single-sourced. */
   private val stopwordCaseSql =
-    "CASE lang " + TextAnalysis.LangMarkers.tail.map { case (l, p) =>
-      s"WHEN '$l' THEN len(regexp_extract_all(text, '$p'))"
-    }.mkString(" ") +
-      s" ELSE len(regexp_extract_all(text, '${TextAnalysis.LangMarkers.head._2}')) END"
+    TextAnalysis.LangMarkers
+      .map { case (_, p) => s"len(regexp_extract_all(text, '$p'))" }
+      .mkString("greatest(", ", ", ")")
 
   /** DuckDB mirror of [[Similarity.trainedCentroids]] + the IVF search:
     * seeds → [[Similarity.IvfIters]] Lloyd iterations (assignment CTE +
@@ -151,6 +150,8 @@ object PipelineQueries {
               col("lang"))))
       }),
       "dedup_semantic" -> ((s, dir) => Similarity.semanticDupPairs(s, dir)),
+      "corpus_curate_semantic" -> ((s, dir) =>
+        TextAnalysis.curateCorpusSemantic(s, dir)),
 
       "dedup_exact" -> ((s, dir) =>
         Dedup.exactDupGroups(Dedup.corpusWithExactDups(s, dir))),
@@ -388,6 +389,82 @@ object PipelineQueries {
            |SELECT lang, count(*) AS n_docs_kept,
            |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
            |FROM ded GROUP BY lang""".stripMargin,
+
+      // curation + semantic tier: the corpus_curate quality/exact-dedup
+      // chain over a tail-perturbed planting (md5 misses it) + the
+      // dedup_semantic cell-pair drops over the ×2-scaled embeddings
+      // (cosine 1 catches it), anti-joined before the per-lang rollup.
+      "corpus_curate_semantic" ->
+        s"""WITH $trainCtes,
+           |ecorpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2)
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |easgn AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+           |                 c.cent_id) AS rn
+           |    FROM ecorpus e CROSS JOIN $trainFinalCte c)
+           |  WHERE rn = 1),
+           |drops AS (
+           |  SELECT DISTINCT y.vec_id AS doc_id
+           |  FROM easgn x JOIN easgn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.999),
+           |corpus AS (
+           |  SELECT doc_id, text, lang FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' zqx wvk', lang
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, lang, text,
+           |        CAST(length(text) AS INTEGER) AS n_chars_measured,
+           |        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |          AS INTEGER) AS n_tokens,
+           |        CAST($stopwordCaseSql
+           |          AS INTEGER) AS n_stopwords,
+           |        regexp_split_to_array(trim(text), '\\s+') AS w
+           |      FROM corpus),
+           |wc AS (SELECT doc_id, word, count(*) AS c
+           |       FROM (SELECT doc_id, unnest(w) AS word FROM t)
+           |       GROUP BY doc_id, word),
+           |ws AS (SELECT doc_id, max(c) AS top_word_count,
+           |         CAST(sum(c) AS BIGINT) AS rep_tokens
+           |       FROM wc GROUP BY doc_id),
+           |bgr AS (SELECT doc_id, bg, count(*) AS c FROM (
+           |    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           |    FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+           |                     AS i) x
+           |    WHERE len(w) >= 2)
+           |  GROUP BY doc_id, bg),
+           |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |         count(*) AS d_bigrams
+           |       FROM bgr GROUP BY doc_id),
+           |sig AS (
+           |  SELECT t.doc_id, t.lang, t.text, t.n_tokens,
+           |    n_chars_measured,
+           |    (n_chars_measured * 100) // greatest(n_tokens, 1) AS mt,
+           |    (n_stopwords * 1000) // greatest(n_tokens, 1) AS sr,
+           |    top_word_count * 1000 // rep_tokens AS tw,
+           |    coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0) AS db
+           |  FROM t JOIN ws ON ws.doc_id = t.doc_id
+           |  LEFT JOIN bs ON bs.doc_id = t.doc_id),
+           |keep AS (
+           |  SELECT * FROM sig
+           |  WHERE NOT (n_chars_measured < 100 OR n_chars_measured > 20000
+           |    OR mt < 300 OR mt > 1200 OR sr < 20 OR tw > 200 OR db > 200)),
+           |ded AS (
+           |  SELECT min(doc_id) AS doc_id,
+           |         arg_min(lang, doc_id) AS lang,
+           |         arg_min(n_tokens, doc_id) AS n_tokens
+           |  FROM keep GROUP BY md5(text)),
+           |fin AS (
+           |  SELECT * FROM ded
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+           |SELECT lang, count(*) AS n_docs_kept,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+           |FROM fin GROUP BY lang""".stripMargin,
 
       "text_pii_redact" ->
         s"""WITH corpus AS (

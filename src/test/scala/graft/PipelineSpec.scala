@@ -226,6 +226,23 @@ class PipelineSpec extends AnyFunSuite {
       s"no cell partition filter in:\n$plan")
   }
 
+  test("semantic curation: tail-perturbed copies evade md5 but not cosine") {
+    import org.apache.spark.sql.functions.col
+    // The planted copies differ in text (md5 misses them) but their
+    // embeddings are scaled copies (cosine 1): after the semantic tier,
+    // the totals must equal curating the UNPLANTED corpus — every copy
+    // was removed, every original kept.
+    val withSemantic = graft.exts.TextAnalysis
+      .curateCorpusSemantic(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val baseOnly = graft.exts.TextAnalysis.curateCorpus(
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(withSemantic === baseOnly)
+    assert(withSemantic.nonEmpty)
+  }
+
   test("simhash: planted near-copies within small hamming distance") {
     val pairs = Dedup.simhashPairs(Dedup.corpusWithNearDups(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
