@@ -124,14 +124,18 @@ object Multimodal {
     }.toDF("doc_id", "window_idx", "n_bytes", "energy")
   }
 
-  /** Resize stub: metadata-level resize (a real one transforms pixels). */
+  /** Resize stub: metadata-level resize (a real one transforms pixels).
+    * Integer arithmetic only (`w·maxDim div max(w,h)`, floor), so the
+    * DuckDB oracle reproduces every pixel dimension exactly — no float
+    * scale whose rounding could differ at a boundary. */
   def resizeMeta(assets: Dataset[MediaAsset], maxDim: Int): DataFrame = {
     import assets.sparkSession.implicits._
     assets.map { a =>
-      val scale = math.min(1.0, maxDim.toDouble / math.max(a.width, a.height))
-      (a.doc_id, a.width, a.height,
-        math.max(1, (a.width * scale).toInt),
-        math.max(1, (a.height * scale).toInt))
+      val m = math.max(a.width, a.height)
+      if (m <= maxDim) (a.doc_id, a.width, a.height, a.width, a.height)
+      else (a.doc_id, a.width, a.height,
+        math.max(1, a.width * maxDim / m),
+        math.max(1, a.height * maxDim / m))
     }.toDF("doc_id", "width", "height", "resized_w", "resized_h")
   }
 }

@@ -194,6 +194,13 @@ object PipelineQueries {
       "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
 
       "mm_meta" -> ((s, dir) => Multimodal.metadata(s, dir)),
+      // frame sampling + resize are integer-exact over ASCII payloads, so
+      // both are hash-gated (the byte at each sampled offset = ord of the
+      // character there; resize is floor integer division)
+      "mm_frames" -> ((s, dir) =>
+        Multimodal.sampleFrames(Multimodal.assets(s, dir), 4)),
+      "mm_resize" -> ((s, dir) =>
+        Multimodal.resizeMeta(Multimodal.assets(s, dir), 256)),
 
       "sample_docs" -> ((s, dir) => Sampling.sampleDocs(s, dir)),
       "train_test_split" -> ((s, dir) => Sampling.trainTestSplit(s, dir)),
@@ -952,5 +959,33 @@ object PipelineQueries {
           |  CAST(n_chars % 640 + 16 AS INTEGER) AS width,
           |  CAST(n_chars * 7 % 480 + 16 AS INTEGER) AS height,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-          |FROM documents""".stripMargin))
+          |FROM documents""".stripMargin,
+
+      // payload is the UTF-8 text bytes (pure-ASCII corpus: byte at
+      // offset o = ord of the character at o+1, 1-based)
+      "mm_frames" ->
+        """WITH a AS (
+          |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT)
+          |    AS n
+          |  FROM documents WHERE length(text) > 0)
+          |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+          |  CAST(i * n // 4 AS INTEGER) AS byte_offset,
+          |  ord(substr(text, CAST(i * n // 4 AS INTEGER) + 1, 1))
+          |    AS frame_byte
+          |FROM a, LATERAL (SELECT unnest(range(0, 4)) AS i) t""".stripMargin,
+
+      "mm_resize" ->
+        """WITH a AS (
+          |  SELECT doc_id,
+          |    CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+          |    CAST(n_chars * 7 % 480 + 16 AS INTEGER) AS height
+          |  FROM documents)
+          |SELECT doc_id, width, height,
+          |  CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+          |    ELSE greatest(1, width * 256 // greatest(width, height))
+          |    END AS INTEGER) AS resized_w,
+          |  CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+          |    ELSE greatest(1, height * 256 // greatest(width, height))
+          |    END AS INTEGER) AS resized_h
+          |FROM a""".stripMargin))
 }
