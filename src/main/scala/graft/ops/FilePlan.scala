@@ -26,6 +26,11 @@ object FilePlan {
   val DefaultGroupCapBytes: Long = 10737418240L
   /** "Small file" cutoff for metrics: files under 100 MB want compaction. */
   val SmallFileBytes: Long = 100000000L
+  /** Target rewritten-file size for benefit estimation (the common table
+    * format default of 512 MiB). */
+  val TargetFileBytes: Long = 536870912L
+  /** Default per-window rewrite budget: 1 TB of bytes rewritten. */
+  val DefaultBudgetBytes: Long = 1000000000000L
 
   /** Typed row shapes for the greedy scan (top-level so encoders resolve). */
   final case class FileRec(
@@ -142,4 +147,34 @@ object FilePlan {
       max(col("size_bytes")).as("max_bytes"),
       sum((col("size_bytes") < SmallFileBytes).cast("long")).as("n_small"))
       .withColumn("avg_bytes", expr("total_bytes div n_files"))
+
+  /** maintenance_budget: fleet-scale maintenance PLANNING — the step
+    * between the reference's per-table trigger and a real deployment with
+    * thousands of candidate tables and a bounded maintenance window. Each
+    * partition with compactable small files is scored by its benefit
+    * (`files_saved` = current file count − post-rewrite count at
+    * [[TargetFileBytes]], integer ceil) and candidates are admitted
+    * greedily in benefit order until the bytes-rewritten budget is spent
+    * — highest metadata-pressure relief per byte of rewrite I/O first.
+    *
+    * Scale shape: the candidate list is metadata-plane (one row per
+    * table partition — ≤10⁵-10⁶ rows for a whole lake), so the global
+    * benefit-order running sum is a deliberate single-partition window
+    * over metadata, never data. All arithmetic integer-exact. */
+  def maintenanceBudget(files: DataFrame,
+      budgetBytes: Long = DefaultBudgetBytes,
+      targetBytes: Long = TargetFileBytes): DataFrame = {
+    val postFiles = s"(total_bytes + ${targetBytes - 1}) div $targetBytes"
+    val cand = smallFileMetrics(files)
+      .withColumn("files_saved", expr(s"n_files - $postFiles"))
+      .filter(col("n_small") > 0 && col("files_saved") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("files_saved").desc, col("part_key"))
+      .rowsBetween(Long.MinValue, 0)
+    cand
+      .withColumn("cum_bytes", sum(col("total_bytes")).over(w))
+      .withColumn("selected", col("cum_bytes") <= budgetBytes)
+      .select("part_key", "n_files", "n_small", "total_bytes",
+        "files_saved", "cum_bytes", "selected")
+  }
 }

@@ -74,6 +74,9 @@ object MaintenanceQueries {
       "small_file_metrics" -> ((s, dir) =>
         FilePlan.smallFileMetrics(FilePlan.fileRelation(s, dir))),
 
+      "maintenance_budget" -> ((s, dir) =>
+        FilePlan.maintenanceBudget(FilePlan.fileRelation(s, dir))),
+
       "zone_map_prune" -> ((s, dir) =>
         FilePlan.zoneMapPrune(graft.Tables.load(s, dir, "lineitem"))),
 
@@ -246,5 +249,32 @@ object MaintenanceQueries {
            |  CAST(sum(CASE WHEN size_bytes < ${FilePlan.SmallFileBytes}
            |       THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
            |  CAST(sum(size_bytes) AS BIGINT) // count(*) AS avg_bytes
-           |FROM files GROUP BY part_key""".stripMargin))
+           |FROM files GROUP BY part_key""".stripMargin,
+
+      // Greedy benefit-ordered admission under the rewrite-bytes budget;
+      // ceil via (x + target - 1) // target, all integer.
+      "maintenance_budget" ->
+        s"""WITH $filesCte,
+           |m AS (SELECT part_key, count(*) AS n_files,
+           |        CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           |        CAST(sum(CASE WHEN size_bytes < ${FilePlan.SmallFileBytes}
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+           |      FROM files GROUP BY part_key),
+           |cand AS (
+           |  SELECT part_key, n_files, n_small, total_bytes,
+           |    n_files - (total_bytes + ${FilePlan.TargetFileBytes - 1})
+           |      // ${FilePlan.TargetFileBytes} AS files_saved
+           |  FROM m
+           |  WHERE n_small > 0
+           |    AND n_files - (total_bytes + ${FilePlan.TargetFileBytes - 1})
+           |          // ${FilePlan.TargetFileBytes} > 0),
+           |r AS (
+           |  SELECT *, CAST(sum(total_bytes) OVER (
+           |      ORDER BY files_saved DESC, part_key
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+           |  FROM cand)
+           |SELECT part_key, n_files, n_small, total_bytes,
+           |  CAST(files_saved AS BIGINT) AS files_saved, cum_bytes,
+           |  (cum_bytes <= ${FilePlan.DefaultBudgetBytes}) AS selected
+           |FROM r""".stripMargin))
 }

@@ -23,6 +23,32 @@ class MaintenanceSpec extends AnyFunSuite {
     dir
   }
 
+  test("maintenance budget: selection is a prefix of the benefit order") {
+    import graft.ops.FilePlan
+    val files = FilePlan.fileRelation(spark, "/root/testdata/sf0.001")
+    val out = FilePlan.maintenanceBudget(files, budgetBytes = 3000000000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+    assert(out.nonEmpty)
+    // in benefit order: cum_bytes strictly increases and the selected
+    // flags form a prefix (greedy admission, no cherry-picking)
+    val ordered = out.sortBy { case (pk, _, saved, _, _) => (-saved, pk) }
+    val cum = ordered.map(_._4)
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
+    val flags = ordered.map(_._5)
+    assert(flags.zip(flags.tail).forall { case (a, b) => a || !b },
+      "selected flags must be a prefix of the benefit order")
+    assert(flags.exists(identity) && flags.exists(!_),
+      "fixture budget should split the candidate set")
+    // budget extremes: zero admits nothing, unbounded admits everything
+    val none = FilePlan.maintenanceBudget(files, budgetBytes = 0L).collect()
+    assert(none.forall(!_.getBoolean(6)))
+    val all = FilePlan.maintenanceBudget(files, budgetBytes = Long.MaxValue)
+      .collect()
+    assert(all.forall(_.getBoolean(6)))
+  }
+
   test("triggered table compacts, commits replace, and quiesces next cycle") {
     val in1 = fragmented(20)
     val out1 = Files.createTempDirectory("graft-maint-out").toString
