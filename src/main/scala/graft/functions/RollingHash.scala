@@ -68,10 +68,24 @@ object RollingHash {
     min
   }
 
-  /** Register as a SQL function on the session (idempotent). */
+  /** Register as a SQL function on the session (idempotent). Arity-guarded
+    * exactly like the GraftExtensions injection — this registration
+    * REPLACES the extension one when both run in a session, so a lenient
+    * builder here would silently swallow extra arguments. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "rolling_hash",
+      exprs => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`rolling_hash`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        RollingHash(exprs.head)
+      }, "built-in")
 
   /** Column API (registry-free). */
   def rolling_hash(c: Column): Column =

@@ -130,6 +130,23 @@ class PlanPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("adaptiveBucketBits: minimal width meeting the cell-size target") {
+    import graft.exts.Similarity._
+    val rnd = new Random(7)
+    val ns = Seq(0L, 1L, 63L, 64L, 65L, 4096L, 4097L, 1L << 40) ++
+      Seq.fill(200)(math.abs(rnd.nextLong()) % (1L << 41))
+    ns.foreach { n =>
+      val b = adaptiveBucketBits(n)
+      assert(b >= BucketBits && b <= MaxBucketBits)
+      // b satisfies the target (or is clamped at the max)...
+      assert(n <= (TargetCellVectors << b) || b == MaxBucketBits,
+        s"n=$n b=$b misses the target")
+      // ...and is the SMALLEST such width (or the floor)
+      assert(b == BucketBits || n > (TargetCellVectors << (b - 1)),
+        s"n=$n b=$b is not minimal")
+    }
+  }
+
   test("plan shapes: broadcast where intended, bounded exchanges") {
     // Plan-shape guards for scale-sensitive operators: a silent fallback
     // to a shuffled or nested-loop join here is a 100 TB regression even
