@@ -164,6 +164,104 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).as("union_size"))
   }
 
+  /** Incoming ingest batch against the `documents` corpus: every 5th doc
+    * verbatim (already present — must be dropped) ∪ every 7th doc with
+    * two novel tail tokens (new content — must survive), re-keyed so ids
+    * never collide with the corpus. */
+  def incomingBatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" qq zz")).as("text")))
+  }
+
+  /** Incremental ingest dedup: which batch documents are NOT already in
+    * the corpus? Two-tier, sketch-then-verify:
+    *
+    *  1. probe a Bloom filter built over `xxhash64(text)` of the corpus
+    *     ([[graft.functions.BloomMightContain]], codegen'd — no join, no
+    *     shuffle). No false negatives, so `might = false` rows are
+    *     DEFINITELY new and skip verification entirely;
+    *  2. only the `might = true` sliver (true dups + the ~fpp fraction of
+    *     false positives) goes through the exact anti-join on the 16-byte
+    *     md5 key, which settles semantics — the result is bit-identical
+    *     to a plain anti-join of the whole batch.
+    *
+    * At 100 TB the Bloom filter is the persisted index artifact (a few
+    * GB covers 10⁹ docs at 1% fpp; build it once per corpus snapshot,
+    * reuse across every ingest batch — the IvfIndex pattern), and the
+    * verification join's corpus side is the bucketed-by-key staging
+    * table, so a batch never re-shuffles the corpus. The plain anti-join
+    * alternative shuffles corpus-side keys on EVERY batch; the sketch
+    * path reads them once per corpus snapshot. */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val expected = math.max(corpus.count(), 1L)
+    val bloom = corpus.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val probed = batch.withColumn("might",
+      graft.functions.BloomFilterExpr.bloom_might_contain(
+        bloom, xxhash64(col("text"))))
+    val definiteNew = probed.filter(!col("might"))
+    val confirmedNew = probed.filter(col("might"))
+      .withColumn("k", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("k")).distinct(),
+        Seq("k"), "left_anti")
+    definiteNew.select(col("doc_id"))
+      .unionByName(confirmedNew.select(col("doc_id")))
+  }
+
+  def incrementalNew(spark: SparkSession, dir: String): DataFrame =
+    incrementalNew(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      incomingBatch(spark, dir))
+
+  /** documents ∪ planted excerpts (every 13th doc, its first
+    * max(n/3, 6) words as a new doc, id+400000). An excerpt's shingle set
+    * is fully CONTAINED in its source's, but its Jaccard resemblance is
+    * only ~⅓ — so resemblance-threshold dedup ([[ngramJaccardPairs]])
+    * systematically misses it. This is the quote/chunk/re-post shape:
+    * a small document embedded verbatim inside a larger one. */
+  def corpusWithExcerpts(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          expr("array_join(slice(split(trim(text), '\\\\s+'), 1, " +
+            "greatest(size(split(trim(text), '\\\\s+')) div 3, 6)), ' ')")
+            .as("text")))
+  }
+
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 9/10,
+    * evaluated in pure integer arithmetic (10·inter ≥ 9·min). Same
+    * inverted-index plan as [[ngramJaccardPairs]] — candidates only for
+    * docs sharing a shingle — but the MIN-size denominator makes the
+    * score asymmetric-duplication-aware: a short doc wholly inside a long
+    * one scores 1.0 here and ~|A|/|B| under Jaccard. This is the
+    * Broder-style containment coefficient, the right measure for
+    * excerpt/quotation dedup; the stop-shingle df cap from
+    * [[ngramJaccardPairsCapped]] composes unchanged on the same index
+    * when boilerplate skew needs bounding at corpus scale. */
+  def containmentPairs(corpus: DataFrame): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .filter(col("inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
+        expr("inter * 1000 div least(n_a, n_b)").as("containment_x1000"))
+  }
+
   /** Transitive duplicate groups (connected components) over a near-dup
     * pair list: A~B and B~C put A, B, C in one group even when A and C
     * don't pair directly — the step every production dedup pipeline runs

@@ -296,6 +296,34 @@ object Similarity {
   def quantizeInt8Stats(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8Stats(Tables.load(spark, dir, "embeddings"))
 
+  /** Per-dimension embedding moments — the drift/health telemetry an
+    * embedding pipeline publishes per ingest batch (a collapsed dimension,
+    * a shifted mean, or an exploding max is how a bad encoder deploy or a
+    * corrupt shard surfaces). Values are quantized to fixed-point 1e-4
+    * (`round(double(x)·10⁴)` — the same IEEE-exact float→double→round
+    * chain [[quantizeInt8]] pins) BEFORE aggregation, so every sum is an
+    * integer sum: exact, order-independent, oracle-checkable — float sums
+    * would be partition-order-dependent and could never hash-match.
+    *
+    * Plan shape: posexplode + one hash aggregate keyed by dimension; the
+    * map-side partial combine reduces each partition to n_dims rows, so
+    * the exchange carries dims·partitions rows at any corpus size. */
+  def embStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr("cast(round(cast(x as double) * 10000) as bigint)").as("q"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sumsq_q"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"))
+      .select(col("dim"), col("n"), col("sum_q"),
+        expr("sum_q div n").as("mean_q"),
+        col("sumsq_q"), col("min_q"), col("max_q"))
+
   /** embeddings ∪ planted scaled copies (every 10th vector ×2 — cosine
     * exactly 1 in exact math): the fixture both near-dup variants dedupe. */
   def corpusWithScaledDups(spark: SparkSession, dir: String): DataFrame = {

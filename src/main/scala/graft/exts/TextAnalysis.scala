@@ -189,6 +189,81 @@ object TextAnalysis {
         expr("df_mass div n_tokens").as("mean_token_df"),
         expr("rare_occ * 1000 div n_tokens").as("rare_frac_x1000"))
 
+  /** Bigram language-model quality score (the CCNet-style perplexity
+    * filter, integer surrogate): train a bigram LM on the corpus itself —
+    * c(w₁,w₂) and context totals c(w₁) — and score each document by its
+    * mean bigram probability in parts-per-million,
+    * `lm_score_ppm = Σ tf·(c(w₁,w₂)·10⁶ div c(w₁)) div n_bigrams`.
+    * Fluent text built from common transitions scores high; gibberish and
+    * shuffled text score near zero. `novel_frac_x1000` is the fraction of
+    * bigram occurrences unique to the document (c = tf) — the
+    * memorization/templating tail. All integer arithmetic, oracle-exact.
+    * The MLE is deliberately unsmoothed (smoothing constants are
+    * float-laden and engine-specific): a context seen only inside one doc
+    * scores a full 10⁶ ppm for its own transition, so rank `lm_score_ppm`
+    * TOGETHER with `novel_frac_x1000` — high novelty is exactly the
+    * signature of those self-supporting contexts.
+    *
+    * Plan shape: one explode + per-doc bigram tf aggregate; the bigram
+    * count and context tables re-aggregate FROM tf (the [[termStats]]
+    * two-subtree note applies), then broadcast back onto it — tf, the big
+    * side, is never re-shuffled. At web scale the bigram vocabulary
+    * outgrows a broadcast: drop the hints and let AQE plan the (w₁,w₂)
+    * shuffle join, or pre-prune the LM to the top-k bigrams per context
+    * (the standard KenLM-style pruning) to keep it broadcastable. Docs
+    * with fewer than two tokens have no bigrams and are excluded on both
+    * engines. */
+  def lmScores(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bgc = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c_bg"))
+    val ctx = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
+    tf.join(broadcast(bgc), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .withColumn("ppm", expr("(c_bg * 1000000) div c_ctx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("ppm")).as("ppm_mass"),
+        sum(when(col("c_bg") === col("tf"), col("tf")).otherwise(0L))
+          .as("novel_occ"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("ppm_mass div n_bigrams").as("lm_score_ppm"),
+        expr("novel_occ * 1000 div n_bigrams").as("novel_frac_x1000"))
+  }
+
+  def lmScores(spark: SparkSession, dir: String): DataFrame =
+    lmScores(Tables.load(spark, dir, "documents"))
+
+  /** Adjacent-pair frequency counts — the statistic each BPE tokenizer
+    * training iteration maximizes (count all adjacent symbol pairs within
+    * words, merge the argmax). One explode + one hash aggregate with
+    * map-side partial combine, so shuffle rows track DISTINCT pairs
+    * (bounded by alphabet², i.e. tiny), not corpus size — the aggregate
+    * a full BPE trainer would re-run per merge with the chosen pair
+    * rewritten into the word stream (that driver loop is bounded by the
+    * merge budget, each iteration this same shuffle-light shape).
+    * Deterministic top-N: count desc, pair asc. */
+  def bpePairCounts(spark: SparkSession, dir: String,
+      topN: Int = 30): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topN)
+
   /** Content fingerprints via the custom codegen'd rolling-hash expression:
     * whole-doc polynomial hash window-min (winnowing-style), stable under
     * row order. No oracle (not expressible in portable SQL) — covered by

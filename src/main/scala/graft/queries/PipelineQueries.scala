@@ -161,6 +161,9 @@ object PipelineQueries {
         Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_ngram_jaccard_capped" -> ((s, dir) =>
         Dedup.ngramJaccardPairsCapped(Dedup.corpusWithNearDups(s, dir))),
+      "dedup_containment" -> ((s, dir) =>
+        Dedup.containmentPairs(Dedup.corpusWithExcerpts(s, dir))),
+      "dedup_incremental" -> ((s, dir) => Dedup.incrementalNew(s, dir)),
       "dedup_minhash_lsh" -> ((s, dir) =>
         Dedup.minhashLshPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_simhash" -> ((s, dir) =>
@@ -187,9 +190,12 @@ object PipelineQueries {
       // chain, so this is hash-gated (reconstruction quality additionally
       // asserted in PipelineSpec).
       "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(s, dir)),
+      "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
 
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
+      "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
+      "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
       "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
 
@@ -611,6 +617,53 @@ object PipelineQueries {
            |JOIN sizes nb ON nb.doc_id = b_id
            |WHERE inter * 3 >= na.n_sh + nb.n_sh""".stripMargin,
 
+      // The Bloom pre-filter has no false negatives and every positive is
+      // settled by the exact md5 anti-join, so the two-tier Spark plan is
+      // bit-identical to this plain anti-join semantics.
+      "dedup_incremental" ->
+        """WITH batch AS (
+          |  SELECT doc_id + 600000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000 AS doc_id, text || ' qq zz' FROM documents
+          |  WHERE doc_id % 7 = 0)
+          |SELECT b.doc_id FROM batch b
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))""".stripMargin,
+
+      // Containment coefficient over the excerpt-planted corpus: the
+      // shingle derivation matches the jaccard oracles; the threshold and
+      // score use the MIN-size denominator (10·inter ≥ 9·min).
+      "dedup_containment" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 400000,
+          |    array_to_string(words[1:greatest(len(words)//3, 6)], ' ')
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM documents)
+          |  WHERE doc_id % 13 = 0),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM corpus),
+          |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+          |  WHERE len(words) >= 5),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT a_id, b_id, inter, na.n_sh AS n_a, nb.n_sh AS n_b,
+          |  CAST(inter * 1000 // least(na.n_sh, nb.n_sh) AS BIGINT)
+          |    AS containment_x1000
+          |FROM inter
+          |JOIN sizes na ON na.doc_id = a_id
+          |JOIN sizes nb ON nb.doc_id = b_id
+          |WHERE inter * 10 >= least(na.n_sh, nb.n_sh) * 9""".stripMargin,
+
       "dedup_exact_normalized" ->
         """WITH corpus AS (
           |  SELECT doc_id, text FROM documents
@@ -786,6 +839,45 @@ object PipelineQueries {
           |FROM tf JOIN dfr USING (term)
           |GROUP BY doc_id""".stripMargin,
 
+      // Bigram LM trained on the corpus itself; integer ppm surrogate.
+      // Same doc exclusion rule as the Spark side (len >= 2 ⇔ has a
+      // bigram); casts per the DuckDB HUGEINT-widening convention.
+      "text_lm_score" ->
+        """WITH tok AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+          |  WHERE len(w) >= 2),
+          |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+          |bgc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_bg
+          |        FROM tf GROUP BY 1, 2),
+          |ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+          |        FROM bgc GROUP BY 1)
+          |SELECT doc_id,
+          |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+          |  CAST(CAST(sum(tf * ((c_bg * 1000000) // c_ctx)) AS BIGINT)
+          |    // CAST(sum(tf) AS BIGINT) AS BIGINT) AS lm_score_ppm,
+          |  CAST(CAST(sum(CASE WHEN c_bg = tf THEN tf ELSE 0 END) AS BIGINT)
+          |    * 1000 // CAST(sum(tf) AS BIGINT) AS BIGINT) AS novel_frac_x1000
+          |FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+          |GROUP BY doc_id""".stripMargin,
+
+      // Within-word adjacent character pairs (the BPE merge statistic);
+      // string slice s[i:i+1] is 1-based inclusive = 2 chars, matching
+      // Spark's substring(word, i, 2).
+      "text_bpe_pairs" ->
+        """WITH w AS (
+          |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+          |  FROM documents),
+          |p AS (
+          |  SELECT word[i:i+1] AS pair
+          |  FROM w, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) t
+          |  WHERE length(word) >= 2)
+          |SELECT pair, count(*) AS cnt FROM p
+          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
       "text_docfreq" ->
         """WITH tok AS (
           |  SELECT DISTINCT doc_id, term FROM (
@@ -888,6 +980,23 @@ object PipelineQueries {
           |  CAST(list_max(q) AS INTEGER) AS q_max,
           |  md5(array_to_string(q, ',')) AS q_md5
           |FROM qv""".stripMargin,
+
+      // Fixed-point 1e-4 quantization before aggregation (the emb_quantize
+      // float→double→round chain), so every sum is an exact integer sum.
+      // DuckDB `//` and round() match Spark `div`/HALF_UP on negatives
+      // (both truncate toward zero / round half away from zero).
+      "emb_stats" ->
+        """WITH q AS (
+          |  SELECT CAST(i - 1 AS INTEGER) AS dim,
+          |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+          |  FROM embeddings,
+          |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t)
+          |SELECT dim, count(*) AS n,
+          |  CAST(sum(q) AS BIGINT) AS sum_q,
+          |  CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_q,
+          |  CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+          |  min(q) AS min_q, max(q) AS max_q
+          |FROM q GROUP BY dim""".stripMargin,
 
       // Greedy packing needs running state (each sequence boundary depends
       // on every earlier doc), so the oracle walks docs in id order per

@@ -399,6 +399,99 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: bloom tier prunes, result equals plain anti-join") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = Dedup.incomingBatch(spark, dir)
+    val out = Dedup.incrementalNew(corpus, batch)
+      .collect().map(_.getLong(0)).toSet
+    // ground truth: plain anti-join on text equality
+    val truth = batch.join(corpus.select(col("text")), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == truth)
+    // every verbatim re-ingest (+600000) dropped, every perturbed (+700000) kept
+    assert(out.nonEmpty && out.forall(_ >= 700000L))
+    assert(out.size == batch.filter(col("doc_id") >= 700000L).count())
+  }
+
+  test("bloom expression: zero false negatives, positive rate tracks fpp") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomFilterExpr.bloom_might_contain
+    val corpus = graft.Tables.load(spark, dir, "documents")
+    val bf = corpus.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", 500, 0.01)
+    // every inserted key must probe true (no false negatives — the
+    // property the incremental-dedup shortcut depends on)
+    val inserted = corpus
+      .select(bloom_might_contain(bf, xxhash64(col("text"))).as("m"))
+      .collect()
+    assert(inserted.forall(_.getBoolean(0)))
+    // novel keys probe true only at ~fpp: perturbed texts are not inserted
+    val novel = corpus
+      .select(bloom_might_contain(bf,
+        xxhash64(concat(col("text"), lit(" qq zz")))).as("m"))
+      .collect()
+    val fpRate = novel.count(_.getBoolean(0)).toDouble / novel.length
+    assert(fpRate <= 0.05, s"false-positive rate $fpRate way above 1% target")
+  }
+
+  test("lm score: fluent text outscores shuffled text under the corpus LM") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus of repeated fluent sentences + one doc with the same words
+    // in a fixed scrambled order: the bigram LM is trained on the corpus
+    // itself, so the scrambled doc's transitions are rare by construction
+    val fluent = (1 to 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val scrambled = Seq((99L, "dog the over quick lazy brown the jumps fox"))
+    val docs = (fluent ++ scrambled).toDF("doc_id", "text")
+    val scores = graft.exts.TextAnalysis.lmScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // (×4, not tighter: the unsmoothed MLE grants singleton contexts a
+    // full 10⁶ ppm, which props the scrambled score up — the novel_frac
+    // column is what flags those, see the lmScores scaladoc)
+    assert(scores(1L) > scores(99L) * 4,
+      s"fluent ${scores(1L)} should dwarf scrambled ${scores(99L)}")
+    // every fluent doc is identical → identical score; the scrambled doc's
+    // bigrams are unique to it → fully novel
+    val novel = graft.exts.TextAnalysis.lmScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(novel(99L) == 1000L && novel(1L) < 1000L)
+  }
+
+  test("emb stats: one row per dimension, moments bound the quantized range") {
+    val stats = Similarity.embStats(spark, dir).collect()
+    val dims = stats.map(_.getInt(0)).sorted
+    assert(dims.toSeq == (0 until dims.length))
+    stats.foreach { r =>
+      val (n, sum, mean, sumsq, mn, mx) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n > 0 && mn <= mean && mean <= mx)
+      assert(mn * n <= sum && sum <= mx * n)
+      assert(sumsq >= 0 && sumsq <= math.max(mn * mn, mx * mx) * n)
+    }
+  }
+
+  test("containment catches planted excerpts that jaccard resemblance misses") {
+    val corpus = Dedup.corpusWithExcerpts(spark, dir)
+    val cont = Dedup.containmentPairs(corpus)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    val planted = cont.keySet.filter { case (a, b) => b == a + 400000L }
+    assert(planted.nonEmpty, "no planted excerpt pairs found")
+    // an excerpt's shingles are a subset of its source's → containment = 1
+    planted.foreach { p =>
+      assert(cont(p) == 1000L, s"planted pair $p scored ${cont(p)}")
+    }
+    // Jaccard at ½ misses excerpts once the excerpt is ≲⅓ of the doc
+    val jac = Dedup.ngramJaccardPairs(corpus)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missedByJaccard = planted.filterNot(jac.contains)
+    assert(missedByJaccard.nonEmpty,
+      "every planted excerpt was also a jaccard pair — fixture degenerate")
+  }
+
   test("dup components: transitive chains collapse to min-id groups") {
     import spark.implicits._
     // chain 1-2, 2-3 (no direct 1-3 edge) + separate pair 10-11 + a
