@@ -28,7 +28,9 @@ object Explain {
       "stratified_sample", "quality_filter", "text_pii_redact",
       "mix_sources", "zone_map_prune", "dedup_semantic", "shard_manifest",
       "text_rarity", "corpus_curate", "dedup_keep_list", "text_dup_spans",
-      "ivf_cells", "corpus_curate_semantic", "maintenance_budget")
+      "ivf_cells", "corpus_curate_semantic", "maintenance_budget",
+      "dedup_containment", "dedup_incremental", "text_lm_score",
+      "weighted_sample")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

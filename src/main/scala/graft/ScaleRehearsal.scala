@@ -58,7 +58,17 @@ object ScaleRehearsal {
       // banding = equi-join on (band, bucket); candidate pairs follow the
       // real near-dup structure (replicas are shingle-disjoint), so the
       // join stays linear in corpus size.
-      "dedup_minhash_lsh" -> SparkEntry.queries("dedup_minhash_lsh"))
+      "dedup_minhash_lsh" -> SparkEntry.queries("dedup_minhash_lsh"),
+      // containment rides the same inverted shingle index as jaccard; the
+      // min-size denominator changes only the final filter, not the join.
+      "dedup_containment" -> SparkEntry.queries("dedup_containment"),
+      // bigram tf is a token-linear explode + hash aggregates; the LM
+      // count tables broadcast back onto the big tf side.
+      "text_lm_score" -> SparkEntry.queries("text_lm_score"),
+      // the bloom probe is per-row codegen; only the might-contain sliver
+      // reaches the md5 anti-join, so time tracks the corpus scan that
+      // builds the sketch.
+      "dedup_incremental" -> SparkEntry.queries("dedup_incremental"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries

@@ -34,6 +34,35 @@ object Sampling {
       .filter(col("bucket") < pct)
       .select(col("doc_id"), col("lang"), col("bucket"))
 
+  /** Quality-weighted deterministic sampling (the DCLM/FineWeb-style
+    * "sample in proportion to quality" pass): each document's keep
+    * probability rises with its stopword-fluency signal —
+    * `p_x1000 = min(1000, 200 + 4·stopword_ratio_x1000)`, a 20% floor so
+    * no stratum is wiped out, saturating at keep-everything for fluent
+    * text. The coin flip is the same multiplicative id-hash as
+    * [[sampleDocs]] at ‰ granularity, so the decision is reproducible
+    * row-local arithmetic: no RNG state, no global pass, order-independent
+    * and integer-exact on any engine. The stopword signal takes the MAX
+    * across all language markers (the [[TextAnalysis.LangMarkers]]
+    * multilingual convention), so non-English fluency is not penalized.
+    * One codegen'd projection + filter — shuffle-free at any corpus
+    * size. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val markers = graft.exts.TextAnalysis.LangMarkers.map {
+      case (_, p) => regexp_count(col("text"), lit(p))
+    }
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_stop", greatest(markers: _*))
+      .withColumn("stop_x1000",
+        expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
+      .withColumn("p_x1000",
+        least(lit(1000L), lit(200L) + col("stop_x1000") * 4))
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 1000)
+      .filter(col("bucket") < col("p_x1000"))
+      .select(col("doc_id"), col("lang"), col("p_x1000"), col("bucket"))
+  }
+
   /** Stable 80/10/10 train/valid/test assignment, reported as per-language
     * split sizes (the aggregate a pipeline monitors for balance drift). */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =

@@ -209,6 +209,7 @@ object PipelineQueries {
         Multimodal.resizeMeta(Multimodal.assets(s, dir), 256)),
 
       "sample_docs" -> ((s, dir) => Sampling.sampleDocs(s, dir)),
+      "weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
       "train_test_split" -> ((s, dir) => Sampling.trainTestSplit(s, dir)),
       "class_balance" -> ((s, dir) => Sampling.classBalanceWeights(s, dir)),
       "token_histogram" -> ((s, dir) => Sampling.tokenLenHistogram(s, dir)),
@@ -1030,6 +1031,25 @@ object PipelineQueries {
         """SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
           |FROM documents
           |WHERE (doc_id * 2654435761) % 100 < 10""".stripMargin,
+
+      // Keep probability = quality floor + 4× the multilingual stopword
+      // ratio, decided by the same multiplicative id-hash at ‰ grain.
+      "weighted_sample" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+           |      AS n_tokens,
+           |    $stopwordCaseSql AS n_stop
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, lang,
+           |    least(1000, 200 +
+           |      CAST((n_stop * 1000) // greatest(n_tokens, 1) AS BIGINT) * 4)
+           |      AS p_x1000,
+           |    (doc_id * 2654435761) % 1000 AS bucket
+           |  FROM t)
+           |SELECT doc_id, lang, CAST(p_x1000 AS BIGINT) AS p_x1000, bucket
+           |FROM p WHERE bucket < p_x1000""".stripMargin,
 
       "train_test_split" ->
         """WITH b AS (

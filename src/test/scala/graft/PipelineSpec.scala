@@ -460,6 +460,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(novel(99L) == 1000L && novel(1L) < 1000L)
   }
 
+  test("weighted sample: floor keeps every low bucket, keep rate tracks p") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val kept = graft.exts.Sampling.weightedSample(spark, dir).collect()
+    val keptIds = kept.map(_.getLong(0)).toSet
+    // every doc whose bucket lands under the 200‰ quality floor is kept
+    val floorIds = docs.select(col("doc_id"))
+      .filter((col("doc_id") * 2654435761L) % 1000 < 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(floorIds.nonEmpty && floorIds.subsetOf(keptIds))
+    // every kept row satisfies its own coin
+    kept.foreach(r => assert(r.getLong(3) < r.getLong(2)))
+    // strictly between floor-only and keep-everything
+    val n = docs.count()
+    assert(keptIds.size > n * 0.2 && keptIds.size < n)
+  }
+
   test("emb stats: one row per dimension, moments bound the quantized range") {
     val stats = Similarity.embStats(spark, dir).collect()
     val dims = stats.map(_.getInt(0)).sorted
