@@ -198,10 +198,14 @@ object Dedup {
     * alternative shuffles corpus-side keys on EVERY batch; the sketch
     * path reads them once per corpus snapshot. */
   def incrementalNew(corpus: DataFrame, batch: DataFrame,
-      fpp: Double = 0.01): DataFrame = {
-    val expected = math.max(corpus.count(), 1L)
-    val bloom = corpus.select(xxhash64(col("text")).as("h"))
-      .stat.bloomFilter("h", expected, fpp)
+      fpp: Double = 0.01): DataFrame =
+    incrementalNew(corpus, batch, BloomIndex.build(corpus, fpp))
+
+  /** As above with a pre-built sketch (the [[BloomIndex]] artifact/memo) —
+    * the per-batch production form: the corpus is scanned once when the
+    * sketch is built, never per batch. */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val probed = batch.withColumn("might",
       graft.functions.BloomFilterExpr.bloom_might_contain(
         bloom, xxhash64(col("text"))))
@@ -217,7 +221,8 @@ object Dedup {
   def incrementalNew(spark: SparkSession, dir: String): DataFrame =
     incrementalNew(
       Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
-      incomingBatch(spark, dir))
+      incomingBatch(spark, dir),
+      BloomIndex.sketch(spark, dir))
 
   /** documents ∪ planted excerpts (every 13th doc, its first
     * max(n/3, 6) words as a new doc, id+400000). An excerpt's shingle set

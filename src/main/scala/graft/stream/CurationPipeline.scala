@@ -3,8 +3,10 @@ package graft.stream
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.exts.{Dedup, Sampling, TextAnalysis}
+import graft.functions.BloomFilterExpr.bloom_might_contain
 
 /** Streaming corpus curation: the ingest-time shape of the batch
   * `corpus_curate` pipeline. Documents flow through
@@ -24,14 +26,40 @@ import graft.exts.{Dedup, Sampling, TextAnalysis}
   */
 object CurationPipeline {
 
+  /** The at-rest corpus this stream lands INTO, as a dedup boundary: the
+    * [[graft.exts.BloomIndex]] sketch plus the exact md5 key frame for
+    * verification. The stream probes the sketch per row (codegen'd, no
+    * state); only the might-contain sliver — true re-ingests plus the
+    * ~fpp false positives — pays the stream-static anti-join against
+    * `keys`, so the static side is read per micro-batch but joined
+    * against a few rows, and a negative probe never touches it. */
+  final case class KnownCorpus(bloom: BloomFilter, keys: DataFrame)
+
   /** @param docs streaming frame with at least (doc_id, text,
     *   ingest_ts_ms); extra columns pass through the filter untouched but
-    *   only (doc_id, text, ingest_ts_ms, shard) reach the sink. */
+    *   only (doc_id, text, ingest_ts_ms, shard) reach the sink.
+    * @param known optional at-rest corpus boundary: documents already
+    *   landed are dropped (exactly — sketch-then-verify), so a restarted
+    *   or re-pointed ingest never re-lands history. Within-stream dups
+    *   are still handled by the watermark-bounded dedup state. */
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
-      watermarkDelay: String = "10 minutes"): StreamingQuery = {
-    val kept = TextAnalysis.qualitySignals(docs)
+      watermarkDelay: String = "10 minutes",
+      known: Option[KnownCorpus] = None): StreamingQuery = {
+    val kept0 = TextAnalysis.qualitySignals(docs)
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
+    val kept = known match {
+      case None => kept0
+      case Some(kc) =>
+        val probed = kept0.withColumn("might",
+          bloom_might_contain(kc.bloom, xxhash64(col("text"))))
+        val fresh = probed.filter(!col("might"))
+        val confirmed = probed.filter(col("might"))
+          .withColumn("k", md5(col("text")))
+          .join(kc.keys, Seq("k"), "left_anti")
+          .drop("k")
+        fresh.unionByName(confirmed).drop("might")
+    }
     Sampling.shardPlan(Dedup.streamingDedup(kept, watermarkDelay))
       .writeStream
       .format("parquet")

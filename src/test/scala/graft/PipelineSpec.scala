@@ -436,6 +436,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(fpRate <= 0.05, s"false-positive rate $fpRate way above 1% target")
   }
 
+  test("bloom index artifact: save/load round-trips; loaded = fresh build") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.BloomIndex
+    import graft.functions.BloomFilterExpr.bloom_might_contain
+    val corpus = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val fresh = BloomIndex.build(corpus)
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom")
+      .toString + "/corpus.bloom"
+    BloomIndex.save(fresh, path)
+    val loaded = BloomIndex.load(path)
+    // identical probe behavior over inserted AND novel keys
+    val probes = corpus.select(
+      bloom_might_contain(fresh, xxhash64(col("text"))).as("a"),
+      bloom_might_contain(loaded, xxhash64(col("text"))).as("b"),
+      bloom_might_contain(fresh,
+        xxhash64(concat(col("text"), lit(" x")))).as("c"),
+      bloom_might_contain(loaded,
+        xxhash64(concat(col("text"), lit(" x")))).as("d")).collect()
+    probes.foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(1))
+      assert(r.getBoolean(2) == r.getBoolean(3))
+    }
+    // incremental dedup through the loaded artifact = through a fresh build
+    val batch = Dedup.incomingBatch(spark, dir)
+    val viaLoaded = Dedup.incrementalNew(corpus, batch, loaded)
+      .collect().map(_.getLong(0)).toSet
+    val viaFresh = Dedup.incrementalNew(corpus, batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaLoaded == viaFresh)
+  }
+
   test("lm score: fluent text outscores shuffled text under the corpus LM") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

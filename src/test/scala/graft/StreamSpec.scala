@@ -468,6 +468,44 @@ class StreamSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(1) === (r.getLong(0) * 2654435761L) % 16))
   }
 
+  test("streaming curation vs known corpus: history never re-lands") {
+    import org.apache.spark.sql.functions._
+    // at-rest corpus (already landed): the documents table
+    val corpus = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // incoming stream: verbatim re-ingests of every 5th landed doc plus
+    // genuinely new perturbed docs — the incremental-dedup fixture
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-known-src").toString
+    graft.exts.Dedup.incomingBatch(spark, dir)
+      .withColumn("ingest_ts_ms", col("doc_id") * 1000L)
+      .write.mode("overwrite").parquet(srcDir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-known-out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-known-ckpt").toString
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_ts_ms LONG")
+      .parquet(srcDir)
+    val kc = graft.stream.CurationPipeline.KnownCorpus(
+      graft.exts.BloomIndex.build(corpus),
+      corpus.select(md5(col("text")).as("k")).distinct())
+    val q = graft.stream.CurationPipeline.run(
+      stream, outDir, ckpt, known = Some(kc))
+    q.awaitTermination()
+    val landed = spark.read.parquet(outDir)
+    // nothing already in the corpus landed again
+    assert(landed.join(corpus.select(col("text")), Seq("text"), "left_semi")
+      .count() === 0L)
+    // batch expectation: quality-kept ∧ not-in-corpus, one per distinct text
+    val expected = graft.exts.TextAnalysis.qualitySignals(
+        spark.read.parquet(srcDir))
+      .filter(col("keep"))
+      .join(corpus.select(col("text")), Seq("text"), "left_anti")
+      .select(md5(col("text"))).distinct().count()
+    assert(landed.count() === expected && expected > 0L)
+  }
+
   test("windowed metrics: batch/stream-shared aggregation is consistent") {
     val metrics = EventPipeline.windowedMetrics(
       EventOps.events(spark, dir), "1 day").collect()
