@@ -30,7 +30,7 @@ object Explain {
       "text_rarity", "corpus_curate", "dedup_keep_list", "text_dup_spans",
       "ivf_cells", "corpus_curate_semantic", "maintenance_budget",
       "dedup_containment", "dedup_incremental", "text_lm_score",
-      "weighted_sample")
+      "weighted_sample", "chunk_docs", "source_quality_report")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -264,6 +264,57 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topN)
 
+  /** Fixed-window chunking: 64 tokens per chunk, 16-token overlap. */
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
+
+  /** Split every document into overlapping fixed-token windows — the
+    * context-window prep step between curation and training (long
+    * documents become `ceil((n-C)/(C-O))+1` chunks; short ones pass
+    * through as a single chunk). Start positions step by the stride
+    * C−O, the final chunk truncates at the document end, and every token
+    * is covered. Pure per-row explode + projection — shuffle-free at any
+    * corpus size, and the chunk_md5 content address is what downstream
+    * chunk-level dedup/indexing keys on. Integer-only derivation, so the
+    * oracle reproduces every boundary exactly. */
+  def chunkDocs(docs: DataFrame): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("k", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), " +
+          s"(greatest(n - $ChunkTokens, 0) + ${stride - 1}) div $stride)")))
+      .withColumn("chunk",
+        expr(s"slice(w, CAST(k * $stride + 1 AS INT), $ChunkTokens)"))
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+  }
+
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.load(spark, dir, "documents"))
+
+  /** Per-source curation telemetry: document counts, quality-kept
+    * fraction, token volume, and mean fluency per `source` — the
+    * dashboard row a corpus operator watches per ingest source (a feed
+    * whose kept fraction collapses or whose token mix shifts is the
+    * operational signal to investigate). One [[qualitySignals]] pass +
+    * one small aggregate keyed by source; integer ratios, oracle-exact. */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame =
+    qualitySignals(Tables.load(spark, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens").cast("long")).as("n_tokens_total"),
+        sum(col("stopword_ratio_x1000")).as("stop_mass"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        expr("n_kept * 1000 div n_docs").as("kept_frac_x1000"),
+        col("n_tokens_total"),
+        expr("n_tokens_total div n_docs").as("mean_tokens"),
+        expr("stop_mass div n_docs").as("mean_stopword_x1000"))
+
   /** Content fingerprints via the custom codegen'd rolling-hash expression:
     * whole-doc polynomial hash window-min (winnowing-style), stable under
     * row order. No oracle (not expressible in portable SQL) — covered by

@@ -196,6 +196,9 @@ object PipelineQueries {
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
+      "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
+      "source_quality_report" -> ((s, dir) =>
+        TextAnalysis.sourceQualityReport(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
       "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
 
@@ -351,6 +354,87 @@ object PipelineQueries {
            |  stopword_ratio_x1000, top_word_x1000, dup_bigram_x1000,
            |  reasons, (reasons = '') AS keep
            |FROM flagged""".stripMargin,
+
+      // 64-token windows stepping by the 48-token stride; the final chunk
+      // truncates at the document end. Slice bounds are integer-identical
+      // on both engines (Spark slice(start, len) vs DuckDB 1-based
+      // inclusive w[a:b]).
+      "chunk_docs" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, w, len(w) AS n,
+          |    unnest(generate_series(0,
+          |      (greatest(len(w) - 64, 0) + 47) // 48)) AS k
+          |  FROM t)
+          |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+          |  CAST(len(w[(k*48 + 1):least(k*48 + 64, n)]) AS INTEGER)
+          |    AS n_chunk_tokens,
+          |  md5(array_to_string(w[(k*48 + 1):least(k*48 + 64, n)], ' '))
+          |    AS chunk_md5
+          |FROM c""".stripMargin,
+
+      // The quality_filter signal CTEs with source carried through, then
+      // one aggregate per source — the curation dashboard row.
+      "source_quality_report" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |            CAST(length(text) AS INTEGER) AS n_chars_measured,
+           |            CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |              AS INTEGER) AS n_tokens,
+           |            CAST($stopwordCaseSql
+           |              AS INTEGER) AS n_stopwords,
+           |            regexp_split_to_array(trim(text), '\\s+') AS w
+           |          FROM documents),
+           |wc AS (SELECT doc_id, word, count(*) AS c
+           |       FROM (SELECT doc_id, unnest(w) AS word FROM t)
+           |       GROUP BY doc_id, word),
+           |ws AS (SELECT doc_id, max(c) AS top_word_count,
+           |         CAST(sum(c) AS BIGINT) AS rep_tokens
+           |       FROM wc GROUP BY doc_id),
+           |bgr AS (SELECT doc_id, bg, count(*) AS c FROM (
+           |    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           |    FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+           |                     AS i) x
+           |    WHERE len(w) >= 2)
+           |  GROUP BY doc_id, bg),
+           |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |         count(*) AS d_bigrams
+           |       FROM bgr GROUP BY doc_id),
+           |sig AS (
+           |  SELECT t.doc_id, t.source, t.n_tokens, n_chars_measured,
+           |    CAST((n_chars_measured * 100) // greatest(n_tokens, 1)
+           |      AS BIGINT) AS mean_token_len_x100,
+           |    CAST((n_stopwords * 1000) // greatest(n_tokens, 1)
+           |      AS BIGINT) AS stopword_ratio_x1000,
+           |    CAST(top_word_count * 1000 // rep_tokens AS BIGINT)
+           |      AS top_word_x1000,
+           |    CAST(coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0)
+           |      AS BIGINT) AS dup_bigram_x1000
+           |  FROM t JOIN ws ON ws.doc_id = t.doc_id
+           |  LEFT JOIN bs ON bs.doc_id = t.doc_id),
+           |flagged AS (
+           |  SELECT *, concat_ws(',',
+           |    CASE WHEN n_chars_measured < 100 THEN 'too_short' END,
+           |    CASE WHEN n_chars_measured > 20000 THEN 'too_long' END,
+           |    CASE WHEN mean_token_len_x100 < 300
+           |           OR mean_token_len_x100 > 1200 THEN 'token_shape' END,
+           |    CASE WHEN stopword_ratio_x1000 < 20 THEN 'low_stopword' END,
+           |    CASE WHEN top_word_x1000 > 200 THEN 'top_word' END,
+           |    CASE WHEN dup_bigram_x1000 > 200 THEN 'dup_bigram' END)
+           |    AS reasons
+           |  FROM sig)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN reasons = '' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(CAST(sum(CASE WHEN reasons = '' THEN 1 ELSE 0 END)
+           |    AS BIGINT) * 1000 // count(*) AS BIGINT) AS kept_frac_x1000,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+           |  CAST(CAST(sum(n_tokens) AS BIGINT) // count(*) AS BIGINT)
+           |    AS mean_tokens,
+           |  CAST(CAST(sum(stopword_ratio_x1000) AS BIGINT) // count(*)
+           |    AS BIGINT) AS mean_stopword_x1000
+           |FROM flagged GROUP BY source""".stripMargin,
 
       // Mirrors the fused curation plan: quality rules over the planted
       // corpus → keep → md5 dedup keeping min doc_id → per-lang totals.

@@ -436,6 +436,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(fpRate <= 0.05, s"false-positive rate $fpRate way above 1% target")
   }
 
+  test("chunking tiles every document: full windows, truncated tail, overlap") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.TextAnalysis.{ChunkOverlap, ChunkTokens}
+    val stride = ChunkTokens - ChunkOverlap
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val nTokens = docs
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = graft.exts.TextAnalysis.chunkDocs(docs)
+      .collect().groupBy(_.getLong(0))
+    assert(chunks.keySet == nTokens.keySet)
+    chunks.foreach { case (id, rows) =>
+      val n = nTokens(id)
+      val expected = (math.max(n - ChunkTokens, 0) + stride - 1) / stride + 1
+      assert(rows.length == expected, s"doc $id: ${rows.length} vs $expected")
+      val byIdx = rows.sortBy(_.getLong(1))
+      assert(byIdx.map(_.getLong(1)).toSeq == (0L until expected))
+      // all but the last chunk are full windows; the tail reaches exactly n
+      byIdx.init.foreach(r => assert(r.getInt(2) == ChunkTokens))
+      val last = byIdx.last
+      assert((expected - 1) * stride + last.getInt(2) == n)
+    }
+  }
+
   test("bloom index artifact: save/load round-trips; loaded = fresh build") {
     import org.apache.spark.sql.functions._
     import graft.exts.BloomIndex
