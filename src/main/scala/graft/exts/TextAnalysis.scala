@@ -295,6 +295,27 @@ object TextAnalysis {
   def chunkDocs(spark: SparkSession, dir: String): DataFrame =
     chunkDocs(Tables.load(spark, dir, "documents"))
 
+  /** Cross-document repeated windows (exact-substring dedup at chunk
+    * granularity — the dedup tier that catches boilerplate and licensing
+    * blocks pasted across otherwise-distinct documents, which whole-doc
+    * hashing can't see): every chunk content hash occurring more than
+    * once, with its copy/document counts and a keep-first verdict (the
+    * lexicographically least (doc, idx) occurrence, packed into one
+    * integer min so the argmin is a plain hash aggregate with map-side
+    * combine — no window, no sort). The exchange carries 16-byte chunk
+    * hashes, never text. */
+  def dupChunks(corpus: DataFrame): DataFrame =
+    chunkDocs(corpus)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 1000000L + col("chunk_idx")).as("m"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_md5"), col("n_copies"), col("n_docs"),
+        expr("m div 1000000").as("keep_doc_id"),
+        expr("m % 1000000").as("keep_chunk_idx"))
+
   /** Per-source curation telemetry: document counts, quality-kept
     * fraction, token volume, and mean fluency per `source` — the
     * dashboard row a corpus operator watches per ingest source (a feed

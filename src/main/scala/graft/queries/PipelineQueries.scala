@@ -197,6 +197,8 @@ object PipelineQueries {
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
       "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
+      "dedup_chunks" -> ((s, dir) =>
+        TextAnalysis.dupChunks(Dedup.corpusWithExactDups(s, dir))),
       "source_quality_report" -> ((s, dir) =>
         TextAnalysis.sourceQualityReport(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
@@ -374,6 +376,31 @@ object PipelineQueries {
           |  md5(array_to_string(w[(k*48 + 1):least(k*48 + 64, n)], ' '))
           |    AS chunk_md5
           |FROM c""".stripMargin,
+
+      // Chunk derivation over the exact-dup-planted corpus, grouped by
+      // content hash; the keep-first verdict is the packed-integer argmin.
+      "dedup_chunks" ->
+        s"""WITH $exactCorpusCte,
+           |t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           |  FROM corpus),
+           |c AS (
+           |  SELECT doc_id, w, len(w) AS n,
+           |    unnest(generate_series(0,
+           |      (greatest(len(w) - 64, 0) + 47) // 48)) AS k
+           |  FROM t),
+           |ch AS (
+           |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           |    md5(array_to_string(w[(k*48 + 1):least(k*48 + 64, n)], ' '))
+           |      AS chunk_md5
+           |  FROM c)
+           |SELECT chunk_md5, count(*) AS n_copies,
+           |  count(DISTINCT doc_id) AS n_docs,
+           |  CAST(min(doc_id * 1000000 + chunk_idx) // 1000000 AS BIGINT)
+           |    AS keep_doc_id,
+           |  CAST(min(doc_id * 1000000 + chunk_idx) % 1000000 AS BIGINT)
+           |    AS keep_chunk_idx
+           |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1""".stripMargin,
 
       // The quality_filter signal CTEs with source carried through, then
       // one aggregate per source — the curation dashboard row.

@@ -460,6 +460,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dup chunks: planted copies surface every window, keep-first verdict") {
+    import org.apache.spark.sql.functions._
+    val corpus = Dedup.corpusWithExactDups(spark, dir)
+    val dups = graft.exts.TextAnalysis.dupChunks(corpus).collect()
+    assert(dups.nonEmpty)
+    // the keep verdict is the earliest occurrence — for a planted copy
+    // that is always the original, never the +100000 replica
+    dups.foreach(r => assert(r.getLong(3) < 100000L))
+    // every chunk of every replica is an excess copy in some group
+    val replicaChunks = graft.exts.TextAnalysis.chunkDocs(
+        graft.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")))
+      .count()
+    val excess = dups.map(r => r.getLong(1) - 1).sum
+    assert(excess >= replicaChunks,
+      s"excess $excess < replica chunks $replicaChunks")
+  }
+
   test("bloom index artifact: save/load round-trips; loaded = fresh build") {
     import org.apache.spark.sql.functions._
     import graft.exts.BloomIndex
