@@ -30,7 +30,8 @@ object Explain {
       "text_rarity", "corpus_curate", "dedup_keep_list", "text_dup_spans",
       "ivf_cells", "corpus_curate_semantic", "maintenance_budget",
       "dedup_containment", "dedup_incremental", "text_lm_score",
-      "weighted_sample", "chunk_docs", "source_quality_report")
+      "weighted_sample", "chunk_docs", "source_quality_report",
+      "dedup_chunks", "dedup_groups_ensemble", "mm_audio")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

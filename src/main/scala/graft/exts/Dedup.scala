@@ -230,15 +230,55 @@ object Dedup {
     * only ~⅓ — so resemblance-threshold dedup ([[ngramJaccardPairs]])
     * systematically misses it. This is the quote/chunk/re-post shape:
     * a small document embedded verbatim inside a larger one. */
+  /** First max(n/3, 6) words of `text`, re-joined — the excerpt planting
+    * expression shared by [[corpusWithExcerpts]] / [[corpusWithMixedDups]]. */
+  private def excerptText: Column =
+    expr("array_join(slice(split(trim(text), '\\\\s+'), 1, " +
+      "greatest(size(split(trim(text), '\\\\s+')) div 3, 6)), ' ')")
+
   def corpusWithExcerpts(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     base.unionByName(
       base.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 400000L).as("doc_id"),
-          expr("array_join(slice(split(trim(text), '\\\\s+'), 1, " +
-            "greatest(size(split(trim(text), '\\\\s+')) div 3, 6)), ' ')")
-            .as("text")))
+          excerptText.as("text")))
+  }
+
+  /** documents ∪ near-copies (%7) ∪ excerpts (%13) — the fixture with BOTH
+    * duplication modes, for the ensemble verdict. */
+  def corpusWithMixedDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zqx wvk")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          excerptText.as("text")))
+  }
+
+  /** Ensemble candidate pairs: resemblance (Jaccard ≥ ½) OR containment
+    * (≥ 9/10) evaluated as one disjunction over ONE shared inverted
+    * index — the production composition of multiple candidate generators.
+    * Running the generators separately and unioning would build the
+    * shingle index and its self-join twice for the same equi-join volume;
+    * fused, the second detector costs one extra predicate. */
+  def ensemblePairs(corpus: DataFrame): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .filter(col("inter") * 3 >= col("n_a") + col("n_b") ||
+        col("inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 9/10,

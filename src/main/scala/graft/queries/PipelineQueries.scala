@@ -174,6 +174,9 @@ object PipelineQueries {
           Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir)))),
       "dedup_keep_list" -> ((s, dir) =>
         Dedup.dupKeepList(Dedup.corpusWithNearDups(s, dir))),
+      "dedup_groups_ensemble" -> ((s, dir) =>
+        Dedup.dupComponents(
+          Dedup.ensemblePairs(Dedup.corpusWithMixedDups(s, dir)))),
       "text_dup_spans" -> ((s, dir) =>
         TextAnalysis.dupSpanScores(Dedup.corpusWithNearDups(s, dir))),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
@@ -212,6 +215,8 @@ object PipelineQueries {
         Multimodal.sampleFrames(Multimodal.assets(s, dir), 4)),
       "mm_resize" -> ((s, dir) =>
         Multimodal.resizeMeta(Multimodal.assets(s, dir), 256)),
+      "mm_audio" -> ((s, dir) =>
+        Multimodal.audioWindows(Multimodal.assets(s, dir))),
 
       "sample_docs" -> ((s, dir) => Sampling.sampleDocs(s, dir)),
       "weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
@@ -822,6 +827,49 @@ object PipelineQueries {
            |  (u = least(u, min(v))) AS is_canonical
            |FROM reach GROUP BY u""".stripMargin,
 
+      // dedup_groups over the two-mode corpus with BOTH pair thresholds as
+      // one disjunction (resemblance OR containment) — the ensemble form.
+      "dedup_groups_ensemble" ->
+        """WITH RECURSIVE corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text || ' zqx wvk'
+          |  FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 400000,
+          |    array_to_string(words[1:greatest(len(words)//3, 6)], ' ')
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM documents)
+          |  WHERE doc_id % 13 = 0),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM corpus),
+          |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+          |  WHERE len(words) >= 5),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT a_id, b_id FROM inter
+          |  JOIN sizes na ON na.doc_id = a_id
+          |  JOIN sizes nb ON nb.doc_id = b_id
+          |  WHERE inter * 3 >= na.n_sh + nb.n_sh
+          |     OR inter * 10 >= least(na.n_sh, nb.n_sh) * 9),
+          |bi AS (SELECT a_id AS u, b_id AS v FROM pairs
+          |       UNION ALL SELECT b_id, a_id FROM pairs),
+          |reach(u, v) AS (
+          |  SELECT u, v FROM bi
+          |  UNION
+          |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u)
+          |SELECT u AS doc_id, least(u, min(v)) AS component,
+          |  (u = least(u, min(v))) AS is_canonical
+          |FROM reach GROUP BY u""".stripMargin,
+
       // Same recursive-closure CTEs as dedup_groups, then the verdict:
       // every corpus doc, keep = (component minimum or untouched).
       "dedup_keep_list" ->
@@ -1213,6 +1261,25 @@ object PipelineQueries {
           |  ord(substr(text, CAST(i * n // 4 AS INTEGER) + 1, 1))
           |    AS frame_byte
           |FROM a, LATERAL (SELECT unnest(range(0, 4)) AS i) t""".stripMargin,
+
+      // 256-byte tiles over the ASCII payload; energy = mean |byte-128|
+      // in truncating integer division, identical on both engines.
+      "mm_audio" ->
+        """WITH a AS (
+          |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT)
+          |    AS n
+          |  FROM documents WHERE length(text) > 0),
+          |w AS (
+          |  SELECT doc_id, text, CAST(k AS INTEGER) AS window_idx,
+          |    CAST(k * 256 + 1 AS INTEGER) AS a_off,
+          |    CAST(least((k + 1) * 256, n) AS INTEGER) AS b_off
+          |  FROM a, LATERAL (SELECT unnest(range(0, (n + 255) // 256)) AS k) t)
+          |SELECT doc_id, window_idx,
+          |  CAST(b_off - a_off + 1 AS INTEGER) AS n_bytes,
+          |  CAST(CAST(list_sum(list_transform(range(a_off, b_off + 1),
+          |    j -> abs(ord(substr(text, CAST(j AS INTEGER), 1)) - 128)))
+          |    AS BIGINT) // (b_off - a_off + 1) AS BIGINT) AS energy
+          |FROM w""".stripMargin,
 
       "mm_resize" ->
         """WITH a AS (

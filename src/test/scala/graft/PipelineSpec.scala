@@ -460,6 +460,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ensemble components unite both duplication modes in one verdict") {
+    val comp = Dedup.dupComponents(
+        Dedup.ensemblePairs(Dedup.corpusWithMixedDups(spark, dir)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearPlanted = comp.keys.filter(id => id >= 100000L && id < 400000L)
+    val excerptPlanted = comp.keys.filter(_ >= 400000L)
+    assert(nearPlanted.nonEmpty && excerptPlanted.nonEmpty)
+    // each planted node shares its source's component — near-copies via
+    // the resemblance threshold, excerpts via the containment threshold
+    nearPlanted.foreach(id => assert(comp(id) == comp(id - 100000L)))
+    excerptPlanted.foreach(id => assert(comp(id) == comp(id - 400000L)))
+  }
+
   test("dup chunks: planted copies surface every window, keep-first verdict") {
     import org.apache.spark.sql.functions._
     val corpus = Dedup.corpusWithExactDups(spark, dir)
