@@ -84,6 +84,16 @@ object TextAnalysis {
       (predicted === col("lang")).as("is_match"))
   }
 
+  /** Language-ID confusion matrix: predicted × labeled counts over the
+    * whole corpus — the evaluation aggregate that tells you WHERE the
+    * classifier errs (which language pairs confuse it), not just how
+    * often. One [[langId]] projection + one small hash aggregate
+    * (≤ |langs|² rows out). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Per-document term frequencies joined with corpus document frequencies.
     * Shared base for [[tfidfTop]] / [[docFreqTop]]: one explode + two hash
     * aggregates — the map-side partial aggregation absorbs most of the

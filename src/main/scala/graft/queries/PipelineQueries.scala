@@ -130,6 +130,7 @@ object PipelineQueries {
       "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
       "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(s, dir)),
       "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+      "lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
       "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
       "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(s, dir)),
       "quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(s, dir)),
@@ -278,6 +279,23 @@ object PipelineQueries {
            |        WHEN score_de >= score_fr THEN 'de'
            |        ELSE 'fr' END) = lang AS is_match
            |FROM t""".stripMargin,
+
+      // The text_langid argmax CASE collapsed to the confusion matrix.
+      "lang_confusion" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(regexp_extract_all(text, '$langEn')) AS INTEGER) AS score_en,
+           |    CAST(len(regexp_extract_all(text, '$langEs')) AS INTEGER) AS score_es,
+           |    CAST(len(regexp_extract_all(text, '$langDe')) AS INTEGER) AS score_de,
+           |    CAST(len(regexp_extract_all(text, '$langFr')) AS INTEGER) AS score_fr
+           |  FROM documents)
+           |SELECT lang AS labeled_lang,
+           |  CASE WHEN score_en >= greatest(score_es, score_de, score_fr) THEN 'en'
+           |       WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
+           |       WHEN score_de >= score_fr THEN 'de'
+           |       ELSE 'fr' END AS predicted_lang,
+           |  count(*) AS n_docs
+           |FROM t GROUP BY 1, 2""".stripMargin,
 
       "text_repetition" ->
         """WITH t AS (SELECT doc_id,

@@ -17,7 +17,11 @@ object StreamQueries {
         EventPipeline.sessionWindows(graft.ops.EventOps.events(s, dir))),
       "window_metrics" -> ((s, dir) =>
         EventPipeline.windowedMetrics(
-          graft.ops.EventOps.events(s, dir), "1 hour"))),
+          graft.ops.EventOps.events(s, dir), "1 hour")),
+      "event_funnel" -> ((s, dir) =>
+        graft.ops.EventAnalytics.funnel(graft.ops.EventOps.events(s, dir))),
+      "event_cohorts" -> ((s, dir) =>
+        graft.ops.EventAnalytics.cohorts(graft.ops.EventOps.events(s, dir)))),
     oracles = Map(
       "stream_should_optimize" ->
         DecisionQueries.pack.oracles("should_optimize"),
@@ -42,6 +46,36 @@ object StreamQueries {
           |  max(ts_ms) + 1800000 AS session_end_ms,
           |  count(*) AS n_events
           |FROM s GROUP BY user_id, sid""".stripMargin,
+
+      // Ordered funnel: each stage's first-occurrence time must strictly
+      // follow the previous stage's.
+      "event_funnel" ->
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+          |t1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+          |       WHERE event_type = 'view' GROUP BY 1),
+          |t2 AS (SELECT e.user_id, min(ts_ms) AS t2 FROM e
+          |       JOIN t1 USING (user_id)
+          |       WHERE event_type = 'click' AND ts_ms > t1 GROUP BY 1),
+          |t3 AS (SELECT e.user_id, min(ts_ms) AS t3 FROM e
+          |       JOIN t2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND ts_ms > t2 GROUP BY 1)
+          |SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+          |UNION ALL SELECT '2_click', count(*) FROM t2
+          |UNION ALL SELECT '3_purchase', count(*) FROM t3""".stripMargin,
+
+      // Cohort = first-activity UTC day; matrix of distinct users per
+      // (cohort, day offset). Integer epoch-day arithmetic on both sides.
+      "event_cohorts" ->
+        """WITH e AS (
+          |  SELECT user_id,
+          |    (epoch_ms(ts) // 86400000) * 86400000 AS day_ms FROM events),
+          |c AS (SELECT user_id, min(day_ms) AS cohort_ms FROM e GROUP BY 1)
+          |SELECT cohort_ms,
+          |  CAST((day_ms - cohort_ms) // 86400000 AS BIGINT) AS day_offset,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM e JOIN c USING (user_id)
+          |GROUP BY 1, 2""".stripMargin,
 
       "window_metrics" ->
         """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,

@@ -85,6 +85,22 @@ class AdvancedSpec extends AnyFunSuite {
     assert(hh.nonEmpty)
   }
 
+  test("funnel stages shrink monotonically; cohort day-0 counts every user") {
+    val ev = graft.ops.EventOps.events(spark, dir)
+    val stages = graft.ops.EventAnalytics.funnel(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(stages("1_view") >= stages("2_click"))
+    assert(stages("2_click") >= stages("3_purchase"))
+    assert(stages("3_purchase") > 0)
+    val cohorts = graft.ops.EventAnalytics.cohorts(ev).collect()
+    // every user appears in their own cohort at offset 0, so the
+    // offset-0 diagonal sums to the distinct-user count
+    val day0 = cohorts.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(day0 == ev.select("user_id").distinct().count())
+    cohorts.foreach(r => assert(r.getLong(1) >= 0L))
+  }
+
   test("partitioned write lays out key=value dirs and prunes on read") {
     val out = Files.createTempDirectory("graft-part").toString
     PartitionedStore.writeEventsByDay(spark, dir, out)
