@@ -31,7 +31,8 @@ object Explain {
       "ivf_cells", "corpus_curate_semantic", "maintenance_budget",
       "dedup_containment", "dedup_incremental", "text_lm_score",
       "weighted_sample", "chunk_docs", "source_quality_report",
-      "dedup_chunks", "dedup_groups_ensemble", "mm_audio")
+      "dedup_chunks", "dedup_groups_ensemble", "mm_audio",
+      "lm_score_batch", "event_funnel", "event_cohorts")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -223,16 +223,56 @@ object TextAnalysis {
     * (the standard KenLM-style pruning) to keep it broadcastable. Docs
     * with fewer than two tokens have no bigrams and are excluded on both
     * engines. */
-  def lmScores(docs: DataFrame): DataFrame = {
-    val bg = docs
+  /** Per-doc bigram term frequencies — shared base of [[lmScores]] /
+    * [[lmScoreWith]]. */
+  private def bigramTf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
           " (x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val tf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
+
+  /** Train the bigram LM on a corpus: one (w₁, w₂, c_bg, c_ctx) row per
+    * observed bigram. This frame IS the model — at deployment it's built
+    * once per corpus snapshot and persisted/broadcast like the
+    * [[IvfIndex]]/[[BloomIndex]] artifacts, then applied to every
+    * incoming batch by [[lmScoreWith]]. */
+  def lmTrain(docs: DataFrame): DataFrame = {
+    val bgc = bigramTf(docs)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c_bg"))
+    val ctx = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
+    bgc.join(broadcast(ctx), Seq("w1"))
+      .select(col("w1"), col("w2"), col("c_bg"), col("c_ctx"))
+  }
+
+  /** Apply a [[lmTrain]]ed model to OTHER documents — the train/apply
+    * split a production quality filter runs (train on the trusted
+    * corpus, score every candidate batch). Transitions absent from the
+    * model score 0 ppm and count as novel, so `novel_frac_x1000` here
+    * measures cross-corpus novelty (unseen transitions), not the
+    * within-corpus uniqueness [[lmScores]] reports. One broadcast left
+    * join per batch; the batch's bigram tf is the only shuffle. */
+  def lmScoreWith(lm: DataFrame, docs: DataFrame): DataFrame =
+    bigramTf(docs)
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .withColumn("ppm",
+        coalesce(expr("(c_bg * 1000000) div c_ctx"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("ppm")).as("ppm_mass"),
+        sum(when(col("c_bg").isNull, col("tf")).otherwise(0L))
+          .as("novel_occ"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("ppm_mass div n_bigrams").as("lm_score_ppm"),
+        expr("novel_occ * 1000 div n_bigrams").as("novel_frac_x1000"))
+
+  def lmScores(docs: DataFrame): DataFrame = {
+    val tf = bigramTf(docs)
     val bgc = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c_bg"))
     val ctx = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
     tf.join(broadcast(bgc), Seq("w1", "w2"))

@@ -200,6 +200,10 @@ object PipelineQueries {
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
+      "lm_score_batch" -> ((s, dir) =>
+        TextAnalysis.lmScoreWith(
+          TextAnalysis.lmTrain(Tables.load(s, dir, "documents")),
+          Dedup.incomingBatch(s, dir))),
       "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
       "dedup_chunks" -> ((s, dir) =>
         TextAnalysis.dupChunks(Dedup.corpusWithExactDups(s, dir))),
@@ -1041,6 +1045,47 @@ object PipelineQueries {
           |    * 1000 // CAST(sum(tf) AS BIGINT) AS BIGINT) AS novel_frac_x1000
           |FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
           |GROUP BY doc_id""".stripMargin,
+
+      // Train on documents, score the incoming batch: unseen transitions
+      // score 0 ppm and count as novel (cross-corpus novelty).
+      "lm_score_batch" ->
+        """WITH tok AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+          |  WHERE len(w) >= 2),
+          |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+          |bgc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_bg
+          |        FROM tf GROUP BY 1, 2),
+          |ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+          |        FROM bgc GROUP BY 1),
+          |lm AS (SELECT w1, w2, c_bg, c_ctx FROM bgc JOIN ctx USING (w1)),
+          |batch AS (
+          |  SELECT doc_id + 600000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000 AS doc_id, text || ' qq zz' FROM documents
+          |  WHERE doc_id % 7 = 0),
+          |btok AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          |  FROM batch),
+          |bbg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM btok, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+          |  WHERE len(w) >= 2),
+          |btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bbg GROUP BY 1, 2, 3),
+          |j AS (SELECT btf.doc_id, btf.tf, lm.c_bg, lm.c_ctx
+          |      FROM btf LEFT JOIN lm USING (w1, w2))
+          |SELECT doc_id,
+          |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+          |  CAST(CAST(sum(tf * coalesce((c_bg * 1000000) // c_ctx, 0))
+          |    AS BIGINT) // CAST(sum(tf) AS BIGINT) AS BIGINT) AS lm_score_ppm,
+          |  CAST(CAST(sum(CASE WHEN c_bg IS NULL THEN tf ELSE 0 END)
+          |    AS BIGINT) * 1000 // CAST(sum(tf) AS BIGINT) AS BIGINT)
+          |    AS novel_frac_x1000
+          |FROM j GROUP BY doc_id""".stripMargin,
 
       // Within-word adjacent character pairs (the BPE merge statistic);
       // string slice s[i:i+1] is 1-based inclusive = 2 chars, matching

@@ -578,6 +578,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lm train/apply: verbatim re-ingests score novelty 0, perturbed > 0") {
+    import org.apache.spark.sql.functions._
+    val lm = graft.exts.TextAnalysis.lmTrain(
+      graft.Tables.load(spark, dir, "documents"))
+    val scored = graft.exts.TextAnalysis.lmScoreWith(
+        lm, Dedup.incomingBatch(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val (reingest, perturbed) = scored.keys.partition(_ < 700000L)
+    assert(reingest.nonEmpty && perturbed.nonEmpty)
+    // a verbatim re-ingest was in the training corpus → every transition known
+    reingest.foreach(id => assert(scored(id) == 0L, s"doc $id novel"))
+    // the appended tail introduces transitions the LM never saw
+    perturbed.foreach(id => assert(scored(id) > 0L, s"doc $id not novel"))
+  }
+
   test("containment catches planted excerpts that jaccard resemblance misses") {
     val corpus = Dedup.corpusWithExcerpts(spark, dir)
     val cont = Dedup.containmentPairs(corpus)
