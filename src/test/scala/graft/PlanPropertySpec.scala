@@ -204,5 +204,28 @@ class PlanPropertySpec extends AnyFunSuite {
     // unbroadcast cross product anywhere is a scale killer
     assert(!plan("dedup_semantic").contains("CartesianProduct"),
       "dedup_semantic must never plan an unbroadcast cross product")
+
+    // lm_score_batch: the trained model attaches to the batch via
+    // broadcast; the batch's own bigram tf is the only hash exchange —
+    // the corpus-side counts must never re-shuffle the batch
+    val lmBatch = plan("lm_score_batch")
+    assert(lmBatch.contains("BroadcastHashJoin"),
+      "lm_score_batch model join must broadcast")
+    assert(!lmBatch.contains("SortMergeJoin"))
+
+    // weighted_sample is a per-row coin: no exchange at all
+    assert(!plan("weighted_sample").contains("Exchange"),
+      "weighted_sample must be shuffle-free")
+
+    // chunk_docs is a per-row explode: no exchange at all
+    assert(!plan("chunk_docs").contains("Exchange"),
+      "chunk_docs must be shuffle-free")
+
+    // event_funnel: every post-stage-1 join is against a
+    // user-cardinality frame and must broadcast
+    val funnel = plan("event_funnel")
+    assert(funnel.contains("BroadcastHashJoin"),
+      "funnel stage joins must broadcast")
+    assert(!funnel.contains("SortMergeJoin"))
   }
 }
