@@ -386,6 +386,28 @@ object TextAnalysis {
         expr("n_tokens_total div n_docs").as("mean_tokens"),
         expr("stop_mass div n_docs").as("mean_stopword_x1000"))
 
+  /** Stage-by-stage observability of the curation pipeline: raw →
+    * quality-kept → exact-deduped, each stage with doc and token counts —
+    * the funnel a corpus operator alarms on (a stage suddenly shedding
+    * 30% of its docs is the first symptom of a bad filter deploy or an
+    * ingest duplicate storm). One [[qualitySignals]] pass feeds all three
+    * aggregates; the dedup stage counts distinct md5 content keys, so
+    * nothing heavier than 16-byte hashes reaches its exchange. */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    val sig = qualitySignals(docs)
+      .select(col("doc_id"), col("text"),
+        col("n_tokens").cast("long").as("n_tokens"), col("keep"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val kept = sig.filter(col("keep"))
+    val ded = kept.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("n_tokens")).as("n_tokens"))
+    stage("1_raw", sig)
+      .unionByName(stage("2_quality_kept", kept))
+      .unionByName(stage("3_deduped", ded))
+  }
+
   /** Content fingerprints via the custom codegen'd rolling-hash expression:
     * whole-doc polynomial hash window-min (winnowing-style), stable under
     * row order. No oracle (not expressible in portable SQL) — covered by

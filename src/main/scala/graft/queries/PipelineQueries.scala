@@ -150,6 +150,8 @@ object PipelineQueries {
             .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
               col("lang"))))
       }),
+      "curation_funnel" -> ((s, dir) =>
+        TextAnalysis.curationFunnel(Dedup.corpusWithExactDups(s, dir))),
       "dedup_semantic" -> ((s, dir) => Similarity.semanticDupPairs(s, dir)),
       "corpus_curate_semantic" -> ((s, dir) =>
         TextAnalysis.curateCorpusSemantic(s, dir)),
@@ -541,6 +543,55 @@ object PipelineQueries {
            |SELECT lang, count(*) AS n_docs_kept,
            |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
            |FROM ded GROUP BY lang""".stripMargin,
+
+      // The corpus_curate signal chain over the exact-dup planting, with
+      // three stage aggregates instead of the per-lang rollup.
+      "curation_funnel" ->
+        s"""WITH $exactCorpusCte,
+           |t AS (SELECT doc_id, text,
+           |        CAST(length(text) AS INTEGER) AS n_chars_measured,
+           |        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |          AS INTEGER) AS n_tokens,
+           |        CAST($stopwordCaseSql
+           |          AS INTEGER) AS n_stopwords,
+           |        regexp_split_to_array(trim(text), '\\s+') AS w
+           |      FROM corpus),
+           |wc AS (SELECT doc_id, word, count(*) AS c
+           |       FROM (SELECT doc_id, unnest(w) AS word FROM t)
+           |       GROUP BY doc_id, word),
+           |ws AS (SELECT doc_id, max(c) AS top_word_count,
+           |         CAST(sum(c) AS BIGINT) AS rep_tokens
+           |       FROM wc GROUP BY doc_id),
+           |bgr AS (SELECT doc_id, bg, count(*) AS c FROM (
+           |    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           |    FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+           |                     AS i) x
+           |    WHERE len(w) >= 2)
+           |  GROUP BY doc_id, bg),
+           |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |         count(*) AS d_bigrams
+           |       FROM bgr GROUP BY doc_id),
+           |sig AS (
+           |  SELECT t.doc_id, t.text, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           |    n_chars_measured,
+           |    (n_chars_measured * 100) // greatest(t.n_tokens, 1) AS mt,
+           |    (n_stopwords * 1000) // greatest(t.n_tokens, 1) AS sr,
+           |    top_word_count * 1000 // rep_tokens AS tw,
+           |    coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0) AS db
+           |  FROM t JOIN ws ON ws.doc_id = t.doc_id
+           |  LEFT JOIN bs ON bs.doc_id = t.doc_id),
+           |keep AS (
+           |  SELECT * FROM sig
+           |  WHERE NOT (n_chars_measured < 100 OR n_chars_measured > 20000
+           |    OR mt < 300 OR mt > 1200 OR sr < 20 OR tw > 200 OR db > 200)),
+           |ded AS (
+           |  SELECT min(n_tokens) AS n_tokens FROM keep GROUP BY md5(text))
+           |SELECT '1_raw' AS stage, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM sig
+           |UNION ALL SELECT '2_quality_kept', count(*),
+           |  CAST(sum(n_tokens) AS BIGINT) FROM keep
+           |UNION ALL SELECT '3_deduped', count(*),
+           |  CAST(sum(n_tokens) AS BIGINT) FROM ded""".stripMargin,
 
       // curation + semantic tier: the corpus_curate quality/exact-dedup
       // chain over a tail-perturbed planting (md5 misses it) + the
