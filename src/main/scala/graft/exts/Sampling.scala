@@ -196,6 +196,80 @@ object Sampling {
       .partitionBy("shard")
       .parquet(outDir)
 
+  /** Greedy per-source selection under a token budget — the step that
+    * EXECUTES a mixing recipe: each source contributes its
+    * highest-quality documents until its token allowance is spent
+    * (DoReMi/DCLM-style "best docs first, stop at the budget"). Quality
+    * is the multilingual stopword-fluency signal (max marker count, the
+    * [[TextAnalysis.LangMarkers]] convention), ×1000 integer ratio so
+    * ordering and cumulative sums are engine-exact; ties break on doc_id
+    * so the selected set is deterministic. A document is kept only if it
+    * fits COMPLETELY inside the remaining budget of its running prefix
+    * (greedy prefix rule, no partial documents).
+    *
+    * Scale shape: one exchange keyed by source + a per-source window
+    * (running sum over the quality ordering). The sort is bounded per
+    * source, not global; at 100 TB with few giant sources, pre-gate with
+    * a coarse quality-band filter (keep the top bands only) so the
+    * window input per source stays bounded — same refinement as
+    * [[stratifiedSample]]. */
+  def tokenBudgetSelect(docs: DataFrame,
+      budgetPerSource: Long = 800L): DataFrame = {
+    val markers = graft.exts.TextAnalysis.LangMarkers.map {
+      case (_, p) => regexp_count(col("text"), lit(p))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_x1000").desc, col("doc_id"))
+    docs
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("n_stop", greatest(markers: _*))
+      .withColumn("quality_x1000",
+        expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerSource)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("quality_x1000"), col("cum_tokens"))
+  }
+
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelect(Tables.load(spark, dir, "documents"))
+
+  /** Per-epoch training order: every document gets a fresh pseudo-random
+    * position each epoch WITHOUT an RNG or a global sort — the epoch-seeded
+    * multiplicative hash is the sort key, so the "shuffle" is (a) fully
+    * deterministic and resumable (epoch + doc_id ⇒ position, forever),
+    * (b) different between epochs, and (c) executed as a per-shard local
+    * sort: rows hash-route to `nShards` shards and only each shard's
+    * slice is ordered. At 100 TB the shard count scales with the corpus
+    * (fixed rows-per-shard), so no task ever sorts more than a shard —
+    * the dataloader reads shard files in position order and the global
+    * order is exactly the (shard, pos) interleave.
+    *
+    * Output: one row per (epoch, document) with its shard and position;
+    * all integer arithmetic (the hash constants are odd 32-bit primes, no
+    * overflow for any realistic doc_id), engine-exact. */
+  def trainingOrder(docs: DataFrame, epochs: Int = 2,
+      nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("h",
+        (col("doc_id") * 2654435761L + (col("epoch") + 1L) * 2246822519L)
+          % 1000000007L)
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+        col("shard"), col("pos"))
+  }
+
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame =
+    trainingOrder(Tables.load(spark, dir, "documents"))
+
   /** Token-count histogram: documents bucketed by whitespace-token count
     * (width-25 bins) — the length-distribution check before packing
     * sequences. One projection + one hash aggregate. */

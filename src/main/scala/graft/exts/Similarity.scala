@@ -250,6 +250,31 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
   }
 
+  /** Recall@k of the IVF search against the brute-force ground truth —
+    * THE metric an ANN deployment tunes nprobe/k against (publish it per
+    * ingest batch and you see index drift before users see bad
+    * neighbors). One row per query: ground-truth size, hits found by the
+    * index, recall ×1000 (integer-exact).
+    *
+    * Scale shape: all the heavy work happens inside the two searches,
+    * each already its own scale-correct plan (broadcast queries, corpus
+    * never shuffled / probed per-cell); their outputs are tiny
+    * (queries × k rows), so the comparison join is a broadcast hash join
+    * over metadata-sized frames no matter the corpus size. */
+  def annRecall(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5, nprobe: Int = 1): DataFrame = {
+    val truth = bruteTopK(spark, dir, maxQueryId, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val found = ivfTopK(spark, dir, maxQueryId, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(broadcast(found), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("k_truth"), col("n_hits"),
+        expr("n_hits * 1000 div k_truth").as("recall_x1000"))
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector scale
     * s = max|x| / 127, q_i = round(x_i / s) ∈ [-127, 127] — 4 bytes/dim
     * compressed to 1 at rest, the standard storage/serving format for

@@ -92,10 +92,12 @@ object PipelineQueries {
 
   private def trainFinalCte: String = s"cent${Similarity.IvfIters}"
 
-  private def ivfOracleSql(probeRn: String): String = {
+  /** IVF search as a CTE chain ending in `ivf_res(query_id, neighbor_id,
+    * rank)` — shared by the sim_ivf oracles and the ann_recall oracle so
+    * all three pin the same search semantics. */
+  private def ivfSearchCtes(probeRn: String): String = {
     val fin = trainFinalCte
-    s"""WITH $trainCtes,
-       |ca AS (
+    s"""ca AS (
        |  SELECT neighbor_id, emb_n, cell FROM (
        |    SELECT e.vec_id AS neighbor_id, e.embedding AS emb_n,
        |      c.cent_id AS cell,
@@ -116,14 +118,20 @@ object PipelineQueries {
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    list_cosine_similarity(emb_q, emb_n) AS cos
-       |  FROM qa JOIN ca USING (cell) WHERE neighbor_id <> query_id)
-       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
-       |FROM (SELECT query_id, neighbor_id,
-       |        row_number() OVER (PARTITION BY query_id
-       |          ORDER BY cos DESC, neighbor_id) AS rank
-       |      FROM scored)
-       |WHERE rank <= 5""".stripMargin
+       |  FROM qa JOIN ca USING (cell) WHERE neighbor_id <> query_id),
+       |ivf_res AS (
+       |  SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+       |  FROM (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rank
+       |        FROM scored)
+       |  WHERE rank <= 5)""".stripMargin
   }
+
+  private def ivfOracleSql(probeRn: String): String =
+    s"""WITH $trainCtes,
+       |${ivfSearchCtes(probeRn)}
+       |SELECT query_id, neighbor_id, rank FROM ivf_res""".stripMargin
 
   val pack: QueryPack = QueryPack(
     queries = Map(
@@ -190,6 +198,8 @@ object PipelineQueries {
       "sim_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
       "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
       "sim_ivf_probe2" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
+      // Index quality metric: IVF hits vs the brute-force ground truth.
+      "ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
       // Scalar stats + md5-of-codes projection (not the int8 array) —
       // the harness row-sort can't hash array cells; q_md5 pins the full
       // code array. Oracle mirrors the IEEE-exact float→double→round
@@ -231,6 +241,9 @@ object PipelineQueries {
       "class_balance" -> ((s, dir) => Sampling.classBalanceWeights(s, dir)),
       "token_histogram" -> ((s, dir) => Sampling.tokenLenHistogram(s, dir)),
       "stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
+      "token_budget_select" -> ((s, dir) =>
+        Sampling.tokenBudgetSelect(s, dir)),
+      "training_order" -> ((s, dir) => Sampling.trainingOrder(s, dir)),
       "pack_sequences" -> ((s, dir) =>
         Packing.packSequences(Tables.load(s, dir, "documents")))),
 
@@ -1038,6 +1051,44 @@ object PipelineQueries {
           |      FROM documents)
           |WHERE rn <= 40""".stripMargin,
 
+      // Greedy per-source prefix under the 800-token budget, ordered by
+      // the multilingual stopword-fluency signal (desc, doc_id tiebreak).
+      // The running sum's ordering is unique, so RANGE/ROWS frames agree.
+      "token_budget_select" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           |      AS n_tokens,
+           |    CAST($stopwordCaseSql AS BIGINT) AS n_stop
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source, n_tokens,
+           |    (n_stop * 1000) // greatest(n_tokens, 1) AS quality_x1000
+           |  FROM t),
+           |c AS (
+           |  SELECT source, doc_id, n_tokens, quality_x1000,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY source
+           |      ORDER BY quality_x1000 DESC, doc_id) AS BIGINT)
+           |      AS cum_tokens
+           |  FROM q)
+           |SELECT source, doc_id, n_tokens, quality_x1000, cum_tokens
+           |FROM c WHERE cum_tokens <= 800""".stripMargin,
+
+      // Epoch-seeded hash ordering: position = rank of the hash within
+      // (epoch, shard); deterministic integer arithmetic on both engines.
+      "training_order" ->
+        """WITH e AS (
+          |  SELECT doc_id, unnest(range(2)) AS epoch FROM documents),
+          |h AS (
+          |  SELECT doc_id, epoch,
+          |    (doc_id * 2654435761 + (epoch + 1) * 2246822519) % 1000000007
+          |      AS h
+          |  FROM e)
+          |SELECT epoch, doc_id, h % 8 AS shard,
+          |  CAST(row_number() OVER (PARTITION BY epoch, h % 8
+          |    ORDER BY h, doc_id) AS INTEGER) AS pos
+          |FROM h""".stripMargin,
+
       "text_tfidf" ->
         """WITH tok AS (
           |  SELECT doc_id,
@@ -1227,6 +1278,37 @@ object PipelineQueries {
       "sim_ivf" -> ivfOracleSql("rn = 1"),
 
       "sim_ivf_probe2" -> ivfOracleSql("rn <= 2"),
+
+      // Recall@5 of the nprobe=1 IVF search vs the brute-force truth:
+      // shares the ivf_res CTE chain with the sim_ivf oracle, so the
+      // metric and the search it grades cannot drift apart.
+      "ann_recall" ->
+        s"""WITH $trainCtes,
+           |${ivfSearchCtes("rn = 1")},
+           |bt_scored AS (
+           |  SELECT query_id, neighbor_id,
+           |    list_cosine_similarity(e_q, e_n) AS cos
+           |  FROM (SELECT vec_id AS query_id, embedding AS e_q
+           |        FROM embeddings WHERE vec_id < 8) q
+           |  CROSS JOIN (SELECT vec_id AS neighbor_id, embedding AS e_n
+           |              FROM embeddings) c
+           |  WHERE neighbor_id <> query_id),
+           |bt AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM bt_scored)
+           |  WHERE rank <= 5)
+           |SELECT bt.query_id,
+           |  CAST(count(*) AS BIGINT) AS k_truth,
+           |  CAST(count(i.query_id) AS BIGINT) AS n_hits,
+           |  CAST(count(i.query_id) * 1000 // count(*) AS BIGINT)
+           |    AS recall_x1000
+           |FROM bt LEFT JOIN ivf_res i
+           |  ON i.query_id = bt.query_id
+           |  AND i.neighbor_id = bt.neighbor_id
+           |GROUP BY bt.query_id""".stripMargin,
 
       // IEEE-deterministic mirror of Similarity.quantizeInt8Stats: the
       // float inputs are exact, both engines promote to DOUBLE for the

@@ -164,6 +164,15 @@ object RelationalQueries {
             sum(col("price_cents")).as("revenue_cents"))
       }),
 
+      // The diagnostic that precedes join_salted: per-key row counts,
+      // per-mille share, and the salt-bucket recommendation for the
+      // hottest join keys ([[graft.ops.Skew.skewReport]]).
+      "skew_report" -> ((s, dir) =>
+        graft.ops.Skew.skewReport(
+          Tables.load(s, dir, "orders")
+            .select(col("o_custkey").as("custkey")),
+          "custkey")),
+
       // Per-group top-k via ranking window (no global sort).
       "window_topk" -> ((s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
@@ -417,6 +426,19 @@ object RelationalQueries {
           |    AS revenue_cents
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_nationkey""".stripMargin,
+
+      "skew_report" ->
+        """WITH c AS (
+          |  SELECT o_custkey AS custkey, count(*) AS n_rows
+          |  FROM orders GROUP BY o_custkey),
+          |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM c)
+          |SELECT custkey, n_rows, total_rows,
+          |  CAST(n_rows * 1000 // total_rows AS BIGINT) AS share_x1000,
+          |  CAST(greatest(1, n_rows * 32 // total_rows) AS BIGINT)
+          |    AS salt_buckets
+          |FROM c, t
+          |ORDER BY n_rows DESC, custkey
+          |LIMIT 20""".stripMargin,
 
       "window_topk" ->
         """SELECT o_custkey, o_orderkey,

@@ -893,4 +893,97 @@ class PipelineSpec extends AnyFunSuite {
       assert(pairs.contains((id, id + 100000L)), s"missing planted pair $id")
     }
   }
+
+  test("ann recall: bounded, consistent with truth size, monotone in nprobe") {
+    val r1 = Similarity.annRecall(spark, dir).collect()
+    assert(r1.length === 8) // one row per query vec_id < 8
+    r1.foreach { r =>
+      assert(r.getAs[Long]("k_truth") === 5L)
+      val rec = r.getAs[Long]("recall_x1000")
+      assert(rec >= 0L && rec <= 1000L)
+      assert(rec === r.getAs[Long]("n_hits") * 1000L / 5L)
+    }
+    // probing a second cell can only add candidates: total hits ≥ nprobe=1
+    val h1 = r1.map(_.getAs[Long]("n_hits")).sum
+    val h2 = Similarity.annRecall(spark, dir, nprobe = 2).collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(h2 >= h1)
+  }
+
+  test("token budget select: greedy quality prefix per source, never over") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val sel = graft.exts.Sampling.tokenBudgetSelect(docs).collect()
+    assert(sel.nonEmpty)
+    // budget respected per source
+    sel.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(tot <= 800L, s"$src over budget: $tot")
+      assert(tot === rows.map(_.getAs[Long]("cum_tokens")).max)
+    }
+    // selection is the PREFIX of the (quality desc, doc_id) ordering: the
+    // best-ranked unselected doc of each source would not have fit
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_x1000").desc, col("doc_id"))
+    val ranked = graft.exts.Sampling.tokenBudgetSelect(docs, Long.MaxValue)
+      .withColumn("rk", row_number().over(w)).collect()
+      .groupBy(_.getAs[String]("source"))
+    val selBySrc = sel.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    ranked.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      val chosen = selBySrc.getOrElse(src, Set.empty)
+      val k = chosen.size
+      assert(sorted.take(k).forall(r => chosen(r.getAs[Long]("doc_id"))),
+        s"$src: selection is not the quality prefix")
+      if (k < sorted.length) {
+        val nextTokens = sorted(k).getAs[Long]("n_tokens")
+        val used = sorted.take(k).map(_.getAs[Long]("n_tokens")).sum
+        assert(used + nextTokens > 800L,
+          s"$src: next doc would still have fit")
+      }
+    }
+  }
+
+  test("training order: per-epoch permutation, contiguous shard positions, " +
+      "epochs differ") {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count()
+    val rows = graft.exts.Sampling.trainingOrder(docs).collect()
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet === Set(0L, 1L))
+    byEpoch.foreach { case (_, rs) =>
+      assert(rs.length.toLong === n)
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length.toLong === n)
+      rs.groupBy(_.getAs[Long]("shard")).foreach { case (_, srs) =>
+        val pos = srs.map(_.getAs[Int]("pos")).sorted
+        assert(pos === (1 to srs.length).toArray)
+      }
+    }
+    // the epoch seed changes the layout: some document moves shard or pos
+    def layout(e: Long) = byEpoch(e)
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Int]("pos"))).toMap
+    assert(layout(0L) !== layout(1L))
+  }
+
+  test("skew report: hottest keys first, shares and salt sane") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"))
+    val rep = graft.ops.Skew.skewReport(orders, "custkey").collect()
+    assert(rep.length <= 20 && rep.nonEmpty)
+    val total = orders.count()
+    val trueMax = orders.groupBy(col("custkey")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(rep.head.getAs[Long]("n_rows") === trueMax)
+    assert(rep.map(_.getAs[Long]("n_rows")).toSeq ===
+      rep.map(_.getAs[Long]("n_rows")).sortBy(-_).toSeq)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("total_rows") === total)
+      assert(r.getAs[Long]("share_x1000") <= 1000L)
+      assert(r.getAs[Long]("salt_buckets") >= 1L)
+    }
+  }
 }
