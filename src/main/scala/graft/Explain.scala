@@ -32,7 +32,9 @@ object Explain {
       "dedup_containment", "dedup_incremental", "text_lm_score",
       "weighted_sample", "chunk_docs", "source_quality_report",
       "dedup_chunks", "dedup_groups_ensemble", "mm_audio",
-      "lm_score_batch", "event_funnel", "event_cohorts")
+      "lm_score_batch", "event_funnel", "event_cohorts", "curation_funnel",
+      "ann_recall", "token_budget_select", "training_order", "skew_report",
+      "bpe_train")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -314,6 +314,75 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topN)
 
+  /** Merge rounds for [[bpeTrain]] — the compile-time-fixed budget that
+    * also generates the oracle's CTE chain, so both sides iterate exactly
+    * this many times. */
+  val BpeRounds = 6
+
+  /** Iterative pair-merge tokenizer training (the BPE loop, at word
+    * granularity — word2phrase/SentencePiece-style phrase merging over the
+    * whitespace pre-tokenization): `BpeRounds` times, count every adjacent
+    * token pair in the corpus, merge the most frequent pair (count desc,
+    * then pair asc — fully deterministic) into one `pa_pb` token
+    * everywhere, repeat on the rewritten stream. Output is the trained
+    * merge table: (round, pa, pb, merged, cnt) — the artifact a tokenizer
+    * ships.
+    *
+    * Token streams are carried as a delimiter-doubled encoding
+    * `' a  b  c '` (tokens joined by TWO spaces, single-space fenced), so
+    * the merge is one literal string replace of `' pa  pb '` with
+    * `' pa_pb '`: the pattern can never match inside a token, adjacent
+    * occurrences keep their shared boundary intact, and greedy
+    * left-to-right non-overlapping replacement — identical semantics in
+    * the JVM and the oracle engine — is exactly BPE's merge rule ("a a a"
+    * merges once, not twice).
+    *
+    * Scale shape per round: one map-side-combined pair-count aggregate
+    * (the exchange carries distinct-pair rows, bounded by vocabulary²,
+    * not corpus size), a 1-row broadcast of the winning rule, and one
+    * codegen'd projection rewriting the stream. Rounds are inherently
+    * sequential (BPE is an iterative algorithm); `localCheckpoint`
+    * truncates the lineage each round so round r costs one corpus pass,
+    * not 2^r. The driver never holds corpus data — only the 1-row rule
+    * crosses stages, by broadcast. */
+  def bpeTrain(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    var enc = docs.select(
+      concat(lit(" "), concat_ws("  ", words(col("text"))), lit(" "))
+        .as("enc"))
+    var rules = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = enc
+        .select(words(col("enc")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(element_at(w, i) AS pa," +
+            "             element_at(w, i + 1) AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1)
+        .select(lit(r).as("round"), col("pa"), col("pb"),
+          concat(col("pa"), lit("_"), col("pb")).as("merged"), col("cnt"))
+        // 1-row eager checkpoint: the winning rule is computed exactly
+        // once, then reused by both the output union and the rewrite
+        .localCheckpoint(true)
+      rules = rules :+ best
+      if (r < rounds) {
+        enc = enc.crossJoin(broadcast(best.select(col("pa"), col("pb"),
+            col("merged"))))
+          .select(expr(
+            "replace(enc, ' ' || pa || '  ' || pb || ' '," +
+              " ' ' || merged || ' ')").as("enc"))
+          .localCheckpoint(true)
+      }
+    }
+    rules.reduce(_ unionByName _)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.load(spark, dir, "documents"))
+
   /** Fixed-window chunking: 64 tokens per chunk, 16-token overlap. */
   val ChunkTokens = 64
   val ChunkOverlap = 16

@@ -128,6 +128,48 @@ object PipelineQueries {
        |  WHERE rank <= 5)""".stripMargin
   }
 
+  /** DuckDB mirror of [[TextAnalysis.bpeTrain]]: the same
+    * [[TextAnalysis.BpeRounds]]-round merge loop as generated CTEs —
+    * per-round pair counts from the delimiter-doubled encoding, the
+    * deterministic argmax rule, and the literal-replace rewrite feeding
+    * the next round. Generated from the one constant so Spark and oracle
+    * cannot disagree on the round count. */
+  private def bpeOracleSql: String = {
+    val rounds = TextAnalysis.BpeRounds
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      val rewrite =
+        if (r == rounds) ""
+        else s""",
+           |e$r AS (
+           |  SELECT replace(enc,
+           |    ' ' || (SELECT pa FROM b$r) || '  ' ||
+           |      (SELECT pb FROM b$r) || ' ',
+           |    ' ' || (SELECT merged FROM b$r) || ' ') AS enc
+           |  FROM $prev)""".stripMargin
+      s"""p$r AS (
+         |  SELECT w[i] AS pa, w[i + 1] AS pb, count(*) AS cnt
+         |  FROM (SELECT regexp_split_to_array(trim(enc), '\\s+') AS w
+         |        FROM $prev),
+         |    LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) x
+         |  WHERE len(w) >= 2
+         |  GROUP BY pa, pb),
+         |b$r AS (
+         |  SELECT $r AS round, pa, pb, pa || '_' || pb AS merged, cnt
+         |  FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1)$rewrite""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT round, pa, pb, merged, CAST(cnt AS BIGINT) AS cnt " +
+        s"FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e0 AS (
+       |  SELECT ' ' || array_to_string(
+       |      regexp_split_to_array(trim(text), '\\s+'), '  ') || ' ' AS enc
+       |  FROM documents),
+       |$roundCtes
+       |$union""".stripMargin
+  }
+
   private def ivfOracleSql(probeRn: String): String =
     s"""WITH $trainCtes,
        |${ivfSearchCtes(probeRn)}
@@ -212,6 +254,8 @@ object PipelineQueries {
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
+      // The full iterative merge loop over the pair statistic above.
+      "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
       "lm_score_batch" -> ((s, dir) =>
         TextAnalysis.lmScoreWith(
           TextAnalysis.lmTrain(Tables.load(s, dir, "documents")),
@@ -1202,6 +1246,8 @@ object PipelineQueries {
           |  WHERE length(word) >= 2)
           |SELECT pair, count(*) AS cnt FROM p
           |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+      "bpe_train" -> bpeOracleSql,
 
       "text_docfreq" ->
         """WITH tok AS (

@@ -968,6 +968,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(layout(0L) !== layout(1L))
   }
 
+  test("bpe train: deterministic rounds, non-increasing counts, greedy merge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rules = graft.exts.TextAnalysis
+      .bpeTrain(Tables.load(spark, dir, "documents")).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(rules.map(_.getAs[Int]("round")).toSeq === (1 to 6))
+    // the winning count can never rise: a merge only removes occurrences
+    // of other pairs or creates pairs no more frequent than the winner
+    val cnts = rules.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse, s"counts not non-increasing: $cnts")
+    rules.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("pa") + "_" + r.getAs[String]("pb"))
+    }
+    // greedy non-overlap on a run: "a a a" counts pair (a,a) twice but
+    // merges once, so round 2 sees (a_a, a) — not a second (a, a)
+    val tiny = Seq("a a a").toDF("text")
+    val r2 = graft.exts.TextAnalysis.bpeTrain(tiny, rounds = 2).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(r2(0).getAs[String]("pa") === "a" &&
+      r2(0).getAs[String]("pb") === "a" && r2(0).getAs[Long]("cnt") === 2L)
+    assert(r2(1).getAs[String]("pa") === "a_a" &&
+      r2(1).getAs[String]("pb") === "a" && r2(1).getAs[Long]("cnt") === 1L)
+  }
+
   test("skew report: hottest keys first, shares and salt sane") {
     import org.apache.spark.sql.functions._
     val orders = Tables.load(spark, dir, "orders")
