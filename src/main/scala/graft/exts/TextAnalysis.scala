@@ -314,6 +314,101 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topN)
 
+  /** Head-vocabulary size for [[sourceDivergence]]: the drift statistic is
+    * computed over the top-K global terms only, so the comparison grid is
+    * sources × K — bounded at any corpus scale (natural vocabularies are
+    * Zipf-unbounded; the drift signal lives in the head). */
+  val DivergenceHeadTerms = 1000
+
+  /** Per-source token-distribution drift vs the whole corpus: L1 distance
+    * between the source's term frequencies and the global term
+    * frequencies, both in integer parts-per-million over the
+    * [[DivergenceHeadTerms]]-term head vocabulary. The ingest-batch
+    * telemetry that catches a feed gone bad (scraper stuck on one
+    * template, encoding regression, language flip) as a single number per
+    * source — alarms fire on a jump.
+    *
+    * Scale shape: two hash aggregates over the token stream (map-side
+    * combined; the exchanges carry (source, term) and term cardinality,
+    * not tokens), a distributed top-K for the head vocabulary, then all
+    * arithmetic on sources × K rows — metadata-sized frames joined
+    * broadcast. Integer ppm throughout (ties in the top-K break on the
+    * term), so the result is engine-exact. */
+  def sourceDivergence(docs: DataFrame,
+      headTerms: Int = DivergenceHeadTerms): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(words(col("text"))).as("term"))
+    val glob = tok.groupBy(col("term")).agg(count(lit(1)).as("g_cnt"))
+    val gtot = glob.agg(sum(col("g_cnt")).as("g_tot"))
+    val gppm = glob.crossJoin(broadcast(gtot))
+      .select(col("term"), col("g_cnt"),
+        expr("g_cnt * 1000000 div g_tot").as("g_ppm"))
+      .orderBy(col("g_cnt").desc, col("term"))
+      .limit(headTerms)
+      .select(col("term"), col("g_ppm"))
+    val src = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("s_cnt"))
+    val stot = src.groupBy(col("source")).agg(sum(col("s_cnt")).as("s_tot"))
+    val sppm = src.join(broadcast(stot), "source")
+      .select(col("source"), col("term"),
+        expr("s_cnt * 1000000 div s_tot").as("s_ppm"))
+    // full (source × head-term) grid so head terms ABSENT from a source
+    // still contribute |0 − g_ppm| — a source that lost a common term is
+    // exactly the drift this must see
+    stot.crossJoin(broadcast(gppm))
+      .join(sppm, Seq("source", "term"), "left")
+      .groupBy(col("source"), col("s_tot"))
+      .agg(sum(abs(coalesce(col("s_ppm"), lit(0L)) - col("g_ppm")))
+        .as("l1_ppm"))
+      .select(col("source"), col("s_tot").as("n_tokens"), col("l1_ppm"))
+  }
+
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergence(Tables.load(spark, dir, "documents"))
+
+  /** Distribution-calibrated quality thresholds: instead of the global
+    * constants in [[qualitySignals]], learn a per-language cutoff from the
+    * corpus itself — threshold = (exact lower-median of the language's
+    * stopword-fluency ratio) / 2 — and report how many documents each
+    * language keeps under its own calibrated bar. This is how a filter
+    * survives corpora whose fluency baseline differs by language or
+    * domain: the bar moves with the distribution, not with hand-tuned
+    * constants.
+    *
+    * The median is the EXACT discrete lower median (value at row
+    * ⌈n/2⌉ of the (ratio, doc_id) ordering — deterministic, no
+    * interpolation), so the whole report is integer-exact. One exchange
+    * by language + a bounded per-language window, then a broadcast join
+    * of the per-language bars back onto the signal pass. */
+  def qualityCalibrate(docs: DataFrame): DataFrame = {
+    val markers = LangMarkers.map { case (_, p) =>
+      regexp_count(col("text"), lit(p))
+    }
+    val sig = docs.select(col("lang"), col("doc_id"),
+        size(words(col("text"))).as("n_tokens"),
+        greatest(markers: _*).as("n_stop"))
+      .select(col("lang"), col("doc_id"),
+        expr("(n_stop * 1000) div greatest(n_tokens, 1)").as("ratio_x1000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("ratio_x1000"), col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val bars = sig
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("lang"), col("ratio_x1000").as("median_x1000"),
+        expr("ratio_x1000 div 2").as("threshold_x1000"))
+    sig.join(broadcast(bars), "lang")
+      .groupBy(col("lang"), col("median_x1000"), col("threshold_x1000"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ratio_x1000") >= col("threshold_x1000"), 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
+  def qualityCalibrate(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibrate(Tables.load(spark, dir, "documents"))
+
   /** Merge rounds for [[bpeTrain]] — the compile-time-fixed budget that
     * also generates the oracle's CTE chain, so both sides iterate exactly
     * this many times. */

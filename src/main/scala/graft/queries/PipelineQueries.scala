@@ -265,6 +265,10 @@ object PipelineQueries {
         TextAnalysis.dupChunks(Dedup.corpusWithExactDups(s, dir))),
       "source_quality_report" -> ((s, dir) =>
         TextAnalysis.sourceQualityReport(s, dir)),
+      "source_divergence" -> ((s, dir) =>
+        TextAnalysis.sourceDivergence(s, dir)),
+      "quality_calibrate" -> ((s, dir) =>
+        TextAnalysis.qualityCalibrate(s, dir)),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
       "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
 
@@ -1248,6 +1252,60 @@ object PipelineQueries {
           |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
       "bpe_train" -> bpeOracleSql,
+
+      // L1 drift in integer ppm over the top-1000-term head vocabulary;
+      // the grid is sources × head terms so absent terms still count.
+      "source_divergence" ->
+        s"""WITH tok AS (
+           |  SELECT source,
+           |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+           |  FROM documents),
+           |g AS (SELECT term, count(*) AS g_cnt FROM tok GROUP BY term),
+           |gt AS (SELECT CAST(sum(g_cnt) AS BIGINT) AS g_tot FROM g),
+           |gp AS (SELECT term, g_cnt * 1000000 // g_tot AS g_ppm
+           |       FROM g, gt
+           |       ORDER BY g_cnt DESC, term
+           |       LIMIT ${TextAnalysis.DivergenceHeadTerms}),
+           |s AS (SELECT source, term, count(*) AS s_cnt
+           |      FROM tok GROUP BY source, term),
+           |st AS (SELECT source, CAST(sum(s_cnt) AS BIGINT) AS s_tot
+           |       FROM s GROUP BY source),
+           |sp AS (SELECT source, term, s_cnt * 1000000 // s_tot AS s_ppm
+           |       FROM s JOIN st USING (source)),
+           |grid AS (SELECT st.source, st.s_tot, gp.term, gp.g_ppm
+           |         FROM st CROSS JOIN gp)
+           |SELECT grid.source, grid.s_tot AS n_tokens,
+           |  CAST(sum(abs(coalesce(sp.s_ppm, 0) - grid.g_ppm)) AS BIGINT)
+           |    AS l1_ppm
+           |FROM grid LEFT JOIN sp
+           |  ON sp.source = grid.source AND sp.term = grid.term
+           |GROUP BY grid.source, grid.s_tot""".stripMargin,
+
+      // Exact discrete lower median per language: the value at row
+      // ceil(n/2) of the (ratio, doc_id) ordering.
+      "quality_calibrate" ->
+        s"""WITH sig AS (
+           |  SELECT lang, doc_id,
+           |    (CAST($stopwordCaseSql AS BIGINT) * 1000)
+           |      // greatest(CAST(len(regexp_split_to_array(trim(text),
+           |           '\\s+')) AS BIGINT), 1) AS ratio_x1000
+           |  FROM documents),
+           |r AS (
+           |  SELECT lang, ratio_x1000,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY ratio_x1000, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM sig),
+           |bars AS (
+           |  SELECT lang, ratio_x1000 AS median_x1000,
+           |    ratio_x1000 // 2 AS threshold_x1000
+           |  FROM r WHERE rn = (n + 1) // 2)
+           |SELECT sig.lang, median_x1000, threshold_x1000,
+           |  count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN ratio_x1000 >= threshold_x1000
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM sig JOIN bars ON bars.lang = sig.lang
+           |GROUP BY sig.lang, median_x1000, threshold_x1000""".stripMargin,
 
       "text_docfreq" ->
         """WITH tok AS (

@@ -968,6 +968,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(layout(0L) !== layout(1L))
   }
 
+  test("source divergence: zero for identical dists, max for disjoint vocab") {
+    import spark.implicits._
+    // identical text in both sources → source dist == global dist → L1 0
+    val same = Seq(("a", "x y x"), ("b", "x y x")).toDF("source", "text")
+    val l0 = graft.exts.TextAnalysis.sourceDivergence(same).collect()
+    assert(l0.length === 2)
+    l0.foreach(r => assert(r.getAs[Long]("l1_ppm") === 0L))
+    // disjoint vocabularies → each source is 1e6 away from the blend
+    val disj = Seq(("a", "x x x"), ("b", "y y y")).toDF("source", "text")
+    val l1 = graft.exts.TextAnalysis.sourceDivergence(disj).collect()
+    l1.foreach(r => assert(r.getAs[Long]("l1_ppm") === 1000000L))
+    // real corpus: bounded by the theoretical max, one row per source
+    val rep = graft.exts.TextAnalysis
+      .sourceDivergence(Tables.load(spark, dir, "documents")).collect()
+    assert(rep.length === 20)
+    rep.foreach { r =>
+      val v = r.getAs[Long]("l1_ppm")
+      assert(v >= 0L && v <= 2000000L)
+    }
+  }
+
+  test("quality calibrate: per-lang bar at half the exact median, " +
+      "keeps at least the upper half") {
+    val rows = graft.exts.TextAnalysis
+      .qualityCalibrate(Tables.load(spark, dir, "documents")).collect()
+    val langs = Tables.load(spark, dir, "documents")
+      .select("lang").distinct().count()
+    assert(rows.length.toLong === langs)
+    rows.foreach { r =>
+      val med = r.getAs[Long]("median_x1000")
+      assert(r.getAs[Long]("threshold_x1000") === med / 2)
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept <= n)
+      // everything at or above the median clears the half-median bar
+      assert(kept >= n / 2, s"${r.getAs[String]("lang")}: $kept of $n")
+    }
+  }
+
   test("bpe train: deterministic rounds, non-increasing counts, greedy merge") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
