@@ -68,7 +68,16 @@ object ScaleRehearsal {
       // the bloom probe is per-row codegen; only the might-contain sliver
       // reaches the md5 anti-join, so time tracks the corpus scan that
       // builds the sketch.
-      "dedup_incremental" -> SparkEntry.queries("dedup_incremental"))
+      "dedup_incremental" -> SparkEntry.queries("dedup_incremental"),
+      // per-round pair-count agg is token-linear; the argmax/rewrite side
+      // is vocab-bounded, so 10× tokens ⇒ ~linear per round × 6 rounds.
+      "bpe_train" -> SparkEntry.queries("bpe_train"),
+      // one exchange by source + per-source running-sum window: time
+      // tracks the per-source slice sort, linear in rows per source.
+      "token_budget_select" -> SparkEntry.queries("token_budget_select"),
+      // two token-linear hash aggregates; everything after the top-K head
+      // cut is sources × K metadata arithmetic.
+      "source_divergence" -> SparkEntry.queries("source_divergence"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries
