@@ -42,6 +42,17 @@ object Dedup {
   def shingles(text: Column): Column =
     graft.functions.Signatures.shingle_set(text)
 
+  /** Exploded shingle stream keyed by xxhash64 of the shingle: every
+    * consumer in this family (jaccard, containment, ensemble, span
+    * scores) only ever counts or joins on the shingle — the text itself
+    * never reaches an output — so the inverted index carries 8-byte keys
+    * instead of span strings through every exchange. At 100 TB that is a
+    * multiple-× cut in shuffle volume, the same trade as the md5-keyed
+    * exact dedup (collision odds are the standard content-address bet). */
+  private[graft] def hashedShingles(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+
   /** documents ∪ planted exact copies (every 10th doc, id+100000). */
   def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "documents")
@@ -113,8 +124,7 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs at threshold ½ via the integer
     * inequality 3·inter ≥ |A|+|B|. Output is all-integer. */
   def ngramJaccardPairs(corpus: DataFrame): DataFrame = {
-    val sh = corpus
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sh = hashedShingles(corpus)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -139,8 +149,7 @@ object Dedup {
     * threshold test as [[ngramJaccardPairs]]. */
   def ngramJaccardPairsCapped(corpus: DataFrame,
       maxShingleDf: Int = 100): DataFrame = {
-    val sh = corpus
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sh = hashedShingles(corpus)
     // The *hot* set (df > cap) is small by construction (at most
     // total-occurrences / cap distinct shingles, and in practice a handful
     // of boilerplate strings), so exclusion is an anti-join against it —
@@ -266,8 +275,7 @@ object Dedup {
     * shingle index and its self-join twice for the same equi-join volume;
     * fused, the second detector costs one extra predicate. */
   def ensemblePairs(corpus: DataFrame): DataFrame = {
-    val sh = corpus
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sh = hashedShingles(corpus)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -292,8 +300,7 @@ object Dedup {
     * [[ngramJaccardPairsCapped]] composes unchanged on the same index
     * when boilerplate skew needs bounding at corpus scale. */
   def containmentPairs(corpus: DataFrame): DataFrame = {
-    val sh = corpus
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sh = hashedShingles(corpus)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -471,8 +478,7 @@ object Dedup {
     * (corpus_id, eval_id, n_shared). */
   def contaminationPairs(docs: DataFrame, modulus: Int = 97,
       minShared: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingles(col("text"))).as("sh"))
+    val sh = hashedShingles(docs)
     val evalSide = broadcast(
       sh.filter(col("doc_id") % modulus === 0)
         .select(col("doc_id").as("eval_id"), col("sh")))

@@ -750,10 +750,15 @@ object TextAnalysis {
     * hash aggregate for span document-frequencies, one shuffle join back
     * on the span, one per-doc aggregate — shuffle rows track distinct
     * (doc, span) pairs, the [[tfidfTop]]/[[rarityScores]] shape. df > 1
-    * means "in another doc" because the span array per doc is DISTINCT. */
+    * means "in another doc" because the span array per doc is DISTINCT.
+    * Spans never reach the output, so both the df aggregate and the join
+    * key on xxhash64(span): the exchanges carry 8-byte keys instead of
+    * the span text — a multiple-× shuffle-volume cut at corpus scale
+    * (same trick as the md5-keyed exact dedup). */
   def dupSpanScores(corpus: DataFrame): DataFrame = {
     val sh = corpus.select(col("doc_id"),
-      explode(Dedup.shingles(col("text"))).as("sh"))
+        explode(Dedup.shingles(col("text"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
       .groupBy(col("doc_id"))
