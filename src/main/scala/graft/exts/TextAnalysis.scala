@@ -478,6 +478,38 @@ object TextAnalysis {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.load(spark, dir, "documents"))
 
+  /** Apply a trained merge table ([[bpeTrain]] output) to a candidate
+    * batch — the serving half of the train/apply split (the
+    * lmTrain/lmScoreWith artifact pattern): merges replay in round order
+    * on each document's encoded stream, and the result reports the
+    * token count before/after plus the md5 of the final encoding (pinning
+    * the exact token stream through the scalar-only driver gate).
+    *
+    * Scale shape: the rules are round-keyed 1-row broadcasts feeding a
+    * chain of `rounds` codegen'd literal-replace projections — the batch
+    * is scanned once, never shuffled, and the trained artifact is reused
+    * across any number of batches (training cost amortizes to zero). */
+  def bpeEncode(batch: DataFrame, rules: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    var enc = batch.select(col("doc_id"),
+      concat(lit(" "), concat_ws("  ", words(col("text"))), lit(" "))
+        .as("enc"),
+      size(words(col("text"))).as("n_tokens_before"))
+    for (r <- 1 to rounds) {
+      enc = enc.crossJoin(broadcast(
+          rules.filter(col("round") === r)
+            .select(col("pa"), col("pb"), col("merged"))))
+        .select(col("doc_id"),
+          expr("replace(enc, ' ' || pa || '  ' || pb || ' '," +
+            " ' ' || merged || ' ')").as("enc"),
+          col("n_tokens_before"))
+    }
+    enc.select(col("doc_id"), col("n_tokens_before"),
+      size(words(col("enc"))).as("n_tokens_after"),
+      (col("n_tokens_before") - size(words(col("enc")))).as("n_merges"),
+      md5(col("enc")).as("enc_md5"))
+  }
+
   /** Fixed-window chunking: 64 tokens per chunk, 16-token overlap. */
   val ChunkTokens = 64
   val ChunkOverlap = 16

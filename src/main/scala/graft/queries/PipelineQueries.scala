@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.exts.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.exts.{BpeIndex, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.Tables
 
 /** Driver-contract queries for the training-data-pipeline extensions:
@@ -134,19 +134,23 @@ object PipelineQueries {
     * deterministic argmax rule, and the literal-replace rewrite feeding
     * the next round. Generated from the one constant so Spark and oracle
     * cannot disagree on the round count. */
-  private def bpeOracleSql: String = {
+  /** The [[TextAnalysis.bpeTrain]] CTE chain (e0 + per-round pair counts,
+    * argmax rules b1..bN, rewrites e1..e(N−1)) — shared by the bpe_train
+    * and bpe_encode oracles. */
+  private def bpeTrainCtes: String = {
     val rounds = TextAnalysis.BpeRounds
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"e${r - 1}"
+      // MATERIALIZED + single-reference rule joins: without them DuckDB
+      // re-inlines the whole training chain at every reference and the
+      // oracle's cost explodes combinatorially with the round count.
       val rewrite =
         if (r == rounds) ""
         else s""",
-           |e$r AS (
-           |  SELECT replace(enc,
-           |    ' ' || (SELECT pa FROM b$r) || '  ' ||
-           |      (SELECT pb FROM b$r) || ' ',
-           |    ' ' || (SELECT merged FROM b$r) || ' ') AS enc
-           |  FROM $prev)""".stripMargin
+           |e$r AS MATERIALIZED (
+           |  SELECT replace(enc, ' ' || pa || '  ' || pb || ' ',
+           |                 ' ' || merged || ' ') AS enc
+           |  FROM $prev, b$r)""".stripMargin
       s"""p$r AS (
          |  SELECT w[i] AS pa, w[i + 1] AS pb, count(*) AS cnt
          |  FROM (SELECT regexp_split_to_array(trim(enc), '\\s+') AS w
@@ -154,20 +158,60 @@ object PipelineQueries {
          |    LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) x
          |  WHERE len(w) >= 2
          |  GROUP BY pa, pb),
-         |b$r AS (
+         |b$r AS MATERIALIZED (
          |  SELECT $r AS round, pa, pb, pa || '_' || pb AS merged, cnt
          |  FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1)$rewrite""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds)
-      .map(r => s"SELECT round, pa, pb, merged, CAST(cnt AS BIGINT) AS cnt " +
-        s"FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH e0 AS (
+    s"""e0 AS MATERIALIZED (
        |  SELECT ' ' || array_to_string(
        |      regexp_split_to_array(trim(text), '\\s+'), '  ') || ' ' AS enc
        |  FROM documents),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val union = (1 to TextAnalysis.BpeRounds)
+      .map(r => s"SELECT round, pa, pb, merged, CAST(cnt AS BIGINT) AS cnt " +
+        s"FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeTrainCtes
        |$union""".stripMargin
+  }
+
+  /** bpe_encode oracle: train on documents (shared CTEs), then replay the
+    * rules in round order over the incoming batch. */
+  private def bpeEncodeOracleSql: String = {
+    val rounds = TextAnalysis.BpeRounds
+    val applyCtes = (1 to rounds).map { r =>
+      s"""x$r AS MATERIALIZED (
+         |  SELECT doc_id, n_tokens_before,
+         |    replace(enc, ' ' || pa || '  ' || pb || ' ',
+         |            ' ' || merged || ' ') AS enc
+         |  FROM x${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |batch AS (
+       |  SELECT doc_id + 600000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 700000 AS doc_id, text || ' qq zz' FROM documents
+       |  WHERE doc_id % 7 = 0),
+       |x0 AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+       |      AS n_tokens_before,
+       |    ' ' || array_to_string(
+       |      regexp_split_to_array(trim(text), '\\s+'), '  ') || ' ' AS enc
+       |  FROM batch),
+       |$applyCtes
+       |SELECT doc_id, n_tokens_before,
+       |  CAST(len(regexp_split_to_array(trim(enc), '\\s+')) AS INTEGER)
+       |    AS n_tokens_after,
+       |  CAST(n_tokens_before -
+       |    len(regexp_split_to_array(trim(enc), '\\s+')) AS INTEGER)
+       |    AS n_merges,
+       |  md5(enc) AS enc_md5
+       |FROM x$rounds""".stripMargin
   }
 
   private def ivfOracleSql(probeRn: String): String =
@@ -256,6 +300,12 @@ object PipelineQueries {
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
       // The full iterative merge loop over the pair statistic above.
       "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
+      // Train/apply split: corpus-trained merges (session-memoized
+      // BpeIndex artifact — trained once per corpus, not per batch)
+      // replayed on the incoming batch.
+      "bpe_encode" -> ((s, dir) =>
+        TextAnalysis.bpeEncode(Dedup.incomingBatch(s, dir),
+          BpeIndex.rules(s, dir))),
       "lm_score_batch" -> ((s, dir) =>
         TextAnalysis.lmScoreWith(
           TextAnalysis.lmTrain(Tables.load(s, dir, "documents")),
@@ -1252,6 +1302,8 @@ object PipelineQueries {
           |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
       "bpe_train" -> bpeOracleSql,
+
+      "bpe_encode" -> bpeEncodeOracleSql,
 
       // L1 drift in integer ppm over the top-1000-term head vocabulary;
       // the grid is sources × head terms so absent terms still count.

@@ -1033,6 +1033,46 @@ class PipelineSpec extends AnyFunSuite {
       r2(1).getAs[String]("pb") === "a" && r2(1).getAs[Long]("cnt") === 1L)
   }
 
+  test("bpe index artifact: memo = fresh training; save/load round-trips") {
+    graft.exts.BpeIndex.clear()
+    val fresh = graft.exts.TextAnalysis
+      .bpeTrain(Tables.load(spark, dir, "documents")).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Int].toLong)
+    val memo1 = graft.exts.BpeIndex.rules(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Int].toLong)
+    assert(memo1.toSeq === fresh.toSeq)
+    // second call hits the memo (no retraining) and is identical
+    val memo2 = graft.exts.BpeIndex.rules(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Int].toLong)
+    assert(memo2.toSeq === memo1.toSeq)
+    val path = java.nio.file.Files
+      .createTempDirectory("bpeidx").toString + "/rules"
+    graft.exts.BpeIndex.save(graft.exts.BpeIndex.rules(spark, dir), path)
+    val loaded = graft.exts.BpeIndex.load(spark, path).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Int].toLong)
+    assert(loaded.toSeq === fresh.toSeq)
+  }
+
+  test("bpe encode: trained rules compress the corpus they were trained on") {
+    val docs = Tables.load(spark, dir, "documents")
+    val rules = graft.exts.TextAnalysis.bpeTrain(docs)
+    val enc = graft.exts.TextAnalysis.bpeEncode(docs, rules).collect()
+    assert(enc.length.toLong === docs.count())
+    enc.foreach { r =>
+      val before = r.getAs[Int]("n_tokens_before")
+      val after = r.getAs[Int]("n_tokens_after")
+      assert(after <= before && after >= 1)
+      assert(r.getAs[Int]("n_merges") === before - after)
+    }
+    // the merges were chosen as the corpus's most frequent pairs — they
+    // must actually fire somewhere
+    assert(enc.map(_.getAs[Int]("n_merges").toLong).sum > 0L)
+    // deterministic: same artifact + same batch → same encodings
+    val again = graft.exts.TextAnalysis.bpeEncode(docs, rules).collect()
+    assert(enc.map(_.getAs[String]("enc_md5")).sorted.toSeq ===
+      again.map(_.getAs[String]("enc_md5")).sorted.toSeq)
+  }
+
   test("skew report: hottest keys first, shares and salt sane") {
     import org.apache.spark.sql.functions._
     val orders = Tables.load(spark, dir, "orders")
