@@ -54,4 +54,28 @@ object Packing {
       }
       .toDF()
   }
+
+  /** Packing-quality report per language — the metric that says whether
+    * the greedy packer is wasting training compute: sequences used vs the
+    * theoretical lower bound ⌈total_tokens / budget⌉, and the mean fill
+    * per mille of each sequence's budget. A falling fill ratio means the
+    * corpus's length distribution drifted (e.g. many just-over-half-budget
+    * docs) and the budget or the ordering needs revisiting. One aggregate
+    * over the [[packSequences]] output — metadata-sized per language.
+    * (fill can exceed 1000‰: an oversized document sits alone in a
+    * sequence that "overfills" its budget by design.) */
+  def packEfficiency(docs: DataFrame, tokenBudget: Int = 256): DataFrame =
+    packSequences(docs, tokenBudget)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        count_distinct(col("seq_id")).as("n_seqs"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+        expr(s"(total_tokens + ${tokenBudget - 1}) div $tokenBudget")
+          .as("lb_seqs"),
+        expr(s"total_tokens * 1000 div (n_seqs * $tokenBudget)")
+          .as("fill_x1000"),
+        expr(s"((total_tokens + ${tokenBudget - 1}) div $tokenBudget) " +
+          "* 1000 div n_seqs").as("efficiency_x1000"))
 }

@@ -72,6 +72,44 @@ object EventOps {
     snapshotLog(spark, dir).withColumn("rn", row_number().over(w))
   }
 
+  /** Visible snapshot set of each table as of `tMs`: everything at or
+    * after the table's newest REPLACE commit that is itself ≤ tMs (the
+    * FIXTURES.md §3 linear-log semantics — a replace supersedes all
+    * earlier state). */
+  private def stateAt(log: DataFrame, tMs: Long): DataFrame = {
+    val w = Window.partitionBy(col("table_id"))
+    log.filter(col("ts_ms") <= tMs)
+      .withColumn("lr",
+        max(when(col("operation") === "replace", col("ts_ms"))).over(w))
+      .filter(col("lr").isNull || col("ts_ms") >= col("lr"))
+      .select(col("table_id"), col("snapshot_id"))
+  }
+
+  /** Snapshot diff — what changed in each table between two points in
+    * time: commits newly visible at t2 (`n_added`), commits visible at t1
+    * but superseded by an intervening replace (`n_removed`), and the
+    * carried-over intersection (`n_kept`). The "what did maintenance /
+    * ingest do to this table since the last audit" report, and the
+    * time-travel primitive behind incremental consumers (process exactly
+    * the added set).
+    *
+    * Scale shape: two window passes over the metadata-scale log (one
+    * exchange by table each) and a full-outer join co-partitioned on
+    * (table_id, snapshot_id) — a shuffle-by-key join IS the design here
+    * (full outer cannot broadcast), and both sides are ~1 row per commit,
+    * never data-plane rows. */
+  def snapshotDiff(log: DataFrame, t1Ms: Long, t2Ms: Long): DataFrame = {
+    val s1 = stateAt(log, t1Ms).withColumn("in1", lit(1L))
+    val s2 = stateAt(log, t2Ms).withColumn("in2", lit(1L))
+    s1.join(s2, Seq("table_id", "snapshot_id"), "full_outer")
+      .groupBy(col("table_id"))
+      .agg(
+        sum(when(col("in1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in1").isNotNull && col("in2").isNotNull, 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
   /** event_json_encode (SURVEY.md §2.1): serialize the commit event to JSON
     * (`CommitReportParser.toJson`, AwsTableManagementMetricsEvaluator.java:70)
     * and the inverse — parse the event's `props` JSON payload. */

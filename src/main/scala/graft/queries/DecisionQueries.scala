@@ -106,6 +106,13 @@ object DecisionQueries {
             coalesce(col("n_orphaned"), lit(0L)).as("n_orphaned"))
       }),
 
+      // Table-state diff between the staleness cutoff and now: commits
+      // newly visible, superseded by an intervening replace, and kept —
+      // the since-last-audit change report ([[EventOps.snapshotDiff]]).
+      "snapshot_diff" -> ((s, dir) =>
+        EventOps.snapshotDiff(EventOps.snapshotLog(s, dir), staleMs,
+          Long.MaxValue)),
+
       // Commit cadence via lag(): per-commit gap to the previous commit of
       // the same table (-1 for a table's first commit) — the signal behind
       // the time-threshold trigger, and the lead/lag window shape.
@@ -210,6 +217,35 @@ object DecisionQueries {
            |SELECT r.table_id, rollback_to, rollback_ts_ms,
            |  CAST(COALESCE(n, 0) AS BIGINT) AS n_orphaned
            |FROM resolved r LEFT JOIN newer USING (table_id)""".stripMargin,
+
+      "snapshot_diff" ->
+        s"""WITH $logCte,
+           |s1 AS (
+           |  SELECT table_id, snapshot_id FROM (
+           |    SELECT table_id, snapshot_id, ts_ms,
+           |      max(CASE WHEN operation = 'replace' THEN ts_ms END)
+           |        OVER (PARTITION BY table_id) AS lr
+           |    FROM log WHERE ts_ms <= $staleMs)
+           |  WHERE lr IS NULL OR ts_ms >= lr),
+           |s2 AS (
+           |  SELECT table_id, snapshot_id FROM (
+           |    SELECT table_id, snapshot_id, ts_ms,
+           |      max(CASE WHEN operation = 'replace' THEN ts_ms END)
+           |        OVER (PARTITION BY table_id) AS lr
+           |    FROM log)
+           |  WHERE lr IS NULL OR ts_ms >= lr)
+           |SELECT COALESCE(s1.table_id, s2.table_id) AS table_id,
+           |  CAST(sum(CASE WHEN s1.snapshot_id IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_added,
+           |  CAST(sum(CASE WHEN s2.snapshot_id IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_removed,
+           |  CAST(sum(CASE WHEN s1.snapshot_id IS NOT NULL
+           |    AND s2.snapshot_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept
+           |FROM s1 FULL JOIN s2
+           |  ON s1.table_id = s2.table_id
+           |  AND s1.snapshot_id = s2.snapshot_id
+           |GROUP BY 1""".stripMargin,
 
       "commit_interarrival" ->
         s"""WITH $logCte

@@ -343,7 +343,9 @@ object PipelineQueries {
         Sampling.tokenBudgetSelect(s, dir)),
       "training_order" -> ((s, dir) => Sampling.trainingOrder(s, dir)),
       "pack_sequences" -> ((s, dir) =>
-        Packing.packSequences(Tables.load(s, dir, "documents")))),
+        Packing.packSequences(Tables.load(s, dir, "documents"))),
+      "pack_efficiency" -> ((s, dir) =>
+        Packing.packEfficiency(Tables.load(s, dir, "documents")))),
 
     oracles = Map(
       "text_tokens" ->
@@ -1537,6 +1539,43 @@ object PipelineQueries {
           |         ELSE g.acc + s.n_tokens END AS acc
           |  FROM g JOIN seq s ON s.lang = g.lang AND s.rn = g.rn + 1)
           |SELECT lang, doc_id, n_tokens, seq_id FROM g""".stripMargin,
+
+      // Same recursive greedy-packing chain, aggregated to the per-lang
+      // quality report (budget 256 mirrored from Packing's default).
+      "pack_efficiency" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT lang, doc_id,
+          |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+          |      AS n_tokens
+          |  FROM documents),
+          |seq AS (
+          |  SELECT lang, doc_id, n_tokens,
+          |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+          |      AS BIGINT) AS rn
+          |  FROM t),
+          |g AS (
+          |  SELECT lang, doc_id, n_tokens, rn,
+          |    CAST(0 AS BIGINT) AS seq_id, CAST(n_tokens AS BIGINT) AS acc
+          |  FROM seq WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s.lang, s.doc_id, s.n_tokens, s.rn,
+          |    CASE WHEN g.acc + s.n_tokens > 256
+          |         THEN g.seq_id + 1 ELSE g.seq_id END AS seq_id,
+          |    CASE WHEN g.acc + s.n_tokens > 256
+          |         THEN CAST(s.n_tokens AS BIGINT)
+          |         ELSE g.acc + s.n_tokens END AS acc
+          |  FROM g JOIN seq s ON s.lang = g.lang AND s.rn = g.rn + 1),
+          |agg AS (
+          |  SELECT lang, count(*) AS n_docs,
+          |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          |    CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs
+          |  FROM g GROUP BY lang)
+          |SELECT lang, n_docs, total_tokens, n_seqs,
+          |  (total_tokens + 255) // 256 AS lb_seqs,
+          |  total_tokens * 1000 // (n_seqs * 256) AS fill_x1000,
+          |  ((total_tokens + 255) // 256) * 1000 // n_seqs
+          |    AS efficiency_x1000
+          |FROM agg""".stripMargin,
 
       "sample_docs" ->
         """SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket

@@ -27,6 +27,27 @@ class DecideSpec extends AnyFunSuite {
       r.getLong(0) -> ((r.getLong(1), r.getBoolean(3), r.getBoolean(4)))
     }.toMap
 
+  test("snapshotDiff: replace removes prior state, appends add, t==t keeps") {
+    import graft.ops.EventOps
+    // table 1: a1,a2 before cutoff, then REPLACE r + append a3 after —
+    // diff(cutoff, now) = removed {a1,a2}, added {r,a3}, kept {}
+    // table 2: appends only, one before, one after — kept 1, added 1
+    val l = log(
+      (1L, 11L, 5.0, "append"), (1L, 12L, 4.5, "append"),
+      (1L, 13L, 1.0, "replace"), (1L, 14L, 0.5, "append"),
+      (2L, 21L, 5.0, "append"), (2L, 22L, 0.5, "append"))
+    val cutoff = now - 3 * hour
+    val d = EventOps.snapshotDiff(l, cutoff, Long.MaxValue).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(d(1L) === ((2L, 2L, 0L)))  // added r+a3, removed a1+a2
+    assert(d(2L) === ((1L, 0L, 1L)))
+    // identical endpoints: nothing added or removed, everything kept
+    val same = EventOps.snapshotDiff(l, Long.MaxValue, Long.MaxValue)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(same === Set((0L, 0L)))
+  }
+
   test("newest commit is the REPLACE itself: empty S, never optimize") {
     val d = decide(log((1L, 10L, 1.0, "replace"), (1L, 9L, 5.0, "append")))
     assert(d(1L) === ((0L, false, false)))

@@ -30,8 +30,12 @@ class PlanGuardSpec extends AnyFunSuite {
     *    join — both sides are the corpus keyed by cell, co-partitioned
     *    by construction (the cell IS the partition key; broadcasting a
     *    corpus side would be the scale bug). */
+  /**  - snapshot_diff: FULL OUTER join of two per-table state sets on
+    *    (table_id, snapshot_id) — co-partitioned metadata frames; full
+    *    outer cannot broadcast. */
   private val smjJustified = Set(
-    "join_outer", "merge_upsert", "dedup_semantic", "corpus_curate_semantic")
+    "join_outer", "merge_upsert", "dedup_semantic", "corpus_curate_semantic",
+    "snapshot_diff")
 
   test("no CartesianProduct anywhere; SortMergeJoin only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

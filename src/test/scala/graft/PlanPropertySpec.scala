@@ -51,6 +51,25 @@ class PlanPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packEfficiency: n_seqs within [lb, n_docs], consistent with packing") {
+    val spark = TestSpark.spark
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val packed = graft.exts.Packing.packSequences(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getInt(2)))
+    val rep = graft.exts.Packing.packEfficiency(docs).collect()
+    rep.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val mine = packed.filter(_._1 == lang)
+      assert(r.getAs[Long]("n_docs") === mine.length.toLong)
+      assert(r.getAs[Long]("n_seqs") === mine.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("total_tokens") === mine.map(_._3.toLong).sum)
+      val lb = r.getAs[Long]("lb_seqs")
+      val ns = r.getAs[Long]("n_seqs")
+      assert(lb <= ns && ns <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("efficiency_x1000") <= 1000L)
+    }
+  }
+
   test("packSequences: budget respected, sequences contiguous per lang") {
     val spark = TestSpark.spark
     import spark.implicits._
