@@ -343,6 +343,14 @@ object Dedup {
       .agg(min(col("v")).as("m"))
       .select(col("doc_id"), least(col("doc_id"), col("m")).as("comp"))
       .localCheckpoint(true)
+    // Convergence via the label-sum checksum: a propagation step can only
+    // LOWER labels, so the exact decimal sum strictly decreases until the
+    // fixpoint — equality ⟺ no label changed. One aggregate action per
+    // round instead of a join + count over the change set.
+    def checksum(c: DataFrame): java.math.BigDecimal =
+      c.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var sumPrev = checksum(comp)
     var converged = false
     while (!converged) {
       val viaNeighbors = und
@@ -351,9 +359,9 @@ object Dedup {
       val next = comp.unionByName(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      converged = next.as("n").join(comp.as("c"), "doc_id")
-        .filter(col("n.comp") < col("c.comp"))
-        .limit(1).count() == 0
+      val sumNext = checksum(next)
+      converged = sumNext.compareTo(sumPrev) == 0
+      sumPrev = sumNext
       comp = next
     }
     comp.select(col("doc_id"), col("comp").as("component"),

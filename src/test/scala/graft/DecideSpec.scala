@@ -48,6 +48,44 @@ class DecideSpec extends AnyFunSuite {
     assert(same === Set((0L, 0L)))
   }
 
+  test("snapshotDiff invariants on random logs: kept+removed=|s1|, " +
+      "kept+added=|s2|, forward diff never removes without a replace") {
+    import graft.ops.EventOps
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      t <- 1L to 12L
+      s <- 1 to 15
+    } yield (t, t * 100 + s, rnd.nextDouble() * 6.0,
+      if (rnd.nextInt(5) == 0) "replace" else "append")
+    val l = log(rows: _*)
+    val cutoff = now - 3 * hour
+    // reference states computed independently (driver-side, tiny)
+    def stateAt(tMs: Long): Set[(Long, Long)] = {
+      val byTable = rows.groupBy(_._1).toSeq
+      byTable.flatMap { case (t, rs) =>
+        val visible = rs.map { case (_, s, h, op) =>
+          (s, now - (h * hour).toLong, op)
+        }.filter(_._2 <= tMs)
+        val lastReplace = visible.filter(_._3 == "replace")
+          .map(_._2).maxOption
+        visible.filter(v => lastReplace.forall(v._2 >= _))
+          .map(v => (t, v._1))
+      }.toSet
+    }
+    val s1 = stateAt(cutoff)
+    val s2 = stateAt(Long.MaxValue)
+    val d = EventOps.snapshotDiff(l, cutoff, Long.MaxValue).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    d.foreach { case (t, (added, removed, kept)) =>
+      assert(kept + removed === s1.count(_._1 == t).toLong, s"table $t s1")
+      assert(kept + added === s2.count(_._1 == t).toLong, s"table $t s2")
+      assert(added === s2.count(p => p._1 == t && !s1(p)).toLong)
+      assert(removed === s1.count(p => p._1 == t && !s2(p)).toLong)
+    }
+    assert(d.keySet === (s1.map(_._1) ++ s2.map(_._1)))
+  }
+
   test("newest commit is the REPLACE itself: empty S, never optimize") {
     val d = decide(log((1L, 10L, 1.0, "replace"), (1L, 9L, 5.0, "append")))
     assert(d(1L) === ((0L, false, false)))
