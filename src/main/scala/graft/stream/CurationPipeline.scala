@@ -42,10 +42,21 @@ object CurationPipeline {
     *   landed are dropped (exactly — sketch-then-verify), so a restarted
     *   or re-pointed ingest never re-lands history. Within-stream dups
     *   are still handled by the watermark-bounded dedup state. */
+  /** Doc/token counters for one funnel stage, attached via `observe` —
+    * Spark's zero-cost streaming-metrics channel: the aggregates ride the
+    * existing micro-batch (no second query, no extra scan) and surface
+    * per batch in `StreamingQueryProgress.observedMetrics`. Stage names
+    * mirror the batch [[TextAnalysis.curationFunnel]] stages. */
+  private def observed(df: DataFrame, stage: String): DataFrame =
+    df.observe(stage,
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_tokens"))
+
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
       watermarkDelay: String = "10 minutes",
       known: Option[KnownCorpus] = None): StreamingQuery = {
-    val kept0 = TextAnalysis.qualitySignals(docs)
+    val kept0 = TextAnalysis.qualitySignals(observed(docs, "funnel_1_raw"))
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
     val kept = known match {
@@ -60,7 +71,11 @@ object CurationPipeline {
           .drop("k")
         fresh.unionByName(confirmed).drop("might")
     }
-    Sampling.shardPlan(Dedup.streamingDedup(kept, watermarkDelay))
+    Sampling.shardPlan(
+        observed(
+          Dedup.streamingDedup(
+            observed(kept, "funnel_2_quality_kept"), watermarkDelay),
+          "funnel_3_deduped"))
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.{DryRunExecutor, JobStateLog}
@@ -466,6 +468,25 @@ class StreamSpec extends AnyFunSuite {
     // shards are the stable id hash
     landed.select(col("doc_id"), col("shard").cast("long")).collect()
       .foreach(r => assert(r.getLong(1) === (r.getLong(0) * 2654435761L) % 16))
+
+    // the observe()-channel funnel equals the batch curationFunnel on the
+    // same corpus: per-stage doc/token totals summed across micro-batches
+    val observedTotals = q.recentProgress.toSeq
+      .flatMap(_.observedMetrics.asScala)
+      .groupBy(_._1)
+      .map { case (stage, rows) =>
+        stage -> ((rows.map(_._2.getAs[Long]("n_docs")).sum,
+          rows.map(_._2.getAs[Long]("n_tokens")).sum))
+      }
+    val batchFunnel = graft.exts.TextAnalysis
+      .curationFunnel(spark.read.parquet(srcDir)).collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    assert(observedTotals("funnel_1_raw") === batchFunnel("1_raw"))
+    assert(observedTotals("funnel_2_quality_kept") ===
+      batchFunnel("2_quality_kept"))
+    assert(observedTotals("funnel_3_deduped") === batchFunnel("3_deduped"))
   }
 
   test("streaming curation vs known corpus: history never re-lands") {
