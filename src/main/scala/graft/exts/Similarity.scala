@@ -349,6 +349,62 @@ object Similarity {
         expr("sum_q div n").as("mean_q"),
         col("sumsq_q"), col("min_q"), col("max_q"))
 
+  /** Norm-based embedding outliers — the per-batch health check that
+    * catches a collapsed encoder (near-zero norms) or an exploding one
+    * before either poisons similarity search: every vector's squared L2
+    * norm in exact fixed-point (each component quantized to 1e-4 as in
+    * [[embStats]], then integer-summed — order-independent and
+    * engine-exact, where float norms would be neither), flagged against
+    * the corpus's EXACT median squared norm (value at row ⌈n/2⌉ of the
+    * (norm, vec_id) ordering): outlier ⟺ norm² > 9·median² or
+    * norm² < median²/9 (i.e. norm outside [med/3, 3·med]).
+    *
+    * Scale shape: one shuffle-free projection pass for the norms; the
+    * median via one global ranking — at 100 TB the median over a bounded
+    * uniform sample (the [[IvfTrainSample]] pattern) replaces the global
+    * sort, which only sharpens the constant; the flag join is a 1-row
+    * broadcast. */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame =
+    embOutliers(corpusWithNormOutliers(spark, dir))
+
+  /** embeddings ∪ planted norm outliers: every 20th vector ×8 (norm² 64×)
+    * and every 25th ×1/16 (norm² 1/256×). Power-of-two scalings are
+    * IEEE-exact in FLOAT, so the oracle reproduces the planted vectors
+    * bit-for-bit. */
+  def corpusWithNormOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    base
+      .unionByName(base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(8.0f)).as("embedding")))
+      .unionByName(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          transform(col("embedding"), x => x / lit(16.0f)).as("embedding")))
+  }
+
+  def embOutliers(corpus: DataFrame): DataFrame = {
+    val normed = corpus
+      .select(col("vec_id"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, x) => {
+            val q = round(x.cast("double") * 10000).cast("long")
+            acc + q * q
+          }).as("normsq_q"))
+    val w = Window.orderBy(col("normsq_q"), col("vec_id"))
+    val median = normed
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(normed.agg(count(lit(1)).as("n"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("normsq_q").as("median_q"))
+    normed.crossJoin(broadcast(median))
+      .withColumn("is_outlier",
+        col("normsq_q") > col("median_q") * 9 ||
+          col("normsq_q") * 9 < col("median_q"))
+      .filter(col("is_outlier"))
+      .select(col("vec_id"), col("normsq_q"), col("median_q"))
+  }
+
   /** embeddings ∪ planted scaled copies (every 10th vector ×2 — cosine
     * exactly 1 in exact math): the fixture both near-dup variants dedupe. */
   def corpusWithScaledDups(spark: SparkSession, dir: String): DataFrame = {

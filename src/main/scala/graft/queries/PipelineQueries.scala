@@ -293,6 +293,7 @@ object PipelineQueries {
       // asserted in PipelineSpec).
       "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(s, dir)),
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
+      "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
 
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
@@ -1511,6 +1512,42 @@ object PipelineQueries {
           |  CAST(sum(q * q) AS BIGINT) AS sumsq_q,
           |  min(q) AS min_q, max(q) AS max_q
           |FROM q GROUP BY dim""".stripMargin,
+
+      // Fixed-point squared norms over the outlier-planted corpus; the
+      // ×8 / ÷16 plantings are power-of-two float scalings, IEEE-exact on
+      // both engines. Median = value at row ceil(n/2).
+      "emb_outliers" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 200000,
+          |    list_transform(embedding, x -> x * CAST(8.0 AS FLOAT))
+          |  FROM embeddings WHERE vec_id % 20 = 0
+          |  UNION ALL
+          |  SELECT vec_id + 300000,
+          |    list_transform(embedding, x -> x / CAST(16.0 AS FLOAT))
+          |  FROM embeddings WHERE vec_id % 25 = 0),
+          |n AS (
+          |  SELECT vec_id,
+          |    CAST(sum(q * q) AS BIGINT) AS normsq_q
+          |  FROM (
+          |    SELECT vec_id,
+          |      CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+          |        AS q
+          |    FROM corpus,
+          |      LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+          |               AS i) t)
+          |  GROUP BY vec_id),
+          |m AS (
+          |  SELECT normsq_q AS median_q FROM (
+          |    SELECT normsq_q,
+          |      row_number() OVER (ORDER BY normsq_q, vec_id) AS rn,
+          |      count(*) OVER () AS cnt
+          |    FROM n)
+          |  WHERE rn = (cnt + 1) // 2)
+          |SELECT vec_id, normsq_q, median_q
+          |FROM n, m
+          |WHERE normsq_q > median_q * 9 OR normsq_q * 9 < median_q""".stripMargin,
 
       // Greedy packing needs running state (each sequence boundary depends
       // on every earlier doc), so the oracle walks docs in id order per

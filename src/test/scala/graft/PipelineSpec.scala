@@ -1033,6 +1033,22 @@ class PipelineSpec extends AnyFunSuite {
       r2(1).getAs[String]("pb") === "a" && r2(1).getAs[Long]("cnt") === 1L)
   }
 
+  test("emb outliers: exactly the planted norm outliers are flagged") {
+    import org.apache.spark.sql.functions._
+    val flagged = graft.exts.Similarity.embOutliers(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val base = Tables.load(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val planted = base.filter(_ % 20 == 0).map(_ + 200000L).toSet ++
+      base.filter(_ % 25 == 0).map(_ + 300000L).toSet
+    assert(flagged === planted)
+    // every flagged row is genuinely outside [med/3, 3*med] in norm
+    graft.exts.Similarity.embOutliers(spark, dir).collect().foreach { r =>
+      val n = r.getAs[Long]("normsq_q"); val m = r.getAs[Long]("median_q")
+      assert(n > 9 * m || 9 * n < m)
+    }
+  }
+
   test("bpe index artifact: memo = fresh training; save/load round-trips") {
     graft.exts.BpeIndex.clear()
     val fresh = graft.exts.TextAnalysis
