@@ -35,7 +35,8 @@ object Explain {
       "lm_score_batch", "event_funnel", "event_cohorts", "curation_funnel",
       "ann_recall", "token_budget_select", "training_order", "skew_report",
       "bpe_train", "source_divergence", "quality_calibrate",
-      "snapshot_diff", "pack_efficiency", "bpe_encode", "emb_outliers")
+      "snapshot_diff", "pack_efficiency", "bpe_encode", "emb_outliers",
+      "dedup_report")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -289,6 +289,49 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Per-detector evaluation report over the mixed-duplication corpus —
+    * the audit a dedup deployment runs before changing detectors: from
+    * ONE shared inverted-index pass ([[ensemblePairs]]'s plan, with the
+    * method predicates as tags instead of one disjunctive filter), how
+    * many candidate pairs each method fires on, how many of those are the
+    * two planted modes (near-copy vs excerpt), and how many only the
+    * OTHER method sees. One extra aggregate over the pair frame —
+    * metadata-sized — on top of the single index join.
+    *
+    * Output: one row per method ∈ (resemblance, containment, either) with
+    * pair counts and per-planting-mode recall numerators. */
+  def dedupReport(corpus: DataFrame): DataFrame = {
+    val sh = hashedShingles(corpus)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val tagged = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("is_res", col("inter") * 3 >= col("n_a") + col("n_b"))
+      .withColumn("is_con",
+        col("inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .filter(col("is_res") || col("is_con"))
+      // planted-pair markers under the fixture id conventions
+      .withColumn("is_near_planted",
+        col("b_id") === col("a_id") + 100000L)
+      .withColumn("is_excerpt_planted",
+        col("b_id") === col("a_id") + 400000L)
+    def method(name: String, pred: Column): DataFrame =
+      tagged.filter(pred).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("is_near_planted"), 1L).otherwise(0L))
+          .as("n_near_planted"),
+        sum(when(col("is_excerpt_planted"), 1L).otherwise(0L))
+          .as("n_excerpt_planted"))
+        .select(lit(name).as("method"), col("n_pairs"),
+          col("n_near_planted"), col("n_excerpt_planted"))
+    method("resemblance", col("is_res"))
+      .unionByName(method("containment", col("is_con")))
+      .unionByName(method("either", col("is_res") || col("is_con")))
+  }
+
   /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 9/10,
     * evaluated in pure integer arithmetic (10·inter ≥ 9·min). Same
     * inverted-index plan as [[ngramJaccardPairs]] — candidates only for

@@ -274,6 +274,8 @@ object PipelineQueries {
       "dedup_groups_ensemble" -> ((s, dir) =>
         Dedup.dupComponents(
           Dedup.ensemblePairs(Dedup.corpusWithMixedDups(s, dir)))),
+      "dedup_report" -> ((s, dir) =>
+        Dedup.dedupReport(Dedup.corpusWithMixedDups(s, dir))),
       "text_dup_spans" -> ((s, dir) =>
         TextAnalysis.dupSpanScores(Dedup.corpusWithNearDups(s, dir))),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
@@ -1016,6 +1018,58 @@ object PipelineQueries {
 
       // dedup_groups over the two-mode corpus with BOTH pair thresholds as
       // one disjunction (resemblance OR containment) — the ensemble form.
+      // Per-detector audit from the same inverted-index join, with the
+      // method predicates as tags; planted markers follow the fixture id
+      // conventions (+100000 near-copy, +400000 excerpt).
+      "dedup_report" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text || ' zqx wvk'
+          |  FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 400000,
+          |    array_to_string(words[1:greatest(len(words)//3, 6)], ' ')
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM documents)
+          |  WHERE doc_id % 13 = 0),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM corpus),
+          |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+          |  WHERE len(words) >= 5),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |tagged AS (
+          |  SELECT a_id, b_id,
+          |    inter * 3 >= na.n_sh + nb.n_sh AS is_res,
+          |    inter * 10 >= least(na.n_sh, nb.n_sh) * 9 AS is_con,
+          |    b_id = a_id + 100000 AS is_near,
+          |    b_id = a_id + 400000 AS is_exc
+          |  FROM inter
+          |  JOIN sizes na ON na.doc_id = a_id
+          |  JOIN sizes nb ON nb.doc_id = b_id
+          |  WHERE inter * 3 >= na.n_sh + nb.n_sh
+          |     OR inter * 10 >= least(na.n_sh, nb.n_sh) * 9),
+          |m AS (
+          |  SELECT 'resemblance' AS method, * FROM tagged WHERE is_res
+          |  UNION ALL
+          |  SELECT 'containment', * FROM tagged WHERE is_con
+          |  UNION ALL
+          |  SELECT 'either', * FROM tagged)
+          |SELECT method, count(*) AS n_pairs,
+          |  CAST(sum(CASE WHEN is_near THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_near_planted,
+          |  CAST(sum(CASE WHEN is_exc THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_excerpt_planted
+          |FROM m GROUP BY method""".stripMargin,
+
       "dedup_groups_ensemble" ->
         """WITH RECURSIVE corpus AS (
           |  SELECT doc_id, text FROM documents

@@ -1033,6 +1033,32 @@ class PipelineSpec extends AnyFunSuite {
       r2(1).getAs[String]("pb") === "a" && r2(1).getAs[Long]("cnt") === 1L)
   }
 
+  test("dedup report: either covers both methods; each mode's detector " +
+      "finds all its plantings") {
+    val rows = graft.exts.Dedup
+      .dedupReport(Dedup.corpusWithMixedDups(spark, dir)).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_near_planted"),
+          r.getAs[Long]("n_excerpt_planted"))))
+      .toMap
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val nNear = docs.count(_ % 7 == 0).toLong
+    val nExc = docs.count(_ % 13 == 0).toLong
+    // resemblance catches every near-copy planting; containment catches
+    // every planting of BOTH modes (a near-copy is also contained)
+    assert(rows("resemblance")._2 === nNear)
+    assert(rows("containment")._2 === nNear)
+    assert(rows("containment")._3 === nExc)
+    // resemblance systematically misses excerpts (the reason the
+    // containment detector exists) — at most a stray short-doc overlap
+    assert(rows("resemblance")._3 < nExc)
+    // either is the union: at least as many pairs as each method
+    assert(rows("either")._1 >= rows("resemblance")._1)
+    assert(rows("either")._1 >= rows("containment")._1)
+    assert(rows("either")._2 === nNear && rows("either")._3 === nExc)
+  }
+
   test("emb outliers: exactly the planted norm outliers are flagged") {
     import org.apache.spark.sql.functions._
     val flagged = graft.exts.Similarity.embOutliers(spark, dir).collect()
