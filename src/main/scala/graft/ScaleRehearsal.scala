@@ -77,7 +77,13 @@ object ScaleRehearsal {
       "token_budget_select" -> SparkEntry.queries("token_budget_select"),
       // two token-linear hash aggregates; everything after the top-K head
       // cut is sources × K metadata arithmetic.
-      "source_divergence" -> SparkEntry.queries("source_divergence"))
+      "source_divergence" -> SparkEntry.queries("source_divergence"),
+      // same inverted-index join volume as the jaccard family — the tags
+      // add predicates, not joins.
+      "dedup_report" -> SparkEntry.queries("dedup_report"),
+      // both searches inside are the rehearsed scale shapes; the metric
+      // join is queries × k metadata.
+      "ann_recall" -> SparkEntry.queries("ann_recall"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries
