@@ -105,6 +105,21 @@ object Demo {
     }
     println(s"   ${zstats.size} z-ordered files; per-file l_partkey spans: " +
       zstats.mkString(", "))
+
+    println("== 7. Trained artifacts: BPE merge table + ANN index quality")
+    val rules = graft.exts.BpeIndex.rules(spark, dir)
+    val ruleStr = rules.orderBy(col("round")).collect()
+      .map(r => s"${r.getString(1)}+${r.getString(2)}").mkString(" ")
+    println(s"   bpe_train merges (6 rounds): $ruleStr")
+    val enc = graft.exts.TextAnalysis.bpeEncode(
+      spark.read.parquet(s"$dir/documents.parquet"), rules)
+    val saved = enc.agg(sum(col("n_merges"))).collect()(0).getLong(0)
+    println(s"   bpe_encode on the corpus: $saved tokens merged away")
+    val recall = graft.exts.Similarity.annRecall(spark, dir).agg(
+      sum(col("n_hits")), sum(col("k_truth"))).collect()(0)
+    println(s"   sim_ivf recall@5 vs brute force: " +
+      s"${recall.getLong(0)}/${recall.getLong(1)} hits " +
+      "(see ann_recall for the per-query view)")
     spark.stop()
   }
 }
