@@ -289,6 +289,39 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Pairwise source-overlap matrix — which FEEDS copy from each other:
+    * for every source pair, how many distinct shingles they share and
+    * that count as a per-mille of the smaller source's shingle
+    * vocabulary (the containment shape, lifted from documents to
+    * sources). A feed that scrapes another lights up here long before
+    * document-level dedup quantifies it, and the matrix is what decides
+    * which source pairs need a cross-source dedup pass at all.
+    *
+    * Scale shape: distinct (source, shingle-hash) pairs via one hash
+    * aggregate (map-side combined, 8-byte keys), a self-join on the hash
+    * restricted to source_a < source_b, and a sources²-bounded final
+    * aggregate. The same stop-shingle df cap as
+    * [[ngramJaccardPairsCapped]] applies when boilerplate would fan the
+    * join out (not needed at fixture scale). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), explode(shingles(col("text"))).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("n_shared * 1000 div least(n_a, n_b)")
+          .as("containment_x1000"))
+  }
+
   /** Per-detector evaluation report over the mixed-duplication corpus —
     * the audit a dedup deployment runs before changing detectors: from
     * ONE shared inverted-index pass ([[ensemblePairs]]'s plan, with the

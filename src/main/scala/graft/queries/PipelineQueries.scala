@@ -276,6 +276,19 @@ object PipelineQueries {
           Dedup.ensemblePairs(Dedup.corpusWithMixedDups(s, dir)))),
       "dedup_report" -> ((s, dir) =>
         Dedup.dedupReport(Dedup.corpusWithMixedDups(s, dir))),
+      // Feed-level contamination matrix over a planted syndication
+      // scenario: a "wire" source re-publishing every 7th document (7 is
+      // coprime with the 20-source id cycle, so every source syndicates
+      // into the wire feed and every (srcN, src_wire) pair must light up).
+      "source_overlap" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = Tables.load(s, dir, "documents")
+          .select(col("source"), col("text"))
+        Dedup.sourceOverlap(base.unionByName(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 7 === 0)
+            .select(lit("src_wire").as("source"), col("text"))))
+      }),
       "text_dup_spans" -> ((s, dir) =>
         TextAnalysis.dupSpanScores(Dedup.corpusWithNearDups(s, dir))),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
@@ -1069,6 +1082,35 @@ object PipelineQueries {
           |  CAST(sum(CASE WHEN is_exc THEN 1 ELSE 0 END) AS BIGINT)
           |    AS n_excerpt_planted
           |FROM m GROUP BY method""".stripMargin,
+
+      // Distinct (source, shingle) inventory; DuckDB compares raw
+      // shingles where Spark joins their xxhash64 (same convention as the
+      // document-level inverted-index family — counts agree modulo
+      // content-address collisions).
+      "source_overlap" ->
+        """WITH corpus AS (
+          |  SELECT source, text FROM documents
+          |  UNION ALL
+          |  SELECT 'src_wire', text FROM documents WHERE doc_id % 7 = 0),
+          |sh AS (
+          |  SELECT DISTINCT source, array_to_string(words[i:i+4], ' ') AS sh
+          |  FROM (SELECT source,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM corpus),
+          |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+          |  WHERE len(words) >= 5),
+          |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+          |ov AS (
+          |  SELECT a.source AS source_a, b.source AS source_b,
+          |    count(*) AS n_shared
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT source_a, source_b, n_shared,
+          |  CAST(n_shared * 1000 // least(na.n_sh, nb.n_sh) AS BIGINT)
+          |    AS containment_x1000
+          |FROM ov
+          |JOIN sizes na ON na.source = source_a
+          |JOIN sizes nb ON nb.source = source_b""".stripMargin,
 
       "dedup_groups_ensemble" ->
         """WITH RECURSIVE corpus AS (

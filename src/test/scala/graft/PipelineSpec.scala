@@ -1033,6 +1033,34 @@ class PipelineSpec extends AnyFunSuite {
       r2(1).getAs[String]("pb") === "a" && r2(1).getAs[Long]("cnt") === 1L)
   }
 
+  test("source overlap: every wire pair lights up, separated from organic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("source"), col("text"))
+    val planted = base.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select(lit("src_wire").as("source"), col("text")))
+    val m = graft.exts.Dedup.sourceOverlap(planted).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("containment_x1000")))
+    val sources = docs.select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    val wire = m.filter(_._2 == "src_wire")
+    // every real source syndicates into the wire feed
+    assert(wire.map(_._1).toSet === sources)
+    wire.foreach { case (a, _, shared, cont) =>
+      assert(shared > 0L && cont > 0L, s"wire pair $a empty")
+    }
+    // the planted syndication dominates organic shingle collisions in
+    // aggregate (the tiny fixture vocabulary makes organic 5-gram
+    // collisions common, so the signal is the mean, not a clean margin)
+    val organic = m.filter(_._2 != "src_wire").map(_._4)
+    val organicMean =
+      if (organic.isEmpty) 0L else organic.sum / organic.length
+    val wireMean = wire.map(_._4).sum / wire.length
+    assert(wireMean > organicMean,
+      s"wire mean $wireMean vs organic mean $organicMean")
+  }
+
   test("dedup report: either covers both methods; each mode's detector " +
       "finds all its plantings") {
     val rows = graft.exts.Dedup
