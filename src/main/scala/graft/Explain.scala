@@ -36,7 +36,7 @@ object Explain {
       "ann_recall", "token_budget_select", "training_order", "skew_report",
       "bpe_train", "source_divergence", "quality_calibrate",
       "snapshot_diff", "pack_efficiency", "bpe_encode", "emb_outliers",
-      "dedup_report", "source_overlap")
+      "dedup_report", "source_overlap", "curriculum_order")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

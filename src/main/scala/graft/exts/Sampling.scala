@@ -270,6 +270,36 @@ object Sampling {
   def trainingOrder(spark: SparkSession, dir: String): DataFrame =
     trainingOrder(Tables.load(spark, dir, "documents"))
 
+  /** Curriculum ordering — [[trainingOrder]]'s epoch shuffle composed
+    * with quality staging: documents are banded by the multilingual
+    * fluency signal (width-100 ‰ bands) and each shard reads its
+    * highest-fluency bands first, with the deterministic id-hash
+    * shuffling WITHIN a band (curriculum stages present cleaner text
+    * early; the hash keeps intra-stage order unbiased and resumable).
+    * Same scale shape as trainingOrder: rows hash-route to shards, only
+    * per-shard slices sort — no RNG, no global sort. */
+  def curriculumOrder(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val markers = graft.exts.TextAnalysis.LangMarkers.map {
+      case (_, p) => regexp_count(col("text"), lit(p))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("band").desc, col("h"), col("doc_id"))
+    docs
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_stop", greatest(markers: _*))
+      .withColumn("quality_x1000",
+        expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
+      .withColumn("band", expr("quality_x1000 div 100"))
+      .withColumn("h", (col("doc_id") * 2654435761L) % 1000000007L)
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("band"), col("pos"))
+  }
+
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrder(Tables.load(spark, dir, "documents"))
+
   /** Token-count histogram: documents bucketed by whitespace-token count
     * (width-25 bins) — the length-distribution check before packing
     * sequences. One projection + one hash aggregate. */

@@ -358,6 +358,7 @@ object PipelineQueries {
       "token_budget_select" -> ((s, dir) =>
         Sampling.tokenBudgetSelect(s, dir)),
       "training_order" -> ((s, dir) => Sampling.trainingOrder(s, dir)),
+      "curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(s, dir)),
       "pack_sequences" -> ((s, dir) =>
         Packing.packSequences(Tables.load(s, dir, "documents"))),
       "pack_efficiency" -> ((s, dir) =>
@@ -1270,6 +1271,25 @@ object PipelineQueries {
            |  FROM q)
            |SELECT source, doc_id, n_tokens, quality_x1000, cum_tokens
            |FROM c WHERE cum_tokens <= 800""".stripMargin,
+
+      // Quality-banded curriculum: highest-fluency bands first per shard,
+      // id-hash shuffle within a band.
+      "curriculum_order" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           |      AS n_tokens,
+           |    CAST($stopwordCaseSql AS BIGINT) AS n_stop
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    ((n_stop * 1000) // greatest(n_tokens, 1)) // 100 AS band,
+           |    (doc_id * 2654435761) % 1000000007 AS h
+           |  FROM t)
+           |SELECT doc_id, h % 8 AS shard, band,
+           |  CAST(row_number() OVER (PARTITION BY h % 8
+           |    ORDER BY band DESC, h, doc_id) AS INTEGER) AS pos
+           |FROM q""".stripMargin,
 
       // Epoch-seeded hash ordering: position = rank of the hash within
       // (epoch, shard); deterministic integer arithmetic on both engines.

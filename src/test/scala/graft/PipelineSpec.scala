@@ -1033,6 +1033,20 @@ class PipelineSpec extends AnyFunSuite {
       r2(1).getAs[String]("pb") === "a" && r2(1).getAs[Long]("cnt") === 1L)
   }
 
+  test("curriculum order: bands descend within each shard, permutation") {
+    val docs = Tables.load(spark, dir, "documents")
+    val rows = graft.exts.Sampling.curriculumOrder(docs).collect()
+    assert(rows.length.toLong === docs.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === rows.length)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, srs) =>
+      val byPos = srs.sortBy(_.getAs[Int]("pos"))
+      assert(byPos.map(_.getAs[Int]("pos")).toSeq === (1 to srs.length))
+      // curriculum: quality band never increases as the shard is read
+      val bands = byPos.map(_.getAs[Long]("band")).toSeq
+      assert(bands === bands.sorted.reverse)
+    }
+  }
+
   test("source overlap: every wire pair lights up, separated from organic") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, dir, "documents")
