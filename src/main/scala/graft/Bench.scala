@@ -47,12 +47,36 @@ object Bench {
         } else math.min(a, b)
       name -> best
     }.toMap
+    // Artifact-backed queries get an explicit cold/warm split: "cold"
+    // re-runs the query with every session memo dropped (pays the
+    // artifact build — Bloom sketch scan, IVF k-means, BPE training
+    // loop, LM training write), "warm" re-runs against the rebuilt memo
+    // (the per-batch steady state a deployment amortizes to). The main
+    // "queries" numbers are min-of-passes and therefore warm already;
+    // this section makes the one-time build cost visible instead of
+    // inferred.
+    def clearMemos(): Unit = {
+      graft.exts.BloomIndex.clear()
+      graft.exts.IvfIndex.clear()
+      graft.exts.BpeIndex.clear()
+      graft.exts.LmIndex.clear()
+    }
+    val artifactQueries =
+      Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch")
+    val artifacts = artifactQueries
+      .filter(SparkEntry.queries.contains)
+      .map { name =>
+        clearMemos()
+        val cold = once(name, SparkEntry.queries(name))
+        val warm = once(name, SparkEntry.queries(name))
+        s"\"" + name + "\":{\"cold\":" + cold + ",\"warm\":" + warm + "}"
+      }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts":$artifacts,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,14 +30,20 @@ import graft.Tables
   */
 object BloomIndex {
 
-  private final case class Key(app: String, dir: String, fpp: Double)
+  private final case class Key(app: String, dir: String, fpp: Double,
+      version: Long)
 
   private val memo = new ConcurrentHashMap[Key, BloomFilter]()
 
-  /** Content sketch of the `documents` table under `dir` — memoized. */
+  /** Content sketch of the `documents` table under `dir` — memoized.
+    * The key carries [[Tables.version]] of the table's file listing, so
+    * a corpus rewrite under the same path re-builds the sketch instead
+    * of silently probing a stale one (Bloom false negatives for keys
+    * added after the old build would pass landed docs as new). */
   def sketch(spark: SparkSession, dir: String,
       fpp: Double = 0.01): BloomFilter = {
-    val key = Key(spark.sparkContext.applicationId, dir, fpp)
+    val key = Key(spark.sparkContext.applicationId, dir, fpp,
+      Tables.version(dir, "documents"))
     memo.computeIfAbsent(key, _ =>
       build(Tables.load(spark, dir, "documents"), fpp))
   }

@@ -24,23 +24,30 @@ import graft.Tables
   */
 object BpeIndex {
 
-  private final case class Key(app: String, dir: String, rounds: Int)
+  private final case class Key(app: String, dir: String, rounds: Int,
+      version: Long)
 
-  private final case class Rule(round: Int, pa: String, pb: String,
-    merged: String, cnt: Long)
+  /** (round, pa, pb, merged, cnt) — a tuple rather than a nested case
+    * class so the LocalRelation encoder stays on the codegen path (Janino
+    * cannot resolve object-private classes and falls back to interpreted
+    * serialization). */
+  private type Rule = (Int, String, String, String, Long)
 
   private val memo = new ConcurrentHashMap[Key, Seq[Rule]]()
 
   /** Trained merge table for the `documents` table under `dir` —
-    * memoized. Schema: (round INT, pa, pb, merged STRING, cnt BIGINT),
+    * memoized; the key carries [[Tables.version]] so a corpus rewrite
+    * under the same path re-trains instead of serving stale merges.
+    * Schema: (round INT, pa, pb, merged STRING, cnt BIGINT),
     * identical to [[TextAnalysis.bpeTrain]]. */
   def rules(spark: SparkSession, dir: String,
       rounds: Int = TextAnalysis.BpeRounds): DataFrame = {
-    val key = Key(spark.sparkContext.applicationId, dir, rounds)
+    val key = Key(spark.sparkContext.applicationId, dir, rounds,
+      Tables.version(dir, "documents"))
     val rows = memo.computeIfAbsent(key, _ =>
       TextAnalysis.bpeTrain(Tables.load(spark, dir, "documents"), rounds)
         .collect()
-        .map(r => Rule(r.getInt(0), r.getString(1), r.getString(2),
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4)))
         .toIndexedSeq)
     fromRows(spark, rows)

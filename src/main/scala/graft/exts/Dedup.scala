@@ -53,6 +53,50 @@ object Dedup {
     corpus.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
 
+  /** Default stop-shingle document-frequency cap. Every inverted-index
+    * operator in this family routes through [[cappedShingles]] with this
+    * cap ON by default: candidate pairs cost Σ df(shingle)², so one
+    * boilerplate shingle shared by 10⁵ documents at corpus scale would
+    * fan the self-join out to 10¹⁰ rows. A shingle in more than `cap`
+    * documents carries no dedup signal (it IS boilerplate), so dropping
+    * it bounds per-shingle join fan-out at cap² while leaving the
+    * discriminative tail untouched. The oracles mirror the cap. */
+  val DefaultMaxShingleDf = 100
+
+  /** The df-capped inverted-index frame: `hashedShingles` minus shingles
+    * whose document frequency exceeds the cap. The *hot* set (df > cap)
+    * is small by construction (at most total-occurrences / cap distinct
+    * shingles, in practice a handful of boilerplate strings), so the
+    * exclusion is an anti-join against it — AQE sees the actual build
+    * size at runtime and converts it to a broadcast, without risking an
+    * OOM hint on an adversarial corpus. Per-doc set sizes downstream are
+    * computed over the KEPT shingles, so both sides of every threshold
+    * test see the same universe. */
+  private[graft] def cappedShingles(corpus: DataFrame,
+      maxShingleDf: Int): DataFrame = {
+    val sh = hashedShingles(corpus)
+    val hot = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("sh"))
+    sh.join(hot, Seq("sh"), "left_anti")
+  }
+
+  /** Shared candidate-pair statistics over a (doc_id, sh) inverted-index
+    * frame: one self-join on the 8-byte shingle hash restricted to
+    * a < b, aggregated to (a_id, b_id, inter, n_a, n_b). Every pairwise
+    * detector (Jaccard, containment, ensemble, report) is a different
+    * integer predicate over this one frame. */
+  private def pairStats(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+  }
+
   /** documents ∪ planted exact copies (every 10th doc, id+100000). */
   def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "documents")
@@ -122,21 +166,15 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
 
   /** N-gram Jaccard near-dup pairs at threshold ½ via the integer
-    * inequality 3·inter ≥ |A|+|B|. Output is all-integer. */
-  def ngramJaccardPairs(corpus: DataFrame): DataFrame = {
-    val sh = hashedShingles(corpus)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+    * inequality 3·inter ≥ |A|+|B|. Output is all-integer. Uncapped form
+    * (kept as the exact-semantics reference point and the oracle for
+    * dedup_groups/dedup_keep_list); the production path is
+    * [[ngramJaccardPairsCapped]]. */
+  def ngramJaccardPairs(corpus: DataFrame): DataFrame =
+    pairStats(hashedShingles(corpus))
       .filter(col("inter") * 3 >= col("n_a") + col("n_b"))
       .select(col("a_id"), col("b_id"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("union_size"))
-  }
 
   /** N-gram Jaccard with a stop-shingle document-frequency cap — the
     * 100 TB path. A shingle shared by more than `maxShingleDf` documents
@@ -148,30 +186,11 @@ object Dedup {
     * kept-shingle sets (both sides consistently), same integer-exact
     * threshold test as [[ngramJaccardPairs]]. */
   def ngramJaccardPairsCapped(corpus: DataFrame,
-      maxShingleDf: Int = 100): DataFrame = {
-    val sh = hashedShingles(corpus)
-    // The *hot* set (df > cap) is small by construction (at most
-    // total-occurrences / cap distinct shingles, and in practice a handful
-    // of boilerplate strings), so exclusion is an anti-join against it —
-    // AQE sees the actual build size at runtime and converts it to a
-    // broadcast, without risking an OOM hint on an adversarial corpus.
-    val hot = sh.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select(col("sh"))
-    val kept = sh.join(hot, Seq("sh"), "left_anti")
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = kept.as("a").join(kept.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    pairStats(cappedShingles(corpus, maxShingleDf))
       .filter(col("inter") * 3 >= col("n_a") + col("n_b"))
       .select(col("a_id"), col("b_id"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("union_size"))
-  }
 
   /** Incoming ingest batch against the `documents` corpus: every 5th doc
     * verbatim (already present — must be dropped) ∪ every 7th doc with
@@ -274,20 +293,12 @@ object Dedup {
     * Running the generators separately and unioning would build the
     * shingle index and its self-join twice for the same equi-join volume;
     * fused, the second detector costs one extra predicate. */
-  def ensemblePairs(corpus: DataFrame): DataFrame = {
-    val sh = hashedShingles(corpus)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+  def ensemblePairs(corpus: DataFrame,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    pairStats(cappedShingles(corpus, maxShingleDf))
       .filter(col("inter") * 3 >= col("n_a") + col("n_b") ||
         col("inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
       .select(col("a_id"), col("b_id"))
-  }
 
   /** Pairwise source-overlap matrix — which FEEDS copy from each other:
     * for every source pair, how many distinct shingles they share and
@@ -300,14 +311,23 @@ object Dedup {
     * Scale shape: distinct (source, shingle-hash) pairs via one hash
     * aggregate (map-side combined, 8-byte keys), a self-join on the hash
     * restricted to source_a < source_b, and a sources²-bounded final
-    * aggregate. The same stop-shingle df cap as
-    * [[ngramJaccardPairsCapped]] applies when boilerplate would fan the
-    * join out (not needed at fixture scale). */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
-    val sh = docs
+    * aggregate. The stop-shingle cap is wired in (default ON, like the
+    * document-level family), here on SOURCE frequency: a shingle present
+    * in more than `maxSourceDf` feeds is cross-feed boilerplate — it
+    * would contribute up to sources² join rows while saying nothing
+    * about which pair copies from which. Sizes count kept shingles, so
+    * the containment ratio stays consistent on both sides. */
+  def sourceOverlap(docs: DataFrame,
+      maxSourceDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val sh0 = docs
       .select(col("source"), explode(shingles(col("text"))).as("s"))
       .select(col("source"), xxhash64(col("s")).as("sh"))
       .distinct()
+    val hot = sh0.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxSourceDf)
+      .select(col("sh"))
+    val sh = sh0.join(hot, Seq("sh"), "left_anti")
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -332,16 +352,15 @@ object Dedup {
     * metadata-sized — on top of the single index join.
     *
     * Output: one row per method ∈ (resemblance, containment, either) with
-    * pair counts and per-planting-mode recall numerators. */
-  def dedupReport(corpus: DataFrame): DataFrame = {
-    val sh = hashedShingles(corpus)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val tagged = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+    * pair counts and per-planting-mode recall numerators. All nine
+    * counters come out of ONE aggregate over the tagged pair frame
+    * (conditional sums), then unpivot to the three method rows via
+    * `stack` on the single 1-row result — the scan → explode → self-join
+    * chain appears exactly once in the plan, where the per-method-filter
+    * formulation re-derived it three times. */
+  def dedupReport(corpus: DataFrame,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val tagged = pairStats(cappedShingles(corpus, maxShingleDf))
       .withColumn("is_res", col("inter") * 3 >= col("n_a") + col("n_b"))
       .withColumn("is_con",
         col("inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
@@ -351,18 +370,23 @@ object Dedup {
         col("b_id") === col("a_id") + 100000L)
       .withColumn("is_excerpt_planted",
         col("b_id") === col("a_id") + 400000L)
-    def method(name: String, pred: Column): DataFrame =
-      tagged.filter(pred).agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(col("is_near_planted"), 1L).otherwise(0L))
-          .as("n_near_planted"),
-        sum(when(col("is_excerpt_planted"), 1L).otherwise(0L))
-          .as("n_excerpt_planted"))
-        .select(lit(name).as("method"), col("n_pairs"),
-          col("n_near_planted"), col("n_excerpt_planted"))
-    method("resemblance", col("is_res"))
-      .unionByName(method("containment", col("is_con")))
-      .unionByName(method("either", col("is_res") || col("is_con")))
+    def n(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+    tagged.agg(
+        n(col("is_res")).as("res_pairs"),
+        n(col("is_res") && col("is_near_planted")).as("res_near"),
+        n(col("is_res") && col("is_excerpt_planted")).as("res_exc"),
+        n(col("is_con")).as("con_pairs"),
+        n(col("is_con") && col("is_near_planted")).as("con_near"),
+        n(col("is_con") && col("is_excerpt_planted")).as("con_exc"),
+        count(lit(1)).as("all_pairs"),
+        n(col("is_near_planted")).as("all_near"),
+        n(col("is_excerpt_planted")).as("all_exc"))
+      .select(expr(
+        "stack(3," +
+          " 'resemblance', res_pairs, res_near, res_exc," +
+          " 'containment', con_pairs, con_near, con_exc," +
+          " 'either', all_pairs, all_near, all_exc)" +
+          " AS (method, n_pairs, n_near_planted, n_excerpt_planted)"))
   }
 
   /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 9/10,
@@ -372,23 +396,14 @@ object Dedup {
     * score asymmetric-duplication-aware: a short doc wholly inside a long
     * one scores 1.0 here and ~|A|/|B| under Jaccard. This is the
     * Broder-style containment coefficient, the right measure for
-    * excerpt/quotation dedup; the stop-shingle df cap from
-    * [[ngramJaccardPairsCapped]] composes unchanged on the same index
-    * when boilerplate skew needs bounding at corpus scale. */
-  def containmentPairs(corpus: DataFrame): DataFrame = {
-    val sh = hashedShingles(corpus)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+    * excerpt/quotation dedup; the stop-shingle df cap rides the shared
+    * [[cappedShingles]] frame (default ON, mirrored by the oracle). */
+  def containmentPairs(corpus: DataFrame,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    pairStats(cappedShingles(corpus, maxShingleDf))
       .filter(col("inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
       .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
         expr("inter * 1000 div least(n_a, n_b)").as("containment_x1000"))
-  }
 
   /** Transitive duplicate groups (connected components) over a near-dup
     * pair list: A~B and B~C put A, B, C in one group even when A and C

@@ -35,17 +35,21 @@ import graft.Tables
   */
 object IvfIndex {
 
-  private final case class Key(app: String, dir: String, k: Int, iters: Int)
+  private final case class Key(app: String, dir: String, k: Int, iters: Int,
+      version: Long)
 
   private val memo = new ConcurrentHashMap[Key, Seq[(Long, Seq[Float])]]()
 
-  /** Trained centroids for the `embeddings` table under `dir` — memoized.
-    * Schema: (cent_id BIGINT, cent ARRAY<FLOAT>), identical to
-    * [[Similarity.trainedCentroids]]. */
+  /** Trained centroids for the `embeddings` table under `dir` — memoized;
+    * the key carries [[Tables.version]] of the table's file listing so a
+    * corpus rewrite under the same path re-trains instead of serving a
+    * stale index. Schema: (cent_id BIGINT, cent ARRAY<FLOAT>), identical
+    * to [[Similarity.trainedCentroids]]. */
   def centroids(spark: SparkSession, dir: String,
       k: Int = Similarity.IvfCentroids,
       iters: Int = Similarity.IvfIters): DataFrame = {
-    val key = Key(spark.sparkContext.applicationId, dir, k, iters)
+    val key = Key(spark.sparkContext.applicationId, dir, k, iters,
+      Tables.version(dir, "embeddings"))
     val rows = memo.computeIfAbsent(key, _ =>
       collectRows(Similarity.trainedCentroids(
         Tables.load(spark, dir, "embeddings"), k, iters)))

@@ -8,11 +8,13 @@ import graft.Tables
 /** Multimodal column plumbing (north star extension): image/audio/video
   * payloads are opaque `binary` columns with typed metadata structs.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * environment): [[DecodeStub.decode]] produces deterministic fake features
-  * from the raw bytes. Everything around it — schema, batch-shaped
-  * per-partition processing, partitioned layout, frame sampling — is real
-  * Spark plumbing and tested.
+  * Image decode is REAL: [[decodeStats]] parses genuine PNG payloads with
+  * the JDK's javax.imageio codec inside `mapPartitions` (`mm_decode`).
+  * The audio/video feature steps remain clearly-marked STUBS (no AV
+  * codecs in this environment): [[DecodeStub.decode]] produces
+  * deterministic fake features from the raw bytes. Everything around
+  * them — schema, batch-shaped per-partition processing, partitioned
+  * layout, frame sampling — is real Spark plumbing and tested.
   *
   * Scale shape: payload work runs in `mapPartitions` (one decoder
   * instantiation per partition, batch iteration — the same shape a Pandas
@@ -123,6 +125,96 @@ object Multimodal {
       }
     }.toDF("doc_id", "window_idx", "n_bytes", "energy")
   }
+
+  // ---- REAL image decode (javax.imageio) ----
+
+  /** An image asset whose payload is GENUINE PNG bytes: full PNG file
+    * structure (signature, IHDR/IDAT/IEND chunks, zlib-compressed
+    * scanlines) produced by the JDK's ImageIO encoder. The pixel CONTENT
+    * is synthesized deterministically from the doc id (no image files
+    * ship with this environment), but unlike [[DecodeStub]] the decode
+    * path below exercises a real codec end-to-end — the stats only come
+    * out right if the compressed bitstream round-trips correctly. */
+  final case class PngAsset(doc_id: Long, png: Array[Byte])
+
+  /** Decoded-image statistics — the `mm_decode` output row. */
+  final case class PngStats(doc_id: Long, width: Int, height: Int,
+      n_channels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-doc image dimensions (coprime moduli so shapes vary). */
+  private def pngDims(id: Long): (Int, Int) =
+    ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+
+  /** Encode one real PNG: pixel(x,y) = (r,g,b) ramps in doc_id, x, y —
+    * closed-form integer arithmetic the DuckDB oracle reproduces, so the
+    * decoded sums are hash-gated. PNG is lossless; a lossy format would
+    * need golden gating instead. */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 3 + x + y) % 256).toInt
+        val g = ((id * 5 + 2 * x) % 256).toInt
+        val b = ((id * 7 + 3 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One real-PNG asset per document; encode runs in `mapPartitions`
+    * (same batch shape as the decode — at scale the payload column is
+    * read from the table, not synthesized). */
+  def pngAssets(spark: SparkSession, dir: String): Dataset[PngAsset] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => PngAsset(id, encodePng(id))))
+  }
+
+  /** REAL decode: `ImageIO.read` parses and inflates each PNG payload
+    * inside `mapPartitions` (one reader context per partition — the
+    * batch-amortized shape a Pandas-UDF decoder has in PySpark), then a
+    * tight per-pixel loop computes width/height/channel-count and
+    * per-channel sums. O(pixels) per asset, shuffle-free; the payload
+    * bytes never leave the partition. */
+  def decodeStats(assets: Dataset[PngAsset]): Dataset[PngStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sr = 0L
+        var sg = 0L
+        var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        PngStats(a.doc_id, w, h, img.getColorModel.getNumComponents,
+          sr, sg, sb)
+      }
+    }
+  }
+
+  def decodeStats(spark: SparkSession, dir: String): Dataset[PngStats] =
+    decodeStats(pngAssets(spark, dir))
 
   /** Resize stub: metadata-level resize (a real one transforms pixels).
     * Integer arithmetic only (`w·maxDim div max(w,h)`, floor), so the

@@ -18,12 +18,24 @@ import graft.Tables
   */
 object Sampling {
 
+  /** Modulus the id is reduced by BEFORE the Knuth multiplier: with
+    * id % 10⁹+7 < 2³⁰, the product stays under 2⁶³ for ANY id, where the
+    * raw `id * 2654435761` wraps negative past id ≈ 3.5·10⁹ — below the
+    * ids a 10¹¹-document corpus implies — yielding negative shard ids and
+    * a sample gate that keeps everything. For id < 10⁹+7 (every fixture)
+    * the reduction is the identity, so values are unchanged; the DuckDB
+    * oracles carry the same reduction and stay bit-identical (DuckDB
+    * would raise on the overflow rather than wrap, so without the
+    * reduction the two engines diverge exactly at scale). */
+  val HashMod = 1000000007L
+
+  /** Overflow-safe multiplicative-hash product shared by every sampling /
+    * splitting / sharding gate below (non-negative for ids ≥ 0). */
+  private[graft] def mixed(id: Column): Column = (id % HashMod) * 2654435761L
+
   /** Knuth multiplicative-hash bucket in [0, 100): deterministic,
-    * order-independent, integer-exact on both engines. The fixture's ids
-    * are small; at real scale (ids beyond ~3×10^9) this must switch to a
-    * 64-bit mixing hash (e.g. xxhash64) to avoid multiplication overflow —
-    * kept as plain arithmetic here so the DuckDB oracle is bit-identical. */
-  def hashBucket(id: Column): Column = (id * 2654435761L) % 100
+    * order-independent, overflow-safe, integer-exact on both engines. */
+  def hashBucket(id: Column): Column = mixed(id) % 100
 
   /** Deterministic ~pct% sample of documents. Uniform ids hit each
     * language stratum at the same rate, so strata are preserved without a
@@ -58,7 +70,7 @@ object Sampling {
         expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
       .withColumn("p_x1000",
         least(lit(1000L), lit(200L) + col("stop_x1000") * 4))
-      .withColumn("bucket", (col("doc_id") * 2654435761L) % 1000)
+      .withColumn("bucket", mixed(col("doc_id")) % 1000)
       .filter(col("bucket") < col("p_x1000"))
       .select(col("doc_id"), col("lang"), col("p_x1000"), col("bucket"))
   }
@@ -143,7 +155,7 @@ object Sampling {
       .withColumn("rate_x1000", least(lit(1000L), expr("(w * scale) div t")))
     val kept = toks
       .join(broadcast(rates.select(col("lang"), col("rate_x1000"))), "lang")
-      .filter((col("doc_id") * 2654435761L) % 1000 < col("rate_x1000"))
+      .filter(mixed(col("doc_id")) % 1000 < col("rate_x1000"))
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs_kept"),
         sum(col("n_tokens")).as("n_tokens_kept"))
@@ -163,7 +175,7 @@ object Sampling {
     * re-exporting an incrementally grown corpus never moves an existing
     * document between shards (downstream dataloader caches stay valid). */
   def shardPlan(docs: DataFrame, nShards: Int = 16): DataFrame =
-    docs.withColumn("shard", (col("doc_id") * 2654435761L) % nShards)
+    docs.withColumn("shard", mixed(col("doc_id")) % nShards)
 
   /** Per-shard manifest — the sidecar a training job reads instead of
     * listing files: doc/token/char totals and language spread per shard.
@@ -259,8 +271,8 @@ object Sampling {
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
       .withColumn("h",
-        (col("doc_id") * 2654435761L + (col("epoch") + 1L) * 2246822519L)
-          % 1000000007L)
+        (mixed(col("doc_id")) + (col("epoch") + 1L) * 2246822519L)
+          % HashMod)
       .withColumn("shard", col("h") % nShards)
       .withColumn("pos", row_number().over(w))
       .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
@@ -291,7 +303,7 @@ object Sampling {
       .withColumn("quality_x1000",
         expr("(n_stop * 1000) div greatest(n_tokens, 1)"))
       .withColumn("band", expr("quality_x1000 div 100"))
-      .withColumn("h", (col("doc_id") * 2654435761L) % 1000000007L)
+      .withColumn("h", mixed(col("doc_id")) % 1000000007L)
       .withColumn("shard", col("h") % nShards)
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("shard"), col("band"), col("pos"))

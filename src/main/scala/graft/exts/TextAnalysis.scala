@@ -216,13 +216,13 @@ object TextAnalysis {
     *
     * Plan shape: one explode + per-doc bigram tf aggregate; the bigram
     * count and context tables re-aggregate FROM tf (the [[termStats]]
-    * two-subtree note applies), then broadcast back onto it — tf, the big
-    * side, is never re-shuffled. At web scale the bigram vocabulary
-    * outgrows a broadcast: drop the hints and let AQE plan the (w₁,w₂)
-    * shuffle join, or pre-prune the LM to the top-k bigrams per context
-    * (the standard KenLM-style pruning) to keep it broadcastable. Docs
-    * with fewer than two tokens have no bigrams and are excluded on both
-    * engines. */
+    * two-subtree note applies) and join back onto it with NO pinned
+    * broadcast hint — the bigram vocabulary outgrows a broadcast at web
+    * scale, so AQE picks broadcast vs shuffle from the real runtime
+    * sizes (tf, the big side, is never re-shuffled either way), and
+    * [[lmHead]] is the KenLM-style pruning that keeps a shipped model
+    * broadcast-sized. Docs with fewer than two tokens have no bigrams
+    * and are excluded on both engines. */
   /** Per-doc bigram term frequencies — shared base of [[lmScores]] /
     * [[lmScoreWith]]. */
   private def bigramTf(docs: DataFrame): DataFrame =
@@ -245,20 +245,44 @@ object TextAnalysis {
     val bgc = bigramTf(docs)
       .groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c_bg"))
     val ctx = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
-    bgc.join(broadcast(ctx), Seq("w1"))
+    // No broadcast hint: ctx rows = distinct contexts, unbounded in
+    // corpus size. AQE broadcasts from the REAL runtime size while it
+    // fits and falls back to a shuffled equi-join past the threshold —
+    // same values either way, no 8 GB broadcast ceiling.
+    bgc.join(ctx, Seq("w1"))
       .select(col("w1"), col("w2"), col("c_bg"), col("c_ctx"))
   }
+
+  /** KenLM-style head pruning for a [[lmTrain]]ed model: keep the
+    * `maxRows` highest-count bigrams (ties broken on the bigram), so the
+    * shipped artifact is bounded at ANY corpus scale and stays
+    * broadcast-sized. Transitions pruned away score 0 ppm and count as
+    * novel in [[lmScoreWith]] — the same semantics unseen transitions
+    * already have, so pruning trades score resolution on the long tail
+    * for a hard model-size bound. `orderBy + limit` compiles to
+    * TakeOrderedAndProject (per-partition heap + driver merge of
+    * maxRows rows, never a global sort). */
+  def lmHead(lm: DataFrame, maxRows: Int): DataFrame =
+    lm.orderBy(col("c_bg").desc, col("w1"), col("w2")).limit(maxRows)
 
   /** Apply a [[lmTrain]]ed model to OTHER documents — the train/apply
     * split a production quality filter runs (train on the trusted
     * corpus, score every candidate batch). Transitions absent from the
     * model score 0 ppm and count as novel, so `novel_frac_x1000` here
     * measures cross-corpus novelty (unseen transitions), not the
-    * within-corpus uniqueness [[lmScores]] reports. One broadcast left
-    * join per batch; the batch's bigram tf is the only shuffle. */
+    * within-corpus uniqueness [[lmScores]] reports.
+    *
+    * Join policy: NO explicit broadcast hint. Model rows = distinct
+    * corpus bigrams — Heaps-law sub-linear but unbounded, so a pinned
+    * `broadcast(lm)` is an OOM at exactly the corpus scale the apply
+    * path is for (past Spark's 8 GB broadcast cap). AQE sees the real
+    * model size at runtime: while it fits, the join IS a broadcast (the
+    * per-batch fast path); past the threshold it degrades to a shuffled
+    * (w₁,w₂) equi-join with identical semantics. To keep the broadcast
+    * fast path at any scale, bound the artifact with [[lmHead]]. */
   def lmScoreWith(lm: DataFrame, docs: DataFrame): DataFrame =
     bigramTf(docs)
-      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(lm, Seq("w1", "w2"), "left")
       .withColumn("ppm",
         coalesce(expr("(c_bg * 1000000) div c_ctx"), lit(0L)))
       .groupBy(col("doc_id"))
@@ -275,8 +299,10 @@ object TextAnalysis {
     val tf = bigramTf(docs)
     val bgc = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c_bg"))
     val ctx = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
-    tf.join(broadcast(bgc), Seq("w1", "w2"))
-      .join(broadcast(ctx), Seq("w1"))
+    // Same policy as lmScoreWith: bgc/ctx grow with the corpus — let AQE
+    // pick broadcast vs shuffle from their real runtime sizes.
+    tf.join(bgc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
       .withColumn("ppm", expr("(c_bg * 1000000) div c_ctx"))
       .groupBy(col("doc_id"))
       .agg(
@@ -545,22 +571,24 @@ object TextAnalysis {
     * granularity — the dedup tier that catches boilerplate and licensing
     * blocks pasted across otherwise-distinct documents, which whole-doc
     * hashing can't see): every chunk content hash occurring more than
-    * once, with its copy/document counts and a keep-first verdict (the
-    * lexicographically least (doc, idx) occurrence, packed into one
-    * integer min so the argmin is a plain hash aggregate with map-side
-    * combine — no window, no sort). The exchange carries 16-byte chunk
-    * hashes, never text. */
+    * once, with its copy/document counts and a keep-first verdict — the
+    * lexicographically least (doc, idx) occurrence via a STRUCT min, a
+    * plain hash aggregate with map-side combine (no window, no sort).
+    * A struct min, not `min(doc_id·10⁶ + idx)`: the packed form
+    * overflows for doc_id near 2⁶³/10⁶ and collides for documents with
+    * ≥10⁶ chunks, both live inputs at corpus scale. The exchange
+    * carries 16-byte chunk hashes, never text. */
   def dupChunks(corpus: DataFrame): DataFrame =
     chunkDocs(corpus)
       .groupBy(col("chunk_md5"))
       .agg(
         count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id") * 1000000L + col("chunk_idx")).as("m"))
+        min(struct(col("doc_id"), col("chunk_idx"))).as("m"))
       .filter(col("n_copies") > 1)
       .select(col("chunk_md5"), col("n_copies"), col("n_docs"),
-        expr("m div 1000000").as("keep_doc_id"),
-        expr("m % 1000000").as("keep_chunk_idx"))
+        col("m.doc_id").as("keep_doc_id"),
+        col("m.chunk_idx").as("keep_chunk_idx"))
 
   /** Per-source curation telemetry: document counts, quality-kept
     * fraction, token volume, and mean fluency per `source` — the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.exts.{BpeIndex, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.exts.{BpeIndex, Dedup, LmIndex, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.Tables
 
 /** Driver-contract queries for the training-data-pipeline extensions:
@@ -17,6 +17,26 @@ object PipelineQueries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Base^k mod 2⁶⁴ for k = 0..Window-1, rendered as DuckDB HUGEINT
+    * literals — derived from [[graft.functions.RollingHash]]'s constants
+    * so the oracle can never drift from the Spark expression. DuckDB has
+    * no wrapping 64-bit multiply (it raises on overflow where the JVM
+    * wraps), so the oracle evaluates the window polynomial in HUGEINT
+    * with an explicit mod-2⁶⁴ reduction and converts to signed at the
+    * end; the Scala side's rolling add/subtract recurrence is
+    * algebraically the same windowed sum mod 2⁶⁴. */
+  private val rollingPowersCte: String = {
+    val m = java.math.BigInteger.ONE.shiftLeft(64)
+    val base = java.math.BigInteger.valueOf(graft.functions.RollingHash.Base)
+    var p = java.math.BigInteger.ONE
+    val rows = (0 until graft.functions.RollingHash.Window).map { k =>
+      val cur = p
+      p = p.multiply(base).mod(m)
+      s"($k, $cur::HUGEINT)"
+    }
+    s"pw(e, p) AS (VALUES ${rows.mkString(", ")})"
+  }
 
   /** documents ∪ planted near-copies — DuckDB side. */
   private val nearCorpusCte =
@@ -322,9 +342,12 @@ object PipelineQueries {
       "bpe_encode" -> ((s, dir) =>
         TextAnalysis.bpeEncode(Dedup.incomingBatch(s, dir),
           BpeIndex.rules(s, dir))),
+      // Train/apply split via the LmIndex parquet artifact: the model
+      // trains once per corpus snapshot; every batch scores against the
+      // persisted table (values identical to an inline lmTrain).
       "lm_score_batch" -> ((s, dir) =>
         TextAnalysis.lmScoreWith(
-          TextAnalysis.lmTrain(Tables.load(s, dir, "documents")),
+          LmIndex.model(s, dir),
           Dedup.incomingBatch(s, dir))),
       "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
       "dedup_chunks" -> ((s, dir) =>
@@ -348,6 +371,10 @@ object PipelineQueries {
         Multimodal.resizeMeta(Multimodal.assets(s, dir), 256)),
       "mm_audio" -> ((s, dir) =>
         Multimodal.audioWindows(Multimodal.assets(s, dir))),
+      // REAL codec round-trip: genuine PNG bytes through javax.imageio
+      // encode + decode; the oracle recomputes the deterministic pixel
+      // ramps in closed form, so a decode defect breaks the hash.
+      "mm_decode" -> ((s, dir) => Multimodal.decodeStats(s, dir).toDF()),
 
       "sample_docs" -> ((s, dir) => Sampling.sampleDocs(s, dir)),
       "weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
@@ -537,7 +564,8 @@ object PipelineQueries {
           |FROM c""".stripMargin,
 
       // Chunk derivation over the exact-dup-planted corpus, grouped by
-      // content hash; the keep-first verdict is the packed-integer argmin.
+      // content hash; the keep-first verdict is a lexicographic struct
+      // min on (doc_id, chunk_idx), mirroring the Spark aggregate.
       "dedup_chunks" ->
         s"""WITH $exactCorpusCte,
            |t AS (
@@ -555,9 +583,9 @@ object PipelineQueries {
            |  FROM c)
            |SELECT chunk_md5, count(*) AS n_copies,
            |  count(DISTINCT doc_id) AS n_docs,
-           |  CAST(min(doc_id * 1000000 + chunk_idx) // 1000000 AS BIGINT)
+           |  min({'doc_id': doc_id, 'chunk_idx': chunk_idx}).doc_id
            |    AS keep_doc_id,
-           |  CAST(min(doc_id * 1000000 + chunk_idx) % 1000000 AS BIGINT)
+           |  min({'doc_id': doc_id, 'chunk_idx': chunk_idx}).chunk_idx
            |    AS keep_chunk_idx
            |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1""".stripMargin,
 
@@ -847,7 +875,7 @@ object PipelineQueries {
            |kept AS (SELECT lang, count(*) AS n_docs_kept,
            |           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
            |         FROM tok JOIN rates USING (lang)
-           |         WHERE (doc_id * 2654435761) % 1000 < rate_x1000
+           |         WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < rate_x1000
            |         GROUP BY lang)
            |SELECT lang, n_docs, t AS n_tokens, wt AS weight_x1000,
            |  rate_x1000,
@@ -857,7 +885,7 @@ object PipelineQueries {
 
       "shard_manifest" ->
         """WITH s AS (
-          |  SELECT (doc_id * 2654435761) % 16 AS shard,
+          |  SELECT ((doc_id % 1000000007) * 2654435761) % 16 AS shard,
           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
           |      AS n_tokens,
           |    CAST(length(text) AS BIGINT) AS n_chars, lang
@@ -971,10 +999,14 @@ object PipelineQueries {
           |        FROM corpus),
           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
           |  WHERE len(words) >= 5),
-          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |rare AS (
+          |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+          |  WHERE df <= 100),
+          |kept AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
           |inter AS (
           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2)
           |SELECT a_id, b_id, inter, na.n_sh AS n_a, nb.n_sh AS n_b,
           |  CAST(inter * 1000 // least(na.n_sh, nb.n_sh) AS BIGINT)
@@ -1055,10 +1087,14 @@ object PipelineQueries {
           |        FROM corpus),
           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
           |  WHERE len(words) >= 5),
-          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |rare AS (
+          |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+          |  WHERE df <= 100),
+          |kept AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
           |inter AS (
           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
           |tagged AS (
           |  SELECT a_id, b_id,
@@ -1100,11 +1136,15 @@ object PipelineQueries {
           |        FROM corpus),
           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
           |  WHERE len(words) >= 5),
-          |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+          |rare AS (
+          |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+          |  WHERE df <= 100),
+          |kept AS (SELECT sh.source, sh.sh FROM sh JOIN rare USING (sh)),
+          |sizes AS (SELECT source, count(*) AS n_sh FROM kept GROUP BY source),
           |ov AS (
           |  SELECT a.source AS source_a, b.source AS source_b,
           |    count(*) AS n_shared
-          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+          |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.source < b.source
           |  GROUP BY 1, 2)
           |SELECT source_a, source_b, n_shared,
           |  CAST(n_shared * 1000 // least(na.n_sh, nb.n_sh) AS BIGINT)
@@ -1133,10 +1173,14 @@ object PipelineQueries {
           |        FROM corpus),
           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
           |  WHERE len(words) >= 5),
-          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |rare AS (
+          |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+          |  WHERE df <= 100),
+          |kept AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
           |inter AS (
           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
           |pairs AS (
           |  SELECT a_id, b_id FROM inter
@@ -1284,7 +1328,7 @@ object PipelineQueries {
            |q AS (
            |  SELECT doc_id,
            |    ((n_stop * 1000) // greatest(n_tokens, 1)) // 100 AS band,
-           |    (doc_id * 2654435761) % 1000000007 AS h
+           |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
            |  FROM t)
            |SELECT doc_id, h % 8 AS shard, band,
            |  CAST(row_number() OVER (PARTITION BY h % 8
@@ -1298,7 +1342,7 @@ object PipelineQueries {
           |  SELECT doc_id, unnest(range(2)) AS epoch FROM documents),
           |h AS (
           |  SELECT doc_id, epoch,
-          |    (doc_id * 2654435761 + (epoch + 1) * 2246822519) % 1000000007
+          |    ((doc_id % 1000000007) * 2654435761 + (epoch + 1) * 2246822519) % 1000000007
           |      AS h
           |  FROM e)
           |SELECT epoch, doc_id, h % 8 AS shard,
@@ -1731,9 +1775,9 @@ object PipelineQueries {
           |FROM agg""".stripMargin,
 
       "sample_docs" ->
-        """SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+        """SELECT doc_id, lang, ((doc_id % 1000000007) * 2654435761) % 100 AS bucket
           |FROM documents
-          |WHERE (doc_id * 2654435761) % 100 < 10""".stripMargin,
+          |WHERE ((doc_id % 1000000007) * 2654435761) % 100 < 10""".stripMargin,
 
       // Keep probability = quality floor + 4× the multilingual stopword
       // ratio, decided by the same multiplicative id-hash at ‰ grain.
@@ -1749,14 +1793,14 @@ object PipelineQueries {
            |    least(1000, 200 +
            |      CAST((n_stop * 1000) // greatest(n_tokens, 1) AS BIGINT) * 4)
            |      AS p_x1000,
-           |    (doc_id * 2654435761) % 1000 AS bucket
+           |    ((doc_id % 1000000007) * 2654435761) % 1000 AS bucket
            |  FROM t)
            |SELECT doc_id, lang, CAST(p_x1000 AS BIGINT) AS p_x1000, bucket
            |FROM p WHERE bucket < p_x1000""".stripMargin,
 
       "train_test_split" ->
         """WITH b AS (
-          |  SELECT lang, (doc_id * 2654435761) % 100 AS bucket
+          |  SELECT lang, ((doc_id % 1000000007) * 2654435761) % 100 AS bucket
           |  FROM documents)
           |SELECT lang,
           |  CASE WHEN bucket < 80 THEN 'train'
@@ -1824,6 +1868,75 @@ object PipelineQueries {
           |    j -> abs(ord(substr(text, CAST(j AS INTEGER), 1)) - 128)))
           |    AS BIGINT) // (b_off - a_off + 1) AS BIGINT) AS energy
           |FROM w""".stripMargin,
+
+      // Winnowing fingerprint = min over 16-byte windows of the wrapping
+      // polynomial hash. Pure-ASCII corpus ⇒ byte i = ord of character i
+      // (the mm_frames convention); powers and window width derive from
+      // the RollingHash constants (see rollingPowersCte). Short docs
+      // hash the whole string; empty docs are 0.
+      "text_fingerprint" -> {
+        val W = graft.functions.RollingHash.Window
+        s"""WITH $rollingPowersCte,
+           |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+           |win AS (
+           |  SELECT d.doc_id, s.s, j.j,
+           |    ord(substr(d.text, CAST(s.s + j.j AS INTEGER), 1))::HUGEINT
+           |      AS byte
+           |  FROM d,
+           |    LATERAL (SELECT unnest(generate_series(1, d.n - ${W - 1}))
+           |      AS s) s,
+           |    LATERAL (SELECT unnest(generate_series(0, ${W - 1})) AS j) j
+           |  WHERE d.n > $W),
+           |wh AS (
+           |  SELECT doc_id, s,
+           |    CAST(sum(byte * pw.p) % 18446744073709551616::HUGEINT
+           |      AS HUGEINT) AS hu
+           |  FROM win JOIN pw ON pw.e = ${W - 1} - j
+           |  GROUP BY doc_id, s),
+           |wmin AS (
+           |  SELECT doc_id,
+           |    min(CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |             THEN CAST(hu - 18446744073709551616::HUGEINT AS BIGINT)
+           |             ELSE CAST(hu AS BIGINT) END) AS fingerprint
+           |  FROM wh GROUP BY doc_id),
+           |sh AS (
+           |  SELECT d.doc_id,
+           |    CAST(sum(ord(substr(d.text, CAST(i.i AS INTEGER), 1))::HUGEINT
+           |        * pw.p) % 18446744073709551616::HUGEINT AS HUGEINT) AS hu
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, d.n)) AS i) i
+           |  JOIN pw ON pw.e = d.n - i.i
+           |  WHERE d.n <= $W AND d.n > 0
+           |  GROUP BY d.doc_id),
+           |smin AS (
+           |  SELECT doc_id,
+           |    CASE WHEN hu >= 9223372036854775808::HUGEINT
+           |         THEN CAST(hu - 18446744073709551616::HUGEINT AS BIGINT)
+           |         ELSE CAST(hu AS BIGINT) END AS fingerprint
+           |  FROM sh),
+           |zero AS (SELECT doc_id, CAST(0 AS BIGINT) AS fingerprint
+           |         FROM d WHERE n = 0)
+           |SELECT * FROM wmin UNION ALL SELECT * FROM smin
+           |UNION ALL SELECT * FROM zero""".stripMargin
+      },
+
+      // Closed-form mirror of the PNG pixel ramps: the Spark side must
+      // push every byte through a real encode→decode codec round-trip
+      // to land on these same sums (PNG is lossless, so equality holds
+      // bit-exactly).
+      "mm_decode" ->
+        """SELECT d.doc_id,
+          |  CAST(d.doc_id % 13 + 4 AS INTEGER) AS width,
+          |  CAST(d.doc_id % 11 + 4 AS INTEGER) AS height,
+          |  CAST(3 AS INTEGER) AS n_channels,
+          |  CAST(sum((d.doc_id * 3 + x.i + y.j) % 256) AS BIGINT) AS sum_r,
+          |  CAST(sum((d.doc_id * 5 + 2 * x.i) % 256) AS BIGINT) AS sum_g,
+          |  CAST(sum((d.doc_id * 7 + 3 * y.j) % 256) AS BIGINT) AS sum_b
+          |FROM documents d,
+          |  LATERAL (SELECT unnest(generate_series(0,
+          |    CAST(d.doc_id % 13 + 3 AS BIGINT))) AS i) x,
+          |  LATERAL (SELECT unnest(generate_series(0,
+          |    CAST(d.doc_id % 11 + 3 AS BIGINT))) AS j) y
+          |GROUP BY 1""".stripMargin,
 
       "mm_resize" ->
         """WITH a AS (

@@ -71,6 +71,41 @@ object EventPipeline {
       submittedJobs: scala.collection.Seq[String],
       decisionInputRows: scala.collection.Seq[Long] = Nil)
 
+  /** Durable submission log under the log store: one tiny
+    * `_submissions/batch=<id>.csv` per micro-batch that dispatched
+    * anything, each line `tableId,jobId`. Written atomically (temp +
+    * move) AFTER the batch's dispatches, read only on restart — the
+    * job-submission analog of the snapshot-log audit trail, sized by
+    * triggered tables, not data. */
+  private def writeSubmissions(logStoreDir: String, batchId: Long,
+      subs: Seq[(Long, String)]): Unit = {
+    val dir = java.nio.file.Paths.get(logStoreDir, "_submissions")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".batch=$batchId.tmp")
+    java.nio.file.Files.writeString(tmp,
+      subs.map { case (t, j) => s"$t,$j" }.mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp, dir.resolve(s"batch=$batchId.csv"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Latest submission batch per table from the durable submission log. */
+  private def lastSubmissionBatch(logStoreDir: String): Map[Long, Long] = {
+    val dir = java.nio.file.Paths.get(logStoreDir, "_submissions")
+    if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
+    val stream = java.nio.file.Files.list(dir)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.matches("batch=\\d+\\.csv"))
+      .flatMap { p =>
+        val bid = p.getFileName.toString
+          .stripPrefix("batch=").stripSuffix(".csv").toLong
+        java.nio.file.Files.readAllLines(p).asScala
+          .filter(_.nonEmpty)
+          .map(line => line.split(",")(0).toLong -> bid)
+      }.toSeq.groupMapReduce(_._1)(_._2)(math.max)
+    finally stream.close()
+  }
+
   /** Batch subdirectories of a log store that finished writing (_SUCCESS
     * marker present): (batchId, path), sorted by id. A dir without the
     * marker is a write the dying run never completed — its replay
@@ -116,10 +151,16 @@ object EventPipeline {
     * uncommitted batches — together the decisions continue exactly where
     * the dead run left off. Opening a non-empty log store WITHOUT its
     * checkpoint is rejected loudly: a fresh checkpoint would replay the
-    * whole source on top of the rebuilt state and double-count. Dispatch
-    * stays at-least-once across a crash (a table triggered but not yet
-    * quiesced re-dispatches after restart), matching the reference's
-    * re-evaluate-on-every-commit behavior. */
+    * whole source on top of the rebuilt state and double-count.
+    * Submissions are recorded in a durable per-batch log next to the
+    * snapshot log, and a restart seeds the dispatch-dedup set from it
+    * (a submission still "covers" its table unless a later batch holds
+    * the table's replace commit), so a still-triggered table whose job
+    * was already submitted is NOT re-submitted after a restart — the
+    * reference never had this (it re-fires per commit by design);
+    * compaction idempotence made the re-fire benign, this closes it.
+    * Dispatch remains at-least-once only across a crash INSIDE a batch
+    * (replay re-runs that batch's dispatches before its record lands). */
   def runStreaming(events: DataFrame, cfg: EngineConfig,
       executorFor: String => Executor,
       logStoreDir: String,
@@ -143,21 +184,47 @@ object EventPipeline {
     // Highest batch id whose effects are already durable: merges for ids
     // <= this are skipped (idempotent replay).
     var lastBatchId = prior.lastOption.map(_._1).getOrElse(-1L)
-    if (incremental && prior.nonEmpty) {
-      // Restart: rebuild per-table state from the committed log in ONE
-      // bounded scan (the log is ~1 row per commit, metadata-scale).
-      import spark.implicits._
-      spark.read.parquet(prior.map(_._2): _*)
-        .select(
-          col("table_id").as("tableId"),
-          col("snapshot_id").as("snapshotId"),
-          col("ts_ms").as("tsMillis"),
-          col("operation"))
-        .as[graft.model.SnapshotMeta]
-        .groupByKey(_.tableId)
-        .agg(DecideAggregator.partial.toColumn.name("buf"))
-        .collect()
-        .foreach { case (tid, buf) => state(tid) = buf }
+    if (prior.nonEmpty) {
+      val priorLog = spark.read.option("basePath", logStoreDir)
+        .parquet(prior.map(_._2): _*)
+      if (incremental) {
+        // Restart: rebuild per-table state from the committed log in ONE
+        // bounded scan (the log is ~1 row per commit, metadata-scale).
+        import spark.implicits._
+        priorLog
+          .select(
+            col("table_id").as("tableId"),
+            col("snapshot_id").as("snapshotId"),
+            col("ts_ms").as("tsMillis"),
+            col("operation"))
+          .as[graft.model.SnapshotMeta]
+          .groupByKey(_.tableId)
+          .agg(DecideAggregator.partial.toColumn.name("buf"))
+          .collect()
+          .foreach { case (tid, buf) => state(tid) = buf }
+      }
+      // Restart-scoped dispatch dedup: seed `dispatched` from the DURABLE
+      // submission log instead of an empty set, so a still-triggered
+      // table whose job was already submitted before the crash is not
+      // re-submitted. A submission covers the current trigger iff no
+      // replace commit for that table landed in a LATER batch (a later
+      // replace means the job finished and any current trigger is new
+      // pressure — eligible for dispatch again, same as the in-run
+      // quiesce rule). The `batch=<id>` dirs double as a partition
+      // column via basePath, so "latest replace batch per table" is one
+      // metadata-scale aggregate.
+      val lastSub = lastSubmissionBatch(logStoreDir)
+      if (lastSub.nonEmpty) {
+        val lastReplace = priorLog
+          .filter(col("operation") === "replace")
+          .groupBy(col("table_id"))
+          .agg(max(col("batch").cast("long")).as("b"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        lastSub.foreach { case (tid, sb) =>
+          if (sb >= lastReplace.getOrElse(tid, -1L)) dispatched += tid
+        }
+      }
     }
     val writer = events.writeStream
       .trigger(trigger)
@@ -217,14 +284,21 @@ object EventPipeline {
         // Quiesce: a table whose decision is no longer true may trigger
         // (and dispatch) again later in the same query.
         dispatched.filterInPlace(triggered.contains)
-        triggered.filterNot(dispatched.contains).toSeq.sorted
-          .foreach { tableId =>
+        val newSubs = triggered.filterNot(dispatched.contains).toSeq.sorted
+          .map { tableId =>
             val table = s"db.tbl_$tableId"
             val ex = executorFor(table)
             ex.initialize(table, Map.empty)
-            submitted += ex.execute()
+            val jobId = ex.execute()
+            submitted += jobId
             dispatched += tableId
+            tableId -> jobId
           }
+        // Durable record of this batch's submissions (after the
+        // dispatches: a crash mid-batch replays the batch and re-submits
+        // — at-least-once, unchanged — but a crash AFTER the record can
+        // no longer double-submit on restart).
+        if (newSubs.nonEmpty) writeSubmissions(logStoreDir, batchId, newSubs)
         ()
       }
       .start()

@@ -333,6 +333,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
+  test("artifact memos key on the corpus version: a rewrite invalidates") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft-ver").toString
+    Files.copy(Paths.get(s"$dir/documents.parquet"),
+      Paths.get(s"$tmp/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val v1 = graft.Tables.version(tmp, "documents")
+    assert(v1 !== 0L)
+    // memo hit: same corpus version returns the identical sketch instance
+    val s1 = graft.exts.BloomIndex.sketch(spark, tmp)
+    assert(graft.exts.BloomIndex.sketch(spark, tmp) eq s1)
+    // "rewrite" the table under the same path (mtime moves — the same
+    // signal a real rewrite's fresh files give the listing hash)
+    val f = Paths.get(s"$tmp/documents.parquet").toFile
+    assert(f.setLastModified(f.lastModified() + 2000L))
+    val v2 = graft.Tables.version(tmp, "documents")
+    assert(v2 !== v1)
+    // the memo must NOT serve the stale sketch for the new version
+    assert(!(graft.exts.BloomIndex.sketch(spark, tmp) eq s1))
+  }
+
+  test("multimodal: real PNG round-trip decodes to the generative pixel ramps") {
+    // the payloads are genuine PNG files: signature + IHDR, decodable by
+    // the real codec
+    val sample = Multimodal.pngAssets(spark, dir).filter(_.doc_id < 3).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { a =>
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      assert(a.png.take(8).sameElements(sig))
+    }
+    // decoded stats equal the closed-form sums for a hand-checked id
+    val s7 = Multimodal.decodeStats(
+      Multimodal.pngAssets(spark, dir).filter(_.doc_id == 7L)).collect()
+    assert(s7.length === 1)
+    val (w, h) = ((7 % 13 + 4), (7 % 11 + 4))
+    assert(s7.head.width === w && s7.head.height === h)
+    assert(s7.head.n_channels === 3)
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      er += (7 * 3 + x + y) % 256
+      eg += (7 * 5 + 2 * x) % 256
+      eb += (7 * 7 + 3 * y) % 256
+    }
+    assert((s7.head.sum_r, s7.head.sum_g, s7.head.sum_b) === ((er, eg, eb)))
+    // a corrupted payload must fail decode, not silently return numbers
+    val bad = sample.head.png.clone()
+    bad(12) = (bad(12) ^ 0x7f).toByte // inside IHDR
+    intercept[Exception] {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bad))
+      img.getWidth // IIOException on read, or NPE if the reader bails
+    }
+  }
+
   test("multimodal: frame sampling yields k in-bounds frames per asset") {
     val assets = Multimodal.assets(spark, dir)
     val frames = Multimodal.sampleFrames(assets, 4).collect()

@@ -7,9 +7,11 @@ import graft.functions.{RollingHash, SigImpl}
 
 /** Frozen signature goldens over a 10-doc mini-corpus.
   *
-  * MinHash / SimHash / rolling-hash fingerprints are registered rows-only
-  * with the driver (engine-specific hashing has no DuckDB oracle), so this
-  * spec is their semantic gate: any refactor of functions/Signatures.scala
+  * MinHash / SimHash signatures are registered rows-only with the driver
+  * (engine-specific hashing has no DuckDB oracle), so this spec is their
+  * semantic gate; the rolling-hash fingerprint gained a HUGEINT DuckDB
+  * oracle (text_fingerprint is hash-gated) and its goldens stay as the
+  * unit-level cross-check: any refactor of functions/Signatures.scala
   * or functions/RollingHash.scala that changes a single constant, the
   * tokenizer, the shingle width, or an accumulation order flips at least
   * one of these values. The values were produced by the current

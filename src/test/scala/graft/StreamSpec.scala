@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.{DryRunExecutor, JobStateLog}
-import graft.model.EngineConfig
+import graft.model.{EngineConfig, Fixture}
 import graft.ops.{Decide, EventOps}
 import graft.stream.EventPipeline
 
@@ -170,6 +170,61 @@ class StreamSpec extends AnyFunSuite {
     assert(r2.decisionInputRows.toSeq === Seq(6L))
     // the durable log holds each commit exactly once across both runs
     assert(spark.read.parquet(logStore).count() === 12L)
+  }
+
+  test("restart does not re-submit a still-triggered table (durable dispatch dedup)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val now = Decide.NowMs
+    def ev(id: Long, op: String): (Long, Long, Long, String, Double, String) =
+      (id, (now - 60000 + id) * 1000000L, 50L, op, 1.0, "{}")
+    val srcDir = Files.createTempDirectory("graft-dd-src").toString
+    val logStore = Files.createTempDirectory("graft-dd-log").toString
+    val ckpt = Files.createTempDirectory("graft-dd-ckpt").toString
+    def addWave(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-dd-wave").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp)).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, java.nio.file.Paths.get(srcDir, name))
+      }
+    }
+    def openStream() = spark.readStream
+      .schema(EventPipeline.eventSchema).parquet(srcDir)
+    val jobLog = new JobStateLog
+    def run() = {
+      val (q, r) = EventPipeline.runStreaming(openStream(), cfg,
+        _ => new DryRunExecutor(jobLog), logStore,
+        checkpointDir = Some(ckpt))
+      q.awaitTermination()
+      r
+    }
+    // run 1: 12 commits → triggered, submitted once, submission recorded
+    addWave("w1.parquet", (1L to 12L).map(ev(_, "click")))
+    val r1 = run()
+    assert(r1.decisions.find(_.getLong(0) === 50L).get.getBoolean(4))
+    assert(r1.submittedJobs.size === 1)
+    // run 2 = restart with one MORE commit: still triggered, but the
+    // durable submission log seeds the dedup set — the in-flight job
+    // must NOT be submitted again (the gap an in-memory set left open)
+    addWave("w2.parquet", Seq(ev(13L, "click")))
+    val r2 = run()
+    assert(r2.decisions.find(_.getLong(0) === 50L).get.getBoolean(4))
+    assert(r2.submittedJobs.isEmpty)
+    // run 3: the compaction's replace commit lands → decision quiesces
+    addWave("w3.parquet", Seq(ev(14L, Fixture.ReplaceOp)))
+    val r3 = run()
+    assert(!r3.decisions.find(_.getLong(0) === 50L).get.getBoolean(4))
+    assert(r3.submittedJobs.isEmpty)
+    // run 4: fresh pressure after the replace → a NEW submission is due
+    // (the recorded one is superseded by the later replace batch)
+    addWave("w4.parquet", (15L to 26L).map(ev(_, "click")))
+    val r4 = run()
+    assert(r4.decisions.find(_.getLong(0) === 50L).get.getBoolean(4))
+    assert(r4.submittedJobs.size === 1)
   }
 
   test("stateful decision path equals the driver-map path through restart") {
