@@ -19,17 +19,33 @@ import graft.model.Fixture
   */
 object EventOps {
 
-  /** Raw events with `ts` normalized to epoch-millis (`ts_ms`).
-    *
-    * The testdata stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; `nanosAsLong` reads it as a nanos Long and
-    * the `div 1000000` truncation matches DuckDB's ns→µs→ms floor for
-    * post-epoch instants, keeping the oracle deterministic.
+  /** Epoch-millis expression for a `ts` column, branched on the dtype the
+    * parquet reader actually produced — the fixture's physical encoding has
+    * changed across regenerations (TIMESTAMP(NANOS) read as nanos Long via
+    * `nanosAsLong`, later `timestamp[us]` read as TIMESTAMP_NTZ), and the
+    * engine must not assume one encoding (the schema-layer robustness an
+    * Iceberg catalog gives the reference for free,
+    * AwsTableManagementMetricsEvaluator.java:72). All entry points pin
+    * `spark.sql.session.timeZone=UTC`, so NTZ-as-UTC matches DuckDB's
+    * `epoch_ms` on naive timestamps; the nanos `div 1000000` truncation
+    * matches its ns→ms floor for post-epoch instants.
     */
+  def tsMillis(schema: StructType): Column = schema("ts").dataType match {
+    case LongType         => expr("ts div 1000000")
+    case TimestampType    => unix_millis(col("ts"))
+    case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported dtype $other (expected long nanos or timestamp)")
+  }
+
+  /** Raw events with `ts` normalized to epoch-millis (`ts_ms`), whichever
+    * physical timestamp encoding the fixture carries. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Harmless for non-nanos files; lets TIMESTAMP(NANOS) fixtures (which
+    // the vectorized reader otherwise rejects) load as a nanos Long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(spark, dir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val raw = Tables.events(spark, dir)
+    raw.withColumn("ts_ms", tsMillis(raw.schema))
   }
 
   /** commit_event_filter (SURVEY.md §2.1): keep only table-write commits,
@@ -42,15 +58,15 @@ object EventOps {
     events(spark, dir).filter(col("event_type").isin(Fixture.WriteOps: _*))
 
   /** Snapshot-log derivation from any events frame with (event_id, ts
-    * [nanos long], user_id, event_type) — the single source of the
-    * FIXTURES.md §3 rule, shared by the batch and streaming paths. */
+    * [nanos long or timestamp], user_id, event_type) — the single source of
+    * the FIXTURES.md §3 rule, shared by the batch and streaming paths. */
   def snapshotLogFrom(events: DataFrame): DataFrame =
     events
       .filter(col("event_type").isin(Fixture.WriteOps: _*))
       .select(
         col("user_id").as("table_id"),
         col("event_id").as("snapshot_id"),
-        expr("ts div 1000000").as("ts_ms"),
+        tsMillis(events.schema).as("ts_ms"),
         when(col("event_type") === Fixture.ReplaceOp, lit("replace"))
           .otherwise(lit("append")).as("operation"))
 

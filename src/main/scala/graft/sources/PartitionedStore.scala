@@ -33,7 +33,7 @@ object PartitionedStore {
       outDir: String): Unit = {
     val ev = graft.ops.EventOps.events(spark, sfDir)
       .withColumn("event_date",
-        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
     write(ev, outDir, Seq("event_date"))
   }
 }

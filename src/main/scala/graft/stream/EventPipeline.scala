@@ -36,8 +36,11 @@ import graft.ops.Decide
   */
 object EventPipeline {
 
-  /** Streaming-source schema for the events table (ts is TIMESTAMP(NANOS)
-    * in the fixture parquet; read as nanos Long via the legacy conf). */
+  /** Streaming-source schema used by the synthetic test waves, which write
+    * `ts` as a nanos Long. Fixture parquet may instead carry a native
+    * timestamp type — `readEventStream` probes the file's actual schema,
+    * and the downstream `snapshotLogFrom`/`tsMillis` normalization branches
+    * on whichever dtype arrived. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -55,7 +58,12 @@ object EventPipeline {
     * a directory, so glob-filter the events file inside the sf dir). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema)
+    // The file stream needs an explicit schema; take it from the file
+    // itself (one footer read) rather than assuming a physical ts encoding
+    // — fixture regenerations have switched between TIMESTAMP(NANOS) and
+    // timestamp[us].
+    val fileSchema = graft.Tables.events(spark, dir).schema
+    spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
   }
@@ -457,13 +465,20 @@ object EventPipeline {
     override def execute(): String = "noop"
   }
 
+  /** Epoch-millis column for an events frame: the normalized `ts_ms` when
+    * the frame came through `EventOps.events`, else derived from the raw
+    * `ts` dtype (stream frames carry the source schema). */
+  private def tsMsCol(events: DataFrame): org.apache.spark.sql.Column =
+    if (events.columns.contains("ts_ms")) col("ts_ms")
+    else graft.ops.EventOps.tsMillis(events.schema)
+
   /** Session-window analysis (extension): per-user activity sessions with
     * a fixed inactivity gap. Event times are truncated to millis before
     * sessionization so the SQL gaps-and-islands oracle (which works in
     * epoch millis) sees identical instants. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
-      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withColumn("event_time", timestamp_millis(tsMsCol(events)))
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(
@@ -478,7 +493,7 @@ object EventPipeline {
     * `event_time` and an append/complete sink. */
   def windowedMetrics(events: DataFrame, windowLength: String): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_millis(tsMsCol(events)))
       .groupBy(window(col("event_time"), windowLength), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.EventOps
+
+/** Fixture-drift guard (VERDICT r7 "next round" #1/#7): the driver
+  * regenerates /root/testdata between rounds and has already changed the
+  * physical `ts` encoding once (TIMESTAMP(NANOS) → timestamp[us]), which
+  * silently broke 27 queries. This suite turns any future drift into ONE
+  * clear failure naming the table/column instead of a pile of opaque
+  * analysis errors.
+  *
+  * Two layers:
+  *  - column NAMES and logical types are pinned per FIXTURES.md — these the
+  *    engine requires exactly;
+  *  - physically-flexible columns (`events.ts` may arrive as nanos Long or
+  *    as a native timestamp) are asserted through the normalization
+  *    contract instead: `EventOps.tsMillis` must accept the loaded dtype
+  *    and the normalized epoch-millis must land in a sane instant range
+  *    (a seconds- or micros-scale mistake misses the window by 1000×).
+  */
+class FixturesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fields(name: String): Map[String, DataType] =
+    Tables.load(spark, dir, name).schema.fields
+      .map(f => f.name -> f.dataType).toMap
+
+  test("relational fixture schemas match the FIXTURES.md contract") {
+    val expected: Map[String, Map[String, DataType]] = Map(
+      "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Map("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Map("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType))
+    expected.foreach { case (table, cols) =>
+      val got = fields(table)
+      cols.foreach { case (c, t) =>
+        assert(got.get(c).contains(t), s"$table.$c: expected $t, got ${got.get(c)}")
+      }
+      assert(got.keySet === cols.keySet, s"$table column set drifted")
+    }
+  }
+
+  test("date-bearing fixtures carry timestamp-family date columns") {
+    // o_orderdate / l_shipdate have drifted ms→us across regenerations;
+    // the engine only requires "some timestamp type" (no unit arithmetic
+    // is done on them), so pin the family, not the physical unit.
+    val tsFamily = Set[DataType](TimestampType, TimestampNTZType)
+    assert(tsFamily.contains(fields("orders")("o_orderdate")))
+    assert(tsFamily.contains(fields("lineitem")("l_shipdate")))
+    assert(fields("lineitem")("l_quantity") === DoubleType)
+    assert(fields("orders")("o_orderkey") === LongType)
+  }
+
+  test("pipeline fixture schemas match the FIXTURES.md contract") {
+    assert(fields("documents") === Map("doc_id" -> LongType,
+      "text" -> StringType, "lang" -> StringType, "source" -> StringType,
+      "n_chars" -> LongType))
+    val emb = fields("embeddings")
+    assert(emb("vec_id") === LongType && emb("label") === IntegerType)
+    assert(emb("embedding") === ArrayType(FloatType, containsNull = true) ||
+      emb("embedding") === ArrayType(FloatType, containsNull = false))
+  }
+
+  test("events.ts is a dtype tsMillis understands; ts_ms is epoch-millis-scale") {
+    // Accepting the dtype IS the contract: a new physical encoding must be
+    // added to EventOps.tsMillis, not worked around per-query.
+    val ev = EventOps.events(spark, dir)
+    val dtype = Tables.events(spark, dir).schema("ts").dataType
+    assert(Set[DataType](LongType, TimestampType, TimestampNTZType)
+      .contains(dtype), s"events.ts drifted to $dtype — extend EventOps.tsMillis")
+    val Array(lo, hi) = ev.agg(min(col("ts_ms")), max(col("ts_ms")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    // Fixture events are synthesized near "now" (seed 42, driver-generated
+    // 2025-26); epoch-millis for 2020..2035 is ~1.58e12..2.05e12. A unit
+    // slip (seconds ~1.7e9, micros ~1.7e15) misses by 1000×.
+    assert(lo > 1.5e12.toLong && hi < 2.1e12.toLong,
+      s"events.ts_ms out of epoch-millis range: [$lo, $hi]")
+    // other event columns the decision family depends on
+    val got = fields("events")
+    assert(got("event_id") === LongType && got("user_id") === LongType &&
+      got("event_type") === StringType && got("value") === DoubleType &&
+      got("props") === StringType)
+  }
+}
