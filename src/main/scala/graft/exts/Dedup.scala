@@ -68,10 +68,20 @@ object Dedup {
     * is small by construction (at most total-occurrences / cap distinct
     * shingles, in practice a handful of boilerplate strings), so the
     * exclusion is an anti-join against it — AQE sees the actual build
-    * size at runtime and converts it to a broadcast, without risking an
-    * OOM hint on an adversarial corpus. Per-doc set sizes downstream are
-    * computed over the KEPT shingles, so both sides of every threshold
-    * test see the same universe. */
+    * size at runtime and converts it to a broadcast, which drops hot
+    * rows MAP-SIDE: a boilerplate shingle's 10⁸ occurrences never enter
+    * any exchange (the skew property a count-over-window or join-on-df
+    * formulation would lose). Per-doc set sizes downstream are computed
+    * over the KEPT shingles, so both sides of every threshold test see
+    * the same universe.
+    *
+    * The trailing `repartition(sh)` pins ONE hash exchange on the
+    * 8-byte shingle key as this frame's root. Every [[pairStats]]
+    * consumer needs exactly that distribution (self-join a-side, b-side)
+    * or reads straight off it (the per-doc sizes aggregate), so
+    * ReuseExchange collapses the scan → anti-join → exchange subtree to
+    * ONE computed copy per query — this was the r7 ensemble-family
+    * regression: the cap pass re-ran once per consumer. */
   private[graft] def cappedShingles(corpus: DataFrame,
       maxShingleDf: Int): DataFrame = {
     val sh = hashedShingles(corpus)
@@ -79,7 +89,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("sh"))
-    sh.join(hot, Seq("sh"), "left_anti")
+    sh.join(hot, Seq("sh"), "left_anti").repartition(col("sh"))
   }
 
   /** Shared candidate-pair statistics over a (doc_id, sh) inverted-index
@@ -427,13 +437,19 @@ object Dedup {
     * component, is_canonical) where component = min doc_id reachable and
     * is_canonical marks the member to keep. */
   def dupComponents(pairs: DataFrame): DataFrame = {
+    // Checkpoints are LAZY: the next action (each round's checksum)
+    // materializes the round's frame and its cache in one job, instead
+    // of an eager checkpoint job followed by a cached-read job — the
+    // loop is driver-latency-bound at small scale, so halving the
+    // action count matters (and changes nothing at 100 TB, where the
+    // same jobs are data-bound).
     val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var comp = und.groupBy(col("u").as("doc_id"))
       .agg(min(col("v")).as("m"))
       .select(col("doc_id"), least(col("doc_id"), col("m")).as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence via the label-sum checksum: a propagation step can only
     // LOWER labels, so the exact decimal sum strictly decreases until the
     // fixpoint — equality ⟺ no label changed. One aggregate action per
@@ -449,7 +465,7 @@ object Dedup {
         .select(col("u").as("doc_id"), col("comp"))
       val next = comp.unionByName(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val sumNext = checksum(next)
       converged = sumNext.compareTo(sumPrev) == 0
       sumPrev = sumNext

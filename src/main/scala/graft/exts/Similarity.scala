@@ -360,10 +360,13 @@ object Similarity {
     * norm² < median²/9 (i.e. norm outside [med/3, 3·med]).
     *
     * Scale shape: one shuffle-free projection pass for the norms; the
-    * median via one global ranking — at 100 TB the median over a bounded
-    * uniform sample (the [[IvfTrainSample]] pattern) replaces the global
-    * sort, which only sharpens the constant; the flag join is a 1-row
-    * broadcast. */
+    * median over a BOUNDED deterministic sample (the [[IvfTrainSample]]
+    * pattern, cap [[MedianSampleCap]]) — never a global sort of the
+    * corpus. The cap exceeds every fixture corpus, so at test scale the
+    * sample IS the corpus and the median is exact (oracle-identical); at
+    * 100 TB it is a fixed-size uniform subsample whose median
+    * concentrates around the true one, and the flag thresholds are 9×
+    * either way. The flag join is a 1-row broadcast. */
   def embOutliers(spark: SparkSession, dir: String): DataFrame =
     embOutliers(corpusWithNormOutliers(spark, dir))
 
@@ -383,6 +386,11 @@ object Similarity {
           transform(col("embedding"), x => x / lit(16.0f)).as("embedding")))
   }
 
+  /** Median-sample bound: ≥ every fixture corpus (exact there), constant
+    * at any real scale. 128 Ki (normsq_q, vec_id) pairs ≈ 2 MB in the
+    * one aggregation row — driver-side cost is fixed, not O(corpus). */
+  val MedianSampleCap = 131072
+
   def embOutliers(corpus: DataFrame): DataFrame = {
     val normed = corpus
       .select(col("vec_id"),
@@ -391,12 +399,21 @@ object Similarity {
             val q = round(x.cast("double") * 10000).cast("long")
             acc + q * q
           }).as("normsq_q"))
-    val w = Window.orderBy(col("normsq_q"), col("vec_id"))
+    // Bounded deterministic sample: the MedianSampleCap smallest
+    // xxhash64(vec_id) rows. orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition top-K, merge of K per partition) — the corpus is
+    // never globally sorted and no partition-less window exists. The
+    // exact rank-⌈n/2⌉ median of the sample comes from one bounded
+    // sort_array/collect_list aggregation (same (normsq_q, vec_id)
+    // ordering the previous global ranking used).
     val median = normed
-      .withColumn("rn", row_number().over(w))
-      .crossJoin(broadcast(normed.agg(count(lit(1)).as("n"))))
-      .filter(col("rn") === expr("(n + 1) div 2"))
-      .select(col("normsq_q").as("median_q"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(MedianSampleCap)
+      .agg(sort_array(collect_list(struct(col("normsq_q"), col("vec_id"))))
+        .as("arr"))
+      .select(expr(
+        "element_at(arr, cast((size(arr) + 1) div 2 as int)).normsq_q")
+        .as("median_q"))
     normed.crossJoin(broadcast(median))
       .withColumn("is_outlier",
         col("normsq_q") > col("median_q") * 9 ||

@@ -49,4 +49,37 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"scale-hostile plan shapes:\n${offenders.mkString("\n")}")
   }
+
+  /** Queries whose partition-less Window is over an already-REDUCED
+    * frame (metadata/aggregate plane), where a single-task pass is the
+    * design, not a scale bug:
+    *  - maintenance_budget: greedy budget admission = running sum in
+    *    global benefit order over per-partition METADATA (1 row per
+    *    table partition, ≤10⁵-10⁶ for a whole lake) — deliberately
+    *    sequential, documented at FilePlan.maintenanceBudget;
+    *  - mix_sources: global min over the per-source aggregate (rows =
+    *    #sources, ~4) — the window input is already reduced; windowing
+    *    beats a second aggregate + cross join that would re-plan the
+    *    corpus stats subtree. */
+  private val globalWindowJustified = Set("maintenance_budget", "mix_sources")
+
+  test("no partition-less Window over unreduced input (one-task global sort)") {
+    // A Window with an empty partitionSpec moves its ENTIRE input through
+    // one task ("Moving all data to a single partition") — the r7 verdict
+    // flagged emb_outliers' exact-median ranking over the raw corpus
+    // (since replaced by a bounded-sample median). Checked on the
+    // optimized logical plan; anything not on the justified list above
+    // is treated as a corpus-scale global sort.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => globalWindowJustified(q._1))
+      .flatMap { case (name, fn) =>
+        val global = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"partition-less windows (whole input → one task):\n${offenders.mkString("\n")}")
+  }
 }
