@@ -675,6 +675,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_sim"))
   }
 
+  /** ORACLE-GATED MinHash band-bucketing: the same 16-band/4-row LSH
+    * shape as [[minhashLshPairs]], built on the SQL-mirrorable
+    * polynomial signature ([[graft.functions.MinHashSigPoly]]) and
+    * joining bands on the RAW 4-value row tuple instead of an xxhash64
+    * bucket — every intermediate is exact integer arithmetic a DuckDB
+    * oracle reproduces, so this key is hash-gated where the FNV variant
+    * can only be golden-gated. Output: candidate pair + how many of the
+    * 16 bands collided (the LSH evidence strength).
+    *
+    * Scale shape: identical to the production variant — fixed-size
+    * signatures per doc, equi-join on (band, 4 longs); the join key is
+    * 40 bytes instead of 16, the price of oracle-exactness (the FNV +
+    * hashed-bucket variant remains the throughput path). */
+  def minhashBandPairs(corpus: DataFrame): DataFrame = {
+    val signed = corpus
+      .filter(size(words(col("text"))) >= ShingleN)
+      .select(col("doc_id"),
+        graft.functions.Signatures.minhash_sig_poly(col("text")).as("sig"))
+    val bands = signed.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        struct(b.as("band"),
+          element_at(col("sig"), b * RowsPerBand + 1).as("v0"),
+          element_at(col("sig"), b * RowsPerBand + 2).as("v1"),
+          element_at(col("sig"), b * RowsPerBand + 3).as("v2"),
+          element_at(col("sig"), b * RowsPerBand + 4).as("v3")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.v0").as("v0"), col("bb.v1").as("v1"),
+        col("bb.v2").as("v2"), col("bb.v3").as("v3"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.v0") === col("b.v0") && col("a.v1") === col("b.v1") &&
+          col("a.v2") === col("b.v2") && col("a.v3") === col("b.v3") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   // ---- SimHash ----
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates

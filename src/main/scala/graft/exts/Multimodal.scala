@@ -216,6 +216,99 @@ object Multimodal {
   def decodeStats(spark: SparkSession, dir: String): Dataset[PngStats] =
     decodeStats(pngAssets(spark, dir))
 
+  // ---- REAL audio decode (javax.sound.sampled, RIFF/WAVE PCM) ----
+
+  /** An audio asset whose payload is a GENUINE WAV file: RIFF container,
+    * fmt/data chunks, 16-bit signed little-endian PCM mono @ 8 kHz,
+    * produced by the JDK's `AudioSystem` WAVE writer. Sample CONTENT is
+    * synthesized deterministically from the doc id in closed-form
+    * integer arithmetic (no audio files ship with this environment),
+    * but — like [[PngAsset]] — the decode path exercises a real codec
+    * end-to-end: the stats only come out right if the RIFF header,
+    * format block, and sample encoding all round-trip correctly. */
+  final case class WavAsset(doc_id: Long, wav: Array[Byte])
+
+  /** Decoded-audio statistics — the `mm_audio_decode` output row:
+    * format fields read from the DECODED header, plus integer amplitude
+    * sums over the decoded samples (exact — PCM is lossless). */
+  final case class WavStats(doc_id: Long, sample_rate: Int, n_channels: Int,
+      bits: Int, n_samples: Long, sum_amp: Long, sum_abs: Long)
+
+  private val WavRate = 8000f
+
+  /** Closed-form sample train for a doc: n = id%500 + 100 samples,
+    * s(i) = ((id·31 + i·17) mod 65536) − 32768 — full 16-bit range,
+    * reproducible by the SQL oracle with plain integer arithmetic. */
+  def wavSampleCount(id: Long): Int = (id % 500 + 100).toInt
+
+  private def wavSample(id: Long, i: Int): Short =
+    (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort
+
+  /** Encode one real WAV via the JDK's WAVE file writer. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = wavSampleCount(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavRate, 16, 1, true, false) // 16-bit signed LE mono
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One real-WAV asset per document; encode runs in `mapPartitions`
+    * (at scale the payload column is read from the table, not
+    * synthesized — this stage stands in for the scan). */
+  def wavAssets(spark: SparkSession, dir: String): Dataset[WavAsset] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => WavAsset(id, encodeWav(id))))
+  }
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses the RIFF/fmt
+    * header and yields the PCM stream inside `mapPartitions` (one codec
+    * context per partition, the batch-amortized Pandas-UDF shape), then
+    * a tight loop decodes each 16-bit frame at the header-declared
+    * endianness and accumulates integer amplitude stats. O(samples) per
+    * asset, shuffle-free; payload bytes never leave the partition. */
+  def decodeWavStats(assets: Dataset[WavAsset]): Dataset[WavStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.wav))
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        var i = 0
+        var sum = 0L
+        var sabs = 0L
+        while (i + 1 < data.length) {
+          val s: Int =
+            if (big) (data(i) << 8) | (data(i + 1) & 0xff)
+            else (data(i + 1) << 8) | (data(i) & 0xff)
+          sum += s
+          sabs += math.abs(s)
+          i += 2
+        }
+        WavStats(a.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, data.length / 2, sum, sabs)
+      }
+    }
+  }
+
+  def decodeWavStats(spark: SparkSession, dir: String): Dataset[WavStats] =
+    decodeWavStats(wavAssets(spark, dir))
+
   /** Resize stub: metadata-level resize (a real one transforms pixels).
     * Integer arithmetic only (`w·maxDim div max(w,h)`, floor), so the
     * DuckDB oracle reproduces every pixel dimension exactly — no float

@@ -110,6 +110,73 @@ object SigImpl {
     new GenericArrayData(sig)
   }
 
+  /** SQL-mirrorable MinHash constants: the poly-hash variant replaces the
+    * FNV fold (not expressible as a SQL aggregate) with nested polynomial
+    * SUMS — word hash Σ ord(cᵢ)·WordBase^i mod P, shingle hash
+    * Σ wh(wⱼ)·ShingleBase^j mod P — so a DuckDB oracle reproduces every
+    * signature with a powers table + SUM + GROUP BY (the text_fingerprint
+    * precedent). Same affine permutations as [[minhashSig]]. */
+  val WordBase = 131L
+  val ShingleBase = 1000003L
+  /** Powers table size = max supported word length for the SQL mirror
+    * (the Scala side is exact at any length; oracle parity requires
+    * corpus words under this bound — FixturesSpec-scale corpora are). */
+  val MaxWordLen = 512
+
+  /** Word polynomial hash: Σ ord(cᵢ)·WordBase^i mod P, ascending powers
+    * (no length term needed — sum-shaped for the SQL mirror). */
+  def wordPolyHash(w: String): Long = {
+    var h = 0L
+    var p = 1L
+    var i = 0
+    while (i < w.length) {
+      h = (h + w.charAt(i).toLong * p) % P
+      p = (p * WordBase) % P
+      i += 1
+    }
+    h
+  }
+
+  /** Shingle-base powers 0..ShingleN-1 mod P. */
+  val shinglePow: Array[Long] = {
+    val a = new Array[Long](ShingleN)
+    a(0) = 1L
+    var j = 1
+    while (j < ShingleN) { a(j) = a(j - 1) * ShingleBase % P; j += 1 }
+    a
+  }
+
+  /** MinHash signature with the SQL-mirrorable polynomial shingle hash,
+    * one compiled pass (same loop structure as [[minhashSig]]). */
+  def minhashSigPoly(text: UTF8String): ArrayData = {
+    val words = tokenize(text.toString)
+    val sig = new Array[Long](NumHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (words.length >= ShingleN) {
+      val wh = new Array[Long](words.length)
+      var i = 0
+      while (i < words.length) { wh(i) = wordPolyHash(words(i)); i += 1 }
+      i = 0
+      while (i + ShingleN <= words.length) {
+        var h = 0L
+        var j = 0
+        while (j < ShingleN) {
+          h += wh(i + j) * shinglePow(j) % P // each term < P, sum < 5P
+          j += 1
+        }
+        h %= P
+        var k = 0
+        while (k < NumHashes) {
+          val v = (h * permA(k) + permB(k)) % P
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Per-document repetition stats in one compiled pass:
     * `[n_tokens, top_word_count, n_bigrams, distinct_bigrams]`. Feeds the
     * Gopher-style repetitious-text quality signals — as a per-row
@@ -180,6 +247,19 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SQL-mirrorable MinHash signature expression (polynomial shingle hash). */
+case class MinHashSigPoly(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.minhashSigPoly(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.minhashSigPoly($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSigPoly =
+    copy(child = newChild)
+}
+
 /** Shingle-set expression: `array<string>` of distinct word 5-grams. */
 case class ShingleSet(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -229,11 +309,15 @@ object Signatures {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig_poly", exprs => MinHashSigPoly(exprs.head), "built-in")
   }
 
   /** Column APIs (no registration required). */
   def minhash_sig(c: Column): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c)))
+  def minhash_sig_poly(c: Column): Column =
+    ExpressionUtils.column(MinHashSigPoly(ExpressionUtils.expression(c)))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def shingle_set(c: Column): Column =

@@ -38,6 +38,27 @@ object PipelineQueries {
     s"pw(e, p) AS (VALUES ${rows.mkString(", ")})"
   }
 
+  /** Powers/permutation tables for the minhash_band_pairs oracle,
+    * generated from the SAME SigImpl constants the engine compiles in:
+    * word-hash powers WordBase^e mod P, the 64 affine permutation
+    * (a, b) pairs, and the 5 shingle-base powers. */
+  private val minhashPolyCtes: String = {
+    import graft.functions.SigImpl
+    val bigP = java.math.BigInteger.valueOf(SigImpl.P)
+    val base = java.math.BigInteger.valueOf(SigImpl.WordBase)
+    val wpw = (0 until SigImpl.MaxWordLen)
+      .map(e => s"($e, ${base.modPow(java.math.BigInteger.valueOf(e), bigP)})")
+      .mkString(", ")
+    val perm = (0 until SigImpl.NumHashes)
+      .map(k => s"($k, ${SigImpl.permA(k)}, ${SigImpl.permB(k)})")
+      .mkString(", ")
+    val wsj = SigImpl.shinglePow.zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    s"""wpw(e, p) AS (VALUES $wpw),
+       |perm(k, a, b) AS (VALUES $perm),
+       |wsj(j, p) AS (VALUES $wsj)""".stripMargin
+  }
+
   /** documents ∪ planted near-copies — DuckDB side. */
   private val nearCorpusCte =
     """corpus AS (
@@ -283,6 +304,12 @@ object PipelineQueries {
       "dedup_incremental" -> ((s, dir) => Dedup.incrementalNew(s, dir)),
       "dedup_minhash_lsh" -> ((s, dir) =>
         Dedup.minhashLshPairs(Dedup.corpusWithNearDups(s, dir))),
+      // the SQL-mirrorable MinHash band-bucketing twin: polynomial
+      // signature + raw band tuples, hash-gated against a DuckDB oracle
+      // that recomputes every signature (the FNV production variant above
+      // stays golden-gated)
+      "minhash_band_pairs" -> ((s, dir) =>
+        Dedup.minhashBandPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_simhash" -> ((s, dir) =>
         Dedup.simhashPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_embedding" -> ((s, dir) => Similarity.nearDupPairs(s, dir)),
@@ -375,6 +402,11 @@ object PipelineQueries {
       // encode + decode; the oracle recomputes the deterministic pixel
       // ramps in closed form, so a decode defect breaks the hash.
       "mm_decode" -> ((s, dir) => Multimodal.decodeStats(s, dir).toDF()),
+      // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
+      // through javax.sound.sampled encode + decode; the oracle
+      // recomputes the deterministic sample train in closed form.
+      "mm_audio_decode" -> ((s, dir) =>
+        Multimodal.decodeWavStats(s, dir).toDF()),
 
       "sample_docs" -> ((s, dir) => Sampling.sampleDocs(s, dir)),
       "weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
@@ -918,6 +950,59 @@ object PipelineQueries {
         s"""WITH $exactCorpusCte
            |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
            |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
+
+      // Full SQL recomputation of the polynomial MinHash pipeline: word
+      // hashes as SUM over char·power rows, shingle hashes as SUM over
+      // 5 word-hash·power rows, 64 affine permutation minima, 16-band
+      // grouping, band-tuple self-join. Every step is integer mod-P
+      // arithmetic, so the candidate set and per-pair band counts match
+      // the engine bit-exactly.
+      "minhash_band_pairs" ->
+        s"""WITH $nearCorpusCte,
+           |$minhashPolyCtes,
+           |words AS (
+           |  SELECT doc_id, ws, len(ws) AS nw FROM (
+           |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           |    FROM corpus)
+           |  WHERE len(ws) >= 5),
+           |wh AS (
+           |  SELECT w.doc_id, wi.wi,
+           |    CAST(sum(ord(substr(w.ws[wi.wi], CAST(ci.ci AS INTEGER), 1))
+           |      ::BIGINT * wpw.p) % 2147483647 AS BIGINT) AS wh
+           |  FROM words w,
+           |    LATERAL (SELECT unnest(generate_series(1, w.nw)) AS wi) wi,
+           |    LATERAL (SELECT unnest(generate_series(1,
+           |      len(w.ws[wi.wi]))) AS ci) ci,
+           |    wpw
+           |  WHERE wpw.e = ci.ci - 1
+           |  GROUP BY 1, 2),
+           |sh AS (
+           |  SELECT w.doc_id, i.i,
+           |    CAST(sum(wh.wh * wsj.p % 2147483647) % 2147483647 AS BIGINT)
+           |      AS sh
+           |  FROM words w,
+           |    LATERAL (SELECT unnest(generate_series(1, w.nw - 4)) AS i) i,
+           |    LATERAL (SELECT unnest(generate_series(0, 4)) AS j) j,
+           |    wh, wsj
+           |  WHERE wh.doc_id = w.doc_id AND wh.wi = i.i + j.j AND wsj.j = j.j
+           |  GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT sh.doc_id, perm.k,
+           |    min((perm.a * sh.sh + perm.b) % 2147483647) AS v
+           |  FROM sh CROSS JOIN perm GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, k // 4 AS band,
+           |    max(CASE WHEN k % 4 = 0 THEN v END) AS v0,
+           |    max(CASE WHEN k % 4 = 1 THEN v END) AS v1,
+           |    max(CASE WHEN k % 4 = 2 THEN v END) AS v2,
+           |    max(CASE WHEN k % 4 = 3 THEN v END) AS v3
+           |  FROM sig GROUP BY 1, 2)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(count(*) AS BIGINT) AS n_shared_bands
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.v0 = b.v0
+           |  AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.v3 = b.v3
+           |  AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH $nearCorpusCte,
@@ -1936,6 +2021,25 @@ object PipelineQueries {
           |    CAST(d.doc_id % 13 + 3 AS BIGINT))) AS i) x,
           |  LATERAL (SELECT unnest(generate_series(0,
           |    CAST(d.doc_id % 11 + 3 AS BIGINT))) AS j) y
+          |GROUP BY 1""".stripMargin,
+
+      // Closed-form mirror of the WAV sample train: n = id%500+100
+      // samples of ((id·31 + i·17) mod 65536) − 32768. The Spark side
+      // must round-trip a real RIFF/WAVE encode→decode (PCM is
+      // lossless) to land on these exact integer sums.
+      "mm_audio_decode" ->
+        """SELECT d.doc_id,
+          |  CAST(8000 AS INTEGER) AS sample_rate,
+          |  CAST(1 AS INTEGER) AS n_channels,
+          |  CAST(16 AS INTEGER) AS bits,
+          |  CAST(d.doc_id % 500 + 100 AS BIGINT) AS n_samples,
+          |  CAST(sum((d.doc_id * 31 + s.i * 17) % 65536 - 32768)
+          |    AS BIGINT) AS sum_amp,
+          |  CAST(sum(abs((d.doc_id * 31 + s.i * 17) % 65536 - 32768))
+          |    AS BIGINT) AS sum_abs
+          |FROM documents d,
+          |  LATERAL (SELECT unnest(generate_series(0,
+          |    CAST(d.doc_id % 500 + 99 AS BIGINT))) AS i) s
           |GROUP BY 1""".stripMargin,
 
       "mm_resize" ->

@@ -386,6 +386,61 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash band pairs: planted near-dups collide in most bands") {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.minhashBandPairs(Dedup.corpusWithNearDups(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty)
+    // near-copies differ by a 2-token tail: nearly all shingles shared, so
+    // nearly all minima agree and most of the 16 bands collide
+    val planted = Dedup.corpusWithNearDups(spark, dir)
+      .filter(col("doc_id") >= 100000L).select((col("doc_id") - 100000L))
+      .collect().map(_.getLong(0))
+    val found = planted.count(id => pairs.contains((id, id + 100000L)))
+    assert(found >= planted.length * 8 / 10,
+      s"only $found of ${planted.length} planted near-dup pairs surfaced")
+    // short docs lose a larger shingle fraction to the planted tail, so
+    // the per-pair bar is low; the population bar is the strong check
+    planted.filter(id => pairs.contains((id, id + 100000L)))
+      .foreach(id => assert(pairs((id, id + 100000L)) >= 2L,
+        s"pair ($id, ${id + 100000L}) only ${pairs((id, id + 100000L))} bands"))
+    val collided = planted.filter(id => pairs.contains((id, id + 100000L)))
+      .map(id => pairs((id, id + 100000L)))
+    assert(collided.map(_.toDouble).sum / collided.length >= 10.0,
+      "planted pairs should collide in most of the 16 bands on average")
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
+  test("multimodal: real WAV round-trip decodes to the generative sample train") {
+    // the payloads are genuine RIFF/WAVE files, header-checkable
+    val sample = Multimodal.wavAssets(spark, dir).filter(_.doc_id < 3).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { a =>
+      assert(new String(a.wav.take(4), "US-ASCII") === "RIFF")
+      assert(new String(a.wav.slice(8, 12), "US-ASCII") === "WAVE")
+    }
+    // decoded stats equal the closed-form sums for a hand-checked id
+    val s7 = Multimodal.decodeWavStats(
+      Multimodal.wavAssets(spark, dir).filter(_.doc_id == 7L)).collect()
+    assert(s7.length === 1)
+    val n = (7 % 500 + 100)
+    assert(s7.head.sample_rate === 8000 && s7.head.n_channels === 1)
+    assert(s7.head.bits === 16 && s7.head.n_samples === n.toLong)
+    var (es, ea) = (0L, 0L)
+    for (i <- 0 until n) {
+      val s = (7L * 31 + i.toLong * 17) % 65536 - 32768
+      es += s; ea += math.abs(s)
+    }
+    assert((s7.head.sum_amp, s7.head.sum_abs) === ((es, ea)))
+    // a payload with a corrupted RIFF header must fail decode loudly
+    val bad = sample.head.wav.clone()
+    bad(0) = 'X'.toByte
+    intercept[Exception] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bad))
+    }
+  }
+
   test("multimodal: frame sampling yields k in-bounds frames per asset") {
     val assets = Multimodal.assets(spark, dir)
     val frames = Multimodal.sampleFrames(assets, 4).collect()
