@@ -33,6 +33,7 @@ object ScaleRehearsal {
       .master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -99,7 +100,19 @@ object ScaleRehearsal {
       "dedup_chunks" -> SparkEntry.queries("dedup_chunks"),
       // memoized merge table (cold build rehearsed separately in Bench's
       // artifact split); apply is a codegen'd rewrite over the batch.
-      "bpe_encode" -> SparkEntry.queries("bpe_encode"))
+      "bpe_encode" -> SparkEntry.queries("bpe_encode"),
+      // ---- events/decision family (added r8: never rehearsed before the
+      // ts-unit break was fixed). The sf1 events table is 10× TABLES at
+      // the same per-table log depth — how a lake actually grows — so
+      // every per-table window sorts the same rows after one wider hash
+      // exchange; the decision is a metadata-plane aggregate throughout.
+      "should_optimize" -> SparkEntry.queries("should_optimize"),
+      // two window passes + a co-partitioned full-outer on (table,
+      // snapshot): both sides metadata rows, join key count 10×.
+      "snapshot_diff" -> SparkEntry.queries("snapshot_diff"),
+      // per-table ordered lead() window over the commit log — one
+      // exchange by table, local sorts scale with per-table depth (flat).
+      "scd2_history" -> SparkEntry.queries("scd2_history"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries
@@ -136,7 +149,9 @@ object ScaleRehearsal {
 
   /** Build the sf1 corpus once (skipped if the output already exists). */
   def build(spark: SparkSession, src: String, out: String): Unit = {
-    val marker = java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")
+    // marker = the LAST artifact written, so a partial build (or a corpus
+    // from before events were added) rebuilds rather than half-serving
+    val marker = java.nio.file.Paths.get(s"$out/events.parquet/_SUCCESS")
     if (java.nio.file.Files.exists(marker)) return
     val docs = Tables.load(spark, src, "documents")
     val emb = Tables.load(spark, src, "embeddings")
@@ -163,5 +178,19 @@ object ScaleRehearsal {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    // Events: 10× TABLES (user_id = table id, offset per replica), same
+    // per-table commit depth and time window — the shape a growing lake
+    // has. event_id offsets keep snapshot ids globally unique; ts is
+    // carried through unchanged (same physical dtype as the source).
+    val ev = Tables.events(spark, src)
+    (0 until Replicas).map { r =>
+      ev.select(
+        (col("event_id") + lit(r * 1000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r * IdStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
   }
 }

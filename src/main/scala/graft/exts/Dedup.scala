@@ -75,13 +75,14 @@ object Dedup {
     * over the KEPT shingles, so both sides of every threshold test see
     * the same universe.
     *
-    * The trailing `repartition(sh)` pins ONE hash exchange on the
-    * 8-byte shingle key as this frame's root. Every [[pairStats]]
-    * consumer needs exactly that distribution (self-join a-side, b-side)
-    * or reads straight off it (the per-doc sizes aggregate), so
-    * ReuseExchange collapses the scan → anti-join → exchange subtree to
-    * ONE computed copy per query — this was the r7 ensemble-family
-    * regression: the cap pass re-ran once per consumer. */
+    * An explicit `repartition(sh)` here was TRIED (r8) to pin one
+    * reusable exchange for all three [[pairStats]] consumers and
+    * REVERTED: AQE's stage reuse does not fire across broadcast/shuffle
+    * stage kinds, so the small-scale plan broadcast the full repartition
+    * output (sf1 rehearsal: dedup_ngram_jaccard_capped 3.65 s → 13.8 s).
+    * The un-pinned form lets AQE pick broadcast vs shuffle per consumer
+    * from real sizes; the residual double-computed cap pass is the
+    * documented cost of the default-on cap. */
   private[graft] def cappedShingles(corpus: DataFrame,
       maxShingleDf: Int): DataFrame = {
     val sh = hashedShingles(corpus)
@@ -89,7 +90,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("sh"))
-    sh.join(hot, Seq("sh"), "left_anti").repartition(col("sh"))
+    sh.join(hot, Seq("sh"), "left_anti")
   }
 
   /** Shared candidate-pair statistics over a (doc_id, sh) inverted-index
