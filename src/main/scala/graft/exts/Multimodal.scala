@@ -8,13 +8,19 @@ import graft.Tables
 /** Multimodal column plumbing (north star extension): image/audio/video
   * payloads are opaque `binary` columns with typed metadata structs.
   *
-  * Image decode is REAL: [[decodeStats]] parses genuine PNG payloads with
-  * the JDK's javax.imageio codec inside `mapPartitions` (`mm_decode`).
-  * The audio/video feature steps remain clearly-marked STUBS (no AV
-  * codecs in this environment): [[DecodeStub.decode]] produces
-  * deterministic fake features from the raw bytes. Everything around
-  * them — schema, batch-shaped per-partition processing, partitioned
-  * layout, frame sampling — is real Spark plumbing and tested.
+  * All three modality decodes are REAL pure-JDK codec round-trips run
+  * inside `mapPartitions`: [[decodeStats]] parses genuine PNG payloads
+  * with javax.imageio (`mm_decode`), [[decodeWavStats]] parses genuine
+  * RIFF/WAVE PCM with javax.sound.sampled (`mm_audio_decode`), and
+  * [[decodeGifStats]] parses genuine multi-frame animated GIFs with
+  * javax.imageio's sequence reader (`mm_video_decode`). Payload content
+  * is synthesized in closed form (no media files ship with this
+  * environment), and each codec is lossless, so every decode key is
+  * hash-gated against a DuckDB oracle. [[DecodeStub.decode]] remains
+  * only as the generic byte-feature seam a third-party codec (JPEG,
+  * MP3, H.264) would replace; the schema, batch-shaped per-partition
+  * processing, partitioned layout, and frame sampling around it are
+  * real Spark plumbing and tested.
   *
   * Scale shape: payload work runs in `mapPartitions` (one decoder
   * instantiation per partition, batch iteration — the same shape a Pandas
@@ -215,6 +221,132 @@ object Multimodal {
 
   def decodeStats(spark: SparkSession, dir: String): Dataset[PngStats] =
     decodeStats(pngAssets(spark, dir))
+
+  // ---- REAL video decode (javax.imageio, multi-frame animated GIF) ----
+
+  /** A video asset whose payload is a GENUINE animated GIF: GIF89a
+    * container, per-frame image descriptors, LZW-compressed indexed
+    * frames, written by the JDK's GIF encoder (interlace off — the
+    * interlaced write path row-scrambles on decode, found by probing).
+    * Frame pixels are a closed-form grayscale ramp in (doc id, frame,
+    * x, y); GIF's LZW is lossless over the indexed palette, so decode
+    * stats are hash-gated like [[PngAsset]]/[[WavAsset]]. */
+  final case class GifAsset(doc_id: Long, gif: Array[Byte])
+
+  /** Decoded-video statistics — the `mm_video_decode` output row.
+    * `wsum_gray` weights each frame's pixel sum by its frame index, so a
+    * decoder that reorders or drops frames breaks the hash even when the
+    * plain sum survives. */
+  final case class GifStats(doc_id: Long, n_frames: Int, width: Int,
+      height: Int, sum_gray: Long, wsum_gray: Long)
+
+  /** Frames per doc (2..6) — varies the container structure. */
+  def gifFrameCount(id: Long): Int = (id % 5 + 2).toInt
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode one real animated GIF (one writer per call; at scale one per
+    * partition — see [[gifAssets]]). */
+  def encodeGif(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val cm = grayPalette
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < gifFrameCount(id)) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((id * 3 + 11 * f + 5 * x + 3 * y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      // interlace OFF: the JDK writer defaults to interlaced frames and
+      // its interlaced output row-scrambles on read-back
+      val spec = new javax.imageio.ImageTypeSpecifier(img)
+      val md = writer.getDefaultImageMetadata(spec, null)
+      val fmt = md.getNativeMetadataFormatName
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      root.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        .setAttribute("interlaceFlag", "FALSE")
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, md), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** One real-GIF asset per document (mapPartitions batch shape). */
+  def gifAssets(spark: SparkSession, dir: String): Dataset[GifAsset] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => GifAsset(id, encodeGif(id))))
+  }
+
+  /** REAL multi-frame decode: one GIF reader per PARTITION (reader
+    * construction amortizes across the batch — the shape a video
+    * frame-extraction UDF needs, since real codec contexts are
+    * expensive); `getNumImages(true)` forces a full container parse and
+    * each frame is LZW-decoded before the per-pixel loop. O(frames ×
+    * pixels) per asset, shuffle-free. */
+  def decodeGifStats(assets: Dataset[GifAsset]): Dataset[GifStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      batch.map { a =>
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.gif)))
+        val n = reader.getNumImages(true)
+        var sum = 0L
+        var wsum = 0L
+        var wd = 0
+        var ht = 0
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          wd = img.getWidth
+          ht = img.getHeight
+          var fs = 0L
+          var y = 0
+          while (y < ht) {
+            var x = 0
+            while (x < wd) {
+              fs += img.getRGB(x, y) & 0xff // gray: B channel = index
+              x += 1
+            }
+            y += 1
+          }
+          sum += fs
+          wsum += f.toLong * fs
+          f += 1
+        }
+        GifStats(a.doc_id, n, wd, ht, sum, wsum)
+      }
+    }
+  }
+
+  def decodeGifStats(spark: SparkSession, dir: String): Dataset[GifStats] =
+    decodeGifStats(gifAssets(spark, dir))
 
   // ---- REAL audio decode (javax.sound.sampled, RIFF/WAVE PCM) ----
 

@@ -407,6 +407,12 @@ object PipelineQueries {
       // recomputes the deterministic sample train in closed form.
       "mm_audio_decode" -> ((s, dir) =>
         Multimodal.decodeWavStats(s, dir).toDF()),
+      // REAL codec round-trip for video: genuine multi-frame animated
+      // GIFs through javax.imageio sequence encode + per-frame decode;
+      // the oracle recomputes the per-frame grayscale ramps in closed
+      // form (frame-index-weighted sum catches reorders/drops).
+      "mm_video_decode" -> ((s, dir) =>
+        Multimodal.decodeGifStats(s, dir).toDF()),
 
       "sample_docs" -> ((s, dir) => Sampling.sampleDocs(s, dir)),
       "weighted_sample" -> ((s, dir) => Sampling.weightedSample(s, dir)),
@@ -2040,6 +2046,26 @@ object PipelineQueries {
           |FROM documents d,
           |  LATERAL (SELECT unnest(generate_series(0,
           |    CAST(d.doc_id % 500 + 99 AS BIGINT))) AS i) s
+          |GROUP BY 1""".stripMargin,
+
+      // Closed-form mirror of the GIF frame ramps: n_frames = id%5+2,
+      // dims as mm_decode, pixel(f,x,y) = (id·3 + 11f + 5x + 3y) mod 256.
+      "mm_video_decode" ->
+        """SELECT d.doc_id,
+          |  CAST(d.doc_id % 5 + 2 AS INTEGER) AS n_frames,
+          |  CAST(d.doc_id % 13 + 4 AS INTEGER) AS width,
+          |  CAST(d.doc_id % 11 + 4 AS INTEGER) AS height,
+          |  CAST(sum((d.doc_id * 3 + 11 * f.f + 5 * x.i + 3 * y.j) % 256)
+          |    AS BIGINT) AS sum_gray,
+          |  CAST(sum(f.f * ((d.doc_id * 3 + 11 * f.f + 5 * x.i + 3 * y.j)
+          |    % 256)) AS BIGINT) AS wsum_gray
+          |FROM documents d,
+          |  LATERAL (SELECT unnest(generate_series(0,
+          |    CAST(d.doc_id % 5 + 1 AS BIGINT))) AS f) f,
+          |  LATERAL (SELECT unnest(generate_series(0,
+          |    CAST(d.doc_id % 13 + 3 AS BIGINT))) AS i) x,
+          |  LATERAL (SELECT unnest(generate_series(0,
+          |    CAST(d.doc_id % 11 + 3 AS BIGINT))) AS j) y
           |GROUP BY 1""".stripMargin,
 
       "mm_resize" ->

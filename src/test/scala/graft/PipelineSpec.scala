@@ -441,6 +441,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real animated GIF round-trip decodes every frame in order") {
+    // genuine GIF89a containers
+    val sample = Multimodal.gifAssets(spark, dir).filter(_.doc_id < 3).collect()
+    assert(sample.nonEmpty)
+    sample.foreach(a =>
+      assert(new String(a.gif.take(6), "US-ASCII") === "GIF89a"))
+    // decoded stats equal the closed-form ramps for a hand-checked id
+    val s7 = Multimodal.decodeGifStats(
+      Multimodal.gifAssets(spark, dir).filter(_.doc_id == 7L)).collect()
+    assert(s7.length === 1)
+    val (nf, w, h) = ((7 % 5 + 2), (7 % 13 + 4), (7 % 11 + 4))
+    assert(s7.head.n_frames === nf)
+    assert(s7.head.width === w && s7.head.height === h)
+    var (es, ews) = (0L, 0L)
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      val v = (7L * 3 + 11 * f + 5 * x + 3 * y) % 256
+      es += v; ews += f * v
+    }
+    assert((s7.head.sum_gray, s7.head.wsum_gray) === ((es, ews)))
+    // truncated container must fail decode loudly, not return stats
+    val bad = java.util.Arrays.copyOf(sample.head.gif, 20)
+    intercept[Exception] {
+      val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      r.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bad)))
+      r.getNumImages(true)
+    }
+  }
+
   test("multimodal: frame sampling yields k in-bounds frames per asset") {
     val assets = Multimodal.assets(spark, dir)
     val frames = Multimodal.sampleFrames(assets, 4).collect()
