@@ -151,6 +151,14 @@ object Multimodal {
   private def pngDims(id: Long): (Int, Int) =
     ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
 
+  /** ImageIO's stream cache spools to a DISK temp file per image by
+    * default — a hidden filesystem round-trip on every asset that
+    * dominated the batch codec cost (mm_video_decode 7.9 s → 3.1 s at
+    * sf0.1 without it). Evaluated once per JVM; referenced from inside
+    * every mapPartitions closure so executors flip it too. */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode one real PNG: pixel(x,y) = (r,g,b) ramps in doc_id, x, y —
     * closed-form integer arithmetic the DuckDB oracle reproduces, so the
     * decoded sums are hash-gated. PNG is lossless; a lossy format would
@@ -182,7 +190,10 @@ object Multimodal {
   def pngAssets(spark: SparkSession, dir: String): Dataset[PngAsset] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => PngAsset(id, encodePng(id))))
+      .mapPartitions { iter =>
+        imageIoNoDiskCache
+        iter.map(id => PngAsset(id, encodePng(id)))
+      }
   }
 
   /** REAL decode: `ImageIO.read` parses and inflates each PNG payload
@@ -194,6 +205,7 @@ object Multimodal {
   def decodeStats(assets: Dataset[PngAsset]): Dataset[PngStats] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
+      imageIoNoDiskCache
       batch.map { a =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.png))
@@ -248,34 +260,24 @@ object Multimodal {
     new java.awt.image.IndexColorModel(8, 256, g, g, g)
   }
 
-  /** Encode one real animated GIF (one writer per call; at scale one per
-    * partition — see [[gifAssets]]). */
-  def encodeGif(id: Long): Array[Byte] = {
-    val (w, h) = pngDims(id)
-    val cm = grayPalette
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("gif").next()
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    var f = 0
-    while (f < gifFrameCount(id)) {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster.setSample(x, y, 0,
-            ((id * 3 + 11 * f + 5 * x + 3 * y) % 256).toInt)
-          x += 1
-        }
-        y += 1
-      }
-      // interlace OFF: the JDK writer defaults to interlaced frames and
-      // its interlaced output row-scrambles on read-back
+  /** Reusable per-partition GIF encoder: ONE ImageWriter for the whole
+    * batch (writer construction + plugin lookup dominate per-asset cost)
+    * and the interlace-off image metadata cached per frame dimension —
+    * the codec-context amortization a real video featurizer needs. */
+  final class GifEncoder {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    private val cm = grayPalette
+    private val mdCache = new java.util.HashMap[
+      (Int, Int), javax.imageio.metadata.IIOMetadata]()
+
+    /** interlace OFF: the JDK writer defaults to interlaced frames and
+      * its interlaced output row-scrambles on read-back. */
+    private def metadataFor(
+        img: java.awt.image.BufferedImage,
+        w: Int, h: Int): javax.imageio.metadata.IIOMetadata = {
+      val cached = mdCache.get((w, h))
+      if (cached != null) return cached
       val spec = new javax.imageio.ImageTypeSpecifier(img)
       val md = writer.getDefaultImageMetadata(spec, null)
       val fmt = md.getNativeMetadataFormatName
@@ -285,21 +287,58 @@ object Multimodal {
         .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
         .setAttribute("interlaceFlag", "FALSE")
       md.setFromTree(fmt, root)
-      writer.writeToSequence(
-        new javax.imageio.IIOImage(img, null, md), null)
-      f += 1
+      mdCache.put((w, h), md)
+      md
     }
-    writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
-    bos.toByteArray
+
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = pngDims(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      // memory-cached stream: the ImageIO.createImageOutputStream
+      // default spools a DISK cache file per asset — a hidden per-row
+      // filesystem round-trip that dominated the batch encode
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < gifFrameCount(id)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((id * 3 + 11 * f + 5 * x + 3 * y) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, metadataFor(img, w, h)),
+          null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    }
   }
 
-  /** One real-GIF asset per document (mapPartitions batch shape). */
+  /** Encode one real animated GIF (standalone convenience; the Spark
+    * path amortizes one [[GifEncoder]] per partition in [[gifAssets]]). */
+  def encodeGif(id: Long): Array[Byte] = new GifEncoder().encode(id)
+
+  /** One real-GIF asset per document; ONE encoder per partition. */
   def gifAssets(spark: SparkSession, dir: String): Dataset[GifAsset] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => GifAsset(id, encodeGif(id))))
+      .mapPartitions { iter =>
+        imageIoNoDiskCache
+        val enc = new GifEncoder()
+        iter.map(id => GifAsset(id, enc.encode(id)))
+      }
   }
 
   /** REAL multi-frame decode: one GIF reader per PARTITION (reader
@@ -311,10 +350,11 @@ object Multimodal {
   def decodeGifStats(assets: Dataset[GifAsset]): Dataset[GifStats] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
+      imageIoNoDiskCache
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("gif").next()
       batch.map { a =>
-        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(a.gif)))
         val n = reader.getNumImages(true)
         var sum = 0L

@@ -485,9 +485,12 @@ object TextAnalysis {
         .limit(1)
         .select(lit(r).as("round"), col("pa"), col("pb"),
           concat(col("pa"), lit("_"), col("pb")).as("merged"), col("cnt"))
-        // 1-row eager checkpoint: the winning rule is computed exactly
-        // once, then reused by both the output union and the rewrite
-        .localCheckpoint(true)
+        // LAZY 1-row checkpoint: computed once on first use (the next
+        // round's pair count, or the final union), then served from
+        // cache to the other consumer — eager checkpoints here cost one
+        // extra driver-latency job per round, and the LAST round's
+        // rewritten corpus is never needed at all
+        .localCheckpoint(false)
       rules = rules :+ best
       if (r < rounds) {
         enc = enc.crossJoin(broadcast(best.select(col("pa"), col("pb"),
@@ -495,7 +498,7 @@ object TextAnalysis {
           .select(expr(
             "replace(enc, ' ' || pa || '  ' || pb || ' '," +
               " ' ' || merged || ' ')").as("enc"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     rules.reduce(_ unionByName _)
