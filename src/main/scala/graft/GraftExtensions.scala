@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, MinHashSig, RepetitionStats, RollingHash, ShingleSet, SimHash64, ZOrder2}
+import graft.functions.{CosineSim, MinHashSig, MinHashSigPoly, RepetitionStats, RollingHash, ShingleSet, SimHash64, ZOrder2}
 
 /** The library's `SparkSessionExtensions` entry point: registers every
   * native graft expression into the SQL function registry at session
@@ -52,6 +52,8 @@ object GraftExtensions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> arity("rolling_hash", 1)(es => RollingHash(es.head)),
     "minhash_sig" -> arity("minhash_sig", 1)(es => MinHashSig(es.head)),
+    "minhash_sig_poly" ->
+      arity("minhash_sig_poly", 1)(es => MinHashSigPoly(es.head)),
     "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
     "shingle_set" -> arity("shingle_set", 1)(es => ShingleSet(es.head)),
     "cosine_sim" -> arity("cosine_sim", 2)(es => CosineSim(es(0), es(1))),

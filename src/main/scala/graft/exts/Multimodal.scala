@@ -388,6 +388,44 @@ object Multimodal {
   def decodeGifStats(spark: SparkSession, dir: String): Dataset[GifStats] =
     decodeGifStats(gifAssets(spark, dir))
 
+  // ---- Binary-file ingest (the real "media lake on disk" path) ----
+
+  /** Write each GIF asset as its own `<doc_id>.gif` file under `outDir` —
+    * the on-disk layout a media lake actually has (one object per asset),
+    * produced with `foreachPartition` so no payload ever routes through
+    * the driver. */
+  def writeMediaFiles(assets: Dataset[GifAsset], outDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    assets.foreachPartition { (batch: Iterator[GifAsset]) =>
+      batch.foreach { a =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${a.doc_id}.gif"), a.gif)
+      }
+    }
+  }
+
+  /** Ingest media files through Spark's built-in `binaryFile` source:
+    * one row per file with (path, modificationTime, length, content) —
+    * the real entry point for payloads that live as objects in a lake
+    * rather than as a parquet column. The doc id comes back out of the
+    * file name; downstream decode is the same [[decodeGifStats]] batch
+    * path. `pathGlobFilter` prunes non-media files at the LISTING, and
+    * at 100 TB this source distributes file reads across executors like
+    * any other scan (with `spark.sql.files.maxPartitionBytes` sizing the
+    * per-task batch). */
+  def readMediaFiles(spark: SparkSession, dir: String,
+      glob: String = "*.gif"): Dataset[GifAsset] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.gif$", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("gif"))
+      .as[GifAsset]
+  }
+
   // ---- REAL audio decode (javax.sound.sampled, RIFF/WAVE PCM) ----
 
   /** An audio asset whose payload is a GENUINE WAV file: RIFF container,

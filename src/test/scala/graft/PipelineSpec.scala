@@ -470,6 +470,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: binaryFile ingest round-trips the media-lake layout") {
+    // write one .gif object per asset (the real lake layout), read back
+    // through Spark's binaryFile source, and decode — stats must equal
+    // the direct in-memory path exactly
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-media-lake").toString
+    val assets = Multimodal.gifAssets(spark, dir).filter(_.doc_id < 50)
+    Multimodal.writeMediaFiles(assets, outDir)
+    // a non-matching file must be pruned by the glob at listing time
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "readme.txt"), "not media")
+    val ingested = Multimodal.readMediaFiles(spark, outDir)
+    val viaFiles = Multimodal.decodeGifStats(ingested)
+      .collect().map(s => s.doc_id -> s).toMap
+    val direct = Multimodal.decodeGifStats(assets)
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(viaFiles.nonEmpty && viaFiles.keySet === direct.keySet)
+    viaFiles.foreach { case (id, s) => assert(s === direct(id)) }
+  }
+
   test("multimodal: frame sampling yields k in-bounds frames per asset") {
     val assets = Multimodal.assets(spark, dir)
     val frames = Multimodal.sampleFrames(assets, 4).collect()
