@@ -32,6 +32,11 @@ object FilePlan {
   /** Default per-window rewrite budget: 1 TB of bytes rewritten. */
   val DefaultBudgetBytes: Long = 1000000000000L
 
+  /** Range partitions for the maintenance-budget prefix sum: bounds the
+    * per-task candidate slice at 1/16 of the lake's partition list while
+    * keeping the offsets frame broadcast-trivial. */
+  val BudgetRangeParts: Int = 16
+
   /** Typed row shapes for the greedy scan (top-level so encoders resolve). */
   final case class FileRec(
       part_key: String, file_seq: Long, path: String, size_bytes: Long)
@@ -158,9 +163,15 @@ object FilePlan {
     * — highest metadata-pressure relief per byte of rewrite I/O first.
     *
     * Scale shape: the candidate list is metadata-plane (one row per
-    * table partition — ≤10⁵-10⁶ rows for a whole lake), so the global
-    * benefit-order running sum is a deliberate single-partition window
-    * over metadata, never data. All arithmetic integer-exact. */
+    * table partition — ≤10⁵-10⁶ rows for a whole lake), and the global
+    * benefit-order running sum is a DISTRIBUTED two-level prefix sum:
+    * range-repartition on the order key (so partition ids follow the
+    * global order), a per-partition window for local cumulative bytes,
+    * then a broadcast of the ≤[[BudgetRangeParts]] per-partition totals
+    * whose prefix offsets lift local sums to global ones. Exactly the
+    * same values as a single global window, with no partition ever
+    * holding more than 1/N of the candidates. All arithmetic
+    * integer-exact. */
   def maintenanceBudget(files: DataFrame,
       budgetBytes: Long = DefaultBudgetBytes,
       targetBytes: Long = TargetFileBytes): DataFrame = {
@@ -168,11 +179,29 @@ object FilePlan {
     val cand = smallFileMetrics(files)
       .withColumn("files_saved", expr(s"n_files - $postFiles"))
       .filter(col("n_small") > 0 && col("files_saved") > 0)
-    val w = org.apache.spark.sql.expressions.Window
+    // RangePartitioning orders partitions by the sort key, so
+    // spark_partition_id() IS the global order of the chunks
+    val ranged = cand
+      .repartitionByRange(BudgetRangeParts,
+        col("files_saved").desc, col("part_key"))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"))
       .orderBy(col("files_saved").desc, col("part_key"))
       .rowsBetween(Long.MinValue, 0)
-    cand
-      .withColumn("cum_bytes", sum(col("total_bytes")).over(w))
+    val withLocal = ranged
+      .withColumn("local_cum", sum(col("total_bytes")).over(local))
+    // per-partition byte totals → exclusive prefix per pid, via a
+    // triangle join over the ≤BudgetRangeParts-row totals frame (no
+    // global window anywhere in this plan, not even over metadata)
+    val totals = withLocal.groupBy(col("pid"))
+      .agg(sum(col("total_bytes")).as("part_bytes"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.part_bytes")), lit(0L)).as("offset"))
+    withLocal.join(broadcast(offsets), "pid")
+      .withColumn("cum_bytes", col("local_cum") + col("offset"))
       .withColumn("selected", col("cum_bytes") <= budgetBytes)
       .select("part_key", "n_files", "n_small", "total_bytes",
         "files_saved", "cum_bytes", "selected")

@@ -53,15 +53,14 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Queries whose partition-less Window is over an already-REDUCED
     * frame (metadata/aggregate plane), where a single-task pass is the
     * design, not a scale bug:
-    *  - maintenance_budget: greedy budget admission = running sum in
-    *    global benefit order over per-partition METADATA (1 row per
-    *    table partition, ≤10⁵-10⁶ for a whole lake) — deliberately
-    *    sequential, documented at FilePlan.maintenanceBudget;
     *  - mix_sources: global min over the per-source aggregate (rows =
     *    #sources, ~4) — the window input is already reduced; windowing
     *    beats a second aggregate + cross join that would re-plan the
-    *    corpus stats subtree. */
-  private val globalWindowJustified = Set("maintenance_budget", "mix_sources")
+    *    corpus stats subtree.
+    * (maintenance_budget left this list in r8: its global running sum is
+    * now a range-partitioned two-level prefix sum with a triangle join
+    * for the ≤16 chunk offsets — no global window even over metadata.) */
+  private val globalWindowJustified = Set("mix_sources")
 
   test("no partition-less Window over unreduced input (one-task global sort)") {
     // A Window with an empty partitionSpec moves its ENTIRE input through
