@@ -36,7 +36,9 @@ object Explain {
       "ann_recall", "token_budget_select", "training_order", "skew_report",
       "bpe_train", "source_divergence", "quality_calibrate",
       "snapshot_diff", "pack_efficiency", "bpe_encode", "emb_outliers",
-      "dedup_report", "source_overlap", "curriculum_order")
+      "dedup_report", "source_overlap", "curriculum_order",
+      "mm_video_decode", "mm_audio_decode", "minhash_band_pairs",
+      "topk_agg")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -59,5 +59,9 @@ object GraftExtensions {
     "cosine_sim" -> arity("cosine_sim", 2)(es => CosineSim(es(0), es(1))),
     "z_order2" -> arity("z_order2", 2)(es => ZOrder2(es(0), es(1))),
     "repetition_stats" ->
-      arity("repetition_stats", 1)(es => RepetitionStats(es.head)))
+      arity("repetition_stats", 1)(es => RepetitionStats(es.head)),
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression
+    "top_k_pairs" -> arity("top_k_pairs", 3)(es =>
+      graft.functions.TopKPairs(es(0), es(1), es(2))))
 }

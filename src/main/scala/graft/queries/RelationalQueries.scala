@@ -184,6 +184,25 @@ object RelationalQueries {
             cents("o_totalprice").as("totalprice_cents"))
       }),
 
+      // Same result through the NATIVE bounded top-k aggregate
+      // (functions.TopKPairs): map-side partial aggregation ships at
+      // most k rows per (group, mapper) into the exchange, where the
+      // window form above shuffles and per-group-sorts EVERY row —
+      // same oracle, the 100 TB-honest plan. Cents ranking is exact
+      // for 2-decimal prices, so ordering matches the raw-price window.
+      "topk_agg" -> ((s, dir) => {
+        val tk = graft.functions.TopKAgg.top_k_pairs(
+          cents("o_totalprice"), col("o_orderkey"), 3)
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(tk.as("tk"))
+          .select(col("o_custkey"), posexplode(col("tk")))
+          .select(col("o_custkey"),
+            col("col.payload").as("o_orderkey"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("col.ord").as("totalprice_cents"))
+      }),
+
       // TPC-H Q17 shape (small-quantity-order revenue): the correlated
       // scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
       // becomes a per-part pre-aggregate + equi-join, and the fractional
@@ -448,6 +467,19 @@ object RelationalQueries {
           |  SELECT o_custkey, o_orderkey, o_totalprice,
           |    row_number() OVER (PARTITION BY o_custkey
           |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          |  FROM orders)
+          |WHERE rank <= 3""".stripMargin,
+
+      // the native-aggregate twin ranks by exact cents (identical order
+      // for 2-decimal prices), so the oracle ranks by cents too
+      "topk_agg" ->
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(rank AS INTEGER) AS rank, totalprice_cents
+          |FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY round(o_totalprice*100) DESC, o_orderkey) AS rank
           |  FROM orders)
           |WHERE rank <= 3""".stripMargin,
 

@@ -117,4 +117,18 @@ class AdvancedSpec extends AnyFunSuite {
     assert(all.count() ===
       graft.ops.EventOps.events(spark, dir).count())
   }
+
+  test("topk_agg: native bounded top-k equals the window form, with partial agg") {
+    val agg = SparkEntry.queries("topk_agg")(spark, dir)
+    val win = SparkEntry.queries("window_topk")(spark, dir)
+    assert(agg.collect().map(_.toSeq).toSet === win.collect().map(_.toSeq).toSet)
+    // the whole point: a partial (map-side) aggregation stage exists, so
+    // at most k rows per (group, mapper) enter the exchange — the window
+    // form has no partial stage at all
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an object/sort aggregate for the typed buffer:\n$plan")
+    assert(plan.contains("partial_top_k_pairs") || plan.contains("partial"),
+      s"expected a partial aggregation stage:\n$plan")
+  }
 }
