@@ -20,6 +20,8 @@ object StreamQueries {
           graft.ops.EventOps.events(s, dir), "1 hour")),
       "event_funnel" -> ((s, dir) =>
         graft.ops.EventAnalytics.funnel(graft.ops.EventOps.events(s, dir))),
+      "event_attribution" -> ((s, dir) =>
+        EventPipeline.attribution(graft.ops.EventOps.events(s, dir))),
       "event_cohorts" -> ((s, dir) =>
         graft.ops.EventAnalytics.cohorts(graft.ops.EventOps.events(s, dir)))),
     oracles = Map(
@@ -76,6 +78,19 @@ object StreamQueries {
           |  count(DISTINCT user_id) AS n_users
           |FROM e JOIN c USING (user_id)
           |GROUP BY 1, 2""".stripMargin,
+
+      // interval join in epoch millis, horizon-inclusive on both ends —
+      // the batch twin of the watermarked stream-stream attribution join
+      "event_attribution" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+          |  FROM events)
+          |SELECT v.user_id, v.event_id AS view_id,
+          |  p.event_id AS purchase_id,
+          |  p.ts_ms - v.ts_ms AS lag_ms
+          |FROM e v JOIN e p ON p.user_id = v.user_id
+          |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+          |  AND p.ts_ms >= v.ts_ms AND p.ts_ms <= v.ts_ms + 1800000""".stripMargin,
 
       "window_metrics" ->
         """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,

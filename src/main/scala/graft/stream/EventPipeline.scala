@@ -487,6 +487,50 @@ object EventPipeline {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events"))
 
+  /** Stream-STREAM interval join (extension, SURVEY.md §2.3 streaming):
+    * view→purchase attribution — every purchase a user makes within
+    * `horizon` AFTER a view joins to that view, with the time lag. On
+    * streams both sides carry watermarks and the time-range predicate,
+    * which is exactly what lets Spark BOUND the join state: a buffered
+    * view can be dropped once the purchase-side watermark passes
+    * view_time + horizon (without the range condition, stream-stream
+    * join state grows forever). On batch frames the same function is a
+    * plain interval join — StreamSpec asserts the two paths agree, and
+    * the batch form is the oracle-gated driver key (event_attribution).
+    *
+    * Scale shape: an equi-join on user_id (hash exchange both sides at
+    * the state-store partitioning) with the range as a post-filter;
+    * state per key is bounded by events-in-horizon. Event times are
+    * truncated to millis so the SQL oracle sees identical instants. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes"): DataFrame = {
+    val v = views
+      .withColumn("view_time", timestamp_millis(tsMsCol(views)))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("view_time"))
+      .withWatermark("view_time", horizon)
+    val p = purchases
+      .withColumn("purchase_time", timestamp_millis(tsMsCol(purchases)))
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("purchase_time"))
+      .withWatermark("purchase_time", horizon)
+    v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("view_time") &&
+          col("purchase_time") <=
+            col("view_time") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_millis(col("purchase_time")) - unix_millis(col("view_time")))
+          .as("lag_ms"))
+  }
+
+  /** Batch form of [[attributionJoin]] over the events fixture (views ⋈
+    * purchases) — the driver-contract key. */
+  def attribution(events: DataFrame): DataFrame =
+    attributionJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"))
+
   /** Tumbling-window event metrics (extension, SURVEY.md §2.3 streaming):
     * per event-type counts and byte totals per window. Works on the batch
     * and streaming frame alike; with a stream, pair with a watermark on

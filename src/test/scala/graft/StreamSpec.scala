@@ -338,6 +338,28 @@ class StreamSpec extends AnyFunSuite {
     assert(!finals.contains((base, "click", 3L))) // late row never counted
   }
 
+  test("stream-stream interval join (attribution) equals the batch join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // two genuine streams over the same fixture (views / purchases),
+    // joined with watermarks + time-range — the state-bounded
+    // stream-stream join shape; inner-join matches emit without waiting
+    // for the watermark, so one AvailableNow pass yields the full set
+    val views = EventPipeline.readEventStream(spark, dir)
+      .filter(col("event_type") === "view")
+    val purchases = EventPipeline.readEventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val q = EventPipeline.attributionJoin(views, purchases)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("attr_out").collect().map(_.toSeq).toSet
+    val want = EventPipeline.attribution(EventOps.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("stream-static enrichment join matches the batch join") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
