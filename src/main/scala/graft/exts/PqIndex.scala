@@ -1,0 +1,147 @@
+package graft.exts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product quantization (PQ) — the compressed-domain ANN companion to the
+  * IVF index: each embedding is split into [[SubSpaces]] subvectors, each
+  * subvector replaced by the id of its nearest codeword from a per-subspace
+  * codebook, so a 64-dim float vector compresses to [[SubSpaces]] small
+  * codes and query distance is evaluated against codes (ADC: one M×K
+  * distance table per query, then table lookups), never against raw
+  * vectors.
+  *
+  * Everything runs in EXACT fixed-point integers (components quantized to
+  * 1e-4 like [[Similarity.embStats]]; codeword means are integer floor
+  * means; distances are integer squared-L2), so both training and search
+  * are engine-exact and the DuckDB oracle reproduces codebooks, code
+  * assignments, and rankings bit-for-bit — the same determinism discipline
+  * as the IVF chain, with no float mirroring needed at all.
+  *
+  * Scale shape: training touches only the [[Similarity.IvfTrainSample]]
+  * sample (constant cost at any corpus size); encoding is one broadcast
+  * codebook join + per-row argmin (corpus scanned once, shuffle carries
+  * only (vec_id, m, code)); ADC search joins the per-query M×K distance
+  * table (metadata-sized broadcast) to the codes on (m, code) and sums M
+  * rows per (query, neighbor) — the corpus-side payload through every
+  * exchange is the CODES, ~SubSpaces bytes per vector, not the vectors.
+  */
+object PqIndex {
+
+  /** M subspaces × SubDim dims each = the fixture's 64 dims. */
+  val SubSpaces = 8
+  val SubDim = 8
+
+  /** K codewords per subspace (fits a 4-bit code at this scale). */
+  val CodeWords = 16
+
+  /** Lloyd iterations per subspace (fixed, like [[Similarity.IvfIters]]). */
+  val PqIters = 2
+
+  /** Integer squared-L2 over two equal-length quantized arrays. */
+  private def l2q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, m, qsub): each vector's m-th subvector quantized to 1e-4
+    * fixed-point longs — one row per (vector, subspace). */
+  private[graft] def quantizedSubs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${SubSpaces - 1}), m ->
+           |  transform(sequence(0, ${SubDim - 1}), d ->
+           |    CAST(round(CAST(element_at(embedding, m * $SubDim + d + 1)
+           |      AS DOUBLE) * 10000) AS BIGINT)))""".stripMargin))
+        .as(Seq("m", "qsub")))
+
+  /** Deterministic per-subspace k-means codebook: seeds are the first
+    * [[CodeWords]] vectors' subvectors, then [[PqIters]] Lloyd rounds —
+    * assign by min integer L2² (ties → lowest code), recompute each
+    * codeword as the integer floor mean per dimension. A codeword left
+    * empty drops out (mirrored by the oracle). Returns (m, code, cw). */
+  def trainedCodebook(emb: DataFrame): DataFrame = {
+    val sample = quantizedSubs(
+      emb.filter(col("vec_id") < Similarity.IvfTrainSample))
+    var cb = quantizedSubs(emb.filter(col("vec_id") < CodeWords))
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("qsub").as("cw"))
+    for (_ <- 1 to PqIters) {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("code"))
+      val assigned = sample.join(broadcast(cb), Seq("m"))
+        .withColumn("d2", l2q(col("qsub"), col("cw")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("m"), col("code"), col("qsub"))
+      cb = assigned
+        .select(col("m"), col("code"),
+          posexplode(col("qsub")).as(Seq("d", "v")))
+        .groupBy(col("m"), col("code"), col("d"))
+        .agg(expr("sum(v) div count(1)").as("mv"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("mv")))),
+          s => s.getField("mv")).as("cw"))
+    }
+    cb
+  }
+
+  /** Code assignment for every (vector, subspace): nearest codeword by
+    * integer L2², ties to the lowest code. Returns
+    * (vec_id, m, code, d2 = the subspace quantization error). */
+  def assignCodes(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("code"))
+    quantizedSubs(emb).join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", l2q(col("qsub"), col("cw")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"), col("d2"))
+  }
+
+  /** pq_encode: one row per vector — the code array pinned via md5 (m
+    * order) + the total integer reconstruction error. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    assignCodes(emb, trainedCodebook(emb))
+      .groupBy(col("vec_id"))
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("m"), col("code")))),
+            s => s.getField("code").cast("string")), ","))
+          .as("codes_md5"),
+        sum(col("d2")).as("err_q"))
+  }
+
+  /** pq_search: ADC top-k. Each query (vec_id < maxQueryId) builds its
+    * M×K integer distance table against the codebook (broadcast-sized);
+    * the corpus contributes only its codes, joined on (m, code) and
+    * summed over m — approximate distance = Σ_m L2²(q_sub_m,
+    * codeword(codes_n[m])). Output (query_id, neighbor_id, rank, dist_q),
+    * rank by (dist asc, neighbor_id), self excluded. */
+  def pqSearch(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = trainedCodebook(emb)
+    val codes = assignCodes(emb, cb)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+    val distTable = quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
+      .select(col("vec_id").as("query_id"), col("m"), col("qsub"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        l2q(col("qsub"), col("cw")).as("dq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_q"), col("neighbor_id"))
+    codes.join(broadcast(distTable), Seq("m", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("dist_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("dist_q"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.exts.{BpeIndex, Dedup, LmIndex, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.exts.{BpeIndex, Dedup, LmIndex, Multimodal, Packing, PqIndex, Sampling, Similarity, TextAnalysis}
 import graft.Tables
 
 /** Driver-contract queries for the training-data-pipeline extensions:
@@ -57,6 +57,56 @@ object PipelineQueries {
     s"""wpw(e, p) AS (VALUES $wpw),
        |perm(k, a, b) AS (VALUES $perm),
        |wsj(j, p) AS (VALUES $wsj)""".stripMargin
+  }
+
+  /** Full SQL mirror of the PQ chain (exts/PqIndex.scala): fixed-point
+    * subvectors, per-subspace integer k-means ([[graft.exts.PqIndex.PqIters]]
+    * Lloyd rounds, floor means, min-L2² ties→lowest code), and final code
+    * assignment — all integer arithmetic, so codebooks/codes/distances are
+    * engine-exact with no float mirroring. Ends in `pcodes(vec_id, m,
+    * code, d2)` + `pcbN` (the final codebook). */
+  private def pqCtes: String = {
+    import graft.exts.PqIndex.{CodeWords, PqIters, SubDim, SubSpaces}
+    def l2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range($SubDim), i -> " +
+        s"($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))) AS BIGINT)"
+    val iterCtes = (1 to PqIters).map { i =>
+      s"""pasg$i AS (
+         |  SELECT m, code, qsub FROM (
+         |    SELECT s.vec_id, s.m, s.qsub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${l2("s.qsub", "c.cw")}, c.code) AS rn
+         |    FROM psamp s JOIN pcb${i - 1} c ON c.m = s.m)
+         |  WHERE rn = 1),
+         |pm$i AS (
+         |  SELECT m, code, d, CAST(sum(v) // count(*) AS BIGINT) AS mv FROM (
+         |    SELECT m, code, unnest(qsub) AS v,
+         |           unnest(range(len(qsub))) AS d
+         |    FROM pasg$i)
+         |  GROUP BY m, code, d),
+         |pcb$i AS (SELECT m, code, list(mv ORDER BY d) AS cw
+         |          FROM pm$i GROUP BY m, code)""".stripMargin
+    }.mkString(",\n")
+    s"""qsubs AS (
+       |  SELECT vec_id, mm.m AS m,
+       |    list_transform(range($SubDim), d ->
+       |      CAST(round(CAST(embedding[mm.m * $SubDim + d + 1] AS DOUBLE)
+       |        * 10000) AS BIGINT)) AS qsub
+       |  FROM embeddings,
+       |    LATERAL (SELECT unnest(range($SubSpaces)) AS m) mm),
+       |psamp AS (SELECT * FROM qsubs
+       |          WHERE vec_id < ${graft.exts.Similarity.IvfTrainSample}),
+       |pcb0 AS (SELECT m, CAST(vec_id AS INTEGER) AS code, qsub AS cw
+       |         FROM qsubs WHERE vec_id < $CodeWords),
+       |$iterCtes,
+       |pcodes AS (
+       |  SELECT vec_id, m, code, d2 FROM (
+       |    SELECT q.vec_id, q.m, c.code,
+       |      ${l2("q.qsub", "c.cw")} AS d2,
+       |      row_number() OVER (PARTITION BY q.vec_id, q.m
+       |        ORDER BY ${l2("q.qsub", "c.cw")}, c.code) AS rn
+       |    FROM qsubs q JOIN pcb$PqIters c ON c.m = q.m)
+       |  WHERE rn = 1)""".stripMargin
   }
 
   /** documents ∪ planted near-copies — DuckDB side. */
@@ -354,6 +404,11 @@ object PipelineQueries {
       // chain, so this is hash-gated (reconstruction quality additionally
       // asserted in PipelineSpec).
       "emb_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(s, dir)),
+      // product quantization: integer-exact per-subspace codebooks,
+      // codes, and ADC search (exts/PqIndex.scala) — oracle recomputes
+      // the whole chain in SQL
+      "pq_encode" -> ((s, dir) => PqIndex.pqEncode(s, dir)),
+      "pq_search" -> ((s, dir) => PqIndex.pqSearch(s, dir)),
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
 
@@ -1719,6 +1774,42 @@ object PipelineQueries {
            |  ON i.query_id = bt.query_id
            |  AND i.neighbor_id = bt.neighbor_id
            |GROUP BY bt.query_id""".stripMargin,
+
+      // Integer-exact PQ: the oracle retrains the per-subspace codebooks
+      // and reassigns every code in SQL (pqCtes), so codes_md5 pins the
+      // full code matrix and err_q the total quantization error.
+      "pq_encode" ->
+        s"""WITH $pqCtes
+           |SELECT vec_id,
+           |  md5(array_to_string(list(code ORDER BY m), ',')) AS codes_md5,
+           |  CAST(sum(d2) AS BIGINT) AS err_q
+           |FROM pcodes GROUP BY vec_id""".stripMargin,
+
+      // ADC search: per-query M×K integer distance table joined to the
+      // corpus CODES on (m, code), summed over m, ranked (dist asc,
+      // neighbor asc), self excluded, top 5.
+      "pq_search" ->
+        s"""WITH $pqCtes,
+           |pdist AS (
+           |  SELECT q.vec_id AS query_id, q.m, c.code,
+           |    CAST(list_sum(list_transform(range(${PqIndex.SubDim}), i ->
+           |      (q.qsub[i+1] - c.cw[i+1]) * (q.qsub[i+1] - c.cw[i+1])))
+           |      AS BIGINT) AS dq
+           |  FROM qsubs q JOIN pcb${PqIndex.PqIters} c ON c.m = q.m
+           |  WHERE q.vec_id < 8),
+           |pscored AS (
+           |  SELECT d.query_id, n.vec_id AS neighbor_id,
+           |    CAST(sum(d.dq) AS BIGINT) AS dist_q
+           |  FROM pcodes n JOIN pdist d ON d.m = n.m AND d.code = n.code
+           |  WHERE n.vec_id <> d.query_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           |  dist_q
+           |FROM (SELECT query_id, neighbor_id, dist_q,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY dist_q, neighbor_id) AS rank
+           |      FROM pscored)
+           |WHERE rank <= 5""".stripMargin,
 
       // IEEE-deterministic mirror of Similarity.quantizeInt8Stats: the
       // float inputs are exact, both engines promote to DOUBLE for the

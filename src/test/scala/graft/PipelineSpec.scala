@@ -386,6 +386,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: training reduces reconstruction error; ADC search finds true neighbors") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.PqIndex
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // Lloyd rounds must strictly improve on the seed codebook
+    val cb0 = PqIndex.quantizedSubs(emb.filter(col("vec_id") < PqIndex.CodeWords))
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("qsub").as("cw"))
+    val errSeed = PqIndex.assignCodes(emb, cb0)
+      .agg(sum(col("d2"))).head().getLong(0)
+    val errTrained = PqIndex.assignCodes(emb, PqIndex.trainedCodebook(emb))
+      .agg(sum(col("d2"))).head().getLong(0)
+    assert(errTrained < errSeed,
+      s"trained codebook must beat seeds: $errTrained !< $errSeed")
+    // ADC recall@5 vs exact integer-L2 ground truth (driver-side is fine
+    // at fixture scale — this grades the index, it isn't the scale path)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000)).toArray)
+      .toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val truth = (0L until 8L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(5).toSet
+    }.toMap
+    val got = PqIndex.pqSearch(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (q, ns) =>
+      assert(ns.size === 5)
+    }
+    val recall = got.map { case (q, ns) =>
+      ns.intersect(truth(q)).size / 5.0
+    }.sum / got.size
+    assert(recall >= 0.2, s"ADC recall@5 too low: $recall")
+  }
+
   test("minhash band pairs: planted near-dups collide in most bands") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.minhashBandPairs(Dedup.corpusWithNearDups(spark, dir))
