@@ -31,6 +31,31 @@ import graft.Tables
   */
 object PqIndex {
 
+  private final case class Key(app: String, dir: String, version: Long)
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    Key, Seq[(Int, Int, Seq[Long])]]()
+
+  /** Memoized codebook for the `embeddings` table under `dir` (the
+    * [[IvfIndex.centroids]] artifact pattern): first call trains and
+    * collects the tiny (M×K rows) result; later calls rebuild a
+    * LocalRelation with zero Spark jobs. Keyed by [[Tables.version]] so a
+    * corpus rewrite re-trains instead of serving a stale codebook. */
+  def codebook(spark: SparkSession, dir: String): DataFrame = {
+    val key = Key(spark.sparkContext.applicationId, dir,
+      Tables.version(dir, "embeddings"))
+    val rows = memo.computeIfAbsent(key, _ =>
+      trainedCodebook(Tables.load(spark, dir, "embeddings"))
+        .collect().map { r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq)
+        }.toIndexedSeq)
+    import spark.implicits._
+    rows.toDF("m", "code", "cw")
+  }
+
+  /** Test seam: drop all memoized codebooks. */
+  private[graft] def clear(): Unit = memo.clear()
+
   /** M subspaces × SubDim dims each = the fixture's 64 dims. */
   val SubSpaces = 8
   val SubDim = 8
@@ -41,10 +66,15 @@ object PqIndex {
   /** Lloyd iterations per subspace (fixed, like [[Similarity.IvfIters]]). */
   val PqIters = 2
 
-  /** Integer squared-L2 over two equal-length quantized arrays. */
+  /** Integer squared-L2 over two SubDim-length quantized arrays, expanded
+    * to explicit element_at terms: higher-order-function lambdas run
+    * interpreted, where this form stays inside whole-stage codegen — the
+    * distance is evaluated corpus × K times, so it must compile. */
   private def l2q(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    (1 to SubDim).map { i =>
+      val d = element_at(a, i) - element_at(b, i)
+      d * d
+    }.reduce(_ + _)
 
   /** (vec_id, m, qsub): each vector's m-th subvector quantized to 1e-4
     * fixed-point longs — one row per (vector, subspace). */
@@ -69,13 +99,15 @@ object PqIndex {
       .select(col("m"), col("vec_id").cast("int").as("code"),
         col("qsub").as("cw"))
     for (_ <- 1 to PqIters) {
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2"), col("code"))
+      // argmin via min(struct(d2, code, …)): struct ordering IS the
+      // (d2 asc, code asc) tie-break, and a hash aggregate with map-side
+      // combine replaces a per-(vec, m) sort window
       val assigned = sample.join(broadcast(cb), Seq("m"))
         .withColumn("d2", l2q(col("qsub"), col("cw")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("m"), col("code"), col("qsub"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"), col("qsub"))).as("s"))
+        .select(col("m"), col("s.code").as("code"),
+          col("s.qsub").as("qsub"))
       cb = assigned
         .select(col("m"), col("code"),
           posexplode(col("qsub")).as(Seq("d", "v")))
@@ -92,21 +124,19 @@ object PqIndex {
   /** Code assignment for every (vector, subspace): nearest codeword by
     * integer L2², ties to the lowest code. Returns
     * (vec_id, m, code, d2 = the subspace quantization error). */
-  def assignCodes(emb: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("code"))
+  def assignCodes(emb: DataFrame, codebook: DataFrame): DataFrame =
     quantizedSubs(emb).join(broadcast(codebook), Seq("m"))
       .withColumn("d2", l2q(col("qsub"), col("cw")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("code"), col("d2"))
-  }
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("s"))
+      .select(col("vec_id"), col("m"),
+        col("s.code").as("code"), col("s.d2").as("d2"))
 
   /** pq_encode: one row per vector — the code array pinned via md5 (m
     * order) + the total integer reconstruction error. */
   def pqEncode(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    assignCodes(emb, trainedCodebook(emb))
+    assignCodes(emb, codebook(spark, dir))
       .groupBy(col("vec_id"))
       .agg(
         md5(array_join(
@@ -125,7 +155,7 @@ object PqIndex {
   def pqSearch(spark: SparkSession, dir: String, maxQueryId: Long = 8,
       k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val cb = trainedCodebook(emb)
+    val cb = codebook(spark, dir)
     val codes = assignCodes(emb, cb)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
     val distTable = quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
