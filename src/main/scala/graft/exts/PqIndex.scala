@@ -152,6 +152,40 @@ object PqIndex {
     * summed over m — approximate distance = Σ_m L2²(q_sub_m,
     * codeword(codes_n[m])). Output (query_id, neighbor_id, rank, dist_q),
     * rank by (dist asc, neighbor_id), self excluded. */
+  /** Recall@k of the ADC search vs the exact integer-L2 ground truth —
+    * the compression-loss metric a PQ deployment tunes (M, K) against.
+    * Truth ranks by the same fixed-point integer distance over FULL
+    * vectors, so the metric is engine-exact; the comparison join is
+    * queries × k metadata regardless of corpus scale (the ann_recall
+    * shape). */
+  def pqRecall(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("qsub").as("qsub_q"))
+    val n = quantizedSubs(emb)
+      .select(col("vec_id").as("neighbor_id"), col("m"),
+        col("qsub").as("qsub_n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_q"), col("neighbor_id"))
+    val truth = q.join(n, Seq("m"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(l2q(col("qsub_q"), col("qsub_n"))).as("dist_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = pqSearch(spark, dir, maxQueryId, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(adc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("k_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        expr("sum(coalesce(hit, 0)) * 1000 div count(1)").as("recall_x1000"))
+  }
+
   def pqSearch(spark: SparkSession, dir: String, maxQueryId: Long = 8,
       k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

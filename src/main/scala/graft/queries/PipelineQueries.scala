@@ -109,6 +109,29 @@ object PipelineQueries {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** ADC search CTEs over [[pqCtes]]'s outputs, ending in
+    * `pranked(query_id, neighbor_id, dist_q, rank)` — shared by the
+    * pq_search and pq_recall oracles. */
+  private def pqSearchCtes: String =
+    s"""pdist AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.code,
+       |    CAST(list_sum(list_transform(range(${graft.exts.PqIndex.SubDim}),
+       |      i -> (q.qsub[i+1] - c.cw[i+1]) * (q.qsub[i+1] - c.cw[i+1])))
+       |      AS BIGINT) AS dq
+       |  FROM qsubs q JOIN pcb${graft.exts.PqIndex.PqIters} c ON c.m = q.m
+       |  WHERE q.vec_id < 8),
+       |pscored AS (
+       |  SELECT d.query_id, n.vec_id AS neighbor_id,
+       |    CAST(sum(d.dq) AS BIGINT) AS dist_q
+       |  FROM pcodes n JOIN pdist d ON d.m = n.m AND d.code = n.code
+       |  WHERE n.vec_id <> d.query_id
+       |  GROUP BY 1, 2),
+       |pranked AS (
+       |  SELECT query_id, neighbor_id, dist_q,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist_q, neighbor_id) AS rank
+       |  FROM pscored)""".stripMargin
+
   /** documents ∪ planted near-copies — DuckDB side. */
   private val nearCorpusCte =
     """corpus AS (
@@ -409,6 +432,7 @@ object PipelineQueries {
       // the whole chain in SQL
       "pq_encode" -> ((s, dir) => PqIndex.pqEncode(s, dir)),
       "pq_search" -> ((s, dir) => PqIndex.pqSearch(s, dir)),
+      "pq_recall" -> ((s, dir) => PqIndex.pqRecall(s, dir)),
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
 
@@ -1790,26 +1814,45 @@ object PipelineQueries {
       // neighbor asc), self excluded, top 5.
       "pq_search" ->
         s"""WITH $pqCtes,
-           |pdist AS (
-           |  SELECT q.vec_id AS query_id, q.m, c.code,
-           |    CAST(list_sum(list_transform(range(${PqIndex.SubDim}), i ->
-           |      (q.qsub[i+1] - c.cw[i+1]) * (q.qsub[i+1] - c.cw[i+1])))
-           |      AS BIGINT) AS dq
-           |  FROM qsubs q JOIN pcb${PqIndex.PqIters} c ON c.m = q.m
-           |  WHERE q.vec_id < 8),
-           |pscored AS (
-           |  SELECT d.query_id, n.vec_id AS neighbor_id,
-           |    CAST(sum(d.dq) AS BIGINT) AS dist_q
-           |  FROM pcodes n JOIN pdist d ON d.m = n.m AND d.code = n.code
-           |  WHERE n.vec_id <> d.query_id
-           |  GROUP BY 1, 2)
+           |$pqSearchCtes
            |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
            |  dist_q
-           |FROM (SELECT query_id, neighbor_id, dist_q,
-           |        row_number() OVER (PARTITION BY query_id
-           |          ORDER BY dist_q, neighbor_id) AS rank
-           |      FROM pscored)
-           |WHERE rank <= 5""".stripMargin,
+           |FROM pranked WHERE rank <= 5""".stripMargin,
+
+      // recall@5 of the ADC search vs the exact integer-L2 ground truth
+      // over FULL vectors — shares the pq CTE chain so the metric grades
+      // exactly the search the pq_search key runs.
+      "pq_recall" ->
+        s"""WITH $pqCtes,
+           |$pqSearchCtes,
+           |ptop AS (SELECT query_id, neighbor_id FROM pranked
+           |         WHERE rank <= 5),
+           |tscored AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |    CAST(sum(CAST(list_sum(list_transform(
+           |      range(${PqIndex.SubDim}), i ->
+           |        (q.qsub[i+1] - n.qsub[i+1]) *
+           |        (q.qsub[i+1] - n.qsub[i+1]))) AS BIGINT)) AS BIGINT)
+           |      AS dist_q
+           |  FROM qsubs q JOIN qsubs n
+           |    ON n.m = q.m AND n.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY dist_q, neighbor_id) AS rank
+           |    FROM tscored)
+           |  WHERE rank <= 5)
+           |SELECT t.query_id,
+           |  CAST(count(*) AS BIGINT) AS k_truth,
+           |  CAST(count(p.query_id) AS BIGINT) AS n_hits,
+           |  CAST(count(p.query_id) * 1000 // count(*) AS BIGINT)
+           |    AS recall_x1000
+           |FROM truth t LEFT JOIN ptop p
+           |  ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+           |GROUP BY t.query_id""".stripMargin,
 
       // IEEE-deterministic mirror of Similarity.quantizeInt8Stats: the
       // float inputs are exact, both engines promote to DOUBLE for the

@@ -71,6 +71,27 @@ class FixturesSpec extends AnyFunSuite {
     assert(emb("vec_id") === LongType && emb("label") === IntegerType)
     assert(emb("embedding") === ArrayType(FloatType, containsNull = true) ||
       emb("embedding") === ArrayType(FloatType, containsNull = false))
+    // PQ's subspace split assumes this dimensionality (PqIndex.SubSpaces
+    // × SubDim); a regeneration with different dims must fail HERE, not
+    // as a wrong-length subvector somewhere inside the codebook chain
+    val dims = Tables.load(spark, dir, "embeddings")
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq === Seq(
+      graft.exts.PqIndex.SubSpaces * graft.exts.PqIndex.SubDim),
+      s"embedding dims drifted to ${dims.mkString(",")}")
+  }
+
+  test("events.event_type domain covers what the decision/analytics family maps") {
+    // FIXTURES.md §3 maps 'purchase' ⇒ replace and the write-ops set;
+    // funnel/attribution additionally key on view/click — a regenerated
+    // domain must fail loudly here
+    val types = Tables.events(spark, dir)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(Set("view", "click", "purchase").subsetOf(types),
+      s"event_type domain drifted: $types")
+    assert(graft.model.Fixture.WriteOps.toSet.subsetOf(types),
+      s"WriteOps ${graft.model.Fixture.WriteOps} ⊄ $types")
   }
 
   test("events.ts is a dtype tsMillis understands; ts_ms is epoch-millis-scale") {
