@@ -169,7 +169,10 @@ object PqIndex {
         col("qsub").as("qsub_n"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist_q"), col("neighbor_id"))
-    val truth = q.join(n, Seq("m"))
+    // the query side is bounded (maxQueryId rows × M) — broadcast it, so
+    // the corpus is scanned once with no exchange on the 8-value `m` key
+    // (a shuffle join on m would funnel the whole corpus through M tasks)
+    val truth = n.join(broadcast(q), Seq("m"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(l2q(col("qsub_q"), col("qsub_n"))).as("dist_q"))
@@ -178,7 +181,8 @@ object PqIndex {
       .select(col("query_id"), col("neighbor_id"))
     val adc = pqSearch(spark, dir, maxQueryId, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    truth.join(adc, Seq("query_id", "neighbor_id"), "left")
+    // both comparison sides are queries × k rows — metadata at any scale
+    truth.join(broadcast(adc), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("k_truth"),
