@@ -101,6 +101,11 @@ object ScaleRehearsal {
       // memoized merge table (cold build rehearsed separately in Bench's
       // artifact split); apply is a codegen'd rewrite over the batch.
       "bpe_encode" -> SparkEntry.queries("bpe_encode"),
+      // product quantization: training is sample-bounded (constant);
+      // encode is one broadcast-codebook scan; ADC search joins codes to
+      // the per-query distance table — all ~linear in corpus size.
+      "pq_encode" -> SparkEntry.queries("pq_encode"),
+      "pq_search" -> SparkEntry.queries("pq_search"),
       // ---- events/decision family (added r8: never rehearsed before the
       // ts-unit break was fixed). The sf1 events table is 10× TABLES at
       // the same per-table log depth — how a lake actually grows — so
