@@ -132,13 +132,12 @@ object IvfIndex {
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("emb_n"), col("cell"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(q), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", Similarity.cosine(col("emb_q"), col("emb_n")))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    // bounded TopKPairs finish (≤k rows per query per mapper), same
+    // (cos DESC, neighbor_id ASC) order as Similarity's search paths
+    Similarity.topKByCosine(
+      corpus.join(broadcast(q), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", Similarity.cosine(col("emb_q"), col("emb_n"))),
+      k)
   }
 }

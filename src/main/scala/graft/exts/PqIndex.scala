@@ -1,7 +1,6 @@
 package graft.exts
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -76,9 +75,25 @@ object PqIndex {
       d * d
     }.reduce(_ + _)
 
+  /** Parameter contract: the subvector split is only defined for
+    * embeddings of exactly [[SubSpaces]]·[[SubDim]] dims. A mismatched
+    * corpus (say 128-dim after an encoder swap) previously slid through
+    * as silent `element_at` NULLs; this guard rides the embedding column
+    * itself — column pruning cannot drop it — and raises a NAMED error on
+    * the first offending row. FixturesSpec pins the fixture side;
+    * this is the inverse, index-side guard. */
+  private def dimChecked(embCol: Column): Column =
+    when(size(embCol) === SubSpaces * SubDim, embCol)
+      .otherwise(raise_error(concat(
+        lit("graft.pq: embedding dim must equal SubSpaces*SubDim = " +
+          s"${SubSpaces * SubDim}, got "),
+        size(embCol).cast("string"))))
+
   /** (vec_id, m, qsub): each vector's m-th subvector quantized to 1e-4
     * fixed-point longs — one row per (vector, subspace). */
-  private[graft] def quantizedSubs(emb: DataFrame): DataFrame =
+  private[graft] def quantizedSubs(emb0: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"),
+      dimChecked(col("embedding")).as("embedding"))
     emb.select(col("vec_id"),
       posexplode(expr(
         s"""transform(sequence(0, ${SubSpaces - 1}), m ->
@@ -86,11 +101,15 @@ object PqIndex {
            |    CAST(round(CAST(element_at(embedding, m * $SubDim + d + 1)
            |      AS DOUBLE) * 10000) AS BIGINT)))""".stripMargin))
         .as(Seq("m", "qsub")))
+  }
 
   /** Deterministic per-subspace k-means codebook: seeds are the first
     * [[CodeWords]] vectors' subvectors, then [[PqIters]] Lloyd rounds —
     * assign by min integer L2² (ties → lowest code), recompute each
-    * codeword as the integer floor mean per dimension. A codeword left
+    * codeword as the truncated (toward-zero, `div`-semantics — NOT floor
+    * for negative sums, and quantized components are routinely negative;
+    * DuckDB's `//` truncates identically) integer mean per dimension —
+    * see [[l2q]]'s determinism notes. A codeword left
     * empty drops out (mirrored by the oracle). Returns (m, code, cw). */
   def trainedCodebook(emb: DataFrame): DataFrame = {
     val sample = quantizedSubs(
@@ -146,12 +165,6 @@ object PqIndex {
         sum(col("d2")).as("err_q"))
   }
 
-  /** pq_search: ADC top-k. Each query (vec_id < maxQueryId) builds its
-    * M×K integer distance table against the codebook (broadcast-sized);
-    * the corpus contributes only its codes, joined on (m, code) and
-    * summed over m — approximate distance = Σ_m L2²(q_sub_m,
-    * codeword(codes_n[m])). Output (query_id, neighbor_id, rank, dist_q),
-    * rank by (dist asc, neighbor_id), self excluded. */
   /** Recall@k of the ADC search vs the exact integer-L2 ground truth —
     * the compression-loss metric a PQ deployment tunes (M, K) against.
     * Truth ranks by the same fixed-point integer distance over FULL
@@ -167,17 +180,15 @@ object PqIndex {
     val n = quantizedSubs(emb)
       .select(col("vec_id").as("neighbor_id"), col("m"),
         col("qsub").as("qsub_n"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist_q"), col("neighbor_id"))
     // the query side is bounded (maxQueryId rows × M) — broadcast it, so
     // the corpus is scanned once with no exchange on the 8-value `m` key
     // (a shuffle join on m would funnel the whole corpus through M tasks)
-    val truth = n.join(broadcast(q), Seq("m"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(l2q(col("qsub_q"), col("qsub_n"))).as("dist_q"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val truth = topKByDist(
+      n.join(broadcast(q), Seq("m"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(l2q(col("qsub_q"), col("qsub_n"))).as("dist_q")),
+      k)
       .select(col("query_id"), col("neighbor_id"))
     val adc = pqSearch(spark, dir, maxQueryId, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
@@ -190,6 +201,29 @@ object PqIndex {
         expr("sum(coalesce(hit, 0)) * 1000 div count(1)").as("recall_x1000"))
   }
 
+  /** Bounded (dist_q ASC, neighbor_id ASC) top-k finish shared by the ADC
+    * search and the exact ground truth: the native
+    * [[graft.functions.TopKPairs]] aggregate ranks by ord DESC, so the
+    * ascending integer distance is fed negated (distances are ≥ 0 — no
+    * overflow) — ≤k rows per (query, mapper) enter the exchange with
+    * map-side partial merge, vs the previous per-query `row_number`
+    * window that sorted a corpus-sized group per query. Emits
+    * (query_id, neighbor_id, rank, dist_q), value-identical to the
+    * window form. */
+  private def topKByDist(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k_pairs(
+        -col("dist_q"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), (-col("col.ord")).as("dist_q"))
+
+  /** pq_search: ADC top-k. Each query (vec_id < maxQueryId) builds its
+    * M×K integer distance table against the codebook (broadcast-sized);
+    * the corpus contributes only its codes, joined on (m, code) and
+    * summed over m — approximate distance = Σ_m L2²(q_sub_m,
+    * codeword(codes_n[m])). Output (query_id, neighbor_id, rank, dist_q),
+    * rank by (dist asc, neighbor_id), self excluded. */
   def pqSearch(spark: SparkSession, dir: String, maxQueryId: Long = 8,
       k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -201,15 +235,13 @@ object PqIndex {
       .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         l2q(col("qsub"), col("cw")).as("dq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist_q"), col("neighbor_id"))
-    codes.join(broadcast(distTable), Seq("m", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("dq")).as("dist_q"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("int").as("rank"), col("dist_q"))
+    topKByDist(
+      codes.join(broadcast(distTable), Seq("m", "code"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("dq")).as("dist_q")),
+      k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("dist_q"))
   }
 }

@@ -82,6 +82,24 @@ object Similarity {
   def bruteTopK(corpus0: DataFrame, maxQueryId: Long, k: Int): DataFrame =
     bruteTopKWhere(corpus0, col("vec_id") < maxQueryId, k)
 
+  /** Bounded exact top-k finish shared by every cosine search path:
+    * `groupBy(query_id)` + the native [[graft.functions.TopKPairs]]
+    * aggregate (cos DESC, neighbor_id ASC — the same total order the old
+    * ranking window used, including Double.compare NaN/-0.0 semantics).
+    * Map-side PARTIAL aggregation ships ≤k rows per (query, mapper) into
+    * the exchange and the reduce side merges k-vs-k sorted lists — where
+    * the previous `row_number().over(partitionBy(query_id))` funneled
+    * every scored candidate through one task per query for a full sort
+    * (with 8 queries over a 100 TB corpus: the whole corpus through 8
+    * tasks). Rank is the array position, so results are value-identical. */
+  private[exts] def topKByCosine(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k_pairs(
+        col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).as("rank"))
+
   /** [[bruteTopK]] with an arbitrary query predicate (recall tests pick
     * query sets disjoint from the IVF seeds/sample). */
   private[graft] def bruteTopKWhere(corpus0: DataFrame, queryPred: Column,
@@ -90,13 +108,10 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n"))
     val queries = corpus0.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("emb_q"), col("emb_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKByCosine(
+      corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("emb_q"), col("emb_n"))),
+      k)
   }
 
   def bruteTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
@@ -112,14 +127,11 @@ object Similarity {
     val queries = all.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
         col("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(queries), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("emb_q"), col("emb_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKByCosine(
+      corpus.join(broadcast(queries), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("emb_q"), col("emb_n"))),
+      k)
   }
 
   def lshTopK(spark: SparkSession, dir: String, maxQueryId: Long = 8,
@@ -217,14 +229,11 @@ object Similarity {
       emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("emb_q")),
       "query_id", "emb_q", nprobe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(queries), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("emb_q"), col("emb_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKByCosine(
+      corpus.join(broadcast(queries), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("emb_q"), col("emb_n"))),
+      k)
   }
 
   /** IVF index-build statistics: every corpus vector assigned to its

@@ -403,9 +403,19 @@ object TextAnalysis {
     *
     * The median is the EXACT discrete lower median (value at row
     * ⌈n/2⌉ of the (ratio, doc_id) ordering — deterministic, no
-    * interpolation), so the whole report is integer-exact. One exchange
-    * by language + a bounded per-language window, then a broadcast join
-    * of the per-language bars back onto the signal pass. */
+    * interpolation), so the whole report is integer-exact.
+    *
+    * Scale shape: the ratio domain is BOUNDED (`ratio_x1000` ∈ [0, 1000]),
+    * so the median is computed by COUNTING, not ranking — one hash
+    * aggregate keyed by (lang, ratio) with map-side combine (≤ langs×1001
+    * rows out of the exchange at ANY corpus size), then a cumulative-count
+    * scan over that reduced frame picks the smallest ratio whose running
+    * count reaches ⌈n/2⌉. The previous form ranked with a per-language
+    * window over the raw corpus — 5 languages ⇒ the whole corpus through
+    * 5 tasks, the exact shape PlanGuard now rejects. The counting median
+    * equals the rank-⌈n/2⌉ value exactly (the doc_id tie-break never
+    * changes the VALUE at the median rank), so results are identical —
+    * and exact at every scale, with no sampling caveat. */
   def qualityCalibrate(docs: DataFrame): DataFrame = {
     val markers = LangMarkers.map { case (_, p) =>
       regexp_count(col("text"), lit(p))
@@ -415,14 +425,18 @@ object TextAnalysis {
         greatest(markers: _*).as("n_stop"))
       .select(col("lang"), col("doc_id"),
         expr("(n_stop * 1000) div greatest(n_tokens, 1)").as("ratio_x1000"))
+    val cnt = sig.groupBy(col("lang"), col("ratio_x1000"))
+      .agg(count(lit(1)).as("c"))
+    // windows over the REDUCED (lang × ≤1001 ratios) frame only
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
-      .orderBy(col("ratio_x1000"), col("doc_id"))
+      .orderBy(col("ratio_x1000"))
     val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-    val bars = sig
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(cw))
-      .filter(col("rn") === expr("(n + 1) div 2"))
+    val bars = cnt
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(cw))
+      .filter(col("cum") - col("c") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum"))
       .select(col("lang"), col("ratio_x1000").as("median_x1000"),
         expr("ratio_x1000 div 2").as("threshold_x1000"))
     sig.join(broadcast(bars), "lang")

@@ -6,6 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -22,9 +23,13 @@ import org.apache.spark.sql.types._
   * sort ever materializes.
   *
   * Ordering: `ord` DESC, then `payload` ASC (the deterministic tie-break
-  * every driver-contract query uses). Both operands are BIGINT — callers
-  * rank by exact integer keys (cents, epoch millis, ids), which is also
-  * what keeps the result engine-exact for the oracle.
+  * every driver-contract query uses). `payload` is BIGINT; `ord` is BIGINT
+  * (exact integer keys — cents, epoch millis, ids) or DOUBLE (the cosine
+  * ranking path). Double ords are held in the buffer as order-preserving
+  * "sortable bits" (sign-flip transform of `doubleToLongBits`), so the
+  * buffer/serialization stays two longs per entry and the long comparison
+  * reproduces the exact `Double.compare` total order (-0.0 < 0.0, NaN
+  * greatest — the same order Spark's SortOrder uses for DOUBLE).
   */
 case class TopKPairs(
     ord: Expression,
@@ -46,11 +51,27 @@ case class TopKPairs(
     v
   }
 
+  /** Whether the ord operand is DOUBLE (else BIGINT). Fixed at plan time. */
+  private lazy val ordIsDouble: Boolean = ord.dataType == DoubleType
+
+  /** Self-inverse order-preserving double-bits transform: flips the
+    * non-sign bits of negative-signed bit patterns so signed-long order
+    * equals `Double.compare` order. */
+  @inline private def sortableBits(x: Long): Long =
+    x ^ ((x >> 63) & 0x7FFFFFFFFFFFFFFFL)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((ord.dataType == LongType || ord.dataType == DoubleType) &&
+        payload.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_pairs: ord must be BIGINT or DOUBLE and payload BIGINT, " +
+        s"got (${ord.dataType.simpleString}, ${payload.dataType.simpleString})")
+
   override def children: Seq[Expression] = Seq(ord, payload, kExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("ord", LongType, nullable = false),
+      StructField("ord", ord.dataType, nullable = false),
       StructField("payload", LongType, nullable = false))),
     containsNull = false)
 
@@ -78,7 +99,14 @@ case class TopKPairs(
     val o = ord.eval(input)
     val p = payload.eval(input)
     if (o == null || p == null) buf
-    else insert(buf, (o.asInstanceOf[Long], p.asInstanceOf[Long]))
+    else {
+      val oBits =
+        if (ordIsDouble)
+          sortableBits(java.lang.Double.doubleToLongBits(
+            o.asInstanceOf[Double]))
+        else o.asInstanceOf[Long]
+      insert(buf, (oBits, p.asInstanceOf[Long]))
+    }
   }
 
   override def merge(buf: ArrayBuffer[(Long, Long)],
@@ -89,7 +117,10 @@ case class TopKPairs(
 
   override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
     new GenericArrayData(buf.map { case (o, p) =>
-      InternalRow(o, p)
+      val ordOut: Any =
+        if (ordIsDouble) java.lang.Double.longBitsToDouble(sortableBits(o))
+        else o
+      InternalRow(ordOut, p)
     }.toArray[Any])
 
   override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {

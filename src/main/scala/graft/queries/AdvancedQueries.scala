@@ -86,25 +86,32 @@ object AdvancedQueries {
             Array(col("total_cents"), col("o_custkey")),
             "metric", "value")),
 
-      // Exact percentiles by index arithmetic (rn == ceil(p·n)), not an
-      // engine quantile function — deterministic and integer-exact on both
-      // engines; one window pass, one agg, single shuffle on the group key.
+      // Exact percentiles by COUNTING, not ranking: the value at rank
+      // ⌈p·n⌉ of (cents, o_orderkey) is the smallest cents whose
+      // cumulative frequency reaches ⌈p·n⌉ (the orderkey tie-break never
+      // changes the VALUE at a rank), so a hash aggregate keyed by
+      // (status, cents) — map-side combined, output bounded by the PRICE
+      // DOMAIN, not the row count — replaces the previous per-status
+      // ranking window over raw orders. o_orderstatus has 3 values: that
+      // window funneled n/3 rows through each of 3 tasks for a full sort
+      // — the bounded-partition shape PlanGuard now rejects. The
+      // remaining windows run over the reduced frequency table only.
       "price_percentiles" -> ((s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
+        val byStatus = org.apache.spark.sql.expressions.Window
           .partitionBy(col("o_orderstatus"))
-          .orderBy(col("cents"), col("o_orderkey"))
+        val cumW = byStatus.orderBy(col("cents"))
         Tables.load(s, dir, "orders")
-          .select(col("o_orderstatus"), col("o_orderkey"),
+          .select(col("o_orderstatus"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("cnt", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("o_orderstatus"))))
+          .groupBy(col("o_orderstatus"), col("cents"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(cumW))
+          .withColumn("cnt", sum(col("c")).over(byStatus))
           .groupBy(col("o_orderstatus"))
           .agg(
-            max(when(col("rn") === expr("(cnt + 1) div 2"), col("cents")))
+            min(when(col("cum") >= expr("(cnt + 1) div 2"), col("cents")))
               .as("p50_cents"),
-            max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("cents")))
+            min(when(col("cum") >= expr("(9 * cnt + 9) div 10"), col("cents")))
               .as("p90_cents"),
             max(col("cnt")).as("n_orders"))
       })),

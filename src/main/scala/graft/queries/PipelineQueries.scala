@@ -61,7 +61,9 @@ object PipelineQueries {
 
   /** Full SQL mirror of the PQ chain (exts/PqIndex.scala): fixed-point
     * subvectors, per-subspace integer k-means ([[graft.exts.PqIndex.PqIters]]
-    * Lloyd rounds, floor means, min-L2² ties→lowest code), and final code
+    * Lloyd rounds, truncated-toward-zero integer means — Spark `div` and
+    * DuckDB `//` both truncate, so negative sums agree —
+    * min-L2² ties→lowest code), and final code
     * assignment — all integer arithmetic, so codebooks/codes/distances are
     * engine-exact with no float mirroring. Ends in `pcodes(vec_id, m,
     * code, d2)` + `pcbN` (the final codebook). */

@@ -128,7 +128,10 @@ class AdvancedSpec extends AnyFunSuite {
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"expected an object/sort aggregate for the typed buffer:\n$plan")
-    assert(plan.contains("partial_top_k_pairs") || plan.contains("partial"),
-      s"expected a partial aggregation stage:\n$plan")
+    // the aggregate renders as its nodeName ("topkpairs"), so the partial
+    // stage is "partial_topkpairs" — no bare-"partial" fallback, which
+    // could match unrelated plan text and mask a regression
+    assert(plan.contains("partial_topkpairs"),
+      s"expected a partial_topkpairs aggregation stage:\n$plan")
   }
 }

@@ -1371,4 +1371,55 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("salt_buckets") >= 1L)
     }
   }
+
+  test("exact-search ranking is the bounded TopKPairs aggregate, not a window") {
+    // the four exact-search keys rank via groupBy + TopKPairs: a PARTIAL
+    // (map-side) stage must exist — ≤k rows per (query, mapper) enter the
+    // exchange — and no ranking Window may remain in the plan (the old
+    // row_number form sorted a corpus-sized group per query)
+    val emb = Tables.load(spark, dir, "embeddings")
+    for ((name, df) <- Seq(
+        "sim_topk" -> Similarity.bruteTopK(spark, dir),
+        "pq_search" -> graft.exts.PqIndex.pqSearch(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_topkpairs"),
+        s"$name: expected a partial_topkpairs stage:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$name: ranking window survived the TopKPairs rewrite:\n$plan")
+    }
+    // double-ord path: sortable-bits buffer must reproduce the exact
+    // (cos DESC, id ASC) order incl. sign handling — spot-check monotone
+    // cos ordering per query against recomputed cosines
+    val top = Similarity.bruteTopK(spark, dir, maxQueryId = 4, k = 8)
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    top.collect().groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranked = rows.sortBy(_.getInt(2)).map(_.getLong(1))
+      val sims = ranked.map(n => cos(vecs(q), vecs(n)))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $q: cos not monotone over ranks: ${sims.mkString(",")}")
+    }
+  }
+
+  test("PQ refuses a mismatched embedding dim with a named error") {
+    import spark.implicits._
+    val bad = Seq((0L, Array.fill(16)(0.5f)), (1L, Array.fill(16)(-0.25f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.exts.PqIndex.trainedCodebook(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("graft.pq: embedding dim")),
+      s"expected the named dim-contract error, got: $e")
+  }
 }

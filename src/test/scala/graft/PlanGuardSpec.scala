@@ -81,4 +81,105 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"partition-less windows (whole input → one task):\n${offenders.mkString("\n")}")
   }
+
+  /** Queries whose low-cardinality-partition window over unreduced input
+    * is justified:
+    *  - window_rank_funcs: partitions by l_suppkey — supplier COUNT is
+    *    the dimension that scales with the corpus (TPC-H suppliers ∝ SF,
+    *    lineitems per supplier ~constant), so the per-group sort is
+    *    bounded at any scale; the fixture just has 10 suppliers. (The
+    *    rank/percent_rank/cume_dist family also intrinsically needs the
+    *    full group ordering — there is no bounded-buffer form.) */
+  private val boundedWindowJustified = Set("window_rank_funcs")
+
+  test("no low-cardinality-partition Window over an unreduced corpus-scale child") {
+    // The r8 verdict's scale-killer shape: a Window partitioned by a key
+    // with O(1) distinct values (e.g. query_id from a `vec_id < 8`
+    // filter) whose child is corpus-sized — every ranking funnels
+    // n/keys rows through one task per key for a full sort, invisible to
+    // the partition-less guard above because the window IS partitioned.
+    //
+    // Detection is syntactic + empirical at fixture scale: consider only
+    // windows whose child subtree reaches a relation scan with NO
+    // Aggregate/Limit/WindowGroupLimit in between (an aggregated/limited
+    // child is the metadata plane — bounded by construction, e.g. the
+    // counting-median frequency tables in quality_calibrate /
+    // price_percentiles; a WindowGroupLimit child is Catalyst's OWN
+    // mitigation — InferWindowGroupLimit bounds `filter(rank <= k)`
+    // windows to k rows per group per partition before the exchange, so
+    // those never see corpus-sized groups), then measure |distinct
+    // partition keys| and |child rows|: ≤ MaxKeys keys spreading
+    // ≥ RatioBar rows each is the flagged shape. Partition keys that
+    // SCALE with the data (vec_id, custkey, table_id — many keys,
+    // bounded groups) stay under MaxKeys only at toy cardinality with
+    // small ratios (measured ≤62 suite-wide at sf0.001); the bounded-key
+    // offenders measured 499-600. The bar sits between.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Distinct, GlobalLimit, LocalLimit, LogicalPlan, Project,
+      Window => LWindow, WindowGroupLimit}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+    val MaxKeys = 64L
+    val RatioBar = 256L
+
+    def hasUnreducedScan(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit |
+           _: WindowGroupLimit => false
+      case _: LogicalRelation => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.exists(hasUnreducedScan)
+    }
+    def rows(plan: LogicalPlan): Long =
+      spark.sessionState.executePlan(plan).toRdd.count()
+    def offendingWindows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+            hasUnreducedScan(w.child) => w
+      }.flatMap { w =>
+        val named: Seq[NamedExpression] = w.partitionSpec.zipWithIndex.map {
+          case (ne: NamedExpression, _) => ne
+          case (e, i) => Alias(e, s"pk$i")()
+        }
+        val keys = rows(Distinct(Project(named, w.child)))
+        val child = rows(w.child)
+        if (keys > 0 && keys <= MaxKeys && child >= RatioBar * keys)
+          Some(s"keys=$keys child=$child")
+        else None
+      }
+
+    // canary: the detector must flag the unmitigated form of the r8
+    // shape — a per-query FULL ranking over the corpus (8 keys × ~500
+    // candidate rows each) with no rank-limit filter, so Catalyst cannot
+    // insert a WindowGroupLimit (the exact shape the old
+    // price_percentiles had, and what any percentile/exact-rank consumer
+    // of the old sim_topk window would have produced)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val canary = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val corpus = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_n"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      corpus.join(broadcast(queries),
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos",
+          graft.exts.Similarity.cosine(col("emb_q"), col("emb_n")))
+        .withColumn("rank", row_number().over(w))
+    }
+    assert(offendingWindows(canary).nonEmpty,
+      "guard self-check: the per-query full-ranking window went undetected")
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => boundedWindowJustified(q._1))
+      .flatMap { case (name, fn) =>
+        offendingWindows(fn(spark, dir)).map(d => s"$name: $d")
+      }
+    assert(offenders.isEmpty,
+      "low-cardinality-partition windows over corpus-scale input " +
+        s"(n/keys rows through one task per key):\n${offenders.mkString("\n")}")
+  }
 }
