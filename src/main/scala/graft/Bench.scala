@@ -17,13 +17,14 @@ object Bench {
     spark.range(1000000L).repartition(8).groupBy((col("id") % 7).as("k"))
       .count().count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    // Two passes per query, report the min: steady-state throughput rather
-    // than first-run plan-compilation cost. If both passes land above the
-    // slow-query threshold (JIT deopt, GC pause, or a noisy neighbor can
-    // hit the same query twice in a row), take one more pass so a
-    // transient never stands as a query's steady-state number. A crashed
-    // run is reported as -1 (plus an entry in "errors"), never as its
-    // elapsed time.
+    // Min of THREE passes per query: steady-state throughput rather than
+    // first-run plan-compilation cost, and enough samples that the
+    // ±0.1 s fixed-latency jitter on sub-second queries (JIT deopt, GC
+    // pause, noisy neighbor) stops reading as round-over-round
+    // "regressions" — r7→r8 comparison chased exactly that noise. The
+    // pass count is recorded in the output ("passes") so rounds compare
+    // like with like. A crashed run is reported as -1 (plus an entry in
+    // "errors"), never as its elapsed time.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -34,17 +35,12 @@ object Bench {
         -1.0
       }
     }
+    val passes = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (a, b) = (once(name, fn), once(name, fn))
-      val best =
-        if (a < 0 || b < 0) -1.0
-        else if (math.min(a, b) > 2.0) {
-          val c = once(name, fn)
-          // A crashed extra pass doesn't discard the two valid timed
-          // passes — a steady-state number already exists (the error is
-          // still recorded in "errors").
-          if (c < 0) math.min(a, b) else math.min(math.min(a, b), c)
-        } else math.min(a, b)
+      val times = (1 to passes).map(_ => once(name, fn))
+      // Any crashed pass → -1 (flakiness must be loud, not averaged
+      // away); the error strings are recorded either way.
+      val best = if (times.exists(_ < 0)) -1.0 else times.min
       name -> best
     }.toMap
     // Artifact-backed queries get an explicit cold/warm split: "cold"
@@ -76,7 +72,7 @@ object Bench {
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts":$artifacts,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"artifacts":$artifacts,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

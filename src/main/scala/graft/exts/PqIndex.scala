@@ -89,18 +89,20 @@ object PqIndex {
           s"${SubSpaces * SubDim}, got "),
         size(embCol).cast("string"))))
 
-  /** (vec_id, m, qsub): each vector's m-th subvector quantized to 1e-4
-    * fixed-point longs — one row per (vector, subspace). */
-  private[graft] def quantizedSubs(emb0: DataFrame): DataFrame = {
-    val emb = emb0.select(col("vec_id"),
-      dimChecked(col("embedding")).as("embedding"))
-    emb.select(col("vec_id"),
+  /** (vec_id, [keep…], m, qsub): each vector's m-th subvector quantized to
+    * 1e-4 fixed-point longs — one row per (vector, subspace); `keep` names
+    * extra columns carried alongside (e.g. the IVF cell id). */
+  private[graft] def quantizedSubs(emb0: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val emb = emb0.select(col("vec_id") +: keep.map(col) :+
+      dimChecked(col("embedding")).as("embedding"): _*)
+    emb.select(col("vec_id") +: keep.map(col) :+
       posexplode(expr(
         s"""transform(sequence(0, ${SubSpaces - 1}), m ->
            |  transform(sequence(0, ${SubDim - 1}), d ->
            |    CAST(round(CAST(element_at(embedding, m * $SubDim + d + 1)
            |      AS DOUBLE) * 10000) AS BIGINT)))""".stripMargin))
-        .as(Seq("m", "qsub")))
+        .as(Seq("m", "qsub")): _*)
   }
 
   /** Deterministic per-subspace k-means codebook: seeds are the first
@@ -172,27 +174,38 @@ object PqIndex {
     * queries × k metadata regardless of corpus scale (the ann_recall
     * shape). */
   def pqRecall(spark: SparkSession, dir: String, maxQueryId: Long = 8,
-      k: Int = 5): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+      k: Int = 5): DataFrame =
+    recallVsTruth(
+      exactIntTruth(Tables.load(spark, dir, "embeddings"), maxQueryId, k),
+      pqSearch(spark, dir, maxQueryId, k))
+
+  /** Exact integer-L2 top-k ground truth over FULL quantized vectors —
+    * (query_id, neighbor_id), k rows per query. The query side is bounded
+    * (maxQueryId rows × M) — broadcast it, so the corpus is scanned once
+    * with no exchange on the 8-value `m` key (a shuffle join on m would
+    * funnel the whole corpus through M tasks). */
+  private def exactIntTruth(emb: DataFrame, maxQueryId: Long,
+      k: Int): DataFrame = {
     val q = quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
       .select(col("vec_id").as("query_id"), col("m"),
         col("qsub").as("qsub_q"))
     val n = quantizedSubs(emb)
       .select(col("vec_id").as("neighbor_id"), col("m"),
         col("qsub").as("qsub_n"))
-    // the query side is bounded (maxQueryId rows × M) — broadcast it, so
-    // the corpus is scanned once with no exchange on the 8-value `m` key
-    // (a shuffle join on m would funnel the whole corpus through M tasks)
-    val truth = topKByDist(
+    topKByDist(
       n.join(broadcast(q), Seq("m"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(sum(l2q(col("qsub_q"), col("qsub_n"))).as("dist_q")),
       k)
       .select(col("query_id"), col("neighbor_id"))
-    val adc = pqSearch(spark, dir, maxQueryId, k)
+  }
+
+  /** Recall@k grading frame: `truth` and `approx` are both queries × k
+    * rows — metadata at any scale — so the comparison join broadcasts. */
+  private def recallVsTruth(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val adc = approx
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    // both comparison sides are queries × k rows — metadata at any scale
     truth.join(broadcast(adc), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
@@ -230,18 +243,151 @@ object PqIndex {
     val cb = codebook(spark, dir)
     val codes = assignCodes(emb, cb)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
-    val distTable = quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
-      .select(col("vec_id").as("query_id"), col("m"), col("qsub"))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("m"), col("code"),
-        l2q(col("qsub"), col("cw")).as("dq"))
     topKByDist(
-      codes.join(broadcast(distTable), Seq("m", "code"))
+      codes.join(broadcast(distTables(spark, dir, maxQueryId)),
+          Seq("m", "code"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(sum(col("dq")).as("dist_q")),
       k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("dist_q"))
+  }
+
+  /** Per-query ADC distance tables: (query_id, m, code, dq) — the M×K
+    * integer table each query evaluates corpus codes against. Bounded
+    * (maxQueryId × SubSpaces × CodeWords rows), always broadcast. */
+  private def distTables(spark: SparkSession, dir: String,
+      maxQueryId: Long): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
+      .select(col("vec_id").as("query_id"), col("m"), col("qsub"))
+      .join(broadcast(codebook(spark, dir)), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        l2q(col("qsub"), col("cw")).as("dq"))
+  }
+
+  // ---- IVF×PQ: ADC over codes WITHIN probed inverted-file cells ----
+
+  /** Corpus codes tagged with their IVF cell: (neighbor_id, m, code,
+    * cell). ONE corpus pass — the cell assignment (nearest centroid,
+    * [[IvfIndex.assigned]]) is carried through the code-argmin aggregate
+    * instead of joined back on vec_id, so no corpus-sized self-join. */
+  private def codesWithCell(emb: DataFrame, cent: DataFrame,
+      cb: DataFrame): DataFrame =
+    quantizedSubs(IvfIndex.assigned(emb, cent), keep = Seq("cell"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", l2q(col("qsub"), col("cw")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("s"),
+        first(col("cell")).as("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("m"),
+        col("s.code").as("code"), col("cell"))
+
+  /** Each query's nprobe nearest cells: (query_id, cell) — bounded
+    * (queries × centroids rows pre-rank; the window groups are
+    * centroid-sized, never corpus-sized). */
+  private def probedCells(emb: DataFrame, cent: DataFrame,
+      maxQueryId: Long, nprobe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      .join(broadcast(cent))
+      .withColumn("cent_cos", Similarity.cosine(col("emb_q"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+  }
+
+  /** ivf_pq_search: the composed deployment shape a real 100 TB vector
+    * corpus runs — the IVF coarse quantizer prunes the candidate set to
+    * each query's nprobe nearest cells, and WITHIN those cells distance is
+    * evaluated against PQ codes (ADC), never raw vectors. The corpus-side
+    * join payload is (cell, m, code) — ~SubSpaces bytes per vector — and
+    * the query side (probed cells × M×K distance tables) is broadcast, so
+    * the corpus is scanned once with no corpus-sized exchange at all.
+    * Output (query_id, neighbor_id, rank, dist_q), rank by (dist asc,
+    * neighbor_id asc), self excluded — identical semantics to [[pqSearch]]
+    * restricted to probed cells. */
+  def ivfPqSearch(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5, nprobe: Int = 1): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cent = IvfIndex.centroids(spark, dir)
+    val codes = codesWithCell(emb, cent, codebook(spark, dir))
+    rankProbed(spark, dir, codes, cent, maxQueryId, k, nprobe)
+  }
+
+  /** The ADC-over-probed-cells finish shared by the in-memory and
+    * clustered-layout searches: join codes to (query probed-cell ×
+    * distance-table) rows on (cell, m, code) — every corpus code in a
+    * probed cell hits exactly one (query, m, code) table row — sum over
+    * m, bounded top-k. */
+  private def rankProbed(spark: SparkSession, dir: String,
+      codes: DataFrame, cent: DataFrame, maxQueryId: Long, k: Int,
+      nprobe: Int): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    // both sides are bounded (queries × M×K / queries × nprobe) but only
+    // we know that — hint the probe side so the planner never SMJs here
+    val qdist = distTables(spark, dir, maxQueryId)
+      .join(broadcast(probedCells(emb, cent, maxQueryId, nprobe)),
+        Seq("query_id"))
+      .select(col("cell"), col("m"), col("code"), col("query_id"),
+        col("dq"))
+    topKByDist(
+      codes.join(broadcast(qdist), Seq("cell", "m", "code"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("dq")).as("dist_q")),
+      k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("dist_q"))
+  }
+
+  /** ivf_pq_recall: recall@k of the composed IVF×PQ search against the
+    * exact integer-L2 full-vector ground truth — grades BOTH
+    * approximation losses at once (cell pruning + code compression),
+    * the number a deployment tunes (nprobe, M, K) against. */
+  def ivfPqRecall(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5, nprobe: Int = 1): DataFrame =
+    recallVsTruth(
+      exactIntTruth(Tables.load(spark, dir, "embeddings"), maxQueryId, k),
+      ivfPqSearch(spark, dir, maxQueryId, k, nprobe))
+
+  // ---- the IVF×PQ index AT REST: cell-partitioned CODES layout ----
+
+  /** Write the corpus CODES clustered by IVF cell — one `cell=<id>/`
+    * parquet directory per inverted-file cell, rows (neighbor_id, m,
+    * code). This is the index file a 100 TB deployment ships: ~SubSpaces
+    * bytes of codes per vector (the raw vectors never leave ingest), laid
+    * out so a probe reads only its own cells' files via directory-level
+    * partition pruning. Build once at ingest, next to the centroid and
+    * codebook artifacts. */
+  def writeClusteredCodes(spark: SparkSession, dir: String,
+      path: String): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    codesWithCell(emb, IvfIndex.centroids(spark, dir),
+      codebook(spark, dir))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+  }
+
+  /** IVF×PQ search against a [[writeClusteredCodes]] layout: probed cell
+    * ids are collected (metadata — ≤ queries × nprobe ints) into literal
+    * filters, so partition pruning skips every unprobed cell's files and
+    * the scan touches only probed-cell CODES. Results identical to
+    * [[ivfPqSearch]] with the same artifacts. */
+  def searchClusteredCodes(spark: SparkSession, dir: String, path: String,
+      maxQueryId: Long = 8, k: Int = 5, nprobe: Int = 1): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cent = IvfIndex.centroids(spark, dir)
+    val cells = probedCells(emb, cent, maxQueryId, nprobe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("neighbor_id"), col("m"), col("code"), col("cell"))
+    rankProbed(spark, dir, codes, cent, maxQueryId, k, nprobe)
   }
 }

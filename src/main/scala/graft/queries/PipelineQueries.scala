@@ -134,6 +134,47 @@ object PipelineQueries {
        |      ORDER BY dist_q, neighbor_id) AS rank
        |  FROM pscored)""".stripMargin
 
+  /** Composed IVF×PQ search CTEs — corpus/query cell assignment against
+    * the shared k-means centroids ([[trainCtes]]'s `cent2`), then the ADC
+    * scoring restricted to probed cells, reusing [[pqSearchCtes]]'s
+    * `pdist` distance tables so the composed oracle cannot drift from the
+    * pq_search one. Ends in `ipranked(query_id, neighbor_id, dist_q,
+    * rank)`. */
+  private def ivfPqCtes(nprobe: Int): String = {
+    val fin = trainFinalCte
+    s"""cca AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+       |                 c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN $fin c)
+       |  WHERE rn = 1),
+       |qca AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+       |                 c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN $fin c WHERE e.vec_id < 8)
+       |  WHERE rn <= $nprobe),
+       |ipscored AS (
+       |  SELECT d.query_id, n.vec_id AS neighbor_id,
+       |    CAST(sum(d.dq) AS BIGINT) AS dist_q
+       |  FROM pcodes n
+       |  JOIN cca ON cca.vec_id = n.vec_id
+       |  JOIN qca ON qca.cell = cca.cell
+       |  JOIN pdist d ON d.query_id = qca.query_id
+       |    AND d.m = n.m AND d.code = n.code
+       |  WHERE n.vec_id <> qca.query_id
+       |  GROUP BY 1, 2),
+       |ipranked AS (
+       |  SELECT query_id, neighbor_id, dist_q,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist_q, neighbor_id) AS rank
+       |  FROM ipscored)""".stripMargin
+  }
+
   /** documents ∪ planted near-copies — DuckDB side. */
   private val nearCorpusCte =
     """corpus AS (
@@ -435,6 +476,10 @@ object PipelineQueries {
       "pq_encode" -> ((s, dir) => PqIndex.pqEncode(s, dir)),
       "pq_search" -> ((s, dir) => PqIndex.pqSearch(s, dir)),
       "pq_recall" -> ((s, dir) => PqIndex.pqRecall(s, dir)),
+      // the composed deployment shape: ADC over PQ codes WITHIN
+      // IVF-probed cells (both halves' CTE chains reused by the oracle)
+      "ivf_pq_search" -> ((s, dir) => PqIndex.ivfPqSearch(s, dir)),
+      "ivf_pq_recall" -> ((s, dir) => PqIndex.ivfPqRecall(s, dir)),
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
 
@@ -1853,6 +1898,56 @@ object PipelineQueries {
            |  CAST(count(p.query_id) * 1000 // count(*) AS BIGINT)
            |    AS recall_x1000
            |FROM truth t LEFT JOIN ptop p
+           |  ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+           |GROUP BY t.query_id""".stripMargin,
+
+      // Composed IVF×PQ: ADC over codes restricted to each query's probed
+      // cell — the oracle retrains BOTH artifacts (k-means centroids +
+      // per-subspace codebooks) in SQL and reuses pq_search's pdist
+      // distance tables, so the composed ranking is hash-gated end to end.
+      "ivf_pq_search" ->
+        s"""WITH $trainCtes,
+           |$pqCtes,
+           |$pqSearchCtes,
+           |${ivfPqCtes(1)}
+           |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           |  dist_q
+           |FROM ipranked WHERE rank <= 5""".stripMargin,
+
+      // recall@5 of the composed search vs the same exact integer-L2
+      // full-vector truth pq_recall grades against — one metric for both
+      // approximation losses (cell pruning + code compression).
+      "ivf_pq_recall" ->
+        s"""WITH $trainCtes,
+           |$pqCtes,
+           |$pqSearchCtes,
+           |${ivfPqCtes(1)},
+           |iptop AS (SELECT query_id, neighbor_id FROM ipranked
+           |          WHERE rank <= 5),
+           |tscored AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |    CAST(sum(CAST(list_sum(list_transform(
+           |      range(${PqIndex.SubDim}), i ->
+           |        (q.qsub[i+1] - n.qsub[i+1]) *
+           |        (q.qsub[i+1] - n.qsub[i+1]))) AS BIGINT)) AS BIGINT)
+           |      AS dist_q
+           |  FROM qsubs q JOIN qsubs n
+           |    ON n.m = q.m AND n.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY dist_q, neighbor_id) AS rank
+           |    FROM tscored)
+           |  WHERE rank <= 5)
+           |SELECT t.query_id,
+           |  CAST(count(*) AS BIGINT) AS k_truth,
+           |  CAST(count(p.query_id) AS BIGINT) AS n_hits,
+           |  CAST(count(p.query_id) * 1000 // count(*) AS BIGINT)
+           |    AS recall_x1000
+           |FROM truth t LEFT JOIN iptop p
            |  ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
            |GROUP BY t.query_id""".stripMargin,
 

@@ -425,6 +425,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ADC recall@5 too low: $recall")
   }
 
+  test("ivf_pq: clustered codes layout — partition-pruned ADC = in-memory") {
+    import graft.exts.PqIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq").toString + "/codes_by_cell"
+    PqIndex.writeClusteredCodes(spark, dir, path)
+    val got = PqIndex.searchClusteredCodes(spark, dir, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val expected = rows(PqIndex.ivfPqSearch(spark, dir))
+    assert(expected.nonEmpty)
+    assert(rows(got) === expected)
+    // the codes scan prunes to the probed cells at the directory level —
+    // an unprobed cell's files are never read
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no cell partition filter in:\n$plan")
+  }
+
+  test("ivf_pq: probed-cell restriction can only raise the best distance") {
+    import graft.exts.PqIndex
+    // The composed search ranks over a SUBSET of pq_search's candidates
+    // (only probed cells), so per query its best ADC distance is >= the
+    // unrestricted search's best — the invariant that survives any
+    // fixture regeneration, unlike per-query recall values.
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(org.apache.spark.sql.functions.col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val composed = best(PqIndex.ivfPqSearch(spark, dir))
+    val full = best(PqIndex.pqSearch(spark, dir))
+    assert(composed.keySet === full.keySet)
+    composed.foreach { case (q, d) =>
+      assert(d >= full(q),
+        s"query $q: composed best $d < unrestricted best ${full(q)}")
+    }
+    // both recall frames grade against the same exact integer-L2 truth
+    val rec = PqIndex.ivfPqRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rec.length === 8)
+    rec.foreach { case (_, kTruth, hits, x1000) =>
+      assert(kTruth === 5L)
+      assert(hits >= 0L && hits <= 5L)
+      assert(x1000 === hits * 1000 / 5)
+    }
+  }
+
   test("minhash band pairs: planted near-dups collide in most bands") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.minhashBandPairs(Dedup.corpusWithNearDups(spark, dir))
