@@ -714,6 +714,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** ORACLE-GATED SimHash band-bucketing twin (the [[minhashBandPairs]]
+    * pattern applied to SimHash): the SQL-mirrorable polynomial word hash
+    * feeds sign-sum bit votes ([[graft.functions.SimHashPoly]] — 31 exact
+    * integer bits), candidates block on 4 × 8-bit signature bands
+    * (pigeonhole over the 31-bit width), and each candidate pair carries
+    * its shared-band count plus exact Hamming distance, kept when the
+    * distance is ≤ maxHamming (the [[simhashPairs]] near-dup rule —
+    * pigeonhole over 4 bands guarantees d ≤ 3 pairs share one). Every
+    * intermediate is integer arithmetic a DuckDB oracle reproduces
+    * bit-for-bit, so this key is hash-gated where the FNV production
+    * variant ([[simhashPairs]]) can only be golden-gated.
+    *
+    * Scale shape: identical to the production variant — one compiled
+    * pass per doc, a fixed 8-byte signature through the shuffle,
+    * equi-join on (band, 16-bit band value). */
+  def simhashBandPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = corpus
+      .filter(size(words(col("text"))) >= ShingleN)
+      .select(col("doc_id"),
+        graft.functions.Signatures.simhash_poly(col("text")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)), c =>
+        struct(c.as("band"),
+          call_function("shiftright", col("sig"), c * 16)
+            .bitwiseAND(0xFFFFL).as("v")))).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.v").as("v"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"),
+        bit_count(first(col("a.sig"))
+          .bitwiseXOR(first(col("b.sig")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- SimHash ----
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates

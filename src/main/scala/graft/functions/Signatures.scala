@@ -210,6 +210,61 @@ object SigImpl {
     new GenericArrayData(Array[Any](n.toLong, top, nBg, distinctBg))
   }
 
+  /** Signature width of the SQL-mirrorable SimHash: each mod-P word hash
+    * (P = 2³¹−1) carries 31 signal bits; two independent polynomial
+    * hashes give 62 — wide enough for 16-bit band blocking to keep
+    * chance collisions rare (31 bits alone would force 8-bit bands,
+    * which at sf0.01 already produced ~52k chance candidate pairs — a
+    * quadratic trap at corpus scale). */
+  val SimBits = 62
+
+  /** Second polynomial base — feeds the high 31 signature bits. */
+  val WordBase2 = 137L
+
+  /** [[wordPolyHash]] with [[WordBase2]]: Σ ord(cᵢ)·WordBase2^i mod P. */
+  def wordPolyHash2(w: String): Long = {
+    var h = 0L
+    var p = 1L
+    var i = 0
+    while (i < w.length) {
+      h = (h + w.charAt(i).toLong * p) % P
+      p = (p * WordBase2) % P
+      i += 1
+    }
+    h
+  }
+
+  /** SQL-mirrorable SimHash: two per-word polynomial hashes (the same
+    * mod-P arithmetic the minhash_band_pairs oracle recomputes), sign-sum
+    * votes on each of the [[SimBits]] bits — bits 0..30 from
+    * [[wordPolyHash]], 31..61 from [[wordPolyHash2]]; multiset, so every
+    * occurrence votes — bit set iff its vote sum is positive (the same
+    * `> 0` rule as [[simhash]]). One compiled pass per document. */
+  def simhashPoly(text: UTF8String): Long = {
+    val words = tokenize(text.toString)
+    val weights = new Array[Int](SimBits)
+    var i = 0
+    while (i < words.length) {
+      val h1 = wordPolyHash(words(i))
+      val h2 = wordPolyHash2(words(i))
+      var b = 0
+      while (b < 31) {
+        if (((h1 >>> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1
+        if (((h2 >>> b) & 1L) == 1L) weights(b + 31) += 1
+        else weights(b + 31) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < SimBits) {
+      if (weights(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash over the token multiset, one compiled pass. */
   def simhash(text: UTF8String): Long = {
     val words = tokenize(text.toString)
@@ -286,6 +341,18 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SQL-mirrorable SimHash expression (polynomial word hash, 31 bits). */
+case class SimHashPoly(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.simhashPoly(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.simhashPoly($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashPoly =
+    copy(child = newChild)
+}
+
 /** SimHash expression: 64-bit signature as a bigint. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -311,6 +378,8 @@ object Signatures {
       "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig_poly", exprs => MinHashSigPoly(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_poly", exprs => SimHashPoly(exprs.head), "built-in")
   }
 
   /** Column APIs (no registration required). */
@@ -320,6 +389,8 @@ object Signatures {
     ExpressionUtils.column(MinHashSigPoly(ExpressionUtils.expression(c)))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+  def simhash_poly(c: Column): Column =
+    ExpressionUtils.column(SimHashPoly(ExpressionUtils.expression(c)))
   def shingle_set(c: Column): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(c)))
   def repetition_stats(c: Column): Column =

@@ -426,6 +426,8 @@ object PipelineQueries {
       // stays golden-gated)
       "minhash_band_pairs" -> ((s, dir) =>
         Dedup.minhashBandPairs(Dedup.corpusWithNearDups(s, dir))),
+      "simhash_band_pairs" -> ((s, dir) =>
+        Dedup.simhashBandPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_simhash" -> ((s, dir) =>
         Dedup.simhashPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_embedding" -> ((s, dir) => Similarity.nearDupPairs(s, dir)),
@@ -1135,6 +1137,75 @@ object PipelineQueries {
            |  AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.v3 = b.v3
            |  AND a.doc_id < b.doc_id
            |GROUP BY 1, 2""".stripMargin,
+
+      // SQL-recomputed SimHash twin: TWO per-word mod-P polynomial
+      // hashes (the minhash_band_pairs wh CTE, plus a second powers
+      // table for WordBase2), sign-sum votes on 62 bits, bit set iff the
+      // sum is positive, 4 × 16-bit band blocking, and exact integer
+      // Hamming ≤ 3 over the signatures — every step integer arithmetic,
+      // so candidates, band counts, and distances match the engine
+      // bit-exactly.
+      "simhash_band_pairs" -> {
+        import graft.functions.SigImpl
+        val bigP = java.math.BigInteger.valueOf(SigImpl.P)
+        val base2 = java.math.BigInteger.valueOf(SigImpl.WordBase2)
+        val wpw2 = (0 until SigImpl.MaxWordLen)
+          .map(e =>
+            s"($e, ${base2.modPow(java.math.BigInteger.valueOf(e), bigP)})")
+          .mkString(", ")
+        // (bit index, source hash 1/2, in-hash power, signature power)
+        val p2 = (0 until SigImpl.SimBits)
+          .map(b => s"($b, ${if (b < 31) 1 else 2}, ${1L << (b % 31)}, " +
+            s"${1L << b})")
+          .mkString(", ")
+        s"""WITH $nearCorpusCte,
+           |$minhashPolyCtes,
+           |wpw2(e, p) AS (VALUES $wpw2),
+           |p2(b, src, v, sv) AS (VALUES $p2),
+           |b64k(band, bv) AS (VALUES (0, 1::BIGINT), (1, 65536::BIGINT),
+           |  (2, 4294967296::BIGINT), (3, 281474976710656::BIGINT)),
+           |words AS (
+           |  SELECT doc_id, ws, len(ws) AS nw FROM (
+           |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           |    FROM corpus)
+           |  WHERE len(ws) >= 5),
+           |wh AS (
+           |  SELECT w.doc_id, wi.wi,
+           |    CAST(sum(ord(substr(w.ws[wi.wi], CAST(ci.ci AS INTEGER), 1))
+           |      ::BIGINT * wpw.p) % 2147483647 AS BIGINT) AS wh1,
+           |    CAST(sum(ord(substr(w.ws[wi.wi], CAST(ci.ci AS INTEGER), 1))
+           |      ::BIGINT * wpw2.p) % 2147483647 AS BIGINT) AS wh2
+           |  FROM words w,
+           |    LATERAL (SELECT unnest(generate_series(1, w.nw)) AS wi) wi,
+           |    LATERAL (SELECT unnest(generate_series(1,
+           |      len(w.ws[wi.wi]))) AS ci) ci,
+           |    wpw, wpw2
+           |  WHERE wpw.e = ci.ci - 1 AND wpw2.e = ci.ci - 1
+           |  GROUP BY 1, 2),
+           |wt AS (
+           |  SELECT wh.doc_id, p2.b,
+           |    sum(CASE WHEN ((CASE WHEN p2.src = 1 THEN wh.wh1
+           |                         ELSE wh.wh2 END) // p2.v) % 2 = 1
+           |        THEN 1 ELSE -1 END) AS w
+           |  FROM wh CROSS JOIN p2 GROUP BY 1, 2),
+           |sg AS (
+           |  SELECT wt.doc_id,
+           |    CAST(sum(CASE WHEN wt.w > 0 THEN p2.sv ELSE 0 END)
+           |      AS BIGINT) AS sig
+           |  FROM wt JOIN p2 ON p2.b = wt.b GROUP BY 1),
+           |bands AS (
+           |  SELECT s.doc_id, s.sig, b.band, (s.sig // b.bv) % 65536 AS v
+           |  FROM sg s CROSS JOIN b64k b)
+           |SELECT * FROM (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    CAST(count(*) AS BIGINT) AS n_shared_bands,
+           |    CAST(bit_count(xor(min(a.sig), min(b.sig))) AS INTEGER)
+           |      AS hamming
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |WHERE hamming <= 3""".stripMargin
+      },
 
       "dedup_ngram_jaccard" ->
         s"""WITH $nearCorpusCte,

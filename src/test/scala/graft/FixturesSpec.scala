@@ -114,4 +114,28 @@ class FixturesSpec extends AnyFunSuite {
       got("event_type") === StringType && got("value") === DoubleType &&
       got("props") === StringType)
   }
+
+  test("documents.text words are BMP-only and under the oracle powers bound") {
+    // The minhash_band_pairs / simhash_band_pairs oracles hash words as
+    // Σ ord(cᵢ)·base^i with (a) a powers table of MaxWordLen entries and
+    // (b) DuckDB's ord() over CODEPOINTS, while the engine's wordPolyHash
+    // iterates UTF-16 code units. Both engines agree exactly iff every
+    // corpus word is ≤ MaxWordLen chars and surrogate-free (BMP). That is
+    // an ASSUMPTION about the fixture, not the corpus in general — pin it
+    // so a regenerated corpus that breaks it fails here by name instead
+    // of as a silent oracle-parity drift.
+    import graft.functions.SigImpl
+    // both the spec fixture AND the driver's oracle-gate scale
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val bad = Tables.load(spark, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > SigImpl.MaxWordLen ||
+          col("w").rlike("[\\uD800-\\uDFFF]"))
+        .count()
+      assert(bad === 0L,
+        s"$bad corpus words in $d exceed MaxWordLen=${SigImpl.MaxWordLen} " +
+          "or contain surrogate pairs — the poly-hash oracles no longer " +
+          "match wordPolyHash; iterate codepoints or regenerate the fixture")
+    }
+  }
 }

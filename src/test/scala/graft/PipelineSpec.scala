@@ -471,6 +471,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash band pairs: planted near-dups found within hamming 3") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.simhashBandPairs(Dedup.corpusWithNearDups(spark, dir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // every emitted pair obeys the contract: ≥1 shared 16-bit band,
+    // hamming ≤ 3 over the 62-bit signatures
+    rows.foreach { case (a, b, nb, h) =>
+      assert(a < b && nb >= 1 && nb <= 4 && h >= 0 && h <= 3)
+    }
+    // a 2-token tail on a ~100-word doc rarely flips >3 of 62 vote sums:
+    // the majority of planted copies must surface
+    val planted = Dedup.corpusWithNearDups(spark, dir)
+      .filter(col("doc_id") >= 100000L).select(col("doc_id") - 100000L)
+      .collect().map(_.getLong(0))
+    val found = planted.count(id =>
+      rows.exists(r => r._1 == id && r._2 == id + 100000L))
+    assert(found * 2 >= planted.length,
+      s"only $found of ${planted.length} planted pairs within hamming 3")
+  }
+
   test("minhash band pairs: planted near-dups collide in most bands") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.minhashBandPairs(Dedup.corpusWithNearDups(spark, dir))
