@@ -82,7 +82,23 @@ object Dedup {
     * output (sf1 rehearsal: dedup_ngram_jaccard_capped 3.65 s → 13.8 s).
     * The un-pinned form lets AQE pick broadcast vs shuffle per consumer
     * from real sizes; the residual double-computed cap pass is the
-    * documented cost of the default-on cap. */
+    * documented cost of the default-on cap.
+    *
+    * MATERIALIZING this frame was also tried and rejected (r9, measured
+    * at sf1 via a flag seam + 3-run probe, cache cleared per run):
+    *  - `persist(MEMORY_AND_DISK)`: within-action minima were a wash to
+    *    a loss (report 3.56→3.01 s but keep_list 2.92→3.29,
+    *    ensemble 4.09→4.61; run-to-run spread ±2 s dwarfs the deltas),
+    *    and it carries a sharp session hazard — CacheManager substitutes
+    *    a cached subtree into ANY later matching plan, and ensemble over
+    *    the warm InMemoryRelation ran 9.0-9.9 s vs 4.1 s recomputed
+    *    (columnar cache scan loses to the codegen'd parquet+explode
+    *    pipeline it replaces, and the substitution is session-order-
+    *    dependent — unacceptable for a deterministic bench).
+    *  - `localCheckpoint()`: no substitution hazard, but a wash at every
+    *    consumer (±0.1-0.3 s around the recompute baseline) — the
+    *    eager materialization costs what the second computation cost.
+    * The recompute constant stands. */
   private[graft] def cappedShingles(corpus: DataFrame,
       maxShingleDf: Int): DataFrame = {
     val sh = hashedShingles(corpus)
