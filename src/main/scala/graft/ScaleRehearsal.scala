@@ -117,7 +117,20 @@ object ScaleRehearsal {
       "snapshot_diff" -> SparkEntry.queries("snapshot_diff"),
       // per-table ordered lead() window over the commit log — one
       // exchange by table, local sorts scale with per-table depth (flat).
-      "scd2_history" -> SparkEntry.queries("scd2_history"))
+      "scd2_history" -> SparkEntry.queries("scd2_history"),
+      // ---- media codec family (added r9: first rehearsal rows). The
+      // payloads are synthesized per doc_id and decoded one codec per
+      // partition inside mapPartitions — O(payload bytes), no shuffle of
+      // payload data — so growth should be ~linear in corpus size.
+      "mm_decode" -> SparkEntry.queries("mm_decode"),
+      "mm_audio_decode" -> SparkEntry.queries("mm_audio_decode"),
+      "mm_video_decode" -> SparkEntry.queries("mm_video_decode"),
+      // composed IVF×PQ (r9): candidate volume bounded by probed cells;
+      // every corpus-side exchange carries codes (~SubSpaces bytes/vec).
+      "ivf_pq_search" -> SparkEntry.queries("ivf_pq_search"),
+      // 62-bit poly SimHash with 16-bit band blocking (r9): candidates
+      // follow real near-dup structure, signatures are 8 bytes/doc.
+      "simhash_band_pairs" -> SparkEntry.queries("simhash_band_pairs"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries

@@ -184,12 +184,26 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Spread a doc-id frame across the executor cores before a CPU-bound
+    * codec stage. The ids come from a scan whose partitioning tracks
+    * input BYTES (the sf0.1 documents table is one small parquet file →
+    * one partition → one thread decoded everything; the r9 rehearsal
+    * caught mm_video_decode running FASTER at sf1 than sf0.1 purely
+    * because sf1 happened to have 32 files). Codec stages are CPU-bound,
+    * so their partition count must track cores, not bytes — on a real
+    * payload table the same effect comes from sizing
+    * `spark.sql.files.maxPartitionBytes` to per-task codec batches;
+    * here the shuffle moves only 8-byte ids. */
+  private def spreadIds(ids: Dataset[Long]): Dataset[Long] =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
   /** One real-PNG asset per document; encode runs in `mapPartitions`
     * (same batch shape as the decode — at scale the payload column is
     * read from the table, not synthesized). */
   def pngAssets(spark: SparkSession, dir: String): Dataset[PngAsset] = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long])
       .mapPartitions { iter =>
         imageIoNoDiskCache
         iter.map(id => PngAsset(id, encodePng(id)))
@@ -333,7 +347,8 @@ object Multimodal {
   /** One real-GIF asset per document; ONE encoder per partition. */
   def gifAssets(spark: SparkSession, dir: String): Dataset[GifAsset] = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long])
       .mapPartitions { iter =>
         imageIoNoDiskCache
         val enc = new GifEncoder()
@@ -393,13 +408,20 @@ object Multimodal {
   /** Write each GIF asset as its own `<doc_id>.gif` file under `outDir` —
     * the on-disk layout a media lake actually has (one object per asset),
     * produced with `foreachPartition` so no payload ever routes through
-    * the driver. */
+    * the driver. Files go through the Hadoop FileSystem API resolved ON
+    * THE EXECUTOR (and the directory is created per partition), so the
+    * same code addresses a shared DFS/object store on a multi-node
+    * cluster — a plain java.nio path here would scatter the lake across
+    * each executor's private disk. */
   def writeMediaFiles(assets: Dataset[GifAsset], outDir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     assets.foreachPartition { (batch: Iterator[GifAsset]) =>
+      val base = new org.apache.hadoop.fs.Path(outDir)
+      val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.mkdirs(base)
       batch.foreach { a =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(outDir, s"${a.doc_id}.gif"), a.gif)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(base, s"${a.doc_id}.gif"), true)
+        try out.write(a.gif) finally out.close()
       }
     }
   }
@@ -454,6 +476,47 @@ object Multimodal {
   private def wavSample(id: Long, i: Int): Short =
     (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort
 
+  /** JDK WAVE reader/writer SPIs resolved ONCE per executor JVM. The
+    * `AudioSystem.write`/`getAudioInputStream` entry points re-scan the
+    * provider registry under global synchronization on EVERY call, which
+    * serializes a 32-thread codec stage — the r9 sf1 rehearsal measured
+    * 17× wall for 10× assets through the AudioSystem path; per-JVM
+    * provider resolution restores ~linear scaling. The resolved classes
+    * are exactly the ones AudioSystem would pick, so the bytes and the
+    * decoded stats are unchanged. */
+  private lazy val wavIo: (javax.sound.sampled.spi.AudioFileReader,
+      javax.sound.sampled.spi.AudioFileWriter) = {
+    import scala.jdk.CollectionConverters._
+    val writer = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException(
+        "graft.mm: no WAVE AudioFileWriter SPI on this JVM"))
+    // probe bytes to pick the reader that actually accepts RIFF/WAVE
+    val probe = {
+      val fmt = new javax.sound.sampled.AudioFormat(WavRate, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](4)), fmt, 2L)
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val reader = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala
+      .find { r =>
+        try {
+          r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(probe)).close()
+          true
+        } catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException(
+        "graft.mm: no WAVE AudioFileReader SPI on this JVM"))
+    (reader, writer)
+  }
+
   /** Encode one real WAV via the JDK's WAVE file writer. */
   def encodeWav(id: Long): Array[Byte] = {
     val n = wavSampleCount(id)
@@ -470,7 +533,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
+    wavIo._2.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -480,13 +543,15 @@ object Multimodal {
     * synthesized — this stage stands in for the scan). */
   def wavAssets(spark: SparkSession, dir: String): Dataset[WavAsset] = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long])
       .mapPartitions(_.map(id => WavAsset(id, encodeWav(id))))
   }
 
-  /** REAL decode: `AudioSystem.getAudioInputStream` parses the RIFF/fmt
-    * header and yields the PCM stream inside `mapPartitions` (one codec
-    * context per partition, the batch-amortized Pandas-UDF shape), then
+  /** REAL decode: the JDK WAVE `AudioFileReader` ([[wavIo]] — resolved
+    * once per JVM, NOT the synchronized per-call AudioSystem scan) parses
+    * the RIFF/fmt header and yields the PCM stream inside
+    * `mapPartitions` (one codec context per partition), then
     * a tight loop decodes each 16-bit frame at the header-declared
     * endianness and accumulates integer amplitude stats. O(samples) per
     * asset, shuffle-free; payload bytes never leave the partition. */
@@ -494,7 +559,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.map { a =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val ais = wavIo._1.getAudioInputStream(
           new java.io.ByteArrayInputStream(a.wav))
         val fmt = ais.getFormat
         val data = ais.readAllBytes()

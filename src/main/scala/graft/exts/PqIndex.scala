@@ -355,6 +355,40 @@ object PqIndex {
       exactIntTruth(Tables.load(spark, dir, "embeddings"), maxQueryId, k),
       ivfPqSearch(spark, dir, maxQueryId, k, nprobe))
 
+  /** Shortlist multiplier for the refine stage: the ADC stage returns
+    * k·RefineExpand candidates, the exact stage reranks just those. */
+  val RefineExpand = 4
+
+  /** ivf_pq_refine: the full two-stage deployment search — IVF prunes to
+    * probed cells, ADC over PQ codes produces a k·[[RefineExpand]]
+    * shortlist, and EXACT integer-L2 over full quantized vectors reranks
+    * only the shortlist (the refine pattern every production PQ
+    * deployment runs to claw back compression loss). The exact stage
+    * touches queries × k·expand (neighbor) ids — the shortlist broadcasts
+    * and filters the corpus subvector scan to point lookups, so the
+    * expensive full-vector distance is evaluated on a metadata-sized
+    * set regardless of corpus scale. Output (query_id, neighbor_id,
+    * rank, dist_q) with dist_q the EXACT distance. */
+  def ivfPqRefine(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5, nprobe: Int = 1): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val shortlist = ivfPqSearch(spark, dir, maxQueryId, k * RefineExpand,
+      nprobe).select(col("query_id"), col("neighbor_id"))
+    val q = quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("qsub").as("qsub_q"))
+    val exact = quantizedSubs(emb)
+      .select(col("vec_id").as("neighbor_id"), col("m"),
+        col("qsub").as("qsub_n"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id", "m"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(l2q(col("qsub_q"), col("qsub_n"))).as("dist_q"))
+    topKByDist(exact, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("dist_q"))
+  }
+
   // ---- the IVF×PQ index AT REST: cell-partitioned CODES layout ----
 
   /** Write the corpus CODES clustered by IVF cell — one `cell=<id>/`

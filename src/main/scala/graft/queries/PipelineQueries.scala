@@ -482,6 +482,8 @@ object PipelineQueries {
       // IVF-probed cells (both halves' CTE chains reused by the oracle)
       "ivf_pq_search" -> ((s, dir) => PqIndex.ivfPqSearch(s, dir)),
       "ivf_pq_recall" -> ((s, dir) => PqIndex.ivfPqRecall(s, dir)),
+      // two-stage: ADC shortlist → exact rerank of just the shortlist
+      "ivf_pq_refine" -> ((s, dir) => PqIndex.ivfPqRefine(s, dir)),
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
 
@@ -1984,6 +1986,39 @@ object PipelineQueries {
            |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
            |  dist_q
            |FROM ipranked WHERE rank <= 5""".stripMargin,
+
+      // Two-stage refine: the ADC ranking's top k·RefineExpand become the
+      // shortlist; exact integer-L2 over full subvectors reranks ONLY the
+      // shortlist. Shares every CTE with ivf_pq_search, so the shortlist
+      // the oracle reranks is bit-identical to the engine's.
+      "ivf_pq_refine" -> {
+        val short = 5 * PqIndex.RefineExpand
+        s"""WITH $trainCtes,
+           |$pqCtes,
+           |$pqSearchCtes,
+           |${ivfPqCtes(1)},
+           |rshort AS (SELECT query_id, neighbor_id FROM ipranked
+           |           WHERE rank <= $short),
+           |rex AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    CAST(sum(CAST(list_sum(list_transform(
+           |      range(${PqIndex.SubDim}), i ->
+           |        (q.qsub[i+1] - n.qsub[i+1]) *
+           |        (q.qsub[i+1] - n.qsub[i+1]))) AS BIGINT)) AS BIGINT)
+           |      AS dist_q
+           |  FROM rshort s
+           |  JOIN qsubs q ON q.vec_id = s.query_id
+           |  JOIN qsubs n ON n.vec_id = s.neighbor_id AND n.m = q.m
+           |  GROUP BY 1, 2),
+           |rranked AS (
+           |  SELECT query_id, neighbor_id, dist_q,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY dist_q, neighbor_id) AS rank
+           |  FROM rex)
+           |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           |  dist_q
+           |FROM rranked WHERE rank <= 5""".stripMargin
+      },
 
       // recall@5 of the composed search vs the same exact integer-L2
       // full-vector truth pq_recall grades against — one metric for both

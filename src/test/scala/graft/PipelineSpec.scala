@@ -471,6 +471,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf_pq_refine: exact rerank never loses recall vs the ADC ranking") {
+    import graft.exts.PqIndex
+    // The refine shortlist (ADC top k·RefineExpand) is a superset of the
+    // ADC top-k, and every global-truth member in the shortlist outranks
+    // all non-truth members under the exact metric (a non-truth item's
+    // exact distance is ≥ the k-th truth distance by definition), so
+    // refine hits ⊇ ADC hits per query — asserted, not assumed.
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val adc = topSets(PqIndex.ivfPqSearch(spark, dir))
+    val refined = topSets(PqIndex.ivfPqRefine(spark, dir))
+    assert(refined.keySet === adc.keySet)
+    // exact truth per query, driver-side (fixture scale)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000)).toArray)
+      .toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val truth = adc.keySet.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(5).toSet
+    }.toMap
+    adc.keys.foreach { q =>
+      val adcHits = adc(q).intersect(truth(q)).size
+      val refHits = refined(q).intersect(truth(q)).size
+      assert(refHits >= adcHits,
+        s"query $q: refine hits $refHits < ADC hits $adcHits")
+    }
+  }
+
   test("simhash band pairs: planted near-dups found within hamming 3") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.simhashBandPairs(Dedup.corpusWithNearDups(spark, dir))
