@@ -56,9 +56,11 @@ object Bench {
       graft.exts.IvfIndex.clear()
       graft.exts.BpeIndex.clear()
       graft.exts.LmIndex.clear()
+      graft.exts.PqIndex.clear()
     }
     val artifactQueries =
-      Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch")
+      Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
+        "pq_search", "ivf_pq_search")
     val artifacts = artifactQueries
       .filter(SparkEntry.queries.contains)
       .map { name =>

@@ -641,6 +641,53 @@ object Dedup {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
 
+  /** Streaming NEAR-duplicate suppression — the LSH tier of ingest dedup
+    * ([[streamingDedup]] catches byte-identical copies; this catches the
+    * tail-edited rewrites that slip past it). Each document explodes to
+    * its [[NumBands]] MinHash band buckets; `dropDuplicatesWithinWatermark`
+    * keyed on (band, bucket) lets each bucket be OWNED by its first
+    * holder inside the watermark horizon, and a per-document windowed
+    * count keeps exactly the documents that own ALL their buckets — any
+    * band collision with an earlier arrival (LSH OR-semantics, the
+    * high-recall candidate rule) suppresses the newcomer.
+    *
+    * Two chained stateful operators (dedup → event-time-window count),
+    * both watermark-bounded: state tracks ingest rate × horizon, never
+    * corpus size. Emits (window closes =) one horizon after the batch,
+    * the price of an exact all-bands count in append mode. Like the
+    * exact tier, this is the SKETCH stage: cross-horizon near-dups (and
+    * collision false positives, rare at 16 bands) are reconciled by the
+    * batch sweep ([[minhashLshPairs]]) over the landed corpus.
+    *
+    * Input needs (doc_id, text, ingest_ts_ms); emits surviving
+    * (doc_id, ingest_ts_ms) — payload re-join happens downstream (the
+    * [[graft.stream.CurationPipeline]] pattern), so the 16× band
+    * explosion shuffles 24-byte rows, never the text. */
+  def streamingNearDedup(docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val bands = docs
+      .filter(size(words(col("text"))) >= ShingleN)
+      .withColumn("sig",
+        graft.functions.Signatures.minhash_sig(col("text")))
+      .withColumn("event_time", timestamp_millis(col("ingest_ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("ingest_ts_ms"), col("event_time"),
+        explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
+              .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("ingest_ts_ms"), col("event_time"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bands
+      .dropDuplicatesWithinWatermark("band", "bucket")
+      .groupBy(window(col("event_time"), watermarkDelay),
+        col("doc_id"), col("ingest_ts_ms"))
+      .agg(count(lit(1)).as("n_owned"))
+      .filter(col("n_owned") === NumBands)
+      .select(col("doc_id"), col("ingest_ts_ms"))
+  }
+
   // ---- MinHash + LSH ----
 
   /** Number of MinHash permutations and LSH bands (16 bands × 4 rows). */

@@ -471,6 +471,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trained artifacts and band pairs are partitioning-invariant") {
+    import graft.exts.PqIndex
+    // Deterministic-training claims die quietly when a groupBy minimum
+    // or a collect_list order sneaks in partition-order dependence; pin
+    // value equality under a different input partitioning.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def cbRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toList)).toSet
+    assert(cbRows(PqIndex.trainedCodebook(emb)) ===
+      cbRows(PqIndex.trainedCodebook(emb.repartition(7))))
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    def pairRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(pairRows(Dedup.simhashBandPairs(corpus)) ===
+      pairRows(Dedup.simhashBandPairs(corpus.repartition(5))))
+  }
+
   test("ivf_pq_refine: exact rerank never loses recall vs the ADC ranking") {
     import graft.exts.PqIndex
     // The refine shortlist (ADC top k·RefineExpand) is a superset of the

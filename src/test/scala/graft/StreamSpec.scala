@@ -417,6 +417,45 @@ class StreamSpec extends AnyFunSuite {
       (1L, "alpha beta"), (2L, "gamma delta"), (5L, "epsilon zeta")))
   }
 
+  test("streaming near-dedup suppresses tail-edited rewrites, keeps novel docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val base = 1706659200000L // window-aligned epoch millis
+    val textA = ("the quick brown fox jumps over the lazy dog while " +
+      "seventeen sleepy pelicans watch from the old wooden pier " +
+      "near the quiet harbor under a pale winter sky at dawn")
+    val textB = ("entirely different content about distributed query " +
+      "engines shuffling columnar batches across executor cores with " +
+      "adaptive planning and broadcast joins for dimension tables")
+    val out = graft.exts.Dedup.streamingNearDedup(
+      input.toDS().toDF("doc_id", "text", "ingest_ts_ms"))
+    val q = out.writeStream.format("memory").queryName("near_dedup_out")
+      .outputMode("append").start()
+    // batch 1: two novel docs claim their band buckets
+    input.addData((1L, textA, base), (2L, textB, base + 1000))
+    q.processAllAvailable()
+    // batch 2: a tail-edited rewrite of doc 1 (near-dup — most shingles
+    // shared, so bands collide) + one genuinely novel doc
+    input.addData(
+      (3L, textA + " zz qq", base + 2000),
+      (4L, "completely novel short note on sunny meadow flowers " +
+        "blooming beside the mountain creek all summer long", base + 3000))
+    q.processAllAvailable()
+    // batch 3: far-future row pushes the watermark past the first
+    // window's end so the per-doc band counts finalize in append mode
+    input.addData((9L, textB + " much later", base + 3600L * 1000))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("near_dedup_out").collect()
+      .map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 4L).subsetOf(kept),
+      s"first arrivals / novel docs must survive, got $kept")
+    assert(!kept.contains(3L),
+      s"tail-edited rewrite of doc 1 must be suppressed, got $kept")
+  }
+
   test("streaming heavy hitters emit exactly once, at the crossing batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
