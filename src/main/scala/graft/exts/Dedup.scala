@@ -514,6 +514,39 @@ object Dedup {
           .as("keep"))
   }
 
+  /** Per-document keep verdict choosing the BEST copy per duplicate
+    * group instead of the lowest id ([[dupKeepList]]): production
+    * curation keeps the most COMPLETE version of a near-dup cluster —
+    * the longest text, ties to the lowest id (so a truncated excerpt
+    * never shadows its source). On the fixture this provably differs
+    * from keep-min: the planted near-copies append a tail, so keep-best
+    * retains the longer copy where keep-min retains the original.
+    *
+    * Scale shape: components are pair-bounded metadata; the length
+    * lookup is an inner join of the component table against the corpus
+    * (broadcast verdict side), the winner is one struct-min aggregate
+    * over component-member rows, and the final verdict joins two
+    * broadcast frames onto the corpus id projection — the corpus text
+    * is scanned for lengths once and never shuffled. */
+  def dupKeepBest(corpus: DataFrame): DataFrame = {
+    val comps = dupComponents(ngramJaccardPairs(corpus))
+      .select(col("doc_id"), col("component"))
+    val members = corpus
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(broadcast(comps), Seq("doc_id"))
+    // argmax by (n_chars DESC, doc_id ASC) via struct-min on the negation
+    val winners = members.groupBy(col("component"))
+      .agg(min(struct((-col("n_chars")).as("neg_len"),
+        col("doc_id").as("id"))).as("w"))
+      .select(col("component"), col("w.id").as("keep_id"))
+    corpus.select(col("doc_id"))
+      .join(broadcast(comps), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .join(broadcast(winners), Seq("component"), "left")
+      .select(col("doc_id"), col("component"),
+        coalesce(col("doc_id") === col("keep_id"), lit(true)).as("keep"))
+  }
+
   /** Connected components via alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the deep-graph scale path next to [[dupComponents]]'s min-label

@@ -259,6 +259,37 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
   }
 
+  /** ivf_maintenance: the reference's event-driven maintenance decision
+    * (count commits → compare to threshold → decide) applied to the
+    * vector index — the analogous drift signal is per-cell occupancy.
+    * A cell holding more than 2× the mean is a SPLIT candidate (hot
+    * cell: every probe over-scans it), one under half the mean is a
+    * MERGE candidate (cold cell: a wasted centroid inflates nprobe for
+    * nothing); thresholds evaluate by integer cross-multiplication
+    * (n·cells ≷ factor·total), so the oracle mirrors the decision
+    * exactly — the [[graft.ops.Decide]] discipline, lifted to index
+    * maintenance. Input is [[ivfCells]]'s per-cell rollup (metadata:
+    * one row per cell); the corpus totals ride a 1-row broadcast. */
+  def ivfMaintenance(spark: SparkSession, dir: String,
+      k: Int = IvfCentroids): DataFrame =
+    ivfMaintenanceFor(ivfCells(spark, dir, k))
+
+  /** The decision itself over any (cell, n_vectors, min_vec_id) rollup —
+    * split out so the split/merge branches are spec-gated on skewed
+    * occupancy profiles the balanced fixture never produces. */
+  def ivfMaintenanceFor(cells: DataFrame): DataFrame = {
+    val totals = cells.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_vectors"), col("min_vec_id"),
+        expr("n_vectors * n_cells * 1000 div total").as("occupancy_x1000"),
+        when(col("n_vectors") * col("n_cells") > col("total") * 2,
+          lit("split"))
+          .when(col("n_vectors") * col("n_cells") * 2 < col("total"),
+            lit("merge"))
+          .otherwise(lit("keep")).as("action"))
+  }
+
   /** Recall@k of the IVF search against the brute-force ground truth —
     * THE metric an ANN deployment tunes nprobe/k against (publish it per
     * ingest batch and you see index drift before users see bad

@@ -436,6 +436,8 @@ object PipelineQueries {
           Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir)))),
       "dedup_keep_list" -> ((s, dir) =>
         Dedup.dupKeepList(Dedup.corpusWithNearDups(s, dir))),
+      "dedup_keep_best" -> ((s, dir) =>
+        Dedup.dupKeepBest(Dedup.corpusWithNearDups(s, dir))),
       "dedup_groups_ensemble" -> ((s, dir) =>
         Dedup.dupComponents(
           Dedup.ensemblePairs(Dedup.corpusWithMixedDups(s, dir)))),
@@ -457,6 +459,7 @@ object PipelineQueries {
       "text_dup_spans" -> ((s, dir) =>
         TextAnalysis.dupSpanScores(Dedup.corpusWithNearDups(s, dir))),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
+      "ivf_maintenance" -> ((s, dir) => Similarity.ivfMaintenance(s, dir)),
       "decontaminate" -> ((s, dir) =>
         Dedup.contaminationPairs(Dedup.corpusWithLeaks(s, dir))),
 
@@ -1523,6 +1526,53 @@ object PipelineQueries {
            |  (coalesce(component, c.doc_id) = c.doc_id) AS keep
            |FROM corpus c LEFT JOIN comp USING (doc_id)""".stripMargin,
 
+      // Same closure CTEs as dedup_keep_list, different keep rule: the
+      // component winner is the LONGEST text (ties → lowest id) — on
+      // this fixture the planted tail-appended copies win over their
+      // originals, so the two keys provably differ.
+      "dedup_keep_best" ->
+        s"""WITH RECURSIVE $nearCorpusCte,
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM corpus),
+           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+           |  WHERE len(words) >= 5),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM inter
+           |  JOIN sizes na ON na.doc_id = a_id
+           |  JOIN sizes nb ON nb.doc_id = b_id
+           |  WHERE inter * 3 >= na.n_sh + nb.n_sh),
+           |bi AS (SELECT a_id AS u, b_id AS v FROM pairs
+           |       UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM bi
+           |  UNION
+           |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+           |comp AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u),
+           |win AS (
+           |  SELECT component, doc_id AS keep_id FROM (
+           |    SELECT m.component, m.doc_id,
+           |      row_number() OVER (PARTITION BY m.component
+           |        ORDER BY length(c.text) DESC, m.doc_id) AS rn
+           |    FROM comp m JOIN corpus c USING (doc_id))
+           |  WHERE rn = 1)
+           |SELECT c.doc_id,
+           |  coalesce(m.component, c.doc_id) AS component,
+           |  CASE WHEN m.component IS NULL THEN TRUE
+           |       ELSE c.doc_id = w.keep_id END AS keep
+           |FROM corpus c
+           |LEFT JOIN comp m USING (doc_id)
+           |LEFT JOIN win w ON w.component = m.component""".stripMargin,
+
       "text_dup_spans" ->
         s"""WITH $nearCorpusCte,
            |sh AS (
@@ -1555,6 +1605,32 @@ object PipelineQueries {
            |  WHERE rn = 1)
            |SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
            |FROM asgn GROUP BY cell""".stripMargin,
+
+      // The event-driven maintenance decision lifted to the vector
+      // index: per-cell occupancy vs the corpus mean, integer
+      // cross-multiplied thresholds (split > 2× mean, merge < ½ mean).
+      "ivf_maintenance" ->
+        s"""WITH $trainCtes,
+           |asgn AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cent_id AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+           |                 c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN $trainFinalCte c)
+           |  WHERE rn = 1),
+           |cells AS (
+           |  SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+           |  FROM asgn GROUP BY cell),
+           |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+           |               CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+           |SELECT cell, n_vectors, min_vec_id,
+           |  CAST(n_vectors * n_cells * 1000 // total AS BIGINT)
+           |    AS occupancy_x1000,
+           |  CASE WHEN n_vectors * n_cells > total * 2 THEN 'split'
+           |       WHEN n_vectors * n_cells * 2 < total THEN 'merge'
+           |       ELSE 'keep' END AS action
+           |FROM cells CROSS JOIN tot""".stripMargin,
 
       "decontaminate" ->
         """WITH corpus AS (

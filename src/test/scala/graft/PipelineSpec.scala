@@ -471,6 +471,61 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf maintenance: split/merge/keep fire on the documented thresholds") {
+    import spark.implicits._
+    // occupancies (100, 30, 10, 10, 1): total 151 over 5 cells, mean
+    // 30.2 — split iff n > 2×mean (cross-multiplied), merge iff
+    // n < mean/2, else keep
+    val cells = Seq((0L, 100L, 0L), (1L, 30L, 5L), (2L, 10L, 9L),
+      (3L, 10L, 12L), (4L, 1L, 40L))
+      .toDF("cell", "n_vectors", "min_vec_id")
+    val got = Similarity.ivfMaintenanceFor(cells).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(got(0L) === ((100L * 5 * 1000 / 151, "split")))
+    assert(got(1L)._2 === "keep")
+    assert(got(2L)._2 === "merge")
+    assert(got(3L)._2 === "merge")
+    assert(got(4L)._2 === "merge")
+    // the balanced fixture index must be all-keep (the no-op decision)
+    val fixture = Similarity.ivfMaintenance(spark, dir).collect()
+      .map(_.getString(4))
+    assert(fixture.nonEmpty && fixture.forall(_ == "keep"))
+  }
+
+  test("keep-best retains the most complete copy where keep-min keeps the original") {
+    import org.apache.spark.sql.functions.{col, length}
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val best = rows(Dedup.dupKeepBest(corpus))
+    val list = rows(Dedup.dupKeepList(corpus))
+    assert(best.map(_._1).toSet === list.map(_._1).toSet)
+    // exactly one keeper per component under BOTH rules
+    for (vs <- Seq(best, list); (_, comp) <- vs.groupBy(_._2)) {
+      assert(comp.count(_._3) === 1, s"one keeper per component: $comp")
+    }
+    val lens = corpus.select(col("doc_id"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the keep-best winner is the longest member of its component
+    // (ties → lowest id); keep-min's is the lowest id
+    best.groupBy(_._2).foreach { case (_, members) =>
+      val winner = members.find(_._3).get._1
+      val bestLen = members.map(m => lens(m._1)).max
+      assert(lens(winner) === bestLen)
+      assert(winner === members.filter(m => lens(m._1) == bestLen)
+        .map(_._1).min)
+    }
+    list.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.find(_._3).get._1 === members.map(_._1).min)
+    }
+    // the rules genuinely differ: tail-appended planted copies are
+    // longer, so many win under keep-best while losing under keep-min
+    val bestKeep = best.filter(_._3).map(_._1).toSet
+    val listKeep = list.filter(_._3).map(_._1).toSet
+    val flipped = bestKeep.diff(listKeep).count(_ >= 100000L)
+    assert(flipped > 0, "no planted copy flipped to keeper under keep-best")
+  }
+
   test("trained artifacts and band pairs are partitioning-invariant") {
     import graft.exts.PqIndex
     // Deterministic-training claims die quietly when a groupBy minimum
