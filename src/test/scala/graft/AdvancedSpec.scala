@@ -134,4 +134,60 @@ class AdvancedSpec extends AnyFunSuite {
     assert(plan.contains("partial_topkpairs"),
       s"expected a partial_topkpairs aggregation stage:\n$plan")
   }
+
+  test("top_k_pairs equals a sort reference on random data, BIGINT and DOUBLE ord") {
+    // TopKPairs now finishes every exact-search ranking, so its total
+    // order (ord DESC, payload ASC; doubles via sortable-bits with
+    // -0.0 < 0.0 and NaN greatest — Double.compare order) gets a
+    // randomized gate beyond the fixture: seeded trials with heavy
+    // duplicate/tie pressure and double specials, compared against a
+    // driver-side sort under exactly that comparator.
+    import spark.implicits._
+    import graft.functions.TopKAgg.top_k_pairs
+    import org.apache.spark.sql.functions.{col, struct, collect_list}
+    val rnd = new scala.util.Random(20260814L)
+    val specials = Array(Double.NaN, 0.0, -0.0,
+      Double.PositiveInfinity, Double.NegativeInfinity, -1.5e300)
+    for (trial <- 1 to 2) {
+      val k = 1 + rnd.nextInt(5)
+      val n = 3000
+      val rows = (1 to n).map { _ =>
+        val g = rnd.nextInt(23).toLong
+        val ordL = rnd.nextInt(40).toLong - 20 // heavy ties
+        val ordD =
+          if (rnd.nextInt(8) == 0) specials(rnd.nextInt(specials.length))
+          else (rnd.nextInt(40) - 20) / 4.0
+        val payload = rnd.nextInt(500).toLong
+        (g, ordL, ordD, payload)
+      }
+      val df = rows.toDF("g", "ord_l", "ord_d", "p")
+      // double ords are compared via doubleToLongBits so a NaN in the
+      // top-k compares equal to the reference's NaN
+      def norm(o: Any): Any = o match {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case other => other
+      }
+      def got(ordCol: String): Map[Long, Seq[(Any, Long)]] =
+        df.groupBy(col("g"))
+          .agg(top_k_pairs(col(ordCol), col("p"), k).as("tk"))
+          .collect().map { r =>
+            r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+              .map(x => (norm(x.get(0)), x.getLong(1))).toSeq
+          }.toMap
+      // reference: full sort per group under the documented comparator
+      def refL = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._4)).sortWith { (a, b) =>
+          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+        }.take(k).map { case (o, p) => (o: Any, p) }
+      }
+      def refD = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._3, r._4)).sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._1, b._1)
+          c > 0 || (c == 0 && a._2 < b._2)
+        }.take(k).map { case (o, p) => (norm(o), p) }
+      }
+      assert(got("ord_l") === refL, s"BIGINT ord mismatch (trial $trial, k=$k)")
+      assert(got("ord_d") === refD, s"DOUBLE ord mismatch (trial $trial, k=$k)")
+    }
+  }
 }
