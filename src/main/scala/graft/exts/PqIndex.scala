@@ -244,7 +244,8 @@ object PqIndex {
     val codes = assignCodes(emb, cb)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
     topKByDist(
-      codes.join(broadcast(distTables(spark, dir, maxQueryId)),
+      codes.join(broadcast(distTablesFor(
+          fixtureQueries(spark, dir, maxQueryId), cb)),
           Seq("m", "code"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("neighbor_id"))
@@ -256,16 +257,22 @@ object PqIndex {
 
   /** Per-query ADC distance tables: (query_id, m, code, dq) — the M×K
     * integer table each query evaluates corpus codes against. Bounded
-    * (maxQueryId × SubSpaces × CodeWords rows), always broadcast. */
-  private def distTables(spark: SparkSession, dir: String,
-      maxQueryId: Long): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-    quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
+    * (queries × SubSpaces × CodeWords rows), always broadcast.
+    * `queries` is any (query_id, embedding) frame. */
+  private def distTablesFor(queries: DataFrame, cb: DataFrame): DataFrame =
+    quantizedSubs(queries.select(col("query_id").as("vec_id"),
+        col("embedding")))
       .select(col("vec_id").as("query_id"), col("m"), col("qsub"))
-      .join(broadcast(codebook(spark, dir)), Seq("m"))
+      .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         l2q(col("qsub"), col("cw")).as("dq"))
-  }
+
+  /** The fixture's query set: the first maxQueryId corpus vectors. */
+  private def fixtureQueries(spark: SparkSession, dir: String,
+      maxQueryId: Long): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding"))
 
   // ---- IVF×PQ: ADC over codes WITHIN probed inverted-file cells ----
 
@@ -286,14 +293,15 @@ object PqIndex {
 
   /** Each query's nprobe nearest cells: (query_id, cell) — bounded
     * (queries × centroids rows pre-rank; the window groups are
-    * centroid-sized, never corpus-sized). */
-  private def probedCells(emb: DataFrame, cent: DataFrame,
-      maxQueryId: Long, nprobe: Int): DataFrame = {
+    * centroid-sized, never corpus-sized). `queries` is any
+    * (query_id, embedding) frame. */
+  private def probedCells(queries: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    emb.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+    queries
+      .select(col("query_id"), col("embedding").as("emb_q"))
       .join(broadcast(cent))
       .withColumn("cent_cos", Similarity.cosine(col("emb_q"), col("cent")))
       .withColumn("rn", row_number().over(w))
@@ -312,11 +320,19 @@ object PqIndex {
     * neighbor_id asc), self excluded — identical semantics to [[pqSearch]]
     * restricted to probed cells. */
   def ivfPqSearch(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5, nprobe: Int = 1): DataFrame =
+    ivfPqSearchFor(spark, dir, fixtureQueries(spark, dir, maxQueryId),
+      k, nprobe)
+
+  /** [[ivfPqSearch]] for an ARBITRARY (query_id, embedding) query frame —
+    * the entry point online serving ([[graft.stream.AnnServing]]) and ad
+    * hoc query batches share with the fixture-query driver key. */
+  def ivfPqSearchFor(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, nprobe: Int = 1): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val cent = IvfIndex.centroids(spark, dir)
     val codes = codesWithCell(emb, cent, codebook(spark, dir))
-    rankProbed(spark, dir, codes, cent, maxQueryId, k, nprobe)
+    rankProbed(spark, dir, codes, cent, queries, k, nprobe)
   }
 
   /** The ADC-over-probed-cells finish shared by the in-memory and
@@ -325,13 +341,12 @@ object PqIndex {
     * probed cell hits exactly one (query, m, code) table row — sum over
     * m, bounded top-k. */
   private def rankProbed(spark: SparkSession, dir: String,
-      codes: DataFrame, cent: DataFrame, maxQueryId: Long, k: Int,
+      codes: DataFrame, cent: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
     // both sides are bounded (queries × M×K / queries × nprobe) but only
     // we know that — hint the probe side so the planner never SMJs here
-    val qdist = distTables(spark, dir, maxQueryId)
-      .join(broadcast(probedCells(emb, cent, maxQueryId, nprobe)),
+    val qdist = distTablesFor(queries, codebook(spark, dir))
+      .join(broadcast(probedCells(queries, cent, nprobe)),
         Seq("query_id"))
       .select(col("cell"), col("m"), col("code"), col("query_id"),
         col("dq"))
@@ -414,14 +429,14 @@ object PqIndex {
     * [[ivfPqSearch]] with the same artifacts. */
   def searchClusteredCodes(spark: SparkSession, dir: String, path: String,
       maxQueryId: Long = 8, k: Int = 5, nprobe: Int = 1): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = fixtureQueries(spark, dir, maxQueryId)
     val cent = IvfIndex.centroids(spark, dir)
-    val cells = probedCells(emb, cent, maxQueryId, nprobe)
+    val cells = probedCells(queries, cent, nprobe)
       .select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*))
       .select(col("neighbor_id"), col("m"), col("code"), col("cell"))
-    rankProbed(spark, dir, codes, cent, maxQueryId, k, nprobe)
+    rankProbed(spark, dir, codes, cent, queries, k, nprobe)
   }
 }

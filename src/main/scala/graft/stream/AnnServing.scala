@@ -1,0 +1,46 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.exts.PqIndex
+
+/** Online ANN serving: a STREAM of query vectors against the STATIC
+  * IVF×PQ index — the fourth stage of the vector-index lifecycle this
+  * engine ships (build: [[graft.exts.PqIndex.writeClusteredCodes]];
+  * search: ivf_pq_search; maintain: ivf_maintenance; serve: here).
+  *
+  * Each micro-batch of queries runs the exact batch composed search
+  * ([[PqIndex.ivfPqSearchFor]]) via `foreachBatch`, so per batch the
+  * results are bit-identical to the batch path — StreamSpec asserts
+  * that equality. This is the deployment shape for online vector
+  * search over a periodically-rebuilt index: the index artifacts
+  * (centroids + codebook) are session-memoized and version-keyed, so
+  * every batch reuses them with zero Spark jobs, and an index rebuild
+  * under the same path is picked up at the next batch. Per-batch work
+  * is the probe + ADC over probed cells only; the corpus never
+  * shuffles, and batch size × M×K distance tables stay broadcast.
+  *
+  * Query ids share the corpus id space (a query matching a corpus
+  * vec_id excludes itself — the self-query convention every search key
+  * in this engine uses); online clients should key queries outside the
+  * corpus id range when self-exclusion is not wanted.
+  *
+  * @param queries streaming (query_id, embedding) frame
+  * @param sink    called once per micro-batch with (results, batchId);
+  *                results carry (query_id, neighbor_id, rank, dist_q)
+  */
+object AnnServing {
+  def start(spark: SparkSession, dir: String, queries: DataFrame,
+      sink: (DataFrame, Long) => Unit, k: Int = 5,
+      nprobe: Int = 1): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(PqIndex.ivfPqSearchFor(spark, dir, batch, k, nprobe),
+            batchId)
+        }
+      }
+      .start()
+}

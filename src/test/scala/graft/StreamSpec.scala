@@ -417,6 +417,37 @@ class StreamSpec extends AnyFunSuite {
       (1L, "alpha beta"), (2L, "gamma delta"), (5L, "epsilon zeta")))
   }
 
+  test("ANN serving: per-batch stream results equal the batch composed search") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // query vectors = the fixture's first 8 corpus vectors, split in two
+    // arrival batches, so the expected results are exactly ivf_pq_search's
+    val qvecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Long)]
+    val q = graft.stream.AnnServing.start(spark, dir,
+      input.toDS().toDF("query_id", "embedding"),
+      (df, _) => results.synchronized {
+        results ++= df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      })
+    input.addData(qvecs.take(4).toSeq)
+    q.processAllAvailable()
+    input.addData(qvecs.drop(4).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.exts.PqIndex.ivfPqSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(results.toSet === expected)
+    assert(results.size === expected.size) // no duplicate emissions
+  }
+
   test("streaming near-dedup suppresses tail-edited rewrites, keeps novel docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
