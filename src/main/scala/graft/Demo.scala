@@ -120,6 +120,24 @@ object Demo {
     println(s"   sim_ivf recall@5 vs brute force: " +
       s"${recall.getLong(0)}/${recall.getLong(1)} hits " +
       "(see ann_recall for the per-query view)")
+
+    println("== 8. Vector-index lifecycle: build -> search -> maintain -> serve")
+    val codesPath = Files.createTempDirectory("demo-codes").toString +
+      "/codes_by_cell"
+    graft.exts.PqIndex.writeClusteredCodes(spark, dir, codesPath)
+    val nCells = spark.read.parquet(codesPath)
+      .select(col("cell")).distinct().count()
+    println(s"   build: PQ codes clustered into $nCells cell=<id>/ dirs " +
+      "(~8 bytes of codes per vector at rest)")
+    val refined = graft.exts.PqIndex.ivfPqRefine(spark, dir)
+    println(s"   search: IVF-probe + ADC shortlist + exact rerank -> " +
+      s"${refined.count()} (query, neighbor) results")
+    val actions = graft.exts.Similarity.ivfMaintenance(spark, dir)
+      .groupBy(col("action")).count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    println(s"   maintain: per-cell occupancy decisions: $actions")
+    println("   serve: stream.AnnServing runs the same composed search " +
+      "per query micro-batch (StreamSpec proves batch equality)")
     spark.stop()
   }
 }

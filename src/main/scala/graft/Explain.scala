@@ -38,7 +38,8 @@ object Explain {
       "snapshot_diff", "pack_efficiency", "bpe_encode", "emb_outliers",
       "dedup_report", "source_overlap", "curriculum_order",
       "mm_video_decode", "mm_audio_decode", "minhash_band_pairs",
-      "topk_agg")
+      "topk_agg", "pq_search", "ivf_pq_search", "ivf_pq_refine",
+      "simhash_band_pairs", "dedup_keep_best", "ivf_maintenance")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -130,7 +130,13 @@ object ScaleRehearsal {
       "ivf_pq_search" -> SparkEntry.queries("ivf_pq_search"),
       // 62-bit poly SimHash with 16-bit band blocking (r9): candidates
       // follow real near-dup structure, signatures are 8 bytes/doc.
-      "simhash_band_pairs" -> SparkEntry.queries("simhash_band_pairs"))
+      "simhash_band_pairs" -> SparkEntry.queries("simhash_band_pairs"),
+      // two-stage refine (r9): ADC shortlist + broadcast point-lookup
+      // exact rerank — the rerank side is queries × k·4 at any scale.
+      "ivf_pq_refine" -> SparkEntry.queries("ivf_pq_refine"),
+      // keep-best verdict (r9): same components as keep_list + one
+      // struct-min winner aggregate over pair-bounded members.
+      "dedup_keep_best" -> SparkEntry.queries("dedup_keep_best"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries
