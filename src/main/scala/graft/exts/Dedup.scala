@@ -655,6 +655,45 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Content-level corpus version diff — the dataset-management analog
+    * of snapshot_diff: given two corpus versions, classify every doc id
+    * as `added` (only in next), `removed` (only in base), `changed`
+    * (same id, different content hash), or `kept` (same id, same hash).
+    * The edit log a dataset release ships, and the input an incremental
+    * re-run plans from (only added/changed docs re-enter the pipeline).
+    *
+    * Scale shape: both sides reduce to (doc_id, md5) projections before
+    * the join — 24-byte rows through one co-partitioned full-outer on
+    * doc_id, never the text; at 100 TB this is the same metadata-plane
+    * full-outer snapshot_diff runs. */
+  def corpusDiff(base: DataFrame, next: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, h: String) =
+      df.select(col("doc_id"), md5(col("text")).as(h))
+    keyed(base, "h_base").join(keyed(next, "h_next"), Seq("doc_id"),
+        "full_outer")
+      .select(col("doc_id"),
+        when(col("h_base").isNull, "added")
+          .when(col("h_next").isNull, "removed")
+          .when(col("h_base") =!= col("h_next"), "changed")
+          .otherwise("kept").as("status"))
+  }
+
+  /** The fixture's "next release": every 10th doc re-edited (tail
+    * appended → changed), every 13th dropped (removed), every 11th
+    * additionally re-keyed under a fresh id (added) — deterministic, so
+    * the oracle derives the same version pair. */
+  def corpusNextVersion(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(
+        base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+  }
+
   /** Streaming ingest dedup: exact-duplicate suppression as documents
     * arrive, keyed by a 64-bit content hash (the shuffle key stays 8 bytes
     * regardless of document length). `dropDuplicatesWithinWatermark`

@@ -438,6 +438,13 @@ object PipelineQueries {
         Dedup.dupKeepList(Dedup.corpusWithNearDups(s, dir))),
       "dedup_keep_best" -> ((s, dir) =>
         Dedup.dupKeepBest(Dedup.corpusWithNearDups(s, dir))),
+      "corpus_diff" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        Dedup.corpusDiff(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("text")),
+          Dedup.corpusNextVersion(s, dir))
+      }),
       "dedup_groups_ensemble" -> ((s, dir) =>
         Dedup.dupComponents(
           Dedup.ensemblePairs(Dedup.corpusWithMixedDups(s, dir)))),
@@ -1211,6 +1218,27 @@ object PipelineQueries {
            |  GROUP BY 1, 2)
            |WHERE hamming <= 3""".stripMargin
       },
+
+      // Content-level dataset-version diff: both versions reduce to
+      // (doc_id, md5) before one full-outer join — the oracle derives
+      // the same deterministic "next release".
+      "corpus_diff" ->
+        """WITH nextv AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 10 = 0 THEN text || ' rev2'
+          |         ELSE text END AS text
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 800000, text FROM documents
+          |  WHERE doc_id % 11 = 0),
+          |b AS (SELECT doc_id, md5(text) AS h_base FROM documents),
+          |n AS (SELECT doc_id, md5(text) AS h_next FROM nextv)
+          |SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+          |  CASE WHEN b.doc_id IS NULL THEN 'added'
+          |       WHEN n.doc_id IS NULL THEN 'removed'
+          |       WHEN b.h_base <> n.h_next THEN 'changed'
+          |       ELSE 'kept' END AS status
+          |FROM b FULL OUTER JOIN n ON n.doc_id = b.doc_id""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH $nearCorpusCte,

@@ -32,10 +32,13 @@ class PlanGuardSpec extends AnyFunSuite {
     *    corpus side would be the scale bug). */
   /**  - snapshot_diff: FULL OUTER join of two per-table state sets on
     *    (table_id, snapshot_id) — co-partitioned metadata frames; full
-    *    outer cannot broadcast. */
+    *    outer cannot broadcast.
+    *  - corpus_diff: the same shape at the content level — FULL OUTER of
+    *    two (doc_id, md5) projections, 24-byte rows co-partitioned on
+    *    doc_id; full outer cannot broadcast. */
   private val smjJustified = Set(
     "join_outer", "merge_upsert", "dedup_semantic", "corpus_curate_semantic",
-    "snapshot_diff")
+    "snapshot_diff", "corpus_diff")
 
   test("no CartesianProduct anywhere; SortMergeJoin only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
