@@ -168,11 +168,19 @@ object Similarity {
     * anywhere: same data → same centroids, run to run and engine to
     * engine. */
   def trainedCentroids(emb: DataFrame, k: Int = IvfCentroids,
-      iters: Int = IvfIters): DataFrame = {
-    val sample = emb.filter(col("vec_id") < IvfTrainSample)
-      .select(col("vec_id"), col("embedding"))
-    var cent = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      iters: Int = IvfIters): DataFrame =
+    lloyd(
+      emb.filter(col("vec_id") < IvfTrainSample)
+        .select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent")),
+      iters)
+
+  /** The Lloyd loop itself over explicit (sample, seed) frames — shared
+    * by corpus-level training and cell-local [[splitCell]] re-training. */
+  private def lloyd(sample: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    var cent = seeds
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cent_cos").desc, col("cent_id"))
@@ -192,6 +200,52 @@ object Similarity {
         .select(col("cell").as("cent_id"), col("cent"))
     }
     cent
+  }
+
+  /** The SPLIT action behind an [[ivfMaintenanceFor]] `split` verdict:
+    * cell-local 2-means over the hot cell's members, SEEDED FROM INSIDE
+    * the cell — raising the global k cannot split a tight cluster when
+    * every global seed sits outside it (the classic k-means seeding
+    * failure; real IVF deployments split hot cells locally like this).
+    * Seeding is deterministic farthest-point: seed A = the member least
+    * cosine-aligned with the cell's own mean (the most extreme point,
+    * ties → lowest id), seed B = the member least aligned with A — two
+    * global argmin aggregates (1-row broadcasts), so a two-lobe cell
+    * gets one seed per lobe where lowest-id seeding can land both seeds
+    * on one side (measured: 323/3 split on the loop-closure fixture).
+    * Lloyd then runs on a bounded member sample ([[IvfTrainSample]]
+    * lowest ids — a limit, not a sort) and the final pass assigns EVERY
+    * member. Returns (vec_id, sub_cell ∈ seed ids). */
+  def splitCell(members: DataFrame, iters: Int = IvfIters): DataFrame = {
+    def argminCos(ref: DataFrame): DataFrame = {
+      // ref is 1 row (cent ARRAY<FLOAT>); min(struct(cos, id, emb))
+      // is the deterministic extreme member
+      members.crossJoin(broadcast(ref))
+        .withColumn("c", cosine(col("embedding"), col("cent")))
+        .agg(min(struct(col("c"), col("vec_id"), col("embedding")))
+          .as("s"))
+        .select(col("s.vec_id").as("cent_id"),
+          col("s.embedding").as("cent"))
+    }
+    val mean = members
+      .select(posexplode(col("embedding")).as(Seq("dim", "val")))
+      .groupBy(col("dim")).agg(avg(col("val")).as("m"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m").cast("float")).as("cent"))
+    val seedA = argminCos(mean).localCheckpoint(true)
+    val seedB = argminCos(seedA.select(col("cent"))).localCheckpoint(true)
+    val sample = members.orderBy(col("vec_id"))
+      .limit(IvfTrainSample.toInt)
+      .select(col("vec_id"), col("embedding"))
+    val cent = lloyd(sample, seedA.unionByName(seedB), iters)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    members.join(broadcast(cent))
+      .withColumn("cent_cos", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("sub_cell"))
   }
 
   /** @param nprobe how many nearest cells each *query* probes. Corpus

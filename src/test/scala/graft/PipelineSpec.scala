@@ -471,6 +471,92 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf maintenance loop closure: split decision -> local 2-means -> skew resolved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // A skewed corpus: 64 spread seed vectors + a 320-vector hot mass
+    // with two lobes (vec(7) ± 2.0 on different dims). With k=8 the mass
+    // crowds one cell, the decision flags split, and the ACTION —
+    // cell-local 2-means seeded from inside (Similarity.splitCell) —
+    // carves it up: the compaction loop's detect -> act -> quiesce
+    // cycle, for the index. (Raising the global k does NOT work here:
+    // every global seed sits outside the tight mass, so Lloyd never
+    // places two centroids inside it — measured before splitCell
+    // existed, max/mean occupancy got WORSE, 6.8 -> 13.5.)
+    val dims = 8
+    def vec(seed: Long): Seq[Float] =
+      (0 until dims).map(d => (((seed * 31 + d * 17) % 19) - 9).toFloat)
+    val spread = (0L until 64L).map(i => (i, vec(i)))
+    val tight = (0 until 320).map { i =>
+      val base = vec(7L)
+      val lobe = if (i % 2 == 0) base.updated(0, base(0) + 2.0f)
+        else base.updated(1, base(1) - 2.0f)
+      (64L + i, lobe.updated(2, base(2) + 0.01f * (i / 2)))
+    }
+    val emb = (spread ++ tight).toDF("vec_id", "embedding")
+    val cent = Similarity.trainedCentroids(emb, k = 8)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = emb.join(broadcast(cent))
+      .withColumn("cent_cos",
+        Similarity.cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val occ = assigned.groupBy(col("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decisions = Similarity.ivfMaintenanceFor(
+      occ.toSeq.map { case (c, n) => (c, n, 0L) }
+        .toDF("cell", "n_vectors", "min_vec_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val (hot, hotN) = occ.maxBy(_._2)
+    assert(hotN >= 320L, s"the hot mass must land in one cell: $occ")
+    assert(decisions(hot) === "split",
+      s"hot cell must flag split: occ=$occ d=$decisions")
+    // act + iterate: split every flagged cell via local 2-means until
+    // the decision quiesces (all keep/merge) — the maintenance LOOP,
+    // like the compaction cycle. One split of a mass this large (320 of
+    // 384 vectors) cannot reach 2x-mean; the loop gets there.
+    val memberIds = assigned.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cells: Map[String, Seq[Long]] = memberIds.groupBy(_._2)
+      .map { case (c, ms) => c.toString -> ms.map(_._1).toSeq }
+    var rounds = 0
+    def verdicts(cs: Map[String, Seq[Long]]): Map[String, String] = {
+      val occDf = cs.toSeq.zipWithIndex
+        .map { case ((name, ms), i) => (i.toLong, ms.length.toLong, 0L, name) }
+        .toDF("cell", "n_vectors", "min_vec_id", "name")
+      Similarity.ivfMaintenanceFor(
+        occDf.select(col("cell"), col("n_vectors"), col("min_vec_id")))
+        .join(occDf.select(col("cell"), col("name")), "cell")
+        .collect().map(r => r.getString(5) -> r.getString(4)).toMap
+    }
+    var flagged = verdicts(cells).filter(_._2 == "split").keySet
+    assert(flagged.nonEmpty) // the loop genuinely has work to do
+    while (flagged.nonEmpty && rounds < 5) {
+      rounds += 1
+      for (name <- flagged) {
+        val ids = cells(name)
+        val members = emb.filter(col("vec_id").isin(ids: _*))
+        val subs = Similarity.splitCell(members).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(subs.length === ids.length) // every member re-assigned
+        val bySub = subs.groupBy(_._2)
+        assert(bySub.size === 2 && bySub.values.forall(_.length < ids.length),
+          s"split of $name must strictly shrink: ${bySub.view.mapValues(_.length).toMap}")
+        cells = cells - name ++ bySub.map { case (s, ms) =>
+          s"$name/$s" -> ms.map(_._1).toSeq
+        }
+      }
+      flagged = verdicts(cells).filter(_._2 == "split").keySet
+    }
+    assert(flagged.isEmpty, s"loop must quiesce, still split-flagged: $flagged")
+    // no member lost or duplicated across the whole loop
+    assert(cells.values.flatten.toSeq.sorted === memberIds.map(_._1).toSeq.sorted)
+    assert(rounds >= 2, s"this fixture needs a genuine loop, got $rounds round(s)")
+  }
+
   test("ivf maintenance: split/merge/keep fire on the documented thresholds") {
     import spark.implicits._
     // occupancies (100, 30, 10, 10, 1): total 151 over 5 cells, mean
