@@ -217,6 +217,21 @@ object Similarity {
     * lowest ids — a limit, not a sort) and the final pass assigns EVERY
     * member. Returns (vec_id, sub_cell ∈ seed ids). */
   def splitCell(members: DataFrame, iters: Int = IvfIters): DataFrame = {
+    val cent = splitCentroids(members, iters)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    members.join(broadcast(cent))
+      .withColumn("cent_cos", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("sub_cell"))
+  }
+
+  /** The two sub-centroids a hot cell splits into ([[splitCell]]'s
+    * training half): farthest-point seeds + bounded-sample Lloyd.
+    * Returns (cent_id = seed member id, cent). */
+  private[exts] def splitCentroids(members: DataFrame,
+      iters: Int = IvfIters): DataFrame = {
     def argminCos(ref: DataFrame): DataFrame = {
       // ref is 1 row (cent ARRAY<FLOAT>); min(struct(cos, id, emb))
       // is the deterministic extreme member
@@ -238,14 +253,43 @@ object Similarity {
     val sample = members.orderBy(col("vec_id"))
       .limit(IvfTrainSample.toInt)
       .select(col("vec_id"), col("embedding"))
-    val cent = lloyd(sample, seedA.unionByName(seedB), iters)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    members.join(broadcast(cent))
-      .withColumn("cent_cos", cosine(col("embedding"), col("cent")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("sub_cell"))
+    lloyd(sample, seedA.unionByName(seedB), iters)
+  }
+
+  /** One full maintenance pass over an IVF centroid set: assign the
+    * corpus, decide per cell ([[ivfMaintenanceFor]]), then APPLY —
+    * merge-flagged centroids are dropped (their members reassign to the
+    * nearest survivor on the next assignment, the standard cold-cell
+    * merge), split-flagged cells are replaced by their two
+    * [[splitCentroids]]. Returns the revised centroid frame with cent
+    * ids relabeled 0..n-1 in seed-id order (sub-centroid seed ids are
+    * member ids and could otherwise collide with surviving cent ids).
+    * Decisions are collected driver-side — ≤ k rows, metadata. Iterate
+    * to a fixpoint for deep skew (each pass strictly shrinks the
+    * hottest split cell — PipelineSpec runs the loop to quiescence). */
+  def applyMaintenance(emb: DataFrame, cents: DataFrame,
+      iters: Int = IvfIters): DataFrame = {
+    val assignedDf = IvfIndex.assigned(emb, cents)
+    val occ = assignedDf.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .select(col("cell"), col("n_vectors"), col("min_vec_id"))
+    val verdicts = ivfMaintenanceFor(occ)
+      .select(col("cell"), col("action"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dropped = verdicts.filter(v => v._2 != "keep").keys.toSeq.sorted
+    val kept = cents.filter(!col("cent_id").isin(dropped: _*))
+    val subCents = verdicts.filter(_._2 == "split").keys.toSeq.sorted
+      .map { c =>
+        splitCentroids(assignedDf.filter(col("cell") === c)
+          .select(col("vec_id"), col("embedding")), iters)
+      }
+    val all = (kept +: subCents).reduce(_ unionByName _)
+    // relabel 0..n-1 (metadata-sized window: ≤ k + 2·splits rows);
+    // the cent tiebreak keeps the order deterministic if a sub-centroid
+    // seed id collides with a surviving cent id
+    val rw = Window.orderBy(col("cent_id"), col("cent"))
+    all.withColumn("new_id", row_number().over(rw) - 1)
+      .select(col("new_id").cast("long").as("cent_id"), col("cent"))
   }
 
   /** @param nprobe how many nearest cells each *query* probes. Corpus

@@ -555,6 +555,31 @@ class PipelineSpec extends AnyFunSuite {
     // no member lost or duplicated across the whole loop
     assert(cells.values.flatten.toSeq.sorted === memberIds.map(_._1).toSeq.sorted)
     assert(rounds >= 2, s"this fixture needs a genuine loop, got $rounds round(s)")
+
+    // the engine-side pass (applyMaintenance) performs one whole round:
+    // drops merge-flagged cents, replaces split cells by sub-centroids,
+    // and the resulting assignment is strictly less skewed
+    def skew(cs: org.apache.spark.sql.DataFrame): (Int, Double) = {
+      val w2 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      val o = emb.join(broadcast(cs))
+        .withColumn("cent_cos",
+          Similarity.cosine(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") === 1)
+        .groupBy(col("cent_id")).count()
+        .collect().map(_.getLong(1))
+      (o.length, o.max.toDouble * o.length / o.sum)
+    }
+    val cents1 = Similarity.applyMaintenance(emb, cent)
+    val (n0, s0) = skew(cent)
+    val (n1, s1) = skew(cents1)
+    assert(s1 < s0, s"one engine pass must reduce skew: $s0 -> $s1")
+    assert(n1 >= 2 && math.abs(n1 - n0) <= n0,
+      s"revised centroid count sane: $n0 -> $n1")
+    // relabeled ids are dense 0..n-1
+    val ids1 = cents1.select(col("cent_id")).collect().map(_.getLong(0)).sorted
+    assert(ids1.toSeq === (0L until ids1.length.toLong))
   }
 
   test("ivf maintenance: split/merge/keep fire on the documented thresholds") {
