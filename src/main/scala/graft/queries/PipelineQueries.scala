@@ -209,6 +209,65 @@ object PipelineQueries {
       .map { case (_, p) => s"len(regexp_extract_all(text, '$p'))" }
       .mkString("greatest(", ", ", ")")
 
+  /** The quality_filter signal/threshold chain over any (doc_id, text)
+    * source `src` — shared by the quality_filter and incremental_curate
+    * oracles so the signal definitions cannot drift. Ends in
+    * `flagged(doc_id, signals…, reasons)`. */
+  private def qualitySigCtes(src: String): String =
+    s"""t AS (SELECT doc_id,
+       |            CAST(length(text) AS INTEGER) AS n_chars_measured,
+       |            CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+       |              AS INTEGER) AS n_tokens,
+       |            CAST($stopwordCaseSql
+       |              AS INTEGER) AS n_stopwords,
+       |            regexp_split_to_array(trim(text), '\\s+') AS w
+       |          FROM $src),
+       |wc AS (SELECT doc_id, word, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(w) AS word FROM t)
+       |       GROUP BY doc_id, word),
+       |ws AS (SELECT doc_id, max(c) AS top_word_count,
+       |         CAST(sum(c) AS BIGINT) AS rep_tokens
+       |       FROM wc GROUP BY doc_id),
+       |bgr AS (SELECT doc_id, bg, count(*) AS c FROM (
+       |    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+       |    FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+       |                     AS i) x
+       |    WHERE len(w) >= 2)
+       |  GROUP BY doc_id, bg),
+       |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |         count(*) AS d_bigrams
+       |       FROM bgr GROUP BY doc_id),
+       |sig AS (
+       |  SELECT t.doc_id, n_chars_measured, n_tokens,
+       |    CAST((n_chars_measured * 100) // greatest(n_tokens, 1)
+       |      AS BIGINT) AS mean_token_len_x100,
+       |    CAST((n_stopwords * 1000) // greatest(n_tokens, 1)
+       |      AS BIGINT) AS stopword_ratio_x1000,
+       |    CAST(top_word_count * 1000 // rep_tokens AS BIGINT)
+       |      AS top_word_x1000,
+       |    CAST(coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0)
+       |      AS BIGINT) AS dup_bigram_x1000
+       |  FROM t JOIN ws ON ws.doc_id = t.doc_id
+       |  LEFT JOIN bs ON bs.doc_id = t.doc_id),
+       |flagged AS (
+       |  SELECT *, concat_ws(',',
+       |    CASE WHEN n_chars_measured < 100 THEN 'too_short' END,
+       |    CASE WHEN n_chars_measured > 20000 THEN 'too_long' END,
+       |    CASE WHEN mean_token_len_x100 < 300
+       |           OR mean_token_len_x100 > 1200 THEN 'token_shape' END,
+       |    CASE WHEN stopword_ratio_x1000 < 20 THEN 'low_stopword' END,
+       |    CASE WHEN top_word_x1000 > 200 THEN 'top_word' END,
+       |    CASE WHEN dup_bigram_x1000 > 200 THEN 'dup_bigram' END)
+       |    AS reasons
+       |  FROM sig)""".stripMargin
+
+  private def qualityOracleSql(src: String): String =
+    s"""WITH ${qualitySigCtes(src)}
+       |SELECT doc_id, n_chars_measured, mean_token_len_x100,
+       |  stopword_ratio_x1000, top_word_x1000, dup_bigram_x1000,
+       |  reasons, (reasons = '') AS keep
+       |FROM flagged""".stripMargin
+
   /** DuckDB mirror of [[Similarity.trainedCentroids]] + the IVF search:
     * seeds → [[Similarity.IvfIters]] Lloyd iterations (assignment CTE +
     * per-dimension mean via parallel unnest, centroid cast to FLOAT so
@@ -445,6 +504,25 @@ object PipelineQueries {
             .select(col("doc_id"), col("text")),
           Dedup.corpusNextVersion(s, dir))
       }),
+      // the economy corpus_diff buys: only added/changed docs re-enter
+      // the (quality) pipeline — never the whole corpus
+      "incremental_curate" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h_base"))
+        val delta = Dedup.corpusNextVersion(s, dir)
+          .withColumn("h_next", md5(col("text")))
+          .join(base, Seq("doc_id"), "left")
+          .filter(col("h_base").isNull || col("h_base") =!= col("h_next"))
+          .select(col("doc_id"), col("text"),
+            when(col("h_base").isNull, lit("added"))
+              .otherwise(lit("changed")).as("status"))
+        TextAnalysis.qualitySignals(delta)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("n_tokens").cast("long")).as("n_tokens"))
+      }),
       "dedup_groups_ensemble" -> ((s, dir) =>
         Dedup.dupComponents(
           Dedup.ensemblePairs(Dedup.corpusWithMixedDups(s, dir)))),
@@ -669,57 +747,7 @@ object PipelineQueries {
       // Mirrors the one-pass Spark filter: quality CTE + repetition CTEs
       // joined on doc_id, reason codes concat_ws'd in the same fixed order
       // (both engines skip NULL args).
-      "quality_filter" ->
-        s"""WITH t AS (SELECT doc_id,
-           |            CAST(length(text) AS INTEGER) AS n_chars_measured,
-           |            CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-           |              AS INTEGER) AS n_tokens,
-           |            CAST($stopwordCaseSql
-           |              AS INTEGER) AS n_stopwords,
-           |            regexp_split_to_array(trim(text), '\\s+') AS w
-           |          FROM documents),
-           |wc AS (SELECT doc_id, word, count(*) AS c
-           |       FROM (SELECT doc_id, unnest(w) AS word FROM t)
-           |       GROUP BY doc_id, word),
-           |ws AS (SELECT doc_id, max(c) AS top_word_count,
-           |         CAST(sum(c) AS BIGINT) AS rep_tokens
-           |       FROM wc GROUP BY doc_id),
-           |bgr AS (SELECT doc_id, bg, count(*) AS c FROM (
-           |    SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
-           |    FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
-           |                     AS i) x
-           |    WHERE len(w) >= 2)
-           |  GROUP BY doc_id, bg),
-           |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-           |         count(*) AS d_bigrams
-           |       FROM bgr GROUP BY doc_id),
-           |sig AS (
-           |  SELECT t.doc_id, n_chars_measured,
-           |    CAST((n_chars_measured * 100) // greatest(n_tokens, 1)
-           |      AS BIGINT) AS mean_token_len_x100,
-           |    CAST((n_stopwords * 1000) // greatest(n_tokens, 1)
-           |      AS BIGINT) AS stopword_ratio_x1000,
-           |    CAST(top_word_count * 1000 // rep_tokens AS BIGINT)
-           |      AS top_word_x1000,
-           |    CAST(coalesce((n_bigrams - d_bigrams) * 1000 // n_bigrams, 0)
-           |      AS BIGINT) AS dup_bigram_x1000
-           |  FROM t JOIN ws ON ws.doc_id = t.doc_id
-           |  LEFT JOIN bs ON bs.doc_id = t.doc_id),
-           |flagged AS (
-           |  SELECT *, concat_ws(',',
-           |    CASE WHEN n_chars_measured < 100 THEN 'too_short' END,
-           |    CASE WHEN n_chars_measured > 20000 THEN 'too_long' END,
-           |    CASE WHEN mean_token_len_x100 < 300
-           |           OR mean_token_len_x100 > 1200 THEN 'token_shape' END,
-           |    CASE WHEN stopword_ratio_x1000 < 20 THEN 'low_stopword' END,
-           |    CASE WHEN top_word_x1000 > 200 THEN 'top_word' END,
-           |    CASE WHEN dup_bigram_x1000 > 200 THEN 'dup_bigram' END)
-           |    AS reasons
-           |  FROM sig)
-           |SELECT doc_id, n_chars_measured, mean_token_len_x100,
-           |  stopword_ratio_x1000, top_word_x1000, dup_bigram_x1000,
-           |  reasons, (reasons = '') AS keep
-           |FROM flagged""".stripMargin,
+      "quality_filter" -> qualityOracleSql("documents"),
 
       // 64-token windows stepping by the 48-token stride; the final chunk
       // truncates at the document end. Slice bounds are integer-identical
@@ -1239,6 +1267,34 @@ object PipelineQueries {
           |       WHEN b.h_base <> n.h_next THEN 'changed'
           |       ELSE 'kept' END AS status
           |FROM b FULL OUTER JOIN n ON n.doc_id = b.doc_id""".stripMargin,
+
+      // Only the added/changed delta runs the quality chain — the shared
+      // qualitySigCtes signal definitions over the `delta` CTE.
+      "incremental_curate" -> {
+        s"""WITH nextv AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 10 = 0 THEN text || ' rev2'
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id % 13 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 800000, text FROM documents
+           |  WHERE doc_id % 11 = 0),
+           |b AS (SELECT doc_id, md5(text) AS h_base FROM documents),
+           |delta AS (
+           |  SELECT n.doc_id, n.text,
+           |    CASE WHEN b.doc_id IS NULL THEN 'added'
+           |         ELSE 'changed' END AS status
+           |  FROM (SELECT doc_id, text, md5(text) AS h_next FROM nextv) n
+           |  LEFT JOIN b ON b.doc_id = n.doc_id
+           |  WHERE b.doc_id IS NULL OR b.h_base <> n.h_next),
+           |${qualitySigCtes("delta")}
+           |SELECT d.status, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN f.reasons = '' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept,
+           |  CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens
+           |FROM flagged f JOIN delta d ON d.doc_id = f.doc_id
+           |GROUP BY 1""".stripMargin
+      },
 
       "dedup_ngram_jaccard" ->
         s"""WITH $nearCorpusCte,

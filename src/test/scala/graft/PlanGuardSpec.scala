@@ -38,7 +38,7 @@ class PlanGuardSpec extends AnyFunSuite {
     *    doc_id; full outer cannot broadcast. */
   private val smjJustified = Set(
     "join_outer", "merge_upsert", "dedup_semantic", "corpus_curate_semantic",
-    "snapshot_diff", "corpus_diff")
+    "snapshot_diff", "corpus_diff", "incremental_curate")
 
   test("no CartesianProduct anywhere; SortMergeJoin only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
