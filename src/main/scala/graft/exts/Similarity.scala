@@ -571,6 +571,57 @@ object Similarity {
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
   }
 
+  /** Incoming vector-ingest batch: every 6th corpus vector scaled ×2
+    * under a new id (an already-present embedding — must be dropped;
+    * cosine is scale-invariant and ×2 is exponent-exact in float on both
+    * engines) ∪ every 9th vector sign-flipped (a genuinely novel
+    * direction — must survive: different sign bucket AND cosine −1). */
+  def incomingVecBatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    base.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") + 900000L).as("batch_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .unionByName(base.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 950000L).as("batch_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+  }
+
+  /** emb_incremental: the vector-store ingest gate — the
+    * [[graft.exts.Dedup]] dedup_incremental discipline for embeddings.
+    * For each incoming batch vector: how many existing corpus vectors it
+    * near-duplicates (exact cosine ≥ threshold within the shared
+    * adaptive sign-bucket) and the drop verdict.
+    *
+    * Scale shape: the batch is per-ingest-sized and BROADCASTS into the
+    * bucket equi-join against the corpus (inner join — a left-outer
+    * would force the corpus to the broadcastable side); zero-match batch
+    * rows are restored by a left join against the match COUNTS, which
+    * are ≤ batch-sized metadata. The corpus is scanned once and never
+    * self-joined. */
+  def embIncremental(spark: SparkSession, dir: String,
+      threshold: Double = 0.999): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bits = adaptiveBucketBits(corpus.count())
+    val batch = incomingVecBatch(spark, dir)
+      .select(col("batch_id"),
+        signBucketBits(col("embedding"), bits).as("bucket"),
+        col("embedding").as("emb_b"))
+    val c = corpus.select(
+      signBucketBits(col("embedding"), bits).as("bucket"),
+      col("embedding").as("emb_c"))
+    val matches = broadcast(batch).join(c, Seq("bucket"))
+      .filter(cosine(col("emb_b"), col("emb_c")) >= threshold)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"))
+    batch.select(col("batch_id"))
+      .join(broadcast(matches), Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n"), lit(0L)).as("n_matches"),
+        (coalesce(col("n"), lit(0L)) > 0L).as("is_dup"))
+  }
+
   /** Embedding near-duplicate pairs: corpus ∪ planted scaled copies,
     * bucketed self-join, exact cosine ≥ threshold within bucket. Output is
     * id pairs only — integer-exact.

@@ -490,6 +490,8 @@ object PipelineQueries {
       "dedup_simhash" -> ((s, dir) =>
         Dedup.simhashPairs(Dedup.corpusWithNearDups(s, dir))),
       "dedup_embedding" -> ((s, dir) => Similarity.nearDupPairs(s, dir)),
+      // the vector-store ingest gate: batch vs corpus, bucket-blocked
+      "emb_incremental" -> ((s, dir) => Similarity.embIncremental(s, dir)),
       "dedup_groups" -> ((s, dir) =>
         Dedup.dupComponents(
           Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir)))),
@@ -2012,6 +2014,46 @@ object PipelineQueries {
            |SELECT x.vec_id AS a_id, y.vec_id AS b_id
            |FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
            |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.999""".stripMargin,
+
+      // Batch-vs-corpus embedding gate: same adaptive-bits derivation as
+      // dedup_embedding (over the PLAIN corpus count), planted ×2 copies
+      // must be dropped, sign-flipped novelties must survive.
+      "emb_incremental" ->
+        s"""WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
+           |p AS (SELECT coalesce(min(b), ${Similarity.MaxBucketBits}) AS bits
+           |      FROM (SELECT unnest(range(${Similarity.BucketBits},
+           |                               ${Similarity.MaxBucketBits + 1})) AS b), n
+           |      WHERE n_corpus <= ${Similarity.TargetCellVectors}
+           |                        * (CAST(1 AS BIGINT) << b)),
+           |batch AS (
+           |  SELECT vec_id + 900000 AS batch_id,
+           |    list_transform(embedding, x -> x * 2) AS embedding
+           |  FROM embeddings WHERE vec_id % 6 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 950000, list_transform(embedding, x -> -x)
+           |  FROM embeddings WHERE vec_id % 9 = 0),
+           |bb AS (SELECT batch_id, embedding,
+           |    CAST(list_sum(list_transform(range(1, bits + 1),
+           |      k -> CASE WHEN embedding[k] >= 0
+           |                THEN CAST(1 AS BIGINT) << (k - 1)
+           |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+           |  FROM batch CROSS JOIN p),
+           |cb AS (SELECT vec_id, embedding,
+           |    CAST(list_sum(list_transform(range(1, bits + 1),
+           |      k -> CASE WHEN embedding[k] >= 0
+           |                THEN CAST(1 AS BIGINT) << (k - 1)
+           |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+           |  FROM embeddings CROSS JOIN p),
+           |m AS (
+           |  SELECT bb.batch_id, count(*) AS n
+           |  FROM bb JOIN cb ON cb.bucket = bb.bucket
+           |  WHERE list_cosine_similarity(bb.embedding, cb.embedding)
+           |    >= 0.999
+           |  GROUP BY 1)
+           |SELECT b.batch_id,
+           |  CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+           |  coalesce(m.n, 0) > 0 AS is_dup
+           |FROM batch b LEFT JOIN m ON m.batch_id = b.batch_id""".stripMargin,
 
       "sim_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS e_q

@@ -637,6 +637,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(flipped > 0, "no planted copy flipped to keeper under keep-best")
   }
 
+  test("emb incremental gate: scaled re-ingests dropped, novel directions kept") {
+    val rows = Similarity.embIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val (scaled, flipped) = rows.partition(_._1 < 950000L)
+    assert(scaled.nonEmpty && flipped.nonEmpty)
+    // every ×2 re-ingest matches its source (cosine exactly 1)
+    scaled.foreach { case (id, n, dup) =>
+      assert(dup && n >= 1L, s"scaled batch vector $id must be flagged")
+    }
+    // every sign-flip is novel: different bucket AND cosine −1
+    flipped.foreach { case (id, n, dup) =>
+      assert(!dup && n === 0L, s"flipped batch vector $id must survive")
+    }
+  }
+
   test("trained artifacts and band pairs are partitioning-invariant") {
     import graft.exts.PqIndex
     // Deterministic-training claims die quietly when a groupBy minimum
