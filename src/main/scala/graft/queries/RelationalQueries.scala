@@ -308,6 +308,27 @@ object RelationalQueries {
           .filter(col("rnk") <= 5)
       }),
 
+      // Value/position window family — ntile + first/last/nth_value —
+      // over a TOTAL order ((qty DESC, orderkey, linenumber) — the
+      // tie-break the rank-funcs key deliberately avoids needing makes
+      // these row-position functions deterministic).
+      "window_value_funcs" -> ((s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_quantity").desc, col("l_orderkey"),
+            col("l_linenumber"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("int").as("qty"),
+            ntile(4).over(w).as("quartile"),
+            first(col("l_orderkey")).over(wf).as("top_order"),
+            last(col("l_orderkey")).over(wf).as("bottom_order"),
+            nth_value(col("l_orderkey"), 2).over(wf).as("second_order"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 5)
+      }),
+
       // Exact distinct aggregation (Expand-based two-phase plan).
       "agg_distinct" -> ((s, dir) =>
         Tables.load(s, dir, "orders")
@@ -547,6 +568,25 @@ object RelationalQueries {
           |      FROM lineitem
           |      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC))
           |WHERE rnk <= 5""".stripMargin,
+
+      "window_value_funcs" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber, qty, quartile,
+          |  top_order, bottom_order, second_order, CAST(rn AS INTEGER) AS rn
+          |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+          |        CAST(l_quantity AS INTEGER) AS qty,
+          |        CAST(ntile(4) OVER wo AS INTEGER) AS quartile,
+          |        first_value(l_orderkey) OVER wf AS top_order,
+          |        last_value(l_orderkey) OVER wf AS bottom_order,
+          |        nth_value(l_orderkey, 2) OVER wf AS second_order,
+          |        row_number() OVER wo AS rn
+          |      FROM lineitem
+          |      WINDOW wo AS (PARTITION BY l_suppkey
+          |          ORDER BY l_quantity DESC, l_orderkey, l_linenumber),
+          |        wf AS (PARTITION BY l_suppkey
+          |          ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+          |          ROWS BETWEEN UNBOUNDED PRECEDING
+          |            AND UNBOUNDED FOLLOWING))
+          |WHERE rn <= 5""".stripMargin,
 
       "agg_distinct" ->
         """SELECT o_orderstatus,

@@ -93,7 +93,7 @@ class PlanGuardSpec extends AnyFunSuite {
     *    bounded at any scale; the fixture just has 10 suppliers. (The
     *    rank/percent_rank/cume_dist family also intrinsically needs the
     *    full group ordering — there is no bounded-buffer form.) */
-  private val boundedWindowJustified = Set("window_rank_funcs")
+  private val boundedWindowJustified = Set("window_rank_funcs", "window_value_funcs")
 
   test("no low-cardinality-partition Window over an unreduced corpus-scale child") {
     // The r8 verdict's scale-killer shape: a Window partitioned by a key
