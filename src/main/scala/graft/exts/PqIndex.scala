@@ -389,10 +389,23 @@ object PqIndex {
     val emb = Tables.load(spark, dir, "embeddings")
     val shortlist = ivfPqSearch(spark, dir, maxQueryId, k * RefineExpand,
       nprobe).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // ≤ queries × k·expand rows — metadata
+    // the rerank reads full vectors for SHORTLISTED ids only: the id set
+    // is metadata (collected), so it pushes into the scan as literals —
+    // parquet row-group stats skip everything else (the point-lookup
+    // shape, like searchClusteredCodes' probed-cell literals) instead of
+    // scanning the whole corpus and dropping rows at the join. A
+    // DELIBERATE toy-scale trade (the maintenance_budget precedent): the
+    // extra shortlist-materialization action costs ~0.4 s at sf0.1/sf1
+    // (1.5→1.9 s / 2.2→2.6 s measured), but the old shape's full-corpus
+    // quantizedSubs scan for a ~160-row lookup is exactly the plan that
+    // cannot ship at 100 TB — do not "optimize" this back.
+    val ids = shortlist.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
     val q = quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
       .select(col("vec_id").as("query_id"), col("m"),
         col("qsub").as("qsub_q"))
-    val exact = quantizedSubs(emb)
+    val exact = quantizedSubs(emb.filter(col("vec_id").isin(ids: _*)))
       .select(col("vec_id").as("neighbor_id"), col("m"),
         col("qsub").as("qsub_n"))
       .join(broadcast(shortlist), Seq("neighbor_id"))
