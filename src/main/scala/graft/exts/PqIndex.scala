@@ -370,6 +370,16 @@ object PqIndex {
       exactIntTruth(Tables.load(spark, dir, "embeddings"), maxQueryId, k),
       ivfPqSearch(spark, dir, maxQueryId, k, nprobe))
 
+  /** ivf_pq_refine_recall: recall@k of the two-stage refine search vs
+    * the same exact truth — the third point of the tuning curve
+    * (pq_recall → ivf_pq_recall → this): what exact reranking claws
+    * back from code compression at a given shortlist width. */
+  def ivfPqRefineRecall(spark: SparkSession, dir: String,
+      maxQueryId: Long = 8, k: Int = 5, nprobe: Int = 1): DataFrame =
+    recallVsTruth(
+      exactIntTruth(Tables.load(spark, dir, "embeddings"), maxQueryId, k),
+      ivfPqRefine(spark, dir, maxQueryId, k, nprobe))
+
   /** Shortlist multiplier for the refine stage: the ADC stage returns
     * k·RefineExpand candidates, the exact stage reranks just those. */
   val RefineExpand = 4

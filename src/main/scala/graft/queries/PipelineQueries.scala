@@ -574,6 +574,8 @@ object PipelineQueries {
       "ivf_pq_recall" -> ((s, dir) => PqIndex.ivfPqRecall(s, dir)),
       // two-stage: ADC shortlist → exact rerank of just the shortlist
       "ivf_pq_refine" -> ((s, dir) => PqIndex.ivfPqRefine(s, dir)),
+      "ivf_pq_refine_recall" -> ((s, dir) =>
+        PqIndex.ivfPqRefineRecall(s, dir)),
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
 
@@ -2220,6 +2222,63 @@ object PipelineQueries {
            |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
            |  dist_q
            |FROM rranked WHERE rank <= 5""".stripMargin
+      },
+
+      // recall@5 of the two-stage refine vs the exact truth — the third
+      // point of the tuning curve (same rshort/rex/rranked chain as the
+      // ivf_pq_refine oracle, same truth CTEs as the other recall keys).
+      "ivf_pq_refine_recall" -> {
+        val short = 5 * PqIndex.RefineExpand
+        s"""WITH $trainCtes,
+           |$pqCtes,
+           |$pqSearchCtes,
+           |${ivfPqCtes(1)},
+           |rshort AS (SELECT query_id, neighbor_id FROM ipranked
+           |           WHERE rank <= $short),
+           |rex AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    CAST(sum(CAST(list_sum(list_transform(
+           |      range(${PqIndex.SubDim}), i ->
+           |        (q.qsub[i+1] - n.qsub[i+1]) *
+           |        (q.qsub[i+1] - n.qsub[i+1]))) AS BIGINT)) AS BIGINT)
+           |      AS dist_q
+           |  FROM rshort s
+           |  JOIN qsubs q ON q.vec_id = s.query_id
+           |  JOIN qsubs n ON n.vec_id = s.neighbor_id AND n.m = q.m
+           |  GROUP BY 1, 2),
+           |rtop AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY dist_q, neighbor_id) AS rank
+           |    FROM rex)
+           |  WHERE rank <= 5),
+           |tscored AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |    CAST(sum(CAST(list_sum(list_transform(
+           |      range(${PqIndex.SubDim}), i ->
+           |        (q.qsub[i+1] - n.qsub[i+1]) *
+           |        (q.qsub[i+1] - n.qsub[i+1]))) AS BIGINT)) AS BIGINT)
+           |      AS dist_q
+           |  FROM qsubs q JOIN qsubs n
+           |    ON n.m = q.m AND n.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY dist_q, neighbor_id) AS rank
+           |    FROM tscored)
+           |  WHERE rank <= 5)
+           |SELECT t.query_id,
+           |  CAST(count(*) AS BIGINT) AS k_truth,
+           |  CAST(count(p.query_id) AS BIGINT) AS n_hits,
+           |  CAST(count(p.query_id) * 1000 // count(*) AS BIGINT)
+           |    AS recall_x1000
+           |FROM truth t LEFT JOIN rtop p
+           |  ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+           |GROUP BY t.query_id""".stripMargin
       },
 
       // recall@5 of the composed search vs the same exact integer-L2
