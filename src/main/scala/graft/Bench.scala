@@ -60,7 +60,7 @@ object Bench {
     }
     val artifactQueries =
       Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
-        "pq_search", "ivf_pq_search")
+        "pq_search", "ivf_pq_search", "ivf_pq_refine")
     val artifacts = artifactQueries
       .filter(SparkEntry.queries.contains)
       .map { name =>
