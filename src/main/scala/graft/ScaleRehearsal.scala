@@ -136,7 +136,16 @@ object ScaleRehearsal {
       "ivf_pq_refine" -> SparkEntry.queries("ivf_pq_refine"),
       // keep-best verdict (r9): same components as keep_list + one
       // struct-min winner aggregate over pair-bounded members.
-      "dedup_keep_best" -> SparkEntry.queries("dedup_keep_best"))
+      "dedup_keep_best" -> SparkEntry.queries("dedup_keep_best"),
+      // version diff (r9): two (doc_id, md5) projections + one
+      // co-partitioned full-outer — growth tracks corpus rows.
+      "corpus_diff" -> SparkEntry.queries("corpus_diff"),
+      // delta-only curation (r9): the quality chain over added/changed
+      // docs — growth tracks DELTA size, not corpus size.
+      "incremental_curate" -> SparkEntry.queries("incremental_curate"),
+      // vector ingest gate (r9): batch broadcast into the bucket
+      // equi-join; growth tracks batch × bucket-collision volume.
+      "emb_incremental" -> SparkEntry.queries("emb_incremental"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries
