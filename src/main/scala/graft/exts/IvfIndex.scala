@@ -129,7 +129,7 @@ object IvfIndex {
     val probedCells = q.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val corpus = spark.read.parquet(path)
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("emb_n"), col("cell"))
     // bounded TopKPairs finish (≤k rows per query per mapper), same

@@ -415,7 +415,8 @@ object PqIndex {
     val q = quantizedSubs(emb.filter(col("vec_id") < maxQueryId))
       .select(col("vec_id").as("query_id"), col("m"),
         col("qsub").as("qsub_q"))
-    val exact = quantizedSubs(emb.filter(col("vec_id").isin(ids: _*)))
+    val exact = quantizedSubs(
+      emb.filter(col("vec_id").isin(ids.toIndexedSeq: _*)))
       .select(col("vec_id").as("neighbor_id"), col("m"),
         col("qsub").as("qsub_n"))
       .join(broadcast(shortlist), Seq("neighbor_id"))
@@ -458,7 +459,7 @@ object PqIndex {
       .select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(path)
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("m"), col("code"), col("cell"))
     rankProbed(spark, dir, codes, cent, queries, k, nprobe)
   }

@@ -26,7 +26,8 @@ object Skew {
     require(saltBuckets > 0, "saltBuckets must be positive")
     // deterministic salt from the row content (not rand(): reproducible)
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltBuckets))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)),
+        lit(saltBuckets))
         .cast("int"))
     val replicated = right
       .withColumn("__salt",
