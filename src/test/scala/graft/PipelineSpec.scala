@@ -637,6 +637,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(flipped > 0, "no planted copy flipped to keeper under keep-best")
   }
 
+  test("corpus diff: statuses partition the id universe, verdicts match set algebra") {
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val next = Dedup.corpusNextVersion(spark, dir)
+    val got = Dedup.corpusDiff(base, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    val nextIds = next.select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly one row per id in the union, statuses = the set algebra
+    assert(got.keySet === baseIds.union(nextIds))
+    assert(got.filter(_._2 == "added").keySet === nextIds.diff(baseIds))
+    assert(got.filter(_._2 == "removed").keySet === baseIds.diff(nextIds))
+    val both = baseIds.intersect(nextIds)
+    assert(got.filter(kv => kv._2 == "changed" || kv._2 == "kept").keySet
+      === both)
+    // the deterministic fixture edit rule maps exactly to 'changed'
+    got.foreach { case (id, st) =>
+      if (both(id)) assert((st == "changed") === (id % 10 == 0), s"$id: $st")
+    }
+  }
+
   test("emb incremental gate: scaled re-ingests dropped, novel directions kept") {
     val rows = Similarity.embIncremental(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -487,6 +487,34 @@ class StreamSpec extends AnyFunSuite {
       s"tail-edited rewrite of doc 1 must be suppressed, got $kept")
   }
 
+  test("streaming near-dedup: an exact duplicate shares every band and is suppressed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val base = 1706659200000L
+    val text = ("identical content repeated verbatim through the ingest " +
+      "stream to prove the strongest case of the band rule every bucket " +
+      "collides so the copy can never own all sixteen")
+    val out = graft.exts.Dedup.streamingNearDedup(
+      input.toDS().toDF("doc_id", "text", "ingest_ts_ms"))
+    val q = out.writeStream.format("memory").queryName("near_dedup_exact")
+      .outputMode("append").start()
+    input.addData((1L, text, base))
+    q.processAllAvailable()
+    input.addData((2L, text, base + 1000)) // byte-identical copy
+    q.processAllAvailable()
+    input.addData((9L, "totally unrelated filler words marching on and " +
+      "on across the quiet page for long enough to band",
+      base + 3600L * 1000))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("near_dedup_exact").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L),
+      s"first arrival survives, verbatim copy suppressed: $kept")
+  }
+
   test("streaming heavy hitters emit exactly once, at the crossing batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
