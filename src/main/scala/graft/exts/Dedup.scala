@@ -99,15 +99,18 @@ object Dedup {
     *    consumer (±0.1-0.3 s around the recompute baseline) — the
     *    eager materialization costs what the second computation cost.
     * The recompute constant stands. */
-  private[graft] def cappedShingles(corpus: DataFrame,
-      maxShingleDf: Int): DataFrame = {
-    val sh = hashedShingles(corpus)
-    val hot = sh.groupBy(col("sh"))
+  /** The stop-shingle hot set: shingles whose CORPUS document frequency
+    * exceeds the cap. */
+  private def hotShingles(corpus: DataFrame, maxShingleDf: Int): DataFrame =
+    hashedShingles(corpus).groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("sh"))
-    sh.join(hot, Seq("sh"), "left_anti")
-  }
+
+  private[graft] def cappedShingles(corpus: DataFrame,
+      maxShingleDf: Int): DataFrame =
+    hashedShingles(corpus)
+      .join(hotShingles(corpus, maxShingleDf), Seq("sh"), "left_anti")
 
   /** Shared candidate-pair statistics over a (doc_id, sh) inverted-index
     * frame: one self-join on the 8-byte shingle hash restricted to
@@ -278,6 +281,73 @@ object Dedup {
       Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
       incomingBatch(spark, dir),
       BloomIndex.sketch(spark, dir))
+
+  /** Incoming batch for the NEAR-dup ingest gate: every 5th doc verbatim
+    * (flag — exact is a special case of near) ∪ every 7th tail-edited
+    * (flag — the rewrite exact dedup misses) ∪ every 11th with its 20
+    * most common letters rotated (the ScaleRehearsal scramble — every
+    * word differs, so it shares NO shingles with the corpus and must
+    * survive). Re-keyed outside the corpus id space. */
+  def incomingNearBatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val letters = "abcdefghijklmnopqrst"
+    base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" qq zz")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 750000L).as("doc_id"),
+          translate(col("text"), letters,
+            letters.drop(1) + letters.take(1)).as("text")))
+  }
+
+  /** Batch-vs-corpus NEAR-dup ingest gate — the near tier of incremental
+    * ingest ([[incrementalNew]] settles byte-identical copies; this
+    * catches the tail-edited rewrites that slip past it, completing the
+    * exact/near × batch/stream gate matrix with
+    * [[streamingDedup]]/[[streamingNearDedup]]). For each batch doc: how
+    * many corpus docs it resembles (Jaccard ≥ ½ over df-capped shingles,
+    * the family's integer threshold) and the drop verdict.
+    *
+    * Scale shape: the batch's kept-shingle index is per-ingest-sized and
+    * BROADCASTS into the equi-join against the corpus's capped inverted
+    * index — the corpus is scanned once (plus the one hot-set pass every
+    * family member pays) and never self-joined; candidate volume is
+    * bounded by batch shingles × df cap. Both sides' sizes count KEPT
+    * shingles against the CORPUS hot set, so the threshold test sees one
+    * universe. Candidate pairs and match counts are batch-bounded
+    * metadata. */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val hot = hotShingles(corpus, maxShingleDf)
+    val cSh = hashedShingles(corpus).join(hot, Seq("sh"), "left_anti")
+    val bSh = hashedShingles(batch).join(hot, Seq("sh"), "left_anti")
+      .select(col("doc_id").as("b_id"), col("sh"))
+    val cSizes = cSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_c"))
+    val bSizes = bSh.groupBy(col("b_id")).agg(count(lit(1)).as("n_b"))
+    val pairs = broadcast(bSh).join(cSh, Seq("sh"))
+      .groupBy(col("b_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    val near = broadcast(pairs)
+      .join(cSizes, Seq("doc_id"))
+      .join(broadcast(bSizes), Seq("b_id"))
+      .filter(col("inter") * 3 >= col("n_b") + col("n_c"))
+      .groupBy(col("b_id")).agg(count(lit(1)).as("n"))
+    batch.select(col("doc_id"))
+      .join(broadcast(near.withColumnRenamed("b_id", "doc_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_near_matches"),
+        (coalesce(col("n"), lit(0L)) > 0L).as("is_near_dup"))
+  }
+
+  def incrementalNearDups(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDups(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")),
+      incomingNearBatch(spark, dir))
 
   /** documents ∪ planted excerpts (every 13th doc, its first
     * max(n/3, 6) words as a new doc, id+400000). An excerpt's shingle set

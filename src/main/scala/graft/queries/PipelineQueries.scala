@@ -492,6 +492,10 @@ object PipelineQueries {
       "dedup_embedding" -> ((s, dir) => Similarity.nearDupPairs(s, dir)),
       // the vector-store ingest gate: batch vs corpus, bucket-blocked
       "emb_incremental" -> ((s, dir) => Similarity.embIncremental(s, dir)),
+      // the near tier of incremental ingest: batch vs corpus resemblance
+      // over the df-capped shingle index, batch side broadcast
+      "dedup_incremental_near" -> ((s, dir) =>
+        Dedup.incrementalNearDups(s, dir)),
       "dedup_groups" -> ((s, dir) =>
         Dedup.dupComponents(
           Dedup.ngramJaccardPairs(Dedup.corpusWithNearDups(s, dir)))),
@@ -1299,6 +1303,55 @@ object PipelineQueries {
            |FROM flagged f JOIN delta d ON d.doc_id = f.doc_id
            |GROUP BY 1""".stripMargin
       },
+
+      // Batch-vs-corpus near-dup gate: the corpus hot set caps BOTH
+      // sides' kept shingles; Jaccard >= 1/2 in integer arithmetic.
+      "dedup_incremental_near" ->
+        """WITH batch AS (
+          |  SELECT doc_id + 600000 AS b_id, text FROM documents
+          |  WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000, text || ' qq zz' FROM documents
+          |  WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 750000,
+          |    translate(text, 'abcdefghijklmnopqrst',
+          |              'bcdefghijklmnopqrsta')
+          |  FROM documents WHERE doc_id % 11 = 0),
+          |csh AS (
+          |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+          |  FROM (SELECT doc_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM documents),
+          |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+          |  WHERE len(words) >= 5),
+          |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM csh
+          |                        GROUP BY sh) WHERE df > 100),
+          |ck AS (SELECT doc_id, sh FROM csh ANTI JOIN hot USING (sh)),
+          |bsh AS (
+          |  SELECT DISTINCT b_id, array_to_string(words[i:i+4], ' ') AS sh
+          |  FROM (SELECT b_id,
+          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |        FROM batch),
+          |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+          |  WHERE len(words) >= 5),
+          |bk AS (SELECT b_id, sh FROM bsh ANTI JOIN hot USING (sh)),
+          |cs AS (SELECT doc_id, count(*) AS n_c FROM ck GROUP BY doc_id),
+          |bs AS (SELECT b_id, count(*) AS n_b FROM bk GROUP BY b_id),
+          |inter AS (
+          |  SELECT bk.b_id, ck.doc_id, count(*) AS inter
+          |  FROM bk JOIN ck USING (sh) GROUP BY 1, 2),
+          |near AS (
+          |  SELECT i.b_id, count(*) AS n
+          |  FROM inter i
+          |  JOIN cs ON cs.doc_id = i.doc_id
+          |  JOIN bs ON bs.b_id = i.b_id
+          |  WHERE i.inter * 3 >= bs.n_b + cs.n_c
+          |  GROUP BY 1)
+          |SELECT b.b_id AS doc_id,
+          |  CAST(coalesce(near.n, 0) AS BIGINT) AS n_near_matches,
+          |  coalesce(near.n, 0) > 0 AS is_near_dup
+          |FROM batch b LEFT JOIN near ON near.b_id = b.b_id""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH $nearCorpusCte,

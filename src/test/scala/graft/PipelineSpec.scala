@@ -659,6 +659,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("near ingest gate: verbatim and tail-edits flagged, scrambled novel") {
+    val rows = Dedup.incrementalNearDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, dup) =>
+      val kind =
+        if (id < 700000L) "verbatim"
+        else if (id < 750000L) "tail-edit"
+        else "scrambled"
+      kind match {
+        case "scrambled" =>
+          assert(!dup && n == 0L, s"scrambled $id must be novel")
+        case _ =>
+          assert(dup && n >= 1L, s"$kind $id must be flagged")
+      }
+    }
+  }
+
   test("emb incremental gate: scaled re-ingests dropped, novel directions kept") {
     val rows = Similarity.embIncremental(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
