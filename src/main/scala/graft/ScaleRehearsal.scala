@@ -145,7 +145,10 @@ object ScaleRehearsal {
       "incremental_curate" -> SparkEntry.queries("incremental_curate"),
       // vector ingest gate (r9): batch broadcast into the bucket
       // equi-join; growth tracks batch × bucket-collision volume.
-      "emb_incremental" -> SparkEntry.queries("emb_incremental"))
+      "emb_incremental" -> SparkEntry.queries("emb_incremental"),
+      // near ingest gate (r9): batch kept-shingles broadcast against the
+      // capped corpus index; growth tracks batch size + the hot-set pass.
+      "dedup_incremental_near" -> SparkEntry.queries("dedup_incremental_near"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries
