@@ -17,14 +17,6 @@ object Bench {
     spark.range(1000000L).repartition(8).groupBy((col("id") % 7).as("k"))
       .count().count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    // Min of THREE passes per query: steady-state throughput rather than
-    // first-run plan-compilation cost, and enough samples that the
-    // ±0.1 s fixed-latency jitter on sub-second queries (JIT deopt, GC
-    // pause, noisy neighbor) stops reading as round-over-round
-    // "regressions" — r7→r8 comparison chased exactly that noise. The
-    // pass count is recorded in the output ("passes") so rounds compare
-    // like with like. A crashed run is reported as -1 (plus an entry in
-    // "errors"), never as its elapsed time.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -35,20 +27,40 @@ object Bench {
         -1.0
       }
     }
+    // PASS-MAJOR min-of-three (r9 fix): three full alphabetical sweeps,
+    // per-query min ACROSS sweeps. r9 ran query-major (3 back-to-back
+    // passes per query), so slow session-state drift — GC / code-cache
+    // pressure accumulating over 148 plans × 3 executions — hit whichever
+    // queries happened to run late, producing 3-5× "regressions" on
+    // untouched sources and a min-of-warm-passes figure for pq_search
+    // (3.48 s) that exceeded its own same-run cold build (2.20 s), which
+    // is impossible for a sound instrument. Pass-major spreads any drift
+    // evenly across ALL queries within a sweep, and the min across sweeps
+    // then picks each query's least-disturbed execution. An explicit GC
+    // between sweeps drains accumulated garbage so sweep N+1 starts level
+    // with sweep N; per-sweep totals are recorded so residual drift is
+    // visible in the artifact instead of inferred.
     val passes = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).map(_ => once(name, fn))
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweeps: Seq[Map[String, Double]] = (1 to passes).map { _ =>
+      val m = named.map { case (name, fn) => name -> once(name, fn) }.toMap
+      System.gc()
+      m
+    }
+    var results = named.map { case (name, _) =>
+      val times = sweeps.map(_(name))
       // Any crashed pass → -1 (flakiness must be loud, not averaged
       // away); the error strings are recorded either way.
       val best = if (times.exists(_ < 0)) -1.0 else times.min
       name -> best
     }.toMap
+    val sweepTotals = sweeps.map(_.values.filter(_ >= 0).sum)
     // Artifact-backed queries get an explicit cold/warm split: "cold"
     // re-runs the query with every session memo dropped (pays the
     // artifact build — Bloom sketch scan, IVF k-means, BPE training
     // loop, LM training write), "warm" re-runs against the rebuilt memo
     // (the per-batch steady state a deployment amortizes to). The main
-    // "queries" numbers are min-of-passes and therefore warm already;
+    // "queries" numbers are min-of-sweeps and therefore warm already;
     // this section makes the one-time build cost visible instead of
     // inferred.
     def clearMemos(): Unit = {
@@ -61,20 +73,41 @@ object Bench {
     val artifactQueries =
       Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
         "pq_search", "ivf_pq_search", "ivf_pq_refine")
-    val artifacts = artifactQueries
+    val artifactSplit: Seq[(String, Double, Double)] = artifactQueries
       .filter(SparkEntry.queries.contains)
       .map { name =>
         clearMemos()
         val cold = once(name, SparkEntry.queries(name))
         val warm = once(name, SparkEntry.queries(name))
-        s"\"" + name + "\":{\"cold\":" + cold + ",\"warm\":" + warm + "}"
-      }.mkString("{", ",", "}")
+        (name, cold, warm)
+      }
+    // INTERNAL CONSISTENCY GATE (r9 "What's wrong #1"): the main figure is
+    // a min over passes that all ran against a built memo, so it can never
+    // legitimately exceed the same session's own warm re-run. If it does,
+    // the main-loop measurement was disturbed (drift, noisy window) and
+    // the warm figure is the truthful steady-state number — substitute it
+    // and record the violation loudly so a disturbed run is visible in the
+    // artifact, not silently shipped.
+    val inconsistent = scala.collection.mutable.ArrayBuffer.empty[String]
+    artifactSplit.foreach { case (name, _, warm) =>
+      val main = results(name)
+      if (main >= 0 && warm >= 0 && main > warm * 1.5) {
+        inconsistent +=
+          s"""{"query":"$name","main":$main,"warm":$warm}"""
+        results = results.updated(name, warm)
+      }
+    }
+    val artifacts = artifactSplit.map { case (name, cold, warm) =>
+      s"\"" + name + "\":{\"cold\":" + cold + ",\"warm\":" + warm + "}"
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
+    val recon = inconsistent.mkString("[", ",", "]")
+    val sweepsJson = sweepTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"artifacts":$artifacts,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"pass_order":"pass_major","sweep_totals":$sweepsJson,"queries":$qs,"artifacts":$artifacts,"reconciled":$recon,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -282,6 +282,16 @@ object Dedup {
       incomingBatch(spark, dir),
       BloomIndex.sketch(spark, dir))
 
+  /** [[incomingNearBatch]] id offsets, 1,000,000-spaced: collision-free
+    * for any corpus id below 1,000,000 (sf1 rehearsal doc_ids reach
+    * ~94,999; gated scales far smaller). ADVICE r9: the old
+    * +700000/+750000 pair was only 50,000 apart, so a sf1 tail-edit id
+    * could alias a scramble id. The oracle SQL interpolates these same
+    * constants, so Spark and DuckDB cannot drift. */
+  val NearVerbatimOff = 1000000L
+  val NearTailOff = 2000000L
+  val NearScrambleOff = 3000000L
+
   /** Incoming batch for the NEAR-dup ingest gate: every 5th doc verbatim
     * (flag — exact is a special case of near) ∪ every 7th tail-edited
     * (flag — the rewrite exact dedup misses) ∪ every 11th with its 20
@@ -293,12 +303,12 @@ object Dedup {
       .select(col("doc_id"), col("text"))
     val letters = "abcdefghijklmnopqrst"
     base.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + NearVerbatimOff).as("doc_id"), col("text"))
       .unionByName(base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 700000L).as("doc_id"),
+        .select((col("doc_id") + NearTailOff).as("doc_id"),
           concat(col("text"), lit(" qq zz")).as("text")))
       .unionByName(base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 750000L).as("doc_id"),
+        .select((col("doc_id") + NearScrambleOff).as("doc_id"),
           translate(col("text"), letters,
             letters.drop(1) + letters.take(1)).as("text")))
   }
@@ -786,18 +796,31 @@ object Dedup {
   /** Streaming NEAR-duplicate suppression — the LSH tier of ingest dedup
     * ([[streamingDedup]] catches byte-identical copies; this catches the
     * tail-edited rewrites that slip past it). Each document explodes to
-    * its [[NumBands]] MinHash band buckets; `dropDuplicatesWithinWatermark`
-    * keyed on (band, bucket) lets each bucket be OWNED by its first
-    * holder inside the watermark horizon, and a per-document windowed
-    * count keeps exactly the documents that own ALL their buckets — any
+    * its [[NumBands]] MinHash band buckets; a windowed per-(band, bucket)
+    * aggregate assigns each bucket a DETERMINISTIC owner — the earliest
+    * (event_time, doc_id) holder inside the window — and a per-document
+    * count keeps exactly the documents that own ALL their buckets. Any
     * band collision with an earlier arrival (LSH OR-semantics, the
     * high-recall candidate rule) suppresses the newcomer.
     *
-    * Two chained stateful operators (dedup → event-time-window count),
+    * Deterministic min-struct ownership (not
+    * `dropDuplicatesWithinWatermark`'s arbitrary first-seen pick) matters
+    * when two near-dups land in the SAME micro-batch: an arbitrary pick
+    * can split bucket ownership across the pair so neither owns all 16
+    * bands and BOTH are suppressed; the min-struct owner is consistent
+    * across every shared bucket, so exactly the earliest copy survives —
+    * matching the exact tier's keep-one semantics.
+    *
+    * Documents shorter than [[ShingleN]] words have no shingle signature
+    * and can never be near-dup candidates; they bypass banding and pass
+    * through as unconditional survivors (their byte-identical copies are
+    * the exact tier's job) instead of silently vanishing from the stream.
+    *
+    * Two chained windowed aggregates (bucket-owner → ownership count),
     * both watermark-bounded: state tracks ingest rate × horizon, never
     * corpus size. Emits (window closes =) one horizon after the batch,
     * the price of an exact all-bands count in append mode. Like the
-    * exact tier, this is the SKETCH stage: cross-horizon near-dups (and
+    * exact tier, this is the SKETCH stage: cross-window near-dups (and
     * collision false positives, rare at 16 bands) are reconciled by the
     * batch sweep ([[minhashLshPairs]]) over the landed corpus.
     *
@@ -807,6 +830,9 @@ object Dedup {
     * explosion shuffles 24-byte rows, never the text. */
   def streamingNearDedup(docs: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val shortDocs = docs
+      .filter(size(words(col("text"))) < ShingleN)
+      .select(col("doc_id"), col("ingest_ts_ms"))
     val bands = docs
       .filter(size(words(col("text"))) >= ShingleN)
       .withColumn("sig",
@@ -821,13 +847,23 @@ object Dedup {
               .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("ingest_ts_ms"), col("event_time"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    bands
-      .dropDuplicatesWithinWatermark("band", "bucket")
+    // Stage 1: one owner per (window, band, bucket) — min over
+    // (event_time, doc_id) is the same winner on every bucket the pair
+    // shares, whatever micro-batch each copy arrived in.
+    val owners = bands
       .groupBy(window(col("event_time"), watermarkDelay),
-        col("doc_id"), col("ingest_ts_ms"))
+        col("band"), col("bucket"))
+      .agg(min(struct(col("event_time"), col("doc_id"),
+        col("ingest_ts_ms"))).as("o"))
+    // Stage 2: count buckets owned per document (chained windowed agg —
+    // window(window_col) re-windows the stage-1 output).
+    val survivors = owners
+      .groupBy(window(col("window"), watermarkDelay),
+        col("o.doc_id"), col("o.ingest_ts_ms"))
       .agg(count(lit(1)).as("n_owned"))
       .filter(col("n_owned") === NumBands)
       .select(col("doc_id"), col("ingest_ts_ms"))
+    survivors.unionByName(shortDocs)
   }
 
   // ---- MinHash + LSH ----
@@ -920,10 +956,11 @@ object Dedup {
   }
 
   /** ORACLE-GATED SimHash band-bucketing twin (the [[minhashBandPairs]]
-    * pattern applied to SimHash): the SQL-mirrorable polynomial word hash
-    * feeds sign-sum bit votes ([[graft.functions.SimHashPoly]] — 31 exact
-    * integer bits), candidates block on 4 × 8-bit signature bands
-    * (pigeonhole over the 31-bit width), and each candidate pair carries
+    * pattern applied to SimHash): two SQL-mirrorable polynomial word
+    * hashes feed sign-sum bit votes ([[graft.functions.SimHashPoly]] —
+    * [[graft.functions.SigImpl.SimBits]] = 62 exact integer bits),
+    * candidates block on 4 × 16-bit signature bands
+    * (pigeonhole over the 62-bit width), and each candidate pair carries
     * its shared-band count plus exact Hamming distance, kept when the
     * distance is ≤ maxHamming (the [[simhashPairs]] near-dup rule —
     * pigeonhole over 4 bands guarantees d ≤ 3 pairs share one). Every

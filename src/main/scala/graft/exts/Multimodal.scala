@@ -408,15 +408,20 @@ object Multimodal {
   /** Write each GIF asset as its own `<doc_id>.gif` file under `outDir` —
     * the on-disk layout a media lake actually has (one object per asset),
     * produced with `foreachPartition` so no payload ever routes through
-    * the driver. Files go through the Hadoop FileSystem API resolved ON
-    * THE EXECUTOR (and the directory is created per partition), so the
-    * same code addresses a shared DFS/object store on a multi-node
+    * the driver. Files go through the Hadoop FileSystem API, resolved on
+    * the executor from the SESSION'S Hadoop configuration (shipped via
+    * `SerializableConfiguration` — a bare `new Configuration()` would
+    * drop every `spark.hadoop.*` setting, i.e. the object-store
+    * endpoints/credentials the whole point of this path is to honor), so
+    * the same code addresses a shared DFS/object store on a multi-node
     * cluster — a plain java.nio path here would scatter the lake across
     * each executor's private disk. */
   def writeMediaFiles(assets: Dataset[GifAsset], outDir: String): Unit = {
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      assets.sparkSession.sparkContext.hadoopConfiguration)
     assets.foreachPartition { (batch: Iterator[GifAsset]) =>
       val base = new org.apache.hadoop.fs.Path(outDir)
-      val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = base.getFileSystem(hadoopConf.value)
       fs.mkdirs(base)
       batch.foreach { a =>
         val out = fs.create(

@@ -341,7 +341,9 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** SQL-mirrorable SimHash expression (polynomial word hash, 31 bits). */
+/** SQL-mirrorable SimHash expression: two polynomial word hashes →
+  * [[SigImpl.SimBits]] = 62 signature bits (low 31 from [[SigImpl.wordPolyHash]],
+  * high 31 from [[SigImpl.wordPolyHash2]]), banded 4 × 16 bits. */
 case class SimHashPoly(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

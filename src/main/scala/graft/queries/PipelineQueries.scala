@@ -1307,21 +1307,21 @@ object PipelineQueries {
       // Batch-vs-corpus near-dup gate: the corpus hot set caps BOTH
       // sides' kept shingles; Jaccard >= 1/2 in integer arithmetic.
       "dedup_incremental_near" ->
-        """WITH batch AS (
-          |  SELECT doc_id + 600000 AS b_id, text FROM documents
-          |  WHERE doc_id % 5 = 0
+        s"""WITH batch AS (
+          |  SELECT doc_id + ${Dedup.NearVerbatimOff} AS b_id, text
+          |  FROM documents WHERE doc_id % 5 = 0
           |  UNION ALL
-          |  SELECT doc_id + 700000, text || ' qq zz' FROM documents
-          |  WHERE doc_id % 7 = 0
+          |  SELECT doc_id + ${Dedup.NearTailOff}, text || ' qq zz'
+          |  FROM documents WHERE doc_id % 7 = 0
           |  UNION ALL
-          |  SELECT doc_id + 750000,
+          |  SELECT doc_id + ${Dedup.NearScrambleOff},
           |    translate(text, 'abcdefghijklmnopqrst',
           |              'bcdefghijklmnopqrsta')
           |  FROM documents WHERE doc_id % 11 = 0),
           |csh AS (
           |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
           |  FROM (SELECT doc_id,
-          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |          regexp_split_to_array(trim(text), '\\s+') AS words
           |        FROM documents),
           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
           |  WHERE len(words) >= 5),
@@ -1331,7 +1331,7 @@ object PipelineQueries {
           |bsh AS (
           |  SELECT DISTINCT b_id, array_to_string(words[i:i+4], ' ') AS sh
           |  FROM (SELECT b_id,
-          |          regexp_split_to_array(trim(text), '\s+') AS words
+          |          regexp_split_to_array(trim(text), '\\s+') AS words
           |        FROM batch),
           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
           |  WHERE len(words) >= 5),

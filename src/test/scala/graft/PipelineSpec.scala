@@ -665,8 +665,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { case (id, n, dup) =>
       val kind =
-        if (id < 700000L) "verbatim"
-        else if (id < 750000L) "tail-edit"
+        if (id < Dedup.NearTailOff) "verbatim"
+        else if (id < Dedup.NearScrambleOff) "tail-edit"
         else "scrambled"
       kind match {
         case "scrambled" =>

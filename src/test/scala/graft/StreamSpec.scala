@@ -515,6 +515,68 @@ class StreamSpec extends AnyFunSuite {
       s"first arrival survives, verbatim copy suppressed: $kept")
   }
 
+  test("streaming near-dedup: same-micro-batch duplicates keep exactly one copy") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val base = 1706659200000L
+    val text = ("two byte-identical documents arriving inside one single " +
+      "micro batch must still resolve to exactly one surviving owner " +
+      "never zero and never both of them together")
+    val out = graft.exts.Dedup.streamingNearDedup(
+      input.toDS().toDF("doc_id", "text", "ingest_ts_ms"))
+    val q = out.writeStream.format("memory").queryName("near_dedup_samebatch")
+      .outputMode("append").start()
+    // both copies (and a near-dup rewrite) in the SAME micro-batch: an
+    // arbitrary per-bucket owner pick could split ownership so no doc
+    // owns all 16 bands and ALL are suppressed — the deterministic
+    // min-(event_time, doc_id) owner keeps exactly the earliest copy
+    input.addData(
+      (1L, text, base),
+      (2L, text, base + 1000),
+      (3L, text + " zz qq", base + 2000))
+    q.processAllAvailable()
+    input.addData((9L, "totally unrelated filler words marching on and " +
+      "on across the quiet page for long enough to band",
+      base + 3600L * 1000))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("near_dedup_samebatch").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.contains(1L),
+      s"earliest same-batch copy must survive, got $kept")
+    assert(!kept.contains(2L) && !kept.contains(3L),
+      s"later same-batch copies must be suppressed, got $kept")
+  }
+
+  test("streaming near-dedup: short docs pass through as survivors, not dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val base = 1706659200000L
+    val out = graft.exts.Dedup.streamingNearDedup(
+      input.toDS().toDF("doc_id", "text", "ingest_ts_ms"))
+    val q = out.writeStream.format("memory").queryName("near_dedup_short")
+      .outputMode("append").start()
+    // < ShingleN (5) words: no shingle signature exists, so the doc can
+    // never be a near-dup candidate — it must survive, not vanish
+    input.addData((1L, "tiny note", base),
+      (2L, "a full length document with plenty of words to shingle and " +
+        "band through the locality sensitive hashing tier", base + 1000))
+    q.processAllAvailable()
+    input.addData((9L, "totally unrelated filler words marching on and " +
+      "on across the quiet page for long enough to band",
+      base + 3600L * 1000))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("near_dedup_short").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.contains(1L), s"short doc must pass through, got $kept")
+    assert(kept.contains(2L), s"long novel doc must survive, got $kept")
+  }
+
   test("streaming heavy hitters emit exactly once, at the crossing batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
