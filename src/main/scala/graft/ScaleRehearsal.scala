@@ -148,7 +148,20 @@ object ScaleRehearsal {
       "emb_incremental" -> SparkEntry.queries("emb_incremental"),
       // near ingest gate (r9): batch kept-shingles broadcast against the
       // capped corpus index; growth tracks batch size + the hot-set pass.
-      "dedup_incremental_near" -> SparkEntry.queries("dedup_incremental_near"))
+      "dedup_incremental_near" -> SparkEntry.queries("dedup_incremental_near"),
+      // index-maintenance DECISION (r10): per-cell occupancy rollup is one
+      // assignment pass + a cells-sized aggregate; verdicts are metadata.
+      "ivf_maintenance" -> SparkEntry.queries("ivf_maintenance"),
+      // index-maintenance ACTION (r10): one full decide+apply pass —
+      // corpus assigned once, split training bounded per cell, the
+      // rewritten centroid frame ≤ k rows.
+      "applyMaintenance(action)" -> ((s: SparkSession, d: String) =>
+        graft.exts.Similarity.applyMaintenance(
+          graft.Tables.load(s, d, "embeddings"),
+          graft.exts.IvfIndex.centroids(s, d))),
+      // total-order value functions (r10): one exchange + per-partition
+      // sort; growth tracks rows through the single window pass.
+      "window_value_funcs" -> SparkEntry.queries("window_value_funcs"))
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
       (q, fn) <- queries

@@ -83,7 +83,7 @@ object IvfIndex {
   // ---- the index AT REST: cell-partitioned corpus layout ----
 
   /** Nearest-centroid cell for every (vec_id, embedding) row. */
-  private[exts] def assigned(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assigned(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     corpus.join(broadcast(centroids))

@@ -55,6 +55,47 @@ object PqIndex {
   /** Test seam: drop all memoized codebooks. */
   private[graft] def clear(): Unit = memo.clear()
 
+  /** Persist the trained codebook as a version-stamped single-file
+    * parquet artifact — (m, code, cw, version), M×K rows, metadata-sized
+    * like [[IvfIndex.save]]'s centroid artifact. `version` is
+    * [[Tables.version]] of the embeddings listing at save time, so a
+    * later [[installCodebook]] can detect a corpus rewritten after the
+    * build (a stale index) instead of silently serving it. This closes
+    * the durable-artifact set: centroids, Bloom, LM and BPE indexes all
+    * had on-disk save/load; the codebook was the one artifact that only
+    * lived in the session memo, so a serving restart had to retrain. */
+  def saveCodebook(spark: SparkSession, dir: String, path: String): Unit =
+    codebook(spark, dir)
+      .withColumn("version", lit(Tables.version(dir, "embeddings")))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Install a [[saveCodebook]] artifact into the session memo and return
+    * the codebook frame: a fresh session (serving restart) pays one tiny
+    * parquet read instead of the training loop — [[codebook]] then serves
+    * every later call with zero Spark jobs, exactly as if it had trained.
+    * Raises a NAMED error when the artifact's version stamp does not
+    * match the current embeddings listing: a stale artifact after a
+    * corpus rewrite must force a retrain/re-save, never silently return
+    * wrong neighbors. */
+  def installCodebook(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val cur = Tables.version(dir, "embeddings")
+    val rows = spark.read.parquet(path)
+      .select(col("m"), col("code"), col("cw"), col("version"))
+      .collect().map { r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq,
+          r.getLong(3))
+      }.toIndexedSeq
+    val vers = rows.map(_._4).distinct
+    require(vers == Seq(cur),
+      s"graft.pq: codebook artifact at $path was built for embeddings " +
+        s"listing version ${vers.mkString(",")}, current is $cur — " +
+        "stale artifact after a corpus rewrite; retrain and re-save")
+    memo.put(Key(spark.sparkContext.applicationId, dir, cur),
+      rows.map(t => (t._1, t._2, t._3)))
+    codebook(spark, dir)
+  }
+
   /** M subspaces × SubDim dims each = the fixture's 64 dims. */
   val SubSpaces = 8
   val SubDim = 8
@@ -331,21 +372,33 @@ object PqIndex {
       k: Int = 5, nprobe: Int = 1): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val cent = IvfIndex.centroids(spark, dir)
-    val codes = codesWithCell(emb, cent, codebook(spark, dir))
-    rankProbed(spark, dir, codes, cent, queries, k, nprobe)
+    val cb = codebook(spark, dir)
+    rankProbed(codesWithCell(emb, cent, cb), cent, cb, queries, k, nprobe)
   }
+
+  /** The composed IVF×PQ search against EXPLICIT index pieces — corpus
+    * frame, centroid frame, codebook frame — the entry point the
+    * event-driven maintenance loop's serving path
+    * ([[graft.stream.IndexLoop]]/[[graft.stream.AnnServing.serveWith]])
+    * uses: a version-bumped centroid set flows in directly, bypassing the
+    * path-keyed session memos. The PQ codebook is CENTROID-INDEPENDENT
+    * (trained on subvector structure, not cell geometry), so it stays
+    * valid across split/merge maintenance and only retrains on a corpus
+    * rewrite — [[installCodebook]]'s version discipline. */
+  def ivfPqSearchOver(emb: DataFrame, cent: DataFrame, cb: DataFrame,
+      queries: DataFrame, k: Int = 5, nprobe: Int = 1): DataFrame =
+    rankProbed(codesWithCell(emb, cent, cb), cent, cb, queries, k, nprobe)
 
   /** The ADC-over-probed-cells finish shared by the in-memory and
     * clustered-layout searches: join codes to (query probed-cell ×
     * distance-table) rows on (cell, m, code) — every corpus code in a
     * probed cell hits exactly one (query, m, code) table row — sum over
     * m, bounded top-k. */
-  private def rankProbed(spark: SparkSession, dir: String,
-      codes: DataFrame, cent: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+  private def rankProbed(codes: DataFrame, cent: DataFrame, cb: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // both sides are bounded (queries × M×K / queries × nprobe) but only
     // we know that — hint the probe side so the planner never SMJs here
-    val qdist = distTablesFor(queries, codebook(spark, dir))
+    val qdist = distTablesFor(queries, cb)
       .join(broadcast(probedCells(queries, cent, nprobe)),
         Seq("query_id"))
       .select(col("cell"), col("m"), col("code"), col("query_id"),
@@ -461,6 +514,6 @@ object PqIndex {
     val codes = spark.read.parquet(path)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("m"), col("code"), col("cell"))
-    rankProbed(spark, dir, codes, cent, queries, k, nprobe)
+    rankProbed(codes, cent, codebook(spark, dir), queries, k, nprobe)
   }
 }

@@ -603,8 +603,22 @@ object Similarity {
       threshold: Double = 0.999): DataFrame = {
     val corpus = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val bits = adaptiveBucketBits(corpus.count())
-    val batch = incomingVecBatch(spark, dir)
+    embIncrementalGate(corpus, incomingVecBatch(spark, dir), threshold,
+      corpus.count())
+  }
+
+  /** [[embIncremental]] over explicit frames — the gate the streaming
+    * index loop ([[graft.stream.IndexLoop]]) applies per micro-batch.
+    * `corpus` is (vec_id, embedding), `batch0` is (batch_id, embedding);
+    * `nCorpus` sizes the adaptive sign-bucket width (callers that track
+    * the corpus size incrementally pass it instead of paying a count
+    * job per batch). Same scale shape as the driver key: the batch
+    * broadcasts into the bucket equi-join, the corpus is scanned once
+    * and never self-joined. */
+  def embIncrementalGate(corpus: DataFrame, batch0: DataFrame,
+      threshold: Double, nCorpus: Long): DataFrame = {
+    val bits = adaptiveBucketBits(nCorpus)
+    val batch = batch0
       .select(col("batch_id"),
         signBucketBits(col("embedding"), bits).as("bucket"),
         col("embedding").as("emb_b"))

@@ -31,15 +31,46 @@ import graft.exts.PqIndex
   *                results carry (query_id, neighbor_id, rank, dist_q)
   */
 object AnnServing {
+  /** @param codebookPath when set, the cold path LOADS the persisted PQ
+    *   codebook artifact ([[PqIndex.installCodebook]] — one tiny parquet
+    *   read, version-checked against the corpus listing) instead of
+    *   paying the training loop on a serving restart. */
   def start(spark: SparkSession, dir: String, queries: DataFrame,
       sink: (DataFrame, Long) => Unit, k: Int = 5,
-      nprobe: Int = 1): StreamingQuery =
+      nprobe: Int = 1, codebookPath: Option[String] = None): StreamingQuery = {
+    codebookPath.foreach(p => PqIndex.installCodebook(spark, dir, p))
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           sink(PqIndex.ivfPqSearchFor(spark, dir, batch, k, nprobe),
             batchId)
+        }
+      }
+      .start()
+  }
+
+  /** Serve against a LIVE [[IndexLoop.ServingIndex]]: each query
+    * micro-batch reads the index's CURRENT centroid version — a
+    * maintenance bump from the ingest loop is picked up at the very next
+    * batch, with the version that served each batch reported to the
+    * sink. The codebook frame is passed explicitly (it is
+    * centroid-independent, so one codebook serves every centroid
+    * version of the same corpus — [[PqIndex.ivfPqSearchOver]]). */
+  def serveWith(spark: SparkSession, corpusPath: String,
+      index: IndexLoop.ServingIndex, cb: DataFrame, queries: DataFrame,
+      sink: (DataFrame, Long, Long) => Unit, k: Int = 5,
+      nprobe: Int = 1): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val emb = spark.read.parquet(corpusPath)
+            .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("embedding"))
+          val v = index.version
+          sink(PqIndex.ivfPqSearchOver(emb, index.centroids(spark), cb,
+            batch, k, nprobe), batchId, v)
         }
       }
       .start()

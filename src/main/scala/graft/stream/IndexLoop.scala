@@ -1,0 +1,175 @@
+package graft.stream
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.exts.{IvfIndex, Similarity}
+
+/** The event-driven maintenance loop closed over the VECTOR INDEX — the
+  * reference's core pattern (commit event → threshold decision →
+  * maintenance action, AwsTableManagementMetricsEvaluator.java:64-140,
+  * already lifted to tables by [[graft.engine.Maintenance.cycle]])
+  * composed end-to-end over the engine's flagship extension:
+  *
+  *  1. INGEST — each micro-batch of (vec_id, embedding) is gated by the
+  *     emb_incremental near-dup rule ([[Similarity.embIncrementalGate]]);
+  *     survivors land in the parquet corpus.
+  *  2. DRIFT SIGNAL — survivors (only — batch-sized work) are assigned
+  *     to their nearest cell and folded into the per-cell occupancy
+  *     stats the loop carries as driver-side metadata (≤ one entry per
+  *     cell), the analog of the reference's incremental commit count.
+  *  3. DECIDE — [[Similarity.ivfMaintenanceFor]] verdicts over those
+  *     stats: a hot cell (> 2× mean) demands a split, a cold one
+  *     (< ½ mean) a merge. Deciding is metadata-cheap every batch.
+  *  4. ACT — only when a verdict is non-keep does the expensive
+  *     corpus-scale pass run: [[Similarity.applyMaintenance]] to
+  *     quiescence (bounded by `maxPasses`), then the serving index
+  *     VERSION BUMPS, and [[AnnServing.serveWith]]'s next query batch
+  *     serves the rebuilt cells.
+  *
+  * The scale discipline is the reference's: the per-batch path costs
+  * O(batch) (gate broadcast + batch assignment — the corpus is scanned
+  * by the gate but never shuffled), and the O(corpus) re-train/reassign
+  * runs ONLY when the threshold trips — exactly how the table loop
+  * reserves compaction for tables whose commit count crossed the line.
+  */
+object IndexLoop {
+
+  /** Immutable snapshot of the serving index: centroid rows + per-cell
+    * occupancy stats (cell → (n_vectors, min_vec_id)) + corpus size —
+    * all metadata-sized (k cells, never corpus rows). */
+  final case class State(version: Long, cents: Seq[(Long, Seq[Float])],
+      cellStats: Map[Long, (Long, Long)], nCorpus: Long)
+
+  /** The atomically-swapped serving index: the ingest loop writes a new
+    * [[State]] per acted batch; the serving path reads whatever version
+    * is current at each query micro-batch. */
+  final class ServingIndex private[IndexLoop] (initial: State) {
+    private val ref = new AtomicReference[State](initial)
+    def version: Long = ref.get().version
+    def nCorpus: Long = ref.get().nCorpus
+    def centroids(spark: SparkSession): DataFrame =
+      centFrame(spark, ref.get().cents)
+    private[stream] def state: State = ref.get()
+    private[stream] def update(s: State): Unit = ref.set(s)
+  }
+
+  private def centFrame(spark: SparkSession,
+      rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("cent_id", "cent")
+  }
+
+  private def collectCents(cents: DataFrame): Seq[(Long, Seq[Float])] =
+    cents.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toIndexedSeq)
+    }.toIndexedSeq
+
+  /** Full-corpus per-cell stats — the O(corpus) rebuild, paid only at
+    * index construction and after a triggered maintenance action. */
+  private def fullStats(emb: DataFrame,
+      cents: DataFrame): Map[Long, (Long, Long)] =
+    IvfIndex.assigned(emb, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("mn"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  /** Build the serving index over a landed corpus: train centroids
+    * ([[Similarity.trainedCentroids]] — bounded-sample Lloyd), assign
+    * once for the occupancy baseline. */
+  def buildIndex(spark: SparkSession, corpusPath: String): ServingIndex = {
+    val emb = spark.read.parquet(corpusPath)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainedCentroids(emb)
+      .localCheckpoint(true) // k rows — metadata
+    new ServingIndex(State(0L, collectCents(cents), fullStats(emb, cents),
+      emb.count()))
+  }
+
+  /** Maintenance verdict counts over the carried stats — metadata in,
+    * metadata out (≤ one row per cell through a LocalRelation). */
+  private def verdictCounts(spark: SparkSession,
+      stats: Map[Long, (Long, Long)]): Map[String, Long] = {
+    import spark.implicits._
+    val cells = stats.toSeq.map { case (c, (n, mn)) => (c, n, mn) }
+      .toDF("cell", "n_vectors", "min_vec_id")
+    Similarity.ivfMaintenanceFor(cells)
+      .groupBy(col("action")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def nonKeep(actions: Map[String, Long]): Boolean =
+    actions.exists { case (a, n) => a != "keep" && n > 0 }
+
+  /** Start the ingest → gate → drift → maintain loop over a streaming
+    * (vec_id, embedding) frame. `onCycle(batchId, verdictCounts,
+    * version)` observes each batch's decision for tests and metrics —
+    * the reporter seam, like the table loop's decision log. */
+  def start(spark: SparkSession, index: ServingIndex, corpusPath: String,
+      vectors: DataFrame, threshold: Double = 0.999, maxPasses: Int = 4,
+      onCycle: (Long, Map[String, Long], Long) => Unit = (_, _, _) => ())
+      : StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true) // batch-sized
+        if (batch.isEmpty) { onCycle(batchId, Map.empty, index.version) }
+        else {
+          val st = index.state
+          val corpus = spark.read.parquet(corpusPath)
+            .select(col("vec_id"), col("embedding"))
+          // 1) GATE: near-dups of the landed corpus never enter the index
+          val keepIds = Similarity.embIncrementalGate(corpus,
+              batch.select(col("vec_id").as("batch_id"), col("embedding")),
+              threshold, st.nCorpus)
+            .filter(!col("is_dup"))
+            .select(col("batch_id").as("vec_id"))
+          val survivors = batch.join(keepIds, Seq("vec_id"))
+            .localCheckpoint(true) // ≤ batch-sized
+          val nNew = survivors.count()
+          if (nNew > 0) {
+            survivors.write.mode("append").parquet(corpusPath)
+          }
+          // 2) DRIFT SIGNAL: assign ONLY the survivors (batch-sized),
+          // fold into the carried per-cell stats
+          val delta = IvfIndex
+            .assigned(survivors, centFrame(spark, st.cents))
+            .groupBy(col("cell"))
+            .agg(count(lit(1)).as("n"), min(col("vec_id")).as("mn"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          var stats = delta.foldLeft(st.cellStats) {
+            case (m, (cell, n, mn)) =>
+              val (n0, mn0) = m.getOrElse(cell, (0L, Long.MaxValue))
+              m.updated(cell, (n0 + n, math.min(mn0, mn)))
+          }
+          // 3) DECIDE — metadata-cheap, every batch
+          var actions = verdictCounts(spark, stats)
+          var cents = st.cents
+          var version = st.version
+          // 4) ACT — the O(corpus) pass runs only when triggered
+          if (nonKeep(actions)) {
+            val all = spark.read.parquet(corpusPath)
+              .select(col("vec_id"), col("embedding"))
+            var centsDf = centFrame(spark, cents)
+            var pass = 0
+            while (pass < maxPasses && nonKeep(actions)) {
+              centsDf = Similarity.applyMaintenance(all, centsDf)
+                .localCheckpoint(true)
+              stats = fullStats(all, centsDf)
+              actions = verdictCounts(spark, stats)
+              pass += 1
+            }
+            cents = collectCents(centsDf)
+            version += 1
+          }
+          index.update(State(version, cents, stats, st.nCorpus + nNew))
+          onCycle(batchId, actions, version)
+        }
+      }
+      .start()
+}

@@ -157,6 +157,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaArtifact === direct)
   }
 
+  test("PQ codebook artifact: save → install round-trips, serves the artifact, rejects stale") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("pq-cb").toString
+    graft.exts.PqIndex.clear()
+    val trained = graft.exts.PqIndex.codebook(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toList))
+      .toSet
+    graft.exts.PqIndex.saveCodebook(spark, dir, s"$tmp/cb.parquet")
+    // fresh session simulation: memo gone, install must reproduce exactly
+    graft.exts.PqIndex.clear()
+    val installed = graft.exts.PqIndex
+      .installCodebook(spark, dir, s"$tmp/cb.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toList))
+      .toSet
+    assert(installed === trained)
+    // provenance: perturb one codeword in the artifact and re-install —
+    // the served codebook must carry the perturbation, proving the cold
+    // path is a LOAD, not a retrain that would mask a broken artifact
+    val doctored = spark.read.parquet(s"$tmp/cb.parquet")
+      .withColumn("cw",
+        when(col("m") === 0 && col("code") === 0,
+          transform(col("cw"), x => x + lit(7L))).otherwise(col("cw")))
+    doctored.write.mode("overwrite").parquet(s"$tmp/cb_doctored.parquet")
+    graft.exts.PqIndex.clear()
+    val served = graft.exts.PqIndex
+      .installCodebook(spark, dir, s"$tmp/cb_doctored.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toList))
+      .toSet
+    assert(served !== trained)
+    assert((served -- trained).forall { case (m, c, _) => m == 0 && c == 0 })
+    // stale guard: a version stamp that no longer matches the corpus
+    // listing must raise the NAMED error, never serve silently
+    spark.read.parquet(s"$tmp/cb.parquet")
+      .withColumn("version", col("version") + 1L)
+      .write.mode("overwrite").parquet(s"$tmp/cb_stale.parquet")
+    graft.exts.PqIndex.clear()
+    val err = intercept[IllegalArgumentException] {
+      graft.exts.PqIndex.installCodebook(spark, dir, s"$tmp/cb_stale.parquet")
+    }
+    assert(err.getMessage.contains("stale artifact"))
+    graft.exts.PqIndex.clear() // drop the doctored memo for later tests
+  }
+
   test("keep-list: planted copies dropped, kept count = component count") {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val kl = Dedup.dupKeepList(corpus).collect()

@@ -577,6 +577,128 @@ class StreamSpec extends AnyFunSuite {
     assert(kept.contains(2L), s"long novel doc must survive, got $kept")
   }
 
+  test("index loop: ingest gate → occupancy drift → maintenance → version bump → serving") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val corpusPath = java.nio.file.Files.createTempDirectory("index-loop")
+      .toString + "/corpus"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).write.parquet(corpusPath)
+    val index = graft.stream.IndexLoop.buildIndex(spark, corpusPath)
+    val cycles = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, Long], Long)]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.stream.IndexLoop.start(spark, index, corpusPath,
+      input.toDS().toDF("vec_id", "embedding"),
+      onCycle = (b, a, v) => cycles.synchronized { cycles += ((b, a, v)) })
+    val base = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def flip(v: Seq[Float]): Seq[Float] = v.map(x => -x)
+    // batch 1: two novel directions — the loop settles whatever drift
+    // the base fixture carries, then must be all-keep
+    input.addData((2000001L, flip(base(1L))), (2000002L, flip(base(2L))))
+    q.processAllAvailable()
+    val v1 = index.version
+    assert(cycles.nonEmpty)
+    assert(cycles.synchronized(cycles.last)._2
+      .filter(_._1 != "keep").values.forall(_ == 0L),
+      s"loop must settle all-keep after batch 1: ${cycles.last._2}")
+    // batch 2: a quiescent stream NEVER triggers maintenance
+    input.addData((2000003L, flip(base(3L))))
+    q.processAllAvailable()
+    assert(index.version === v1,
+      "a quiescent ingest batch must not bump the index version")
+    // gate: a scaled copy of a corpus vector (cosine exactly 1) is a
+    // near-dup — it must be dropped BEFORE the index, corpus unchanged
+    val n1 = index.nCorpus
+    input.addData((2000004L, base(6L).map(x => x * 2.0f)))
+    q.processAllAvailable()
+    assert(index.nCorpus === n1, "a gated near-dup must never land")
+    assert(index.version === v1)
+    // batch 3: a 90-vector hot mass around one novel direction — the
+    // drift signal crosses the split threshold, maintenance fires and
+    // runs to quiescence, the version bumps. The mass is TWO tight
+    // lobes ~±0.35·‖v‖ apart on different dims (the PipelineSpec skew
+    // fixture's shape): close enough to crowd one cell, separable by
+    // the cell-local 2-means so the split quiesces at two keep-sized
+    // sub-cells instead of shaving off re-flagged slivers.
+    val hotBase = flip(base(7L))
+    val norm = math.sqrt(hotBase.map(x => x.toDouble * x).sum).toFloat
+    val hot = (0 until 90).map { i =>
+      val lobe =
+        if (i % 2 == 0) hotBase.updated(0, hotBase(0) + 0.35f * norm)
+        else hotBase.updated(1, hotBase(1) - 0.35f * norm)
+      (2100000L + i, lobe.updated(2, lobe(2) + 0.004f * norm * (i / 2)))
+    }
+    input.addData(hot: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(index.version > v1,
+      s"the hot batch must trigger maintenance: version ${index.version}")
+    assert(cycles.synchronized(cycles.last)._2
+      .filter(_._1 != "keep").values.forall(_ == 0L),
+      s"acted loop must quiesce to all-keep: ${cycles.last._2}")
+    // serving picks up the bumped version at its next query batch and
+    // equals the batch composed search over the rebuilt index
+    val qvecs = (0L until 4L).map(i => (i, base(i)))
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Long, Long)]
+    val cb = graft.exts.PqIndex.codebook(spark, dir)
+    val qinput = MemoryStream[(Long, Seq[Float])]
+    val sq = graft.stream.AnnServing.serveWith(spark, corpusPath, index, cb,
+      qinput.toDS().toDF("query_id", "embedding"),
+      (df, _, v) => results.synchronized {
+        results ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), v))
+      })
+    qinput.addData(qvecs: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val emb = spark.read.parquet(corpusPath)
+      .select(col("vec_id"), col("embedding"))
+    val expected = graft.exts.PqIndex.ivfPqSearchOver(emb,
+        index.centroids(spark), cb, qvecs.toDF("query_id", "embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(results.synchronized(results.toSeq)
+      .map(t => (t._1, t._2, t._3, t._4)).toSet === expected)
+    assert(results.synchronized(results.toSeq).forall(_._5 === index.version),
+      "serving must observe the bumped index version")
+  }
+
+  test("ANN serving restart: cold path loads the codebook artifact, not a retrain") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ann-cold").toString
+    graft.exts.PqIndex.saveCodebook(spark, dir, s"$tmp/cb.parquet")
+    // serving restart: every session memo gone — start() must install
+    // the artifact (tiny parquet read) as the codebook cold path
+    graft.exts.PqIndex.clear()
+    val qvecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Long)]
+    val q = graft.stream.AnnServing.start(spark, dir,
+      input.toDS().toDF("query_id", "embedding"),
+      (df, _) => results.synchronized {
+        results ++= df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      }, codebookPath = Some(s"$tmp/cb.parquet"))
+    input.addData(qvecs.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.exts.PqIndex.ivfPqSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(results.toSet === expected)
+  }
+
   test("streaming heavy hitters emit exactly once, at the crossing batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
