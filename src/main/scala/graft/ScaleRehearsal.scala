@@ -162,9 +162,15 @@ object ScaleRehearsal {
       // total-order value functions (r10): one exchange + per-partition
       // sort; growth tracks rows through the single window pass.
       "window_value_funcs" -> SparkEntry.queries("window_value_funcs"))
+    // optional args(2): comma-separated substrings — rehearse only the
+    // matching queries (dev loop for a new row; default = all)
+    val only =
+      if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
+    def wanted(q: String): Boolean =
+      only.isEmpty || only.exists(q.contains)
     val timings = for {
       (label, dir) <- Seq(("sf0.1", src), ("sf1", out))
-      (q, fn) <- queries
+      (q, fn) <- queries if wanted(q)
     } yield {
       def pass(): Double = {
         val t0 = System.nanoTime()
@@ -176,10 +182,48 @@ object ScaleRehearsal {
       (label, q, t)
     }
     // growth factor per query: sf1 time / sf0.1 time
-    queries.foreach { case (q, _) =>
+    queries.collect { case (q, _) if wanted(q) => q }.foreach { q =>
       val t01 = timings.collectFirst { case ("sf0.1", `q`, t) => t }.get
       val t1 = timings.collectFirst { case ("sf1", `q`, t) => t }.get
       println(f"[scale] growth $q%-28s ${t1 / t01}%6.2fx (10x data)")
+    }
+    // Streaming near-dedup throughput at a FIXED TRIGGER SIZE (2500
+    // docs/micro-batch) — rows/s of processed ingest at each scale, the
+    // apples-to-apples number (a fixed batch COUNT would let the sf0.1
+    // figure drown in per-micro-batch machinery: 2 stateful operators ×
+    // 32 state-store partitions commit per batch, a fixed ~2 s cost that
+    // amortizes over batch size, not corpus size). State stays
+    // watermark-bounded, so the per-row cost should be ~flat as the
+    // corpus grows; the figure is what one local[32] node sustains —
+    // executors scale it out, state shards by key range.
+    if (wanted("stream_near_dedup")) {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sql = spark.sqlContext
+      for ((label, dir) <- Seq(("sf0.1", src), ("sf1", out))) {
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val base = 1706659200000L
+        val input = MemoryStream[(Long, String, Long)]
+        val q = graft.exts.Dedup.streamingNearDedup(
+            input.toDS().toDF("doc_id", "text", "ingest_ts_ms"))
+          .writeStream.format("noop").outputMode("append").start()
+        val t0 = System.nanoTime()
+        val per = 2500
+        var nb = 0
+        docs.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          input.addData(chunk.toSeq.map { case (id, tx) =>
+            (id, tx, base + i * 1000L) }: _*)
+          q.processAllAvailable()
+          nb += 1
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"[scale] $label%-6s stream_near_dedup ${docs.length} docs " +
+          f"in $secs%.2f s = ${docs.length / secs}%.0f rows/s " +
+          f"($nb batches of $per)")
+      }
     }
     spark.stop()
   }
@@ -201,7 +245,10 @@ object ScaleRehearsal {
     // marker = the LAST artifact written, so a partial build (or a corpus
     // from before events were added) rebuilds rather than half-serving
     val marker = java.nio.file.Paths.get(s"$out/events.parquet/_SUCCESS")
-    if (java.nio.file.Files.exists(marker)) return
+    if (java.nio.file.Files.exists(marker)) {
+      buildLineitem(spark, src, out) // r10 addition — upgrade older corpora
+      return
+    }
     val docs = Tables.load(spark, src, "documents")
     val emb = Tables.load(spark, src, "embeddings")
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
@@ -241,5 +288,21 @@ object ScaleRehearsal {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    buildLineitem(spark, src, out)
+  }
+
+  /** lineitem at 10×: orderkey-offset replicas (same per-order line
+    * structure — how an order ledger grows). Built separately so sf1
+    * corpora from before r10 upgrade in place. */
+  def buildLineitem(spark: SparkSession, src: String, out: String): Unit = {
+    val marker =
+      java.nio.file.Paths.get(s"$out/lineitem.parquet/_SUCCESS")
+    if (java.nio.file.Files.exists(marker)) return
+    val li = Tables.load(spark, src, "lineitem")
+    (0 until Replicas).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
   }
 }

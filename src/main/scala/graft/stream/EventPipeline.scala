@@ -63,9 +63,16 @@ object EventPipeline {
     // — fixture regenerations have switched between TIMESTAMP(NANOS) and
     // timestamp[us].
     val fileSchema = graft.Tables.events(spark, dir).schema
-    spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // events.parquet is a single FILE in driver fixtures but a DIRECTORY
+    // of parts in Spark-written ones (ReseedFixture) — a leaf-name glob
+    // on the parent only sees the former; stream the directory directly
+    // in the latter case.
+    if (new java.io.File(s"$dir/events.parquet").isDirectory)
+      spark.readStream.schema(fileSchema).parquet(s"$dir/events.parquet")
+    else
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
   }
 
   /** Result of one pipeline run: final decisions + submitted job ids +

@@ -11,7 +11,10 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver fixtures are single files; Spark-written fixtures (e.g. the
+    # ReseedFixture anti-overfitting corpus) are directories of parts
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
