@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; one pass-major
+      // sweep compiles ~148 plans' stages, so with the default EVERY
+      // execution of every query recompiles its codegen (the warm sweeps
+      // were paying ~20-30% janino cost that query-major's back-to-back
+      // passes hid). Size it to hold the whole suite's stages.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.col

@@ -505,15 +505,45 @@ object PqIndex {
     * the scan touches only probed-cell CODES. Results identical to
     * [[ivfPqSearch]] with the same artifacts. */
   def searchClusteredCodes(spark: SparkSession, dir: String, path: String,
-      maxQueryId: Long = 8, k: Int = 5, nprobe: Int = 1): DataFrame = {
-    val queries = fixtureQueries(spark, dir, maxQueryId)
-    val cent = IvfIndex.centroids(spark, dir)
+      maxQueryId: Long = 8, k: Int = 5, nprobe: Int = 1): DataFrame =
+    searchClusteredCodesWith(spark, path, IvfIndex.centroids(spark, dir),
+      codebook(spark, dir), fixtureQueries(spark, dir, maxQueryId),
+      k, nprobe)
+
+  /** [[searchClusteredCodes]] over EXPLICIT index pieces — the serving
+    * path of the event-driven loop ([[graft.stream.AnnServing.serveWith]]
+    * against a [[graft.stream.IndexLoop]]-maintained layout): per query
+    * batch the scan reads ONLY the probed cells' files, instead of
+    * re-deriving the whole corpus's codes (which is O(corpus) per batch —
+    * exactly the plan online serving cannot ship). */
+  def searchClusteredCodesWith(spark: SparkSession, path: String,
+      cent: DataFrame, cb: DataFrame, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 1): DataFrame = {
     val cells = probedCells(queries, cent, nprobe)
       .select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(path)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("m"), col("code"), col("cell"))
-    rankProbed(codes, cent, codebook(spark, dir), queries, k, nprobe)
+    rankProbed(codes, cent, cb, queries, k, nprobe)
   }
+
+  /** Write the clustered CODES layout for an explicit (corpus, centroids,
+    * codebook) triple — the loop's post-maintenance rebuild entry
+    * ([[writeClusteredCodes]] is the fixture-path convenience). */
+  def writeClusteredCodesWith(emb: DataFrame, cent: DataFrame,
+      cb: DataFrame, path: String): Unit =
+    codesWithCell(emb, cent, cb)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+
+  /** APPEND one ingest batch's codes into an existing clustered layout —
+    * batch-sized work (the batch joins the broadcast codebook and lands
+    * in its cells' directories); the full rewrite happens only on a
+    * maintenance version bump, when cell geometry actually changed. */
+  def appendClusteredCodes(batch: DataFrame, cent: DataFrame,
+      cb: DataFrame, path: String): Unit =
+    codesWithCell(batch, cent, cb)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(path)
 }

@@ -56,21 +56,38 @@ object AnnServing {
     * batch, with the version that served each batch reported to the
     * sink. The codebook frame is passed explicitly (it is
     * centroid-independent, so one codebook serves every centroid
-    * version of the same corpus — [[PqIndex.ivfPqSearchOver]]). */
+    * version of the same corpus — [[PqIndex.ivfPqSearchOver]]).
+    *
+    * With `codesPath` (an [[IndexLoop]]-maintained clustered layout),
+    * each batch searches `<codesPath>/v<version>` via
+    * [[PqIndex.searchClusteredCodesWith]] — the scan reads ONLY the
+    * probed cells' files (partition pruning), the 100 TB serving shape.
+    * Without it, the corpus's codes are re-derived per batch from
+    * `corpusPath` — correct, but O(corpus) per batch; serving
+    * deployments should pass the layout. The version is read ONCE per
+    * batch and both the centroid snapshot and the layout directory come
+    * from that read, so a concurrent bump cannot mix index pieces. */
   def serveWith(spark: SparkSession, corpusPath: String,
       index: IndexLoop.ServingIndex, cb: DataFrame, queries: DataFrame,
       sink: (DataFrame, Long, Long) => Unit, k: Int = 5,
-      nprobe: Int = 1): StreamingQuery =
+      nprobe: Int = 1, codesPath: Option[String] = None): StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val emb = spark.read.parquet(corpusPath)
-            .select(org.apache.spark.sql.functions.col("vec_id"),
-              org.apache.spark.sql.functions.col("embedding"))
-          val v = index.version
-          sink(PqIndex.ivfPqSearchOver(emb, index.centroids(spark), cb,
-            batch, k, nprobe), batchId, v)
+          val snap = index.snapshot
+          val cent = IndexLoop.centroidsOf(spark, snap)
+          val results = codesPath match {
+            case Some(p) =>
+              PqIndex.searchClusteredCodesWith(spark, s"$p/v${snap.version}",
+                cent, cb, batch, k, nprobe)
+            case None =>
+              val emb = spark.read.parquet(corpusPath)
+                .select(org.apache.spark.sql.functions.col("vec_id"),
+                  org.apache.spark.sql.functions.col("embedding"))
+              PqIndex.ivfPqSearchOver(emb, cent, cb, batch, k, nprobe)
+          }
+          sink(results, batchId, snap.version)
         }
       }
       .start()

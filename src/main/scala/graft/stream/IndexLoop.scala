@@ -51,11 +51,20 @@ object IndexLoop {
     private val ref = new AtomicReference[State](initial)
     def version: Long = ref.get().version
     def nCorpus: Long = ref.get().nCorpus
+    /** One consistent read of (version, centroids, stats) — serving
+      * reads the snapshot ONCE per batch so a concurrent maintenance
+      * bump cannot mix centroids of one version with the layout of
+      * another. */
+    def snapshot: State = ref.get()
     def centroids(spark: SparkSession): DataFrame =
       centFrame(spark, ref.get().cents)
     private[stream] def state: State = ref.get()
     private[stream] def update(s: State): Unit = ref.set(s)
   }
+
+  /** Centroid frame of a [[ServingIndex.snapshot]]. */
+  def centroidsOf(spark: SparkSession, s: State): DataFrame =
+    centFrame(spark, s.cents)
 
   private def centFrame(spark: SparkSession,
       rows: Seq[(Long, Seq[Float])]): DataFrame = {
@@ -80,12 +89,21 @@ object IndexLoop {
 
   /** Build the serving index over a landed corpus: train centroids
     * ([[Similarity.trainedCentroids]] — bounded-sample Lloyd), assign
-    * once for the occupancy baseline. */
-  def buildIndex(spark: SparkSession, corpusPath: String): ServingIndex = {
+    * once for the occupancy baseline. When (`codesPath`, `codebook`) are
+    * given, also lay down the version-0 clustered CODES layout at
+    * `<codesPath>/v0` — the at-rest index the serving path
+    * partition-prunes instead of re-deriving corpus codes per batch. */
+  def buildIndex(spark: SparkSession, corpusPath: String,
+      codesPath: Option[String] = None,
+      codebook: Option[DataFrame] = None): ServingIndex = {
+    require(codesPath.isEmpty == codebook.isEmpty,
+      "codesPath and codebook go together")
     val emb = spark.read.parquet(corpusPath)
       .select(col("vec_id"), col("embedding"))
     val cents = Similarity.trainedCentroids(emb)
       .localCheckpoint(true) // k rows — metadata
+    for (p <- codesPath; cb <- codebook)
+      graft.exts.PqIndex.writeClusteredCodesWith(emb, cents, cb, s"$p/v0")
     new ServingIndex(State(0L, collectCents(cents), fullStats(emb, cents),
       emb.count()))
   }
@@ -108,9 +126,19 @@ object IndexLoop {
   /** Start the ingest → gate → drift → maintain loop over a streaming
     * (vec_id, embedding) frame. `onCycle(batchId, verdictCounts,
     * version)` observes each batch's decision for tests and metrics —
-    * the reporter seam, like the table loop's decision log. */
+    * the reporter seam, like the table loop's decision log.
+    *
+    * With (`codesPath`, `codebook`) the loop also MAINTAINS the at-rest
+    * clustered CODES layout: each batch's survivors append their codes
+    * into `<codesPath>/v<version>` (batch-sized — cell geometry is
+    * unchanged between bumps), and a maintenance bump rewrites the full
+    * layout at `v<version+1>` BEFORE the version flips, so serving
+    * readers always see a complete layout for whatever version they
+    * observe. */
   def start(spark: SparkSession, index: ServingIndex, corpusPath: String,
       vectors: DataFrame, threshold: Double = 0.999, maxPasses: Int = 4,
+      codesPath: Option[String] = None,
+      codebook: Option[DataFrame] = None,
       onCycle: (Long, Map[String, Long], Long) => Unit = (_, _, _) => ())
       : StreamingQuery =
     vectors.writeStream
@@ -134,6 +162,11 @@ object IndexLoop {
           val nNew = survivors.count()
           if (nNew > 0) {
             survivors.write.mode("append").parquet(corpusPath)
+            // batch-sized layout upkeep: the survivors' codes land in
+            // the CURRENT version's cell directories
+            for (p <- codesPath; cb <- codebook)
+              graft.exts.PqIndex.appendClusteredCodes(survivors,
+                centFrame(spark, st.cents), cb, s"$p/v${st.version}")
           }
           // 2) DRIFT SIGNAL: assign ONLY the survivors (batch-sized),
           // fold into the carried per-cell stats
@@ -166,6 +199,11 @@ object IndexLoop {
             }
             cents = collectCents(centsDf)
             version += 1
+            // rewrite the layout for the NEW cell geometry before the
+            // version flips — readers of v<old> stay consistent
+            for (p <- codesPath; cb <- codebook)
+              graft.exts.PqIndex.writeClusteredCodesWith(all,
+                centFrame(spark, cents), cb, s"$p/v$version")
           }
           index.update(State(version, cents, stats, st.nCorpus + nNew))
           onCycle(batchId, actions, version)

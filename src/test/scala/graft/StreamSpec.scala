@@ -582,16 +582,21 @@ class StreamSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
-    val corpusPath = java.nio.file.Files.createTempDirectory("index-loop")
-      .toString + "/corpus"
+    val tmpRoot = java.nio.file.Files.createTempDirectory("index-loop")
+      .toString
+    val corpusPath = tmpRoot + "/corpus"
+    val codesPath = tmpRoot + "/codes"
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).write.parquet(corpusPath)
-    val index = graft.stream.IndexLoop.buildIndex(spark, corpusPath)
+    val cb = graft.exts.PqIndex.codebook(spark, dir)
+    val index = graft.stream.IndexLoop.buildIndex(spark, corpusPath,
+      Some(codesPath), Some(cb))
     val cycles = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Map[String, Long], Long)]
     val input = MemoryStream[(Long, Seq[Float])]
     val q = graft.stream.IndexLoop.start(spark, index, corpusPath,
       input.toDS().toDF("vec_id", "embedding"),
+      codesPath = Some(codesPath), codebook = Some(cb),
       onCycle = (b, a, v) => cycles.synchronized { cycles += ((b, a, v)) })
     val base = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
@@ -640,19 +645,23 @@ class StreamSpec extends AnyFunSuite {
     assert(cycles.synchronized(cycles.last)._2
       .filter(_._1 != "keep").values.forall(_ == 0L),
       s"acted loop must quiesce to all-keep: ${cycles.last._2}")
-    // serving picks up the bumped version at its next query batch and
-    // equals the batch composed search over the rebuilt index
+    // the bumped version's clustered CODES layout was rewritten before
+    // the version flipped — serving readers never see a half-built dir
+    assert(new java.io.File(s"$codesPath/v${index.version}").isDirectory,
+      s"layout for v${index.version} must exist")
+    // serving picks up the bumped version at its next query batch, reads
+    // ONLY probed cells from the clustered layout, and equals the batch
+    // composed search over the rebuilt index
     val qvecs = (0L until 4L).map(i => (i, base(i)))
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Int, Long, Long)]
-    val cb = graft.exts.PqIndex.codebook(spark, dir)
     val qinput = MemoryStream[(Long, Seq[Float])]
     val sq = graft.stream.AnnServing.serveWith(spark, corpusPath, index, cb,
       qinput.toDS().toDF("query_id", "embedding"),
       (df, _, v) => results.synchronized {
         results ++= df.collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), v))
-      })
+      }, codesPath = Some(codesPath))
     qinput.addData(qvecs: _*)
     sq.processAllAvailable()
     sq.stop()
