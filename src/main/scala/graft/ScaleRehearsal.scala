@@ -161,7 +161,10 @@ object ScaleRehearsal {
           graft.exts.IvfIndex.centroids(s, d))),
       // total-order value functions (r10): one exchange + per-partition
       // sort; growth tracks rows through the single window pass.
-      "window_value_funcs" -> SparkEntry.queries("window_value_funcs"))
+      "window_value_funcs" -> SparkEntry.queries("window_value_funcs"),
+      // span scrub (r10): occurrences shuffle as 8-byte keys; the
+      // rewrite is an in-place array filter — text never shuffles.
+      "text_scrub_spans" -> SparkEntry.queries("text_scrub_spans"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

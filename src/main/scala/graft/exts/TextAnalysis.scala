@@ -846,6 +846,62 @@ object TextAnalysis {
         expr("n_dup_spans * 1000 div n_spans").as("dup_span_frac_x1000"))
   }
 
+  /** Exact-substring span SCRUB — the ACTION behind [[dupSpanScores]]'s
+    * detection signal (the Lee-et-al. "Deduplicating Training Data"
+    * rewrite, at word-[[Dedup.ShingleN]]-gram granularity): every
+    * occurrence of a duplicated span except the FIRST (min (doc_id,
+    * position) — the keep-first convention every dedup verdict in this
+    * engine uses) marks its covered word positions for removal, and each
+    * document is rewritten without the marked words. Output per doc:
+    * word totals, removed count, and the md5 of the scrubbed text (the
+    * text itself stays out of the result — the digest pins the rewrite).
+    *
+    * Plan shape: span occurrences shuffle as 8-byte xxhash64 keys with
+    * their positions (token-linear, the [[dupSpanScores]] trade); one
+    * hash aggregate finds (count, first) per span; non-first duplicated
+    * occurrences explode to ≤ ShingleN removed positions each, collected
+    * to ONE per-doc position array (bounded by doc length, usually far
+    * smaller); the rewrite is an in-place `filter` over the document's
+    * own word array after a co-partitioned join of that (small) removal
+    * array — the corpus text itself never shuffles and no per-word
+    * exchange exists. Docs shorter than ShingleN words have no spans and
+    * pass through whole. */
+  def scrubSpans(corpus: DataFrame): DataFrame = {
+    val w = corpus.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("ws"))
+    val occ = w.filter(size(col("ws")) >= Dedup.ShingleN)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - Dedup.ShingleN),
+          p => array_join(slice(col("ws"), p + 1, lit(Dedup.ShingleN)), " ")))
+          .as(Seq("p", "s")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        xxhash64(col("s")).as("sh"))
+    val dupFirsts = occ.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("n_occ") >= 2)
+    val removed = occ.join(dupFirsts, "sh")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("p") === col("first.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (Dedup.ShingleN - 1)))
+          .as("wp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("wp")).as("rm"))
+    w.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("rm"), array().cast("array<bigint>")).as("rm"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("filter(ws, (x, i) -> NOT array_contains(rm, CAST(i AS BIGINT)))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("scrubbed_md5"))
+  }
+
   /** PII patterns, chosen to parse and match identically under Java regex
     * (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround.
     * Redaction order matters — emails first, so the host part is gone

@@ -549,6 +549,8 @@ object PipelineQueries {
       }),
       "text_dup_spans" -> ((s, dir) =>
         TextAnalysis.dupSpanScores(Dedup.corpusWithNearDups(s, dir))),
+      "text_scrub_spans" -> ((s, dir) =>
+        TextAnalysis.scrubSpans(Dedup.corpusWithNearDups(s, dir))),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
       "ivf_maintenance" -> ((s, dir) => Similarity.ivfMaintenance(s, dir)),
       "decontaminate" -> ((s, dir) =>
@@ -1731,6 +1733,48 @@ object PipelineQueries {
            |    * 1000 // count(*) AS BIGINT) AS dup_span_frac_x1000
            |FROM sh JOIN dfr USING (sh)
            |GROUP BY doc_id""".stripMargin,
+
+      // Exact-substring span SCRUB: keep the FIRST (doc_id, position)
+      // occurrence of every duplicated 5-gram span, remove the word
+      // positions covered by every later occurrence, hash the rewritten
+      // text. The oracle keys spans by STRING where the engine keys by
+      // xxhash64 — identical duplicate sets under the standard
+      // content-address bet.
+      "text_scrub_spans" ->
+        s"""WITH $nearCorpusCte,
+           |w AS (SELECT doc_id,
+           |        regexp_split_to_array(trim(text), '\\s+') AS ws
+           |      FROM corpus),
+           |occ AS (
+           |  SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+4], ' ') AS s
+           |  FROM w,
+           |       LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t
+           |  WHERE len(ws) >= 5),
+           |marked AS (
+           |  SELECT doc_id, p,
+           |    count(*) OVER (PARTITION BY s) AS n_occ,
+           |    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+           |  FROM occ),
+           |removedpos AS (
+           |  SELECT DISTINCT doc_id, p + off AS wp
+           |  FROM marked,
+           |       LATERAL (SELECT unnest(generate_series(0, 4)) AS off) o
+           |  WHERE n_occ >= 2 AND rn > 1),
+           |words AS (
+           |  SELECT doc_id, i - 1 AS wp, ws[i] AS word
+           |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+           |kept AS (
+           |  SELECT wo.doc_id, wo.wp, wo.word FROM words wo
+           |  ANTI JOIN removedpos r USING (doc_id, wp)),
+           |agg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |    md5(string_agg(word, ' ' ORDER BY wp)) AS m
+           |  FROM kept GROUP BY doc_id)
+           |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+           |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           |  coalesce(a.m, md5('')) AS scrubbed_md5
+           |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
       // Index-build stats: the sim_ivf training CTEs + full-corpus
       // assignment, rolled up per cell.

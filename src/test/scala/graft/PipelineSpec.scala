@@ -200,6 +200,44 @@ class PipelineSpec extends AnyFunSuite {
     graft.exts.PqIndex.clear() // drop the doctored memo for later tests
   }
 
+  test("span scrub: planted copies scrubbed to their unique tail, words conserved") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    val rows = graft.exts.TextAnalysis.scrubSpans(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(rows.size.toLong === corpus.count()) // one verdict per doc
+    // conservation: every word is either kept or removed
+    rows.foreach { case (id, (n, k, rm, _)) =>
+      assert(k + rm === n, s"doc $id: $k + $rm != $n")
+    }
+    // each planted copy (original text + ' zqx wvk') repeats every span
+    // of its original at a LATER doc_id, so all n-2 original positions
+    // scrub away; only tail positions can survive (their spans mix tail
+    // words — unique to the copy). Removal is monotone in the duplicate
+    // set, so >= n-2 removed is exact, not probabilistic.
+    val planted = rows.keys.filter(_ >= 100000L)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val (n, k, rm, _) = rows(id)
+      assert(rm >= n - 2, s"copy $id must scrub its original part: " +
+        s"removed $rm of $n")
+      assert(k <= 2, s"copy $id keeps at most its tail, kept $k")
+    }
+    // keep-first semantics: scrubbing is strictly ordered by (doc_id,
+    // pos), so the globally LOWEST doc id can only lose words to its own
+    // within-doc repeats — and some docs pass through whole (the fixture
+    // texts are template-generated, so template-shared spans scrub from
+    // later docs; docs with fresh content keep everything)
+    assert(rows.exists { case (id, (n, _, rm, _)) =>
+      id < 100000L && rm == 0L && n >= 5 },
+      "some doc must pass through unscrubbed")
+    assert(rows.exists { case (id, (_, _, rm, _)) =>
+      id < 100000L && rm > 0L },
+      "template-shared spans must scrub from later base docs")
+  }
+
   test("keep-list: planted copies dropped, kept count = component count") {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val kl = Dedup.dupKeepList(corpus).collect()
