@@ -164,7 +164,10 @@ object ScaleRehearsal {
       "window_value_funcs" -> SparkEntry.queries("window_value_funcs"),
       // span scrub (r10): occurrences shuffle as 8-byte keys; the
       // rewrite is an in-place array filter — text never shuffles.
-      "text_scrub_spans" -> SparkEntry.queries("text_scrub_spans"))
+      "text_scrub_spans" -> SparkEntry.queries("text_scrub_spans"),
+      // decontamination scrub (r10): eval span set broadcasts into a
+      // semi join — the corpus side never shuffles for the match.
+      "decontaminate_scrub" -> SparkEntry.queries("decontaminate_scrub"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

@@ -867,9 +867,27 @@ object TextAnalysis {
     * exchange exists. Docs shorter than ShingleN words have no spans and
     * pass through whole. */
   def scrubSpans(corpus: DataFrame): DataFrame = {
-    val w = corpus.select(col("doc_id"),
+    val w = wordArrays(corpus)
+    val occ = spanOccurrences(w)
+    val dupFirsts = occ.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("n_occ") >= 2)
+    val marked = occ.join(dupFirsts, "sh")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("p") === col("first.p")))
+    rebuildScrubbed(w, removedPositions(marked))
+  }
+
+  /** (doc_id, ws = word array) for a (doc_id, text) frame. */
+  private def wordArrays(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
       split(trim(col("text")), "\\s+").as("ws"))
-    val occ = w.filter(size(col("ws")) >= Dedup.ShingleN)
+
+  /** Every span occurrence of every ≥-[[Dedup.ShingleN]]-word doc:
+    * (doc_id, p = 0-based start, sh = xxhash64 of the span). */
+  private def spanOccurrences(w: DataFrame): DataFrame =
+    w.filter(size(col("ws")) >= Dedup.ShingleN)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), size(col("ws")) - Dedup.ShingleN),
@@ -877,18 +895,21 @@ object TextAnalysis {
           .as(Seq("p", "s")))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         xxhash64(col("s")).as("sh"))
-    val dupFirsts = occ.groupBy(col("sh"))
-      .agg(count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("p"))).as("first"))
-      .filter(col("n_occ") >= 2)
-    val removed = occ.join(dupFirsts, "sh")
-      .filter(!(col("doc_id") === col("first.doc_id") &&
-        col("p") === col("first.p")))
+
+  /** Per-doc removed-position arrays for a set of marked occurrences —
+    * each covers its [[Dedup.ShingleN]] word positions. */
+  private def removedPositions(marked: DataFrame): DataFrame =
+    marked
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (Dedup.ShingleN - 1)))
           .as("wp"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("wp")).as("rm"))
+
+  /** Rewrite each doc without its removed positions: one co-partitioned
+    * join of the (small) removal arrays, then an in-place array filter —
+    * the corpus text never shuffles. */
+  private def rebuildScrubbed(w: DataFrame, removed: DataFrame): DataFrame =
     w.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("ws"),
         coalesce(col("rm"), array().cast("array<bigint>")).as("rm"))
@@ -900,6 +921,31 @@ object TextAnalysis {
         size(col("kept")).cast("long").as("n_kept"),
         (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
         md5(array_join(col("kept"), " ")).as("scrubbed_md5"))
+
+  /** Decontamination SCRUB — the ACTION behind [[Dedup.contaminationPairs]]'
+    * detection (the doc-level verdict drops whole documents; this is the
+    * span-level rewrite that keeps the document and removes only the
+    * LEAKED text): every corpus word position covered by a span that
+    * also appears anywhere in the held-out eval partition
+    * (doc_id % modulus == 0) is removed, and the corpus doc is rewritten
+    * without those words. Eval docs are held out, not training data, so
+    * they are excluded from the output.
+    *
+    * Scale shape: the eval span set is tiny (1/modulus of the corpus; a
+    * benchmark suite in production) and BROADCASTS into a semi join
+    * against the corpus-side occurrence stream — the corpus never
+    * shuffles for the match, and the rewrite is [[scrubSpans]]'
+    * in-place array filter. */
+  def decontaminateScrub(docs: DataFrame, modulus: Int = 97): DataFrame = {
+    val w = wordArrays(docs)
+    val occ = spanOccurrences(w)
+    val evalSpans = broadcast(
+      occ.filter(col("doc_id") % modulus === 0)
+        .select(col("sh")).distinct())
+    val marked = occ.filter(col("doc_id") % modulus =!= 0)
+      .join(evalSpans, Seq("sh"), "left_semi")
+    rebuildScrubbed(w.filter(col("doc_id") % modulus =!= 0),
+      removedPositions(marked))
   }
 
   /** PII patterns, chosen to parse and match identically under Java regex

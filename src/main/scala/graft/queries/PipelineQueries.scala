@@ -551,6 +551,8 @@ object PipelineQueries {
         TextAnalysis.dupSpanScores(Dedup.corpusWithNearDups(s, dir))),
       "text_scrub_spans" -> ((s, dir) =>
         TextAnalysis.scrubSpans(Dedup.corpusWithNearDups(s, dir))),
+      "decontaminate_scrub" -> ((s, dir) =>
+        TextAnalysis.decontaminateScrub(Dedup.corpusWithLeaks(s, dir))),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
       "ivf_maintenance" -> ((s, dir) => Similarity.ivfMaintenance(s, dir)),
       "decontaminate" -> ((s, dir) =>
@@ -1835,6 +1837,47 @@ object PipelineQueries {
           |FROM sh c JOIN sh e ON c.sh = e.sh
           |WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
           |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+      // Decontamination ACTION: remove every corpus word position
+      // covered by a span that appears anywhere in the held-out eval
+      // partition; eval docs themselves are excluded from the output.
+      "decontaminate_scrub" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 500000, text || ' zqx wvk'
+           |  FROM documents WHERE doc_id % 97 = 0),
+           |w AS (SELECT doc_id,
+           |        regexp_split_to_array(trim(text), '\\s+') AS ws
+           |      FROM corpus),
+           |occ AS (
+           |  SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+4], ' ') AS s
+           |  FROM w,
+           |       LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t
+           |  WHERE len(ws) >= 5),
+           |evals AS (SELECT DISTINCT s FROM occ WHERE doc_id % 97 = 0),
+           |removedpos AS (
+           |  SELECT DISTINCT m.doc_id, m.p + off AS wp
+           |  FROM (SELECT o.doc_id, o.p FROM occ o
+           |        SEMI JOIN evals e USING (s)
+           |        WHERE o.doc_id % 97 <> 0) m,
+           |       LATERAL (SELECT unnest(generate_series(0, 4)) AS off) o2),
+           |cw AS (SELECT * FROM w WHERE doc_id % 97 <> 0),
+           |words AS (
+           |  SELECT doc_id, i - 1 AS wp, ws[i] AS word
+           |  FROM cw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+           |kept AS (
+           |  SELECT wo.doc_id, wo.wp, wo.word FROM words wo
+           |  ANTI JOIN removedpos r USING (doc_id, wp)),
+           |agg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |    md5(string_agg(word, ' ' ORDER BY wp)) AS m
+           |  FROM kept GROUP BY doc_id)
+           |SELECT cw.doc_id, CAST(len(cw.ws) AS BIGINT) AS n_words,
+           |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(len(cw.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           |  coalesce(a.m, md5('')) AS scrubbed_md5
+           |FROM cw LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
       "stratified_sample" ->
         """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn

@@ -238,6 +238,34 @@ class PipelineSpec extends AnyFunSuite {
       "template-shared spans must scrub from later base docs")
   }
 
+  test("decontaminate scrub: leaks reduced to their tails, eval docs held out") {
+    val corpus = Dedup.corpusWithLeaks(spark, dir)
+    val rows = graft.exts.TextAnalysis.decontaminateScrub(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // eval docs (id % 97 == 0) are held out of the output entirely
+    assert(rows.keys.forall(_ % 97 != 0))
+    assert(rows.size.toLong ===
+      corpus.filter(org.apache.spark.sql.functions
+        .col("doc_id") % 97 =!= 0).count())
+    rows.foreach { case (id, (n, k, rm)) =>
+      assert(k + rm === n, s"doc $id: $k + $rm != $n")
+    }
+    // every planted leak repeats its eval source's spans verbatim, so
+    // all original positions scrub; only the 2 tail words can survive
+    val leaks = rows.keys.filter(_ >= 500000L)
+    assert(leaks.nonEmpty)
+    leaks.foreach { id =>
+      val (n, k, rm) = rows(id)
+      assert(rm >= n - 2 && k <= 2,
+        s"leak $id must lose its eval-sourced text: kept $k of $n")
+    }
+    // docs sharing nothing with the eval partition pass through whole
+    assert(rows.exists { case (id, (n, _, rm)) =>
+      id < 500000L && rm == 0L && n >= 5 },
+      "some clean doc must pass through unscrubbed")
+  }
+
   test("keep-list: planted copies dropped, kept count = component count") {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val kl = Dedup.dupKeepList(corpus).collect()
