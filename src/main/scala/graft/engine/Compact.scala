@@ -53,6 +53,48 @@ object Compact {
     } finally stream.close()
   }
 
+  /** remove_orphan_files ACTION — the engine side of the `orphan_files`
+    * decision query (the third Iceberg maintenance action next to
+    * compaction and snapshot expiry): delete every regular file under
+    * `dir` that (a) the live reference set does not name AND (b) was
+    * last modified at or before `cutoffMs` — Iceberg's `older_than`
+    * guard, which keeps a concurrent writer's just-landed but
+    * not-yet-committed files safe. There is deliberately NO wall-clock
+    * default: the caller supplies the instant (the engine's
+    * no-System.currentTimeMillis discipline). Hidden/marker files
+    * (`.`/`_` prefixes — Spark's _SUCCESS etc.) are never candidates.
+    * Dry-run by default: the orphan list comes back either way, deletes
+    * happen only with dryRun = false. Returns (path, size_bytes,
+    * deleted), path-sorted.
+    *
+    * Scale note: candidates and the reference set are metadata (~1 row
+    * per file); at lake scale the listing distributes (a Spark file
+    * index / listing job) and deletes run per-partition through the
+    * Hadoop FS — this local action keeps the same contract at test
+    * scale, like the rest of [[Compact]]. */
+  def removeOrphans(dir: String, referenced: Set[String], cutoffMs: Long,
+      dryRun: Boolean = true): Seq[(String, Long, Boolean)] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return Seq.empty
+    val stream = Files.walk(p)
+    val orphans = try {
+      stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f))
+        .filterNot { f =>
+          val n = f.getFileName.toString
+          n.startsWith(".") || n.startsWith("_")
+        }
+        .filterNot(f => referenced.contains(f.toString))
+        .filter(f => Files.getLastModifiedTime(f).toMillis <= cutoffMs)
+        .map(f => (f.toString, Files.size(f)))
+        .toSeq.sortBy(_._1)
+    } finally stream.close()
+    orphans.map { case (path, sz) =>
+      val deleted = !dryRun && Files.deleteIfExists(Paths.get(path))
+      (path, sz, deleted)
+    }
+  }
+
   /** Plan file groups: greedy in-order accumulation up to the cap; a single
     * oversized file gets its own group. Pure Scala (metadata-scale) twin of
     * FilePlan.filegroupPlanning's window form. */

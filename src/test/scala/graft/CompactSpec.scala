@@ -180,6 +180,40 @@ class CompactSpec extends AnyFunSuite {
       .count() === expected)
   }
 
+  test("orphan sweep: dry-run lists, real run deletes exactly the aged orphans") {
+    val dir = fragment(4)
+    val rowsBefore = spark.read.parquet(dir).count()
+    val junk1 = java.nio.file.Paths.get(dir, "stray-upload.bin")
+    val junk2 = java.nio.file.Paths.get(dir, "abandoned.orphan")
+    java.nio.file.Files.write(junk1, Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(junk2, Array[Byte](4, 5))
+    val referenced = Compact.listFiles(dir).map(_.path).toSet
+    assert(referenced.size === 4)
+    // dry-run: both orphans reported, NOTHING deleted (markers excluded)
+    val dry = Compact.removeOrphans(dir, referenced, Long.MaxValue)
+    assert(dry.map(_._1).toSet ===
+      Set(junk1.toString, junk2.toString))
+    assert(dry.forall(!_._3))
+    assert(java.nio.file.Files.exists(junk1) &&
+      java.nio.file.Files.exists(junk2))
+    // older_than guard: a cutoff before the files' mtimes deletes nothing
+    val guarded = Compact.removeOrphans(dir, referenced, 0L,
+      dryRun = false)
+    assert(guarded.isEmpty && java.nio.file.Files.exists(junk1))
+    // real run: exactly the orphans go; the table survives intact
+    val swept = Compact.removeOrphans(dir, referenced, Long.MaxValue,
+      dryRun = false)
+    assert(swept.map(t => (t._1, t._3)).toSet ===
+      Set((junk1.toString, true), (junk2.toString, true)))
+    assert(!java.nio.file.Files.exists(junk1) &&
+      !java.nio.file.Files.exists(junk2))
+    assert(Compact.listFiles(dir).map(_.path).toSet === referenced)
+    assert(spark.read.parquet(dir).count() === rowsBefore)
+    // idempotent: nothing left to sweep
+    assert(Compact.removeOrphans(dir, referenced, Long.MaxValue,
+      dryRun = false).isEmpty)
+  }
+
   test("CompactionSpec dispatch: sort strategy requires sort order") {
     intercept[IllegalArgumentException] {
       Compact.run(spark, graft.model.CompactionSpec("t", "sort",
