@@ -948,6 +948,43 @@ object TextAnalysis {
       removedPositions(marked))
   }
 
+  /** The eval corpus's distinct span-hash set, sorted for the exact
+    * probe expression — metadata-sized (a benchmark suite's 5-grams),
+    * collected once and shipped inside the codegen'd probe. */
+  def evalSpanHashes(evalDocs: DataFrame): Array[Long] =
+    spanOccurrences(wordArrays(evalDocs)).select(col("sh")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** STATELESS eval-boundary scrub — the streaming form of
+    * [[decontaminateScrub]] (whose per-doc removal aggregate is a
+    * stateful op a single append-mode query can't host): the eval span
+    * hashes ship inside an exact codegen'd set probe
+    * ([[graft.functions.LongSetContains]]), and the whole rewrite runs
+    * ROW-LOCALLY with higher-order array functions — no join, no
+    * shuffle, no streaming state — so the stage drops straight into the
+    * declarative ingest pipeline between quality filter and dedup
+    * ([[graft.stream.CurationPipeline]]). Semantics match
+    * [[decontaminateScrub]] exactly: a word position covered by any
+    * eval-set span is removed (PipelineSpec asserts digest equality).
+    * Emits the input columns with `text` rewritten plus `n_scrubbed`. */
+  def scrubAgainstSet(docs: DataFrame, evalSpans: Array[Long]): DataFrame =
+    docs
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .withColumn("hits",
+        when(size(col("ws")) >= Dedup.ShingleN,
+          filter(sequence(lit(0), size(col("ws")) - Dedup.ShingleN),
+            p => graft.functions.SetExpr.long_set_contains(evalSpans,
+              xxhash64(array_join(
+                slice(col("ws"), p + 1, lit(Dedup.ShingleN)), " ")))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("kept_ws",
+        expr("filter(ws, (x, i) -> NOT exists(hits, " +
+          "p -> p <= i AND i <= p + 4))"))
+      .withColumn("n_scrubbed",
+        (size(col("ws")) - size(col("kept_ws"))).cast("long"))
+      .withColumn("text", array_join(col("kept_ws"), " "))
+      .drop("ws", "hits", "kept_ws")
+
   /** PII patterns, chosen to parse and match identically under Java regex
     * (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround.
     * Redaction order matters — emails first, so the host part is gone

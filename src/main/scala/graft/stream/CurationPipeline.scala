@@ -53,12 +53,26 @@ object CurationPipeline {
       sum(size(split(trim(col("text")), "\\s+")).cast("long"))
         .as("n_tokens"))
 
+  /** @param evalSpans optional decontamination boundary: the eval
+    *   corpus's span hashes ([[TextAnalysis.evalSpanHashes]]); every
+    *   in-flight document is rewritten WITHOUT the word positions its
+    *   eval-matching spans cover ([[TextAnalysis.scrubAgainstSet]] — a
+    *   stateless codegen'd set probe, so it rides this single query) —
+    *   benchmark leaks never land in the training corpus at all. */
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
       watermarkDelay: String = "10 minutes",
-      known: Option[KnownCorpus] = None): StreamingQuery = {
-    val kept0 = TextAnalysis.qualitySignals(observed(docs, "funnel_1_raw"))
+      known: Option[KnownCorpus] = None,
+      evalSpans: Option[Array[Long]] = None): StreamingQuery = {
+    val quality = TextAnalysis
+      .qualitySignals(observed(docs, "funnel_1_raw"))
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
+    val kept0 = evalSpans match {
+      case None => quality
+      case Some(set) =>
+        TextAnalysis.scrubAgainstSet(quality, set)
+          .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
+    }
     val kept = known match {
       case None => kept0
       case Some(kc) =>

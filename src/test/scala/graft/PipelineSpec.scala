@@ -266,6 +266,30 @@ class PipelineSpec extends AnyFunSuite {
       "some clean doc must pass through unscrubbed")
   }
 
+  test("stateless set-probe scrub equals the aggregate decontaminate scrub") {
+    import org.apache.spark.sql.functions.{col, md5 => md5f}
+    val corpus = Dedup.corpusWithLeaks(spark, dir)
+    val evalDocs = corpus.filter(col("doc_id") % 97 === 0)
+    val trainDocs = corpus.filter(col("doc_id") % 97 =!= 0)
+    val set = graft.exts.TextAnalysis.evalSpanHashes(evalDocs)
+    assert(set.length > 0 && set.toSeq == set.toSeq.sorted)
+    val rowLocal = graft.exts.TextAnalysis
+      .scrubAgainstSet(trainDocs, set)
+      .select(col("doc_id"), md5f(col("text")).as("m"), col("n_scrubbed"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val aggregate = graft.exts.TextAnalysis.decontaminateScrub(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getString(4), r.getLong(3))))
+      .toMap
+    assert(rowLocal.keySet === aggregate.keySet)
+    rowLocal.foreach { case (id, (m, n)) =>
+      assert((m, n) === aggregate(id), s"doc $id diverges")
+    }
+    // and the probe itself is exact: a hash not in the set never hits
+    assert(rowLocal.values.exists(_._2 == 0L))
+    assert(rowLocal.values.exists(_._2 > 0L))
+  }
+
   test("keep-list: planted copies dropped, kept count = component count") {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val kl = Dedup.dupKeepList(corpus).collect()

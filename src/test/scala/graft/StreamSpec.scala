@@ -799,6 +799,52 @@ class StreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming curation with eval boundary: leaked spans never land") {
+    import org.apache.spark.sql.functions._
+    // source: the contamination fixture (documents ∪ planted near-copies
+    // of the eval partition), minus the eval docs themselves — the
+    // held-out set guards the stream, it doesn't flow through it
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-decon-src").toString
+    val full = graft.exts.Dedup.corpusWithLeaks(spark, dir)
+    full.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("ingest_ts_ms", col("doc_id") * 1000L)
+      .write.mode("overwrite").parquet(srcDir)
+    val evalSet = graft.exts.TextAnalysis.evalSpanHashes(
+      full.filter(col("doc_id") % 97 === 0))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-decon-out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-decon-ckpt").toString
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_ts_ms LONG")
+      .parquet(srcDir)
+    val q = graft.stream.CurationPipeline.run(stream, outDir, ckpt,
+      evalSpans = Some(evalSet))
+    q.awaitTermination()
+    val landed = spark.read.parquet(outDir)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed.nonEmpty)
+    // every landed text equals the batch scrub of the quality-kept
+    // input — the stream's stateless probe is digest-identical
+    val expected = graft.exts.TextAnalysis.scrubAgainstSet(
+        graft.exts.TextAnalysis.qualitySignals(
+            spark.read.parquet(srcDir)).filter(col("keep"))
+          .select(col("doc_id"), col("text")),
+        evalSet)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    landed.foreach { case (id, m) =>
+      assert(expected.get(id).contains(m), s"doc $id landed unscrubbed")
+    }
+    // and no landed document carries ANY eval span anymore
+    val residual = graft.exts.TextAnalysis.evalSpanHashes(
+      spark.read.parquet(outDir).select(col("doc_id"), col("text")))
+    assert(residual.toSet.intersect(evalSet.toSet).isEmpty,
+      "landed corpus must share no span with the eval set")
+  }
+
   test("streaming curation: filter + dedup + sharded sink lands a clean corpus") {
     import org.apache.spark.sql.functions._
     // source corpus on disk: documents ∪ planted exact copies, with a
