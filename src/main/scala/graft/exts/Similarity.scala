@@ -616,8 +616,17 @@ object Similarity {
     * broadcasts into the bucket equi-join, the corpus is scanned once
     * and never self-joined. */
   def embIncrementalGate(corpus: DataFrame, batch0: DataFrame,
-      threshold: Double, nCorpus: Long): DataFrame = {
-    val bits = adaptiveBucketBits(nCorpus)
+      threshold: Double, nCorpus: Long): DataFrame =
+    embIncrementalGateAt(corpus, batch0, threshold,
+      adaptiveBucketBits(nCorpus))
+
+  /** [[embIncrementalGate]] at an EXPLICIT bucket width — the form the
+    * bucket-partitioned gate layout uses ([[graft.stream.IndexLoop]]):
+    * the layout is written at a fixed width, so the per-batch gate must
+    * bucket at that same width, not at whatever the current corpus size
+    * would adapt to (the widths converge at the next layout rebuild). */
+  def embIncrementalGateAt(corpus: DataFrame, batch0: DataFrame,
+      threshold: Double, bits: Int): DataFrame = {
     val batch = batch0
       .select(col("batch_id"),
         signBucketBits(col("embedding"), bits).as("bucket"),

@@ -39,10 +39,12 @@ import graft.exts.{IvfIndex, Similarity}
 object IndexLoop {
 
   /** Immutable snapshot of the serving index: centroid rows + per-cell
-    * occupancy stats (cell → (n_vectors, min_vec_id)) + corpus size —
-    * all metadata-sized (k cells, never corpus rows). */
+    * occupancy stats (cell → (n_vectors, min_vec_id)) + corpus size +
+    * the gate layout's bucket width — all metadata-sized (k cells,
+    * never corpus rows). */
   final case class State(version: Long, cents: Seq[(Long, Seq[Float])],
-      cellStats: Map[Long, (Long, Long)], nCorpus: Long)
+      cellStats: Map[Long, (Long, Long)], nCorpus: Long,
+      gateBits: Int = 0)
 
   /** The atomically-swapped serving index: the ingest loop writes a new
     * [[State]] per acted batch; the serving path reads whatever version
@@ -95,7 +97,9 @@ object IndexLoop {
     * partition-prunes instead of re-deriving corpus codes per batch. */
   def buildIndex(spark: SparkSession, corpusPath: String,
       codesPath: Option[String] = None,
-      codebook: Option[DataFrame] = None): ServingIndex = {
+      codebook: Option[DataFrame] = None,
+      gatePath: Option[String] = None,
+      gateTarget: Long = Similarity.TargetCellVectors): ServingIndex = {
     require(codesPath.isEmpty == codebook.isEmpty,
       "codesPath and codebook go together")
     val emb = spark.read.parquet(corpusPath)
@@ -104,9 +108,25 @@ object IndexLoop {
       .localCheckpoint(true) // k rows — metadata
     for (p <- codesPath; cb <- codebook)
       graft.exts.PqIndex.writeClusteredCodesWith(emb, cents, cb, s"$p/v0")
+    val n = emb.count()
+    val bits = Similarity.adaptiveBucketBits(n, gateTarget)
+    for (p <- gatePath) writeGateLayout(emb, bits, s"$p/b$bits")
     new ServingIndex(State(0L, collectCents(cents), fullStats(emb, cents),
-      emb.count()))
+      n, bits))
   }
+
+  /** The ingest gate's at-rest layout: the corpus partitioned by its
+    * adaptive sign-bucket, so each micro-batch's near-dup check reads
+    * ONLY the batch's own buckets via directory pruning — a per-batch
+    * FULL corpus scan is not a shippable always-on ingest plan, for the
+    * same reason serving reads the clustered CODES layout. */
+  private def writeGateLayout(emb: DataFrame, bits: Int,
+      path: String): Unit =
+    emb
+      .withColumn("bucket",
+        Similarity.signBucketBits(col("embedding"), bits))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(path)
 
   /** Maintenance verdict counts over the carried stats — metadata in,
     * metadata out (≤ one row per cell through a LocalRelation). */
@@ -135,10 +155,21 @@ object IndexLoop {
     * layout at `v<version+1>` BEFORE the version flips, so serving
     * readers always see a complete layout for whatever version they
     * observe. */
+  /** With `gatePath` (a [[buildIndex]]-written bucket layout) the
+    * per-batch gate reads ONLY the batch's own buckets (collected as
+    * literals — batch-sized metadata) instead of scanning the whole
+    * corpus; pruning is EXACT because a cosine-near duplicate shares its
+    * original's sign bucket by construction. Survivors append into their
+    * bucket directories, and when the corpus grows past the adaptive
+    * width's next threshold the layout REBUILDS at the new width — the
+    * third event-driven action in the loop, alongside cell maintenance
+    * and the codes-layout rewrite. */
   def start(spark: SparkSession, index: ServingIndex, corpusPath: String,
       vectors: DataFrame, threshold: Double = 0.999, maxPasses: Int = 4,
       codesPath: Option[String] = None,
       codebook: Option[DataFrame] = None,
+      gatePath: Option[String] = None,
+      gateTarget: Long = Similarity.TargetCellVectors,
       onCycle: (Long, Map[String, Long], Long) => Unit = (_, _, _) => ())
       : StreamingQuery =
     vectors.writeStream
@@ -149,12 +180,29 @@ object IndexLoop {
         if (batch.isEmpty) { onCycle(batchId, Map.empty, index.version) }
         else {
           val st = index.state
-          val corpus = spark.read.parquet(corpusPath)
-            .select(col("vec_id"), col("embedding"))
-          // 1) GATE: near-dups of the landed corpus never enter the index
-          val keepIds = Similarity.embIncrementalGate(corpus,
+          // 1) GATE: near-dups of the landed corpus never enter the
+          // index. With a gate layout the corpus side is PRUNED to the
+          // batch's own buckets; otherwise it is the full corpus scan.
+          val gateBits = gatePath match {
+            case Some(_) => st.gateBits
+            case None => Similarity.adaptiveBucketBits(st.nCorpus)
+          }
+          val gateCorpus = gatePath match {
+            case Some(p) =>
+              val buckets = batch
+                .select(Similarity
+                  .signBucketBits(col("embedding"), gateBits).as("b"))
+                .distinct().collect().map(_.getLong(0)).sorted
+              spark.read.parquet(s"$p/b$gateBits")
+                .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+                .select(col("vec_id"), col("embedding"))
+            case None =>
+              spark.read.parquet(corpusPath)
+                .select(col("vec_id"), col("embedding"))
+          }
+          val keepIds = Similarity.embIncrementalGateAt(gateCorpus,
               batch.select(col("vec_id").as("batch_id"), col("embedding")),
-              threshold, st.nCorpus)
+              threshold, gateBits)
             .filter(!col("is_dup"))
             .select(col("batch_id").as("vec_id"))
           val survivors = batch.join(keepIds, Seq("vec_id"))
@@ -163,10 +211,32 @@ object IndexLoop {
           if (nNew > 0) {
             survivors.write.mode("append").parquet(corpusPath)
             // batch-sized layout upkeep: the survivors' codes land in
-            // the CURRENT version's cell directories
+            // the CURRENT version's cell directories, their vectors in
+            // their bucket directories
             for (p <- codesPath; cb <- codebook)
               graft.exts.PqIndex.appendClusteredCodes(survivors,
                 centFrame(spark, st.cents), cb, s"$p/v${st.version}")
+            for (p <- gatePath)
+              survivors
+                .withColumn("bucket",
+                  Similarity.signBucketBits(col("embedding"), gateBits))
+                .write.mode(org.apache.spark.sql.SaveMode.Append)
+                .partitionBy("bucket").parquet(s"$p/b$gateBits")
+          }
+          // gate-width drift: corpus growth past the adaptive width's
+          // threshold rebuilds the bucket layout at the new width (the
+          // corpus-scale pass runs only when the threshold trips)
+          var newGateBits = gateBits
+          for (p <- gatePath) {
+            val want = Similarity
+              .adaptiveBucketBits(st.nCorpus + nNew, gateTarget)
+            if (want != gateBits) {
+              writeGateLayout(
+                spark.read.parquet(corpusPath)
+                  .select(col("vec_id"), col("embedding")),
+                want, s"$p/b$want")
+              newGateBits = want
+            }
           }
           // 2) DRIFT SIGNAL: assign ONLY the survivors (batch-sized),
           // fold into the carried per-cell stats
@@ -205,7 +275,8 @@ object IndexLoop {
               graft.exts.PqIndex.writeClusteredCodesWith(all,
                 centFrame(spark, cents), cb, s"$p/v$version")
           }
-          index.update(State(version, cents, stats, st.nCorpus + nNew))
+          index.update(State(version, cents, stats, st.nCorpus + nNew,
+            newGateBits))
           onCycle(batchId, actions, version)
         }
       }

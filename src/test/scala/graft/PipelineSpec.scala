@@ -290,6 +290,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(rowLocal.values.exists(_._2 > 0L))
   }
 
+  test("bucket-pruned ingest gate equals the full-scan gate exactly") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val batch = Similarity.incomingVecBatch(spark, dir)
+    val bits = Similarity.adaptiveBucketBits(corpus.count())
+    def gate(c: org.apache.spark.sql.DataFrame) =
+      Similarity.embIncrementalGateAt(c, batch, 0.999, bits)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+    val full = gate(corpus)
+    // prune the corpus to the batch's own buckets — a near-dup shares
+    // its original's sign bucket by construction, so the verdicts are
+    // IDENTICAL (this is what lets IndexLoop's gate read only the
+    // batch's bucket directories instead of scanning the corpus)
+    val buckets = batch
+      .select(Similarity.signBucketBits(col("embedding"), bits).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = gate(corpus
+      .withColumn("b", Similarity.signBucketBits(col("embedding"), bits))
+      .filter(col("b").isin(buckets: _*)).drop("b"))
+    assert(full === pruned)
+    assert(full.values.exists(_._2) && full.values.exists(!_._2))
+  }
+
   test("keep-list: planted copies dropped, kept count = component count") {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val kl = Dedup.dupKeepList(corpus).collect()

@@ -588,15 +588,22 @@ class StreamSpec extends AnyFunSuite {
     val codesPath = tmpRoot + "/codes"
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).write.parquet(corpusPath)
+    val gatePath = tmpRoot + "/gate"
     val cb = graft.exts.PqIndex.codebook(spark, dir)
+    // gateTarget 4 → bucket width 7 for the 500-vector base, and the
+    // hot batch pushes the corpus past 4<<7 = 512, so the width-drift
+    // rebuild fires inside the test
     val index = graft.stream.IndexLoop.buildIndex(spark, corpusPath,
-      Some(codesPath), Some(cb))
+      Some(codesPath), Some(cb), Some(gatePath), gateTarget = 4L)
+    val bits0 = index.snapshot.gateBits
+    assert(new java.io.File(s"$gatePath/b$bits0").isDirectory)
     val cycles = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Map[String, Long], Long)]
     val input = MemoryStream[(Long, Seq[Float])]
     val q = graft.stream.IndexLoop.start(spark, index, corpusPath,
       input.toDS().toDF("vec_id", "embedding"),
       codesPath = Some(codesPath), codebook = Some(cb),
+      gatePath = Some(gatePath), gateTarget = 4L,
       onCycle = (b, a, v) => cycles.synchronized { cycles += ((b, a, v)) })
     val base = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
@@ -649,6 +656,12 @@ class StreamSpec extends AnyFunSuite {
     // the version flipped — serving readers never see a half-built dir
     assert(new java.io.File(s"$codesPath/v${index.version}").isDirectory,
       s"layout for v${index.version} must exist")
+    // the corpus grew past the gate width's threshold — the bucket
+    // layout rebuilt at the new width and the snapshot carries it
+    val bits1 = index.snapshot.gateBits
+    assert(bits1 === bits0 + 1,
+      s"gate width must drift $bits0 → ${bits0 + 1}, got $bits1")
+    assert(new java.io.File(s"$gatePath/b$bits1").isDirectory)
     // serving picks up the bumped version at its next query batch, reads
     // ONLY probed cells from the clustered layout, and equals the batch
     // composed search over the rebuilt index
