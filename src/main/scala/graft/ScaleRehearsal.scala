@@ -167,7 +167,10 @@ object ScaleRehearsal {
       "text_scrub_spans" -> SparkEntry.queries("text_scrub_spans"),
       // decontamination scrub (r10): eval span set broadcasts into a
       // semi join — the corpus side never shuffles for the match.
-      "decontaminate_scrub" -> SparkEntry.queries("decontaminate_scrub"))
+      "decontaminate_scrub" -> SparkEntry.queries("decontaminate_scrub"),
+      // per-doc curation explain (r10): four scale-correct tier passes
+      // assembled by co-partitioned doc_id joins of metadata columns.
+      "curation_audit" -> SparkEntry.queries("curation_audit"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

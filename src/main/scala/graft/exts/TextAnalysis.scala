@@ -948,6 +948,69 @@ object TextAnalysis {
       removedPositions(marked))
   }
 
+  /** Audit fixture: documents ∪ planted VERBATIM copies (every 10th,
+    * re-keyed +100000 — the exact-dedup tier's structure) ∪ planted
+    * PII-bearing variants (every 13th, +700000 — the redaction tier's
+    * structure; also near-copies, so the span tier fires). Mirrored in
+    * the curation_audit oracle CTE. */
+  def auditCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    base
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(PlantedPii)).as("text")))
+  }
+
+  /** curation_audit — the per-document EXPLAIN record of the curation
+    * pipeline (the observability keys aggregate: dedup_report counts
+    * methods, curation_funnel counts stages; this answers the
+    * per-document question a governance review or a "why did my
+    * document disappear" ticket asks): one wide row per doc with each
+    * tier's verdict — quality reason codes, the exact-dedup content
+    * keeper (kept iff the doc IS its content group's minimum id), the
+    * duplicated-span pressure fraction, PII counts — and the composed
+    * disposition (drop_quality → drop_duplicate → keep, in pipeline
+    * order).
+    *
+    * Scale shape: each tier is its own already-scale-correct pass
+    * (codegen'd signals; 16-byte md5 keys; 8-byte span keys; per-row
+    * regex), and the audit assembles them with co-partitioned doc_id
+    * joins — per-doc metadata columns, never text, through every
+    * exchange. */
+  def curationAudit(corpus: DataFrame): DataFrame = {
+    val q = qualitySignals(corpus)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("reasons"), col("keep").as("quality_keep"))
+    val hashed = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+    val ex = hashed.join(
+        hashed.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("content_keeper")),
+        "h")
+      .select(col("doc_id"), col("content_keeper"),
+        (col("doc_id") === col("content_keeper")).as("is_content_keeper"))
+    val spans = dupSpanScores(corpus)
+      .select(col("doc_id"), col("dup_span_frac_x1000"))
+    val pii = piiRedact(corpus)
+      .select(col("doc_id"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).cast("long")
+          .as("n_pii"))
+    q.join(ex, "doc_id")
+      .join(spans, Seq("doc_id"), "left")
+      .join(pii, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("reasons"),
+        col("quality_keep"), col("content_keeper"),
+        col("is_content_keeper"),
+        coalesce(col("dup_span_frac_x1000"), lit(0L))
+          .as("dup_span_frac_x1000"),
+        col("n_pii"),
+        when(!col("quality_keep"), "drop_quality")
+          .when(!col("is_content_keeper"), "drop_duplicate")
+          .otherwise("keep").as("disposition"))
+  }
+
   /** The eval corpus's distinct span-hash set, sorted for the exact
     * probe expression — metadata-sized (a benchmark suite's 5-grams),
     * collected once and shipped inside the codegen'd probe. */

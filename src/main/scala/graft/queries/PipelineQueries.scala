@@ -553,6 +553,8 @@ object PipelineQueries {
         TextAnalysis.scrubSpans(Dedup.corpusWithNearDups(s, dir))),
       "decontaminate_scrub" -> ((s, dir) =>
         TextAnalysis.decontaminateScrub(Dedup.corpusWithLeaks(s, dir))),
+      "curation_audit" -> ((s, dir) =>
+        TextAnalysis.curationAudit(TextAnalysis.auditCorpus(s, dir))),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
       "ivf_maintenance" -> ((s, dir) => Similarity.ivfMaintenance(s, dir)),
       "decontaminate" -> ((s, dir) =>
@@ -1777,6 +1779,67 @@ object PipelineQueries {
            |  CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
            |  coalesce(a.m, md5('')) AS scrubbed_md5
            |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+      // Per-document curation EXPLAIN: every tier's verdict plus the
+      // composed disposition, assembled from the quality, exact-dedup,
+      // dup-span and PII CTE families over the audit fixture.
+      "curation_audit" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text FROM documents
+           |  WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 700000, text || '${TextAnalysis.PlantedPii}'
+           |  FROM documents WHERE doc_id % 13 = 0),
+           |${qualitySigCtes("corpus")},
+           |kp AS (SELECT doc_id, md5(text) AS h FROM corpus),
+           |ex AS (
+           |  SELECT kp.doc_id, k2.content_keeper
+           |  FROM kp JOIN (SELECT h, min(doc_id) AS content_keeper
+           |                FROM kp GROUP BY h) k2 USING (h)),
+           |shsp AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w2[i:i+4], ' ') AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS w2
+           |        FROM corpus),
+           |       LATERAL (SELECT unnest(generate_series(1, len(w2) - 4)) AS i) t
+           |  WHERE len(w2) >= 5),
+           |dfr AS (SELECT sh, count(*) AS df FROM shsp GROUP BY sh),
+           |sp AS (
+           |  SELECT doc_id,
+           |    CAST(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      * 1000 // count(*) AS BIGINT) AS dup_span_frac_x1000
+           |  FROM shsp JOIN dfr USING (sh) GROUP BY doc_id),
+           |pr AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))
+           |      AS INTEGER) AS n_emails,
+           |    CAST(len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}'))
+           |      AS INTEGER) AS n_phones,
+           |    regexp_replace(regexp_replace(text,
+           |      '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+           |      '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS pre_ip
+           |  FROM corpus),
+           |pii AS (
+           |  SELECT doc_id, CAST(n_emails + n_phones +
+           |    len(regexp_extract_all(pre_ip, '${TextAnalysis.Ipv4Pattern}'))
+           |    AS BIGINT) AS n_pii
+           |  FROM pr)
+           |SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+           |  f.reasons, (f.reasons = '') AS quality_keep,
+           |  ex.content_keeper,
+           |  (f.doc_id = ex.content_keeper) AS is_content_keeper,
+           |  CAST(coalesce(sp.dup_span_frac_x1000, 0) AS BIGINT)
+           |    AS dup_span_frac_x1000,
+           |  pii.n_pii,
+           |  CASE WHEN f.reasons <> '' THEN 'drop_quality'
+           |       WHEN f.doc_id <> ex.content_keeper THEN 'drop_duplicate'
+           |       ELSE 'keep' END AS disposition
+           |FROM flagged f
+           |JOIN ex ON ex.doc_id = f.doc_id
+           |LEFT JOIN sp ON sp.doc_id = f.doc_id
+           |JOIN pii ON pii.doc_id = f.doc_id""".stripMargin,
 
       // Index-build stats: the sim_ivf training CTEs + full-corpus
       // assignment, rolled up per cell.

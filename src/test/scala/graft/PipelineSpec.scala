@@ -315,6 +315,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.values.exists(_._2) && full.values.exists(!_._2))
   }
 
+  test("curation audit: per-doc tier verdicts compose into the disposition") {
+    val corpus = graft.exts.TextAnalysis.auditCorpus(spark, dir)
+    val rows = graft.exts.TextAnalysis.curationAudit(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getLong(4),
+        r.getBoolean(5), r.getLong(7), r.getString(8))))
+      .toMap
+    assert(rows.size.toLong === corpus.count()) // one row per doc
+    // composition law: pipeline order quality → dedup → keep
+    rows.foreach { case (id, (qk, _, keeper, _, disp)) =>
+      val want =
+        if (!qk) "drop_quality"
+        else if (!keeper) "drop_duplicate"
+        else "keep"
+      assert(disp === want, s"doc $id: $disp != $want")
+    }
+    // verbatim copies: content keeper is the original; a copy whose
+    // original passes quality reads drop_duplicate
+    val copies = rows.keys.filter(id => id >= 100000L && id < 700000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      val (qk, keeper, isKeeper, _, disp) = rows(id)
+      assert(!isKeeper && keeper <= id - 100000L, s"copy $id keeper $keeper")
+      if (qk) assert(disp === "drop_duplicate")
+    }
+    // planted PII variants carry the email + phone + ip line
+    val piiDocs = rows.keys.filter(_ >= 700000L)
+    assert(piiDocs.nonEmpty)
+    piiDocs.foreach { id =>
+      assert(rows(id)._4 >= 3L, s"pii doc $id counts ${rows(id)._4}")
+    }
+    // organic docs carry no PII
+    assert(rows.filter(_._1 < 100000L).values.forall(_._4 == 0L))
+  }
+
   test("keep-list: planted copies dropped, kept count = component count") {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val kl = Dedup.dupKeepList(corpus).collect()
