@@ -170,7 +170,10 @@ object ScaleRehearsal {
       "decontaminate_scrub" -> SparkEntry.queries("decontaminate_scrub"),
       // per-doc curation explain (r10): four scale-correct tier passes
       // assembled by co-partitioned doc_id joins of metadata columns.
-      "curation_audit" -> SparkEntry.queries("curation_audit"))
+      "curation_audit" -> SparkEntry.queries("curation_audit"),
+      // CCNet terciles (r10): windows over the (lang × distinct score)
+      // histogram only; thresholds broadcast back onto the corpus.
+      "ccnet_buckets" -> SparkEntry.queries("ccnet_buckets"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

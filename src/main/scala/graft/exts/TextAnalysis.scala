@@ -449,6 +449,45 @@ object TextAnalysis {
   def qualityCalibrate(spark: SparkSession, dir: String): DataFrame =
     qualityCalibrate(Tables.load(spark, dir, "documents"))
 
+  /** ccnet_buckets — CCNet's head/middle/tail split: per language, the
+    * corpus partitions into perplexity terciles (head = most fluent
+    * third by [[lmScores]]' integer fluency mass), the published recipe
+    * for sampling by quality tier. Buckets cut by VALUE thresholds (the
+    * largest score whose from-the-top cumulative count reaches ⌈n/3⌉ /
+    * ⌈2n/3⌉), so tied scores land in one bucket and no per-doc rank
+    * exists — which is also what keeps the plan scale-correct: the
+    * windows run over the REDUCED (lang × distinct score) histogram
+    * (≤ 1e6+1 rows per lang at any corpus size — the
+    * [[qualityCalibrate]] median pattern), and the bounded threshold
+    * rows broadcast back onto the scored corpus. Docs under 2 words
+    * have no bigram score and are absent, like [[lmScores]]. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val lang = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val scored = lmScores(spark, dir)
+      .select(col("doc_id"), col("lm_score_ppm"))
+      .join(lang, "doc_id")
+    val hist = scored.groupBy(col("lang"), col("lm_score_ppm"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("lm_score_ppm").desc)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    val cums = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(cw))
+    def cutAt(k: String, name: String): DataFrame =
+      cums.filter(col("cum") >= expr(k) && col("cum") - col("c") < expr(k))
+        .select(col("lang"), col("lm_score_ppm").as(name))
+    val tHead = cutAt("(n + 2) div 3", "t_head")
+    val tMid = cutAt("(2 * n + 2) div 3", "t_mid")
+    scored.join(broadcast(tHead), "lang").join(broadcast(tMid), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_score_ppm"),
+        when(col("lm_score_ppm") >= col("t_head"), "head")
+          .when(col("lm_score_ppm") >= col("t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Merge rounds for [[bpeTrain]] — the compile-time-fixed budget that
     * also generates the oracle's CTE chain, so both sides iterate exactly
     * this many times. */

@@ -555,6 +555,7 @@ object PipelineQueries {
         TextAnalysis.decontaminateScrub(Dedup.corpusWithLeaks(s, dir))),
       "curation_audit" -> ((s, dir) =>
         TextAnalysis.curationAudit(TextAnalysis.auditCorpus(s, dir))),
+      "ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(s, dir)),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
       "ivf_maintenance" -> ((s, dir) => Similarity.ivfMaintenance(s, dir)),
       "decontaminate" -> ((s, dir) =>
@@ -2065,6 +2066,50 @@ object PipelineQueries {
           |    * 1000 // CAST(sum(tf) AS BIGINT) AS BIGINT) AS novel_frac_x1000
           |FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
           |GROUP BY doc_id""".stripMargin,
+
+      // CCNet head/middle/tail: per-language perplexity terciles cut by
+      // value thresholds over the (lang, score) histogram — ties land in
+      // one bucket, no per-doc rank.
+      "ccnet_buckets" ->
+        """WITH tok AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+          |  WHERE len(w) >= 2),
+          |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+          |bgc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_bg
+          |        FROM tf GROUP BY 1, 2),
+          |ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+          |        FROM bgc GROUP BY 1),
+          |sc AS (
+          |  SELECT doc_id,
+          |    CAST(CAST(sum(tf * ((c_bg * 1000000) // c_ctx)) AS BIGINT)
+          |      // CAST(sum(tf) AS BIGINT) AS BIGINT) AS lm_score_ppm
+          |  FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+          |  GROUP BY doc_id),
+          |s AS (
+          |  SELECT d.lang, sc.doc_id, sc.lm_score_ppm
+          |  FROM sc JOIN documents d USING (doc_id)),
+          |h AS (SELECT lang, lm_score_ppm, count(*) AS c
+          |      FROM s GROUP BY 1, 2),
+          |cums AS (
+          |  SELECT lang, lm_score_ppm, c,
+          |    sum(c) OVER (PARTITION BY lang
+          |                 ORDER BY lm_score_ppm DESC) AS cum,
+          |    sum(c) OVER (PARTITION BY lang) AS n
+          |  FROM h),
+          |th AS (SELECT lang, lm_score_ppm AS t_head FROM cums
+          |       WHERE cum >= (n + 2) // 3 AND cum - c < (n + 2) // 3),
+          |tm AS (SELECT lang, lm_score_ppm AS t_mid FROM cums
+          |       WHERE cum >= (2 * n + 2) // 3
+          |         AND cum - c < (2 * n + 2) // 3)
+          |SELECT s.doc_id, s.lang, s.lm_score_ppm,
+          |  CASE WHEN s.lm_score_ppm >= th.t_head THEN 'head'
+          |       WHEN s.lm_score_ppm >= tm.t_mid THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM s JOIN th USING (lang) JOIN tm USING (lang)""".stripMargin,
 
       // Train on documents, score the incoming batch: unseen transitions
       // score 0 ppm and count as novel (cross-corpus novelty).

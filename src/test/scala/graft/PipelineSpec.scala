@@ -349,6 +349,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.filter(_._1 < 100000L).values.forall(_._4 == 0L))
   }
 
+  test("ccnet buckets: per-lang terciles are value-separated and cover ≥ thirds") {
+    val rows = graft.exts.TextAnalysis.ccnetBuckets(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      val n = g.length
+      val byBucket = g.groupBy(_._3).view
+        .mapValues(_.map(_._2)).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      val head = byBucket.getOrElse("head", Array.empty[Long])
+      val mid = byBucket.getOrElse("middle", Array.empty[Long])
+      val tail = byBucket.getOrElse("tail", Array.empty[Long])
+      // value-separated: every head score ≥ every middle ≥ every tail
+      if (head.nonEmpty && mid.nonEmpty) assert(head.min >= mid.max,
+        s"$lang: head/middle overlap")
+      if (mid.nonEmpty && tail.nonEmpty) assert(mid.min > tail.max,
+        s"$lang: middle/tail overlap")
+      // the head cut is the MINIMAL value cut reaching ⌈n/3⌉: at least
+      // a third, and removing its tied boundary value drops below it
+      assert(head.length >= (n + 2) / 3, s"$lang: head ${head.length}/$n")
+      if (head.nonEmpty) {
+        val boundaryTies = head.count(_ == head.min)
+        assert(head.length - boundaryTies < (n + 2) / 3,
+          s"$lang: head cut not minimal")
+      }
+      assert(head.length + mid.length + tail.length === n)
+    }
+  }
+
   test("keep-list: planted copies dropped, kept count = component count") {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val kl = Dedup.dupKeepList(corpus).collect()
