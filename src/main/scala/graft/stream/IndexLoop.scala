@@ -68,6 +68,40 @@ object IndexLoop {
   def centroidsOf(spark: SparkSession, s: State): DataFrame =
     centFrame(spark, s.cents)
 
+  /** Persist the serving index as parquet artifacts — centroids, cell
+    * stats, and a 1-row meta (version, corpus size, gate width), all
+    * metadata-sized. With the codebook ([[graft.exts.PqIndex.saveCodebook]])
+    * and the on-disk codes/gate layouts this makes EVERY piece of the
+    * loop durable: a restarted serving node [[loadIndex]]es in one tiny
+    * read instead of retraining centroids and re-scanning the corpus
+    * for occupancy. */
+  def saveIndex(spark: SparkSession, index: ServingIndex,
+      path: String): Unit = {
+    import spark.implicits._
+    val s = index.snapshot
+    centFrame(spark, s.cents).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/cents.parquet")
+    s.cellStats.toSeq.map { case (c, (n, mn)) => (c, n, mn) }
+      .toDF("cell", "n_vectors", "min_vec_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats.parquet")
+    Seq((s.version, s.nCorpus, s.gateBits))
+      .toDF("version", "n_corpus", "gate_bits").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  /** Load a [[saveIndex]] artifact — the serving restart's cold path. */
+  def loadIndex(spark: SparkSession, path: String): ServingIndex = {
+    val cents = spark.read.parquet(s"$path/cents.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    val stats = spark.read.parquet(s"$path/stats.parquet")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val m = spark.read.parquet(s"$path/meta.parquet").first()
+    new ServingIndex(State(m.getLong(0), cents, stats, m.getLong(1),
+      m.getInt(2)))
+  }
+
   private def centFrame(spark: SparkSession,
       rows: Seq[(Long, Seq[Float])]): DataFrame = {
     import spark.implicits._

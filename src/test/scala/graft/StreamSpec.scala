@@ -689,6 +689,17 @@ class StreamSpec extends AnyFunSuite {
       .map(t => (t._1, t._2, t._3, t._4)).toSet === expected)
     assert(results.synchronized(results.toSeq).forall(_._5 === index.version),
       "serving must observe the bumped index version")
+    // restart durability: the saved index round-trips bit-for-bit, so a
+    // fresh serving node loads instead of retraining — combined with the
+    // codebook artifact and the on-disk layouts, every loop piece is
+    // durable
+    graft.stream.IndexLoop.saveIndex(spark, index, s"$tmpRoot/index")
+    val reloaded = graft.stream.IndexLoop.loadIndex(spark, s"$tmpRoot/index")
+    assert(reloaded.snapshot.version === index.snapshot.version)
+    assert(reloaded.snapshot.gateBits === index.snapshot.gateBits)
+    assert(reloaded.snapshot.nCorpus === index.snapshot.nCorpus)
+    assert(reloaded.snapshot.cellStats === index.snapshot.cellStats)
+    assert(reloaded.snapshot.cents.toSet === index.snapshot.cents.toSet)
   }
 
   test("ANN serving restart: cold path loads the codebook artifact, not a retrain") {
