@@ -39,7 +39,9 @@ object Explain {
       "dedup_report", "source_overlap", "curriculum_order",
       "mm_video_decode", "mm_audio_decode", "minhash_band_pairs",
       "topk_agg", "pq_search", "ivf_pq_search", "ivf_pq_refine",
-      "simhash_band_pairs", "dedup_keep_best", "ivf_maintenance")
+      "simhash_band_pairs", "dedup_keep_best", "ivf_maintenance",
+      "text_scrub_spans", "decontaminate_scrub", "curation_audit",
+      "ccnet_buckets")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

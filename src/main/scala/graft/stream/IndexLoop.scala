@@ -188,8 +188,9 @@ object IndexLoop {
     * unchanged between bumps), and a maintenance bump rewrites the full
     * layout at `v<version+1>` BEFORE the version flips, so serving
     * readers always see a complete layout for whatever version they
-    * observe. */
-  /** With `gatePath` (a [[buildIndex]]-written bucket layout) the
+    * observe.
+    *
+    * With `gatePath` (a [[buildIndex]]-written bucket layout) the
     * per-batch gate reads ONLY the batch's own buckets (collected as
     * literals — batch-sized metadata) instead of scanning the whole
     * corpus; pruning is EXACT because a cosine-near duplicate shares its
@@ -219,7 +220,7 @@ object IndexLoop {
           // batch's own buckets; otherwise it is the full corpus scan.
           val gateBits = gatePath match {
             case Some(_) => st.gateBits
-            case None => Similarity.adaptiveBucketBits(st.nCorpus)
+            case None => Similarity.adaptiveBucketBits(st.nCorpus, gateTarget)
           }
           val gateCorpus = gatePath match {
             case Some(p) =>
