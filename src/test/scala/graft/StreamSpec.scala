@@ -689,6 +689,22 @@ class StreamSpec extends AnyFunSuite {
       .map(t => (t._1, t._2, t._3, t._4)).toSet === expected)
     assert(results.synchronized(results.toSeq).forall(_._5 === index.version),
       "serving must observe the bumped index version")
+    // the corpus-derived serving branch (no layout) returns the same
+    // results — the layout is a plan upgrade, never a semantics change
+    val results2 = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Long)]
+    val qinput2 = MemoryStream[(Long, Seq[Float])]
+    val sq2 = graft.stream.AnnServing.serveWith(spark, corpusPath, index, cb,
+      qinput2.toDS().toDF("query_id", "embedding"),
+      (df, _, _) => results2.synchronized {
+        results2 ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      })
+    qinput2.addData(qvecs: _*)
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert(results2.synchronized(results2.toSet) === expected,
+      "layout-backed and corpus-derived serving must agree")
     // restart durability: the saved index round-trips bit-for-bit, so a
     // fresh serving node loads instead of retraining — combined with the
     // codebook artifact and the on-disk layouts, every loop piece is
