@@ -81,8 +81,14 @@ object Compact {
       stream.iterator().asScala
         .filter(f => Files.isRegularFile(f))
         .filterNot { f =>
-          val n = f.getFileName.toString
-          n.startsWith(".") || n.startsWith("_")
+          // hidden/marker check on EVERY path segment under the table
+          // dir — a file inside a `.staging/` or `_temporary/` directory
+          // is as off-limits as a `_SUCCESS` leaf
+          val rel = p.relativize(f)
+          (0 until rel.getNameCount).exists { i =>
+            val n = rel.getName(i).toString
+            n.startsWith(".") || n.startsWith("_")
+          }
         }
         .filterNot(f => referenced.contains(f.toString))
         .filter(f => Files.getLastModifiedTime(f).toMillis <= cutoffMs)

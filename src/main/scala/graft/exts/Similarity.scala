@@ -232,10 +232,10 @@ object Similarity {
     * Returns (cent_id = seed member id, cent). */
   private[exts] def splitCentroids(members: DataFrame,
       iters: Int = IvfIters): DataFrame = {
-    def argminCos(ref: DataFrame): DataFrame = {
+    def argminCos(from: DataFrame, ref: DataFrame): DataFrame = {
       // ref is 1 row (cent ARRAY<FLOAT>); min(struct(cos, id, emb))
       // is the deterministic extreme member
-      members.crossJoin(broadcast(ref))
+      from.crossJoin(broadcast(ref))
         .withColumn("c", cosine(col("embedding"), col("cent")))
         .agg(min(struct(col("c"), col("vec_id"), col("embedding")))
           .as("s"))
@@ -248,8 +248,27 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m").cast("float")).as("cent"))
-    val seedA = argminCos(mean).localCheckpoint(true)
-    val seedB = argminCos(seedA.select(col("cent"))).localCheckpoint(true)
+    // TRIMMED farthest-point seeding (r10): only members whose
+    // mean-alignment is at least the cell AVERAGE are seed candidates.
+    // A hot cell is a dense mass plus organic periphery; raw
+    // farthest-point seeds land on a stray peripheral member and the
+    // 2-means then shaves small slivers instead of separating the dense
+    // lobes (measured in the stream-loop fixture: a 106-member cell
+    // with ~16 peripherals shed 7-18-member slivers per pass and stayed
+    // hot). Both lobes of the mass sit above the average alignment —
+    // they ARE the mass — so the trim keeps them and drops only the
+    // periphery from SEEDING; every member is still assigned in the
+    // final pass. One extra broadcast-join + 1-row aggregate, no sort.
+    val withC = members.crossJoin(broadcast(mean))
+      .withColumn("c", cosine(col("embedding"), col("cent")))
+      .select(col("vec_id"), col("embedding"), col("c"))
+    val trimmed = withC
+      .crossJoin(broadcast(withC.agg(avg(col("c")).as("avg_c"))))
+      .filter(col("c") >= col("avg_c"))
+      .select(col("vec_id"), col("embedding"))
+    val seedA = argminCos(trimmed, mean).localCheckpoint(true)
+    val seedB = argminCos(trimmed, seedA.select(col("cent")))
+      .localCheckpoint(true)
     val sample = members.orderBy(col("vec_id"))
       .limit(IvfTrainSample.toInt)
       .select(col("vec_id"), col("embedding"))

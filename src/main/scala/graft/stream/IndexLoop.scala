@@ -174,8 +174,18 @@ object IndexLoop {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  private def nonKeep(actions: Map[String, Long]): Boolean =
-    actions.exists { case (a, n) => a != "keep" && n > 0 }
+  /** The ACT trigger: SPLIT verdicts only. Splits are convergent (each
+    * pass strictly shrinks the hottest cell) and are the pathology that
+    * hurts queries — every probe over-scans a hot cell. Merge verdicts
+    * ride along in any triggered pass (applyMaintenance drops them) but
+    * never trigger alone: dropping a cold cell changes the CELL COUNT,
+    * which moves the mean, which can flip another borderline cell to
+    * merge — classic threshold hysteresis that oscillates forever if
+    * acted on (observed on the loop-test fixture: split+merge residue
+    * stable across 8 passes). A lingering boundary-cold cell is a small
+    * capacity inefficiency the next split-triggered rebuild sweeps. */
+  private def hasSplit(actions: Map[String, Long]): Boolean =
+    actions.getOrElse("split", 0L) > 0L
 
   /** Start the ingest → gate → drift → maintain loop over a streaming
     * (vec_id, embedding) frame. `onCycle(batchId, verdictCounts,
@@ -240,7 +250,20 @@ object IndexLoop {
               threshold, gateBits)
             .filter(!col("is_dup"))
             .select(col("batch_id").as("vec_id"))
+          // within-batch near-dups: the gate compares batch vs CORPUS,
+          // so two near-dup arrivals in the SAME micro-batch would both
+          // pass it (the r9 streamingNearDedup lesson) — a batch-sized
+          // bucketed self-pass keeps the minimum id of each pair
+          val bb = batch.withColumn("bucket",
+            Similarity.signBucketBits(col("embedding"), gateBits))
+          val laterTwins = bb.as("a").join(bb.as("b"),
+              col("a.bucket") === col("b.bucket") &&
+                col("a.vec_id") < col("b.vec_id") &&
+                Similarity.cosine(col("a.embedding"), col("b.embedding"))
+                  >= threshold)
+            .select(col("b.vec_id").as("vec_id")).distinct()
           val survivors = batch.join(keepIds, Seq("vec_id"))
+            .join(laterTwins, Seq("vec_id"), "left_anti")
             .localCheckpoint(true) // ≤ batch-sized
           val nNew = survivors.count()
           if (nNew > 0) {
@@ -289,13 +312,14 @@ object IndexLoop {
           var actions = verdictCounts(spark, stats)
           var cents = st.cents
           var version = st.version
-          // 4) ACT — the O(corpus) pass runs only when triggered
-          if (nonKeep(actions)) {
+          // 4) ACT — the O(corpus) pass runs only on a SPLIT verdict
+          // (see hasSplit for why merge-only states must not trigger)
+          if (hasSplit(actions)) {
             val all = spark.read.parquet(corpusPath)
               .select(col("vec_id"), col("embedding"))
             var centsDf = centFrame(spark, cents)
             var pass = 0
-            while (pass < maxPasses && nonKeep(actions)) {
+            while (pass < maxPasses && hasSplit(actions)) {
               centsDf = Similarity.applyMaintenance(all, centsDf)
                 .localCheckpoint(true)
               stats = fullStats(all, centsDf)

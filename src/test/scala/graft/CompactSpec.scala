@@ -187,7 +187,14 @@ class CompactSpec extends AnyFunSuite {
     val junk2 = java.nio.file.Paths.get(dir, "abandoned.orphan")
     java.nio.file.Files.write(junk1, Array[Byte](1, 2, 3))
     java.nio.file.Files.write(junk2, Array[Byte](4, 5))
-    val referenced = Compact.listFiles(dir).map(_.path).toSet
+    // a file inside a hidden staging dir is never a candidate, even
+    // though its own leaf name is unhidden
+    val staging = java.nio.file.Paths.get(dir, ".staging")
+    java.nio.file.Files.createDirectory(staging)
+    val inflight = staging.resolve("part-inflight.parquet")
+    java.nio.file.Files.write(inflight, Array[Byte](9))
+    val referenced = Compact.listFiles(dir).map(_.path)
+      .filterNot(_.contains(".staging")).toSet
     assert(referenced.size === 4)
     // dry-run: both orphans reported, NOTHING deleted (markers excluded)
     val dry = Compact.removeOrphans(dir, referenced, Long.MaxValue)
@@ -207,7 +214,10 @@ class CompactSpec extends AnyFunSuite {
       Set((junk1.toString, true), (junk2.toString, true)))
     assert(!java.nio.file.Files.exists(junk1) &&
       !java.nio.file.Files.exists(junk2))
-    assert(Compact.listFiles(dir).map(_.path).toSet === referenced)
+    assert(java.nio.file.Files.exists(inflight),
+      "hidden-dir contents must survive every sweep")
+    assert(Compact.listFiles(dir).map(_.path)
+      .filterNot(_.contains(".staging")).toSet === referenced)
     assert(spark.read.parquet(dir).count() === rowsBefore)
     // idempotent: nothing left to sweep
     assert(Compact.removeOrphans(dir, referenced, Long.MaxValue,

@@ -615,8 +615,8 @@ class StreamSpec extends AnyFunSuite {
     val v1 = index.version
     assert(cycles.nonEmpty)
     assert(cycles.synchronized(cycles.last)._2
-      .filter(_._1 != "keep").values.forall(_ == 0L),
-      s"loop must settle all-keep after batch 1: ${cycles.last._2}")
+      .getOrElse("split", 0L) === 0L,
+      s"no split verdict may remain after batch 1: ${cycles.last._2}")
     // batch 2: a quiescent stream NEVER triggers maintenance
     input.addData((2000003L, flip(base(3L))))
     q.processAllAvailable()
@@ -629,6 +629,14 @@ class StreamSpec extends AnyFunSuite {
     q.processAllAvailable()
     assert(index.nCorpus === n1, "a gated near-dup must never land")
     assert(index.version === v1)
+    // within-batch twins: two near-dup vectors in the SAME micro-batch
+    // (neither in the corpus) — exactly one (the min id) may land
+    input.addData(
+      (2000005L, flip(base(8L))),
+      (2000006L, flip(base(8L)).map(x => x * 3.0f)))
+    q.processAllAvailable()
+    assert(index.nCorpus === n1 + 1,
+      "same-batch near-dup twins must land exactly one copy")
     // batch 3: a 90-vector hot mass around one novel direction — the
     // drift signal crosses the split threshold, maintenance fires and
     // runs to quiescence, the version bumps. The mass is TWO tight
@@ -642,7 +650,11 @@ class StreamSpec extends AnyFunSuite {
       val lobe =
         if (i % 2 == 0) hotBase.updated(0, hotBase(0) + 0.35f * norm)
         else hotBase.updated(1, hotBase(1) - 0.35f * norm)
-      (2100000L + i, lobe.updated(2, lobe(2) + 0.004f * norm * (i / 2)))
+      // one DISTINCT jitter dim per vector (~0.998 pairwise cosine):
+      // crowded enough to share a cell, but below the 0.999 dup bar so
+      // the within-batch twin filter rightly keeps them all
+      val d = 3 + i / 2
+      (2100000L + i, lobe.updated(d, lobe(d) + 0.06f * norm))
     }
     input.addData(hot: _*)
     q.processAllAvailable()
@@ -650,8 +662,8 @@ class StreamSpec extends AnyFunSuite {
     assert(index.version > v1,
       s"the hot batch must trigger maintenance: version ${index.version}")
     assert(cycles.synchronized(cycles.last)._2
-      .filter(_._1 != "keep").values.forall(_ == 0L),
-      s"acted loop must quiesce to all-keep: ${cycles.last._2}")
+      .getOrElse("split", 0L) === 0L,
+      s"acted loop must quiesce all SPLITS: ${cycles.last._2}")
     // the bumped version's clustered CODES layout was rewritten before
     // the version flipped — serving readers never see a half-built dir
     assert(new java.io.File(s"$codesPath/v${index.version}").isDirectory,
