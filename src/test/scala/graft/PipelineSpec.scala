@@ -378,6 +378,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("splitCell separates the dense lobes despite organic periphery") {
+    import spark.implicits._
+    // a hot cell as it exists in the wild: a tight two-lobe mass (90)
+    // plus stray peripheral members (12). Raw farthest-point seeding
+    // lands on a peripheral stray and 2-means shaves slivers; the
+    // trimmed seeding must still cut between the LOBES.
+    val dims = 8
+    def base(d: Int): Float = (((7 * 31 + d * 17) % 19) - 9).toFloat
+    val hot = (0 until 90).map { i =>
+      val v = (0 until dims).map(base)
+      val lobed = if (i % 2 == 0) v.updated(0, v(0) + 2.0f)
+        else v.updated(1, v(1) - 2.0f)
+      (i.toLong, lobed.updated(2, v(2) + 0.01f * (i / 2)))
+    }
+    val strays = (0 until 12).map { i =>
+      (1000L + i,
+        (0 until dims).map(d => (((i * 13 + d * 29) % 17) - 8).toFloat))
+    }
+    val members = (hot ++ strays).toDF("vec_id", "embedding")
+    val subs = Similarity.splitCell(members).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(subs.size === 102) // every member assigned
+    val groups = subs.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    assert(groups.size === 2)
+    // the cut is BETWEEN the lobes: each lobe lands whole in one group
+    val evenLobe = hot.collect { case (id, _) if id % 2 == 0 => id }.toSet
+    val oddLobe = hot.collect { case (id, _) if id % 2 == 1 => id }.toSet
+    val gEven = groups.values.find(g => (g & evenLobe).nonEmpty).get
+    assert(evenLobe.subsetOf(gEven), "even lobe must not be split")
+    val gOdd = groups.values.find(g => (g & oddLobe).nonEmpty).get
+    assert(oddLobe.subsetOf(gOdd), "odd lobe must not be split")
+    assert(gEven !== gOdd, "the two lobes must separate — a sliver cut " +
+      s"left sizes ${groups.view.mapValues(_.size).toMap}")
+  }
+
   test("keep-list: planted copies dropped, kept count = component count") {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val kl = Dedup.dupKeepList(corpus).collect()
