@@ -264,6 +264,17 @@ object ScaleRehearsal {
     val docs = Tables.load(spark, src, "documents")
     val emb = Tables.load(spark, src, "embeddings")
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    // planted-fixture invariant: several dedup fixtures re-key planted
+    // docs/vectors at +100000 (the tightest offset family) — rehearsal
+    // ids must stay below that bound or planted ranges alias corpus ids.
+    // This guard turns a silent aliasing at a future larger scale into a
+    // named build failure (the r9/r10 offset-audit discipline).
+    val maxDoc = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val maxVec = emb.agg(max(col("vec_id"))).first().getLong(0)
+    require((Replicas - 1) * IdStride + math.max(maxDoc, maxVec) < 100000L,
+      s"rehearsal ids would reach ${(Replicas - 1) * IdStride +
+        math.max(maxDoc, maxVec)} >= 100000, aliasing the planted-copy " +
+        "id family — raise the planted offsets before scaling further")
     (0 until Replicas).map { r =>
       docs.select(
         (col("doc_id") + lit(r * IdStride)).as("doc_id"),

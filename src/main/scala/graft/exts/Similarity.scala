@@ -590,6 +590,15 @@ object Similarity {
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
   }
 
+  /** [[incomingVecBatch]] id offsets, 1,000,000-spaced: collision-free
+    * for any corpus vec_id below 1,000,000 (sf1 rehearsal vec_ids reach
+    * ~91,999 — the old +900000/+950000 pair was 50,000 apart and
+    * collision-free only by modular accident, the r9-ADVICE
+    * incomingNearBatch pattern). Interpolated into the oracle SQL so the
+    * engines cannot drift. */
+  val VecScaledOff = 1000000L
+  val VecFlippedOff = 2000000L
+
   /** Incoming vector-ingest batch: every 6th corpus vector scaled ×2
     * under a new id (an already-present embedding — must be dropped;
     * cosine is scale-invariant and ×2 is exponent-exact in float on both
@@ -599,10 +608,10 @@ object Similarity {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     base.filter(col("vec_id") % 6 === 0)
-      .select((col("vec_id") + 900000L).as("batch_id"),
+      .select((col("vec_id") + VecScaledOff).as("batch_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       .unionByName(base.filter(col("vec_id") % 9 === 0)
-        .select((col("vec_id") + 950000L).as("batch_id"),
+        .select((col("vec_id") + VecFlippedOff).as("batch_id"),
           transform(col("embedding"), x => -x).as("embedding")))
   }
 

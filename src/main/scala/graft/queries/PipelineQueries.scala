@@ -2276,11 +2276,12 @@ object PipelineQueries {
            |      WHERE n_corpus <= ${Similarity.TargetCellVectors}
            |                        * (CAST(1 AS BIGINT) << b)),
            |batch AS (
-           |  SELECT vec_id + 900000 AS batch_id,
+           |  SELECT vec_id + ${Similarity.VecScaledOff} AS batch_id,
            |    list_transform(embedding, x -> x * 2) AS embedding
            |  FROM embeddings WHERE vec_id % 6 = 0
            |  UNION ALL
-           |  SELECT vec_id + 950000, list_transform(embedding, x -> -x)
+           |  SELECT vec_id + ${Similarity.VecFlippedOff},
+           |    list_transform(embedding, x -> -x)
            |  FROM embeddings WHERE vec_id % 9 = 0),
            |bb AS (SELECT batch_id, embedding,
            |    CAST(list_sum(list_transform(range(1, bits + 1),

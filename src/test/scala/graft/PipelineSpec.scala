@@ -937,7 +937,7 @@ class PipelineSpec extends AnyFunSuite {
     val rows = Similarity.embIncremental(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.nonEmpty)
-    val (scaled, flipped) = rows.partition(_._1 < 950000L)
+    val (scaled, flipped) = rows.partition(_._1 < Similarity.VecFlippedOff)
     assert(scaled.nonEmpty && flipped.nonEmpty)
     // every ×2 re-ingest matches its source (cosine exactly 1)
     scaled.foreach { case (id, n, dup) =>
