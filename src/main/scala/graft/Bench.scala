@@ -87,33 +87,48 @@ object Bench {
         val warm = once(name, SparkEntry.queries(name))
         (name, cold, warm)
       }
-    // INTERNAL CONSISTENCY GATE (r9 "What's wrong #1"): the main figure is
-    // a min over passes that all ran against a built memo, so it can never
-    // legitimately exceed the same session's own warm re-run. If it does,
-    // the main-loop measurement was disturbed (drift, noisy window) and
-    // the warm figure is the truthful steady-state number — substitute it
-    // and record the violation loudly so a disturbed run is visible in the
-    // artifact, not silently shipped.
+    // INTERNAL CONSISTENCY GATE (r9 "What's wrong #1", r10 advice): the
+    // main figure is a min over passes that all ran against a built memo,
+    // so it can never legitimately exceed the same session's own warm
+    // re-run. If it does, the main-loop measurement was disturbed (drift,
+    // noisy window). Substituting the single warm figure would put an
+    // UNREPLICATED number in the headline and could hide a genuine
+    // main-loop-only regression — so instead the disturbed query's sweep
+    // is RE-RUN (min-of-`passes`, same memoized steady state as the main
+    // loop) and that replicated re-measurement becomes the headline;
+    // the violation plus all three figures land in "reconciled".
     val inconsistent = scala.collection.mutable.ArrayBuffer.empty[String]
     artifactSplit.foreach { case (name, _, warm) =>
       val main = results(name)
       if (main >= 0 && warm >= 0 && main > warm * 1.5) {
+        val rerun = (1 to passes)
+          .map(_ => once(name, SparkEntry.queries(name))).min
         inconsistent +=
-          s"""{"query":"$name","main":$main,"warm":$warm}"""
-        results = results.updated(name, warm)
+          s"""{"query":"$name","main":$main,"warm":$warm,"rerun":$rerun}"""
+        if (rerun >= 0) results = results.updated(name, rerun)
       }
     }
+    // JSON field ORDER matters downstream: the driver keeps only the last
+    // ~2000 chars of stdout, so the headline fields (total, slowest set,
+    // errors) go LAST — the per-query map goes first and may truncate at
+    // the front of the tail window without losing the summary. 3-decimal
+    // (millisecond) precision keeps more keys inside the window.
+    def f3(v: Double): String = f"$v%.3f"
     val artifacts = artifactSplit.map { case (name, cold, warm) =>
-      s"\"" + name + "\":{\"cold\":" + cold + ",\"warm\":" + warm + "}"
+      s"\"" + name + "\":{\"cold\":" + f3(cold) + ",\"warm\":" + f3(warm) + "}"
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k + "\":" + f3(v)
+    }.mkString("{", ",", "}")
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val recon = inconsistent.mkString("[", ",", "]")
     val sweepsJson = sweepTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"pass_order":"pass_major","sweep_totals":$sweepsJson,"queries":$qs,"artifacts":$artifacts,"reconciled":$recon,"errors":$errs,"sf":"$sfDir"}""")
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"queries":$qs,"artifacts":$artifacts,"reconciled":$recon,"sweep_totals":$sweepsJson,"passes":$passes,"pass_order":"pass_major","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

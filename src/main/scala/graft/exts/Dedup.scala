@@ -824,6 +824,17 @@ object Dedup {
     * collision false positives, rare at 16 bands) are reconciled by the
     * batch sweep ([[minhashLshPairs]]) over the landed corpus.
     *
+    * BOUNDARY RECALL EDGE (explicit, for callers): ownership is per
+    * TUMBLING window, so two copies arriving seconds apart that straddle
+    * a window boundary BOTH survive this tier — a recall edge the older
+    * dropDuplicatesWithinWatermark horizon did not have. Expected leak
+    * rate is duplicate-interarrival / window-width of the dup stream;
+    * the batch sweep removes the leaked copy on its next pass. If
+    * stream-tier boundary recall matters more than emit latency, widen
+    * `watermarkDelay` (fewer boundaries) or switch stage 1 to sliding
+    * windows (`window(col, delay, delay/2)` — 2× state, and stage 2 must
+    * then dedup survivors across overlapping windows).
+    *
     * Input needs (doc_id, text, ingest_ts_ms); emits surviving
     * (doc_id, ingest_ts_ms) — payload re-join happens downstream (the
     * [[graft.stream.CurationPipeline]] pattern), so the 16× band

@@ -1066,8 +1066,9 @@ object TextAnalysis {
     * shuffle, no streaming state — so the stage drops straight into the
     * declarative ingest pipeline between quality filter and dedup
     * ([[graft.stream.CurationPipeline]]). Semantics match
-    * [[decontaminateScrub]] exactly: a word position covered by any
-    * eval-set span is removed (PipelineSpec asserts digest equality).
+    * [[decontaminateScrub]] exactly up to whitespace normalization of
+    * REWRITTEN docs (PipelineSpec asserts digest equality on normalized
+    * text); docs with zero hits keep their original bytes untouched.
     * Emits the input columns with `text` rewritten plus `n_scrubbed`. */
   def scrubAgainstSet(docs: DataFrame, evalSpans: Array[Long]): DataFrame =
     docs
@@ -1081,10 +1082,18 @@ object TextAnalysis {
           .otherwise(array().cast("array<int>")))
       .withColumn("kept_ws",
         expr("filter(ws, (x, i) -> NOT exists(hits, " +
-          "p -> p <= i AND i <= p + 4))"))
+          s"p -> p <= i AND i <= p + ${Dedup.ShingleN - 1}))"))
       .withColumn("n_scrubbed",
         (size(col("ws")) - size(col("kept_ws"))).cast("long"))
-      .withColumn("text", array_join(col("kept_ws"), " "))
+      // Clean documents pass through BYTE-IDENTICAL: only a doc with at
+      // least one eval-span hit is rewritten (and the rewrite — a
+      // split/join round-trip — whitespace-normalizes it, same as the
+      // aggregate scrub's word-array reconstruction). Without the guard,
+      // enabling this stage would silently collapse newlines/tabs in
+      // every in-flight document, a content mutation of clean docs.
+      .withColumn("text",
+        when(size(col("hits")) === 0, col("text"))
+          .otherwise(array_join(col("kept_ws"), " ")))
       .drop("ws", "hits", "kept_ws")
 
   /** PII patterns, chosen to parse and match identically under Java regex

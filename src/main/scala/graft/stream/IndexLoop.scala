@@ -216,7 +216,13 @@ object IndexLoop {
       gatePath: Option[String] = None,
       gateTarget: Long = Similarity.TargetCellVectors,
       onCycle: (Long, Map[String, Long], Long) => Unit = (_, _, _) => ())
-      : StreamingQuery =
+      : StreamingQuery = {
+    // Same invariant as buildIndex: a codesPath without its codebook
+    // would silently skip all layout upkeep, leaving v<new> unwritten
+    // after a version bump — a serveWith reader on codesPath then fails
+    // on its next query batch. Fail at wiring time, not mid-stream.
+    require(codesPath.isEmpty == codebook.isEmpty,
+      "codesPath and codebook go together")
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -340,4 +346,5 @@ object IndexLoop {
         }
       }
       .start()
+  }
 }

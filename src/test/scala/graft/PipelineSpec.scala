@@ -273,9 +273,17 @@ class PipelineSpec extends AnyFunSuite {
     val trainDocs = corpus.filter(col("doc_id") % 97 =!= 0)
     val set = graft.exts.TextAnalysis.evalSpanHashes(evalDocs)
     assert(set.length > 0 && set.toSeq == set.toSeq.sorted)
-    val rowLocal = graft.exts.TextAnalysis
-      .scrubAgainstSet(trainDocs, set)
-      .select(col("doc_id"), md5f(col("text")).as("m"), col("n_scrubbed"))
+    // The aggregate scrub's digest is over the reconstructed word array,
+    // so compare on whitespace-normalized text; byte-identity of clean
+    // docs is asserted separately below.
+    val scrubbed = graft.exts.TextAnalysis.scrubAgainstSet(trainDocs, set)
+    val rowLocal = scrubbed
+      .select(col("doc_id"),
+        md5f(org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(col("text")), "\\s+"),
+          " ")).as("m"),
+        col("n_scrubbed"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
       .toMap
     val aggregate = graft.exts.TextAnalysis.decontaminateScrub(corpus)
@@ -288,6 +296,15 @@ class PipelineSpec extends AnyFunSuite {
     // and the probe itself is exact: a hash not in the set never hits
     assert(rowLocal.values.exists(_._2 == 0L))
     assert(rowLocal.values.exists(_._2 > 0L))
+    // clean docs (zero hits) pass through BYTE-identical — the scrub
+    // must not whitespace-normalize documents it didn't touch
+    val untouched = scrubbed.filter(col("n_scrubbed") === 0L)
+      .select(col("doc_id"), col("text"))
+      .join(trainDocs.select(col("doc_id"),
+        col("text").as("orig")), "doc_id")
+    assert(untouched.count() > 0)
+    assert(untouched.filter(col("text") =!= col("orig")).count() === 0L,
+      "clean docs must keep original bytes")
   }
 
   test("bucket-pruned ingest gate equals the full-scan gate exactly") {
