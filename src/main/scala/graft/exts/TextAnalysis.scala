@@ -464,9 +464,16 @@ object TextAnalysis {
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val lang = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
+    // The LM scoring pipeline (bigram tf → counts → two joins → doc agg)
+    // is by far the dominant cost, and the scored frame feeds BOTH the
+    // threshold histogram and the final bucket projection — materialize
+    // it once. It is metadata-sized (doc_id, score, lang ≈ 24 B/doc; the
+    // text never enters), so the checkpoint holds at any corpus scale
+    // and replaces two full re-scoring passes of the corpus.
     val scored = lmScores(spark, dir)
       .select(col("doc_id"), col("lm_score_ppm"))
       .join(lang, "doc_id")
+      .localCheckpoint(true)
     val hist = scored.groupBy(col("lang"), col("lm_score_ppm"))
       .agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
@@ -476,12 +483,16 @@ object TextAnalysis {
     val cums = hist
       .withColumn("cum", sum(col("c")).over(w))
       .withColumn("n", sum(col("c")).over(cw))
-    def cutAt(k: String, name: String): DataFrame =
-      cums.filter(col("cum") >= expr(k) && col("cum") - col("c") < expr(k))
-        .select(col("lang"), col("lm_score_ppm").as(name))
-    val tHead = cutAt("(n + 2) div 3", "t_head")
-    val tMid = cutAt("(2 * n + 2) div 3", "t_mid")
-    scored.join(broadcast(tHead), "lang").join(broadcast(tMid), "lang")
+    // Both tercile cuts in ONE pass over the (lang × distinct score)
+    // histogram: cum rises as score falls, so the crossing score for
+    // target k is simply max(score | cum >= k) — no second window scan.
+    val cuts = cums.groupBy(col("lang"))
+      .agg(
+        max(when(col("cum") >= expr("(n + 2) div 3"),
+          col("lm_score_ppm"))).as("t_head"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"),
+          col("lm_score_ppm"))).as("t_mid"))
+    scored.join(broadcast(cuts), "lang")
       .select(col("doc_id"), col("lang"), col("lm_score_ppm"),
         when(col("lm_score_ppm") >= col("t_head"), "head")
           .when(col("lm_score_ppm") >= col("t_mid"), "middle")
