@@ -41,7 +41,7 @@ object Explain {
       "topk_agg", "pq_search", "ivf_pq_search", "ivf_pq_refine",
       "simhash_band_pairs", "dedup_keep_best", "ivf_maintenance",
       "text_scrub_spans", "decontaminate_scrub", "curation_audit",
-      "ccnet_buckets")
+      "ccnet_buckets", "gopher_rules", "cluster_balance", "bitext_mine")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

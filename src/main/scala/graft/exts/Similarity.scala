@@ -407,6 +407,104 @@ object Similarity {
           .otherwise(lit("keep")).as("action"))
   }
 
+  /** cluster_balance — occupancy-proportional downsampling over the
+    * LEARNED cluster structure (the unlabeled analog of class_balance:
+    * labels come from [[trainedCentroids]]' cells, not a label column):
+    * each cell keeps vectors at rate min(1, mean_cell_size / cell_size)
+    * so a post-sample corpus is ~uniform across clusters — the standard
+    * de-skewing step before contrastive / retrieval training. The
+    * keep/drop decision per vector is the engine's deterministic
+    * multiplicative id-hash at ‰ grain ([[Sampling]]'s discipline — no
+    * RNG, rerun-stable, oracle-mirrorable). One row per cell: size,
+    * keep rate, and the realized post-sample count.
+    *
+    * Scale shape: assignment is the IVF broadcast-centroid pass (corpus
+    * never shuffles for it), the per-cell rollup exchanges one row per
+    * cell, rates ride a broadcast back onto the metadata-sized
+    * (vec_id, cell) frame, and the id-hash evaluates row-locally —
+    * nothing here grows beyond one corpus scan plus cell-count rows. */
+  def clusterBalance(spark: SparkSession, dir: String,
+      k: Int = IvfCentroids): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val asgn = IvfIndex.assigned(emb, IvfIndex.centroids(spark, dir, k))
+      .select(col("vec_id"), col("cell"))
+    val cells = asgn.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val totals = cells.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_cells"))
+    val rates = cells.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_vectors"),
+        least(lit(1000L),
+          expr("total * 1000 div (n_cells * n_vectors)")).as("keep_x1000"))
+    asgn.join(broadcast(rates), "cell")
+      .filter(expr("((vec_id % 1000000007) * 2654435761) % 1000")
+        < col("keep_x1000"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(rates), "cell") // cell-count rows — metadata
+      .select(col("cell"), col("n_vectors"), col("keep_x1000"),
+        col("n_kept"))
+  }
+
+  /** bitext_mine — cross-lingual parallel-pair mining over the shared
+    * embedding space (the LASER/CCMatrix shape): a candidate pair is
+    * MINED iff it is a MUTUAL nearest neighbor — the non-English vector's
+    * top-1 among English vectors is exactly the English vector whose
+    * top-1 within that language is it. Rank-based mutual-NN (margin
+    * criterion's threshold-free cousin) keeps the output integer-exact:
+    * only orderings cross the engine/oracle boundary, never a float
+    * score. Language comes from the aligned documents row (vec_id =
+    * doc_id — a co-partitioned metadata join, text never moves).
+    *
+    * Scale shape: the exact all-pairs scoring is the TOY-SCALE baseline
+    * (langA × langB candidates); both direction ranks finish in the
+    * bounded [[graft.functions.TopKPairs]] aggregate (≤1 row per query
+    * per mapper reaches the exchange), so the FINISH survives any scale
+    * even though candidate generation would not — at 100 TB the
+    * candidate stage swaps to the sign-bucket prefilter
+    * ([[signBucketBits]], same bucket ⇒ candidate), which bounds
+    * fan-out exactly like the ANN search path and leaves this mutual
+    * top-1 finish unchanged. */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val lang = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    // corpus-scale metadata ⋈ corpus-scale vectors on the unique id:
+    // co-keyed shuffled HASH join (no sort — unique keys can't skew)
+    bitextMineOver(Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(lang.hint("shuffle_hash"), "vec_id"))
+  }
+
+  /** [[bitextMine]]'s core over any (vec_id, lang, embedding) frame —
+    * split out so specs can plant known translation pairs. */
+  private[graft] def bitextMineOver(emb: DataFrame): DataFrame = {
+    val en = emb.filter(col("lang") === "en")
+      .select(col("vec_id").as("en_id"), col("embedding").as("e_en"))
+    val xx = emb.filter(col("lang") =!= "en")
+      .select(col("lang"), col("vec_id").as("xx_id"),
+        col("embedding").as("e_xx"))
+    val scored = xx.join(broadcast(en))
+      .withColumn("cos", cosine(col("e_xx"), col("e_en")))
+      .select(col("lang"), col("xx_id"), col("en_id"), col("cos"))
+    // direction 1: each non-English vector's top-1 English neighbor
+    val d1 = scored.groupBy(col("xx_id"))
+      .agg(graft.functions.TopKAgg.top_k_pairs(
+        col("cos"), col("en_id"), 1).as("tk"))
+      .select(col("xx_id"), col("tk").getItem(0).getField("payload")
+        .as("en_id"))
+    // direction 2: each English vector's top-1 WITHIN each language
+    val d2 = scored.groupBy(col("en_id"), col("lang"))
+      .agg(graft.functions.TopKAgg.top_k_pairs(
+        col("cos"), col("xx_id"), 1).as("tk"))
+      .select(col("en_id"), col("lang"), col("tk").getItem(0)
+        .getField("payload").as("xx_id"))
+    // both direction frames are one row per source vector (corpus-scale
+    // metadata) joined on the unique pair key — shuffled hash, no sort
+    d1.join(d2.hint("shuffle_hash"), Seq("en_id", "xx_id"))
+      .select(col("lang"), col("en_id").as("src_id"),
+        col("xx_id").as("tgt_id"))
+  }
+
   /** Recall@k of the IVF search against the brute-force ground truth —
     * THE metric an ANN deployment tunes nprobe/k against (publish it per
     * ingest batch and you see index drift before users see bad

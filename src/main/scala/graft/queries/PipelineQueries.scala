@@ -556,6 +556,9 @@ object PipelineQueries {
       "curation_audit" -> ((s, dir) =>
         TextAnalysis.curationAudit(TextAnalysis.auditCorpus(s, dir))),
       "ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(s, dir)),
+      "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
+      "cluster_balance" -> ((s, dir) => Similarity.clusterBalance(s, dir)),
+      "bitext_mine" -> ((s, dir) => Similarity.bitextMine(s, dir)),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
       "ivf_maintenance" -> ((s, dir) => Similarity.ivfMaintenance(s, dir)),
       "decontaminate" -> ((s, dir) =>
@@ -2110,6 +2113,104 @@ object PipelineQueries {
           |       WHEN s.lm_score_ppm >= tm.t_mid THEN 'middle'
           |       ELSE 'tail' END AS bucket
           |FROM s JOIN th USING (lang) JOIN tm USING (lang)""".stripMargin,
+
+      // The Gopher rule set recomputed rule by rule: every signal is an
+      // integer (×100 fixed-point for the mean word length), so each
+      // threshold compare is exact on both sides.
+      "gopher_rules" ->
+        """WITH w AS (
+          |  SELECT doc_id, text,
+          |    regexp_split_to_array(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(len(ws) AS BIGINT) AS n_words,
+          |    CAST(length(array_to_string(ws, '')) * 100 // len(ws)
+          |      AS BIGINT) AS mean_word_len_x100,
+          |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+          |      AS n_symbols,
+          |    CAST(len(list_filter(ws,
+          |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+          |      AS n_alpha_words,
+          |    CAST(len(list_intersect(
+          |      list_transform(ws,
+          |        x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+          |      ['the','be','to','of','and','that','have','with']))
+          |      AS BIGINT) AS n_stop_hits
+          |  FROM w)
+          |SELECT doc_id, n_words, mean_word_len_x100, n_symbols,
+          |  n_alpha_words, n_stop_hits,
+          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+          |  (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+          |    AS r_word_len,
+          |  (n_symbols * 10 <= n_words) AS r_symbol,
+          |  (n_alpha_words * 5 >= n_words * 4) AS r_alpha,
+          |  (n_stop_hits >= 1) AS r_stop,
+          |  ((n_words >= 50 AND n_words <= 100000)
+          |    AND (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+          |    AND (n_symbols * 10 <= n_words)
+          |    AND (n_alpha_words * 5 >= n_words * 4)
+          |    AND (n_stop_hits >= 1)) AS keep
+          |FROM sig""".stripMargin,
+
+      // Occupancy-proportional downsampling over the learned cells: the
+      // oracle retrains the centroids (trainCtes), reassigns, and
+      // replays the multiplicative id-hash keep decision per vector.
+      "cluster_balance" ->
+        s"""WITH $trainCtes,
+           |asgn AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cent_id AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+           |                 c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN $trainFinalCte c)
+           |  WHERE rn = 1),
+           |cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+           |          FROM asgn GROUP BY cell),
+           |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+           |               CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+           |rates AS (
+           |  SELECT cell, n_vectors,
+           |    CAST(least(1000, total * 1000 // (n_cells * n_vectors))
+           |      AS BIGINT) AS keep_x1000
+           |  FROM cells CROSS JOIN tot)
+           |SELECT r.cell, r.n_vectors, r.keep_x1000,
+           |  CAST(count(*) AS BIGINT) AS n_kept
+           |FROM asgn a JOIN rates r USING (cell)
+           |WHERE ((a.vec_id % 1000000007) * 2654435761) % 1000 < r.keep_x1000
+           |GROUP BY r.cell, r.n_vectors, r.keep_x1000""".stripMargin,
+
+      // Mutual-nearest-neighbor bitext mining: both direction ranks
+      // recomputed over the full cross-lingual score matrix; only
+      // orderings (cos DESC, id ASC) cross the engine boundary.
+      "bitext_mine" ->
+        """WITH e AS (
+          |  SELECT d.lang, v.vec_id, v.embedding
+          |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+          |en AS (SELECT vec_id AS en_id, embedding AS e_en
+          |       FROM e WHERE lang = 'en'),
+          |xx AS (SELECT lang, vec_id AS xx_id, embedding AS e_xx
+          |       FROM e WHERE lang <> 'en'),
+          |scored AS (
+          |  SELECT lang, xx_id, en_id,
+          |    list_cosine_similarity(e_xx, e_en) AS cos
+          |  FROM xx CROSS JOIN en),
+          |d1 AS (
+          |  SELECT xx_id, en_id FROM (
+          |    SELECT xx_id, en_id,
+          |      row_number() OVER (PARTITION BY xx_id
+          |        ORDER BY cos DESC, en_id) AS rn
+          |    FROM scored) WHERE rn = 1),
+          |d2 AS (
+          |  SELECT lang, en_id, xx_id FROM (
+          |    SELECT lang, en_id, xx_id,
+          |      row_number() OVER (PARTITION BY en_id, lang
+          |        ORDER BY cos DESC, xx_id) AS rn
+          |    FROM scored) WHERE rn = 1)
+          |SELECT d2.lang, d1.en_id AS src_id, d1.xx_id AS tgt_id
+          |FROM d1 JOIN d2 ON d1.en_id = d2.en_id AND d1.xx_id = d2.xx_id"""
+          .stripMargin,
 
       // Train on documents, score the incoming batch: unseen transitions
       // score 0 ppm and count as novel (cross-corpus novelty).

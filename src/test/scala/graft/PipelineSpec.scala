@@ -2035,4 +2035,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("graft.pq: embedding dim")),
       s"expected the named dim-contract error, got: $e")
   }
+
+  test("gopher rules: each rule fires on its planted violator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val good = (Seq.fill(10)("the") ++ Seq.fill(50)("alpha")).mkString(" ")
+    val docs = Seq(
+      0L -> good,                                   // passes every rule
+      1L -> "the quick brown fox",                  // too few words
+      2L -> (good + " " + Seq.fill(10)("#").mkString(" ")), // symbol-heavy
+      3L -> (Seq.fill(10)("the") ++ Seq.fill(55)("12345")).mkString(" "),
+      4L -> (good.replace("the", "zzz"))            // no stop words
+    ).toDF("doc_id", "text")
+    val out = graft.exts.TextAnalysis.gopherRules(docs, minStopHits = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"))
+    assert(!out(1L).getAs[Boolean]("r_word_count"))
+    assert(!out(2L).getAs[Boolean]("r_symbol"))
+    assert(!out(3L).getAs[Boolean]("r_alpha"))     // 55/65 non-alpha words
+    assert(!out(4L).getAs[Boolean]("r_stop"))
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => !out(id).getAs[Boolean]("keep")))
+  }
+
+  test("cluster balance: rates cap at the mean and kept counts obey them") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.clusterBalance(spark, dir).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n_vectors")).sum
+    val mean = total / out.length
+    out.foreach { r =>
+      val (n, rate, kept) = (r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("keep_x1000"), r.getAs[Long]("n_kept"))
+      assert(rate <= 1000L && rate > 0L)
+      assert(kept <= n)
+      // oversized cells are downsampled toward the mean; cells at or
+      // under the mean keep everything the hash admits (rate = 1000)
+      if (n <= mean) assert(rate === 1000L, s"cell under mean: rate $rate")
+      else assert(rate < 1000L, s"oversized cell (n=$n, mean=$mean) uncapped")
+    }
+    // the hash keeps ~rate/1000 of each cell (loose bound, exact law
+    // is pinned by the DuckDB oracle)
+    out.filter(_.getAs[Long]("n_vectors") >= 20).foreach { r =>
+      val frac = r.getAs[Long]("n_kept").toDouble /
+        r.getAs[Long]("n_vectors")
+      val want = r.getAs[Long]("keep_x1000") / 1000.0
+      assert(math.abs(frac - want) < 0.35,
+        s"cell ${r.getAs[Long]("cell")}: kept $frac vs rate $want")
+    }
+  }
+
+  test("bitext mining: planted translation pair is mined, non-mutual is not") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // en#0 ↔ fr#10 planted parallel (identical direction); fr#11 points
+    // at en#0 too, but en#0's best fr is fr#10 — so fr#11 is NOT mined.
+    // en#1 ↔ de#20 a second pair in another language.
+    val emb = Seq(
+      (0L, "en", v(1.0, 0.0)),
+      (1L, "en", v(0.0, 1.0)),
+      (10L, "fr", v(0.99, 0.01)),
+      (11L, "fr", v(0.95, 0.05)),
+      (20L, "de", v(0.01, 0.99))
+    ).toDF("vec_id", "lang", "embedding")
+    val mined = Similarity.bitextMineOver(emb).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("src_id"),
+        r.getAs[Long]("tgt_id"))).toSet
+    assert(mined.contains(("fr", 0L, 10L)))
+    assert(mined.contains(("de", 1L, 20L)))
+    assert(!mined.exists(_._3 == 11L), s"non-mutual fr#11 mined: $mined")
+  }
 }
