@@ -41,7 +41,8 @@ object Explain {
       "topk_agg", "pq_search", "ivf_pq_search", "ivf_pq_refine",
       "simhash_band_pairs", "dedup_keep_best", "ivf_maintenance",
       "text_scrub_spans", "decontaminate_scrub", "curation_audit",
-      "ccnet_buckets", "gopher_rules", "cluster_balance", "bitext_mine")
+      "ccnet_buckets", "gopher_rules", "cluster_balance", "bitext_mine",
+      "bitext_mine_lsh")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

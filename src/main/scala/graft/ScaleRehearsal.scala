@@ -173,7 +173,21 @@ object ScaleRehearsal {
       "curation_audit" -> SparkEntry.queries("curation_audit"),
       // CCNet terciles (r10): windows over the (lang × distinct score)
       // histogram only; thresholds broadcast back onto the corpus.
-      "ccnet_buckets" -> SparkEntry.queries("ccnet_buckets"))
+      "ccnet_buckets" -> SparkEntry.queries("ccnet_buckets"),
+      // Gopher rule stack (r11): zero exchanges — row-local signals and
+      // verdicts fused into the scan; growth = scan growth.
+      "gopher_rules" -> SparkEntry.queries("gopher_rules"),
+      // learned-cluster downsampling (r11): broadcast-centroid assign +
+      // cells-sized rollup + broadcast rates — one corpus pass.
+      "cluster_balance" -> SparkEntry.queries("cluster_balance"),
+      // mutual-NN mining (r11): toy-scale exact langA × langB scoring
+      // (the quadratic candidate stage is the documented bucket-swap
+      // point); both rank directions finish in bounded TopKPairs.
+      "bitext_mine" -> SparkEntry.queries("bitext_mine"),
+      // the mining scale path (r11): adaptive-bucket candidates hold
+      // per-bucket occupancy ~constant, so candidate volume is linear
+      // where the exact path above is quadratic.
+      "bitext_mine_lsh" -> SparkEntry.queries("bitext_mine_lsh"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

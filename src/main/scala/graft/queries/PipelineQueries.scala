@@ -559,6 +559,7 @@ object PipelineQueries {
       "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
       "cluster_balance" -> ((s, dir) => Similarity.clusterBalance(s, dir)),
       "bitext_mine" -> ((s, dir) => Similarity.bitextMine(s, dir)),
+      "bitext_mine_lsh" -> ((s, dir) => Similarity.bitextMineLsh(s, dir)),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
       "ivf_maintenance" -> ((s, dir) => Similarity.ivfMaintenance(s, dir)),
       "decontaminate" -> ((s, dir) =>
@@ -2210,6 +2211,48 @@ object PipelineQueries {
           |    FROM scored) WHERE rn = 1)
           |SELECT d2.lang, d1.en_id AS src_id, d1.xx_id AS tgt_id
           |FROM d1 JOIN d2 ON d1.en_id = d2.en_id AND d1.xx_id = d2.xx_id"""
+          .stripMargin,
+
+      // The mining scale path: same mutual-top-1 law, candidates
+      // restricted to the adaptive sign bucket (identical bits
+      // derivation as dedup_embedding's oracle).
+      "bitext_mine_lsh" ->
+        s"""WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
+           |p AS (SELECT coalesce(min(b), ${Similarity.MaxBucketBits}) AS bits
+           |      FROM (SELECT unnest(range(${Similarity.BucketBits},
+           |                               ${Similarity.MaxBucketBits + 1})) AS b), n
+           |      WHERE n_corpus <= ${Similarity.TargetCellVectors}
+           |                        * (CAST(1 AS BIGINT) << b)),
+           |e AS (
+           |  SELECT d.lang, v.vec_id, v.embedding,
+           |    CAST(list_sum(list_transform(range(1, bits + 1),
+           |      k -> CASE WHEN embedding[k] >= 0
+           |                THEN CAST(1 AS BIGINT) << (k - 1)
+           |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+           |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id
+           |  CROSS JOIN p),
+           |en AS (SELECT bucket, vec_id AS en_id, embedding AS e_en
+           |       FROM e WHERE lang = 'en'),
+           |xx AS (SELECT bucket, lang, vec_id AS xx_id, embedding AS e_xx
+           |       FROM e WHERE lang <> 'en'),
+           |scored AS (
+           |  SELECT lang, xx_id, en_id,
+           |    list_cosine_similarity(e_xx, e_en) AS cos
+           |  FROM xx JOIN en USING (bucket)),
+           |d1 AS (
+           |  SELECT xx_id, en_id FROM (
+           |    SELECT xx_id, en_id,
+           |      row_number() OVER (PARTITION BY xx_id
+           |        ORDER BY cos DESC, en_id) AS rn
+           |    FROM scored) WHERE rn = 1),
+           |d2 AS (
+           |  SELECT lang, en_id, xx_id FROM (
+           |    SELECT lang, en_id, xx_id,
+           |      row_number() OVER (PARTITION BY en_id, lang
+           |        ORDER BY cos DESC, xx_id) AS rn
+           |    FROM scored) WHERE rn = 1)
+           |SELECT d2.lang, d1.en_id AS src_id, d1.xx_id AS tgt_id
+           |FROM d1 JOIN d2 ON d1.en_id = d2.en_id AND d1.xx_id = d2.xx_id"""
           .stripMargin,
 
       // Train on documents, score the incoming batch: unseen transitions

@@ -2104,4 +2104,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(mined.contains(("de", 1L, 20L)))
     assert(!mined.exists(_._3 == 11L), s"non-mutual fr#11 mined: $mined")
   }
+
+  test("bitext LSH path: bucket-local mutual mining, cross-bucket blind") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // bits=1 splits on sign of dim 1: {en0, en1, fr10, fr11, de20} land
+    // in bucket 1, {en2, fr12} in bucket 0 — mining runs per bucket.
+    val emb = Seq(
+      (0L, "en", v(1.0, 0.0)),
+      (1L, "en", v(0.0, 1.0)),
+      (2L, "en", v(-1.0, 0.0)),
+      (10L, "fr", v(0.99, 0.01)),
+      (11L, "fr", v(0.95, 0.05)),
+      (12L, "fr", v(-0.99, -0.01)),
+      (20L, "de", v(0.01, 0.99))
+    ).toDF("vec_id", "lang", "embedding")
+    val mined = Similarity.bitextMineLshOver(emb, bits = 1).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("src_id"),
+        r.getAs[Long]("tgt_id"))).toSet
+    assert(mined === Set(("fr", 0L, 10L), ("de", 1L, 20L), ("fr", 2L, 12L)),
+      s"got $mined")
+  }
 }
