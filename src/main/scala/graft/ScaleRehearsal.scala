@@ -187,7 +187,10 @@ object ScaleRehearsal {
       // the mining scale path (r11): adaptive-bucket candidates hold
       // per-bucket occupancy ~constant, so candidate volume is linear
       // where the exact path above is quadratic.
-      "bitext_mine_lsh" -> SparkEntry.queries("bitext_mine_lsh"))
+      "bitext_mine_lsh" -> SparkEntry.queries("bitext_mine_lsh"),
+      // per-cell top terms (r11): token explode + (cell, term) hash agg
+      // with map-side combine; rank window over the reduced frame.
+      "cluster_topics" -> SparkEntry.queries("cluster_topics"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

@@ -446,6 +446,37 @@ object Similarity {
         col("n_kept"))
   }
 
+  /** cluster_topics — the interpretability record for the learned
+    * cluster structure: each IVF cell's top-5 terms by document-term
+    * frequency (what a labeling UI or a curation review shows next to
+    * cluster_balance's size row — "cell 7 is mostly 'spark join query'").
+    * Documents map to cells through their aligned embedding row
+    * (doc_id = vec_id).
+    *
+    * Scale shape: token explode → one hash aggregate on (cell, term)
+    * with map-side combine (exchange rows bounded by cells × vocabulary,
+    * not corpus tokens); the rank window runs over that REDUCED frame —
+    * per-cell vocabulary, never corpus-scale — and the doc→cell map
+    * joins by shuffled hash on the unique id. */
+  def clusterTopics(spark: SparkSession, dir: String,
+      k: Int = IvfCentroids, topN: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val asgn = IvfIndex.assigned(emb, IvfIndex.centroids(spark, dir, k))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val terms = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+    val counts = terms.join(asgn.hint("shuffle_hash"), "doc_id")
+      .groupBy(col("cell"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("cell"), col("term"), col("cnt"), col("rank"))
+  }
+
   /** bitext_mine — cross-lingual parallel-pair mining over the shared
     * embedding space (the LASER/CCMatrix shape): a candidate pair is
     * MINED iff it is a MUTUAL nearest neighbor — the non-English vector's

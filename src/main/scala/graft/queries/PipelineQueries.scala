@@ -558,6 +558,7 @@ object PipelineQueries {
       "ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(s, dir)),
       "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
       "cluster_balance" -> ((s, dir) => Similarity.clusterBalance(s, dir)),
+      "cluster_topics" -> ((s, dir) => Similarity.clusterTopics(s, dir)),
       "bitext_mine" -> ((s, dir) => Similarity.bitextMine(s, dir)),
       "bitext_mine_lsh" -> ((s, dir) => Similarity.bitextMineLsh(s, dir)),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
@@ -2181,6 +2182,33 @@ object PipelineQueries {
            |FROM asgn a JOIN rates r USING (cell)
            |WHERE ((a.vec_id % 1000000007) * 2654435761) % 1000 < r.keep_x1000
            |GROUP BY r.cell, r.n_vectors, r.keep_x1000""".stripMargin,
+
+      // Per-cell top terms: doc→cell through the aligned embedding row,
+      // one (cell, term) count aggregate, rank over the reduced frame.
+      "cluster_topics" ->
+        s"""WITH $trainCtes,
+           |asgn AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cent_id AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+           |                 c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN $trainFinalCte c)
+           |  WHERE rn = 1),
+           |terms AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+           |  FROM documents),
+           |ct AS (
+           |  SELECT a.cell, t.term, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM terms t JOIN asgn a ON t.doc_id = a.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT cell, term, cnt, CAST(rank AS INTEGER) AS rank
+           |FROM (SELECT cell, term, cnt,
+           |        row_number() OVER (PARTITION BY cell
+           |          ORDER BY cnt DESC, term) AS rank
+           |      FROM ct)
+           |WHERE rank <= 5""".stripMargin,
 
       // Mutual-nearest-neighbor bitext mining: both direction ranks
       // recomputed over the full cross-lingual score matrix; only

@@ -2125,4 +2125,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(mined === Set(("fr", 0L, 10L), ("de", 1L, 20L), ("fr", 2L, 12L)),
       s"got $mined")
   }
+
+  test("cluster topics: 5 ranked terms per cell, counts monotone") {
+    val rows = Similarity.clusterTopics(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cnt")))
+    val byCell = rows.groupBy(_._1)
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length),
+        s"cell $cell ranks not dense: ${rs.map(_._2).sorted.mkString(",")}")
+      val cnts = rs.sortBy(_._2).map(_._3)
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+        s"cell $cell counts not monotone: ${cnts.mkString(",")}")
+    }
+  }
 }
