@@ -190,7 +190,10 @@ object ScaleRehearsal {
       "bitext_mine_lsh" -> SparkEntry.queries("bitext_mine_lsh"),
       // per-cell top terms (r11): token explode + (cell, term) hash agg
       // with map-side combine; rank window over the reduced frame.
-      "cluster_topics" -> SparkEntry.queries("cluster_topics"))
+      "cluster_topics" -> SparkEntry.queries("cluster_topics"),
+      // filter-ensemble agreement (r11): two row-local signal passes +
+      // one co-partitioned id join + a languages × 4 aggregate.
+      "filter_agreement" -> SparkEntry.queries("filter_agreement"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

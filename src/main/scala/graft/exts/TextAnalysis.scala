@@ -858,6 +858,32 @@ object TextAnalysis {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.load(spark, dir, "documents"), minStopHits = 1)
 
+  /** filter_agreement — the ensemble-observability record for the two
+    * independent quality stacks: per (lang, C4-ish verdict, Gopher
+    * verdict) document and word totals — the matrix a pipeline owner
+    * reads before intersecting/unioning filters (off-diagonal mass =
+    * where the stacks disagree and a human should sample). Both verdict
+    * definitions are THE registered ones (qualitySignals / gopherRules),
+    * and the oracle shares both CTE families with their own keys.
+    *
+    * Scale shape: two independent row-local signal passes over the scan,
+    * one co-partitioned shuffled-hash join on the unique doc id, and a
+    * languages × 4 output aggregate. */
+  def filterAgreement(docs: DataFrame): DataFrame = {
+    val qf = qualitySignals(docs)
+      .select(col("doc_id"), col("lang"), col("keep").as("qf_keep"))
+    val g = gopherRules(docs, minStopHits = 1)
+      .select(col("doc_id"), col("n_words"),
+        col("keep").as("gopher_keep"))
+    qf.join(g.hint("shuffle_hash"), "doc_id")
+      .groupBy(col("lang"), col("qf_keep"), col("gopher_keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"))
+  }
+
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame =
+    filterAgreement(Tables.load(spark, dir, "documents"))
+
   /** End-to-end corpus curation as ONE declarative plan: quality-filter
     * (per-row, fused into the scan) → exact dedup keeping the minimum id
     * per content hash (a hash aggregate on md5 — the exchange carries

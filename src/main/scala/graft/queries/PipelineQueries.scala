@@ -261,6 +261,40 @@ object PipelineQueries {
        |    AS reasons
        |  FROM sig)""".stripMargin
 
+  /** DuckDB mirror of [[TextAnalysis.gopherRules]]' signal block (CTE
+    * names prefixed g- to compose with [[qualitySigCtes]] in the
+    * agreement oracle). Final CTE: `gsig`. */
+  private def gopherSigCtes(src: String): String =
+    s"""gw AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS gws
+       |  FROM $src),
+       |gsig AS (
+       |  SELECT doc_id,
+       |    CAST(len(gws) AS BIGINT) AS n_words,
+       |    CAST(length(array_to_string(gws, '')) * 100 // len(gws)
+       |      AS BIGINT) AS mean_word_len_x100,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(len(list_filter(gws,
+       |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+       |      AS n_alpha_words,
+       |    CAST(len(list_intersect(
+       |      list_transform(gws,
+       |        x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+       |      ['the','be','to','of','and','that','have','with']))
+       |      AS BIGINT) AS n_stop_hits
+       |  FROM gw)""".stripMargin
+
+  /** The Gopher conjunction over `gsig`'s columns — single-sourced for
+    * the gopher_rules and filter_agreement oracles. */
+  private val gopherKeepSql: String =
+    """((n_words >= 50 AND n_words <= 100000)
+      |    AND (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+      |    AND (n_symbols * 10 <= n_words)
+      |    AND (n_alpha_words * 5 >= n_words * 4)
+      |    AND (n_stop_hits >= 1))""".stripMargin
+
   private def qualityOracleSql(src: String): String =
     s"""WITH ${qualitySigCtes(src)}
        |SELECT doc_id, n_chars_measured, mean_token_len_x100,
@@ -557,6 +591,7 @@ object PipelineQueries {
         TextAnalysis.curationAudit(TextAnalysis.auditCorpus(s, dir))),
       "ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(s, dir)),
       "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
+      "filter_agreement" -> ((s, dir) => TextAnalysis.filterAgreement(s, dir)),
       "cluster_balance" -> ((s, dir) => Similarity.clusterBalance(s, dir)),
       "cluster_topics" -> ((s, dir) => Similarity.clusterTopics(s, dir)),
       "bitext_mine" -> ((s, dir) => Similarity.bitextMine(s, dir)),
@@ -2120,40 +2155,33 @@ object PipelineQueries {
       // integer (×100 fixed-point for the mean word length), so each
       // threshold compare is exact on both sides.
       "gopher_rules" ->
-        """WITH w AS (
-          |  SELECT doc_id, text,
-          |    regexp_split_to_array(trim(text), '\s+') AS ws
-          |  FROM documents),
-          |sig AS (
-          |  SELECT doc_id,
-          |    CAST(len(ws) AS BIGINT) AS n_words,
-          |    CAST(length(array_to_string(ws, '')) * 100 // len(ws)
-          |      AS BIGINT) AS mean_word_len_x100,
-          |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
-          |      AS n_symbols,
-          |    CAST(len(list_filter(ws,
-          |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
-          |      AS n_alpha_words,
-          |    CAST(len(list_intersect(
-          |      list_transform(ws,
-          |        x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
-          |      ['the','be','to','of','and','that','have','with']))
-          |      AS BIGINT) AS n_stop_hits
-          |  FROM w)
-          |SELECT doc_id, n_words, mean_word_len_x100, n_symbols,
-          |  n_alpha_words, n_stop_hits,
-          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-          |  (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
-          |    AS r_word_len,
-          |  (n_symbols * 10 <= n_words) AS r_symbol,
-          |  (n_alpha_words * 5 >= n_words * 4) AS r_alpha,
-          |  (n_stop_hits >= 1) AS r_stop,
-          |  ((n_words >= 50 AND n_words <= 100000)
-          |    AND (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
-          |    AND (n_symbols * 10 <= n_words)
-          |    AND (n_alpha_words * 5 >= n_words * 4)
-          |    AND (n_stop_hits >= 1)) AS keep
-          |FROM sig""".stripMargin,
+        s"""WITH ${gopherSigCtes("documents")}
+           |SELECT doc_id, n_words, mean_word_len_x100, n_symbols,
+           |  n_alpha_words, n_stop_hits,
+           |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           |  (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+           |    AS r_word_len,
+           |  (n_symbols * 10 <= n_words) AS r_symbol,
+           |  (n_alpha_words * 5 >= n_words * 4) AS r_alpha,
+           |  (n_stop_hits >= 1) AS r_stop,
+           |  $gopherKeepSql AS keep
+           |FROM gsig""".stripMargin,
+
+      // Filter-ensemble observability: the agreement matrix between the
+      // C4-ish quality_filter stack and the Gopher stack, per language —
+      // both verdict CTE families shared with their own oracles so the
+      // definitions cannot drift.
+      "filter_agreement" ->
+        s"""WITH ${qualitySigCtes("documents")},
+           |${gopherSigCtes("documents")},
+           |qf AS (SELECT doc_id, (reasons = '') AS qf_keep FROM flagged),
+           |g AS (SELECT doc_id, n_words, $gopherKeepSql AS gopher_keep
+           |      FROM gsig)
+           |SELECT d.lang, qf.qf_keep, g.gopher_keep,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(g.n_words) AS BIGINT) AS sum_words
+           |FROM qf JOIN g USING (doc_id) JOIN documents d USING (doc_id)
+           |GROUP BY 1, 2, 3""".stripMargin,
 
       // Occupancy-proportional downsampling over the learned cells: the
       // oracle retrains the centroids (trainCtes), reassigns, and

@@ -2126,6 +2126,24 @@ class PipelineSpec extends AnyFunSuite {
       s"got $mined")
   }
 
+  test("filter agreement: planted verdicts land in their matrix cells") {
+    import spark.implicits._
+    val w5 = (0 until 50).map(i => f"word$i%02db")
+    val a = (Seq.fill(10)("the") ++ w5).mkString(" ")        // both keep
+    val b = ("the" +: w5.take(29)).mkString(" ")             // qf only
+    val c = "tiny"                                           // both drop
+    val docs = Seq((0L, a, "en"), (1L, b, "en"), (2L, c, "en"))
+      .toDF("doc_id", "text", "lang")
+    val m = graft.exts.TextAnalysis.filterAgreement(docs).collect()
+      .map(r => (r.getAs[Boolean]("qf_keep"),
+        r.getAs[Boolean]("gopher_keep")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_words")))).toMap
+    assert(m((true, true)) === ((1L, 60L)), s"got $m")
+    assert(m((true, false)) === ((1L, 30L)), s"got $m")
+    assert(m((false, false)) === ((1L, 1L)), s"got $m")
+    assert(m.values.map(_._1).sum === 3L)
+  }
+
   test("cluster topics: 5 ranked terms per cell, counts monotone") {
     val rows = Similarity.clusterTopics(spark, dir).collect()
       .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("rank"),
