@@ -42,7 +42,8 @@ object Explain {
       "simhash_band_pairs", "dedup_keep_best", "ivf_maintenance",
       "text_scrub_spans", "decontaminate_scrub", "curation_audit",
       "ccnet_buckets", "gopher_rules", "cluster_balance", "bitext_mine",
-      "bitext_mine_lsh", "cluster_topics", "filter_agreement")
+      "bitext_mine_lsh", "cluster_topics", "filter_agreement",
+      "ccnet_sample")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

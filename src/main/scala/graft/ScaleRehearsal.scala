@@ -193,7 +193,10 @@ object ScaleRehearsal {
       "cluster_topics" -> SparkEntry.queries("cluster_topics"),
       // filter-ensemble agreement (r11): two row-local signal passes +
       // one co-partitioned id join + a languages × 4 aggregate.
-      "filter_agreement" -> SparkEntry.queries("filter_agreement"))
+      "filter_agreement" -> SparkEntry.queries("filter_agreement"),
+      // CCNet sampling action (r11): ccnet_buckets' plan + one row-local
+      // hash filter — nothing new exchanges.
+      "ccnet_sample" -> SparkEntry.queries("ccnet_sample"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

@@ -499,6 +499,32 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Sampling rate per CCNet tier, ‰ — head kept whole, middle halved,
+    * tail decimated (the published recipe's quality-weighted mixture). */
+  val CcnetRates: Map[String, Long] =
+    Map("head" -> 1000L, "middle" -> 500L, "tail" -> 100L)
+
+  /** ccnet_sample — the CCNet loop's ACTION over [[ccnetBuckets]]'
+    * verdicts: keep each document with its tier's rate, decided by the
+    * engine's deterministic multiplicative id-hash at ‰ grain (the
+    * [[graft.exts.Sampling]] discipline — RNG-free, rerun-stable,
+    * oracle-replayable). Output is the sampled corpus' (doc_id, lang,
+    * bucket, rate_x1000) — the head-weighted mixture a CCNet-style
+    * pipeline feeds to training.
+    *
+    * Scale shape: [[ccnetBuckets]]' plan (one scoring pass + histogram
+    * cuts) plus one row-local hash filter — nothing new exchanges. */
+  def ccnetSample(spark: SparkSession, dir: String): DataFrame =
+    ccnetBuckets(spark, dir)
+      .withColumn("rate_x1000",
+        when(col("bucket") === "head", CcnetRates("head"))
+          .when(col("bucket") === "middle", CcnetRates("middle"))
+          .otherwise(CcnetRates("tail")))
+      .filter(expr("((doc_id % 1000000007) * 2654435761) % 1000")
+        < col("rate_x1000"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("rate_x1000"))
+
   /** Merge rounds for [[bpeTrain]] — the compile-time-fixed budget that
     * also generates the oracle's CTE chain, so both sides iterate exactly
     * this many times. */

@@ -261,6 +261,52 @@ object PipelineQueries {
        |    AS reasons
        |  FROM sig)""".stripMargin
 
+  /** DuckDB mirror of [[TextAnalysis.ccnetBuckets]]: bigram-LM scoring →
+    * (lang × distinct score) histogram → value-threshold tercile cuts.
+    * Final CTE: `bucketed(doc_id, lang, lm_score_ppm, bucket)` — shared
+    * by the ccnet_buckets and ccnet_sample oracles. */
+  private val ccnetBucketCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+       |  WHERE len(w) >= 2),
+       |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+       |bgc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_bg
+       |        FROM tf GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+       |        FROM bgc GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(sum(tf * ((c_bg * 1000000) // c_ctx)) AS BIGINT)
+       |      // CAST(sum(tf) AS BIGINT) AS BIGINT) AS lm_score_ppm
+       |  FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+       |  GROUP BY doc_id),
+       |s AS (
+       |  SELECT d.lang, sc.doc_id, sc.lm_score_ppm
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |h AS (SELECT lang, lm_score_ppm, count(*) AS c
+       |      FROM s GROUP BY 1, 2),
+       |cums AS (
+       |  SELECT lang, lm_score_ppm, c,
+       |    sum(c) OVER (PARTITION BY lang
+       |                 ORDER BY lm_score_ppm DESC) AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM h),
+       |th AS (SELECT lang, lm_score_ppm AS t_head FROM cums
+       |       WHERE cum >= (n + 2) // 3 AND cum - c < (n + 2) // 3),
+       |tm AS (SELECT lang, lm_score_ppm AS t_mid FROM cums
+       |       WHERE cum >= (2 * n + 2) // 3
+       |         AND cum - c < (2 * n + 2) // 3),
+       |bucketed AS (
+       |  SELECT s.doc_id, s.lang, s.lm_score_ppm,
+       |    CASE WHEN s.lm_score_ppm >= th.t_head THEN 'head'
+       |         WHEN s.lm_score_ppm >= tm.t_mid THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM s JOIN th USING (lang) JOIN tm USING (lang))""".stripMargin
+
   /** DuckDB mirror of [[TextAnalysis.gopherRules]]' signal block (CTE
     * names prefixed g- to compose with [[qualitySigCtes]] in the
     * agreement oracle). Final CTE: `gsig`. */
@@ -590,6 +636,7 @@ object PipelineQueries {
       "curation_audit" -> ((s, dir) =>
         TextAnalysis.curationAudit(TextAnalysis.auditCorpus(s, dir))),
       "ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(s, dir)),
+      "ccnet_sample" -> ((s, dir) => TextAnalysis.ccnetSample(s, dir)),
       "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
       "filter_agreement" -> ((s, dir) => TextAnalysis.filterAgreement(s, dir)),
       "cluster_balance" -> ((s, dir) => Similarity.clusterBalance(s, dir)),
@@ -2111,45 +2158,24 @@ object PipelineQueries {
       // value thresholds over the (lang, score) histogram — ties land in
       // one bucket, no per-doc rank.
       "ccnet_buckets" ->
-        """WITH tok AS (
-          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-          |  FROM documents),
-          |bg AS (
-          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-          |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
-          |  WHERE len(w) >= 2),
-          |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
-          |bgc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_bg
-          |        FROM tf GROUP BY 1, 2),
-          |ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
-          |        FROM bgc GROUP BY 1),
-          |sc AS (
-          |  SELECT doc_id,
-          |    CAST(CAST(sum(tf * ((c_bg * 1000000) // c_ctx)) AS BIGINT)
-          |      // CAST(sum(tf) AS BIGINT) AS BIGINT) AS lm_score_ppm
-          |  FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
-          |  GROUP BY doc_id),
-          |s AS (
-          |  SELECT d.lang, sc.doc_id, sc.lm_score_ppm
-          |  FROM sc JOIN documents d USING (doc_id)),
-          |h AS (SELECT lang, lm_score_ppm, count(*) AS c
-          |      FROM s GROUP BY 1, 2),
-          |cums AS (
-          |  SELECT lang, lm_score_ppm, c,
-          |    sum(c) OVER (PARTITION BY lang
-          |                 ORDER BY lm_score_ppm DESC) AS cum,
-          |    sum(c) OVER (PARTITION BY lang) AS n
-          |  FROM h),
-          |th AS (SELECT lang, lm_score_ppm AS t_head FROM cums
-          |       WHERE cum >= (n + 2) // 3 AND cum - c < (n + 2) // 3),
-          |tm AS (SELECT lang, lm_score_ppm AS t_mid FROM cums
-          |       WHERE cum >= (2 * n + 2) // 3
-          |         AND cum - c < (2 * n + 2) // 3)
-          |SELECT s.doc_id, s.lang, s.lm_score_ppm,
-          |  CASE WHEN s.lm_score_ppm >= th.t_head THEN 'head'
-          |       WHEN s.lm_score_ppm >= tm.t_mid THEN 'middle'
-          |       ELSE 'tail' END AS bucket
-          |FROM s JOIN th USING (lang) JOIN tm USING (lang)""".stripMargin,
+        s"""WITH $ccnetBucketCtes
+           |SELECT doc_id, lang, lm_score_ppm, bucket FROM bucketed"""
+          .stripMargin,
+
+      // The CCNet loop's ACTION: tier-weighted sampling over the
+      // perplexity buckets (head kept whole, middle halved, tail
+      // decimated) by the deterministic ‰ id-hash — the bucket CTE
+      // chain is shared with ccnet_buckets so tiers cannot drift.
+      "ccnet_sample" ->
+        s"""WITH $ccnetBucketCtes,
+           |r AS (SELECT doc_id, lang, bucket,
+           |        CAST(CASE bucket WHEN 'head' THEN 1000
+           |                         WHEN 'middle' THEN 500
+           |                         ELSE 100 END AS BIGINT) AS rate_x1000
+           |      FROM bucketed)
+           |SELECT doc_id, lang, bucket, rate_x1000 FROM r
+           |WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < rate_x1000"""
+          .stripMargin,
 
       // The Gopher rule set recomputed rule by rule: every signal is an
       // integer (×100 fixed-point for the mean word length), so each

@@ -2144,6 +2144,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.values.map(_._1).sum === 3L)
   }
 
+  test("ccnet sample: head kept whole, lower tiers thinned at their rates") {
+    import org.apache.spark.sql.functions.col
+    val buckets = graft.exts.TextAnalysis.ccnetBuckets(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("bucket")).toMap
+    val sampled = graft.exts.TextAnalysis.ccnetSample(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("bucket"), r.getAs[Long]("rate_x1000")))
+    assert(sampled.nonEmpty)
+    // sampled docs carry their bucket's tier and rate
+    sampled.foreach { case (id, b, rate) =>
+      assert(buckets(id) === b)
+      assert(rate === graft.exts.TextAnalysis.CcnetRates(b))
+    }
+    // head rate is 1000‰: every head doc survives
+    val headIds = buckets.collect { case (id, "head") => id }.toSet
+    assert(headIds.nonEmpty)
+    assert(headIds.subsetOf(sampled.map(_._1).toSet))
+    // lower tiers actually thin
+    def frac(b: String) = sampled.count(_._2 == b).toDouble /
+      buckets.values.count(_ == b)
+    assert(frac("middle") < 1.0 && frac("middle") > 0.2)
+    assert(frac("tail") < frac("middle"))
+  }
+
   test("cluster topics: 5 ranked terms per cell, counts monotone") {
     val rows = Similarity.clusterTopics(spark, dir).collect()
       .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("rank"),
