@@ -427,8 +427,12 @@ object Similarity {
       k: Int = IvfCentroids): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
+    // the (vec_id, cell) map feeds BOTH the size rollup and the kept
+    // count — materialize once (16 B/vector, holds at any scale) so the
+    // broadcast-centroid assignment pass runs once, not twice
     val asgn = IvfIndex.assigned(emb, IvfIndex.centroids(spark, dir, k))
       .select(col("vec_id"), col("cell"))
+      .localCheckpoint(true)
     val cells = asgn.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"))
     val totals = cells.agg(sum(col("n_vectors")).as("total"),
@@ -521,7 +525,14 @@ object Similarity {
 
   /** The mutual-top-1 FINISH shared by the exact and LSH mining paths:
     * both direction ranks in bounded [[graft.functions.TopKAgg]]
-    * aggregates over a (lang, xx_id, en_id, cos) candidate frame. */
+    * aggregates over a (lang, xx_id, en_id, cos) candidate frame.
+    *
+    * The candidate stage is EVALUATED TWICE (once per direction) — a
+    * deliberate constant: materializing the scored frame would persist
+    * candidate-scale rows (corpus × bucket-occupancy even on the LSH
+    * path), which at 100 TB costs far more storage/IO than re-running
+    * the linear candidate generation, and both ranks stay bounded
+    * map-side either way. */
   private def mutualTop1(scored: DataFrame): DataFrame = {
     // direction 1: each non-English vector's top-1 English neighbor
     val d1 = scored.groupBy(col("xx_id"))
