@@ -2144,6 +2144,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.values.map(_._1).sum === 3L)
   }
 
+  test("bitext mutual mining equals a brute-force reference on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val langs = Array("en", "fr", "de", "zh")
+    val rows = (0 until 120).map { i =>
+      (i.toLong, langs(rnd.nextInt(langs.length)),
+        Array.fill(8)((rnd.nextInt(2001) - 1000) / 1000.0f))
+    }
+    val emb = rows.toDF("vec_id", "lang", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val en = rows.filter(_._2 == "en")
+    val xx = rows.filter(_._2 != "en")
+    // direction 1: each xx's best en (cos desc, id asc)
+    val d1 = xx.map { case (id, _, v) =>
+      id -> en.map(e => (cos(v, e._3), e._1))
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .head._2
+    }.toMap
+    // direction 2: each (en, lang)'s best xx
+    val d2 = en.flatMap { case (eid, _, ev) =>
+      xx.groupBy(_._2).map { case (l, vs) =>
+        (eid, l) -> vs.map(x => (cos(ev, x._3), x._1))
+          .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+          .head._2
+      }
+    }.toMap
+    val expected = d1.flatMap { case (xid, eid) =>
+      val l = rows.find(_._1 == xid).get._2
+      if (d2((eid, l)) == xid) Some((l, eid, xid)) else None
+    }.toSet
+    val mined = graft.exts.Similarity.bitextMineOver(emb).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("src_id"),
+        r.getAs[Long]("tgt_id"))).toSet
+    assert(mined === expected,
+      s"diff: engine-only=${mined.diff(expected)} ref-only=${expected.diff(mined)}")
+    assert(expected.nonEmpty)
+  }
+
   test("ccnet sample: head kept whole, lower tiers thinned at their rates") {
     import org.apache.spark.sql.functions.col
     val buckets = graft.exts.TextAnalysis.ccnetBuckets(spark, dir)
