@@ -851,6 +851,23 @@ object TextAnalysis {
     * test. Scale shape: zero exchanges — every signal and verdict is a
     * row-local expression fused into the scan. */
   def gopherRules(docs: DataFrame, minStopHits: Int = 2): DataFrame =
+    gopherSignals(docs, minStopHits)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_x100"),
+        col("n_symbols"), col("n_alpha_words"), col("n_stop_hits"),
+        col("r_word_count"), col("r_word_len"), col("r_symbol"),
+        col("r_alpha"), col("r_stop"), col("keep"))
+
+  /** [[gopherRules]]' verdict as ONE appended `gopher_keep` column, all
+    * input columns preserved — the form a streaming stage composes
+    * (row-local, rides the scan; [[graft.stream.CurationPipeline]]). */
+  def withGopherKeep(docs: DataFrame, minStopHits: Int = 2): DataFrame =
+    gopherSignals(docs, minStopHits)
+      .withColumnRenamed("keep", "gopher_keep")
+      .drop("ws", "n_words", "mean_word_len_x100", "n_symbols",
+        "n_alpha_words", "n_stop_hits", "r_word_count", "r_word_len",
+        "r_symbol", "r_alpha", "r_stop")
+
+  private def gopherSignals(docs: DataFrame, minStopHits: Int): DataFrame =
     docs
       .withColumn("ws", words(col("text")))
       .withColumn("n_words", size(col("ws")).cast("long"))
@@ -876,10 +893,6 @@ object TextAnalysis {
       .withColumn("keep",
         col("r_word_count") && col("r_word_len") && col("r_symbol") &&
           col("r_alpha") && col("r_stop"))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len_x100"),
-        col("n_symbols"), col("n_alpha_words"), col("n_stop_hits"),
-        col("r_word_count"), col("r_word_len"), col("r_symbol"),
-        col("r_alpha"), col("r_stop"), col("keep"))
 
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.load(spark, dir, "documents"), minStopHits = 1)

@@ -59,14 +59,25 @@ object CurationPipeline {
     *   eval-matching spans cover ([[TextAnalysis.scrubAgainstSet]] — a
     *   stateless codegen'd set probe, so it rides this single query) —
     *   benchmark leaks never land in the training corpus at all. */
+  /** @param gopherFloor when true, documents must ALSO pass the Gopher
+    *   rule stack ([[TextAnalysis.withGopherKeep]], minStopHits = 1) —
+    *   the filter-INTERSECTION deployment the batch filter_agreement
+    *   matrix informs; a second row-local verdict riding the same
+    *   query, no new state or exchange. */
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
       watermarkDelay: String = "10 minutes",
       known: Option[KnownCorpus] = None,
-      evalSpans: Option[Array[Long]] = None): StreamingQuery = {
-    val quality = TextAnalysis
+      evalSpans: Option[Array[Long]] = None,
+      gopherFloor: Boolean = false): StreamingQuery = {
+    val c4Kept = TextAnalysis
       .qualitySignals(observed(docs, "funnel_1_raw"))
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
+    val quality =
+      if (!gopherFloor) c4Kept
+      else TextAnalysis.withGopherKeep(c4Kept, minStopHits = 1)
+        .filter(col("gopher_keep"))
+        .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
     val kept0 = evalSpans match {
       case None => quality
       case Some(set) =>

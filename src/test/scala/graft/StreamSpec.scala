@@ -897,6 +897,44 @@ class StreamSpec extends AnyFunSuite {
       "landed corpus must share no span with the eval set")
   }
 
+  test("streaming curation with gopher floor: landed set is the stack intersection") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-gopher-src").toString
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ingest_ts_ms", col("doc_id") * 1000L)
+      .write.mode("overwrite").parquet(srcDir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-gopher-out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-gopher-ckpt").toString
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_ts_ms LONG")
+      .parquet(srcDir)
+    val q = graft.stream.CurationPipeline.run(stream, outDir, ckpt,
+      gopherFloor = true)
+    q.awaitTermination()
+    val landedIds = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch expectation: BOTH stacks pass, then one copy per text
+    val src = spark.read.parquet(srcDir)
+    val c4 = graft.exts.TextAnalysis.qualitySignals(src)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val gopher = graft.exts.TextAnalysis
+      .gopherRules(src.select(col("doc_id"), col("text")), minStopHits = 1)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val both = c4.intersect(gopher)
+    assert(landedIds.subsetOf(both))
+    // the corpus has no exact text dups, so nothing else drops
+    assert(landedIds === both,
+      s"missing=${both.diff(landedIds).take(5)} extra=${landedIds.diff(both).take(5)}")
+    // and the floor actually bites on this corpus
+    assert(both.size < c4.size)
+  }
+
   test("streaming curation: filter + dedup + sharded sink lands a clean corpus") {
     import org.apache.spark.sql.functions._
     // source corpus on disk: documents ∪ planted exact copies, with a
