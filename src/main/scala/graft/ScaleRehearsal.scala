@@ -196,7 +196,10 @@ object ScaleRehearsal {
       "filter_agreement" -> SparkEntry.queries("filter_agreement"),
       // CCNet sampling action (r11): ccnet_buckets' plan + one row-local
       // hash filter — nothing new exchanges.
-      "ccnet_sample" -> SparkEntry.queries("ccnet_sample"))
+      "ccnet_sample" -> SparkEntry.queries("ccnet_sample"),
+      // dataset card (r11): one fused signal pass + a global aggregate
+      // whose exchanges carry 16-byte md5 / categorical keys.
+      "corpus_stats" -> SparkEntry.queries("corpus_stats"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

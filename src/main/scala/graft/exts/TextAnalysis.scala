@@ -499,6 +499,34 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** corpus_stats — the one-row dataset card (the summary block of a
+    * datasheet/data-statement: volume, diversity, duplication, quality
+    * yield in one glance): doc and token totals, language and source
+    * cardinalities, distinct-content count (exact-dup pressure =
+    * n_docs − n_distinct_texts), quality-keeper count, and the mean doc
+    * length — all integer-exact.
+    *
+    * Scale shape: one signal pass fused into the scan feeding a single
+    * global aggregate; the distinct counts are exact two-phase
+    * aggregates whose exchanges carry (16-byte md5 / tiny categorical)
+    * keys, never text. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    qualitySignals(docs)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        md5(col("text")).as("h"), col("keep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"))
+      .withColumn("mean_doc_tokens", expr("n_tokens div n_docs"))
+
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.load(spark, dir, "documents"))
+
   /** Sampling rate per CCNet tier, ‰ — head kept whole, middle halved,
     * tail decimated (the published recipe's quality-weighted mixture). */
   val CcnetRates: Map[String, Long] =

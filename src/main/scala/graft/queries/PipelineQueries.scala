@@ -637,6 +637,7 @@ object PipelineQueries {
         TextAnalysis.curationAudit(TextAnalysis.auditCorpus(s, dir))),
       "ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(s, dir)),
       "ccnet_sample" -> ((s, dir) => TextAnalysis.ccnetSample(s, dir)),
+      "corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(s, dir)),
       "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
       "filter_agreement" -> ((s, dir) => TextAnalysis.filterAgreement(s, dir)),
       "cluster_balance" -> ((s, dir) => Similarity.clusterBalance(s, dir)),
@@ -2192,6 +2193,24 @@ object PipelineQueries {
            |  (n_stop_hits >= 1) AS r_stop,
            |  $gopherKeepSql AS keep
            |FROM gsig""".stripMargin,
+
+      // The one-row dataset card: totals, cardinalities, exact-dup
+      // pressure, quality yield — the quality CTE family shared with
+      // quality_filter's oracle.
+      "corpus_stats" ->
+        s"""WITH ${qualitySigCtes("documents")}
+           |SELECT
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           |  CAST(count(DISTINCT md5(d.text)) AS BIGINT)
+           |    AS n_distinct_texts,
+           |  CAST(sum(CASE WHEN f.reasons = '' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_quality_keep,
+           |  CAST(CAST(sum(f.n_tokens) AS BIGINT) // count(*) AS BIGINT)
+           |    AS mean_doc_tokens
+           |FROM flagged f JOIN documents d USING (doc_id)""".stripMargin,
 
       // Filter-ensemble observability: the agreement matrix between the
       // C4-ish quality_filter stack and the Gopher stack, per language —

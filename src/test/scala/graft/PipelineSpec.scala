@@ -2212,6 +2212,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac("tail") < frac("middle"))
   }
 
+  test("corpus stats: card invariants hold and dup pressure is visible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // plant 5 verbatim copies: n_distinct_texts must NOT grow with them
+    val planted = base.unionByName(
+      base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+    val r = graft.exts.TextAnalysis.corpusStats(planted).collect().head
+    val nDocs = r.getAs[Long]("n_docs")
+    val nDistinct = r.getAs[Long]("n_distinct_texts")
+    val base_r = graft.exts.TextAnalysis.corpusStats(base).collect().head
+    assert(nDocs === base_r.getAs[Long]("n_docs") + 5)
+    assert(nDistinct === base_r.getAs[Long]("n_distinct_texts"),
+      "verbatim copies must not add distinct texts")
+    assert(r.getAs[Long]("n_quality_keep") <= nDocs)
+    assert(r.getAs[Long]("mean_doc_tokens") ===
+      r.getAs[Long]("n_tokens") / nDocs)
+    assert(r.getAs[Long]("n_langs") >= 2L)
+    assert(r.getAs[Long]("n_sources") >= 2L)
+  }
+
   test("cluster topics: 5 ranked terms per cell, counts monotone") {
     val rows = Similarity.clusterTopics(spark, dir).collect()
       .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("rank"),
