@@ -43,7 +43,7 @@ object Explain {
       "text_scrub_spans", "decontaminate_scrub", "curation_audit",
       "ccnet_buckets", "gopher_rules", "cluster_balance", "bitext_mine",
       "bitext_mine_lsh", "cluster_topics", "filter_agreement",
-      "ccnet_sample", "corpus_stats")
+      "ccnet_sample", "corpus_stats", "ann_mrr")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -614,6 +614,42 @@ object Similarity {
         expr("n_hits * 1000 div k_truth").as("recall_x1000"))
   }
 
+  /** ann_mrr — the index's reciprocal-rank view under LABEL relevance:
+    * at what position does the IVF top-k surface its first SAME-LABEL
+    * result? recall@k grades geometric fidelity against the brute-force
+    * truth; this grades END-TASK retrieval quality against ground-truth
+    * relevance labels (a cosine-derived "relevant set" would be
+    * degenerate here: any candidate outranking a top-k member is itself
+    * top-k, so the first hit provably sits at rank 1 — labels are the
+    * independent judgment MRR needs). Integer-exact: rr_x1000 =
+    * 1000 div first-hit rank, 0 when no returned result shares the
+    * query's label. Queries × k metadata frames throughout — the
+    * comparison is broadcast-sized at any corpus scale. */
+  def annMrr(spark: SparkSession, dir: String, maxQueryId: Long = 8,
+      k: Int = 5, nprobe: Int = 1): DataFrame = {
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val queries = labels.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    // the queries × k result list is the broadcast side; the
+    // corpus-scale label frame streams past it
+    val found = labels
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+      .join(broadcast(ivfTopK(spark, dir, maxQueryId, k, nprobe)),
+        "neighbor_id")
+    val firstHit = found
+      .join(broadcast(queries), "query_id")
+      .filter(col("n_label") === col("q_label"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).cast("long").as("rank_found"))
+    queries.select(col("query_id"))
+      .join(broadcast(firstHit), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rank_found"), lit(0L)).as("rank_found"),
+        when(col("rank_found").isNull, lit(0L))
+          .otherwise(expr("1000 div rank_found")).as("rr_x1000"))
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector scale
     * s = max|x| / 127, q_i = round(x_i / s) ∈ [-127, 127] — 4 bytes/dim
     * compressed to 1 at rest, the standard storage/serving format for

@@ -655,6 +655,7 @@ object PipelineQueries {
       "sim_ivf_probe2" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
       // Index quality metric: IVF hits vs the brute-force ground truth.
       "ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+      "ann_mrr" -> ((s, dir) => Similarity.annMrr(s, dir)),
       // Scalar stats + md5-of-codes projection (not the int8 array) —
       // the harness row-sort can't hash array cells; q_md5 pins the full
       // code array. Oracle mirrors the IEEE-exact float→double→round
@@ -2616,6 +2617,26 @@ object PipelineQueries {
            |  ON i.query_id = bt.query_id
            |  AND i.neighbor_id = bt.neighbor_id
            |GROUP BY bt.query_id""".stripMargin,
+
+      // MRR of the IVF search vs the brute-force top-1 truth: shares
+      // the ivf_res CTE chain with sim_ivf / ann_recall.
+      "ann_mrr" ->
+        s"""WITH $trainCtes,
+           |${ivfSearchCtes("rn = 1")},
+           |fh AS (
+           |  SELECT i.query_id, min(i.rank) AS rank_found
+           |  FROM ivf_res i
+           |  JOIN embeddings n ON n.vec_id = i.neighbor_id
+           |  JOIN embeddings q ON q.vec_id = i.query_id
+           |  WHERE n.label = q.label
+           |  GROUP BY i.query_id)
+           |SELECT q.vec_id AS query_id,
+           |  CAST(coalesce(fh.rank_found, 0) AS BIGINT) AS rank_found,
+           |  CAST(CASE WHEN fh.rank_found IS NULL THEN 0
+           |            ELSE 1000 // fh.rank_found END AS BIGINT)
+           |    AS rr_x1000
+           |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+           |LEFT JOIN fh ON fh.query_id = q.vec_id""".stripMargin,
 
       // Integer-exact PQ: the oracle retrains the per-subspace codebooks
       // and reassigns every code in SQL (pqCtes), so codes_md5 pins the

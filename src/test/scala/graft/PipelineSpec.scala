@@ -2212,6 +2212,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac("tail") < frac("middle"))
   }
 
+  test("ann MRR: rr law holds and label relevance matches a direct check") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.annMrr(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("rank_found"), r.getAs[Long]("rr_x1000"))))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (rank, rr) =>
+      if (rank == 0L) assert(rr === 0L)
+      else { assert(rank >= 1L && rank <= 5L); assert(rr === 1000L / rank) }
+    }
+    // direct reference: walk each query's IVF list with the labels
+    val labels = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val list = Similarity.ivfTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank")))
+    rows.foreach { case (q, (rank, _)) =>
+      val expect = list.filter(_._1 == q).sortBy(_._3)
+        .find(t => labels(t._2) == labels(q)).map(_._3.toLong)
+        .getOrElse(0L)
+      assert(rank === expect, s"query $q: rank $rank vs direct $expect")
+    }
+  }
+
   test("corpus stats: card invariants hold and dup pressure is visible") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
