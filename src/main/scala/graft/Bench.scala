@@ -101,8 +101,11 @@ object Bench {
     artifactSplit.foreach { case (name, _, warm) =>
       val main = results(name)
       if (main >= 0 && warm >= 0 && main > warm * 1.5) {
-        val rerun = (1 to passes)
-          .map(_ => once(name, SparkEntry.queries(name))).min
+        // min over the passes that actually completed — one flaky rerun
+        // pass must not discard valid re-measurements
+        val rerunTimes = (1 to passes)
+          .map(_ => once(name, SparkEntry.queries(name))).filter(_ >= 0)
+        val rerun = if (rerunTimes.nonEmpty) rerunTimes.min else -1.0
         inconsistent +=
           s"""{"query":"$name","main":$main,"warm":$warm,"rerun":$rerun}"""
         if (rerun >= 0) results = results.updated(name, rerun)
@@ -113,7 +116,11 @@ object Bench {
     // errors) go LAST — the per-query map goes first and may truncate at
     // the front of the tail window without losing the summary. 3-decimal
     // (millisecond) precision keeps more keys inside the window.
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"%.3f" follows the JVM default locale, and a
+    // comma-decimal locale would render invalid JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
     val artifacts = artifactSplit.map { case (name, cold, warm) =>
       s"\"" + name + "\":{\"cold\":" + f3(cold) + ",\"warm\":" + f3(warm) + "}"
     }.mkString("{", ",", "}")
@@ -123,7 +130,9 @@ object Bench {
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val recon = inconsistent.mkString("[", ",", "]")
-    val sweepsJson = sweepTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val sweepsJson = sweepTotals
+      .map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t)))
+      .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }

@@ -441,13 +441,17 @@ object Similarity {
       .select(col("cell"), col("n_vectors"),
         least(lit(1000L),
           expr("total * 1000 div (n_cells * n_vectors)")).as("keep_x1000"))
-    asgn.join(broadcast(rates), "cell")
-      .filter(expr("((vec_id % 1000000007) * 2654435761) % 1000")
+    // LEFT join: a cell whose sample keeps zero vectors (possible when
+    // the floor rate rounds to 0 for a mega-cell) must still report its
+    // row with n_kept = 0 — the most skewed cell is exactly the one the
+    // de-skewing report exists to show
+    val kept = asgn.join(broadcast(rates), "cell")
+      .filter(graft.exts.Sampling.mixed(col("vec_id")) % 1000
         < col("keep_x1000"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
-      .join(broadcast(rates), "cell") // cell-count rows — metadata
+    rates.join(broadcast(kept), Seq("cell"), "left")
       .select(col("cell"), col("n_vectors"), col("keep_x1000"),
-        col("n_kept"))
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** cluster_topics — the interpretability record for the learned

@@ -548,8 +548,7 @@ object TextAnalysis {
         when(col("bucket") === "head", CcnetRates("head"))
           .when(col("bucket") === "middle", CcnetRates("middle"))
           .otherwise(CcnetRates("tail")))
-      .filter(expr("((doc_id % 1000000007) * 2654435761) % 1000")
-        < col("rate_x1000"))
+      .filter(Sampling.mixed(col("doc_id")) % 1000 < col("rate_x1000"))
       .select(col("doc_id"), col("lang"), col("bucket"),
         col("rate_x1000"))
 
@@ -930,23 +929,22 @@ object TextAnalysis {
     * verdict) document and word totals — the matrix a pipeline owner
     * reads before intersecting/unioning filters (off-diagonal mass =
     * where the stacks disagree and a human should sample). Both verdict
-    * definitions are THE registered ones (qualitySignals / gopherRules),
-    * and the oracle shares both CTE families with their own keys.
+    * definitions are THE registered ones (qualitySignals /
+    * [[withGopherKeep]]), and the oracle shares both CTE families with
+    * their own keys.
     *
-    * Scale shape: two independent row-local signal passes over the scan,
-    * one co-partitioned shuffled-hash join on the unique doc id, and a
-    * languages × 4 output aggregate. */
-  def filterAgreement(docs: DataFrame): DataFrame = {
-    val qf = qualitySignals(docs)
-      .select(col("doc_id"), col("lang"), col("keep").as("qf_keep"))
-    val g = gopherRules(docs, minStopHits = 1)
-      .select(col("doc_id"), col("n_words"),
-        col("keep").as("gopher_keep"))
-    qf.join(g.hint("shuffle_hash"), "doc_id")
+    * Scale shape: both verdicts are row-local expression stacks, so
+    * they FUSE into one projection over a single corpus scan — zero
+    * joins; the only exchange is the final languages × 4 aggregate.
+    * (`n_tokens` and the Gopher `n_words` are the same whitespace
+    * tokenization, so one word count serves both.) */
+  def filterAgreement(docs: DataFrame): DataFrame =
+    withGopherKeep(
+        qualitySignals(docs).withColumnRenamed("keep", "qf_keep"),
+        minStopHits = 1)
       .groupBy(col("lang"), col("qf_keep"), col("gopher_keep"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_words")).as("sum_words"))
-  }
+        sum(col("n_tokens").cast("long")).as("sum_words"))
 
   def filterAgreement(spark: SparkSession, dir: String): DataFrame =
     filterAgreement(Tables.load(spark, dir, "documents"))

@@ -2250,12 +2250,16 @@ object PipelineQueries {
            |  SELECT cell, n_vectors,
            |    CAST(least(1000, total * 1000 // (n_cells * n_vectors))
            |      AS BIGINT) AS keep_x1000
-           |  FROM cells CROSS JOIN tot)
+           |  FROM cells CROSS JOIN tot),
+           |kept AS (
+           |  SELECT r.cell, CAST(count(*) AS BIGINT) AS n_kept
+           |  FROM asgn a JOIN rates r USING (cell)
+           |  WHERE ((a.vec_id % 1000000007) * 2654435761) % 1000
+           |    < r.keep_x1000
+           |  GROUP BY r.cell)
            |SELECT r.cell, r.n_vectors, r.keep_x1000,
-           |  CAST(count(*) AS BIGINT) AS n_kept
-           |FROM asgn a JOIN rates r USING (cell)
-           |WHERE ((a.vec_id % 1000000007) * 2654435761) % 1000 < r.keep_x1000
-           |GROUP BY r.cell, r.n_vectors, r.keep_x1000""".stripMargin,
+           |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+           |FROM rates r LEFT JOIN kept k USING (cell)""".stripMargin,
 
       // Per-cell top terms: doc→cell through the aligned embedding row,
       // one (cell, term) count aggregate, rank over the reduced frame.
