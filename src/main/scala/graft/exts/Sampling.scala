@@ -169,6 +169,51 @@ object Sampling {
   def mixSources(spark: SparkSession, dir: String): DataFrame =
     mixSources(Tables.load(spark, dir, "documents"))
 
+  /** Temperature-based source mixing (the mT5/multilingual-pretraining
+    * recipe at τ = 2, i.e. sampling probability ∝ share^(1/2)): instead
+    * of hand-assigned [[mixSources]] weights, each SOURCE's target weight
+    * is derived from its own size — w(s) = ⌊√tokens(s)⌋ — which flattens
+    * the head (a 100× bigger source gets only 10× the share) without the
+    * degenerate uniform limit. The weight is an integer (IEEE `sqrt` is
+    * correctly rounded and both engines floor the same double, so the
+    * whole report stays engine-exact), and the rate law is exactly
+    * [[mixSources]]'s no-upsampling largest-feasible-scale plan:
+    * `scale = min_s tokens(s)·1000 div w(s)` — the most over-represented
+    * source sets the thinning, the most under-represented keeps rate
+    * 1000 — then the deterministic ‰ id-hash keeps each document.
+    *
+    * Scale shape: one token-stats pass (hash aggregate, map-side
+    * combined), a sources-sized frame for the rate law (the global min is
+    * a window over that tiny frame, not a second corpus pass), one
+    * broadcast-join filter pass — the corpus is never shuffled. */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val stats = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("t"))
+      .withColumn("w",
+        expr("cast(floor(sqrt(cast(t as double))) as bigint)"))
+    val rates = stats
+      .withColumn("scale", min(expr("t * 1000 div w"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("rate_x1000", least(lit(1000L), expr("(w * scale) div t")))
+    val kept = toks
+      .join(broadcast(rates.select(col("source"), col("rate_x1000"))),
+        "source")
+      .filter(mixed(col("doc_id")) % 1000 < col("rate_x1000"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"))
+    rates.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("t").as("n_tokens"),
+        col("w").as("weight_sqrt"), col("rate_x1000"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperature(Tables.load(spark, dir, "documents"))
+
   /** Shard assignment for training-data export: the id hash (same family
     * as [[hashBucket]]) maps every document to one of `nShards` shards —
     * deterministic, order-independent, and balanced in expectation, so

@@ -118,6 +118,34 @@ object Similarity {
       k: Int = 5): DataFrame =
     bruteTopK(Tables.load(spark, dir, "embeddings"), maxQueryId, k)
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k nearest neighbors whose ground-truth LABEL differs —
+    * the near-misses a contrastive or reranker loss learns the most from
+    * (easy negatives are already far; same-label neighbors are
+    * positives). Same plan as [[bruteTopK]] — queries broadcast onto one
+    * corpus pass, label inequality fused into the join predicate so
+    * positives never reach the scorer, exact ranking finished by the
+    * bounded [[topKByCosine]] aggregate (≤k rows per query per mapper).
+    * The scale path swaps this exact scorer for the IVF/PQ candidate
+    * generators exactly as sim_ivf/ivf_pq_search do. */
+  def hardNegatives(corpus0: DataFrame, maxQueryId: Long = 8,
+      k: Int = 5): DataFrame = {
+    val corpus = corpus0.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_n"), col("label").as("label_n"))
+    val queries = corpus0.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
+        col("label").as("label_q"))
+    topKByCosine(
+      corpus.join(broadcast(queries),
+          col("neighbor_id") =!= col("query_id") &&
+          col("label_n") =!= col("label_q"))
+        .withColumn("cos", cosine(col("emb_q"), col("emb_n"))),
+      k)
+  }
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.load(spark, dir, "embeddings"))
+
   /** LSH-bucketed ANN over an arbitrary corpus: candidates restricted to
     * the query's sign bucket — the scale path. Rank is within-bucket. */
   def lshTopK(corpus0: DataFrame, maxQueryId: Long, k: Int): DataFrame = {

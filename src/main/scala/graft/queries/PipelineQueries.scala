@@ -527,6 +527,7 @@ object PipelineQueries {
       "text_pii_redact" -> ((s, dir) =>
         TextAnalysis.piiRedact(TextAnalysis.corpusWithPii(s, dir))),
       "mix_sources" -> ((s, dir) => Sampling.mixSources(s, dir)),
+      "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(s, dir)),
       "shard_manifest" -> ((s, dir) => Sampling.shardManifest(s, dir)),
       // end-to-end curation over documents ∪ planted exact copies: the
       // dedup stage must collapse every planted copy for the per-lang
@@ -650,6 +651,7 @@ object PipelineQueries {
         Dedup.contaminationPairs(Dedup.corpusWithLeaks(s, dir))),
 
       "sim_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+      "hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
       "sim_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
       "sim_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
       "sim_ivf_probe2" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
@@ -1192,6 +1194,37 @@ object PipelineQueries {
            |  CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
            |  CAST(coalesce(n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
            |FROM rates LEFT JOIN kept USING (lang)""".stripMargin,
+
+      // mix_sources' rate law with the weight DERIVED from source size:
+      // w = floor(sqrt(tokens)) — τ=2 temperature sampling. IEEE sqrt is
+      // correctly rounded on both engines, so the integer weight (and
+      // everything after it) is engine-exact.
+      "mix_temperature" ->
+        """WITH tok AS (SELECT doc_id, source,
+          |          CAST(len(regexp_split_to_array(trim(text), '\s+'))
+          |            AS BIGINT) AS n_tokens
+          |        FROM documents),
+          |stats AS (SELECT source, count(*) AS n_docs,
+          |            CAST(sum(n_tokens) AS BIGINT) AS t
+          |          FROM tok GROUP BY source),
+          |sw AS (SELECT source, n_docs, t,
+          |         CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS w
+          |       FROM stats),
+          |sc AS (SELECT CAST(min(t * 1000 // w) AS BIGINT) AS scale FROM sw),
+          |rates AS (SELECT source, n_docs, t, w,
+          |            CAST(least(1000, (w * scale) // t) AS BIGINT)
+          |              AS rate_x1000
+          |          FROM sw CROSS JOIN sc),
+          |kept AS (SELECT source, count(*) AS n_docs_kept,
+          |           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+          |         FROM tok JOIN rates USING (source)
+          |         WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < rate_x1000
+          |         GROUP BY source)
+          |SELECT source, n_docs, t AS n_tokens, w AS weight_sqrt,
+          |  rate_x1000,
+          |  CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+          |  CAST(coalesce(n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+          |FROM rates LEFT JOIN kept USING (source)""".stripMargin,
 
       "shard_manifest" ->
         """WITH s AS (
@@ -2564,6 +2597,25 @@ object PipelineQueries {
           |  SELECT query_id, neighbor_id,
           |    list_cosine_similarity(e_q, e_n) AS cos
           |  FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+          |FROM (SELECT query_id, neighbor_id,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY cos DESC, neighbor_id) AS rank
+          |      FROM scored)
+          |WHERE rank <= 5""".stripMargin,
+
+      // sim_topk with the positive class excluded: nearest neighbors
+      // whose ground-truth label differs from the query's.
+      "hard_negatives" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS e_q, label
+          |           FROM embeddings WHERE vec_id < 8),
+          |c AS (SELECT vec_id AS neighbor_id, embedding AS e_n, label
+          |      FROM embeddings),
+          |scored AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_cosine_similarity(e_q, e_n) AS cos
+          |  FROM q CROSS JOIN c
+          |  WHERE neighbor_id <> query_id AND c.label <> q.label)
           |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
           |FROM (SELECT query_id, neighbor_id,
           |        row_number() OVER (PARTITION BY query_id

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.exts.{Dedup, Multimodal, Similarity}
+import graft.exts.{Dedup, Multimodal, Sampling, Similarity}
 import graft.functions.RollingHash
 
 /** Tests for the non-oracle pipeline extensions: MinHash-LSH recall vs the
@@ -2260,6 +2260,69 @@ class PipelineSpec extends AnyFunSuite {
       r.getAs[Long]("n_tokens") / nDocs)
     assert(r.getAs[Long]("n_langs") >= 2L)
     assert(r.getAs[Long]("n_sources") >= 2L)
+  }
+
+  test("hard negatives: nearest cross-label neighbors, verified brute-force") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byId = emb.map(t => t._1 -> t).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank")))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val (_, eq, lq) = byId(q)
+      // every mined negative is truly cross-label
+      rs.foreach { case (_, n, _) => assert(byId(n)._3 !== lq,
+        s"neighbor $n shares query $q's label") }
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length))
+      // brute-force reference: the id SET of the top-5 cross-label
+      // candidates (rank boundaries can tie in double cosine)
+      val want = emb.filter(t => t._1 != q && t._3 != lq)
+        .map(t => (cos(eq, t._2), t._1))
+        .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+      assert(rs.map(_._2).toSet === want, s"query $q top-5 mismatch")
+    }
+  }
+
+  test("mix temperature: sqrt-flattened rates, replayed kept counts") {
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    val rows = Sampling.mixTemperature(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_sqrt"),
+        r.getAs[Long]("rate_x1000"), r.getAs[Long]("n_docs_kept")))
+    assert(rows.length >= 2)
+    rows.foreach { case (s, nd, t, w, rate, kept) =>
+      assert(w === math.sqrt(t.toDouble).toLong, s"$s weight")
+      assert(rate >= 1L && rate <= 1000L, s"$s rate $rate")
+      assert(kept <= nd, s"$s upsampled")
+    }
+    // the thinning law flattens the head: the biggest source is thinned
+    // at least as hard as the smallest, which stays (almost) whole
+    val smallest = rows.minBy(_._3); val biggest = rows.maxBy(_._3)
+    assert(smallest._5 >= 999L, s"smallest source rate ${smallest._5}")
+    assert(biggest._5 <= smallest._5)
+    // replay the coin: kept counts are exactly the deterministic id-hash
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rateBySrc = rows.map(r => r._1 -> r._5).toMap
+    val expectKept = toks.groupBy(_._2).map { case (s, ds) =>
+      s -> ds.count(d =>
+        ((d._1 % 1000000007L) * 2654435761L) % 1000L < rateBySrc(s)).toLong
+    }
+    rows.foreach { case (s, _, _, _, _, kept) =>
+      assert(kept === expectKept(s), s"$s kept count") }
   }
 
   test("cluster topics: 5 ranked terms per cell, counts monotone") {
