@@ -392,6 +392,67 @@ object TextAnalysis {
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
     sourceDivergence(Tables.load(spark, dir, "documents"))
 
+  /** Head-vocabulary size for [[dsirWeights]] — the hashed-feature bucket
+    * count of the published method, realized as an explicit top-K term
+    * table so both engines score the exact same features. */
+  val DsirHeadTerms = 512
+
+  /** DSIR-shaped importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its unigram distribution leans toward a TARGET
+    * domain versus the raw corpus. The target here is the quality-kept
+    * subset ([[qualitySignals]]' verdict — the hard filter distilled
+    * into a soft, per-document score), and the feature weight is the
+    * integer ppm surrogate the rarity/LM signals already use:
+    * `s(term) = ppm_target(term) − ppm_raw(term)` over the
+    * [[DsirHeadTerms]] most frequent terms (count DESC, term ASC — the
+    * [[sourceDivergence]] head-vocabulary convention standing in for the
+    * paper's hashed feature buckets). A document's weight is the MEAN
+    * feature score of its in-vocabulary occurrences; positive means
+    * "reads more like the target than the background".
+    *
+    * Scale shape: ONE fused scan feeds the vocabulary statistic (token
+    * explode → vocab-bounded hash aggregate carrying both the raw count
+    * and the keep-filtered count — the keep verdict is a row-local
+    * projection, so no join); the top-K head is a TakeOrdered over the
+    * reduced vocab frame; the K-row score table is collected (metadata,
+    * K = 512 — the BPE-rules/centroids pattern) and replayed as a map
+    * literal in a second row-local pass, so the corpus itself never
+    * shuffles. */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val tok = qualitySignals(docs)
+      .select(col("doc_id"), col("keep"),
+        explode(words(col("text"))).as("term"))
+    val cnt = tok.groupBy(col("term")).agg(
+      count(lit(1)).as("g_cnt"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("t_cnt"))
+    val tot = cnt.agg(sum(col("g_cnt")).as("g_tot"),
+      sum(col("t_cnt")).as("t_tot"))
+    val head = cnt.crossJoin(broadcast(tot))
+      .select(col("term"), col("g_cnt"),
+        (expr("t_cnt * 1000000 div greatest(t_tot, 1)") -
+          expr("g_cnt * 1000000 div greatest(g_tot, 1)")).as("s"))
+      .orderBy(col("g_cnt").desc, col("term"))
+      .limit(DsirHeadTerms)
+    val scores: Map[String, Long] = head.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
+    val m = typedLit(scores)
+    val sv = filter(transform(words(col("text")),
+      w => element_at(m, w)), x => x.isNotNull)
+    docs
+      .select(col("doc_id"), size(words(col("text"))).cast("long")
+        .as("n_terms"), sv.as("sv"))
+      .select(col("doc_id"), col("n_terms"),
+        size(col("sv")).cast("long").as("n_feats"),
+        aggregate(col("sv"), lit(0L), (a, x) => a + x).as("sum_s"))
+      .select(col("doc_id"), col("n_terms"), col("n_feats"),
+        expr("sum_s div greatest(n_feats, 1)").as("dsir_ppm"))
+      .withColumn("dsir_keep", col("dsir_ppm") > 0L)
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.load(spark, dir, "documents"))
+
   /** Distribution-calibrated quality thresholds: instead of the global
     * constants in [[qualitySignals]], learn a per-language cutoff from the
     * corpus itself — threshold = (exact lower-median of the language's

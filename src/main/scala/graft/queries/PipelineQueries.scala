@@ -681,6 +681,7 @@ object PipelineQueries {
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
 
+      "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
@@ -2227,6 +2228,41 @@ object PipelineQueries {
            |  (n_stop_hits >= 1) AS r_stop,
            |  $gopherKeepSql AS keep
            |FROM gsig""".stripMargin,
+
+      // DSIR importance weights: unigram ppm lean toward the quality-kept
+      // target over the top-512 head vocabulary (count DESC, term ASC).
+      // The keep verdict CTE family is shared with quality_filter's
+      // oracle, so the target definition cannot drift.
+      "dsir_weights" ->
+        s"""WITH ${qualitySigCtes("documents")},
+           |kf AS (SELECT doc_id, (reasons = '') AS keep FROM flagged),
+           |tokk AS (SELECT d.doc_id, keep,
+           |           unnest(regexp_split_to_array(trim(text), '\\s+'))
+           |             AS term
+           |         FROM documents d JOIN kf USING (doc_id)),
+           |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS g_cnt,
+           |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           |            AS t_cnt
+           |        FROM tokk GROUP BY term),
+           |tot AS (SELECT CAST(sum(g_cnt) AS BIGINT) AS g_tot,
+           |          CAST(sum(t_cnt) AS BIGINT) AS t_tot FROM cnt),
+           |vocab AS (SELECT term,
+           |            CAST(t_cnt * 1000000 // greatest(t_tot, 1)
+           |              - g_cnt * 1000000 // greatest(g_tot, 1)
+           |              AS BIGINT) AS s
+           |          FROM cnt CROSS JOIN tot
+           |          ORDER BY g_cnt DESC, term LIMIT ${
+             graft.exts.TextAnalysis.DsirHeadTerms}),
+           |feat AS (SELECT t.doc_id,
+           |           CAST(count(*) AS BIGINT) AS n_terms,
+           |           CAST(count(v.s) AS BIGINT) AS n_feats,
+           |           CAST(coalesce(sum(v.s), 0) AS BIGINT) AS sum_s
+           |         FROM tokk t LEFT JOIN vocab v USING (term)
+           |         GROUP BY t.doc_id)
+           |SELECT doc_id, n_terms, n_feats,
+           |  CAST(sum_s // greatest(n_feats, 1) AS BIGINT) AS dsir_ppm,
+           |  (sum_s // greatest(n_feats, 1)) > 0 AS dsir_keep
+           |FROM feat""".stripMargin,
 
       // The one-row dataset card: totals, cardinalities, exact-dup
       // pressure, quality yield — the quality CTE family shared with

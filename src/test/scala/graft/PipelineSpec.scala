@@ -2325,6 +2325,30 @@ class PipelineSpec extends AnyFunSuite {
       assert(kept === expectKept(s), s"$s kept count") }
   }
 
+  test("dsir weights: the soft score recovers the hard filter's signal") {
+    import org.apache.spark.sql.functions.col
+    val scores = graft.exts.TextAnalysis.dsirWeights(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("n_feats"), r.getAs[Long]("dsir_ppm"),
+        r.getAs[Boolean]("dsir_keep")))
+    assert(scores.length > 0)
+    scores.foreach { case (id, nt, nf, ppm, keep) =>
+      assert(nf <= nt, s"doc $id: more features than terms")
+      assert(keep === (ppm > 0L), s"doc $id keep law")
+    }
+    // distillation: docs the hard quality filter keeps must lean toward
+    // the target distribution on average — that is the method's claim
+    val kept = graft.exts.TextAnalysis.qualityFilter(spark, dir)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val (pos, neg) = scores.partition(s => kept(s._1))
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture must split on quality")
+    val meanPos = pos.map(_._4).sum.toDouble / pos.length
+    val meanNeg = neg.map(_._4).sum.toDouble / neg.length
+    assert(meanPos > meanNeg,
+      s"target-kept docs should out-score dropped docs: $meanPos <= $meanNeg")
+  }
+
   test("cluster topics: 5 ranked terms per cell, counts monotone") {
     val rows = Similarity.clusterTopics(spark, dir).collect()
       .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("rank"),
