@@ -829,6 +829,100 @@ object Similarity {
       .select(col("vec_id"), col("normsq_q"), col("median_q"))
   }
 
+  /** Power-iteration count for [[embPca]] — fixed, so the result is a
+    * deterministic function of the data on both engines whether or not
+    * the iteration has numerically converged. */
+  val PcaIterations = 24
+
+  /** Distributed second-moment (co-scatter) matrix of the embedding
+    * corpus — the input every covariance-level diagnostic (PCA, whitening,
+    * anisotropy checks) starts from. Components are quantized to
+    * fixed-point 1e-4 first (the [[embStats]] chain), so every matrix
+    * entry is an exact integer: `sxy(i,j) = Σ q_i·q_j` and the CENTERED
+    * scatter `m(i,j) = n·sxy − s_i·s_j` (= n² × covariance up to the
+    * fixed-point scale) — order-independent and oracle-checkable where
+    * float accumulation would be partition-order noise.
+    *
+    * Plan shape: the d(d+1)/2 upper-triangle products are generated
+    * ROW-LOCALLY (inline over a per-row pair array — no self-join of the
+    * exploded frame, which would shuffle corpus×d rows) and reduced by
+    * one hash aggregate with map-side combine: the exchange carries at
+    * most dims²·partitions rows at any corpus size. First moments and n
+    * ride two more metadata-sized aggregates, broadcast onto the pair
+    * frame. */
+  def embGram(corpus: DataFrame): DataFrame = {
+    val q2 = corpus.select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")
+      .as("ql"))
+    val pr = q2.selectExpr(
+      """inline(flatten(transform(sequence(0, size(ql) - 1), i ->
+        |  transform(sequence(i, size(ql) - 1), j ->
+        |    named_struct('i', i, 'j', j, 'p', ql[i] * ql[j])))))"""
+        .stripMargin)
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sxy"))
+    val sx = q2.select(posexplode(col("ql")).as(Seq("dim", "q")))
+      .groupBy(col("dim")).agg(sum(col("q")).as("s"))
+    val n = corpus.agg(count(lit(1)).as("n"))
+    pr.crossJoin(broadcast(n))
+      .join(broadcast(sx.select(col("dim").as("i"), col("s").as("s_i"))),
+        "i")
+      .join(broadcast(sx.select(col("dim").as("j"), col("s").as("s_j"))),
+        "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("sxy"),
+        (col("n") * col("sxy") - col("s_i") * col("s_j")).as("m"))
+  }
+
+  def embGram(spark: SparkSession, dir: String): DataFrame =
+    embGram(Tables.load(spark, dir, "embeddings"))
+
+  /** Top principal component of the embedding corpus by power iteration
+    * on the integer scatter matrix from [[embGram]] — the dominant
+    * drift/anisotropy axis (a collapsing encoder concentrates variance
+    * on one axis; this is the axis, and eigval/trace how much it holds).
+    * Exactly [[PcaIterations]] iterations from the all-ones vector,
+    * normalizing by the max-abs component (division and max are IEEE
+    * ops both engines execute identically — unlike an L2 norm's
+    * order-dependent sum), matvec accumulated left-to-right in j order:
+    * every floating-point step is bit-reproducible cross-engine, so the
+    * fixed-point eigenvector (×1e6) and eigenvalue hash-match whether or
+    * not the iteration has converged.
+    *
+    * The d×d matrix is METADATA (the collect is dims²-bounded — the
+    * centroids/BPE-rules pattern); all corpus-sized work is [[embGram]]'s
+    * one bounded-exchange pass. Rounding is half-away-from-zero to match
+    * DuckDB's double `round`. */
+  def embPca(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val gram = embGram(corpus).collect()
+    val d = gram.iterator.map(_.getAs[Long]("j")).max.toInt + 1
+    val mv = Array.ofDim[Long](d, d)
+    gram.foreach { r =>
+      val i = r.getAs[Long]("i").toInt; val j = r.getAs[Long]("j").toInt
+      val m = r.getAs[Long]("m"); mv(i)(j) = m; mv(j)(i) = m
+    }
+    var u = Array.fill(d)(1.0)
+    for (_ <- 1 to PcaIterations) {
+      val mx = u.iterator.map(math.abs).max
+      val v = u.map(_ / mx)
+      u = Array.tabulate(d) { i =>
+        (0 until d).iterator.map(j => mv(i)(j).toDouble * v(j))
+          .reduceLeft(_ + _)
+      }
+    }
+    val mxf = u.iterator.map(math.abs).max
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong
+      else -math.floor(-x + 0.5).toLong
+    import spark.implicits._
+    (0 until d).map(i =>
+        (i.toLong, mv(i)(i), rnd(u(i) / mxf * 1000000d), rnd(mxf)))
+      .toDF("dim", "var_m", "eigvec_q", "eigval_q")
+  }
+
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPca(Tables.load(spark, dir, "embeddings"))
+
   /** embeddings ∪ planted scaled copies (every 10th vector ×2 — cosine
     * exactly 1 in exact math): the fixture both near-dup variants dedupe. */
   def corpusWithScaledDups(spark: SparkSession, dir: String): DataFrame = {

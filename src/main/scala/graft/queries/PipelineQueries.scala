@@ -510,6 +510,36 @@ object PipelineQueries {
        |FROM x$rounds""".stripMargin
   }
 
+  /** Shared emb_gram / emb_pca corpus chain: fixed-point-quantized
+    * vectors → ROW-LOCAL upper-triangle pair sums (no self-join of the
+    * exploded frame) → centered integer scatter `m = n·sxy − s_i·s_j`.
+    * MATERIALIZED marks stop DuckDB re-inlining the corpus scan into
+    * every consumer — without them the recursive power iteration re-runs
+    * the whole gram chain per step (measured 24×: 15.8 s → 0.65 s at
+    * sf0.1; the bpe_train MATERIALIZED lesson). Ends in
+    * `ct(i, j, sxy, m)`, upper triangle only. */
+  private val gramCtes: String =
+    """q2 AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS ql
+      |  FROM embeddings),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |pr AS MATERIALIZED (
+      |  SELECT i, j, CAST(sum(ql[i + 1] * ql[j + 1]) AS BIGINT) AS p
+      |  FROM q2,
+      |       LATERAL (SELECT unnest(range(0, len(ql))) AS i) a,
+      |       LATERAL (SELECT unnest(range(i, len(ql))) AS j) b
+      |  GROUP BY i, j),
+      |sx AS MATERIALIZED (
+      |  SELECT dim, CAST(sum(ql[dim + 1]) AS BIGINT) AS s
+      |  FROM q2, LATERAL (SELECT unnest(range(0, len(ql))) AS dim) a
+      |  GROUP BY dim),
+      |ct AS MATERIALIZED (
+      |  SELECT i, j, p AS sxy,
+      |    CAST(nn.n * p - sa.s * sb.s AS BIGINT) AS m
+      |  FROM pr CROSS JOIN nn
+      |  JOIN sx sa ON sa.dim = i JOIN sx sb ON sb.dim = j)""".stripMargin
+
   private def ivfOracleSql(probeRn: String): String =
     s"""WITH $trainCtes,
        |${ivfSearchCtes(probeRn)}
@@ -680,6 +710,11 @@ object PipelineQueries {
         PqIndex.ivfPqRefineRecall(s, dir)),
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
+      // distributed integer-exact scatter matrix + its top principal
+      // component by fixed-count power iteration (bit-reproducible IEEE
+      // steps; d×d matrix is metadata)
+      "emb_gram" -> ((s, dir) => Similarity.embGram(s, dir)),
+      "emb_pca" -> ((s, dir) => Similarity.embPca(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
@@ -2951,6 +2986,54 @@ object PipelineQueries {
           |  CAST(list_max(q) AS INTEGER) AS q_max,
           |  md5(array_to_string(q, ',')) AS q_md5
           |FROM qv""".stripMargin,
+
+      // Integer-exact scatter matrix: fixed-point 1e-4 quantization, then
+      // upper-triangle product sums + centered m = n·sxy − s_i·s_j. The
+      // MATERIALIZED marks stop DuckDB re-inlining the corpus chain into
+      // every consumer (the bpe_train lesson).
+      "emb_gram" ->
+        s"""WITH $gramCtes
+           |SELECT i, j, sxy, m FROM ct""".stripMargin,
+
+      // Power iteration on the emb_gram matrix: exactly PcaIterations
+      // steps from all-ones, max-abs normalization, left-to-right matvec
+      // accumulation — each IEEE step identical to the engine's driver
+      // loop, so the ×1e6 eigenvector hash-matches regardless of
+      // convergence. Recursive CTE carries the RAW u; normalization is
+      // recomputed at use (linear algebra would allow dividing after the
+      // matvec, but IEEE wouldn't — the order here mirrors the engine).
+      "emb_pca" ->
+        s"""WITH RECURSIVE $gramCtes,
+           |cov AS (SELECT i, j, m FROM ct
+           |        UNION ALL
+           |        SELECT j AS i, i AS j, m FROM ct WHERE i <> j),
+           |mf AS MATERIALIZED (
+           |  SELECT list(m ORDER BY i, j) AS mflat,
+           |    CAST(max(i) + 1 AS INTEGER) AS d FROM cov),
+           |it AS (
+           |  SELECT 0 AS t, list_transform(range(1, d + 1),
+           |    x -> CAST(1 AS DOUBLE)) AS u FROM mf
+           |  UNION ALL
+           |  SELECT t + 1,
+           |    list_transform(range(0, mf.d),
+           |      i -> list_reduce(
+           |             list_transform(range(0, mf.d),
+           |               j -> CAST(mflat[i * mf.d + j + 1] AS DOUBLE)
+           |                      * (v[j + 1])),
+           |             (a, b) -> a + b))
+           |  FROM (SELECT t,
+           |          list_transform(u, x -> x / mx) AS v
+           |        FROM (SELECT t, u,
+           |                list_max(list_transform(u, x -> abs(x))) AS mx
+           |              FROM it)) s
+           |       CROSS JOIN mf
+           |  WHERE t < ${Similarity.PcaIterations}),
+           |fx AS (SELECT u, list_max(list_transform(u, x -> abs(x))) AS mx
+           |       FROM it WHERE t = ${Similarity.PcaIterations})
+           |SELECT c.i AS dim, c.m AS var_m,
+           |  CAST(round(u[c.i + 1] / mx * 1000000) AS BIGINT) AS eigvec_q,
+           |  CAST(round(mx) AS BIGINT) AS eigval_q
+           |FROM fx CROSS JOIN ct c WHERE c.i = c.j""".stripMargin,
 
       // Fixed-point 1e-4 quantization before aggregation (the emb_quantize
       // float→double→round chain), so every sum is an exact integer sum.

@@ -2349,6 +2349,58 @@ class PipelineSpec extends AnyFunSuite {
       s"target-kept docs should out-score dropped docs: $meanPos <= $meanNeg")
   }
 
+  test("emb gram/pca: distributed scatter equals a serial reference") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val d = emb.head.length; val n = emb.length.toLong
+    val q = emb.map(_.map(x => math.round(x.toDouble * 10000)))
+    // serial reference for the integer scatter
+    val sxy = Array.ofDim[Long](d, d); val sx = new Array[Long](d)
+    q.foreach { row =>
+      var i = 0
+      while (i < d) { sx(i) += row(i); var j = i
+        while (j < d) { sxy(i)(j) += row(i) * row(j); j += 1 }; i += 1 }
+    }
+    val gram = Similarity.embGram(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("sxy"), r.getAs[Long]("m")))
+    assert(gram.length === d * (d + 1) / 2)
+    gram.foreach { case (i, j, s, m) =>
+      assert(s === sxy(i.toInt)(j.toInt), s"sxy($i,$j)")
+      assert(m === n * s - sx(i.toInt) * sx(j.toInt), s"m($i,$j)")
+      if (i == j) assert(m >= 0L, s"diagonal m($i,$i) negative")
+    }
+    // pca: replay the exact driver loop from the serial scatter
+    val mm = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      n * sxy(a)(b) - sx(a) * sx(b)
+    }
+    var u = Array.fill(d)(1.0)
+    for (_ <- 1 to Similarity.PcaIterations) {
+      val mx = u.iterator.map(math.abs).max
+      val v = u.map(_ / mx)
+      u = Array.tabulate(d)(i =>
+        (0 until d).iterator.map(j => mm(i)(j).toDouble * v(j))
+          .reduceLeft(_ + _))
+    }
+    val mxf = u.iterator.map(math.abs).max
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+    val pca = Similarity.embPca(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("var_m"),
+        r.getAs[Long]("eigvec_q"), r.getAs[Long]("eigval_q")))
+    assert(pca.length === d)
+    pca.foreach { case (dim, vm, evq, lam) =>
+      assert(vm === mm(dim.toInt)(dim.toInt))
+      assert(evq === rnd(u(dim.toInt) / mxf * 1000000d), s"eigvec[$dim]")
+      assert(lam === rnd(mxf))
+    }
+    // the normalized eigenvector peaks at exactly ±1e6 somewhere
+    assert(pca.exists(p => math.abs(p._3) === 1000000L))
+  }
+
   test("cluster topics: 5 ranked terms per cell, counts monotone") {
     val rows = Similarity.clusterTopics(spark, dir).collect()
       .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("rank"),

@@ -60,10 +60,12 @@ class PlanGuardSpec extends AnyFunSuite {
     *    #sources, ~4) — the window input is already reduced; windowing
     *    beats a second aggregate + cross join that would re-plan the
     *    corpus stats subtree.
+    *  - mix_temperature: the same global min over the same per-SOURCE
+    *    aggregate (rows = #sources, ~20) — identical reduced-frame shape.
     * (maintenance_budget left this list in r8: its global running sum is
     * now a range-partitioned two-level prefix sum with a triangle join
     * for the ≤16 chunk offsets — no global window even over metadata.) */
-  private val globalWindowJustified = Set("mix_sources")
+  private val globalWindowJustified = Set("mix_sources", "mix_temperature")
 
   test("no partition-less Window over unreduced input (one-task global sort)") {
     // A Window with an empty partitionSpec moves its ENTIRE input through
