@@ -453,6 +453,75 @@ object TextAnalysis {
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.load(spark, dir, "documents"))
 
+  /** [[spanCorrupt]] geometry: one masked span per [[SpanBlock]]-word
+    * block, span start in [0, [[SpanStartMod]]) so a [[SpanWords]]-word
+    * span always fits inside its block (no cross-block overlap to
+    * resolve), ≈ [[SpanWords]]/[[SpanBlock]] = 15% noise density — the
+    * published T5 recipe's r=0.15, mean span 3. */
+  val SpanBlock = 20
+  val SpanStartMod = 17
+  val SpanWords = 3
+
+  /** Span-start position for block `b` of document `doc_id` — the same
+    * overflow-guarded multiplicative id-hash family as
+    * [[Sampling.mixed]], salted by the block index. SQL snippet shared
+    * in spirit with the oracle (mirrored there verbatim). */
+  private def spanStartSql(iVar: String): String =
+    s"((doc_id % ${Sampling.HashMod}) * 2654435761 + " +
+      s"CAST($iVar div $SpanBlock AS BIGINT) * 40503) % $SpanStartMod"
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4's denoising
+    * objective, the pretraining-data PREP step): in every
+    * [[SpanBlock]]-word block, one deterministic [[SpanWords]]-word span
+    * is cut; the input keeps a single `<extra_id_b>` sentinel where the
+    * span was, the target lists each sentinel followed by the words it
+    * hides. Span placement is the deterministic block-salted id-hash —
+    * RNG-free, order-independent, reproducible across engines and runs
+    * (the [[Sampling]] convention; real pipelines need corruption to be
+    * stable under re-runs for caching and test oracles alike). Sentinels
+    * are numbered by block index — order-isomorphic to T5's sequential
+    * numbering and computable without a scan.
+    *
+    * The whole rewrite is ONE row-local codegen'd projection (index
+    * lambdas over the word array — no explode, no shuffle, no state);
+    * md5 pins both rewritten streams. */
+  def spanCorrupt(docs: DataFrame): DataFrame = {
+    val s = spanStartSql("i")
+    val m = s"CAST(i % $SpanBlock AS BIGINT)"
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("inp", expr(
+        s"""filter(transform(ws, (w, i) ->
+           |  CASE WHEN $m = $s
+           |         THEN concat('<extra_id_',
+           |                     CAST(i div $SpanBlock AS STRING), '>')
+           |       WHEN $m > $s AND $m <= $s + ${SpanWords - 1}
+           |         THEN CAST(NULL AS STRING)
+           |       ELSE w END),
+           |  x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("tgt", expr(
+        s"""filter(transform(ws, (w, i) ->
+           |  CASE WHEN $m = $s
+           |         THEN concat('<extra_id_',
+           |                     CAST(i div $SpanBlock AS STRING), '> ', w)
+           |       WHEN $m > $s AND $m <= $s + ${SpanWords - 1} THEN w
+           |       ELSE CAST(NULL AS STRING) END),
+           |  x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("n_spans", expr(
+        s"""size(filter(transform(ws, (w, i) ->
+           |  CASE WHEN $m = $s THEN 1 ELSE CAST(NULL AS INT) END),
+           |  x -> x IS NOT NULL))""".stripMargin).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_spans"),
+        (col("n_words") - size(col("inp")).cast("long") + col("n_spans"))
+          .as("n_masked"),
+        md5(array_join(col("inp"), " ")).as("input_md5"),
+        md5(array_join(col("tgt"), " ")).as("target_md5"))
+  }
+
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    spanCorrupt(Tables.load(spark, dir, "documents"))
+
   /** Distribution-calibrated quality thresholds: instead of the global
     * constants in [[qualitySignals]], learn a per-language cutoff from the
     * corpus itself — threshold = (exact lower-median of the language's

@@ -717,6 +717,7 @@ object PipelineQueries {
       "emb_pca" -> ((s, dir) => Similarity.embPca(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
+      "span_corrupt" -> ((s, dir) => TextAnalysis.spanCorrupt(s, dir)),
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
@@ -2298,6 +2299,49 @@ object PipelineQueries {
            |  CAST(sum_s // greatest(n_feats, 1) AS BIGINT) AS dsir_ppm,
            |  (sum_s // greatest(n_feats, 1)) > 0 AS dsir_keep
            |FROM feat""".stripMargin,
+
+      // T5 span corruption: per-block deterministic span cut, sentinel
+      // in the input, sentinel+words in the target; same block-salted
+      // id-hash arithmetic as the engine, ordered string_agg rebuild.
+      "span_corrupt" -> {
+        val b = TextAnalysis.SpanBlock; val mod = TextAnalysis.SpanStartMod
+        val last = TextAnalysis.SpanWords - 1
+        s"""WITH t AS (SELECT doc_id,
+           |             regexp_split_to_array(trim(text), '\\s+') AS ws
+           |           FROM documents),
+           |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, ws[i] AS w,
+           |          ((doc_id % 1000000007) * 2654435761 +
+           |            ((i - 1) // $b) * 40503) % $mod AS s
+           |        FROM t, LATERAL (SELECT
+           |          unnest(generate_series(1, len(ws))) AS i) x),
+           |cls AS (SELECT doc_id, p, w, p // $b AS blk,
+           |          CASE WHEN p % $b = s THEN 'first'
+           |               WHEN p % $b > s AND p % $b <= s + $last
+           |                 THEN 'mask'
+           |               ELSE 'keep' END AS c
+           |        FROM pos),
+           |agg AS (SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(CASE WHEN c = 'first' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_spans,
+           |    CAST(sum(CASE WHEN c <> 'keep' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_masked,
+           |    coalesce(string_agg(
+           |      CASE WHEN c = 'keep' THEN w
+           |           WHEN c = 'first'
+           |             THEN '<extra_id_' || CAST(blk AS VARCHAR) || '>'
+           |      END, ' ' ORDER BY p), '') AS inp,
+           |    coalesce(string_agg(
+           |      CASE WHEN c = 'first'
+           |             THEN '<extra_id_' || CAST(blk AS VARCHAR) || '> '
+           |                    || w
+           |           WHEN c = 'mask' THEN w END, ' ' ORDER BY p), '')
+           |      AS tgt
+           |  FROM cls GROUP BY doc_id)
+           |SELECT doc_id, n_words, n_spans, n_masked,
+           |  md5(inp) AS input_md5, md5(tgt) AS target_md5
+           |FROM agg""".stripMargin
+      },
 
       // The one-row dataset card: totals, cardinalities, exact-dup
       // pressure, quality yield — the quality CTE family shared with

@@ -2401,6 +2401,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(pca.exists(p => math.abs(p._3) === 1000000L))
   }
 
+  test("span corruption: serial replay matches; spans reconstruct the doc") {
+    import org.apache.spark.sql.functions.col
+    import graft.exts.TextAnalysis.{SpanBlock, SpanStartMod, SpanWords}
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.exts.TextAnalysis.spanCorrupt(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_masked"),
+        r.getAs[String]("input_md5"), r.getAs[String]("target_md5")))
+    assert(got.length === docs.size)
+    var sawMask = false
+    got.foreach { case (id, nw, ns, nm, imd5, tmd5) =>
+      val ws = docs(id).trim.split("\\s+")
+      assert(nw === ws.length.toLong)
+      // independent serial replay of the block-salted geometry
+      val inp = collection.mutable.ArrayBuffer[String]()
+      val tgt = collection.mutable.ArrayBuffer[String]()
+      var masked = 0; var spans = 0
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val b = i / SpanBlock
+        val s = ((id % 1000000007L) * 2654435761L + b.toLong * 40503L) %
+          SpanStartMod
+        val off = (i % SpanBlock).toLong
+        if (off == s) { spans += 1; masked += 1
+          inp += s"<extra_id_$b>"; tgt += s"<extra_id_$b> $w"
+        } else if (off > s && off <= s + (SpanWords - 1)) {
+          masked += 1; tgt += w
+        } else inp += w
+      }
+      assert(ns === spans.toLong && nm === masked.toLong, s"doc $id counts")
+      assert(imd5 === md5(inp.mkString(" ")), s"doc $id input")
+      assert(tmd5 === md5(tgt.mkString(" ")), s"doc $id target")
+      // reconstruction: substituting each sentinel's target words back
+      // into the input recovers the original token stream
+      val spanWords = collection.mutable.Map[String, List[String]]()
+      var cur: String = null
+      tgt.foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          val Array(sent, w) = t.split(" ", 2)
+          cur = sent; spanWords(cur) = List(w)
+        } else spanWords(cur) = spanWords(cur) :+ t
+      }
+      val rebuilt = inp.flatMap(t =>
+        if (t.startsWith("<extra_id_")) spanWords(t) else List(t))
+      assert(rebuilt.toSeq === ws.toSeq, s"doc $id reconstruction")
+      if (nm > 0) sawMask = true
+      // the T5 noise-density contract: ~15% for full blocks
+      if (nw >= SpanBlock) assert(nm >= nw / SpanBlock * SpanWords - ns,
+        s"doc $id under-masked")
+    }
+    assert(sawMask, "fixture produced no masked spans at all")
+  }
+
   test("cluster topics: 5 ranked terms per cell, counts monotone") {
     val rows = Similarity.clusterTopics(spark, dir).collect()
       .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("rank"),
