@@ -419,7 +419,16 @@ object TextAnalysis {
     * K = 512 — the BPE-rules/centroids pattern) and replayed as a map
     * literal in a second row-local pass, so the corpus itself never
     * shuffles. */
-  def dsirWeights(docs: DataFrame): DataFrame = {
+  def dsirWeights(docs: DataFrame): DataFrame =
+    dsirScoreWith(dsirHead(docs), docs)
+
+  /** The trained half of [[dsirWeights]]: the [[DsirHeadTerms]]-row
+    * (term, s) score table — the MODEL a DSIR deployment trains once per
+    * corpus snapshot and applies to every batch ([[DsirIndex]] holds the
+    * durable artifact). One fused corpus scan: the keep verdict is a
+    * row-local projection riding the token explode, both counts come out
+    * of a single vocab-bounded hash aggregate. */
+  def dsirHead(docs: DataFrame): DataFrame = {
     val tok = qualitySignals(docs)
       .select(col("doc_id"), col("keep"),
         explode(words(col("text"))).as("term"))
@@ -428,18 +437,27 @@ object TextAnalysis {
       sum(when(col("keep"), 1L).otherwise(0L)).as("t_cnt"))
     val tot = cnt.agg(sum(col("g_cnt")).as("g_tot"),
       sum(col("t_cnt")).as("t_tot"))
-    val head = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .select(col("term"), col("g_cnt"),
         (expr("t_cnt * 1000000 div greatest(t_tot, 1)") -
           expr("g_cnt * 1000000 div greatest(g_tot, 1)")).as("s"))
       .orderBy(col("g_cnt").desc, col("term"))
       .limit(DsirHeadTerms)
+      .select(col("term"), col("s"))
+  }
+
+  /** The apply half: score any (doc_id, text) batch against a trained
+    * (term, s) score table. The table is bounded at [[DsirHeadTerms]]
+    * rows, so it collects (metadata) and replays as a map literal in ONE
+    * row-local pass — the batch is never shuffled, exactly the shape an
+    * ingest-time importance gate needs. */
+  def dsirScoreWith(head: DataFrame, batch: DataFrame): DataFrame = {
     val scores: Map[String, Long] = head.collect()
       .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
     val m = typedLit(scores)
     val sv = filter(transform(words(col("text")),
       w => element_at(m, w)), x => x.isNotNull)
-    docs
+    batch
       .select(col("doc_id"), size(words(col("text"))).cast("long")
         .as("n_terms"), sv.as("sv"))
       .select(col("doc_id"), col("n_terms"),

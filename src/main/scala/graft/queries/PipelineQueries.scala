@@ -540,6 +540,48 @@ object PipelineQueries {
       |  FROM pr CROSS JOIN nn
       |  JOIN sx sa ON sa.dim = i JOIN sx sb ON sb.dim = j)""".stripMargin
 
+  /** Shared DSIR model chain (expects `flagged` from qualitySigCtes in
+    * scope): quality-kept target + raw corpus token counts out of ONE
+    * token stream, top-[[TextAnalysis.DsirHeadTerms]] head vocabulary
+    * with its ppm lean. Ends in `vocab(term, s)` (and `tokk` — the
+    * corpus token stream with keep flags, reused by the self-scoring
+    * dsir_weights oracle). */
+  private val dsirVocabCtes: String =
+    s"""kf AS (SELECT doc_id, (reasons = '') AS keep FROM flagged),
+       |tokk AS (SELECT d.doc_id, keep,
+       |           unnest(regexp_split_to_array(trim(text), '\\s+'))
+       |             AS term
+       |         FROM documents d JOIN kf USING (doc_id)),
+       |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS g_cnt,
+       |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS t_cnt
+       |        FROM tokk GROUP BY term),
+       |tot AS (SELECT CAST(sum(g_cnt) AS BIGINT) AS g_tot,
+       |          CAST(sum(t_cnt) AS BIGINT) AS t_tot FROM cnt),
+       |vocab AS MATERIALIZED (SELECT term,
+       |          CAST(t_cnt * 1000000 // greatest(t_tot, 1)
+       |            - g_cnt * 1000000 // greatest(g_tot, 1)
+       |            AS BIGINT) AS s
+       |        FROM cnt CROSS JOIN tot
+       |        ORDER BY g_cnt DESC, term LIMIT ${
+      graft.exts.TextAnalysis.DsirHeadTerms})""".stripMargin
+
+  /** Per-doc DSIR scoring of token stream `src(doc_id, term)` against
+    * `vocab` — the apply half, shared verbatim by both DSIR oracles. */
+  private def dsirScoreCtes(src: String): String =
+    s"""feat AS (SELECT t.doc_id,
+       |           CAST(count(*) AS BIGINT) AS n_terms,
+       |           CAST(count(v.s) AS BIGINT) AS n_feats,
+       |           CAST(coalesce(sum(v.s), 0) AS BIGINT) AS sum_s
+       |         FROM $src t LEFT JOIN vocab v USING (term)
+       |         GROUP BY t.doc_id)""".stripMargin
+
+  private val dsirScoreSelect: String =
+    """SELECT doc_id, n_terms, n_feats,
+      |  CAST(sum_s // greatest(n_feats, 1) AS BIGINT) AS dsir_ppm,
+      |  (sum_s // greatest(n_feats, 1)) > 0 AS dsir_keep
+      |FROM feat""".stripMargin
+
   private def ivfOracleSql(probeRn: String): String =
     s"""WITH $trainCtes,
        |${ivfSearchCtes(probeRn)}
@@ -717,6 +759,12 @@ object PipelineQueries {
       "emb_pca" -> ((s, dir) => Similarity.embPca(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
+      // Train/apply split via the DsirIndex parquet artifact (trained
+      // once per corpus snapshot, replayed on the incoming batch).
+      "dsir_score_batch" -> ((s, dir) =>
+        TextAnalysis.dsirScoreWith(
+          graft.exts.DsirIndex.scores(s, dir),
+          Dedup.incomingBatch(s, dir))),
       "span_corrupt" -> ((s, dir) => TextAnalysis.spanCorrupt(s, dir)),
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
@@ -2268,37 +2316,33 @@ object PipelineQueries {
       // DSIR importance weights: unigram ppm lean toward the quality-kept
       // target over the top-512 head vocabulary (count DESC, term ASC).
       // The keep verdict CTE family is shared with quality_filter's
-      // oracle, so the target definition cannot drift.
+      // oracle, and the vocab chain with dsir_score_batch's, so neither
+      // the target nor the model definition can drift.
       "dsir_weights" ->
         s"""WITH ${qualitySigCtes("documents")},
-           |kf AS (SELECT doc_id, (reasons = '') AS keep FROM flagged),
-           |tokk AS (SELECT d.doc_id, keep,
+           |$dsirVocabCtes,
+           |${dsirScoreCtes("tokk")}
+           |$dsirScoreSelect""".stripMargin,
+
+      // Train/apply split via the DsirIndex parquet artifact: the score
+      // table trains once per corpus snapshot; the incoming batch (the
+      // lm_score_batch fixture) scores against the persisted table —
+      // values identical to an inline dsirHead.
+      "dsir_score_batch" ->
+        s"""WITH ${qualitySigCtes("documents")},
+           |$dsirVocabCtes,
+           |batch AS (
+           |  SELECT doc_id + 600000 AS doc_id, text FROM documents
+           |  WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 700000 AS doc_id, text || ' qq zz'
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |btok AS (SELECT doc_id,
            |           unnest(regexp_split_to_array(trim(text), '\\s+'))
            |             AS term
-           |         FROM documents d JOIN kf USING (doc_id)),
-           |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS g_cnt,
-           |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-           |            AS t_cnt
-           |        FROM tokk GROUP BY term),
-           |tot AS (SELECT CAST(sum(g_cnt) AS BIGINT) AS g_tot,
-           |          CAST(sum(t_cnt) AS BIGINT) AS t_tot FROM cnt),
-           |vocab AS (SELECT term,
-           |            CAST(t_cnt * 1000000 // greatest(t_tot, 1)
-           |              - g_cnt * 1000000 // greatest(g_tot, 1)
-           |              AS BIGINT) AS s
-           |          FROM cnt CROSS JOIN tot
-           |          ORDER BY g_cnt DESC, term LIMIT ${
-             graft.exts.TextAnalysis.DsirHeadTerms}),
-           |feat AS (SELECT t.doc_id,
-           |           CAST(count(*) AS BIGINT) AS n_terms,
-           |           CAST(count(v.s) AS BIGINT) AS n_feats,
-           |           CAST(coalesce(sum(v.s), 0) AS BIGINT) AS sum_s
-           |         FROM tokk t LEFT JOIN vocab v USING (term)
-           |         GROUP BY t.doc_id)
-           |SELECT doc_id, n_terms, n_feats,
-           |  CAST(sum_s // greatest(n_feats, 1) AS BIGINT) AS dsir_ppm,
-           |  (sum_s // greatest(n_feats, 1)) > 0 AS dsir_keep
-           |FROM feat""".stripMargin,
+           |         FROM batch),
+           |${dsirScoreCtes("btok")}
+           |$dsirScoreSelect""".stripMargin,
 
       // T5 span corruption: per-block deterministic span cut, sentinel
       // in the input, sentinel+words in the target; same block-salted

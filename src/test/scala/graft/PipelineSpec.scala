@@ -2458,6 +2458,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(sawMask, "fixture produced no masked spans at all")
   }
 
+  test("dsir artifact: save/load round-trips; batch scores match inline") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val head = graft.exts.TextAnalysis.dsirHead(docs)
+    val headRows = head.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
+    assert(headRows.nonEmpty)
+    // memoized artifact serves the same model as a fresh training run
+    val memo = graft.exts.DsirIndex.scores(spark, dir).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
+    assert(memo === headRows)
+    // explicit save → load round-trip
+    val p = java.nio.file.Files
+      .createTempDirectory("dsir-artifact-spec").toString
+    graft.exts.DsirIndex.save(head, p)
+    val loaded = graft.exts.DsirIndex.load(spark, p).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
+    assert(loaded === headRows)
+    // scoring a batch against the artifact equals scoring inline
+    val batch = graft.exts.Dedup.incomingBatch(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dsir_ppm"),
+        r.getAs[Boolean]("dsir_keep"))).sortBy(_._1).toSeq
+    assert(key(graft.exts.TextAnalysis.dsirScoreWith(
+        graft.exts.DsirIndex.load(spark, p), batch)) ===
+      key(graft.exts.TextAnalysis.dsirScoreWith(head, batch)))
+  }
+
   test("cluster topics: 5 ranked terms per cell, counts monotone") {
     val rows = Similarity.clusterTopics(spark, dir).collect()
       .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("rank"),
