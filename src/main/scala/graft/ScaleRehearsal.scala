@@ -199,7 +199,29 @@ object ScaleRehearsal {
       "ccnet_sample" -> SparkEntry.queries("ccnet_sample"),
       // dataset card (r11): one fused signal pass + a global aggregate
       // whose exchanges carry 16-byte md5 / categorical keys.
-      "corpus_stats" -> SparkEntry.queries("corpus_stats"))
+      "corpus_stats" -> SparkEntry.queries("corpus_stats"),
+      // contrastive mining (r11): 8 queries broadcast onto one corpus
+      // pass, label predicate fused into the join, TopKPairs finish.
+      "hard_negatives" -> SparkEntry.queries("hard_negatives"),
+      // temperature mixing (r11): one token-stats pass + sources-sized
+      // rate frame + broadcast-join filter pass — corpus never shuffles.
+      "mix_temperature" -> SparkEntry.queries("mix_temperature"),
+      // DSIR (r11): one fused vocab pass (keep verdict row-local) + the
+      // 512-row score table replayed as a map literal — second pass is
+      // row-local; shuffle tracks distinct terms, not docs.
+      "dsir_weights" -> SparkEntry.queries("dsir_weights"),
+      // DSIR apply half (r11): artifact trains once per corpus version;
+      // batch scoring is one row-local map-literal pass.
+      "dsir_score_batch" -> SparkEntry.queries("dsir_score_batch"),
+      // integer scatter matrix (r11): row-local triangle products, the
+      // exchange is dims²·partitions-bounded at any corpus size.
+      "emb_gram" -> SparkEntry.queries("emb_gram"),
+      // top principal component (r11): emb_gram + a metadata-sized
+      // driver power iteration — growth must track emb_gram alone.
+      "emb_pca" -> SparkEntry.queries("emb_pca"),
+      // T5 span corruption (r11): one row-local index-lambda projection,
+      // zero exchanges — growth = scan growth.
+      "span_corrupt" -> SparkEntry.queries("span_corrupt"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =
