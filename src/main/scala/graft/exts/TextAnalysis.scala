@@ -454,18 +454,27 @@ object TextAnalysis {
   def dsirScoreWith(head: DataFrame, batch: DataFrame): DataFrame = {
     val scores: Map[String, Long] = head.collect()
       .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
+    dsirScored(scores, batch)
+      .select(col("doc_id"), col("n_terms"), col("n_feats"),
+        col("dsir_ppm"), col("dsir_keep"))
+  }
+
+  /** The scoring columns themselves, appended to an arbitrary
+    * (… doc_id, text …) frame — single-sourced so the batch scorer and
+    * the streaming floor cannot drift. Entirely row-local (the score map
+    * is a literal), so it rides a streaming query with no new state. */
+  def dsirScored(scores: Map[String, Long], df: DataFrame): DataFrame = {
     val m = typedLit(scores)
     val sv = filter(transform(words(col("text")),
       w => element_at(m, w)), x => x.isNotNull)
-    batch
-      .select(col("doc_id"), size(words(col("text"))).cast("long")
-        .as("n_terms"), sv.as("sv"))
-      .select(col("doc_id"), col("n_terms"),
-        size(col("sv")).cast("long").as("n_feats"),
-        aggregate(col("sv"), lit(0L), (a, x) => a + x).as("sum_s"))
-      .select(col("doc_id"), col("n_terms"), col("n_feats"),
-        expr("sum_s div greatest(n_feats, 1)").as("dsir_ppm"))
+    df
+      .withColumn("n_terms", size(words(col("text"))).cast("long"))
+      .withColumn("sv", sv)
+      .withColumn("n_feats", size(col("sv")).cast("long"))
+      .withColumn("sum_s", aggregate(col("sv"), lit(0L), (a, x) => a + x))
+      .withColumn("dsir_ppm", expr("sum_s div greatest(n_feats, 1)"))
       .withColumn("dsir_keep", col("dsir_ppm") > 0L)
+      .drop("sv", "sum_s")
   }
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =

@@ -64,20 +64,35 @@ object CurationPipeline {
     *   the filter-INTERSECTION deployment the batch filter_agreement
     *   matrix informs; a second row-local verdict riding the same
     *   query, no new state or exchange. */
+  /** @param dsirScores optional importance floor: a TRAINED DSIR score
+    *   table ([[graft.exts.DsirIndex]] / [[TextAnalysis.dsirHead]],
+    *   collected to a map) — in-flight documents must lean toward the
+    *   target distribution (`dsir_ppm > 0`, [[TextAnalysis.dsirScored]]).
+    *   The model is a literal, the probe row-local: a third verdict
+    *   riding the same query with no new state or exchange — the
+    *   train-nightly / gate-at-ingest deployment DSIR ships as. */
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
       watermarkDelay: String = "10 minutes",
       known: Option[KnownCorpus] = None,
       evalSpans: Option[Array[Long]] = None,
-      gopherFloor: Boolean = false): StreamingQuery = {
+      gopherFloor: Boolean = false,
+      dsirScores: Option[Map[String, Long]] = None): StreamingQuery = {
     val c4Kept = TextAnalysis
       .qualitySignals(observed(docs, "funnel_1_raw"))
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
-    val quality =
+    val gKept =
       if (!gopherFloor) c4Kept
       else TextAnalysis.withGopherKeep(c4Kept, minStopHits = 1)
         .filter(col("gopher_keep"))
         .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
+    val quality = dsirScores match {
+      case None => gKept
+      case Some(m) =>
+        TextAnalysis.dsirScored(m, gKept)
+          .filter(col("dsir_keep"))
+          .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
+    }
     val kept0 = evalSpans match {
       case None => quality
       case Some(set) =>

@@ -935,6 +935,46 @@ class StreamSpec extends AnyFunSuite {
     assert(both.size < c4.size)
   }
 
+  test("streaming curation with dsir floor: landed set = quality ∩ importance") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-dsir-src").toString
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ingest_ts_ms", col("doc_id") * 1000L)
+      .write.mode("overwrite").parquet(srcDir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-dsir-out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dsir-ckpt").toString
+    // the trained model: nightly job = dsirHead over the same corpus
+    val scores = graft.exts.TextAnalysis
+      .dsirHead(Tables.load(spark, dir, "documents")).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_ts_ms LONG")
+      .parquet(srcDir)
+    val q = graft.stream.CurationPipeline.run(stream, outDir, ckpt,
+      dsirScores = Some(scores))
+    q.awaitTermination()
+    val landedIds = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch expectation: quality keep ∧ dsir keep (no exact dups here)
+    val src = spark.read.parquet(srcDir)
+    val c4 = graft.exts.TextAnalysis.qualitySignals(src)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dsir = graft.exts.TextAnalysis
+      .dsirScored(scores, src.select(col("doc_id"), col("text")))
+      .filter(col("dsir_keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val both = c4.intersect(dsir)
+    assert(landedIds === both,
+      s"missing=${both.diff(landedIds).take(5)} extra=${landedIds.diff(both).take(5)}")
+    // the importance floor actually bites on this corpus
+    assert(both.size < c4.size)
+  }
+
   test("streaming curation: filter + dedup + sharded sink lands a clean corpus") {
     import org.apache.spark.sql.functions._
     // source corpus on disk: documents ∪ planted exact copies, with a
