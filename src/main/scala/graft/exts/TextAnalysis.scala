@@ -793,25 +793,45 @@ object TextAnalysis {
     * is scanned once, never shuffled, and the trained artifact is reused
     * across any number of batches (training cost amortizes to zero). */
   def bpeEncode(batch: DataFrame, rules: DataFrame,
-      rounds: Int = BpeRounds): DataFrame = {
-    var enc = batch.select(col("doc_id"),
+      rounds: Int = BpeRounds, carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.map(col)
+    var enc = batch.select(col("doc_id") +: keep :+
       concat(lit(" "), concat_ws("  ", words(col("text"))), lit(" "))
-        .as("enc"),
-      size(words(col("text"))).as("n_tokens_before"))
+        .as("enc") :+
+      size(words(col("text"))).as("n_tokens_before"): _*)
     for (r <- 1 to rounds) {
       enc = enc.crossJoin(broadcast(
           rules.filter(col("round") === r)
             .select(col("pa"), col("pb"), col("merged"))))
-        .select(col("doc_id"),
+        .select(col("doc_id") +: keep :+
           expr("replace(enc, ' ' || pa || '  ' || pb || ' '," +
-            " ' ' || merged || ' ')").as("enc"),
-          col("n_tokens_before"))
+            " ' ' || merged || ' ')").as("enc") :+
+          col("n_tokens_before"): _*)
     }
-    enc.select(col("doc_id"), col("n_tokens_before"),
-      size(words(col("enc"))).as("n_tokens_after"),
-      (col("n_tokens_before") - size(words(col("enc")))).as("n_merges"),
-      md5(col("enc")).as("enc_md5"))
+    enc.select(col("doc_id") +: keep :+ col("n_tokens_before") :+
+      size(words(col("enc"))).as("n_tokens_after") :+
+      (col("n_tokens_before") - size(words(col("enc")))).as("n_merges") :+
+      md5(col("enc")).as("enc_md5"): _*)
   }
+
+  /** Tokenizer fertility per language — tokens-per-word ×1000 after the
+    * trained BPE merges are replayed over the WHOLE corpus (≤1000 here,
+    * since word-level merges only shorten; a language the merge table
+    * never learned stays at 1000). This is the multilingual-tokenizer
+    * FAIRNESS metric: a language whose fertility barely moves pays more
+    * context window per sentence than one the vocabulary absorbed, and
+    * the mixing recipe ([[Sampling.mixSources]]) should see that before
+    * training does. One [[bpeEncode]] pass with `lang` carried through
+    * the projection chain (no join back to the corpus) + a langs-sized
+    * aggregate. */
+  def bpeFertility(docs: DataFrame, rules: DataFrame): DataFrame =
+    bpeEncode(docs, rules, carry = Seq("lang"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_before")).as("n_words"),
+        sum(col("n_tokens_after")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000 div n_words").as("fertility_x1000"))
 
   /** Fixed-window chunking: 64 tokens per chunk, 16-token overlap. */
   val ChunkTokens = 64

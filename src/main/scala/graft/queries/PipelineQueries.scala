@@ -474,6 +474,40 @@ object PipelineQueries {
        |$union""".stripMargin
   }
 
+  /** bpe_fertility oracle: train on documents (shared CTEs), replay the
+    * rules over the WHOLE corpus with lang carried, aggregate per
+    * language — tokens-per-word ×1000. */
+  private def bpeFertilityOracleSql: String = {
+    val rounds = TextAnalysis.BpeRounds
+    val applyCtes = (1 to rounds).map { r =>
+      s"""f$r AS MATERIALIZED (
+         |  SELECT doc_id, lang, n_tokens_before,
+         |    replace(enc, ' ' || pa || '  ' || pb || ' ',
+         |            ' ' || merged || ' ') AS enc
+         |  FROM f${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |f0 AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+       |      AS n_tokens_before,
+       |    ' ' || array_to_string(
+       |      regexp_split_to_array(trim(text), '\\s+'), '  ') || ' ' AS enc
+       |  FROM documents),
+       |$applyCtes,
+       |per AS (SELECT lang, n_tokens_before,
+       |          CAST(len(regexp_split_to_array(trim(enc), '\\s+'))
+       |            AS INTEGER) AS n_tokens_after
+       |        FROM f$rounds)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens_before) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tokens_after) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(sum(n_tokens_after) AS BIGINT) * 1000 //
+       |    CAST(sum(n_tokens_before) AS BIGINT) AS BIGINT)
+       |    AS fertility_x1000
+       |FROM per GROUP BY lang""".stripMargin
+  }
+
   /** bpe_encode oracle: train on documents (shared CTEs), then replay the
     * rules in round order over the incoming batch. */
   private def bpeEncodeOracleSql: String = {
@@ -777,6 +811,12 @@ object PipelineQueries {
       // replayed on the incoming batch.
       "bpe_encode" -> ((s, dir) =>
         TextAnalysis.bpeEncode(Dedup.incomingBatch(s, dir),
+          BpeIndex.rules(s, dir))),
+      // Per-language tokens-per-word after the trained merges — the
+      // multilingual tokenizer-fairness metric.
+      "bpe_fertility" -> ((s, dir) =>
+        TextAnalysis.bpeFertility(
+          graft.Tables.load(s, dir, "documents"),
           BpeIndex.rules(s, dir))),
       // Train/apply split via the LmIndex parquet artifact: the model
       // trains once per corpus snapshot; every batch scores against the
@@ -2611,6 +2651,7 @@ object PipelineQueries {
       "bpe_train" -> bpeOracleSql,
 
       "bpe_encode" -> bpeEncodeOracleSql,
+      "bpe_fertility" -> bpeFertilityOracleSql,
 
       // L1 drift in integer ppm over the top-1000-term head vocabulary;
       // the grid is sources × head terms so absent terms still count.
