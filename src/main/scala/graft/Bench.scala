@@ -106,9 +106,14 @@ object Bench {
         val rerunTimes = (1 to passes)
           .map(_ => once(name, SparkEntry.queries(name))).filter(_ >= 0)
         val rerun = if (rerunTimes.nonEmpty) rerunTimes.min else -1.0
+        // If EVERY rerun pass errored there is no replicated figure; the
+        // warm number (flagged unreplicated) still beats shipping the
+        // known-disturbed main figure in the headline (r11 advice).
+        val fallback = if (rerun < 0) ",\"fallback\":\"warm_unreplicated\""
+          else ""
         inconsistent +=
-          s"""{"query":"$name","main":$main,"warm":$warm,"rerun":$rerun}"""
-        if (rerun >= 0) results = results.updated(name, rerun)
+          s"""{"query":"$name","main":$main,"warm":$warm,"rerun":$rerun$fallback}"""
+        results = results.updated(name, if (rerun >= 0) rerun else warm)
       }
     }
     // JSON field ORDER matters downstream: the driver keeps only the last

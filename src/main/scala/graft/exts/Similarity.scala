@@ -894,7 +894,13 @@ object Similarity {
     * DuckDB's double `round`. */
   def embPca(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val gram = embGram(corpus).collect()
+    if (gram.isEmpty)
+      // Empty corpus (or zero-width embeddings): no axes to report. An
+      // empty typed frame beats the max-of-empty-iterator crash here.
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("dim", "var_m", "eigvec_q", "eigval_q")
     val d = gram.iterator.map(_.getAs[Long]("j")).max.toInt + 1
     val mv = Array.ofDim[Long](d, d)
     gram.foreach { r =>
@@ -914,7 +920,6 @@ object Similarity {
     def rnd(x: Double): Long =
       if (x >= 0) math.floor(x + 0.5).toLong
       else -math.floor(-x + 0.5).toLong
-    import spark.implicits._
     (0 until d).map(i =>
         (i.toLong, mv(i)(i), rnd(u(i) / mxf * 1000000d), rnd(mxf)))
       .toDF("dim", "var_m", "eigvec_q", "eigval_q")

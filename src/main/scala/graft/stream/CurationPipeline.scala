@@ -35,13 +35,6 @@ object CurationPipeline {
     * against a few rows, and a negative probe never touches it. */
   final case class KnownCorpus(bloom: BloomFilter, keys: DataFrame)
 
-  /** @param docs streaming frame with at least (doc_id, text,
-    *   ingest_ts_ms); extra columns pass through the filter untouched but
-    *   only (doc_id, text, ingest_ts_ms, shard) reach the sink.
-    * @param known optional at-rest corpus boundary: documents already
-    *   landed are dropped (exactly — sketch-then-verify), so a restarted
-    *   or re-pointed ingest never re-lands history. Within-stream dups
-    *   are still handled by the watermark-bounded dedup state. */
   /** Doc/token counters for one funnel stage, attached via `observe` —
     * Spark's zero-cost streaming-metrics channel: the aggregates ride the
     * existing micro-batch (no second query, no extra scan) and surface
@@ -53,18 +46,27 @@ object CurationPipeline {
       sum(size(split(trim(col("text")), "\\s+")).cast("long"))
         .as("n_tokens"))
 
-  /** @param evalSpans optional decontamination boundary: the eval
+  /** Run the ingest pipeline (one streaming query end-to-end).
+    *
+    * @param docs streaming frame with at least (doc_id, text,
+    *   ingest_ts_ms); extra columns pass through the filter untouched but
+    *   only (doc_id, text, ingest_ts_ms, shard) reach the sink.
+    * @param known optional at-rest corpus boundary: documents already
+    *   landed are dropped (exactly — sketch-then-verify), so a restarted
+    *   or re-pointed ingest never re-lands history. Within-stream dups
+    *   are still handled by the watermark-bounded dedup state.
+    * @param evalSpans optional decontamination boundary: the eval
     *   corpus's span hashes ([[TextAnalysis.evalSpanHashes]]); every
     *   in-flight document is rewritten WITHOUT the word positions its
     *   eval-matching spans cover ([[TextAnalysis.scrubAgainstSet]] — a
     *   stateless codegen'd set probe, so it rides this single query) —
-    *   benchmark leaks never land in the training corpus at all. */
-  /** @param gopherFloor when true, documents must ALSO pass the Gopher
+    *   benchmark leaks never land in the training corpus at all.
+    * @param gopherFloor when true, documents must ALSO pass the Gopher
     *   rule stack ([[TextAnalysis.withGopherKeep]], minStopHits = 1) —
     *   the filter-INTERSECTION deployment the batch filter_agreement
     *   matrix informs; a second row-local verdict riding the same
-    *   query, no new state or exchange. */
-  /** @param dsirScores optional importance floor: a TRAINED DSIR score
+    *   query, no new state or exchange.
+    * @param dsirScores optional importance floor: a TRAINED DSIR score
     *   table ([[graft.exts.DsirIndex]] / [[TextAnalysis.dsirHead]],
     *   collected to a map) — in-flight documents must lean toward the
     *   target distribution (`dsir_ppm > 0`, [[TextAnalysis.dsirScored]]).

@@ -2401,6 +2401,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(pca.exists(p => math.abs(p._3) === 1000000L))
   }
 
+  test("emb pca: empty corpus yields an empty typed frame, not a crash") {
+    import org.apache.spark.sql.functions.col
+    val empty = graft.Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < 0)
+    val out = Similarity.embPca(empty)
+    assert(out.columns.toSeq ===
+      Seq("dim", "var_m", "eigvec_q", "eigval_q"))
+    assert(out.count() === 0L)
+  }
+
   test("span corruption: serial replay matches; spans reconstruct the doc") {
     import org.apache.spark.sql.functions.col
     import graft.exts.TextAnalysis.{SpanBlock, SpanStartMod, SpanWords}
@@ -2469,6 +2479,12 @@ class PipelineSpec extends AnyFunSuite {
     val memo = graft.exts.DsirIndex.scores(spark, dir).collect()
       .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
     assert(memo === headRows)
+    // a "fresh session" (memo dropped) resolves the same deterministic
+    // artifact path and LOADS — same model, no retraining
+    graft.exts.DsirIndex.clear()
+    val fresh = graft.exts.DsirIndex.scores(spark, dir).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("s")).toMap
+    assert(fresh === headRows)
     // explicit save → load round-trip
     val p = java.nio.file.Files
       .createTempDirectory("dsir-artifact-spec").toString
