@@ -43,7 +43,9 @@ object Explain {
       "text_scrub_spans", "decontaminate_scrub", "curation_audit",
       "ccnet_buckets", "gopher_rules", "cluster_balance", "bitext_mine",
       "bitext_mine_lsh", "cluster_topics", "filter_agreement",
-      "ccnet_sample", "corpus_stats", "ann_mrr")
+      "ccnet_sample", "corpus_stats", "ann_mrr",
+      "bm25_retrieve", "knn_graph", "emb_project", "lsh_tune",
+      "mix_epochs")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

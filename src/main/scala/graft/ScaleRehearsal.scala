@@ -221,7 +221,19 @@ object ScaleRehearsal {
       "emb_pca" -> SparkEntry.queries("emb_pca"),
       // T5 span corruption (r11): one row-local index-lambda projection,
       // zero exchanges — growth = scan growth.
-      "span_corrupt" -> SparkEntry.queries("span_corrupt"))
+      "span_corrupt" -> SparkEntry.queries("span_corrupt"),
+      // BM25 retrieval (r12): postings built in one scan+explode+agg;
+      // candidates bounded by Σ_queryterm df(term); TopKPairs finish —
+      // growth tracks the postings build, ~linear in tokens.
+      "bm25_retrieve" -> SparkEntry.queries("bm25_retrieve"),
+      // whole-corpus kNN graph (r12): within-ADAPTIVE-bucket self-join
+      // (the dedup_embedding width knob), TopKPairs per node, edge-list
+      // checkpoint + co-partitioned mutual join — candidate volume and
+      // edge count both ~linear in n.
+      "knn_graph" -> SparkEntry.queries("knn_graph"),
+      // JL sign projection (r12): one row-local nested-lambda projection,
+      // zero exchanges — growth = scan growth.
+      "emb_project" -> SparkEntry.queries("emb_project"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

@@ -928,6 +928,55 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_sim"))
   }
 
+  /** The (band, rows) divisor family of [[NumHashes]] evaluated by
+    * [[lshTune]] — every power-of-two split of the 64-signature budget,
+    * so both chain selections resolve by repeated squaring. */
+  private[graft] val LshTuneRs: Seq[Int] =
+    (0 to 6).map(1 << _) // 1, 2, 4, 8, 16, 32, 64
+
+  /** LSH band/row tuner: the S-curve `detect = 1 − (1 − s^r)^b` for every
+    * power-of-two (bands b, rows r) split of the [[NumHashes]]-signature
+    * budget, over Jaccard similarities 5%..95% — the table an operator
+    * reads to pick (b, r) for a target near-dup threshold before running
+    * [[minhashLshPairs]] at corpus scale (more rows per band ⇒ sharper
+    * knee further right; the deployed 16×4 config is flagged).
+    *
+    * All fixed-point: s as ppm, s^r and (1−s^r)^b by repeated SQUARING
+    * with a floor division at every step (`p₂ₖ = pₖ² div 10⁶`) — the
+    * same chain evaluated in the same order on both engines, so the
+    * probabilities are engine-exact integers where a float `pow` could
+    * differ in the last bit. Powers of two only, which is why
+    * [[LshTuneRs]] is the divisor family. Pure parameter-plane
+    * arithmetic: a few hundred rows regardless of corpus size. */
+  def lshTune(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val grid = LshTuneRs
+      .map(r => (r.toLong, (NumHashes / r).toLong)).toDF("r", "b")
+      .crossJoin(spark.range(1, 20).select((col("id") * 5).as("s_pct")))
+    val withP = (1 to 6).foldLeft(
+        grid.withColumn("p1", col("s_pct") * 10000L)) { (df, k) =>
+      df.withColumn(s"p${1 << k}",
+        expr(s"(p${1 << (k - 1)} * p${1 << (k - 1)}) div 1000000"))
+    }
+    val pSel = "CASE r " +
+      LshTuneRs.map(r => s"WHEN $r THEN p$r").mkString(" ") + " END"
+    val withQ = (1 to 6).foldLeft(
+        withP.withColumn("p_ppm", expr(pSel))
+          .withColumn("q1", lit(1000000L) - col("p_ppm"))) { (df, k) =>
+      df.withColumn(s"q${1 << k}",
+        expr(s"(q${1 << (k - 1)} * q${1 << (k - 1)}) div 1000000"))
+    }
+    val qSel = "CASE b " +
+      LshTuneRs.map(b => s"WHEN $b THEN q$b").mkString(" ") + " END"
+    withQ
+      .withColumn("detect_ppm", lit(1000000L) - expr(qSel))
+      .withColumn("deployed",
+        when(col("b") === NumBands &&
+          col("r") === NumHashes / NumBands, 1L).otherwise(0L))
+      .select(col("b"), col("r"), col("s_pct"), col("p_ppm"),
+        col("detect_ppm"), col("deployed"))
+  }
+
   /** ORACLE-GATED MinHash band-bucketing: the same 16-band/4-row LSH
     * shape as [[minhashLshPairs]], built on the SQL-mirrorable
     * polynomial signature ([[graft.functions.MinHashSigPoly]]) and

@@ -214,6 +214,61 @@ object Sampling {
   def mixTemperature(spark: SparkSession, dir: String): DataFrame =
     mixTemperature(Tables.load(spark, dir, "documents"))
 
+  /** Training budget assumed by [[mixEpochs]], as a multiple ×1000 of the
+    * weighted corpus's total tokens — 4× forces the repetition question
+    * the planner exists to answer. */
+  val EpochBudgetX1000 = 4000L
+
+  /** Epochs of repetition that are "nearly free": beyond ~4 passes over
+    * the same data, additional epochs return rapidly diminishing value
+    * (Muennighoff et al., "Scaling Data-Constrained Language Models",
+    * 2023) — the planner flags every source pushed past that knee. */
+  val FreeEpochsX1000 = 4000L
+
+  /** Token-budget epoch planner — the data-constrained scaling question:
+    * given the target mixture and a training budget of
+    * [[EpochBudgetX1000]]‰ × total weighted tokens, how many EPOCHS of
+    * each source does realizing the mixture require, and which sources
+    * get repeated past the ~4-epoch point of diminishing returns? Where
+    * [[mixSources]] answers "largest feasible scale with NO upsampling",
+    * this answers the complementary deployment question once the budget
+    * is fixed and repetition is on the table.
+    *
+    * Per source: desired = budget·w div Σw; epochs‰ = desired·1000 div
+    * tokens; repeat_excess = max(desired − tokens, 0) (the tokens that
+    * must come from repetition); beyond_free = 1 iff epochs‰ >
+    * [[FreeEpochsX1000]]. All integer arithmetic.
+    *
+    * Scale shape: one token-stats pass (hash aggregate, map-side
+    * combined); everything after is arithmetic over the sources-sized
+    * frame (global sums as windows over that tiny frame, the
+    * [[mixSources]] pattern — never a second corpus pass). */
+  def mixEpochs(docs: DataFrame,
+      weights: Seq[(String, Long)] = DefaultMixWeights): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF("lang", "w")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs.select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
+      .join(broadcast(wdf), "lang")
+      .withColumn("w_sum", sum(col("w")).over(all))
+      .withColumn("budget",
+        expr(s"(sum(t) OVER () * $EpochBudgetX1000) div 1000"))
+      .withColumn("desired_tokens", expr("(budget * w) div w_sum"))
+      .withColumn("epochs_x1000", expr("(desired_tokens * 1000) div t"))
+      .withColumn("repeat_excess", expr("greatest(desired_tokens - t, 0L)"))
+      .withColumn("beyond_free",
+        when(col("epochs_x1000") > FreeEpochsX1000, 1L).otherwise(0L))
+      .select(col("lang"), col("t").as("n_tokens"),
+        col("w").as("weight_x1000"), col("budget"), col("desired_tokens"),
+        col("epochs_x1000"), col("repeat_excess"), col("beyond_free"))
+  }
+
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame =
+    mixEpochs(Tables.load(spark, dir, "documents"))
+
   /** Shard assignment for training-data export: the id hash (same family
     * as [[hashBucket]]) maps every document to one of `nShards` shards —
     * deterministic, order-independent, and balanced in expectation, so

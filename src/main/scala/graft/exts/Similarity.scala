@@ -146,6 +146,101 @@ object Similarity {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegatives(Tables.load(spark, dir, "embeddings"))
 
+  /** Default kNN-graph degree (neighbors kept per node). */
+  val KnnGraphK = 3
+
+  /** k-nearest-neighbor graph over the WHOLE corpus — the structure
+    * SemDeDup-style pruning, graph-based clustering, and label
+    * propagation consume. Every node gets its top-k cosine neighbors
+    * within its adaptive sign bucket, plus a `mutual` flag (1 iff the
+    * reverse edge also made its endpoint's top-k — mutual-kNN edges are
+    * the high-precision subset a dedup/cluster consumer keeps first).
+    *
+    * Scale shape: unlike the search queries (bounded query set broadcast
+    * onto one corpus pass), EVERY node is a query here, so the candidate
+    * stage is a within-bucket SELF-join — [[adaptiveBucketBits]] holds
+    * expected bucket occupancy ~constant (bits ∝ log₂ n), keeping total
+    * candidate volume linear in n instead of quadratic. The exact finish
+    * is the bounded [[graft.functions.TopKPairs]] hash aggregate (map-side
+    * partial: ≤k rows per node per mapper — n groups is exactly what a
+    * hash aggregate is for; no per-node sort window). The edge list is
+    * localCheckpoint'ed before the mutual self-join: at toy scale the
+    * materialization costs more than recomputing, but the edge frame is
+    * 24 bytes × n·k while the candidate scoring it would otherwise
+    * recompute is the dominant stage — at corpus scale the checkpoint
+    * halves the heavy work, so the trade goes the other way (same
+    * deliberate choice as ivf_pq_refine's shortlist). */
+  def knnGraph(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame =
+    knnGraphOver(corpus0, adaptiveBucketBits(corpus0.count()), k)
+
+  /** [[knnGraph]]'s core at an explicit bucket width. */
+  private[graft] def knnGraphOver(corpus0: DataFrame, bits: Int,
+      k: Int): DataFrame = {
+    val b = corpus0.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", signBucketBits(col("embedding"), bits))
+    val left = b.select(col("bucket"), col("vec_id").as("query_id"),
+      col("embedding").as("emb_q"))
+    val right = b.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_n"))
+    val edges = topKByCosine(
+      left.join(right.hint("shuffle_hash"), "bucket")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", cosine(col("emb_q"), col("emb_n"))),
+      k).localCheckpoint()
+    val rev = edges.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), lit(1L).as("mutual"))
+    edges.join(rev.hint("shuffle_hash"),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("dst_id"), col("rank"),
+        coalesce(col("mutual"), lit(0L)).as("mutual"))
+  }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.load(spark, dir, "embeddings"))
+
+  /** Johnson–Lindenstrauss output width for [[embProject]]. */
+  val ProjectDims = 16
+
+  /** Random-sign (Achlioptas) projection of the embedding column to
+    * [[ProjectDims]] dimensions — the cheap dimensionality reduction an
+    * ANN deployment runs BEFORE indexing when the raw dimension is the
+    * cost driver (distance work and code sizes all scale with d; a ±1
+    * projection preserves pairwise cosine structure within the JL
+    * distortion bound without training anything, unlike [[embPca]]).
+    *
+    * The sign matrix is never materialized: sign(i, j) is a deterministic
+    * LCG-parity hash of the flat index, evaluated inline on both engines,
+    * and inputs are the ×10000-quantized integers [[embGram]] established
+    * — so the projected coordinates are exact integers and the oracle
+    * compare is bit-for-bit.
+    *
+    * Scale shape: one row-local codegen'd projection (nested higher-order
+    * functions over the array — no explode, no shuffle, no UDF); output
+    * is posexploded to (vec_id, dim_out, proj_q) rows. */
+  def embProject(corpus: DataFrame): DataFrame = {
+    val d = ProjectDims
+    // sign(i,j) = parity of bits 16.. of an LCG over the flat index
+    // i·d + j (drop the low LCG bits — their period is tiny);
+    // q_i = round(x_i · 10000) as BIGINT, the embGram quantization.
+    val proj = expr(
+      s"""transform(sequence(0, ${d - 1}), j ->
+         |  aggregate(sequence(0, size(ql) - 1), 0L, (acc, i) ->
+         |    acc + (CASE WHEN ((1103515245L * (CAST(i AS BIGINT) * ${d}L
+         |                         + CAST(j AS BIGINT)) + 12345L)
+         |                      div 65536L) % 2L = 0L
+         |           THEN 1L ELSE -1L END) * ql[i]))""".stripMargin)
+    corpus.select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")
+        .as("ql"))
+      .select(col("vec_id"), posexplode(proj))
+      .select(col("vec_id"), col("pos").cast("long").as("dim_out"),
+        col("col").as("proj_q"))
+  }
+
+  def embProject(spark: SparkSession, dir: String): DataFrame =
+    embProject(Tables.load(spark, dir, "embeddings"))
+
   /** LSH-bucketed ANN over an arbitrary corpus: candidates restricted to
     * the query's sign bucket — the scale path. Rank is within-bucket. */
   def lshTopK(corpus0: DataFrame, maxQueryId: Long, k: Int): DataFrame = {

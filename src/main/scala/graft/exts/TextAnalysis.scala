@@ -146,6 +146,83 @@ object TextAnalysis {
         col("top.tf").as("tf"), col("top.df").as("df"),
         col("top.score").as("score"))
 
+  /** BM25 integer fixed-point constants: k1 = 1.2 and b = 0.75 from the
+    * Okapi defaults, carried as ×1000 integers so the whole score is
+    * engine-exact (no `ln` / float division whose last-bit rounding could
+    * differ between Spark and the DuckDB oracle). */
+  val Bm25K1x1000 = 1200L
+  val Bm25Bx1000 = 750L
+
+  /** BM25 top-k retrieval of query documents against the corpus — the
+    * retrieval primitive a training-data pipeline uses for
+    * retrieval-based decontamination, targeted data selection ("find
+    * corpus documents like this eval set"), and RAG-style indexing.
+    * Queries are the documents with `doc_id < maxQueryId` (their DISTINCT
+    * terms — unit query-term weight, the k3→∞ simplification of full
+    * Okapi); candidates are every other document sharing ≥1 term.
+    *
+    * Scoring is the Okapi BM25 shape in integer fixed-point:
+    *  - idf_x1000  = (2·(N − df) + 1)·1000 div (2·df + 1) — the Robertson
+    *    idf's argument ((N − df + 0.5)/(df + 0.5)) kept as a rational
+    *    ×1000 instead of passing through `ln`: monotone in the real idf,
+    *    so rankings agree where it matters and the integer compares
+    *    exactly across engines.
+    *  - K_x1000    = k1·((1−b) + b·dl/avgdl) ×1000, all floor divisions.
+    *  - tfnorm_x1000 = tf·(k1+1)·1000² div (tf·1000 + K_x1000) ×1000.
+    *  - per-term contribution = idf_x1000 · tfnorm_x1000 div 1000,
+    *    summed per (query, doc).
+    *
+    * Scale shape: postings (doc, term, tf, dl) are built in ONE
+    * scan+explode+aggregate pass (dl rides the groupBy as max(dl) — no
+    * second scan, no doc-keyed join); df is vocabulary-sized and
+    * broadcast onto the postings; the query term set is tiny and
+    * broadcast, so candidate volume is Σ_queryterm df(term) — the
+    * inverted-index bound, never the corpus. The exact top-k finish is
+    * the bounded [[graft.functions.TopKPairs]] aggregate (≤k rows per
+    * query per mapper), the same no-corpus-through-one-task shape as
+    * [[Similarity.bruteTopK]]. */
+  def bm25Retrieve(docs: DataFrame, maxQueryId: Long = 8,
+      k: Int = 10): DataFrame = {
+    val withDl = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val tf = withDl.select(col("doc_id"), col("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("n_tokens"))
+      .withColumn("avgdl_x1000", expr("n_tokens * 1000 div n_docs"))
+    val qterms = withDl.filter(col("doc_id") < maxQueryId)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("ws"))).as("term"))
+    // query-term semi-filter FIRST: only the Σ_queryterm df(term)
+    // candidate postings flow on into the vocabulary df join
+    val contrib = tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfr), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("k_x1000", expr(
+        s"($Bm25K1x1000 * ((1000 - $Bm25Bx1000) + " +
+        s"($Bm25Bx1000 * dl * 1000) div avgdl_x1000)) div 1000"))
+      .withColumn("tfnorm_x1000", expr(
+        s"(tf * ${Bm25K1x1000 + 1000} * 1000) div (tf * 1000 + k_x1000)"))
+      .withColumn("idf_x1000",
+        expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("c", expr("(idf_x1000 * tfnorm_x1000) div 1000"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k_pairs(
+        col("score"), col("doc_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.payload").as("doc_id"),
+        (col("pos") + 1).as("rank"), col("col.ord").as("score"))
+  }
+
+  def bm25Retrieve(spark: SparkSession, dir: String): DataFrame =
+    bm25Retrieve(Tables.load(spark, dir, "documents"))
+
   /** Corpus-level document-frequency head: the `topN` terms appearing in
     * the most documents (df = docs containing the term, not total
     * occurrences). Deterministic order: df desc, term asc. */

@@ -634,6 +634,8 @@ object PipelineQueries {
         TextAnalysis.piiRedact(TextAnalysis.corpusWithPii(s, dir))),
       "mix_sources" -> ((s, dir) => Sampling.mixSources(s, dir)),
       "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(s, dir)),
+      "mix_epochs" -> ((s, dir) => Sampling.mixEpochs(s, dir)),
+      "lsh_tune" -> ((s, _) => Dedup.lshTune(s)),
       "shard_manifest" -> ((s, dir) => Sampling.shardManifest(s, dir)),
       // end-to-end curation over documents ∪ planted exact copies: the
       // dedup stage must collapse every planted copy for the per-lang
@@ -791,6 +793,8 @@ object PipelineQueries {
       // steps; d×d matrix is metadata)
       "emb_gram" -> ((s, dir) => Similarity.embGram(s, dir)),
       "emb_pca" -> ((s, dir) => Similarity.embPca(s, dir)),
+      "emb_project" -> ((s, dir) => Similarity.embProject(s, dir)),
+      "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
       // Train/apply split via the DsirIndex parquet artifact (trained
@@ -801,6 +805,7 @@ object PipelineQueries {
           Dedup.incomingBatch(s, dir))),
       "span_corrupt" -> ((s, dir) => TextAnalysis.spanCorrupt(s, dir)),
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
+      "bm25_retrieve" -> ((s, dir) => TextAnalysis.bm25Retrieve(s, dir)),
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
@@ -1319,6 +1324,73 @@ object PipelineQueries {
            |  CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
            |  CAST(coalesce(n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
            |FROM rates LEFT JOIN kept USING (lang)""".stripMargin,
+
+      // Budget/epoch planner: same weights table, one global-stats CTE,
+      // then pure integer arithmetic; the 4000‰ budget and free-epoch
+      // knee render from the Sampling constants.
+      "mix_epochs" ->
+        s"""WITH w(lang, wt) AS (VALUES ${Sampling.DefaultMixWeights
+             .map { case (l, v) => s"('$l', $v)" }.mkString(", ")}),
+           |tok AS (SELECT lang,
+           |          CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |            AS BIGINT) AS n_tokens
+           |        FROM documents),
+           |stats AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+           |          FROM tok GROUP BY lang),
+           |sw AS (SELECT s.lang, t, CAST(wt AS BIGINT) AS wt
+           |       FROM stats s JOIN w USING (lang)),
+           |tot AS (SELECT CAST(sum(t) AS BIGINT) AS t_all,
+           |          CAST(sum(wt) AS BIGINT) AS w_sum
+           |        FROM sw),
+           |y AS (SELECT lang, t, wt,
+           |        (t_all * ${Sampling.EpochBudgetX1000}) // 1000 AS budget,
+           |        ((t_all * ${Sampling.EpochBudgetX1000}) // 1000 * wt)
+           |          // w_sum AS desired_tokens
+           |      FROM sw CROSS JOIN tot)
+           |SELECT lang, t AS n_tokens, wt AS weight_x1000, budget,
+           |  desired_tokens,
+           |  CAST((desired_tokens * 1000) // t AS BIGINT) AS epochs_x1000,
+           |  CAST(greatest(desired_tokens - t, 0) AS BIGINT)
+           |    AS repeat_excess,
+           |  CAST(CASE WHEN (desired_tokens * 1000) // t
+           |              > ${Sampling.FreeEpochsX1000}
+           |       THEN 1 ELSE 0 END AS BIGINT) AS beyond_free
+           |FROM y""".stripMargin,
+
+      // LSH S-curve tuner: the squaring chains render from the same
+      // LshTuneRs constant as the engine, one floor division per step in
+      // the same order — engine-exact fixed-point, no float pow.
+      "lsh_tune" -> {
+        val pChain = (1 to 6).map(k =>
+          s"c$k AS (SELECT *, (p${1 << (k - 1)} * p${1 << (k - 1)}) " +
+          s"// 1000000 AS p${1 << k} FROM c${k - 1})").mkString(",\n")
+        val qChain = (1 to 6).map(k =>
+          s"d$k AS (SELECT *, (q${1 << (k - 1)} * q${1 << (k - 1)}) " +
+          s"// 1000000 AS q${1 << k} FROM d${k - 1})").mkString(",\n")
+        val pCase = Dedup.LshTuneRs.map(r => s"WHEN $r THEN p$r")
+          .mkString(" ")
+        val qCase = Dedup.LshTuneRs.map(b => s"WHEN $b THEN q$b")
+          .mkString(" ")
+        s"""WITH rs(r0) AS (VALUES ${Dedup.LshTuneRs
+             .map(r => s"($r)").mkString(", ")}),
+           |g AS (SELECT CAST(r0 AS BIGINT) AS r,
+           |        CAST(${Dedup.NumHashes} // r0 AS BIGINT) AS b,
+           |        CAST(s AS BIGINT) * 5 AS s_pct
+           |      FROM rs, (SELECT unnest(generate_series(1, 19)) AS s) t),
+           |c0 AS (SELECT *, s_pct * 10000 AS p1 FROM g),
+           |$pChain,
+           |ps AS (SELECT r, b, s_pct,
+           |         CAST(CASE r $pCase END AS BIGINT) AS p_ppm
+           |       FROM c6),
+           |d0 AS (SELECT *, 1000000 - p_ppm AS q1 FROM ps),
+           |$qChain
+           |SELECT b, r, s_pct, p_ppm,
+           |  CAST(1000000 - (CASE b $qCase END) AS BIGINT) AS detect_ppm,
+           |  CAST(CASE WHEN b = ${Dedup.NumBands}
+           |             AND r = ${Dedup.NumHashes / Dedup.NumBands}
+           |       THEN 1 ELSE 0 END AS BIGINT) AS deployed
+           |FROM d6""".stripMargin
+      },
 
       // mix_sources' rate law with the weight DERIVED from source size:
       // w = floor(sqrt(tokens)) — τ=2 temperature sampling. IEEE sqrt is
@@ -2272,6 +2344,48 @@ object PipelineQueries {
           |      FROM s)
           |WHERE rn = 1""".stripMargin,
 
+      // BM25 in integer fixed-point: the idf is the Robertson argument
+      // kept rational (×1000, no ln), k1/b are the ×1000 Okapi defaults
+      // rendered from the Scala constants so the two sides can't drift.
+      "bm25_retrieve" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           |  FROM documents),
+           |tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+           |          unnest(ws) AS term FROM d),
+           |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           |       FROM tok GROUP BY 1, 2),
+           |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |st AS (SELECT count(*) AS n_docs,
+           |         (CAST(sum(len(ws)) AS BIGINT) * 1000) // count(*)
+           |           AS avgdl_x1000
+           |       FROM d),
+           |q AS (SELECT doc_id AS query_id,
+           |        unnest(list_distinct(ws)) AS term
+           |      FROM d WHERE doc_id < 8),
+           |c AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |    (((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1))
+           |      * ((tf * ${TextAnalysis.Bm25K1x1000 + 1000} * 1000)
+           |         // (tf * 1000
+           |             + (${TextAnalysis.Bm25K1x1000}
+           |                * ((1000 - ${TextAnalysis.Bm25Bx1000})
+           |                   + (${TextAnalysis.Bm25Bx1000} * dl * 1000)
+           |                     // avgdl_x1000)) // 1000))
+           |      // 1000 AS contrib
+           |  FROM tf JOIN dfr USING (term) JOIN q USING (term)
+           |  CROSS JOIN st
+           |  WHERE tf.doc_id <> q.query_id),
+           |s AS (SELECT query_id, doc_id,
+           |        CAST(sum(contrib) AS BIGINT) AS score
+           |      FROM c GROUP BY 1, 2)
+           |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+           |FROM (SELECT query_id, doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY score DESC, doc_id) AS rank
+           |      FROM s)
+           |WHERE rank <= 10""".stripMargin,
+
       "text_rarity" ->
         """WITH tok AS (
           |  SELECT doc_id,
@@ -3123,6 +3237,63 @@ object PipelineQueries {
       "emb_gram" ->
         s"""WITH $gramCtes
            |SELECT i, j, sxy, m FROM ct""".stripMargin,
+
+      // JL random-sign projection: the sign is an LCG-parity hash of the
+      // flat index i·d + j (0-based i to match Spark's 0-based arrays;
+      // DuckDB lists are 1-based, hence embedding[i + 1]); inputs are the
+      // shared ×10000 quantization, so every output is an exact integer.
+      "emb_project" ->
+        s"""WITH q AS (
+           |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+           |    CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+           |         * 10000) AS BIGINT) AS ql
+           |  FROM embeddings,
+           |    LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1))
+           |             AS i) t)
+           |SELECT vec_id,
+           |  CAST(j AS BIGINT) AS dim_out,
+           |  CAST(sum((CASE WHEN ((1103515245 * (i * ${Similarity.ProjectDims}
+           |                         + j) + 12345) // 65536) % 2 = 0
+           |            THEN 1 ELSE -1 END) * ql) AS BIGINT) AS proj_q
+           |FROM q, LATERAL (SELECT
+           |    unnest(generate_series(0,
+           |      CAST(${Similarity.ProjectDims - 1} AS BIGINT))) AS j) s
+           |GROUP BY vec_id, j""".stripMargin,
+
+      // Whole-corpus kNN graph within the SAME adaptive sign bucket the
+      // engine derives (bits CTE = dedup_embedding's), ranked by cosine
+      // with the engine's (cos DESC, dst ASC) tie-break; mutual = the
+      // reverse edge also survived its endpoint's top-k.
+      "knn_graph" ->
+        s"""WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
+           |p AS (SELECT coalesce(min(b), ${Similarity.MaxBucketBits}) AS bits
+           |      FROM (SELECT unnest(range(${Similarity.BucketBits},
+           |                               ${Similarity.MaxBucketBits + 1})) AS b), n
+           |      WHERE n_corpus <= ${Similarity.TargetCellVectors}
+           |                        * (CAST(1 AS BIGINT) << b)),
+           |bkt AS (SELECT vec_id, embedding,
+           |    CAST(list_sum(list_transform(range(1, bits + 1),
+           |      k -> CASE WHEN embedding[k] >= 0
+           |                THEN CAST(1 AS BIGINT) << (k - 1)
+           |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+           |  FROM embeddings CROSS JOIN p),
+           |cand AS (
+           |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+           |    list_cosine_similarity(x.embedding, y.embedding) AS cos
+           |  FROM bkt x JOIN bkt y
+           |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+           |e AS (
+           |  SELECT src_id, dst_id, CAST(rn AS INTEGER) AS rank
+           |  FROM (SELECT src_id, dst_id,
+           |          row_number() OVER (PARTITION BY src_id
+           |            ORDER BY cos DESC, dst_id) AS rn
+           |        FROM cand)
+           |  WHERE rn <= ${Similarity.KnnGraphK})
+           |SELECT e.src_id, e.dst_id, e.rank,
+           |  CAST(CASE WHEN r.src_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |    AS mutual
+           |FROM e LEFT JOIN e r
+           |  ON r.src_id = e.dst_id AND r.dst_id = e.src_id""".stripMargin,
 
       // Power iteration on the emb_gram matrix: exactly PcaIterations
       // steps from all-ones, max-abs normalization, left-to-right matvec

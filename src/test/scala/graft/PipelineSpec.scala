@@ -2401,6 +2401,163 @@ class PipelineSpec extends AnyFunSuite {
     assert(pca.exists(p => math.abs(p._3) === 1000000L))
   }
 
+  test("bm25: serial integer replay matches; self excluded; copies rank first") {
+    import org.apache.spark.sql.functions.col
+    import graft.exts.TextAnalysis.{Bm25K1x1000, Bm25Bx1000}
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+    val nDocs = docs.size.toLong
+    val avgdlX1000 = docs.valuesIterator.map(_.size.toLong).sum * 1000 / nDocs
+    val tf = docs.map { case (id, ws) =>
+      id -> ws.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dfr = tf.valuesIterator.flatMap(_.keysIterator).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def score(q: Long, d: Long): Long =
+      docs(q).distinct.iterator.map { t =>
+        tf(d).get(t).fold(0L) { f =>
+          val dl = docs(d).size.toLong
+          val kX1000 = (Bm25K1x1000 * ((1000 - Bm25Bx1000) +
+            (Bm25Bx1000 * dl * 1000) / avgdlX1000)) / 1000
+          val tfn = (f * (Bm25K1x1000 + 1000) * 1000) / (f * 1000 + kX1000)
+          val idf = ((2 * (nDocs - dfr(t)) + 1) * 1000) / (2 * dfr(t) + 1)
+          (idf * tfn) / 1000
+        }
+      }.sum
+    val got = graft.exts.TextAnalysis.bm25Retrieve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // no self-retrieval, ranks dense from 1, scores match the replay
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+      rows.foreach { case (_, d, _, s) =>
+        assert(d !== q)
+        assert(s === score(q, d), s"score($q,$d)")
+      }
+      // the engine's top-k really is the k best: no unreported candidate
+      // beats the reported cutoff (ties broken by doc_id like the engine)
+      val cutoff = rows.maxBy(_._3)
+      val reported = rows.map(_._2).toSet
+      docs.keysIterator.filter(d => d != q && !reported(d)).foreach { d =>
+        val s = score(q, d)
+        assert(s < cutoff._4 || (s == cutoff._4 && d > cutoff._2),
+          s"unreported $d (score $s) beats cutoff ${cutoff._4}")
+      }
+    }
+  }
+
+  test("knn graph: serial within-bucket replay matches; mutual edges symmetric") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val bits = Similarity.adaptiveBucketBits(emb.length.toLong)
+    def bucket(v: Array[Float]): Long =
+      (0 until bits).map(i => if (v(i) >= 0f) 1L << i else 0L).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byBucket = emb.groupBy { case (_, v) => bucket(v) }
+    val expect = emb.flatMap { case (id, v) =>
+      byBucket(bucket(v)).filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(Similarity.KnnGraphK).zipWithIndex
+        .map { case ((nid, _), i) => (id, nid, i + 1) }
+    }.toSet
+    val got = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSet === expect)
+    val edgeSet = got.map(t => (t._1, t._2)).toSet
+    got.foreach { case (s, d0, _, m) =>
+      assert((m == 1L) === edgeSet.contains((d0, s)), s"mutual($s,$d0)")
+    }
+    assert(got.exists(_._4 == 1L), "no mutual edges at all is implausible")
+  }
+
+  test("emb project: serial LCG-sign replay matches; projection is linear") {
+    import org.apache.spark.sql.functions.col
+    val d = Similarity.ProjectDims
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000)).toArray)
+    def sign(i: Int, j: Int): Long =
+      if (((1103515245L * (i.toLong * d + j) + 12345L) / 65536L) % 2L == 0L)
+        1L else -1L
+    val expect = emb.flatMap { case (id, q) =>
+      (0 until d).map(j =>
+        (id, j.toLong, q.indices.map(i => sign(i, j) * q(i)).sum))
+    }.toSet
+    val got = Similarity.embProject(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    // both signs occur in the hash matrix (a degenerate all-+1 matrix
+    // would still pass the replay)
+    val signs = for (i <- 0 until 64; j <- 0 until d) yield sign(i, j)
+    assert(signs.contains(1L) && signs.contains(-1L))
+  }
+
+  test("lsh tune: serial fixed-point replay; deployed knee sharper than 1-row bands") {
+    val rows = Dedup.lshTune(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def sq(chain: Long, steps: Int): Long =
+      (1 to steps).foldLeft(chain)((p, _) => p * p / 1000000L)
+    assert(rows.size === 7 * 19)
+    rows.foreach { case ((b, r, s), (pPpm, detPpm, dep)) =>
+      val p = sq(s * 10000L, java.lang.Long.numberOfTrailingZeros(r))
+      val det =
+        1000000L - sq(1000000L - p, java.lang.Long.numberOfTrailingZeros(b))
+      assert(pPpm === p, s"p(b=$b,r=$r,s=$s)")
+      assert(detPpm === det, s"detect(b=$b,r=$r,s=$s)")
+      assert((dep == 1L) === (b == Dedup.NumBands.toLong &&
+        r == (Dedup.NumHashes / Dedup.NumBands).toLong))
+    }
+    // the deployed 16×4 config suppresses low-similarity false positives
+    // that 64×1 banding admits, while still catching true near-dups
+    def det(b: Long, r: Long, s: Long) = rows((b, r, s))._2
+    assert(det(16, 4, 20) < det(64, 1, 20) / 10)
+    assert(det(16, 4, 90) > 900000L)
+    // detect is monotone in similarity for every config
+    rows.keys.map(k => (k._1, k._2)).foreach { case (b, r) =>
+      val curve = (1 to 19).map(i => det(b, r, i * 5L))
+      assert(curve === curve.sorted, s"non-monotone at b=$b r=$r")
+    }
+  }
+
+  test("mix epochs: budget splits by weight; repetition flagged past the knee") {
+    import org.apache.spark.sql.functions.col
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = Sampling.DefaultMixWeights.toMap
+    val tAll = w.keysIterator.map(toks).sum
+    val budget = tAll * Sampling.EpochBudgetX1000 / 1000
+    val wSum = w.valuesIterator.sum
+    val got = Sampling.mixEpochs(spark, dir).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.keySet === w.keySet)
+    got.foreach { case (lang, (t, b, desired, epochs, excess, beyond)) =>
+      assert(t === toks(lang))
+      assert(b === budget)
+      assert(desired === budget * w(lang) / wSum)
+      assert(epochs === desired * 1000 / t)
+      assert(excess === math.max(desired - t, 0L))
+      assert((beyond == 1L) === (epochs > Sampling.FreeEpochsX1000))
+    }
+    // a 4× budget must force SOME source past one epoch of its own data
+    assert(got.valuesIterator.exists(_._5 > 0L))
+  }
+
   test("emb pca: empty corpus yields an empty typed frame, not a crash") {
     import org.apache.spark.sql.functions.col
     val empty = graft.Tables.load(spark, dir, "embeddings")

@@ -62,10 +62,14 @@ class PlanGuardSpec extends AnyFunSuite {
     *    corpus stats subtree.
     *  - mix_temperature: the same global min over the same per-SOURCE
     *    aggregate (rows = #sources, ~20) — identical reduced-frame shape.
+    *  - mix_epochs: global token/weight sums over the per-language
+    *    aggregate (rows = #weighted languages, 4) — the same reduced
+    *    frame as mix_sources, two sums instead of a min.
     * (maintenance_budget left this list in r8: its global running sum is
     * now a range-partitioned two-level prefix sum with a triangle join
     * for the ≤16 chunk offsets — no global window even over metadata.) */
-  private val globalWindowJustified = Set("mix_sources", "mix_temperature")
+  private val globalWindowJustified =
+    Set("mix_sources", "mix_temperature", "mix_epochs")
 
   test("no partition-less Window over unreduced input (one-task global sort)") {
     // A Window with an empty partitionSpec moves its ENTIRE input through
