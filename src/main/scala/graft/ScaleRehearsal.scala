@@ -233,7 +233,17 @@ object ScaleRehearsal {
       "knn_graph" -> SparkEntry.queries("knn_graph"),
       // JL sign projection (r12): one row-local nested-lambda projection,
       // zero exchanges — growth = scan growth.
-      "emb_project" -> SparkEntry.queries("emb_project"))
+      "emb_project" -> SparkEntry.queries("emb_project"),
+      // epoch-plan expansion (r12): languages-sized broadcast + row-local
+      // sequence explode — output is the planned ~4× budget, growth
+      // tracks output volume.
+      "epoch_expand" -> SparkEntry.queries("epoch_expand"),
+      // mutual-kNN clustering (r12): knn_graph's linear build + the
+      // min-label loop over ≤ n·k/2 id pairs + component-keyed rollup.
+      "knn_components" -> SparkEntry.queries("knn_components"),
+      // duplicate downweighting (r12): the jaccard inverted index +
+      // min-label loop + one co-partitioned left join onto the corpus.
+      "dup_weights" -> SparkEntry.queries("dup_weights"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

@@ -572,6 +572,33 @@ object Dedup {
       (col("doc_id") === col("comp")).as("is_canonical"))
   }
 
+  /** Duplicate DOWNWEIGHTING — the keep-everything alternative to
+    * dropping: every document gets training weight 1000 div (size of its
+    * near-dup component), so a cluster of c near-copies contributes ~one
+    * document's worth of gradient signal instead of c× (the soft policy
+    * several production corpora apply where hard dedup would lose
+    * paraphrase diversity). Documents in no pair keep weight 1000.
+    *
+    * Scale shape: [[ngramJaccardPairs]]' inverted-index candidates →
+    * [[dupComponents]]' distributed min-label loop → a component-sized
+    * rollup joined back on its own aggregation key (shuffle-hash), then
+    * one co-partitioned left join onto the corpus id column. */
+  def dupWeights(corpus: DataFrame): DataFrame = {
+    val comp = dupComponents(
+      ngramJaccardPairs(corpus).select(col("a_id"), col("b_id")))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
+    val withSize = comp.join(sizes.hint("shuffle_hash"), "component")
+      .select(col("doc_id"), col("n"))
+    corpus.select(col("doc_id"))
+      .join(withSize.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(1L)).as("group_size"),
+        expr("1000 div coalesce(n, 1L)").as("weight_x1000"))
+  }
+
+  def dupWeights(spark: SparkSession, dir: String): DataFrame =
+    dupWeights(corpusWithNearDups(spark, dir))
+
   /** The end-to-end dedup VERDICT — one row per corpus document with the
     * final keep/drop decision a training run consumes: near-dup pairs →
     * transitive components ([[dupComponents]]) → keep the component

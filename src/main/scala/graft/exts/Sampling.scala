@@ -269,6 +269,37 @@ object Sampling {
   def mixEpochs(spark: SparkSession, dir: String): DataFrame =
     mixEpochs(Tables.load(spark, dir, "documents"))
 
+  /** The ACTION behind [[mixEpochs]] — materialize the epoch plan as a
+    * deterministic (doc_id, lang, epoch_idx) training stream: every
+    * weighted-language document appears once per FULL planned epoch, and
+    * the fractional remainder epoch keeps each document by the same ‰
+    * id-hash coin every sampler here uses ([[mixed]] — RNG-free,
+    * order-independent, re-runnable). Pairs with mixEpochs exactly as
+    * ccnet_sample pairs with ccnet_buckets.
+    *
+    * Scale shape: the plan is a languages-sized broadcast; the expansion
+    * is one row-local explode of a ≤(epochs+1)-element sequence per doc —
+    * the corpus is scanned twice (once for the plan's token stats, once
+    * for the expansion) but never shuffled. Output volume is the planned
+    * budget (~[[EpochBudgetX1000]]‰ of corpus rows), which is the point. */
+  def epochExpand(docs: DataFrame,
+      weights: Seq[(String, Long)] = DefaultMixWeights): DataFrame = {
+    val plan = mixEpochs(docs, weights)
+      .select(col("lang"), col("epochs_x1000"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(plan), "lang")
+      .withColumn("full_epochs", expr("epochs_x1000 div 1000"))
+      .withColumn("frac", expr("epochs_x1000 % 1000"))
+      .select(col("doc_id"), col("lang"), col("full_epochs"), col("frac"),
+        explode(expr("sequence(0L, full_epochs)")).as("epoch_idx"))
+      .filter(col("epoch_idx") < col("full_epochs") ||
+        mixed(col("doc_id")) % 1000 < col("frac"))
+      .select(col("doc_id"), col("lang"), col("epoch_idx"))
+  }
+
+  def epochExpand(spark: SparkSession, dir: String): DataFrame =
+    epochExpand(Tables.load(spark, dir, "documents"))
+
   /** Shard assignment for training-data export: the id hash (same family
     * as [[hashBucket]]) maps every document to one of `nShards` shards —
     * deterministic, order-independent, and balanced in expectation, so

@@ -199,6 +199,34 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(Tables.load(spark, dir, "embeddings"))
 
+  /** Semantic clusters = connected components over the MUTUAL edges of
+    * [[knnGraph]] — the graph-clustering step after graph construction
+    * (mutual-kNN is the standard precision cut: a one-way edge into a hub
+    * doesn't merge clusters, a reciprocated one does). One row per vector
+    * that has at least one mutual neighbor: (vec_id, component,
+    * cluster_size, is_canonical).
+    *
+    * Scale shape: the graph build is [[knnGraph]]'s linear plan; the edge
+    * list entering the component loop is ≤ n·k/2 pairs of ids; components
+    * run [[Dedup.dupComponents]]' distributed min-label propagation
+    * (diameter-bounded rounds of join + aggregate); the size rollup joins
+    * back on the component key it was just aggregated by (shuffle-hash —
+    * component count is corpus-order, never broadcastable). */
+  def knnComponents(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val pairs = knnGraph(corpus0, k)
+      .filter(col("mutual") === 1L && col("src_id") < col("dst_id"))
+      .select(col("src_id").as("a_id"), col("dst_id").as("b_id"))
+    val comp = Dedup.dupComponents(pairs)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes.hint("shuffle_hash"), "component")
+      .select(col("doc_id").as("vec_id"), col("component"),
+        col("cluster_size"), col("is_canonical"))
+  }
+
+  def knnComponents(spark: SparkSession, dir: String): DataFrame =
+    knnComponents(Tables.load(spark, dir, "embeddings"))
+
   /** Johnson–Lindenstrauss output width for [[embProject]]. */
   val ProjectDims = 16
 

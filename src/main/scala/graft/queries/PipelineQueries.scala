@@ -196,6 +196,35 @@ object PipelineQueries {
     s"(CASE WHEN embedding[$k] >= 0 THEN ${1 << (k - 1)} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** knn_graph's CTE chain (adaptive bits → buckets → within-bucket
+    * candidates → per-node top-k edges `e`), shared by knn_graph and
+    * knn_components so the clustering can't drift from the graph. */
+  private val knnGraphCtes =
+    s"""n AS (SELECT count(*) AS n_corpus FROM embeddings),
+       |p AS (SELECT coalesce(min(b), ${Similarity.MaxBucketBits}) AS bits
+       |      FROM (SELECT unnest(range(${Similarity.BucketBits},
+       |                               ${Similarity.MaxBucketBits + 1})) AS b), n
+       |      WHERE n_corpus <= ${Similarity.TargetCellVectors}
+       |                        * (CAST(1 AS BIGINT) << b)),
+       |bkt AS (SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(1, bits + 1),
+       |      k -> CASE WHEN embedding[k] >= 0
+       |                THEN CAST(1 AS BIGINT) << (k - 1)
+       |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+       |  FROM embeddings CROSS JOIN p),
+       |cand AS (
+       |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+       |    list_cosine_similarity(x.embedding, y.embedding) AS cos
+       |  FROM bkt x JOIN bkt y
+       |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |e AS (
+       |  SELECT src_id, dst_id, CAST(rn AS INTEGER) AS rank
+       |  FROM (SELECT src_id, dst_id,
+       |          row_number() OVER (PARTITION BY src_id
+       |            ORDER BY cos DESC, dst_id) AS rn
+       |        FROM cand)
+       |  WHERE rn <= ${Similarity.KnnGraphK})""".stripMargin
+
   /** Marker regexes interpolated from the single source in TextAnalysis so
     * Spark and oracle sides cannot drift. */
   private val Seq(langEn, langEs, langDe, langFr) =
@@ -635,7 +664,9 @@ object PipelineQueries {
       "mix_sources" -> ((s, dir) => Sampling.mixSources(s, dir)),
       "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(s, dir)),
       "mix_epochs" -> ((s, dir) => Sampling.mixEpochs(s, dir)),
+      "epoch_expand" -> ((s, dir) => Sampling.epochExpand(s, dir)),
       "lsh_tune" -> ((s, _) => Dedup.lshTune(s)),
+      "dup_weights" -> ((s, dir) => Dedup.dupWeights(s, dir)),
       "shard_manifest" -> ((s, dir) => Sampling.shardManifest(s, dir)),
       // end-to-end curation over documents ∪ planted exact copies: the
       // dedup stage must collapse every planted copy for the per-lang
@@ -795,6 +826,7 @@ object PipelineQueries {
       "emb_pca" -> ((s, dir) => Similarity.embPca(s, dir)),
       "emb_project" -> ((s, dir) => Similarity.embProject(s, dir)),
       "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
+      "knn_components" -> ((s, dir) => Similarity.knnComponents(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
       // Train/apply split via the DsirIndex parquet artifact (trained
@@ -1357,6 +1389,39 @@ object PipelineQueries {
            |       THEN 1 ELSE 0 END AS BIGINT) AS beyond_free
            |FROM y""".stripMargin,
 
+      // The epoch plan materialized: mix_epochs' CTE chain (shared so
+      // plan and action can't drift) expanded per doc × epoch; the
+      // fractional remainder epoch keeps by the standard ‰ id-hash coin.
+      "epoch_expand" ->
+        s"""WITH w(lang, wt) AS (VALUES ${Sampling.DefaultMixWeights
+             .map { case (l, v) => s"('$l', $v)" }.mkString(", ")}),
+           |tok AS (SELECT lang,
+           |          CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |            AS BIGINT) AS n_tokens
+           |        FROM documents),
+           |stats AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+           |          FROM tok GROUP BY lang),
+           |sw AS (SELECT s.lang, t, CAST(wt AS BIGINT) AS wt
+           |       FROM stats s JOIN w USING (lang)),
+           |tot AS (SELECT CAST(sum(t) AS BIGINT) AS t_all,
+           |          CAST(sum(wt) AS BIGINT) AS w_sum
+           |        FROM sw),
+           |y AS (SELECT lang, t, wt,
+           |        ((t_all * ${Sampling.EpochBudgetX1000}) // 1000 * wt)
+           |          // w_sum AS desired_tokens
+           |      FROM sw CROSS JOIN tot),
+           |plan AS (SELECT lang,
+           |           (desired_tokens * 1000) // t AS epochs_x1000
+           |         FROM y)
+           |SELECT d.doc_id, d.lang, CAST(i AS BIGINT) AS epoch_idx
+           |FROM documents d
+           |JOIN plan USING (lang),
+           |LATERAL (SELECT unnest(generate_series(0,
+           |           epochs_x1000 // 1000)) AS i) t
+           |WHERE CAST(i AS BIGINT) < epochs_x1000 // 1000
+           |   OR ((d.doc_id % 1000000007) * 2654435761) % 1000
+           |      < epochs_x1000 % 1000""".stripMargin,
+
       // LSH S-curve tuner: the squaring chains render from the same
       // LshTuneRs constant as the engine, one floor division per step in
       // the same order — engine-exact fixed-point, no float pow.
@@ -1821,6 +1886,45 @@ object PipelineQueries {
            |SELECT u AS doc_id, least(u, min(v)) AS component,
            |  (u = least(u, min(v))) AS is_canonical
            |FROM reach GROUP BY u""".stripMargin,
+
+      // Downweighting: dedup_groups' exact CTE chain (pairs → reach →
+      // components) plus a size rollup, LEFT-joined onto the corpus so
+      // pair-free documents keep weight 1000.
+      "dup_weights" ->
+        s"""WITH RECURSIVE $nearCorpusCte,
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS sh
+           |  FROM (SELECT doc_id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM corpus),
+           |       LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i) t
+           |  WHERE len(words) >= 5),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM inter
+           |  JOIN sizes na ON na.doc_id = a_id
+           |  JOIN sizes nb ON nb.doc_id = b_id
+           |  WHERE inter * 3 >= na.n_sh + nb.n_sh),
+           |bi AS (SELECT a_id AS u, b_id AS v FROM pairs
+           |       UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM bi
+           |  UNION
+           |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+           |comp AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u),
+           |gs AS (SELECT component, count(*) AS n FROM comp
+           |       GROUP BY component),
+           |cw AS (SELECT doc_id, n FROM comp JOIN gs USING (component))
+           |SELECT c.doc_id,
+           |  CAST(coalesce(cw.n, 1) AS BIGINT) AS group_size,
+           |  CAST(1000 // coalesce(cw.n, 1) AS BIGINT) AS weight_x1000
+           |FROM corpus c LEFT JOIN cw ON cw.doc_id = c.doc_id""".stripMargin,
 
       // dedup_groups over the two-mode corpus with BOTH pair thresholds as
       // one disjunction (resemblance OR containment) — the ensemble form.
@@ -3265,35 +3369,34 @@ object PipelineQueries {
       // with the engine's (cos DESC, dst ASC) tie-break; mutual = the
       // reverse edge also survived its endpoint's top-k.
       "knn_graph" ->
-        s"""WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
-           |p AS (SELECT coalesce(min(b), ${Similarity.MaxBucketBits}) AS bits
-           |      FROM (SELECT unnest(range(${Similarity.BucketBits},
-           |                               ${Similarity.MaxBucketBits + 1})) AS b), n
-           |      WHERE n_corpus <= ${Similarity.TargetCellVectors}
-           |                        * (CAST(1 AS BIGINT) << b)),
-           |bkt AS (SELECT vec_id, embedding,
-           |    CAST(list_sum(list_transform(range(1, bits + 1),
-           |      k -> CASE WHEN embedding[k] >= 0
-           |                THEN CAST(1 AS BIGINT) << (k - 1)
-           |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
-           |  FROM embeddings CROSS JOIN p),
-           |cand AS (
-           |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
-           |    list_cosine_similarity(x.embedding, y.embedding) AS cos
-           |  FROM bkt x JOIN bkt y
-           |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-           |e AS (
-           |  SELECT src_id, dst_id, CAST(rn AS INTEGER) AS rank
-           |  FROM (SELECT src_id, dst_id,
-           |          row_number() OVER (PARTITION BY src_id
-           |            ORDER BY cos DESC, dst_id) AS rn
-           |        FROM cand)
-           |  WHERE rn <= ${Similarity.KnnGraphK})
+        s"""WITH $knnGraphCtes
            |SELECT e.src_id, e.dst_id, e.rank,
            |  CAST(CASE WHEN r.src_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
            |    AS mutual
            |FROM e LEFT JOIN e r
            |  ON r.src_id = e.dst_id AND r.dst_id = e.src_id""".stripMargin,
+
+      // Connected components over the MUTUAL edges of the knn_graph CTE
+      // chain (single-sourced, so graph and clustering cannot drift) —
+      // the dedup_groups reach pattern over the symmetric edge list.
+      "knn_components" ->
+        s"""WITH RECURSIVE $knnGraphCtes,
+           |m AS (
+           |  SELECT e1.src_id AS u, e1.dst_id AS v
+           |  FROM e e1 JOIN e e2
+           |    ON e2.src_id = e1.dst_id AND e2.dst_id = e1.src_id),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM m
+           |  UNION
+           |  SELECT r.u, b.v FROM reach r JOIN m b ON r.v = b.u),
+           |comp AS (
+           |  SELECT u AS vec_id, least(u, min(v)) AS component,
+           |    (u = least(u, min(v))) AS is_canonical
+           |  FROM reach GROUP BY u),
+           |sz AS (SELECT component, count(*) AS cluster_size
+           |       FROM comp GROUP BY component)
+           |SELECT vec_id, component, cluster_size, is_canonical
+           |FROM comp JOIN sz USING (component)""".stripMargin,
 
       // Power iteration on the emb_gram matrix: exactly PcaIterations
       // steps from all-ones, max-abs normalization, left-to-right matvec

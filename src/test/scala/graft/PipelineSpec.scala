@@ -2558,6 +2558,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.valuesIterator.exists(_._5 > 0L))
   }
 
+  test("epoch expand: stream realizes the plan exactly (full epochs + coin)") {
+    import org.apache.spark.sql.functions.col
+    val plan = Sampling.mixEpochs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap // lang -> epochs_x1000
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => plan.contains(d._2))
+    val got = Sampling.epochExpand(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = got.groupBy(_._1)
+    docs.foreach { case (id, lang) =>
+      val full = plan(lang) / 1000
+      val frac = plan(lang) % 1000
+      val coin = ((id % 1000000007L) * 2654435761L) % 1000 < frac
+      val want = (0L until full) ++ (if (coin) Seq(full) else Nil)
+      val have = byDoc.getOrElse(id, Array.empty[(Long, String, Long)])
+        .map(_._3).sorted.toSeq
+      assert(have === want, s"epochs of doc $id ($lang)")
+    }
+    assert(got.length === byDoc.valuesIterator.map(_.length).sum)
+    // realized volume is within coin noise of the planned budget
+    val planned = docs.groupBy(_._2).map { case (l, ds) =>
+      ds.length.toLong * plan(l) / 1000 }.sum
+    assert(math.abs(got.length - planned) < docs.length / 10)
+  }
+
+  test("knn components: clusters equal a serial union-find over mutual edges") {
+    val g = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val mutual = g.filter(_._3 == 1L).map(t => (t._1, t._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = mutual.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    // canonical label = the min member, which union-by-min preserves
+    val got = Similarity.knnComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSet === expect.keySet)
+    got.foreach { case (v, c, sz, canon) =>
+      assert(c === expect(v), s"component($v)")
+      assert(sz === expect.count(_._2 == c).toLong, s"size($v)")
+      assert(canon === (v == c))
+    }
+    // mutual edges exist, and at least one cluster has >2 members or
+    // there are multiple clusters (structure, not a single blob)
+    assert(expect.nonEmpty)
+    assert(expect.values.toSet.size > 1)
+  }
+
+  test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
+    val rows = Dedup.dupWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val planted = rows.keys.filter(id =>
+      id >= 100000L && rows.contains(id - 100000L))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val (gs, w) = rows(id)
+      assert(gs >= 2L, s"planted $id group size")
+      assert(w === 1000L / gs)
+      assert(rows(id - 100000L) === rows(id),
+        s"original and copy of $id must share the verdict")
+    }
+    rows.foreach { case (_, (gs, w)) =>
+      assert(w === 1000L / gs)
+      if (gs == 1L) assert(w === 1000L)
+    }
+    assert(rows.valuesIterator.exists(_._1 == 1L), "no singletons at all")
+  }
+
   test("emb pca: empty corpus yields an empty typed frame, not a crash") {
     import org.apache.spark.sql.functions.col
     val empty = graft.Tables.load(spark, dir, "embeddings")

@@ -65,11 +65,13 @@ class PlanGuardSpec extends AnyFunSuite {
     *  - mix_epochs: global token/weight sums over the per-language
     *    aggregate (rows = #weighted languages, 4) — the same reduced
     *    frame as mix_sources, two sums instead of a min.
+    *  - epoch_expand: embeds the mix_epochs plan verbatim (shared so
+    *    plan and action can't drift) — the same reduced-frame window.
     * (maintenance_budget left this list in r8: its global running sum is
     * now a range-partitioned two-level prefix sum with a triangle join
     * for the ≤16 chunk offsets — no global window even over metadata.) */
   private val globalWindowJustified =
-    Set("mix_sources", "mix_temperature", "mix_epochs")
+    Set("mix_sources", "mix_temperature", "mix_epochs", "epoch_expand")
 
   test("no partition-less Window over unreduced input (one-task global sort)") {
     // A Window with an empty partitionSpec moves its ENTIRE input through
