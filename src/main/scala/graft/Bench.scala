@@ -75,10 +75,24 @@ object Bench {
       graft.exts.BpeIndex.clear()
       graft.exts.LmIndex.clear()
       graft.exts.PqIndex.clear()
+      graft.exts.DsirIndex.clear()
+      graft.exts.Bm25Index.clear()
+      // DsirIndex/Bm25Index persist under deterministic tmpdir paths (any
+      // session resolves them), so a TRUE cold also deletes the on-disk
+      // artifact — otherwise "cold" would just measure the parquet load.
+      Seq("graft-dsir-index", "graft-bm25-index").foreach { d =>
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
     }
     val artifactQueries =
       Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
-        "pq_search", "ivf_pq_search", "ivf_pq_refine")
+        "pq_search", "ivf_pq_search", "ivf_pq_refine", "dsir_score_batch",
+        "bm25_batch")
     val artifactSplit: Seq[(String, Double, Double)] = artifactQueries
       .filter(SparkEntry.queries.contains)
       .map { name =>

@@ -45,7 +45,8 @@ object Explain {
       "bitext_mine_lsh", "cluster_topics", "filter_agreement",
       "ccnet_sample", "corpus_stats", "ann_mrr",
       "bm25_retrieve", "knn_graph", "emb_project", "lsh_tune",
-      "mix_epochs", "epoch_expand", "knn_components", "dup_weights")
+      "mix_epochs", "epoch_expand", "knn_components", "dup_weights",
+      "project_recall", "bm25_batch")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

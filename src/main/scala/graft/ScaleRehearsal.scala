@@ -243,7 +243,14 @@ object ScaleRehearsal {
       "knn_components" -> SparkEntry.queries("knn_components"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
-      "dup_weights" -> SparkEntry.queries("dup_weights"))
+      "dup_weights" -> SparkEntry.queries("dup_weights"),
+      // artifact-served BM25 (r12): batch terms broadcast onto persisted
+      // postings — growth tracks the postings scan, zero text scans
+      // (cold build rehearses separately like the other artifacts).
+      "bm25_batch" -> SparkEntry.queries("bm25_batch"),
+      // JL-trade metric (r12): both searches are the bounded plans; the
+      // comparison join is queries × k metadata.
+      "project_recall" -> SparkEntry.queries("project_recall"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

@@ -185,22 +185,46 @@ object TextAnalysis {
       k: Int = 10): DataFrame = {
     val withDl = docs.select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
-    val tf = withDl.select(col("doc_id"), col("dl"),
-        explode(col("ws")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = withDl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("n_tokens"))
-      .withColumn("avgdl_x1000", expr("n_tokens * 1000 div n_docs"))
     val qterms = withDl.filter(col("doc_id") < maxQueryId)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("ws"))).as("term"))
-    // query-term semi-filter FIRST: only the Σ_queryterm df(term)
-    // candidate postings flow on into the vocabulary df join
-    val contrib = tf.join(broadcast(qterms), "term")
+    bm25ScoreAgainst(bm25Postings(docs), bm25Stats(docs), qterms, k,
+      excludeSelf = true)
+  }
+
+  /** The BM25 inverted index: one row per (doc, term) with the term
+    * frequency and the doc length riding the same aggregate — built in
+    * ONE scan+explode+agg pass, no doc-keyed join. This frame (plus the
+    * 1-row [[bm25Stats]]) IS the retrieval model; [[Bm25Index]] persists
+    * it (with its derived df table) so query batches never re-scan the
+    * corpus text. */
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** Corpus-level BM25 normalization constants (1 row). */
+  private[graft] def bm25Stats(docs: DataFrame): DataFrame =
+    docs.select(size(words(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      .withColumn("avgdl_x1000", expr("n_tokens * 1000 div n_docs"))
+
+  /** Shared BM25 scorer: rank `qterms` (query_id, term — DISTINCT terms
+    * per query) against a postings index. Query terms broadcast FIRST so
+    * candidate volume is Σ_queryterm df(term); the vocabulary df table
+    * (derived here if the caller didn't persist one) broadcasts onto the
+    * survivors; exact top-k finish in the bounded TopKPairs aggregate. */
+  private[graft] def bm25ScoreAgainst(tf: DataFrame, stats: DataFrame,
+      qterms: DataFrame, k: Int, excludeSelf: Boolean,
+      dfrOpt: Option[DataFrame] = None): DataFrame = {
+    val dfr = dfrOpt.getOrElse(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val cand = tf.join(broadcast(qterms), "term")
+    val contrib = (if (excludeSelf)
+        cand.filter(col("doc_id") =!= col("query_id")) else cand)
       .join(broadcast(dfr), "term")
-      .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(stats))
       .withColumn("k_x1000", expr(
         s"($Bm25K1x1000 * ((1000 - $Bm25Bx1000) + " +
@@ -210,9 +234,9 @@ object TextAnalysis {
       .withColumn("idf_x1000",
         expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
       .withColumn("c", expr("(idf_x1000 * tfnorm_x1000) div 1000"))
-    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score"))
-    scored.groupBy(col("query_id"))
+      .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.top_k_pairs(
         col("score"), col("doc_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))

@@ -827,6 +827,7 @@ object PipelineQueries {
       "emb_project" -> ((s, dir) => Similarity.embProject(s, dir)),
       "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
       "knn_components" -> ((s, dir) => Similarity.knnComponents(s, dir)),
+      "project_recall" -> ((s, dir) => Similarity.projectRecall(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
       // Train/apply split via the DsirIndex parquet artifact (trained
@@ -838,6 +839,20 @@ object PipelineQueries {
       "span_corrupt" -> ((s, dir) => TextAnalysis.spanCorrupt(s, dir)),
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "bm25_retrieve" -> ((s, dir) => TextAnalysis.bm25Retrieve(s, dir)),
+      // Train/apply split: the persisted inverted-index artifact
+      // (Bm25Index — postings + df + stats parquet) serving an incoming
+      // query batch with zero corpus-text scans. The batch is a BOUNDED
+      // micro-batch (original ids < 160, the AnnServing serving shape):
+      // per-batch cost is |batch| × Σ_queryterm df(term), and on this
+      // fixture's degenerate 31-word vocabulary EVERY term is a stopword
+      // (df ≈ N), so a corpus-proportional batch would cost
+      // |batch|·N — the serving deployment amortizes by micro-batch,
+      // not by letting batches grow with the corpus.
+      "bm25_batch" -> ((s, dir) =>
+        graft.exts.Bm25Index.scoreBatch(s, dir,
+          Dedup.incomingBatch(s, dir)
+            .filter(org.apache.spark.sql.functions
+              .col("doc_id") % 100000L < 160L))),
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
@@ -2490,6 +2505,55 @@ object PipelineQueries {
            |      FROM s)
            |WHERE rank <= 10""".stripMargin,
 
+      // The artifact-served batch variant: same postings/df/stats chain,
+      // queries = the standard incoming batch (verbatim %5 copies at
+      // +600000, tail-perturbed %7 copies at +700000), no self-exclusion
+      // (batch ids live in their own offset range).
+      "bm25_batch" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           |  FROM documents),
+           |tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+           |          unnest(ws) AS term FROM d),
+           |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           |       FROM tok GROUP BY 1, 2),
+           |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |st AS (SELECT count(*) AS n_docs,
+           |         (CAST(sum(len(ws)) AS BIGINT) * 1000) // count(*)
+           |           AS avgdl_x1000
+           |       FROM d),
+           |batch AS (
+           |  SELECT doc_id + 600000 AS query_id, text FROM documents
+           |  WHERE doc_id % 5 = 0 AND (doc_id + 600000) % 100000 < 160
+           |  UNION ALL
+           |  SELECT doc_id + 700000, text || ' qq zz' FROM documents
+           |  WHERE doc_id % 7 = 0 AND (doc_id + 700000) % 100000 < 160),
+           |q AS (SELECT query_id,
+           |        unnest(list_distinct(
+           |          regexp_split_to_array(trim(text), '\\s+'))) AS term
+           |      FROM batch),
+           |c AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |    (((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1))
+           |      * ((tf * ${TextAnalysis.Bm25K1x1000 + 1000} * 1000)
+           |         // (tf * 1000
+           |             + (${TextAnalysis.Bm25K1x1000}
+           |                * ((1000 - ${TextAnalysis.Bm25Bx1000})
+           |                   + (${TextAnalysis.Bm25Bx1000} * dl * 1000)
+           |                     // avgdl_x1000)) // 1000))
+           |      // 1000 AS contrib
+           |  FROM tf JOIN dfr USING (term) JOIN q USING (term)
+           |  CROSS JOIN st),
+           |s AS (SELECT query_id, doc_id,
+           |        CAST(sum(contrib) AS BIGINT) AS score
+           |      FROM c GROUP BY 1, 2)
+           |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+           |FROM (SELECT query_id, doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY score DESC, doc_id) AS rank
+           |      FROM s)
+           |WHERE rank <= 10""".stripMargin,
+
       "text_rarity" ->
         """WITH tok AS (
           |  SELECT doc_id,
@@ -3363,6 +3427,72 @@ object PipelineQueries {
            |    unnest(generate_series(0,
            |      CAST(${Similarity.ProjectDims - 1} AS BIGINT))) AS j) s
            |GROUP BY vec_id, j""".stripMargin,
+
+      // Recall of the projected-space search vs the full-precision truth:
+      // the projection CTEs recompute emb_project's integer coordinates,
+      // the cosine is the same explicitly-spelled double formula, the
+      // truth CTE is ann_recall's brute-force chain.
+      "project_recall" ->
+        s"""WITH q AS (
+           |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+           |    CAST(round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+           |         * 10000) AS BIGINT) AS ql
+           |  FROM embeddings,
+           |    LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1))
+           |             AS i) t),
+           |pr AS (
+           |  SELECT vec_id, CAST(j AS BIGINT) AS j,
+           |    CAST(sum((CASE WHEN ((1103515245 * (i * ${Similarity.ProjectDims}
+           |                           + j) + 12345) // 65536) % 2 = 0
+           |              THEN 1 ELSE -1 END) * ql) AS BIGINT) AS p
+           |  FROM q, LATERAL (SELECT
+           |      unnest(generate_series(0,
+           |        CAST(${Similarity.ProjectDims - 1} AS BIGINT))) AS j) s
+           |  GROUP BY vec_id, j),
+           |pl AS (SELECT vec_id, list(p ORDER BY j) AS proj
+           |       FROM pr GROUP BY vec_id),
+           |pcand AS (
+           |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(
+           |        range(1, ${Similarity.ProjectDims + 1}),
+           |        t -> qq.proj[t] * cc.proj[t])) AS DOUBLE)
+           |    / (sqrt(CAST(list_sum(list_transform(qq.proj, x -> x * x))
+           |            AS DOUBLE))
+           |       * sqrt(CAST(list_sum(list_transform(cc.proj, x -> x * x))
+           |              AS DOUBLE))) AS cos
+           |  FROM pl qq JOIN pl cc ON cc.vec_id <> qq.vec_id
+           |  WHERE qq.vec_id < 8),
+           |pf AS (
+           |  SELECT query_id, neighbor_id
+           |  FROM (SELECT query_id, neighbor_id,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, neighbor_id) AS rank
+           |        FROM pcand)
+           |  WHERE rank <= 5),
+           |bt_scored AS (
+           |  SELECT query_id, neighbor_id,
+           |    list_cosine_similarity(e_q, e_n) AS cos
+           |  FROM (SELECT vec_id AS query_id, embedding AS e_q
+           |        FROM embeddings WHERE vec_id < 8) tq
+           |  CROSS JOIN (SELECT vec_id AS neighbor_id, embedding AS e_n
+           |              FROM embeddings) tc
+           |  WHERE neighbor_id <> query_id),
+           |bt AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM bt_scored)
+           |  WHERE rank <= 5)
+           |SELECT bt.query_id,
+           |  CAST(count(*) AS BIGINT) AS k_truth,
+           |  CAST(count(pf.query_id) AS BIGINT) AS n_hits,
+           |  CAST(count(pf.query_id) * 1000 // count(*) AS BIGINT)
+           |    AS recall_x1000
+           |FROM bt LEFT JOIN pf
+           |  ON pf.query_id = bt.query_id
+           |  AND pf.neighbor_id = bt.neighbor_id
+           |GROUP BY bt.query_id""".stripMargin,
 
       // Whole-corpus kNN graph within the SAME adaptive sign bucket the
       // engine derives (bits CTE = dedup_embedding's), ranked by cosine
