@@ -246,24 +246,45 @@ object Similarity {
     * Scale shape: one row-local codegen'd projection (nested higher-order
     * functions over the array — no explode, no shuffle, no UDF); output
     * is posexploded to (vec_id, dim_out, proj_q) rows. */
+  /** sign(i, j) of the never-materialized JL matrix: parity of bits 16..
+    * of an LCG over the flat index i·d + j (drop the low LCG bits —
+    * their period is tiny). Single-sourced for the expression builder,
+    * the specs, and (by formula copy) the DuckDB oracle. */
+  private[graft] def projectSign(i: Int, j: Int): Long =
+    if (((1103515245L * (i.toLong * ProjectDims + j) + 12345L)
+         / 65536L) % 2L == 0L) 1L else -1L
+
   /** (vec_id, proj array<long>) form of [[embProject]] — the shape the
-    * projected-space search consumes. */
+    * projected-space search consumes. The sign matrix is a COMPILE-TIME
+    * constant, so each output coordinate is rendered as a literal ±
+    * chain over the quantized components (`0L + ql[0] - ql[1] + …`) —
+    * whole-stage-codegen arithmetic. The first cut used nested
+    * higher-order lambdas (`transform(…, aggregate(…))`), which Spark
+    * executes INTERPRETED: ~d·d' closure evaluations per row measured
+    * 44.7 s at sf0.1 under the bench's local[4] where this form runs in
+    * well under a second — higher-order functions never enter codegen,
+    * so constant structure belongs in the expression tree, not in
+    * lambdas. Input width is read once from the schema's first row
+    * (metadata-bounded, the dims-probe precedent). */
   private[graft] def embProjectVec(corpus: DataFrame): DataFrame = {
-    val d = ProjectDims
-    // sign(i,j) = parity of bits 16.. of an LCG over the flat index
-    // i·d + j (drop the low LCG bits — their period is tiny);
-    // q_i = round(x_i · 10000) as BIGINT, the embGram quantization.
-    val proj = expr(
-      s"""transform(sequence(0, ${d - 1}), j ->
-         |  aggregate(sequence(0, size(ql) - 1), 0L, (acc, i) ->
-         |    acc + (CASE WHEN ((1103515245L * (CAST(i AS BIGINT) * ${d}L
-         |                         + CAST(j AS BIGINT)) + 12345L)
-         |                      div 65536L) % 2L = 0L
-         |           THEN 1L ELSE -1L END) * ql[i]))""".stripMargin)
+    val head = corpus.select(size(col("embedding"))).limit(1).collect()
+    if (head.isEmpty)
+      // empty corpus: no width to read — an empty typed frame beats the
+      // first()-of-nothing crash (the embPca lesson)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"),
+          expr("array(0L)").as("proj")).limit(0)
+    val dIn = head(0).getInt(0)
+    val chains = (0 until ProjectDims).map { j =>
+      "0L " + (0 until dIn).map { i =>
+        (if (projectSign(i, j) > 0) "+ " else "- ") + s"ql[$i]"
+      }.mkString(" ")
+    }
     corpus.select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")
         .as("ql"))
-      .select(col("vec_id"), proj.as("proj"))
+      .select(col("vec_id"),
+        expr(s"array(${chains.mkString(", ")})").as("proj"))
   }
 
   def embProject(corpus: DataFrame): DataFrame =
