@@ -448,6 +448,39 @@ class StreamSpec extends AnyFunSuite {
     assert(results.size === expected.size) // no duplicate emissions
   }
 
+  test("BM25 serving: per-batch stream results equal the batch scorer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // query docs = the standard incoming batch's bounded micro-batch
+    // slice, split in two arrivals — expected results are bm25_batch's
+    val batch = graft.exts.Dedup.incomingBatch(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 100000L < 160L)
+    val qdocs = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(qdocs.length > 4)
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Long)]
+    val q = graft.stream.Bm25Serving.start(spark, dir,
+      input.toDS().toDF("doc_id", "text"),
+      (df, _) => results.synchronized {
+        results ++= df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      })
+    input.addData(qdocs.take(4).toSeq)
+    q.processAllAvailable()
+    input.addData(qdocs.drop(4).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.exts.Bm25Index.scoreBatch(spark, dir, batch)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(results.toSet === expected)
+    assert(results.size === expected.size) // no duplicate emissions
+  }
+
   test("streaming near-dedup suppresses tail-edited rewrites, keeps novel docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
