@@ -46,7 +46,7 @@ object Explain {
       "ccnet_sample", "corpus_stats", "ann_mrr",
       "bm25_retrieve", "knn_graph", "emb_project", "lsh_tune",
       "mix_epochs", "epoch_expand", "knn_components", "dup_weights",
-      "project_recall", "bm25_batch")
+      "project_recall", "bm25_batch", "quality_winsorize", "bm25_update")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

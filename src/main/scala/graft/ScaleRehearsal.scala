@@ -250,7 +250,14 @@ object ScaleRehearsal {
       "bm25_batch" -> SparkEntry.queries("bm25_batch"),
       // JL-trade metric (r12): both searches are the bounded plans; the
       // comparison join is queries × k metadata.
-      "project_recall" -> SparkEntry.queries("project_recall"))
+      "project_recall" -> SparkEntry.queries("project_recall"),
+      // counting percentiles (r12): one (lang, ratio) hash aggregate +
+      // windows over the ≤ langs×1001 histogram + broadcast clamp pass.
+      "quality_winsorize" -> SparkEntry.queries("quality_winsorize"),
+      // incremental index merge (r12): batch tokenize/agg + a
+      // batch-vocabulary probe of the persisted df table — the corpus
+      // text is never scanned, so growth tracks BATCH size.
+      "bm25_update" -> SparkEntry.queries("bm25_update"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

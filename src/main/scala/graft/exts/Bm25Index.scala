@@ -86,6 +86,55 @@ object Bm25Index {
       excludeSelf = false, dfrOpt = Some(dfr))
   }
 
+  /** Incremental index maintenance — the reference's event-driven
+    * maintenance pattern lifted to the text index (the emb_incremental →
+    * ivf_maintenance sibling): merge an incoming document batch into the
+    * persisted index WITHOUT rebuilding from the corpus text. New doc
+    * ids are disjoint from indexed ids, so the merge is EXACTLY
+    * equivalent to a full rebuild over corpus ∪ batch: postings are
+    * unioned (doc-disjoint), per-term df adds, and the length stats add
+    * — integer arithmetic throughout, so the equivalence is bit-exact
+    * (the spec asserts it against a rebuilt index).
+    *
+    * Returns the vocabulary-level delta report a maintenance dashboard
+    * consumes: one row per term TOUCHED by the batch — corpus df, batch
+    * df, merged df, and a new_term flag — plus the merged avgdl carried
+    * on every row (1-row stats broadcast). Cost: the batch's own
+    * tokenize/agg + a batch-vocabulary probe of the persisted df table;
+    * the corpus text is never scanned.
+    *
+    * Scale shape: the batch vocabulary is bounded by batch size; the
+    * persisted df table joins it term-keyed (broadcast of the BATCH side
+    * — never the vocabulary); the merged stats are one crossJoin of two
+    * 1-row aggregates. */
+  def mergeReport(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (_, dfr, stats) = load(spark, path(spark, dir))
+    val bWithDl = batch.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val bdf = bWithDl
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df_batch"))
+    val bstats = bWithDl.agg(count(lit(1)).as("n_docs_b"),
+      sum(col("dl")).as("n_tokens_b"))
+    val merged = stats.crossJoin(broadcast(bstats))
+      .select(
+        expr("((n_tokens + n_tokens_b) * 1000) div (n_docs + n_docs_b)")
+          .as("avgdl_merged_x1000"))
+    // batch vocab preserved on the left; the persisted df table arrives
+    // term-keyed via shuffle-hash (an outer's preserved side can't be
+    // the broadcast side, and the vocabulary exchange is Heaps'-law
+    // bounded, never corpus-scale)
+    bdf.join(dfr.hint("shuffle_hash"), Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("df"), lit(0L)).as("df_corpus"),
+        col("df_batch"),
+        (coalesce(col("df"), lit(0L)) + col("df_batch")).as("df_merged"),
+        when(col("df").isNull, 1L).otherwise(0L).as("new_term"))
+      .crossJoin(broadcast(merged))
+  }
+
   /** Test seam: drop all memoized index paths. */
   private[graft] def clear(): Unit = memo.clear()
 }

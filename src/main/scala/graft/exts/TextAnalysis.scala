@@ -707,6 +707,57 @@ object TextAnalysis {
   def qualityCalibrate(spark: SparkSession, dir: String): DataFrame =
     qualityCalibrate(Tables.load(spark, dir, "documents"))
 
+  /** Robust per-language score normalization — winsorize the fluency
+    * ratio to its language's exact discrete [p5, p95]: tail scores clamp
+    * to the percentile values, so a downstream weighted sampler
+    * ([[Sampling.weightedSample]]-style) is not dominated by a handful
+    * of outlier documents and a corrupt-but-extreme score can't buy
+    * outsized training weight. Percentiles are the [[qualityCalibrate]]
+    * counting kind: pXX = smallest ratio whose cumulative count reaches
+    * the integer rank (p5 rank = max(5n div 100, 1); p95 rank =
+    * (95n + 99) div 100) — deterministic, no interpolation, exact at
+    * every scale.
+    *
+    * Scale shape: the bounded ratio domain (≤ 1001 values) makes the
+    * percentile a COUNTING problem — one (lang, ratio) hash aggregate
+    * with map-side combine, windows over that reduced frame only, then
+    * a languages-sized broadcast back onto the signal pass (the
+    * qualityCalibrate/ccnet_buckets shape; never a per-language window
+    * over the raw corpus). */
+  def qualityWinsorize(docs: DataFrame): DataFrame = {
+    val markers = LangMarkers.map { case (_, p) =>
+      regexp_count(col("text"), lit(p))
+    }
+    val sig = docs.select(col("lang"), col("doc_id"),
+        size(words(col("text"))).as("n_tokens"),
+        greatest(markers: _*).as("n_stop"))
+      .select(col("lang"), col("doc_id"),
+        expr("(n_stop * 1000) div greatest(n_tokens, 1)").as("ratio_x1000"))
+    val cnt = sig.groupBy(col("lang"), col("ratio_x1000"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ratio_x1000"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val cuts = cnt
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(cw))
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= expr("greatest((n * 5) div 100, 1L)"),
+          col("ratio_x1000"))).as("p05_x1000"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"),
+          col("ratio_x1000"))).as("p95_x1000"))
+    sig.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("ratio_x1000"),
+        col("p05_x1000"), col("p95_x1000"),
+        greatest(col("p05_x1000"),
+          least(col("p95_x1000"), col("ratio_x1000")))
+          .as("winsorized_x1000"))
+  }
+
+  def qualityWinsorize(spark: SparkSession, dir: String): DataFrame =
+    qualityWinsorize(Tables.load(spark, dir, "documents"))
+
   /** ccnet_buckets — CCNet's head/middle/tail split: per language, the
     * corpus partitions into perplexity terciles (head = most fluent
     * third by [[lmScores]]' integer fluency mass), the published recipe

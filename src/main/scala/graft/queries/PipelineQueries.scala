@@ -886,6 +886,15 @@ object PipelineQueries {
         TextAnalysis.sourceDivergence(s, dir)),
       "quality_calibrate" -> ((s, dir) =>
         TextAnalysis.qualityCalibrate(s, dir)),
+      "quality_winsorize" -> ((s, dir) =>
+        TextAnalysis.qualityWinsorize(s, dir)),
+      // Incremental index maintenance: merge the standard incoming batch
+      // into the persisted BM25 index with zero corpus-text scans; the
+      // merge is bit-exact vs a full rebuild (doc-disjoint postings,
+      // additive df/stats — PipelineSpec asserts the equivalence).
+      "bm25_update" -> ((s, dir) =>
+        graft.exts.Bm25Index.mergeReport(s, dir,
+          Dedup.incomingBatch(s, dir))),
       "text_docfreq" -> ((s, dir) => TextAnalysis.docFreqTop(s, dir)),
       "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
 
@@ -2988,6 +2997,80 @@ object PipelineQueries {
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            |FROM sig JOIN bars ON bars.lang = sig.lang
            |GROUP BY sig.lang, median_x1000, threshold_x1000""".stripMargin,
+
+      // Counting percentiles over the bounded ratio domain — the
+      // quality_calibrate histogram chain with p5/p95 ranks.
+      "quality_winsorize" ->
+        s"""WITH sig AS (
+           |  SELECT lang, doc_id,
+           |    (CAST($stopwordCaseSql AS BIGINT) * 1000)
+           |      // greatest(CAST(len(regexp_split_to_array(trim(text),
+           |           '\\s+')) AS BIGINT), 1) AS ratio_x1000
+           |  FROM documents),
+           |hist AS (
+           |  SELECT lang, ratio_x1000, count(*) AS c
+           |  FROM sig GROUP BY 1, 2),
+           |cums AS (
+           |  SELECT lang, ratio_x1000,
+           |    sum(c) OVER (PARTITION BY lang ORDER BY ratio_x1000)
+           |      AS cum,
+           |    sum(c) OVER (PARTITION BY lang) AS n
+           |  FROM hist),
+           |cuts AS (
+           |  SELECT lang,
+           |    CAST(min(CASE WHEN cum >= greatest((n * 5) // 100, 1)
+           |             THEN ratio_x1000 END) AS BIGINT) AS p05_x1000,
+           |    CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100
+           |             THEN ratio_x1000 END) AS BIGINT) AS p95_x1000
+           |  FROM cums GROUP BY lang)
+           |SELECT doc_id, sig.lang, ratio_x1000, p05_x1000, p95_x1000,
+           |  greatest(p05_x1000, least(p95_x1000, ratio_x1000))
+           |    AS winsorized_x1000
+           |FROM sig JOIN cuts ON cuts.lang = sig.lang""".stripMargin,
+
+      // Index-merge report: corpus-side df/stats CTEs (what the
+      // persisted artifact holds) + the batch's own tokenize/agg; the
+      // merged columns are the additive laws the engine applies.
+      "bm25_update" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |       FROM (SELECT doc_id, unnest(ws) AS term FROM d) t
+           |       GROUP BY 1, 2),
+           |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |st AS (SELECT count(*) AS n_docs,
+           |         CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+           |       FROM d),
+           |batch AS (
+           |  SELECT doc_id + 600000 AS doc_id,
+           |    regexp_split_to_array(trim(text), '\\s+') AS ws
+           |  FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 700000,
+           |    regexp_split_to_array(trim(text || ' qq zz'), '\\s+')
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |bdf AS (
+           |  SELECT term, count(*) AS df_batch
+           |  FROM (SELECT DISTINCT doc_id, unnest(ws) AS term FROM batch) t
+           |  GROUP BY 1),
+           |bst AS (SELECT count(*) AS n_docs_b,
+           |          CAST(sum(len(ws)) AS BIGINT) AS n_tokens_b
+           |        FROM batch),
+           |merged AS (
+           |  SELECT ((n_tokens + n_tokens_b) * 1000)
+           |           // (n_docs + n_docs_b) AS avgdl_merged_x1000
+           |  FROM st CROSS JOIN bst)
+           |SELECT bdf.term,
+           |  CAST(coalesce(dfr.df, 0) AS BIGINT) AS df_corpus,
+           |  bdf.df_batch,
+           |  CAST(coalesce(dfr.df, 0) + bdf.df_batch AS BIGINT)
+           |    AS df_merged,
+           |  CAST(CASE WHEN dfr.df IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS new_term,
+           |  avgdl_merged_x1000
+           |FROM bdf LEFT JOIN dfr USING (term)
+           |CROSS JOIN merged""".stripMargin,
 
       "text_docfreq" ->
         """WITH tok AS (
