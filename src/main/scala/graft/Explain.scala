@@ -46,7 +46,8 @@ object Explain {
       "ccnet_sample", "corpus_stats", "ann_mrr",
       "bm25_retrieve", "knn_graph", "emb_project", "lsh_tune",
       "mix_epochs", "epoch_expand", "knn_components", "dup_weights",
-      "project_recall", "bm25_batch", "quality_winsorize", "bm25_update")
+      "project_recall", "bm25_batch", "quality_winsorize", "bm25_update",
+      "q7_volume_shipping", "q10_returned_items")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

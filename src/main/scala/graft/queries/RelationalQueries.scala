@@ -106,6 +106,70 @@ object RelationalQueries {
           .agg(sum(col("rev_x10k")).as("revenue_x10k"))
       }),
 
+      // TPC-H Q7 shape: volume shipping between a nation PAIR, both
+      // directions, split by ship year — the disjunctive cross-nation
+      // predicate fuses into one broadcast join pass over the fact.
+      "q7_volume_shipping" -> ((s, dir) => {
+        val nation = Tables.load(s, dir, "nation")
+          .filter(col("n_nationkey") < 2)
+          .select("n_nationkey", "n_name")
+        val cust = Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")
+        val sup = Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+        val ord = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+              .as("rev_x10k"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .filter((col("s_nationkey") === 0 && col("c_nationkey") === 1) ||
+            (col("s_nationkey") === 1 && col("c_nationkey") === 0))
+          .join(broadcast(nation.select(
+              col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .join(broadcast(nation.select(
+              col("n_nationkey").as("cn_key"),
+              col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cn_key"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("rev_x10k")).as("revenue_x10k"))
+      }),
+
+      // TPC-H Q10 shape: returned-item revenue per customer over one
+      // quarter-window, global top-20 (TakeOrderedAndProject — the
+      // distributed top-k, never a global sort).
+      "q10_returned_items" -> ((s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            cents("c_acctbal").as("acctbal_cents"), col("c_nationkey"))
+        val nation = Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name")
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1997-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp_ntz"))
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+              .as("rev_x10k"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"),
+            col("n_name"))
+          .agg(sum(col("rev_x10k")).as("revenue_x10k"))
+          .orderBy(col("revenue_x10k").desc, col("c_custkey"))
+          .limit(20)
+      }),
+
       // EXISTS via left-semi: never multiplies rows, no fact shuffle of
       // the orders side beyond the join itself.
       "join_semi" -> ((s, dir) => {
@@ -433,6 +497,40 @@ object RelationalQueries {
           |JOIN region ON n_regionkey = r_regionkey
           |WHERE r_regionkey < 2
           |GROUP BY n_name""".stripMargin,
+
+      "q7_volume_shipping" ->
+        """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |    AS revenue_x10k
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |WHERE (s_nationkey = 0 AND c_nationkey = 1)
+          |   OR (s_nationkey = 1 AND c_nationkey = 0)
+          |GROUP BY 1, 2, 3""".stripMargin,
+
+      "q10_returned_items" ->
+        """SELECT c_custkey, c_name,
+          |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+          |  n_name,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |    AS revenue_x10k
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-07-01'
+          |GROUP BY 1, 2, 3, 4
+          |ORDER BY revenue_x10k DESC, c_custkey
+          |LIMIT 20""".stripMargin,
 
       "join_semi" ->
         """SELECT c_nationkey, count(*) AS n_customers_with_orders
