@@ -84,8 +84,10 @@ object Bench {
         val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), d)
         if (java.nio.file.Files.exists(root)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          val walk = java.nio.file.Files.walk(root)
+          try walk.iterator().asScala.toSeq
             .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
         }
       }
     }

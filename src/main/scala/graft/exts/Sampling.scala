@@ -225,6 +225,17 @@ object Sampling {
     * 2023) — the planner flags every source pushed past that knee. */
   val FreeEpochsX1000 = 4000L
 
+  /** Hard ceiling on the epochs [[epochExpand]] will materialize for one
+    * source. The plan can legitimately assign a HUGE epoch count to a
+    * tiny source under a skewed mixture (desired ≫ available), and the
+    * expansion builds a per-row sequence of that length — without a cap
+    * a pathological weight table turns one row into a million-element
+    * generator. 64 epochs is already 16× past the diminishing-returns
+    * knee; anything above it is a mixture-design error the mix_epochs
+    * report (repeat_excess, beyond_free) surfaces, not a stream worth
+    * materializing. */
+  val ExpandMaxEpochs = 64L
+
   /** Token-budget epoch planner — the data-constrained scaling question:
     * given the target mixture and a training budget of
     * [[EpochBudgetX1000]]‰ × total weighted tokens, how many EPOCHS of
@@ -281,15 +292,23 @@ object Sampling {
     * is one row-local explode of a ≤(epochs+1)-element sequence per doc —
     * the corpus is scanned twice (once for the plan's token stats, once
     * for the expansion) but never shuffled. Output volume is the planned
-    * budget (~[[EpochBudgetX1000]]‰ of corpus rows), which is the point. */
+    * budget (~[[EpochBudgetX1000]]‰ of corpus rows), which is the point.
+    * Per-source epochs are clamped at [[ExpandMaxEpochs]] (fractional
+    * coin dropped past the clamp): a skewed mixture can plan a runaway
+    * count for a tiny source, and that is a report-level finding
+    * ([[mixEpochs]]' repeat_excess/beyond_free), not a sequence worth
+    * generating per row. */
   def epochExpand(docs: DataFrame,
       weights: Seq[(String, Long)] = DefaultMixWeights): DataFrame = {
     val plan = mixEpochs(docs, weights)
       .select(col("lang"), col("epochs_x1000"))
     docs.select(col("doc_id"), col("lang"))
       .join(broadcast(plan), "lang")
-      .withColumn("full_epochs", expr("epochs_x1000 div 1000"))
-      .withColumn("frac", expr("epochs_x1000 % 1000"))
+      .withColumn("full_epochs",
+        expr(s"least(epochs_x1000 div 1000, $ExpandMaxEpochs)"))
+      .withColumn("frac",
+        expr(s"CASE WHEN epochs_x1000 div 1000 > $ExpandMaxEpochs " +
+          "THEN 0L ELSE epochs_x1000 % 1000 END"))
       .select(col("doc_id"), col("lang"), col("full_epochs"), col("frac"),
         explode(expr("sequence(0L, full_epochs)")).as("epoch_idx"))
       .filter(col("epoch_idx") < col("full_epochs") ||

@@ -1436,15 +1436,20 @@ object PipelineQueries {
            |      FROM sw CROSS JOIN tot),
            |plan AS (SELECT lang,
            |           (desired_tokens * 1000) // t AS epochs_x1000
-           |         FROM y)
+           |         FROM y),
+           |cap AS (SELECT lang,
+           |          least(epochs_x1000 // 1000,
+           |                ${Sampling.ExpandMaxEpochs}) AS full_e,
+           |          CASE WHEN epochs_x1000 // 1000
+           |                    > ${Sampling.ExpandMaxEpochs}
+           |               THEN 0 ELSE epochs_x1000 % 1000 END AS frac
+           |        FROM plan)
            |SELECT d.doc_id, d.lang, CAST(i AS BIGINT) AS epoch_idx
            |FROM documents d
-           |JOIN plan USING (lang),
-           |LATERAL (SELECT unnest(generate_series(0,
-           |           epochs_x1000 // 1000)) AS i) t
-           |WHERE CAST(i AS BIGINT) < epochs_x1000 // 1000
-           |   OR ((d.doc_id % 1000000007) * 2654435761) % 1000
-           |      < epochs_x1000 % 1000""".stripMargin,
+           |JOIN cap USING (lang),
+           |LATERAL (SELECT unnest(generate_series(0, full_e)) AS i) t
+           |WHERE CAST(i AS BIGINT) < full_e
+           |   OR ((d.doc_id % 1000000007) * 2654435761) % 1000 < frac""".stripMargin,
 
       // LSH S-curve tuner: the squaring chains render from the same
       // LshTuneRs constant as the engine, one floor division per step in

@@ -2583,6 +2583,22 @@ class PipelineSpec extends AnyFunSuite {
     val planned = docs.groupBy(_._2).map { case (l, ds) =>
       ds.length.toLong * plan(l) / 1000 }.sum
     assert(math.abs(got.length - planned) < docs.length / 10)
+    // runaway-mixture clamp: a tiny source with a huge weight share
+    // plans thousands of epochs; the expansion materializes at most
+    // ExpandMaxEpochs of them instead of a per-row mega-sequence
+    import spark.implicits._
+    val skew = ((1L to 50L).map(i => (i, "en", "w " * 50)) :+
+      ((999L, "es", "tok"))).toDF("doc_id", "lang", "text")
+    val weights = Seq("en" -> 1L, "es" -> 999L)
+    val plannedEpochs = Sampling.mixEpochs(skew, weights).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(plannedEpochs("es") / 1000 > Sampling.ExpandMaxEpochs,
+      "fixture must actually trigger the clamp")
+    val esEpochs = Sampling.epochExpand(skew, weights).collect()
+      .filter(_.getString(1) == "es").map(_.getLong(2))
+    assert(esEpochs.nonEmpty)
+    assert(esEpochs.max === Sampling.ExpandMaxEpochs - 1,
+      "clamped expansion keeps exactly ExpandMaxEpochs full epochs")
   }
 
   test("knn components: clusters equal a serial union-find over mutual edges") {
