@@ -47,7 +47,9 @@ object Explain {
       "bm25_retrieve", "knn_graph", "emb_project", "lsh_tune",
       "mix_epochs", "epoch_expand", "knn_components", "dup_weights",
       "project_recall", "bm25_batch", "quality_winsorize", "bm25_update",
-      "q7_volume_shipping", "q10_returned_items")
+      "q7_volume_shipping", "q10_returned_items", "graph_pagerank",
+      "q4_order_priority", "q12_ship_priority", "q14_promo_revenue",
+      "q16_supplier_cnt", "q19_bracket_revenue")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

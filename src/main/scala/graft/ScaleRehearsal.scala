@@ -241,6 +241,10 @@ object ScaleRehearsal {
       // mutual-kNN clustering (r12): knn_graph's linear build + the
       // min-label loop over ≤ n·k/2 id pairs + component-keyed rollup.
       "knn_components" -> SparkEntry.queries("knn_components"),
+      // integer PageRank (r12): knn_graph's linear build, then
+      // PagerankIters rounds of join+partial-agg over ≤ n·k 16-byte
+      // (id, long) rows — each round one linear co-partitioned shuffle.
+      "graph_pagerank" -> SparkEntry.queries("graph_pagerank"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
       "dup_weights" -> SparkEntry.queries("dup_weights"),

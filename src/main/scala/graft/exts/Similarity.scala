@@ -227,6 +227,76 @@ object Similarity {
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
     knnComponents(Tables.load(spark, dir, "embeddings"))
 
+  /** Fixed rounds for [[graphPagerank]] — centrality stabilizes in a few
+    * rounds on a k-regular-ish graph; a fixed count keeps the plan and
+    * the artifact deterministic. */
+  val PagerankIters = 3
+  /** Rank fixed-point scale (ranks in millionths). */
+  val PagerankScale = 1000000L
+  /** (1 − d)·scale with damping d = 0.85. */
+  val PagerankBase = 150000L
+
+  /** Graph centrality over the [[knnGraph]] edges — which vectors sit at
+    * the semantic CORE of the corpus (many near-duplicates / dense
+    * regions point at them) vs its periphery: one row per vector
+    * (vec_id, pagerank_x6, out_deg, in_deg).
+    *
+    * Arithmetic is INTEGER fixed-point end-to-end: ranks scaled by
+    * [[PagerankScale]], per-edge contribution `r DIV outdeg`, damping
+    * `(850·Σ) DIV 1000`. Float PageRank summed in different partition
+    * orders differs in ULPs run-to-run; the integer formulation is
+    * bit-reproducible across engines and re-runs, which is what makes
+    * the score usable as a persisted curation signal. Dangling mass is
+    * deliberately dropped (the common production simplification —
+    * redistributing it costs a global broadcast per round and mostly
+    * rescales ranks uniformly).
+    *
+    * Scale shape: the edge list is ≤ n·k rows and is checkpointed once;
+    * outdeg attaches with one shuffle-hash join co-partitioned on
+    * src_id and is reused by every round. Each of the [[PagerankIters]]
+    * rounds is join(rank on src_id) → partial-agg sum by dst_id → left
+    * join back to the node list — all on (id, long) rows, k constant,
+    * so every round is one linear shuffle of 16-byte rows. Rank frames
+    * are lazily checkpointed per round ([[Dedup.dupComponents]]'
+    * convention) so lineage stays flat at any round count. */
+  def graphPagerank(corpus0: DataFrame, k: Int = KnnGraphK,
+      iters: Int = PagerankIters): DataFrame = {
+    val edges = knnGraph(corpus0, k)
+      .select(col("src_id"), col("dst_id")).localCheckpoint(false)
+    val outdeg = edges.groupBy(col("src_id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg.hint("shuffle_hash"), "src_id")
+      .localCheckpoint(false)
+    val nodes = corpus0.select(col("vec_id")).localCheckpoint(false)
+    var rank = nodes.withColumn("r", lit(PagerankScale))
+    (1 to iters).foreach { _ =>
+      val inbound = withDeg
+        .join(rank.withColumnRenamed("vec_id", "src_id")
+          .hint("shuffle_hash"), "src_id")
+        .select(col("dst_id"), expr("r DIV outdeg").as("contrib"))
+        .groupBy(col("dst_id")).agg(sum(col("contrib")).as("m"))
+      rank = nodes
+        .join(inbound.withColumnRenamed("dst_id", "vec_id")
+          .hint("shuffle_hash"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr(s"$PagerankBase + (850 * coalesce(m, CAST(0 AS BIGINT)))" +
+            " DIV 1000").as("r"))
+        .localCheckpoint(false)
+    }
+    val indeg = edges.groupBy(col("dst_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    rank
+      .join(outdeg.withColumnRenamed("src_id", "vec_id")
+        .hint("shuffle_hash"), Seq("vec_id"), "left")
+      .join(indeg.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("r").as("pagerank_x6"),
+        coalesce(col("outdeg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    graphPagerank(Tables.load(spark, dir, "embeddings"))
+
   /** Johnson–Lindenstrauss output width for [[embProject]]. */
   val ProjectDims = 16
 

@@ -827,6 +827,9 @@ object PipelineQueries {
       "emb_project" -> ((s, dir) => Similarity.embProject(s, dir)),
       "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
       "knn_components" -> ((s, dir) => Similarity.knnComponents(s, dir)),
+      // Fixed-point integer PageRank over the knn_graph edges — the
+      // corpus-centrality record (bit-reproducible across engines).
+      "graph_pagerank" -> ((s, dir) => Similarity.graphPagerank(s, dir)),
       "project_recall" -> ((s, dir) => Similarity.projectRecall(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
@@ -3615,6 +3618,45 @@ object PipelineQueries {
            |       FROM comp GROUP BY component)
            |SELECT vec_id, component, cluster_size, is_canonical
            |FROM comp JOIN sz USING (component)""".stripMargin,
+
+      // Fixed-point integer PageRank over the knn_graph CTE chain —
+      // ranks ×1e6, per-edge contribution r // outdeg, damping
+      // (850·Σ) // 1000, [[Similarity.PagerankIters]] unrolled rounds.
+      // Integer arithmetic end-to-end, so both engines agree
+      // bit-for-bit at every round (float PageRank would differ in ULPs
+      // by summation order).
+      "graph_pagerank" -> {
+        def prRound(prev: String, next: String): String =
+          s"""$next AS (
+             |  SELECT v.vec_id,
+             |    CAST(${Similarity.PagerankBase} +
+             |      (850 * coalesce(s.m, 0)) // 1000 AS BIGINT) AS r
+             |  FROM v LEFT JOIN (
+             |    SELECT ed.dst_id, CAST(sum($prev.r // deg.outdeg)
+             |      AS BIGINT) AS m
+             |    FROM ed JOIN deg ON ed.src_id = deg.src_id
+             |    JOIN $prev ON $prev.vec_id = ed.src_id
+             |    GROUP BY ed.dst_id) s ON v.vec_id = s.dst_id)"""
+            .stripMargin
+        val prRounds = (1 to Similarity.PagerankIters)
+          .map(i => prRound(s"r${i - 1}", s"r$i")).mkString(",\n")
+        val prLast = s"r${Similarity.PagerankIters}"
+        s"""WITH $knnGraphCtes,
+           |ed AS (SELECT src_id, dst_id FROM e),
+           |deg AS (SELECT src_id, count(*) AS outdeg FROM ed GROUP BY 1),
+           |v AS (SELECT vec_id FROM embeddings),
+           |r0 AS (SELECT vec_id,
+           |  CAST(${Similarity.PagerankScale} AS BIGINT) AS r FROM v),
+           |$prRounds,
+           |ind AS (SELECT dst_id AS vec_id, count(*) AS in_deg
+           |        FROM ed GROUP BY 1)
+           |SELECT v.vec_id, $prLast.r AS pagerank_x6,
+           |  CAST(coalesce(deg.outdeg, 0) AS BIGINT) AS out_deg,
+           |  CAST(coalesce(ind.in_deg, 0) AS BIGINT) AS in_deg
+           |FROM v JOIN $prLast ON v.vec_id = $prLast.vec_id
+           |LEFT JOIN deg ON v.vec_id = deg.src_id
+           |LEFT JOIN ind ON v.vec_id = ind.vec_id""".stripMargin
+      },
 
       // Power iteration on the emb_gram matrix: exactly PcaIterations
       // steps from all-ones, max-abs normalization, left-to-right matvec

@@ -286,6 +286,124 @@ object RelationalQueries {
             count(lit(1)).as("n_lineitems"))
       }),
 
+      // TPC-H Q4 shape (order-priority check): the correlated EXISTS —
+      // "some lineitem shipped more than 60 days after the order was
+      // placed" — is a LEFT SEMI join with the inequality evaluated as
+      // the join's residual condition, so orders are never multiplied by
+      // their lineitems and only the quarter's orders reach the join.
+      "q4_order_priority" -> ((s, dir) => {
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1997-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") >
+                col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      }),
+
+      // TPC-H Q12 shape (shipping-channel priority split): one fact →
+      // orders equi-join, then BOTH priority buckets come out of a single
+      // conditional aggregation pass — never two scans or a pivot.
+      // l_linestatus stands in for the fixture's missing l_shipmode.
+      "q12_ship_priority" -> ((s, dir) => {
+        val ord = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+              lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .select("l_orderkey", "l_linestatus")
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      }),
+
+      // TPC-H Q14 shape (promotion effect): month of fact joined to the
+      // part dim (broadcast — the month filter reaches the parquet scan
+      // first), promo and total revenue from one conditional-sum pass,
+      // and the headline ratio in exact basis points via integer DIV so
+      // both engines agree bit-for-bit.
+      "q14_promo_revenue" -> ((s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .select("p_partkey", "p_type")
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+              lit("1997-03-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+          .select(col("l_partkey"),
+            (cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+              .as("rev_x10k"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", col("rev_x10k"))
+              .otherwise(0L)).as("promo_rev_x10k"),
+            sum(col("rev_x10k")).as("total_rev_x10k"))
+          .withColumn("promo_bp",
+            expr("promo_rev_x10k * 10000 DIV total_rev_x10k"))
+      }),
+
+      // TPC-H Q16 shape (supplier count by part attributes): the
+      // part-supplier bridge is DISTINCTed out of the fact table before
+      // any join (the fixture has no partsupp), "complaint" suppliers
+      // (negative balance) drop via a broadcast anti-join, and the count
+      // is distinct suppliers per surviving attribute combination.
+      "q16_supplier_cnt" -> ((s, dir) => {
+        val bridge = Tables.load(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val complaints = Tables.load(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        bridge
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(complaints),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      }),
+
+      // TPC-H Q19 shape (disjunctive bracket predicate): three
+      // (brand, size-range, quantity-range) brackets OR'd together.
+      // The part side is pre-filtered with the IMPLIED conjunctive
+      // relaxation (brand ∈ {…} AND size ≤ max) so the dim scan prunes
+      // before the broadcast; the exact disjunction then runs once over
+      // the joined rows — never three passes over the fact.
+      "q19_bracket_revenue" -> ((s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_brand").isin("Brand#2", "Brand#13", "Brand#24") &&
+            col("p_size") >= 1 && col("p_size") <= 15)
+          .select("p_partkey", "p_brand", "p_size")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            col("l_quantity").cast("long").as("qty"),
+            (cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+              .as("rev_x10k"))
+        val brackets =
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(1, 5) && col("qty").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" &&
+            col("p_size").between(1, 10) && col("qty").between(10, 20)) ||
+          (col("p_brand") === "Brand#24" &&
+            col("p_size").between(1, 15) && col("qty").between(20, 30))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .filter(brackets)
+          .agg(sum(col("rev_x10k")).as("revenue_x10k"),
+            count(lit(1)).as("n_items"))
+      }),
+
       // MERGE INTO semantics ([[graft.ops.Merge]]): one full-outer join
       // applies a deterministic change-set (delete %10==0, update %10 in
       // 1-3, insert from %10==4 under fresh keys, plus an ignored
@@ -544,6 +662,73 @@ object RelationalQueries {
           |WHERE NOT EXISTS (SELECT 1 FROM orders
           |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
           |GROUP BY c_nationkey""".stripMargin,
+
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-04-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |    WHERE l_orderkey = o_orderkey
+          |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o_orderpriority""".stripMargin,
+
+      "q12_ship_priority" ->
+        """SELECT l_linestatus,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |GROUP BY l_linestatus""".stripMargin,
+
+      "q14_promo_revenue" ->
+        """WITH agg AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN p_type = 'PROMO'
+          |      THEN CAST(round(l_extendedprice*100) AS BIGINT) *
+          |        (100 - CAST(round(l_discount*100) AS BIGINT))
+          |      ELSE 0 END) AS BIGINT) AS promo_rev_x10k,
+          |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |      AS total_rev_x10k
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01')
+          |SELECT promo_rev_x10k, total_rev_x10k,
+          |  CAST(promo_rev_x10k * 10000 // total_rev_x10k AS BIGINT)
+          |    AS promo_bp
+          |FROM agg""".stripMargin,
+
+      "q16_supplier_cnt" ->
+        """SELECT p_brand, p_type, p_size,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+          |JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+          |  AND NOT EXISTS (SELECT 1 FROM supplier
+          |    WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+      "q19_bracket_revenue" ->
+        """SELECT
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |    AS revenue_x10k,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+          |    AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+          |    AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+          |    AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
 
       "q18_large_orders" ->
         """WITH big AS (

@@ -2631,6 +2631,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(expect.values.toSet.size > 1)
   }
 
+  test("graph pagerank: serial integer fixed-point replay over knn edges") {
+    val edges = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0))
+    val outdeg = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.length.toLong }
+    var rank = nodes.map(v => v -> Similarity.PagerankScale).toMap
+    (1 to Similarity.PagerankIters).foreach { _ =>
+      val in = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d) => in(d) += rank(s) / outdeg(s) }
+      rank = nodes.map(v => v ->
+        (Similarity.PagerankBase + (850L * in(v)) / 1000L)).toMap
+    }
+    val indeg = edges.groupBy(_._2).map { case (d, es) =>
+      d -> es.length.toLong }
+    val got = Similarity.graphPagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).sorted === nodes.sorted)
+    got.foreach { case (v, pr, od, id) =>
+      assert(pr === rank(v), s"pagerank($v)")
+      assert(od === outdeg.getOrElse(v, 0L), s"out_deg($v)")
+      assert(id === indeg.getOrElse(v, 0L), s"in_deg($v)")
+    }
+    // the score actually differentiates core from periphery
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
     val rows = Dedup.dupWeights(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
