@@ -49,7 +49,8 @@ object Explain {
       "project_recall", "bm25_batch", "quality_winsorize", "bm25_update",
       "q7_volume_shipping", "q10_returned_items", "graph_pagerank",
       "q4_order_priority", "q12_ship_priority", "q14_promo_revenue",
-      "q16_supplier_cnt", "q19_bracket_revenue")
+      "q16_supplier_cnt", "q19_bracket_revenue", "q15_top_supplier",
+      "q21_waiting_supplier", "q22_idle_customers")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

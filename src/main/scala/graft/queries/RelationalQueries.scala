@@ -404,6 +404,87 @@ object RelationalQueries {
             count(lit(1)).as("n_items"))
       }),
 
+      // TPC-H Q15 shape (top supplier): quarter revenue per supplier,
+      // then the argmax via a 1-row broadcast of max(total) equi-joined
+      // back onto the same aggregate — the fact is scanned once (the
+      // aggregate exchange is reused for the max probe) and ties all
+      // surface, which is the spec's stated tie rule.
+      "q15_top_supplier" -> ((s, dir) => {
+        val rev = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+              lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+            .as("total_rev_x10k"))
+        val top = rev.agg(max(col("total_rev_x10k")).as("max_rev_x10k"))
+        val sup = Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name")
+        rev.join(broadcast(top),
+            col("total_rev_x10k") === col("max_rev_x10k"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_x10k"))
+      }),
+
+      // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+      // EXISTS + NOT-EXISTS self-join pair collapses into ONE conditional
+      // aggregation per finished order — supplier count, distinct late
+      // suppliers, the sole late supplier (min == the supplier when the
+      // distinct count is 1) and its late-line tally — so the fact is
+      // never self-joined. Lateness adapts to the fixture's columns as
+      // shipping >90 days after the order date (q4's convention).
+      "q21_waiting_supplier" -> ((s, dir) => {
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+        val late = col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS")
+        val perOrder = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("nsupp"),
+            countDistinct(when(late, col("l_suppkey"))).as("nlate_supp"),
+            min(when(late, col("l_suppkey"))).as("late_supp"),
+            sum(when(late, 1L).otherwise(0L)).as("n_late_items"))
+          .filter(col("nsupp") > 1 && col("nlate_supp") === 1)
+        val sup = Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name")
+        perOrder.groupBy(col("late_supp"))
+          .agg(sum(col("n_late_items")).as("numwait"))
+          .join(broadcast(sup), col("late_supp") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      }),
+
+      // TPC-H Q22 shape (global-sales opportunity): the "above average
+      // positive balance" scalar is a 1-row broadcast compared in EXACT
+      // integers (bal_cents·n > Σcents — no float average to disagree
+      // on), the dormancy test is a left-anti join against the
+      // date-filtered orders scan (every fixture customer has SOME
+      // order, so Q22's no-orders-ever predicate degenerates — "no
+      // order in the trailing year" keeps the shape and the pushed
+      // filter), and the rollup groups by nation (standing in for the
+      // fixture's missing phone country code).
+      "q22_idle_customers" -> ((s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            cents("c_acctbal").as("bal_cents"))
+        val pos = cust.filter(col("bal_cents") > 0L)
+          .agg(sum(col("bal_cents")).as("s"), count(lit(1)).as("n"))
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+            lit("2000-07-01").cast("timestamp_ntz"))
+          .select("o_custkey")
+        cust.filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+          .crossJoin(broadcast(pos))
+          .filter(col("bal_cents") * col("n") > col("s"))
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal_cents")).as("tot_cents"))
+      }),
+
       // MERGE INTO semantics ([[graft.ops.Merge]]): one full-outer join
       // applies a deterministic change-set (delete %10==0, update %10 in
       // 1-3, insert from %10==4 under fresh keys, plus an ignored
@@ -729,6 +810,57 @@ object RelationalQueries {
           |    AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
           |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
           |    AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+
+      "q15_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |      AS total_rev_x10k
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_rev_x10k
+          |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+          |WHERE total_rev_x10k = (SELECT max(total_rev_x10k) FROM rev)"""
+          .stripMargin,
+
+      // Deliberately the textbook correlated EXISTS / NOT-EXISTS
+      // formulation — an independent derivation of the conditional-agg
+      // rewrite on the Spark side.
+      "q21_waiting_supplier" ->
+        """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+          |FROM supplier, lineitem l1, orders
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY s_suppkey, s_name""".stripMargin,
+
+      "q22_idle_customers" ->
+        """WITH pos AS (
+          |  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT))
+          |      AS BIGINT) AS s,
+          |    count(*) AS n
+          |  FROM customer
+          |  WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0)
+          |SELECT c_nationkey, count(*) AS numcust,
+          |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+          |    AS tot_cents
+          |FROM customer, pos
+          |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          |  AND CAST(round(c_acctbal*100) AS BIGINT) * n > s
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |    WHERE o_custkey = c_custkey
+          |      AND o_orderdate >= TIMESTAMP '2000-07-01')
+          |GROUP BY c_nationkey""".stripMargin,
 
       "q18_large_orders" ->
         """WITH big AS (
