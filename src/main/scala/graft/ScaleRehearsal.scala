@@ -245,6 +245,10 @@ object ScaleRehearsal {
       // PagerankIters rounds of join+partial-agg over ≤ n·k 16-byte
       // (id, long) rows — each round one linear co-partitioned shuffle.
       "graph_pagerank" -> SparkEntry.queries("graph_pagerank"),
+      // deterministic walk corpus (r12): knn_graph's linear build, then
+      // WalkLen rounds of frontier⋈edges joins (k-way fanout filtered
+      // to the hash-chosen hop) — each round one linear shuffle.
+      "graph_walks" -> SparkEntry.queries("graph_walks"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
       "dup_weights" -> SparkEntry.queries("dup_weights"),

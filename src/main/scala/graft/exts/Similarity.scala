@@ -297,6 +297,69 @@ object Similarity {
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     graphPagerank(Tables.load(spark, dir, "embeddings"))
 
+  /** Steps per walk for [[graphWalks]] (positions 0..WalkLen per walk). */
+  val WalkLen = 4
+  /** LCG-style step-choice constants for [[graphWalks]] — every product
+    * stays under 2^63 after the `% 1000000007` reduction of walk_id, so
+    * the arithmetic is overflow-free in ANY int64 engine (DuckDB errors
+    * on bigint overflow where the JVM wraps; staying in range is what
+    * keeps the oracle runnable). */
+  val WalkModA = 1000000007L
+  val WalkMulA = 1103515245L
+  val WalkMulB = 12345L
+  val WalkAddC = 12821L
+  val WalkModB = 2147483647L
+
+  /** Deterministic random-walk corpus over the [[knnGraph]] edges — the
+    * node2vec/DeepWalk-style training-data generator: one walk per
+    * vector, [[WalkLen]] steps, rows (walk_id, step, vec_id). The next
+    * hop is chosen by a pure integer hash of (walk_id, step) mod the
+    * node's out-degree — no RNG state, so the corpus is bit-reproducible
+    * across engines, re-runs, and partitionings, and any walk can be
+    * regenerated in isolation. knn_graph's cosine rank (minus 1) IS the
+    * edge index, so both engines index the same neighbor order for free.
+    *
+    * Scale shape: the edge list with out-degree attaches via one
+    * co-partitioned shuffle-hash join and is checkpointed once; each of
+    * the [[WalkLen]] rounds joins the n-row frontier to the ≤ n·k edge
+    * list on src_id (k-way fanout filtered to the single hash-chosen
+    * edge), so every round is one linear shuffle. Frontiers are lazily
+    * checkpointed per round to keep lineage flat. Walks from vectors
+    * whose sign bucket is a singleton (no out-edges) end at step 0 —
+    * dropped by the join, not erred. */
+  def graphWalks(corpus0: DataFrame, k: Int = KnnGraphK,
+      len: Int = WalkLen): DataFrame = {
+    val e = knnGraph(corpus0, k)
+    val outdeg = e.groupBy(col("src_id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val edges = e
+      .select(col("src_id"), col("dst_id"),
+        (col("rank").cast("long") - 1L).as("idx"))
+      .join(outdeg.hint("shuffle_hash"), "src_id")
+      .localCheckpoint(false)
+    val start = corpus0.select(col("vec_id").as("walk_id"),
+      lit(0L).as("step"), col("vec_id"))
+    var walks = start
+    var frontier = start
+    (1 to len).foreach { t =>
+      val h = ((col("walk_id") % lit(WalkModA)) * lit(WalkMulA) +
+        lit(t.toLong) * lit(WalkMulB) + lit(WalkAddC)) % lit(WalkModB)
+      val next = frontier
+        .select(col("walk_id"), col("vec_id").as("src_id"), h.as("h"))
+        .join(edges.hint("shuffle_hash"), Seq("src_id"))
+        .filter(col("idx") === col("h") % col("outdeg"))
+        .select(col("walk_id"), lit(t.toLong).as("step"),
+          col("dst_id").as("vec_id"))
+        .localCheckpoint(false)
+      walks = walks.unionByName(next)
+      frontier = next
+    }
+    walks
+  }
+
+  def graphWalks(spark: SparkSession, dir: String): DataFrame =
+    graphWalks(Tables.load(spark, dir, "embeddings"))
+
   /** Johnson–Lindenstrauss output width for [[embProject]]. */
   val ProjectDims = 16
 

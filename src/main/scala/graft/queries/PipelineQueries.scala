@@ -830,6 +830,9 @@ object PipelineQueries {
       // Fixed-point integer PageRank over the knn_graph edges — the
       // corpus-centrality record (bit-reproducible across engines).
       "graph_pagerank" -> ((s, dir) => Similarity.graphPagerank(s, dir)),
+      // Deterministic random-walk corpus over knn_graph (integer-hash
+      // step choice — node2vec-style walks with no RNG state).
+      "graph_walks" -> ((s, dir) => Similarity.graphWalks(s, dir)),
       "project_recall" -> ((s, dir) => Similarity.projectRecall(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
@@ -3656,6 +3659,37 @@ object PipelineQueries {
            |FROM v JOIN $prLast ON v.vec_id = $prLast.vec_id
            |LEFT JOIN deg ON v.vec_id = deg.src_id
            |LEFT JOIN ind ON v.vec_id = ind.vec_id""".stripMargin
+      },
+
+      // Deterministic walk corpus over the knn_graph CTE chain — the
+      // cosine rank (−1) is the shared edge index, the next hop is the
+      // same pure integer hash of (walk_id, step) mod out-degree on both
+      // engines, one unrolled CTE per step. DuckDB's % is left-assoc, so
+      // a % m2 % outdeg parses as ((a % m2) % outdeg) — the Spark order.
+      "graph_walks" -> {
+        def walkStep(prev: String, t: Int): String =
+          s"""w$t AS (
+             |  SELECT w.walk_id, CAST($t AS BIGINT) AS step,
+             |    ei.dst_id AS vec_id
+             |  FROM $prev w JOIN ei ON ei.src_id = w.vec_id
+             |    AND ei.idx = ((w.walk_id % ${Similarity.WalkModA})
+             |        * ${Similarity.WalkMulA}
+             |        + $t * ${Similarity.WalkMulB}
+             |        + ${Similarity.WalkAddC})
+             |      % ${Similarity.WalkModB} % ei.outdeg)""".stripMargin
+        val steps = (1 to Similarity.WalkLen)
+          .map(t => walkStep(s"w${t - 1}", t)).mkString(",\n")
+        val union = (0 to Similarity.WalkLen)
+          .map(t => s"SELECT walk_id, step, vec_id FROM w$t")
+          .mkString("\nUNION ALL ")
+        s"""WITH $knnGraphCtes,
+           |ei AS (SELECT src_id, dst_id, CAST(rank AS BIGINT) - 1 AS idx,
+           |  CAST(count(*) OVER (PARTITION BY src_id) AS BIGINT) AS outdeg
+           |  FROM e),
+           |w0 AS (SELECT vec_id AS walk_id, CAST(0 AS BIGINT) AS step,
+           |  vec_id FROM embeddings),
+           |$steps
+           |$union""".stripMargin
       },
 
       // Power iteration on the emb_gram matrix: exactly PcaIterations

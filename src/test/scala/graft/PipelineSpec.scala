@@ -2661,6 +2661,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1)
   }
 
+  test("graph walks: serial hash-stepped replay over ranked knn edges") {
+    val edges = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val bySrc = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.sortBy(_._3).map(_._2) }
+    val nodes = graft.Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0))
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    nodes.foreach { w =>
+      var cur = w
+      expect += ((w, 0L, w))
+      var t = 1
+      var alive = true
+      while (alive && t <= Similarity.WalkLen) {
+        bySrc.get(cur) match {
+          case Some(nbrs) =>
+            val h = ((w % Similarity.WalkModA) * Similarity.WalkMulA +
+              t * Similarity.WalkMulB + Similarity.WalkAddC) %
+              Similarity.WalkModB
+            cur = nbrs((h % nbrs.length).toInt)
+            expect += ((w, t.toLong, cur))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    val got = Similarity.graphWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted === expect.toArray.sorted)
+    // the walks actually move (not fixed at the start node) and every
+    // hop follows a real edge
+    assert(got.exists(w => w._2 > 0 && w._3 != w._1))
+    val edgeSet = edges.map(e => (e._1, e._2)).toSet
+    val byWalk = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3))
+    byWalk.foreach { case (_, path) =>
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet.contains((a, b)))
+        case _ =>
+      }
+    }
+  }
+
   test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
     val rows = Dedup.dupWeights(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
