@@ -485,6 +485,183 @@ object RelationalQueries {
             sum(col("bal_cents")).as("tot_cents"))
       }),
 
+      // TPC-H Q2 shape (min-cost supplier): the fixture has no partsupp,
+      // so the part×supplier cost table is DERIVED from the fact — total
+      // cents supplied per (part, supplier), restricted to one region's
+      // suppliers and a part slice (both broadcast, so the filters reach
+      // the fact scan). The Q2 essence is the correlated per-part min:
+      // computed as a second aggregate over the SAME cost frame and
+      // equi-joined back on (part, cost) to pick the argmin rows — ties
+      // surface, the spec's rule. Cost aggregate shuffles once; the min
+      // probe is part-count-sized (corpus-order → shuffle-hash, never
+      // broadcast).
+      "q2_min_cost_supplier" -> ((s, dir) => {
+        val nat0 = Tables.load(s, dir, "nation")
+          .join(broadcast(Tables.load(s, dir, "region")
+              .filter(col("r_regionkey") === 0).select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup0 = Tables.load(s, dir, "supplier")
+          .join(broadcast(nat0), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            cents("s_acctbal").as("acctbal_cents"))
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_type") === "SMALL" && col("p_size") <= 10)
+          .select("p_partkey")
+        val ps = Tables.load(s, dir, "lineitem")
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup0.select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(cents("l_extendedprice")).as("supply_cents"))
+        val minCost = ps.groupBy(col("l_partkey").as("mp"))
+          .agg(min(col("supply_cents")).as("min_cents"))
+        ps.join(minCost.hint("shuffle_hash"),
+            col("l_partkey") === col("mp") &&
+              col("supply_cents") === col("min_cents"))
+          .join(broadcast(sup0), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+            col("s_name"), col("n_name"), col("acctbal_cents"),
+            col("supply_cents"))
+      }),
+
+      // TPC-H Q8 shape (national market share): one nation's share of a
+      // region's revenue for one part type, by order year. All dims
+      // broadcast onto a single fact pass; the share comes out of one
+      // conditional-sum aggregation, headline ratio in exact basis
+      // points via integer DIV (q14's convention).
+      "q8_market_share" -> ((s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")
+        val custReg = Tables.load(s, dir, "customer")
+          .join(broadcast(Tables.load(s, dir, "nation")
+              .filter(col("n_regionkey") === 1).select("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+        val sup = Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1996-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+              .as("rev_x10k"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(custReg), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("o_year"))
+          .agg(
+            sum(when(col("s_nationkey") === 0, col("rev_x10k"))
+              .otherwise(0L)).as("nation_rev_x10k"),
+            sum(col("rev_x10k")).as("total_rev_x10k"))
+          .withColumn("share_bp",
+            expr("nation_rev_x10k * 10000 DIV total_rev_x10k"))
+      }),
+
+      // TPC-H Q9 shape (product-type profit): profit per supplier nation
+      // per ship year over a part-name slice. The fixture has no
+      // ps_supplycost, so cost is defined as 80% of the part's retail
+      // price per unit — an exact-integer formula both engines compute
+      // identically. Part + supplier broadcast, one fact pass, one agg.
+      "q9_product_profit" -> ((s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_name").contains("bolt"))
+          .select(col("p_partkey"), cents("p_retailprice").as("price_cents"))
+        val sup = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")
+              .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            col("l_quantity").cast("long").as("qty"),
+            (cents("l_extendedprice") * (lit(100L) - pct("l_discount")))
+              .as("rev_x10k"))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name"), col("l_year"))
+          .agg(sum(col("rev_x10k") -
+            col("qty") * col("price_cents") * lit(80L)).as("profit_x10k"))
+      }),
+
+      // TPC-H Q11 shape (important stock): inventory value per part held
+      // by one nation group's suppliers vs a global-fraction threshold —
+      // the HAVING-with-scalar-subquery shape. Value aggregate shuffles
+      // once on partkey; the threshold is a 1-row broadcast compared in
+      // exact integers (value·1000 > total — no float fraction).
+      "q11_important_stock" -> ((s, dir) => {
+        val sup = Tables.load(s, dir, "supplier")
+          .filter(col("s_nationkey").isin(3, 7)).select("s_suppkey")
+        val part = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), cents("p_retailprice").as("price_cents"))
+        val value = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("qty") * col("price_cents")).as("value_cents"))
+        val total = value.agg(sum(col("value_cents")).as("total_cents"))
+        value.crossJoin(broadcast(total))
+          .filter(col("value_cents") * 1000L > col("total_cents"))
+          .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+      }),
+
+      // TPC-H Q13 shape (customer order-count distribution): orders are
+      // pre-aggregated to per-customer counts BEFORE the outer join (map-
+      // side combinable — never a row-multiplying join then count), the
+      // customer side stays preserved with the aggregate brought in via
+      // shuffle-hash, customers with no qualifying orders surface as
+      // count 0 through the coalesce. The priority filter stands in for
+      // Q13's o_comment NOT LIKE.
+      "q13_customer_distribution" -> ((s, dir) => {
+        val ordCnt = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        Tables.load(s, dir, "customer").select("c_custkey")
+          .join(ordCnt.hint("shuffle_hash"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      }),
+
+      // TPC-H Q20 shape (promotion-dominant suppliers): suppliers who
+      // shipped MORE THAN HALF of a promoted part's 1997 volume — the
+      // nested aggregate-correlated threshold chain. Per-(part, supplier)
+      // quantities roll up once; the per-part total is a second aggregate
+      // over the same frame joined back shuffle-hash (part count is
+      // corpus-order); the supplier set dedups before the name join, so
+      // a supplier dominating many parts lists once. Oracle keeps the
+      // textbook doubly-correlated EXISTS as an independent derivation.
+      "q20_part_promotion" -> ((s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_name").startsWith("red")).select("p_partkey")
+        val pq = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+              lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+        val tot = pq.groupBy(col("l_partkey").as("tp"))
+          .agg(sum(col("supp_qty")).as("part_qty"))
+        pq.join(tot.hint("shuffle_hash"), col("l_partkey") === col("tp"))
+          .filter(col("supp_qty") * 2L > col("part_qty"))
+          .select("l_suppkey").distinct()
+          .join(broadcast(Tables.load(s, dir, "supplier")
+              .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"))
+      }),
+
       // MERGE INTO semantics ([[graft.ops.Merge]]): one full-outer join
       // applies a deterministic change-set (delete %10==0, update %10 in
       // 1-3, insert from %10==4 under fresh keys, plus an ignored
@@ -1034,5 +1211,116 @@ object RelationalQueries {
           |  count(*) AS n_orders,
           |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
           |    AS total_cents
-          |FROM orders GROUP BY 1, 2""".stripMargin))
+          |FROM orders GROUP BY 1, 2""".stripMargin,
+
+      // Textbook correlated-min formulation — an independent derivation
+      // of the Spark side's aggregate-rejoin argmin.
+      "q2_min_cost_supplier" ->
+        """WITH sup0 AS (
+          |  SELECT s_suppkey, s_name, n_name,
+          |    CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents
+          |  FROM supplier
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_regionkey = 0),
+          |ps AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+          |      AS BIGINT) AS supply_cents
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  JOIN sup0 ON l_suppkey = s_suppkey
+          |  WHERE p_type = 'SMALL' AND p_size <= 10
+          |  GROUP BY 1, 2)
+          |SELECT ps.l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+          |  acctbal_cents, supply_cents
+          |FROM ps JOIN sup0 ON ps.l_suppkey = sup0.s_suppkey
+          |WHERE supply_cents = (SELECT min(supply_cents) FROM ps p2
+          |  WHERE p2.l_partkey = ps.l_partkey)""".stripMargin,
+
+      "q8_market_share" ->
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |  CAST(sum(CASE WHEN s_nationkey = 0
+          |    THEN CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))
+          |    ELSE 0 END) AS BIGINT) AS nation_rev_x10k,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |    (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |    AS total_rev_x10k,
+          |  CAST(sum(CASE WHEN s_nationkey = 0
+          |      THEN CAST(round(l_extendedprice*100) AS BIGINT) *
+          |        (100 - CAST(round(l_discount*100) AS BIGINT))
+          |      ELSE 0 END) * 10000 //
+          |    sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+          |    AS share_bp
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE p_type = 'ECONOMY' AND n_regionkey = 1
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY 1""".stripMargin,
+
+      "q9_product_profit" ->
+        """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+          |      (100 - CAST(round(l_discount*100) AS BIGINT)) -
+          |    CAST(l_quantity AS BIGINT) *
+          |      CAST(round(p_retailprice*100) AS BIGINT) * 80) AS BIGINT)
+          |    AS profit_x10k
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE p_name LIKE '%bolt%'
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q11_important_stock" ->
+        """WITH v AS (
+          |  SELECT l_partkey,
+          |    CAST(sum(CAST(l_quantity AS BIGINT) *
+          |      CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+          |      AS value_cents
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN part ON l_partkey = p_partkey
+          |  WHERE s_nationkey IN (3, 7)
+          |  GROUP BY 1)
+          |SELECT l_partkey AS p_partkey, value_cents
+          |FROM v
+          |WHERE value_cents * 1000 >
+          |  (SELECT sum(value_cents) FROM v)""".stripMargin,
+
+      "q13_customer_distribution" ->
+        """SELECT c_count, count(*) AS custdist
+          |FROM (
+          |  SELECT c_custkey,
+          |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+          |  FROM customer
+          |  LEFT JOIN orders ON c_custkey = o_custkey
+          |    AND o_orderpriority <> '5-LOW'
+          |  GROUP BY c_custkey)
+          |GROUP BY c_count""".stripMargin,
+
+      // Textbook doubly-correlated EXISTS — independent of the Spark
+      // side's aggregate-rejoin rewrite.
+      "q20_part_promotion" ->
+        """WITH pq AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  WHERE p_name LIKE 'red%'
+          |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  GROUP BY 1, 2)
+          |SELECT s_suppkey, s_name FROM supplier
+          |WHERE EXISTS (SELECT 1 FROM pq
+          |  WHERE pq.l_suppkey = s_suppkey
+          |    AND supp_qty * 2 > (SELECT sum(supp_qty) FROM pq p2
+          |      WHERE p2.l_partkey = pq.l_partkey))""".stripMargin))
 }
