@@ -249,6 +249,13 @@ object ScaleRehearsal {
       // WalkLen rounds of frontier⋈edges joins (k-way fanout filtered
       // to the hash-chosen hop) — each round one linear shuffle.
       "graph_walks" -> SparkEntry.queries("graph_walks"),
+      // skip-gram pairs (r12): the walk corpus self-joined on walk_id —
+      // co-partitioned shuffle-hash with a (len+1)²-bounded fanout.
+      "walk_skipgrams" -> SparkEntry.queries("walk_skipgrams"),
+      // wedge closure (r12): edges⋈edges on the middle node (≤ n·k²
+      // rows, k constant) + a left-semi closure probe on the same
+      // checkpointed edge list.
+      "graph_triangles" -> SparkEntry.queries("graph_triangles"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
       "dup_weights" -> SparkEntry.queries("dup_weights"),

@@ -360,6 +360,82 @@ object Similarity {
   def graphWalks(spark: SparkSession, dir: String): DataFrame =
     graphWalks(Tables.load(spark, dir, "embeddings"))
 
+  /** Skip-gram context window for [[walkSkipgrams]]. */
+  val SkipWindow = 2
+
+  /** word2vec-style training pairs from the [[graphWalks]] corpus: every
+    * (center, context) co-occurrence within [[SkipWindow]] positions of
+    * the same walk, aggregated to pair counts — the input a skip-gram
+    * embedding trainer consumes (DeepWalk/node2vec's second half). Rows
+    * (center_id, context_id, n_pairs); the pair relation is symmetric by
+    * construction (|i−j| ≤ w holds for both orders), which the spec
+    * asserts as a law.
+    *
+    * Scale shape: the walk corpus is n·(len+1) rows of three longs; the
+    * self-join on walk_id is co-partitioned shuffle-hash with a fanout
+    * bounded by (len+1)² per walk — constants, so pair volume stays
+    * linear in n. Both join sides read the SAME checkpointed frontier
+    * frames [[graphWalks]] materialized, so the walk generation runs
+    * once, not twice. */
+  def walkSkipgrams(corpus0: DataFrame, k: Int = KnnGraphK,
+      len: Int = WalkLen, window: Int = SkipWindow): DataFrame = {
+    val walks = graphWalks(corpus0, k, len)
+    val a = walks.select(col("walk_id"), col("step").as("step_a"),
+      col("vec_id").as("center_id"))
+    val b = walks.select(col("walk_id"), col("step").as("step_b"),
+      col("vec_id").as("context_id"))
+    a.join(b.hint("shuffle_hash"), Seq("walk_id"))
+      .filter(col("step_a") =!= col("step_b") &&
+        abs(col("step_a") - col("step_b")) <= window)
+      .groupBy(col("center_id"), col("context_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def walkSkipgrams(spark: SparkSession, dir: String): DataFrame =
+    walkSkipgrams(Tables.load(spark, dir, "embeddings"))
+
+  /** Directed transitivity over the [[knnGraph]] edges — per vector: how
+    * many of its two-hop wedges close into triangles. A high closure
+    * ratio marks a vector inside a DENSE semantic clique (mutual near-
+    * dup regions); low closure marks a hub whose neighbors are unrelated
+    * to each other — the standard graph-quality diagnostic between
+    * knn_components (who clusters) and graph_pagerank (who is central).
+    * Rows (vec_id, n_wedges, n_closed, closure_x1000) for every vector
+    * with at least one wedge; the ratio is integer ‰ so both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape: the edge list (≤ n·k rows of two longs) checkpoints
+    * once and feeds all three passes; wedges are edges⋈edges on the
+    * shared middle node (co-partitioned shuffle-hash, ≤ n·k² rows — k is
+    * a constant, so linear in n); closure is a LEFT-SEMI join of wedges
+    * against the same edge list on (src, far) — multiplicity lives on
+    * the wedge side, so the semi-join never duplicates; both rollups are
+    * map-side-combinable hash aggregates joined on their own key. */
+  def graphTriangles(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val e = knnGraph(corpus0, k).select("src_id", "dst_id")
+      .localCheckpoint(false)
+    val wedges = e.select(col("src_id"), col("dst_id").as("mid_id"))
+      .join(e.select(col("src_id").as("mid_id"), col("dst_id").as("far_id"))
+        .hint("shuffle_hash"), Seq("mid_id"))
+      .filter(col("far_id") =!= col("src_id"))
+      .select("src_id", "far_id")
+    val closed = wedges.join(
+      e.select(col("src_id"), col("dst_id").as("far_id"))
+        .hint("shuffle_hash"),
+      Seq("src_id", "far_id"), "left_semi")
+    val wcnt = wedges.groupBy(col("src_id"))
+      .agg(count(lit(1)).as("n_wedges"))
+    val ccnt = closed.groupBy(col("src_id"))
+      .agg(count(lit(1)).as("n_closed"))
+    wcnt.join(ccnt.hint("shuffle_hash"), Seq("src_id"), "left")
+      .select(col("src_id").as("vec_id"), col("n_wedges"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("closure_x1000", expr("n_closed * 1000 DIV n_wedges"))
+  }
+
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    graphTriangles(Tables.load(spark, dir, "embeddings"))
+
   /** Johnson–Lindenstrauss output width for [[embProject]]. */
   val ProjectDims = 16
 

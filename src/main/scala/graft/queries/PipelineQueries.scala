@@ -225,6 +225,38 @@ object PipelineQueries {
        |        FROM cand)
        |  WHERE rn <= ${Similarity.KnnGraphK})""".stripMargin
 
+  /** graph_walks' CTE chain on top of [[knnGraphCtes]] — the ranked edge
+    * index `ei` plus one unrolled CTE per walk step and the full `walks`
+    * union; shared by graph_walks and walk_skipgrams so the skip-gram
+    * pairs cannot drift from the walk corpus. DuckDB's % is left-assoc,
+    * so a % m2 % outdeg parses as ((a % m2) % outdeg) — the Spark order.
+    */
+  private val walkCtes: String = {
+    def walkStep(prev: String, t: Int): String =
+      s"""w$t AS (
+         |  SELECT w.walk_id, CAST($t AS BIGINT) AS step,
+         |    ei.dst_id AS vec_id
+         |  FROM $prev w JOIN ei ON ei.src_id = w.vec_id
+         |    AND ei.idx = ((w.walk_id % ${Similarity.WalkModA})
+         |        * ${Similarity.WalkMulA}
+         |        + $t * ${Similarity.WalkMulB}
+         |        + ${Similarity.WalkAddC})
+         |      % ${Similarity.WalkModB} % ei.outdeg)""".stripMargin
+    val steps = (1 to Similarity.WalkLen)
+      .map(t => walkStep(s"w${t - 1}", t)).mkString(",\n")
+    val union = (0 to Similarity.WalkLen)
+      .map(t => s"SELECT walk_id, step, vec_id FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""$knnGraphCtes,
+       |ei AS (SELECT src_id, dst_id, CAST(rank AS BIGINT) - 1 AS idx,
+       |  CAST(count(*) OVER (PARTITION BY src_id) AS BIGINT) AS outdeg
+       |  FROM e),
+       |w0 AS (SELECT vec_id AS walk_id, CAST(0 AS BIGINT) AS step,
+       |  vec_id FROM embeddings),
+       |$steps,
+       |walks AS ($union)""".stripMargin
+  }
+
   /** Marker regexes interpolated from the single source in TextAnalysis so
     * Spark and oracle sides cannot drift. */
   private val Seq(langEn, langEs, langDe, langFr) =
@@ -833,6 +865,12 @@ object PipelineQueries {
       // Deterministic random-walk corpus over knn_graph (integer-hash
       // step choice — node2vec-style walks with no RNG state).
       "graph_walks" -> ((s, dir) => Similarity.graphWalks(s, dir)),
+      // word2vec-style (center, context) pair counts from the walk
+      // corpus — the skip-gram trainer's input.
+      "walk_skipgrams" -> ((s, dir) => Similarity.walkSkipgrams(s, dir)),
+      // Directed wedge closure per vector over knn_graph — dense-clique
+      // vs unrelated-hub diagnostic, ratio in exact integer permille.
+      "graph_triangles" -> ((s, dir) => Similarity.graphTriangles(s, dir)),
       "project_recall" -> ((s, dir) => Similarity.projectRecall(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
@@ -3661,36 +3699,43 @@ object PipelineQueries {
            |LEFT JOIN ind ON v.vec_id = ind.vec_id""".stripMargin
       },
 
-      // Deterministic walk corpus over the knn_graph CTE chain — the
-      // cosine rank (−1) is the shared edge index, the next hop is the
-      // same pure integer hash of (walk_id, step) mod out-degree on both
-      // engines, one unrolled CTE per step. DuckDB's % is left-assoc, so
-      // a % m2 % outdeg parses as ((a % m2) % outdeg) — the Spark order.
-      "graph_walks" -> {
-        def walkStep(prev: String, t: Int): String =
-          s"""w$t AS (
-             |  SELECT w.walk_id, CAST($t AS BIGINT) AS step,
-             |    ei.dst_id AS vec_id
-             |  FROM $prev w JOIN ei ON ei.src_id = w.vec_id
-             |    AND ei.idx = ((w.walk_id % ${Similarity.WalkModA})
-             |        * ${Similarity.WalkMulA}
-             |        + $t * ${Similarity.WalkMulB}
-             |        + ${Similarity.WalkAddC})
-             |      % ${Similarity.WalkModB} % ei.outdeg)""".stripMargin
-        val steps = (1 to Similarity.WalkLen)
-          .map(t => walkStep(s"w${t - 1}", t)).mkString(",\n")
-        val union = (0 to Similarity.WalkLen)
-          .map(t => s"SELECT walk_id, step, vec_id FROM w$t")
-          .mkString("\nUNION ALL ")
+      // Deterministic walk corpus over the shared walk CTE chain — the
+      // cosine rank (−1) is the edge index, the next hop is the same
+      // pure integer hash of (walk_id, step) mod out-degree on both
+      // engines, one unrolled CTE per step.
+      "graph_walks" ->
+        s"""WITH $walkCtes
+           |SELECT walk_id, step, vec_id FROM walks""".stripMargin,
+
+      // Skip-gram pairs over the SAME walk CTE chain graph_walks uses —
+      // the pair table cannot drift from the walk corpus.
+      "walk_skipgrams" ->
+        s"""WITH $walkCtes
+           |SELECT a.vec_id AS center_id, b.vec_id AS context_id,
+           |  count(*) AS n_pairs
+           |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+           |  AND a.step <> b.step
+           |  AND abs(a.step - b.step) <= ${Similarity.SkipWindow}
+           |GROUP BY 1, 2""".stripMargin,
+
+      // Directed wedge/closure counts over the knn_graph CTE chain; the
+      // closure test is a correlated EXISTS against the same edge list.
+      "graph_triangles" ->
         s"""WITH $knnGraphCtes,
-           |ei AS (SELECT src_id, dst_id, CAST(rank AS BIGINT) - 1 AS idx,
-           |  CAST(count(*) OVER (PARTITION BY src_id) AS BIGINT) AS outdeg
-           |  FROM e),
-           |w0 AS (SELECT vec_id AS walk_id, CAST(0 AS BIGINT) AS step,
-           |  vec_id FROM embeddings),
-           |$steps
-           |$union""".stripMargin
-      },
+           |ed AS (SELECT src_id, dst_id FROM e),
+           |w AS (SELECT e1.src_id, e2.dst_id AS far_id
+           |      FROM ed e1 JOIN ed e2 ON e1.dst_id = e2.src_id
+           |      WHERE e2.dst_id <> e1.src_id),
+           |wc AS (SELECT src_id, count(*) AS n_wedges FROM w GROUP BY 1),
+           |cc AS (SELECT w.src_id, count(*) AS n_closed FROM w
+           |       WHERE EXISTS (SELECT 1 FROM ed
+           |         WHERE ed.src_id = w.src_id AND ed.dst_id = w.far_id)
+           |       GROUP BY 1)
+           |SELECT wc.src_id AS vec_id, n_wedges,
+           |  CAST(coalesce(n_closed, 0) AS BIGINT) AS n_closed,
+           |  CAST(coalesce(n_closed, 0) * 1000 // n_wedges AS BIGINT)
+           |    AS closure_x1000
+           |FROM wc LEFT JOIN cc ON wc.src_id = cc.src_id""".stripMargin,
 
       // Power iteration on the emb_gram matrix: exactly PcaIterations
       // steps from all-ones, max-abs normalization, left-to-right matvec

@@ -2705,6 +2705,78 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("walk skipgrams: serial pair replay; pair counts are symmetric") {
+    val edges = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val bySrc = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.sortBy(_._3).map(_._2) }
+    val nodes = graft.Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0))
+    // serial walks (same replay as the graph_walks spec)
+    val walks = nodes.map { w =>
+      val path = scala.collection.mutable.ArrayBuffer[Long](w)
+      var cur = w
+      var t = 1
+      var alive = true
+      while (alive && t <= Similarity.WalkLen) {
+        bySrc.get(cur) match {
+          case Some(nbrs) =>
+            val h = ((w % Similarity.WalkModA) * Similarity.WalkMulA +
+              t * Similarity.WalkMulB + Similarity.WalkAddC) %
+              Similarity.WalkModB
+            cur = nbrs((h % nbrs.length).toInt)
+            path += cur
+          case None => alive = false
+        }
+        t += 1
+      }
+      path.toIndexedSeq
+    }
+    val expect = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    walks.foreach { path =>
+      for {
+        i <- path.indices; j <- path.indices
+        if i != j && math.abs(i - j) <= Similarity.SkipWindow
+      } expect((path(i), path(j))) += 1L
+    }
+    val got = Similarity.walkSkipgrams(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect.toMap)
+    // symmetry law: every (a, b) count equals its (b, a) mirror
+    got.foreach { case ((a, b), n) => assert(got((b, a)) === n) }
+  }
+
+  test("graph triangles: serial wedge/closure replay; closure bounded") {
+    val edges = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val edgeSet = edges.toSet
+    val expect = out.flatMap { case (src, nbrs) =>
+      val wedges = for {
+        mid <- nbrs; far <- out.getOrElse(mid, Array.empty[Long])
+        if far != src
+      } yield far
+      if (wedges.isEmpty) None
+      else {
+        val closed = wedges.count(far => edgeSet.contains((src, far)))
+        Some(src -> ((wedges.length.toLong, closed.toLong,
+          closed.toLong * 1000L / wedges.length)))
+      }
+    }
+    val got = Similarity.graphTriangles(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    // laws: closure never exceeds wedges; permille in [0, 1000]
+    got.values.foreach { case (w, c, x) =>
+      assert(c <= w); assert(x >= 0L && x <= 1000L)
+    }
+    // the diagnostic differentiates (not all nodes identical)
+    assert(got.values.map(_._3).toSeq.distinct.length > 1)
+  }
+
   test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
     val rows = Dedup.dupWeights(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
