@@ -256,6 +256,10 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // D4 pruning (r12): knn_components' linear plan + a dims×-inflated
+      // centroid aggregate + one co-partitioned centroid join + a
+      // cluster-partitioned rank window (corpus-order key count).
+      "d4_prune" -> SparkEntry.queries("d4_prune"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
       "dup_weights" -> SparkEntry.queries("dup_weights"),

@@ -436,6 +436,71 @@ object Similarity {
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     graphTriangles(Tables.load(spark, dir, "embeddings"))
 
+  /** Component quantization scale for [[d4Prune]] distances (×1e3 — one
+    * decade coarser than embStats' 1e4 so the n²-scaled squared distance
+    * stays inside int64 for cluster sizes up to ~2·10⁵; DuckDB errors on
+    * overflow where the JVM wraps, so the oracle is the canary). */
+  val ProtoQ = 1000L
+  /** Fraction of each cluster dropped as redundant, in permille. */
+  val D4DropPermille = 250L
+
+  /** D4-style semantic redundancy pruning: within each mutual-kNN
+    * cluster ([[knnComponents]]), rank members by closeness to the
+    * cluster centroid and DROP the most prototypical
+    * [[D4DropPermille]]‰ — near-centroid members are the redundant
+    * mass a deduplicated training mix sheds first, while far members
+    * carry the cluster's diversity. Per clustered vector:
+    * (vec_id, component, cluster_size, dist_q, proto_rank, keep).
+    *
+    * Exactness: components quantize to [[ProtoQ]] fixed-point and the
+    * comparison distance is ‖n·q − S‖² (the squared distance to the
+    * centroid scaled by n²) — all-integer, order-independent, so rank
+    * and keep are bit-reproducible across engines; no float centroid
+    * whose sum order could flip a rank.
+    *
+    * Scale shape: cluster membership is knn_components' linear plan;
+    * centroid sums ride a posexplode (dims× row inflation, dims a
+    * constant) into one map-side-combinable hash aggregate, re-packed
+    * to one array row per cluster; members join their centroid
+    * co-partitioned on the component key (shuffle-hash — component
+    * count is corpus-order); the distance is one row-local zip_with
+    * fold; the rank window partitions BY CLUSTER (corpus-order key
+    * count — never a global window). */
+  def d4Prune(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val memb = knnComponents(corpus0, k)
+      .select("vec_id", "component", "cluster_size")
+      .join(corpus0.select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * lit(ProtoQ)).cast("long"))
+            .as("q")).hint("shuffle_hash"),
+        Seq("vec_id"))
+    val cent = memb.select(col("component"), posexplode(col("q")))
+      .groupBy(col("component"), col("pos"))
+      .agg(sum(col("col")).as("s"))
+      .groupBy(col("component"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+        p => p.getField("s")).as("cent_s"))
+    val scored = memb.join(cent.hint("shuffle_hash"), Seq("component"))
+      .withColumn("dist_q", aggregate(
+        zip_with(col("q"), col("cent_s"), (a, b) => {
+          val d = a * col("cluster_size") - b
+          d * d
+        }),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("dist_q"), col("vec_id"))
+    scored
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("keep", expr(s"CAST(CASE WHEN proto_rank >" +
+        s" cluster_size * $D4DropPermille DIV 1000" +
+        s" THEN 1 ELSE 0 END AS BIGINT)"))
+      .select("vec_id", "component", "cluster_size", "dist_q",
+        "proto_rank", "keep")
+  }
+
+  def d4Prune(spark: SparkSession, dir: String): DataFrame =
+    d4Prune(Tables.load(spark, dir, "embeddings"))
+
   /** Johnson–Lindenstrauss output width for [[embProject]]. */
   val ProjectDims = 16
 

@@ -257,6 +257,26 @@ object PipelineQueries {
        |walks AS ($union)""".stripMargin
   }
 
+  /** knn_components' mutual-edge → recursive-reach → component → size CTE
+    * chain on top of [[knnGraphCtes]] (requires WITH RECURSIVE); shared
+    * by knn_components and d4_prune so pruning cannot drift from the
+    * clustering. */
+  private val knnComponentCtes: String =
+    s"""m AS (
+       |  SELECT e1.src_id AS u, e1.dst_id AS v
+       |  FROM e e1 JOIN e e2
+       |    ON e2.src_id = e1.dst_id AND e2.dst_id = e1.src_id),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM m
+       |  UNION
+       |  SELECT r.u, b.v FROM reach r JOIN m b ON r.v = b.u),
+       |comp AS (
+       |  SELECT u AS vec_id, least(u, min(v)) AS component,
+       |    (u = least(u, min(v))) AS is_canonical
+       |  FROM reach GROUP BY u),
+       |sz AS (SELECT component, count(*) AS cluster_size
+       |       FROM comp GROUP BY component)""".stripMargin
+
   /** Marker regexes interpolated from the single source in TextAnalysis so
     * Spark and oracle sides cannot drift. */
   private val Seq(langEn, langEs, langDe, langFr) =
@@ -871,6 +891,9 @@ object PipelineQueries {
       // Directed wedge closure per vector over knn_graph — dense-clique
       // vs unrelated-hub diagnostic, ratio in exact integer permille.
       "graph_triangles" -> ((s, dir) => Similarity.graphTriangles(s, dir)),
+      // D4-style redundancy pruning: drop the most-prototypical quarter
+      // of every mutual-kNN cluster (exact-integer centroid distances).
+      "d4_prune" -> ((s, dir) => Similarity.d4Prune(s, dir)),
       "project_recall" -> ((s, dir) => Similarity.projectRecall(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
@@ -3643,22 +3666,45 @@ object PipelineQueries {
       // the dedup_groups reach pattern over the symmetric edge list.
       "knn_components" ->
         s"""WITH RECURSIVE $knnGraphCtes,
-           |m AS (
-           |  SELECT e1.src_id AS u, e1.dst_id AS v
-           |  FROM e e1 JOIN e e2
-           |    ON e2.src_id = e1.dst_id AND e2.dst_id = e1.src_id),
-           |reach(u, v) AS (
-           |  SELECT u, v FROM m
-           |  UNION
-           |  SELECT r.u, b.v FROM reach r JOIN m b ON r.v = b.u),
-           |comp AS (
-           |  SELECT u AS vec_id, least(u, min(v)) AS component,
-           |    (u = least(u, min(v))) AS is_canonical
-           |  FROM reach GROUP BY u),
-           |sz AS (SELECT component, count(*) AS cluster_size
-           |       FROM comp GROUP BY component)
+           |$knnComponentCtes
            |SELECT vec_id, component, cluster_size, is_canonical
            |FROM comp JOIN sz USING (component)""".stripMargin,
+
+      // D4-style prototypicality pruning over the SAME component chain
+      // knn_components uses — all-integer ‖n·q − S‖² distances, so the
+      // rank and keep flags are bit-reproducible on both engines.
+      "d4_prune" ->
+        s"""WITH RECURSIVE $knnGraphCtes,
+           |$knnComponentCtes,
+           |cl AS (SELECT vec_id, component, cluster_size
+           |       FROM comp JOIN sz USING (component)),
+           |q AS (SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(round(CAST(x AS DOUBLE) * ${Similarity.ProtoQ})
+           |        AS BIGINT)) AS q
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT component, i, CAST(sum(q.q[i]) AS BIGINT) AS s
+           |  FROM cl JOIN q USING (vec_id),
+           |    LATERAL (SELECT unnest(generate_series(1, len(q.q))) AS i) t
+           |  GROUP BY 1, 2),
+           |dist AS (
+           |  SELECT cl.vec_id, cl.component, cl.cluster_size,
+           |    CAST(sum((q.q[cent.i] * cl.cluster_size - cent.s)
+           |           * (q.q[cent.i] * cl.cluster_size - cent.s))
+           |      AS BIGINT) AS dist_q
+           |  FROM cl JOIN q USING (vec_id)
+           |  JOIN cent ON cent.component = cl.component
+           |  GROUP BY 1, 2, 3),
+           |r AS (SELECT vec_id, component, cluster_size, dist_q,
+           |    CAST(row_number() OVER (PARTITION BY component
+           |      ORDER BY dist_q, vec_id) AS BIGINT) AS proto_rank
+           |  FROM dist)
+           |SELECT vec_id, component, cluster_size, dist_q, proto_rank,
+           |  CAST(CASE WHEN proto_rank >
+           |      cluster_size * ${Similarity.D4DropPermille} // 1000
+           |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM r""".stripMargin,
 
       // Fixed-point integer PageRank over the knn_graph CTE chain —
       // ranks ×1e6, per-edge contribution r // outdeg, damping

@@ -2777,6 +2777,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("d4 prune: serial centroid-distance replay; drop quota per cluster") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.round(x.toDouble * Similarity.ProtoQ)).toArray).toMap
+    val comp = Similarity.knnComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = comp.groupBy(_._2)
+    val expect = byCluster.toSeq.flatMap { case (c, members) =>
+      val n = members.head._3
+      assert(n === members.length.toLong)
+      val qs = members.map(m => m._1 -> emb(m._1))
+      val dim = qs.head._2.length
+      val s = Array.tabulate(dim)(i => qs.map(_._2(i)).sum)
+      val dists = qs.map { case (id, q) =>
+        id -> (0 until dim).map { i =>
+          val d = q(i) * n - s(i); d * d
+        }.sum
+      }
+      dists.sortBy { case (id, d) => (d, id) }.zipWithIndex.map {
+        case ((id, d), idx) =>
+          val rank = idx + 1L
+          val keep = if (rank > n * Similarity.D4DropPermille / 1000) 1L
+            else 0L
+          id -> ((c, n, d, rank, keep))
+      }
+    }.toMap
+    val got = Similarity.d4Prune(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect)
+    // per-cluster drop quota: exactly size·250‰ (floored) members drop
+    byCluster.foreach { case (c, members) =>
+      val n = members.length.toLong
+      val dropped = got.collect {
+        case (_, (`c`, _, _, _, 0L)) => 1
+      }.sum
+      assert(dropped.toLong === n * Similarity.D4DropPermille / 1000)
+    }
+    // something actually drops somewhere (clusters of ≥4 exist)
+    assert(got.values.exists(_._5 == 0L))
+  }
+
   test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
     val rows = Dedup.dupWeights(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
