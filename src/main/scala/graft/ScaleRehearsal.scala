@@ -260,6 +260,9 @@ object ScaleRehearsal {
       // centroid aggregate + one co-partitioned centroid join + a
       // cluster-partitioned rank window (corpus-order key count).
       "d4_prune" -> SparkEntry.queries("d4_prune"),
+      // DoReMi reweighting (r12): one lmScores corpus pass reduced to a
+      // domains-sized frame; all rounds are windows over that frame.
+      "mix_doremi" -> SparkEntry.queries("mix_doremi"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
       "dup_weights" -> SparkEntry.queries("dup_weights"),

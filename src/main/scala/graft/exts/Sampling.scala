@@ -214,6 +214,61 @@ object Sampling {
   def mixTemperature(spark: SparkSession, dir: String): DataFrame =
     mixTemperature(Tables.load(spark, dir, "documents"))
 
+  /** Multiplicative-weights rounds for [[mixDoremi]]. */
+  val DoremiRounds = 4
+  /** [[mixDoremi]] step size: the per-round multiplier is
+    * (1e6 + DoremiEta·excess_ppm)/1e6, clamped to ≥ 1 before the
+    * renormalization. */
+  val DoremiEta = 2L
+
+  /** DoReMi-style domain reweighting (the multiplicative-weights
+    * mixture optimizer): domains whose proxy loss EXCEEDS the corpus
+    * reference get upweighted round by round, easy domains shed weight —
+    * the published recipe's structure with the proxy-model excess loss
+    * replaced by the corpus-self bigram-LM perplexity surrogate
+    * ([[TextAnalysis.lmScores]], already integer ppm) so the whole loop
+    * is exact integer arithmetic and bit-reproducible across engines.
+    * Per domain: (source, n_docs, loss_ppm, excess_ppm, weight_ppm)
+    * after [[DoremiRounds]] rounds of
+    * w ← clamp₁(w·(1e6 + η·excess) div 1e6), renormalized to ppm.
+    *
+    * Integer-division parity: a round's numerator can only go negative
+    * when the multiplier does, and then BOTH engines' quotients are ≤ 0
+    * (truncation vs floor differ by at most 1, both below the clamp), so
+    * the clamp-to-1 erases the one place truncate-vs-floor semantics
+    * could diverge.
+    *
+    * Scale shape: one corpus scoring pass (lmScores' hash aggregates)
+    * joined to the source column on its own aggregation key, reduced to
+    * ONE domains-sized frame; the reference loss and every round's
+    * renormalization are windows over that tiny frame (the mix_sources
+    * pattern — never a second aggregate + cross join, which would plan
+    * the corpus subtree once per round). */
+  def mixDoremi(docs: DataFrame): DataFrame = {
+    val dom = TextAnalysis.lmScores(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lm_score_ppm")).as("mass"))
+      .withColumn("loss_ppm", expr("1000000 - mass div n_docs"))
+      .drop("mass")
+    val base = dom
+      .withColumn("excess_ppm", col("loss_ppm") -
+        expr("sum(loss_ppm * n_docs) OVER () div sum(n_docs) OVER ()"))
+      .withColumn("weight_ppm", lit(1000000L))
+    (1 to DoremiRounds).foldLeft(base) { (f, _) =>
+      f.withColumn("weight_ppm", greatest(lit(1L),
+          expr(s"(weight_ppm * (1000000 + $DoremiEta * excess_ppm))" +
+            " div 1000000")))
+        .withColumn("weight_ppm",
+          expr("(weight_ppm * 1000000) div sum(weight_ppm) OVER ()"))
+    }.select(col("source"), col("n_docs"), col("loss_ppm"),
+      col("excess_ppm"), col("weight_ppm"))
+  }
+
+  def mixDoremi(spark: SparkSession, dir: String): DataFrame =
+    mixDoremi(Tables.load(spark, dir, "documents"))
+
   /** Training budget assumed by [[mixEpochs]], as a multiple ×1000 of the
     * weighted corpus's total tokens — 4× forces the repetition question
     * the planner exists to answer. */

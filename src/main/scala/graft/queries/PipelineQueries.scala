@@ -346,7 +346,10 @@ object PipelineQueries {
     * (lang × distinct score) histogram → value-threshold tercile cuts.
     * Final CTE: `bucketed(doc_id, lang, lm_score_ppm, bucket)` — shared
     * by the ccnet_buckets and ccnet_sample oracles. */
-  private val ccnetBucketCtes: String =
+  /** Per-doc bigram-LM score CTE chain (final CTE: `sc` with
+    * (doc_id, lm_score_ppm)) — shared by the CCNet bucket chain and
+    * mix_doremi so the perplexity surrogate is single-sourced. */
+  private val lmScoreCtes: String =
     s"""tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM documents),
@@ -364,7 +367,10 @@ object PipelineQueries {
        |    CAST(CAST(sum(tf * ((c_bg * 1000000) // c_ctx)) AS BIGINT)
        |      // CAST(sum(tf) AS BIGINT) AS BIGINT) AS lm_score_ppm
        |  FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
-       |  GROUP BY doc_id),
+       |  GROUP BY doc_id)""".stripMargin
+
+  private val ccnetBucketCtes: String =
+    s"""$lmScoreCtes,
        |s AS (
        |  SELECT d.lang, sc.doc_id, sc.lm_score_ppm
        |  FROM sc JOIN documents d USING (doc_id)),
@@ -715,6 +721,9 @@ object PipelineQueries {
         TextAnalysis.piiRedact(TextAnalysis.corpusWithPii(s, dir))),
       "mix_sources" -> ((s, dir) => Sampling.mixSources(s, dir)),
       "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(s, dir)),
+      // DoReMi-style multiplicative-weights domain reweighting over the
+      // bigram-LM loss surrogate — exact integer rounds.
+      "mix_doremi" -> ((s, dir) => Sampling.mixDoremi(s, dir)),
       "mix_epochs" -> ((s, dir) => Sampling.mixEpochs(s, dir)),
       "epoch_expand" -> ((s, dir) => Sampling.epochExpand(s, dir)),
       "lsh_tune" -> ((s, _) => Dedup.lshTune(s)),
@@ -1583,6 +1592,44 @@ object PipelineQueries {
           |  CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
           |  CAST(coalesce(n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
           |FROM rates LEFT JOIN kept USING (source)""".stripMargin,
+
+      // DoReMi multiplicative-weights rounds unrolled as one CTE per
+      // round over the shared per-doc LM chain. The clamp-to-1 erases
+      // the only spot truncate-vs-floor integer division could diverge
+      // (negative multipliers drive both quotients below 1).
+      "mix_doremi" -> {
+        def round(prev: String, next: String): String =
+          s"""$next AS (
+             |  SELECT source, n_docs, loss_ppm, excess_ppm,
+             |    CAST((w2 * 1000000) //
+             |      CAST(sum(w2) OVER () AS BIGINT) AS BIGINT) AS w
+             |  FROM (SELECT source, n_docs, loss_ppm, excess_ppm,
+             |      greatest(CAST(1 AS BIGINT),
+             |        CAST((w * (1000000 + ${Sampling.DoremiEta}
+             |          * excess_ppm)) // 1000000 AS BIGINT)) AS w2
+             |    FROM $prev))""".stripMargin
+        val rounds = (1 to Sampling.DoremiRounds)
+          .map(i => round(s"dw${i - 1}", s"dw$i")).mkString(",\n")
+        s"""WITH $lmScoreCtes,
+           |dom AS (
+           |  SELECT d.source, count(*) AS n_docs,
+           |    CAST(1000000 - CAST(sum(sc.lm_score_ppm) AS BIGINT)
+           |      // count(*) AS BIGINT) AS loss_ppm
+           |  FROM sc JOIN documents d USING (doc_id)
+           |  GROUP BY 1),
+           |db AS (
+           |  SELECT source, n_docs, loss_ppm,
+           |    CAST(loss_ppm -
+           |      CAST(sum(loss_ppm * n_docs) OVER () AS BIGINT)
+           |        // CAST(sum(n_docs) OVER () AS BIGINT) AS BIGINT)
+           |      AS excess_ppm
+           |  FROM dom),
+           |dw0 AS (SELECT source, n_docs, loss_ppm, excess_ppm,
+           |  CAST(1000000 AS BIGINT) AS w FROM db),
+           |$rounds
+           |SELECT source, n_docs, loss_ppm, excess_ppm, w AS weight_ppm
+           |FROM dw${Sampling.DoremiRounds}""".stripMargin
+      },
 
       "shard_manifest" ->
         """WITH s AS (

@@ -2823,6 +2823,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.exists(_._5 == 0L))
   }
 
+  test("mix doremi: serial multiplicative-weights replay; weight laws") {
+    import org.apache.spark.sql.functions.col
+    // per-domain (n_docs, loss) from the same per-doc scores
+    val scores = graft.exts.TextAnalysis.lmScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val srcOf = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dom = scores.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, xs) =>
+        s -> ((xs.length.toLong,
+          1000000L - xs.map(_._2).sum / xs.length))
+      }
+    val totN = dom.values.map(_._1).sum
+    val ref = dom.values.map { case (n, l) => l * n }.sum / totN
+    var w = dom.map { case (s, _) => s -> 1000000L }
+    (1 to Sampling.DoremiRounds).foreach { _ =>
+      val up = w.map { case (s, wv) =>
+        val excess = dom(s)._2 - ref
+        s -> math.max(1L,
+          (wv * (1000000L + Sampling.DoremiEta * excess)) / 1000000L)
+      }
+      val sw = up.values.sum
+      w = up.map { case (s, wv) => s -> (wv * 1000000L) / sw }
+    }
+    val got = Sampling.mixDoremi(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expect = dom.map { case (s, (n, l)) =>
+      s -> ((n, l, l - ref, w(s)))
+    }
+    assert(got === expect)
+    // weight mass stays ~1e6 after renormalization (integer floor loss
+    // bounded by one ppm per domain)
+    val mass = got.values.map(_._4).sum
+    assert(mass <= 1000000L && mass >= 1000000L - got.size)
+    // monotone law: a domain with strictly higher loss never ends with
+    // a lower weight
+    val byLoss = got.values.toSeq.sortBy(_._2)
+    byLoss.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._4)
+      case _ =>
+    }
+    // the optimizer actually differentiates
+    assert(got.values.map(_._4).toSeq.distinct.length > 1)
+  }
+
   test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
     val rows = Dedup.dupWeights(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

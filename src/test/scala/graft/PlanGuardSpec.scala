@@ -71,7 +71,11 @@ class PlanGuardSpec extends AnyFunSuite {
     * now a range-partitioned two-level prefix sum with a triangle join
     * for the ≤16 chunk offsets — no global window even over metadata.) */
   private val globalWindowJustified =
-    Set("mix_sources", "mix_temperature", "mix_epochs", "epoch_expand")
+    Set("mix_sources", "mix_temperature", "mix_epochs", "epoch_expand",
+      // mix_doremi: the reference loss and each round's renormalization
+      // are global windows over the DOMAINS-sized aggregate (sources
+      // count, not corpus) — same reduced-frame pattern as mix_sources.
+      "mix_doremi")
 
   test("no partition-less Window over unreduced input (one-task global sort)") {
     // A Window with an empty partitionSpec moves its ENTIRE input through
