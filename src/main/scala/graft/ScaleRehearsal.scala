@@ -263,6 +263,9 @@ object ScaleRehearsal {
       // DoReMi reweighting (r12): one lmScores corpus pass reduced to a
       // domains-sized frame; all rounds are windows over that frame.
       "mix_doremi" -> SparkEntry.queries("mix_doremi"),
+      // UniMax waterfill (r12): one token-stats pass reduced to the
+      // sources frame; the closed-form threshold is window math there.
+      "unimax_alloc" -> SparkEntry.queries("unimax_alloc"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
       "dup_weights" -> SparkEntry.queries("dup_weights"),

@@ -269,6 +269,71 @@ object Sampling {
   def mixDoremi(spark: SparkSession, dir: String): DataFrame =
     mixDoremi(Tables.load(spark, dir, "documents"))
 
+  /** [[unimaxAlloc]]'s per-source repeat cap: ×1000 epochs (4000 = a
+    * source may be seen at most 4 times). */
+  val UnimaxCapEpochsX1000 = 4000L
+  /** [[unimaxAlloc]]'s training budget as ×1000 of total corpus tokens
+    * (2000 = the run consumes 2× the corpus, so small sources hit the
+    * epoch cap and the remainder waterfills over the large ones). */
+  val UnimaxBudgetX1000 = 2000L
+
+  /** UniMax-style budget allocation (the budget-constrained
+    * closest-to-uniform mixture with a per-source repeat cap): give
+    * every source as equal a share of the token budget as possible,
+    * except no source repeats more than the epoch cap — small sources
+    * saturate at cap·tokens and the freed budget waterfills over the
+    * rest. The classic waterfill threshold computed CLOSED-FORM in
+    * exact integers: sources sorted by capacity, a source saturates iff
+    * its capacity fits under the even split of the budget remaining at
+    * its rank (greedy condition — monotone in rank), every unsaturated
+    * source gets the common level (budget − Σ saturated) div (#rest).
+    * Per source: (source, n_docs, n_tokens, capacity, alloc_tokens,
+    * epochs_x1000).
+    *
+    * Negative-division parity: budget − prefix can go negative inside
+    * the saturation TEST, where truncate-vs-floor engines differ by 1 —
+    * but a positive capacity compares below either result, so the
+    * boolean agrees; the allocation itself only ever divides
+    * non-negative values (saturation guarantees the remaining budget
+    * covers the level).
+    *
+    * Scale shape: one token-stats pass (hash aggregate, map-side
+    * combined) reduced to a sources-sized frame; sort, prefix sums,
+    * threshold, and level are windows over that tiny frame — the
+    * mix_sources pattern. */
+  def unimaxAlloc(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("t"))
+      .withColumn("capacity", expr(s"t * $UnimaxCapEpochsX1000 div 1000"))
+    val byCap = Window.orderBy(col("capacity"), col("source"))
+    stats
+      .withColumn("budget",
+        expr(s"sum(t) OVER () * $UnimaxBudgetX1000 div 1000"))
+      .withColumn("rn", row_number().over(byCap).cast("long"))
+      .withColumn("l", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("prefix", sum(col("capacity")).over(byCap))
+      .withColumn("sat", expr(
+        "capacity <= (budget - (prefix - capacity)) div (l - rn + 1)"))
+      .withColumn("kstar", coalesce(
+        max(when(col("sat"), col("rn"))).over(Window.partitionBy()),
+        lit(0L)))
+      .withColumn("satprefix", coalesce(
+        max(when(col("sat"), col("prefix"))).over(Window.partitionBy()),
+        lit(0L)))
+      .withColumn("alloc_tokens", when(col("rn") <= col("kstar"),
+          col("capacity"))
+        .otherwise(expr("(budget - satprefix) div (l - kstar)")))
+      .select(col("source"), col("n_docs"), col("t").as("n_tokens"),
+        col("capacity"), col("alloc_tokens"),
+        expr("alloc_tokens * 1000 div t").as("epochs_x1000"))
+  }
+
+  def unimaxAlloc(spark: SparkSession, dir: String): DataFrame =
+    unimaxAlloc(Tables.load(spark, dir, "documents"))
+
   /** Training budget assumed by [[mixEpochs]], as a multiple ×1000 of the
     * weighted corpus's total tokens — 4× forces the repetition question
     * the planner exists to answer. */

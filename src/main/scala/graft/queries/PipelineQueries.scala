@@ -724,6 +724,9 @@ object PipelineQueries {
       // DoReMi-style multiplicative-weights domain reweighting over the
       // bigram-LM loss surrogate — exact integer rounds.
       "mix_doremi" -> ((s, dir) => Sampling.mixDoremi(s, dir)),
+      // UniMax-style budget waterfill with a per-source epoch cap —
+      // closed-form integer threshold over the sources frame.
+      "unimax_alloc" -> ((s, dir) => Sampling.unimaxAlloc(s, dir)),
       "mix_epochs" -> ((s, dir) => Sampling.mixEpochs(s, dir)),
       "epoch_expand" -> ((s, dir) => Sampling.epochExpand(s, dir)),
       "lsh_tune" -> ((s, _) => Dedup.lshTune(s)),
@@ -1630,6 +1633,51 @@ object PipelineQueries {
            |SELECT source, n_docs, loss_ppm, excess_ppm, w AS weight_ppm
            |FROM dw${Sampling.DoremiRounds}""".stripMargin
       },
+
+      // Same closed-form waterfill in SQL: the saturation test's
+      // possibly-negative numerator only feeds a < comparison against a
+      // positive capacity, so truncate-vs-floor division parity holds.
+      "unimax_alloc" ->
+        s"""WITH stats AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    CAST(sum(CAST(len(regexp_split_to_array(trim(text),
+           |      '\\s+')) AS BIGINT)) AS BIGINT) AS t
+           |  FROM documents GROUP BY source),
+           |f AS (
+           |  SELECT source, n_docs, t,
+           |    CAST(t * ${Sampling.UnimaxCapEpochsX1000} // 1000
+           |      AS BIGINT) AS capacity,
+           |    CAST(CAST(sum(t) OVER () AS BIGINT)
+           |      * ${Sampling.UnimaxBudgetX1000} // 1000 AS BIGINT)
+           |      AS budget,
+           |    CAST(row_number() OVER (ORDER BY
+           |      t * ${Sampling.UnimaxCapEpochsX1000} // 1000, source)
+           |      AS BIGINT) AS rn,
+           |    CAST(count(*) OVER () AS BIGINT) AS l,
+           |    CAST(sum(t * ${Sampling.UnimaxCapEpochsX1000} // 1000)
+           |      OVER (ORDER BY
+           |        t * ${Sampling.UnimaxCapEpochsX1000} // 1000, source)
+           |      AS BIGINT) AS prefix
+           |  FROM stats),
+           |g AS (
+           |  SELECT *, (capacity <=
+           |      (budget - (prefix - capacity)) // (l - rn + 1)) AS sat
+           |  FROM f),
+           |h AS (
+           |  SELECT *,
+           |    CAST(coalesce(max(CASE WHEN sat THEN rn END) OVER (), 0)
+           |      AS BIGINT) AS kstar,
+           |    CAST(coalesce(max(CASE WHEN sat THEN prefix END) OVER (), 0)
+           |      AS BIGINT) AS satprefix
+           |  FROM g)
+           |SELECT source, n_docs, t AS n_tokens, capacity,
+           |  CAST(CASE WHEN rn <= kstar THEN capacity
+           |    ELSE (budget - satprefix) // (l - kstar) END AS BIGINT)
+           |    AS alloc_tokens,
+           |  CAST((CASE WHEN rn <= kstar THEN capacity
+           |    ELSE (budget - satprefix) // (l - kstar) END) * 1000 // t
+           |    AS BIGINT) AS epochs_x1000
+           |FROM h""".stripMargin,
 
       "shard_manifest" ->
         """WITH s AS (

@@ -2870,6 +2870,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._4).toSeq.distinct.length > 1)
   }
 
+  test("unimax alloc: serial waterfill replay; caps bind on a skew corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // skewed synthetic corpus: source sizes 1, 4, 16, 64 docs of 10
+    // tokens each — the 2× budget saturates the small sources at the
+    // 4-epoch cap and waterfills the rest
+    val docs = Seq.tabulate(85) { i =>
+      val src = if (i < 1) "tiny" else if (i < 5) "small"
+        else if (i < 21) "mid" else "big"
+      (i.toLong, Seq.fill(10)("tok").mkString(" "), "en", src, 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    def serial(ts: Map[String, Long]): Map[String, (Long, Long)] = {
+      val cap = ts.view.mapValues(t =>
+        t * Sampling.UnimaxCapEpochsX1000 / 1000).toMap
+      val budget = ts.values.sum * Sampling.UnimaxBudgetX1000 / 1000
+      val order = ts.keys.toSeq.sortBy(s => (cap(s), s))
+      val l = order.length.toLong
+      var kstar = 0L
+      var satprefix = 0L
+      var prefix = 0L
+      order.zipWithIndex.foreach { case (s, idx) =>
+        val rn = idx + 1L
+        prefix += cap(s)
+        if (cap(s) <= (budget - (prefix - cap(s))) / (l - rn + 1)) {
+          kstar = rn; satprefix = prefix
+        }
+      }
+      order.zipWithIndex.map { case (s, idx) =>
+        val rn = idx + 1L
+        val alloc = if (rn <= kstar) cap(s)
+          else (budget - satprefix) / (l - kstar)
+        s -> ((alloc, alloc * 1000 / ts(s)))
+      }.toMap
+    }
+
+    for (frame <- Seq(docs, graft.Tables.load(spark, dir, "documents"))) {
+      val ts = frame
+        .select(col("source"),
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.trim(col("text")), "\\s+"))
+            .cast("long").as("n"))
+        .collect().groupBy(_.getString(0))
+        .map { case (s, rs) => s -> rs.map(_.getLong(1)).sum }
+      val expect = serial(ts)
+      val got = Sampling.unimaxAlloc(frame).collect()
+        .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+      assert(got === expect)
+      // budget law: never over-allocate, never exceed a source's cap
+      val budget = ts.values.sum * Sampling.UnimaxBudgetX1000 / 1000
+      assert(got.values.map(_._1).sum <= budget)
+      got.foreach { case (s, (alloc, _)) =>
+        assert(alloc <= ts(s) * Sampling.UnimaxCapEpochsX1000 / 1000)
+      }
+    }
+    // the skew corpus actually exercises BOTH branches: capped sources
+    // sit at exactly 4000 epochs‰, the big source below
+    val skew = Sampling.unimaxAlloc(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(skew("tiny") === Sampling.UnimaxCapEpochsX1000)
+    assert(skew("big") < Sampling.UnimaxCapEpochsX1000)
+  }
+
   test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
     val rows = Dedup.dupWeights(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

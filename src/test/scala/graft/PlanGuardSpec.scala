@@ -75,7 +75,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // mix_doremi: the reference loss and each round's renormalization
       // are global windows over the DOMAINS-sized aggregate (sources
       // count, not corpus) — same reduced-frame pattern as mix_sources.
-      "mix_doremi")
+      "mix_doremi",
+      // unimax_alloc: the waterfill sort/prefix/threshold windows run
+      // over the same sources-sized aggregate.
+      "unimax_alloc")
 
   test("no partition-less Window over unreduced input (one-task global sort)") {
     // A Window with an empty partitionSpec moves its ENTIRE input through
