@@ -266,6 +266,9 @@ object ScaleRehearsal {
       // UniMax waterfill (r12): one token-stats pass reduced to the
       // sources frame; the closed-form threshold is window math there.
       "unimax_alloc" -> SparkEntry.queries("unimax_alloc"),
+      // lexical diversity (r12): one explode into two nested map-side-
+      // combinable hash aggregates — shuffle rows = distinct (doc, term).
+      "text_diversity" -> SparkEntry.queries("text_diversity"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
       "dup_weights" -> SparkEntry.queries("dup_weights"),

@@ -280,6 +280,34 @@ object TextAnalysis {
       .select(col("term"), col("df"))
   }
 
+  /** Lexical-diversity signals per document — the TTR/concentration
+    * quality-filter family: repetitive or boilerplate text shows a low
+    * type/token ratio and high Simpson concentration / top-term share,
+    * while garbled high-entropy text sits at the opposite extreme; both
+    * tails are what a diversity filter trims. All exact integers
+    * (ttr_x1000 = types·1000 div tokens; simpson_x1m = Σtf²·10⁶ div
+    * tokens² — the Simpson index, 1/x of the effective vocabulary size;
+    * top_share_x1000 = max-tf·1000 div tokens), so both engines agree
+    * bit-for-bit. One explode into two nested hash aggregates, both
+    * map-side combinable — shuffle rows track DISTINCT (doc, term)
+    * pairs, never token occurrences. */
+  def diversityScores(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("tf")).as("sq"),
+        max(col("tf")).as("top_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000 div n_tokens").as("ttr_x1000"),
+        expr("sq * 1000000 div (n_tokens * n_tokens)").as("simpson_x1m"),
+        expr("top_tf * 1000 div n_tokens").as("top_share_x1000"))
+
+  def diversityScores(spark: SparkSession, dir: String): DataFrame =
+    diversityScores(Tables.load(spark, dir, "documents"))
+
   /** Token-rarity scoring (the CCNet-shaped unigram-frequency signal,
     * integer surrogate): per document, the mean corpus document-frequency
     * of its token occurrences and the fraction of occurrences whose token

@@ -933,6 +933,8 @@ object PipelineQueries {
             .filter(org.apache.spark.sql.functions
               .col("doc_id") % 100000L < 160L))),
       "text_rarity" -> ((s, dir) => TextAnalysis.rarityScores(s, dir)),
+      // Lexical diversity (TTR / Simpson / top-share) in exact integers.
+      "text_diversity" -> ((s, dir) => TextAnalysis.diversityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
       // The full iterative merge loop over the pair statistic above.
@@ -2729,6 +2731,24 @@ object PipelineQueries {
            |          ORDER BY score DESC, doc_id) AS rank
            |      FROM s)
            |WHERE rank <= 10""".stripMargin,
+
+      "text_diversity" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+          |SELECT doc_id,
+          |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |  count(*) AS n_types,
+          |  CAST(count(*) * 1000 // CAST(sum(tf) AS BIGINT) AS BIGINT)
+          |    AS ttr_x1000,
+          |  CAST(CAST(sum(tf * tf) AS BIGINT) * 1000000 //
+          |    (CAST(sum(tf) AS BIGINT) * CAST(sum(tf) AS BIGINT))
+          |    AS BIGINT) AS simpson_x1m,
+          |  CAST(max(tf) * 1000 // CAST(sum(tf) AS BIGINT) AS BIGINT)
+          |    AS top_share_x1000
+          |FROM tf GROUP BY doc_id""".stripMargin,
 
       "text_rarity" ->
         """WITH tok AS (

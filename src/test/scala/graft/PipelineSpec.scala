@@ -2934,6 +2934,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(skew("big") < Sampling.UnimaxCapEpochsX1000)
   }
 
+  test("text diversity: serial replay; metric laws hold") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = texts.map { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq
+      val tf = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = toks.length.toLong
+      val types = tf.size.toLong
+      id -> ((n, types, types * 1000 / n,
+        tf.values.map(x => x * x).sum * 1000000L / (n * n),
+        tf.values.max * 1000 / n))
+    }.toMap
+    val got = graft.exts.TextAnalysis.diversityScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect)
+    // laws: TTR ≤ 1000; Simpson ≥ 1e6/n (uniform floor) and ≤ 1e6;
+    // top share ≥ 1000/n and ≤ 1000; the signals differentiate
+    got.foreach { case (_, (n, types, ttr, simp, top)) =>
+      assert(types <= n && ttr <= 1000L)
+      assert(simp >= 1000000L / n - 1 && simp <= 1000000L)
+      assert(top >= 1000L / n && top <= 1000L)
+    }
+    assert(got.values.map(_._3).toSeq.distinct.length > 1)
+  }
+
   test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
     val rows = Dedup.dupWeights(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
