@@ -52,7 +52,7 @@ object Explain {
       "q16_supplier_cnt", "q19_bracket_revenue", "q15_top_supplier",
       "q21_waiting_supplier", "q22_idle_customers", "graph_walks",
       "walk_skipgrams", "graph_triangles", "d4_prune", "mix_doremi",
-      "unimax_alloc", "text_diversity",
+      "unimax_alloc", "text_diversity", "cluster_purity",
       "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
       "q11_important_stock", "q13_customer_distribution",
       "q20_part_promotion")

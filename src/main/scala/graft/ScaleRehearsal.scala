@@ -269,6 +269,10 @@ object ScaleRehearsal {
       // lexical diversity (r12): one explode into two nested map-side-
       // combinable hash aggregates — shuffle rows = distinct (doc, term).
       "text_diversity" -> SparkEntry.queries("text_diversity"),
+      // cluster purity (r12): knn_components' plan + a co-partitioned
+      // label join + one contingency aggregate + a rank window over the
+      // reduced (component, label) frame.
+      "cluster_purity" -> SparkEntry.queries("cluster_purity"),
       // duplicate downweighting (r12): the jaccard inverted index +
       // min-label loop + one co-partitioned left join onto the corpus.
       "dup_weights" -> SparkEntry.queries("dup_weights"),

@@ -436,6 +436,43 @@ object Similarity {
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     graphTriangles(Tables.load(spark, dir, "embeddings"))
 
+  /** Clustering evaluation against the labeled fixture — majority-label
+    * purity per [[knnComponents]] cluster: how often a semantic cluster
+    * contains vectors of ONE ground-truth class. Per cluster:
+    * (component, cluster_size, n_labels, major_label, major_count,
+    * purity_x1000) — the standard external clustering metric in exact
+    * integer permille, tie on the majority broken by smallest label so
+    * both engines pick the same winner.
+    *
+    * Scale shape: membership is knn_components' linear plan joined to
+    * the label column co-partitioned on vec_id; the (component, label)
+    * contingency table is one map-side-combinable hash aggregate (≤
+    * clusters×labels rows); the majority pick is a rank window over
+    * that REDUCED frame partitioned by component (corpus-order keys). */
+  def clusterPurity(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val memb = knnComponents(corpus0, k)
+      .select("vec_id", "component", "cluster_size")
+      .join(corpus0.select(col("vec_id"),
+        col("label").cast("long").as("label")).hint("shuffle_hash"),
+        Seq("vec_id"))
+    val counts = memb.groupBy(col("component"), col("cluster_size"),
+        col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("c").desc, col("label"))
+    counts
+      .withColumn("n_labels",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("cluster_size"), col("n_labels"),
+        col("label").as("major_label"), col("c").as("major_count"),
+        expr("c * 1000 div cluster_size").as("purity_x1000"))
+  }
+
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame =
+    clusterPurity(Tables.load(spark, dir, "embeddings"))
+
   /** Component quantization scale for [[d4Prune]] distances (×1e3 — one
     * decade coarser than embStats' 1e4 so the n²-scaled squared distance
     * stays inside int64 for cluster sizes up to ~2·10⁵; DuckDB errors on

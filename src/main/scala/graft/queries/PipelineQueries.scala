@@ -906,6 +906,9 @@ object PipelineQueries {
       // D4-style redundancy pruning: drop the most-prototypical quarter
       // of every mutual-kNN cluster (exact-integer centroid distances).
       "d4_prune" -> ((s, dir) => Similarity.d4Prune(s, dir)),
+      // Majority-label purity per mutual-kNN cluster — the external
+      // clustering metric against the fixture's labels.
+      "cluster_purity" -> ((s, dir) => Similarity.clusterPurity(s, dir)),
       "project_recall" -> ((s, dir) => Similarity.projectRecall(s, dir)),
 
       "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
@@ -3788,6 +3791,29 @@ object PipelineQueries {
       // D4-style prototypicality pruning over the SAME component chain
       // knn_components uses — all-integer ‖n·q − S‖² distances, so the
       // rank and keep flags are bit-reproducible on both engines.
+      // Majority-label purity per cluster over the shared component
+      // chain; the majority tie breaks on smallest label both sides.
+      "cluster_purity" ->
+        s"""WITH RECURSIVE $knnGraphCtes,
+           |$knnComponentCtes,
+           |cl AS (SELECT vec_id, component, cluster_size
+           |       FROM comp JOIN sz USING (component)),
+           |cnt AS (
+           |  SELECT cl.component, cl.cluster_size,
+           |    CAST(e.label AS BIGINT) AS label, count(*) AS c
+           |  FROM cl JOIN embeddings e USING (vec_id)
+           |  GROUP BY 1, 2, 3),
+           |rr AS (
+           |  SELECT component, cluster_size, label, c,
+           |    count(*) OVER (PARTITION BY component) AS n_labels,
+           |    CAST(row_number() OVER (PARTITION BY component
+           |      ORDER BY c DESC, label) AS INTEGER) AS rn
+           |  FROM cnt)
+           |SELECT component, cluster_size, n_labels,
+           |  label AS major_label, c AS major_count,
+           |  CAST(c * 1000 // cluster_size AS BIGINT) AS purity_x1000
+           |FROM rr WHERE rn = 1""".stripMargin,
+
       "d4_prune" ->
         s"""WITH RECURSIVE $knnGraphCtes,
            |$knnComponentCtes,

@@ -2962,6 +2962,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("cluster purity: serial majority replay; purity laws") {
+    import org.apache.spark.sql.functions.col
+    val labels = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = Similarity.knnComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = comp.groupBy(_._2).map { case (c, members) =>
+      val ls = members.map(m => labels(m._1))
+      val byLabel = ls.groupBy(identity).view.mapValues(_.length.toLong)
+      // majority, ties broken by smallest label
+      val (major, cnt) = byLabel.toSeq.minBy { case (l, n) => (-n, l) }
+      c -> ((members.length.toLong, byLabel.size.toLong, major, cnt,
+        cnt * 1000 / members.length))
+    }
+    val got = Similarity.clusterPurity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect)
+    // laws: majority covers at least 1/n_labels of the cluster; purity
+    // in (0, 1000]; and the metric differentiates on this fixture
+    got.values.foreach { case (size, nl, _, cnt, purity) =>
+      assert(cnt * nl >= size)
+      assert(purity > 0L && purity <= 1000L)
+    }
+    assert(got.values.map(_._5).toSeq.distinct.length > 1)
+  }
+
   test("dup weights: planted copies share ~1000 split; singletons keep 1000") {
     val rows = Dedup.dupWeights(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
