@@ -256,6 +256,10 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // LPA communities (r12): the mutual edge list checkpoints once;
+      // each synchronous round is a co-partitioned shuffle-hash join +
+      // two map-side-combinable hash aggregates (no per-node window).
+      "graph_lpa" -> SparkEntry.queries("graph_lpa"),
       // D4 pruning (r12): knn_components' linear plan + a dims×-inflated
       // centroid aggregate + one co-partitioned centroid join + a
       // cluster-partitioned rank window (corpus-order key count).

@@ -436,6 +436,68 @@ object Similarity {
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     graphTriangles(Tables.load(spark, dir, "embeddings"))
 
+  /** Fixed synchronous rounds for [[graphLpa]] — like [[PagerankIters]],
+    * a fixed count keeps the plan and the artifact deterministic. */
+  val LpaIters = 3
+
+  /** Label-propagation communities over the MUTUAL [[knnGraph]] edges —
+    * the finer-grained sibling of [[knnComponents]]: where components
+    * merge everything reachable, LPA keeps densely connected regions
+    * apart even when a thin mutual edge bridges them. Every node starts
+    * as its own label; each of [[LpaIters]] SYNCHRONOUS rounds adopts
+    * the most frequent label among mutual neighbors (tie broken by the
+    * SMALLEST label, so both engines pick the same winner); isolated
+    * nodes keep their own. One row per vector: (vec_id, community,
+    * community_size).
+    *
+    * Determinism: asynchronous LPA is famously order-dependent — the
+    * synchronous fixed-round variant with a total tie-break is a pure
+    * function of the edge list, bit-reproducible across engines,
+    * re-runs, and partitionings.
+    *
+    * Scale shape: the mutual edge list (≤ n·k rows of two longs)
+    * checkpoints once and feeds every round; a round is join(labels on
+    * the neighbor id, co-partitioned shuffle-hash) → (node, label)
+    * count — a map-side-combinable hash aggregate — → per-node argmax
+    * as a second hash aggregate over max(struct(count, −label)) (no
+    * per-node sort window), → left join back to the node list. Label
+    * frames are lazily checkpointed per round so lineage stays flat at
+    * any round count. */
+  def graphLpa(corpus0: DataFrame, k: Int = KnnGraphK,
+      iters: Int = LpaIters): DataFrame = {
+    val mutual = knnGraph(corpus0, k)
+      .filter(col("mutual") === 1L)
+      .select(col("src_id").as("u"), col("dst_id").as("v"))
+      .localCheckpoint(false)
+    val nodes = corpus0.select(col("vec_id")).localCheckpoint(false)
+    var labels = nodes.select(col("vec_id"), col("vec_id").as("community"))
+    (1 to iters).foreach { _ =>
+      val neigh = mutual
+        .join(labels.withColumnRenamed("vec_id", "v").hint("shuffle_hash"),
+          "v")
+        .groupBy(col("u"), col("community"))
+        .agg(count(lit(1)).as("c"))
+      val best = neigh.groupBy(col("u"))
+        .agg(max(struct(col("c").as("c"),
+          (-col("community")).as("neg"))).as("m"))
+        .select(col("u").as("vec_id"),
+          (-col("m.neg")).as("new_community"))
+      labels = labels
+        .join(best.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("new_community"), col("community"))
+            .as("community"))
+        .localCheckpoint(false)
+    }
+    val sizes = labels.groupBy(col("community"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes.hint("shuffle_hash"), "community")
+      .select(col("vec_id"), col("community"), col("community_size"))
+  }
+
+  def graphLpa(spark: SparkSession, dir: String): DataFrame =
+    graphLpa(Tables.load(spark, dir, "embeddings"))
+
   /** Clustering evaluation against the labeled fixture — majority-label
     * purity per [[knnComponents]] cluster: how often a semantic cluster
     * contains vectors of ONE ground-truth class. Per cluster:

@@ -903,6 +903,10 @@ object PipelineQueries {
       // Directed wedge closure per vector over knn_graph — dense-clique
       // vs unrelated-hub diagnostic, ratio in exact integer permille.
       "graph_triangles" -> ((s, dir) => Similarity.graphTriangles(s, dir)),
+      // Synchronous label-propagation communities over the mutual
+      // knn_graph edges — finer than knn_components, min-label tie-break
+      // so the fixed-round result is bit-reproducible.
+      "graph_lpa" -> ((s, dir) => Similarity.graphLpa(s, dir)),
       // D4-style redundancy pruning: drop the most-prototypical quarter
       // of every mutual-kNN cluster (exact-integer centroid distances).
       "d4_prune" -> ((s, dir) => Similarity.d4Prune(s, dir)),
@@ -3923,6 +3927,40 @@ object PipelineQueries {
            |  CAST(coalesce(n_closed, 0) * 1000 // n_wedges AS BIGINT)
            |    AS closure_x1000
            |FROM wc LEFT JOIN cc ON wc.src_id = cc.src_id""".stripMargin,
+
+      // Synchronous LPA over the mutual knn_graph edges — one unrolled
+      // CTE per round; the per-node majority pick (count DESC, label
+      // ASC) is the same total order as the engine's
+      // max(struct(c, −label)) hash aggregate, so both engines adopt
+      // identical labels every round.
+      "graph_lpa" -> {
+        def lpaRound(prev: String, next: String): String =
+          s"""$next AS (
+             |  SELECT l.vec_id,
+             |    coalesce(b.community, l.community) AS community
+             |  FROM $prev l LEFT JOIN (
+             |    SELECT u, community FROM (
+             |      SELECT m.u, $prev.community,
+             |        row_number() OVER (PARTITION BY m.u
+             |          ORDER BY count(*) DESC, $prev.community) AS rn
+             |      FROM m JOIN $prev ON $prev.vec_id = m.v
+             |      GROUP BY m.u, $prev.community) WHERE rn = 1) b
+             |    ON b.u = l.vec_id)""".stripMargin
+        val rounds = (1 to Similarity.LpaIters)
+          .map(i => lpaRound(s"l${i - 1}", s"l$i")).mkString(",\n")
+        val last = s"l${Similarity.LpaIters}"
+        s"""WITH $knnGraphCtes,
+           |m AS (SELECT e1.src_id AS u, e1.dst_id AS v
+           |      FROM e e1 JOIN e e2
+           |        ON e2.src_id = e1.dst_id AND e2.dst_id = e1.src_id),
+           |l0 AS (SELECT vec_id, vec_id AS community FROM embeddings),
+           |$rounds,
+           |sz AS (SELECT community, count(*) AS community_size
+           |       FROM $last GROUP BY 1)
+           |SELECT l.vec_id, l.community, sz.community_size
+           |FROM $last l JOIN sz ON sz.community = l.community"""
+          .stripMargin
+      },
 
       // Power iteration on the emb_gram matrix: exactly PcaIterations
       // steps from all-ones, max-abs normalization, left-to-right matvec

@@ -2777,6 +2777,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("graph lpa: serial synchronous replay; communities refine components") {
+    val mutual = Similarity.knnGraph(spark, dir).collect()
+      .filter(_.getLong(3) == 1L)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0))
+    val nbrs = mutual.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var label = nodes.map(v => v -> v).toMap
+    (1 to Similarity.LpaIters).foreach { _ =>
+      label = nodes.map { v =>
+        val ls = nbrs.getOrElse(v, Array.empty[Long]).map(label)
+        v -> (if (ls.isEmpty) label(v)
+              else ls.groupBy(identity).toSeq
+                .map { case (l, xs) => (xs.length, l) }
+                .minBy { case (c, l) => (-c, l) }._2)
+      }.toMap
+    }
+    val sizes = label.values.groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    val expect = nodes.map(v => v -> ((label(v), sizes(label(v))))).toMap
+    val got = Similarity.graphLpa(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // refinement law: a shared community implies a shared mutual-kNN
+    // component (labels only travel along mutual edges)
+    val comp = Similarity.knnComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.toSeq.groupBy(_._2._1).values.foreach { members =>
+      assert(members.flatMap(m => comp.get(m._1)).distinct.length <= 1)
+    }
+    // the propagation does something: at least one node left its own
+    // singleton label, and communities differentiate (more than one)
+    assert(got.exists { case (v, (c, _)) => c != v })
+    assert(got.values.map(_._1).toSeq.distinct.length > 1)
+  }
+
   test("d4 prune: serial centroid-distance replay; drop quota per cluster") {
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
