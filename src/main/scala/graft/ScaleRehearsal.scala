@@ -256,6 +256,9 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // Hash embeddings (r12): one codegen'd compiled pass per doc, a
+      // constant-dims posexplode, zero shuffles anywhere in the plan.
+      "text_hash_embed" -> SparkEntry.queries("text_hash_embed"),
       // LPA communities (r12): the mutual edge list checkpoints once;
       // each synchronous round is a co-partitioned shuffle-hash join +
       // two map-side-combinable hash aggregates (no per-node window).

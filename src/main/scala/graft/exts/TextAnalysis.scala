@@ -1120,6 +1120,28 @@ object TextAnalysis {
       RollingHash.rolling_hash(col("text")).as("fingerprint"))
   }
 
+  /** Feature-hashed document embeddings — the hashing-trick bridge from
+    * raw text into the vector stack with NO trained model: every word
+    * occurrence votes ±1 on one of [[graft.functions.SigImpl.HashEmbedDims]]
+    * dimensions (dimension = word poly-hash mod dims, sign = the next
+    * hash bit), so the vector is an integer-exact multiset sketch usable
+    * by the ANN/dedup extensions where no learned embedding exists. One
+    * row per (doc, dim) with zero dims materialized — the exploded
+    * layout a columnar vector store ingests directly.
+    *
+    * Scale shape: the vector is ONE compiled pass per document
+    * ([[graft.functions.HashEmbed]], codegen'd — no tokenize explode, no
+    * shuffle anywhere in the plan); posexplode inflates rows by the
+    * constant dims only. */
+  def textHashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Signatures.register(spark)
+    Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        posexplode(graft.functions.Signatures.hash_embed(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("dim"),
+        col("col").as("weight"))
+  }
+
   /** Repetition quality signals (the Gopher-style "repetitious text"
     * filters): per document, the frequency share of the single most
     * common word and the duplicate-bigram fraction. Machine-generated or

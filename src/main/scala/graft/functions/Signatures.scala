@@ -234,6 +234,33 @@ object SigImpl {
     h
   }
 
+  /** Dimension count of [[hashEmbed]]'s feature-hashed embedding. */
+  val HashEmbedDims = 16
+
+  /** Feature-hashing ("hashing trick") document embedding: every word
+    * OCCURRENCE votes ±1 on one of [[HashEmbedDims]] dimensions — the
+    * dimension is [[wordPolyHash]] mod dims, the sign the next hash bit
+    * — so the vector is an integer-exact, SQL-mirrorable sketch of the
+    * token multiset (Weinberger et al.'s feature hashing, the
+    * no-trained-model path from raw text into the vector stack). Empty
+    * tokens (blank text) vote nowhere; the result is always exactly
+    * [[HashEmbedDims]] longs. */
+  def hashEmbed(text: UTF8String): ArrayData = {
+    val words = tokenize(text.toString)
+    val acc = new Array[Long](HashEmbedDims)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        val h = wordPolyHash(w)
+        val d = (h % HashEmbedDims).toInt
+        acc(d) += (if ((h / HashEmbedDims) % 2L == 0L) 1L else -1L)
+      }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
   /** SQL-mirrorable SimHash: two per-word polynomial hashes (the same
     * mod-P arithmetic the minhash_band_pairs oracle recomputes), sign-sum
     * votes on each of the [[SimBits]] bits — bits 0..30 from
@@ -315,6 +342,20 @@ case class MinHashSigPoly(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Feature-hashed doc embedding expression: `array<bigint>` of
+  * [[SigImpl.HashEmbedDims]] signed occurrence counts (one compiled
+  * pass per document — no explode, no shuffle). */
+case class HashEmbed(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.hashEmbed(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.hashEmbed($c)")
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
 /** Shingle-set expression: `array<string>` of distinct word 5-grams. */
 case class ShingleSet(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -382,6 +423,8 @@ object Signatures {
       "minhash_sig_poly", exprs => MinHashSigPoly(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_poly", exprs => SimHashPoly(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash_embed", exprs => HashEmbed(exprs.head), "built-in")
   }
 
   /** Column APIs (no registration required). */
@@ -397,4 +440,6 @@ object Signatures {
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(c)))
   def repetition_stats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
+  def hash_embed(c: Column): Column =
+    ExpressionUtils.column(HashEmbed(ExpressionUtils.expression(c)))
 }

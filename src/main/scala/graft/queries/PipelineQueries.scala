@@ -715,6 +715,9 @@ object PipelineQueries {
       "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
       "lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
       "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+      // Feature-hashing-trick doc embeddings — one codegen'd compiled
+      // pass per doc, zero shuffles; integer-exact and SQL-mirrorable.
+      "text_hash_embed" -> ((s, dir) => TextAnalysis.textHashEmbed(s, dir)),
       "text_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(s, dir)),
       "quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(s, dir)),
       "text_pii_redact" -> ((s, dir) =>
@@ -1037,6 +1040,44 @@ object PipelineQueries {
           |  CAST(length(text) AS INTEGER) AS n_chars_measured,
           |  n_chars
           |FROM documents""".stripMargin,
+
+      // Per-word poly hashes as SUM over char·power rows (the
+      // minhash_band_pairs wh contract), then dim = hash mod dims and
+      // sign = the next hash bit, zero dims materialized by a
+      // dims-range cross join — bit-exact vs the engine's compiled
+      // HashEmbed pass.
+      "text_hash_embed" -> {
+        import graft.functions.SigImpl
+        val dims = SigImpl.HashEmbedDims
+        s"""WITH $minhashPolyCtes,
+           |words AS (
+           |  SELECT doc_id, ws, len(ws) AS nw FROM (
+           |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           |    FROM documents)),
+           |wh AS (
+           |  SELECT w.doc_id, wi.wi,
+           |    CAST(sum(ord(substr(w.ws[wi.wi], CAST(ci.ci AS INTEGER), 1))
+           |      ::BIGINT * wpw.p) % ${SigImpl.P} AS BIGINT) AS wh
+           |  FROM words w,
+           |    LATERAL (SELECT unnest(generate_series(1, w.nw)) AS wi) wi,
+           |    LATERAL (SELECT unnest(generate_series(1,
+           |      len(w.ws[wi.wi]))) AS ci) ci,
+           |    wpw
+           |  WHERE wpw.e = ci.ci - 1
+           |  GROUP BY 1, 2),
+           |v AS (
+           |  SELECT doc_id, wh % $dims AS dim,
+           |    CASE WHEN (wh // $dims) % 2 = 0 THEN 1 ELSE -1 END AS s
+           |  FROM wh),
+           |agg AS (SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+           |        FROM v GROUP BY 1, 2),
+           |dm AS (SELECT unnest(range($dims)) AS dim)
+           |SELECT d.doc_id, dm.dim,
+           |  CAST(coalesce(agg.weight, 0) AS BIGINT) AS weight
+           |FROM documents d CROSS JOIN dm
+           |LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.dim = dm.dim"""
+          .stripMargin
+      },
 
       "text_quality" ->
         s"""WITH t AS (

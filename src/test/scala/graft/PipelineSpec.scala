@@ -2777,6 +2777,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("text hash embed: serial hashing-trick replay; mass bound; dup law") {
+    import graft.functions.SigImpl
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.flatMap { case (id, text) =>
+      val acc = new Array[Long](SigImpl.HashEmbedDims)
+      text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        val h = SigImpl.wordPolyHash(w)
+        acc((h % SigImpl.HashEmbedDims).toInt) +=
+          (if ((h / SigImpl.HashEmbedDims) % 2L == 0L) 1L else -1L)
+      }
+      acc.zipWithIndex.map { case (v, d) => (id, d.toLong) -> v }
+    }.toMap
+    val got = graft.exts.TextAnalysis.textHashEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // mass bound: per doc, Σ|weight| never exceeds the token count
+    docs.foreach { case (id, text) =>
+      val n = text.trim.split("\\s+").count(_.nonEmpty)
+      val mass = (0 until SigImpl.HashEmbedDims)
+        .map(d => math.abs(got((id, d.toLong)))).sum
+      assert(mass <= n)
+    }
+    // dup law: identical texts hash to identical vectors
+    val byText = docs.groupBy(_._2).filter(_._2.length > 1)
+    byText.values.take(3).foreach { g =>
+      val vecs = g.map { case (id, _) =>
+        (0 until SigImpl.HashEmbedDims).map(d => got((id, d.toLong))) }
+      assert(vecs.distinct.length === 1)
+    }
+    // the sketch differentiates across the corpus
+    assert(docs.map { case (id, _) =>
+      (0 until SigImpl.HashEmbedDims).map(d => got((id, d.toLong)))
+    }.distinct.length > 1)
+  }
+
   test("graph lpa: serial synchronous replay; communities refine components") {
     val mutual = Similarity.knnGraph(spark, dir).collect()
       .filter(_.getLong(3) == 1L)
