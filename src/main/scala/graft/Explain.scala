@@ -55,7 +55,8 @@ object Explain {
       "unimax_alloc", "text_diversity", "cluster_purity",
       "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
       "q11_important_stock", "q13_customer_distribution",
-      "q20_part_promotion", "graph_lpa", "text_hash_embed")
+      "q20_part_promotion", "graph_lpa", "text_hash_embed",
+      "kcenter_coreset")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -256,6 +256,10 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // k-center coreset (r12): k corpus passes, each a fused-codegen
+      // least-of-literal-distances map + a 1-row struct-max aggregate;
+      // zero shuffles beyond the aggregates.
+      "kcenter_coreset" -> SparkEntry.queries("kcenter_coreset"),
       // Hash embeddings (r12): one codegen'd compiled pass per doc, a
       // constant-dims posexplode, zero shuffles anywhere in the plan.
       "text_hash_embed" -> SparkEntry.queries("text_hash_embed"),

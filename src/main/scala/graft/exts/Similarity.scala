@@ -539,7 +539,7 @@ object Similarity {
     * decade coarser than embStats' 1e4 so the n²-scaled squared distance
     * stays inside int64 for cluster sizes up to ~2·10⁵; DuckDB errors on
     * overflow where the JVM wraps, so the oracle is the canary). */
-  val ProtoQ = 1000L
+  val ProtoQ = graft.functions.QSqDistImpl.Q
   /** Fraction of each cluster dropped as redundant, in permille. */
   val D4DropPermille = 250L
 
@@ -596,6 +596,66 @@ object Similarity {
       .select("vec_id", "component", "cluster_size", "dist_q",
         "proto_rank", "keep")
   }
+
+  /** Centers selected by [[kcenterCoreset]]. */
+  val KCenterK = 8
+
+  /** Greedy k-center coreset selection (Gonzalez's classic farthest-
+    * point 2-approximation) over the quantized embeddings — the
+    * geometric MAXIMUM-DIVERSITY selection primitive, the complement of
+    * [[d4Prune]]: where D4 drops redundant near-centroid mass, k-center
+    * picks the k points that together COVER the corpus (every vector is
+    * close to some chosen center), the shape a seed-set/annotation-
+    * budget/eval-panel selection wants. Seeded at the smallest vec_id,
+    * then k−1 rounds of "take the point farthest from every chosen
+    * center" (ties → smallest id); output assigns EVERY vector to its
+    * nearest center: (vec_id, center_id, dist_sq, is_center).
+    *
+    * Exactness: all distances are [[graft.functions.QSqDist]] — float
+    * components quantized to [[ProtoQ]] fixed-point, squared-L2 in
+    * int64 — so the farthest-point argmax, the assignment argmin, and
+    * their tie-breaks are bit-reproducible across engines and partition
+    * orders.
+    *
+    * Scale shape: each of the k rounds is ONE corpus scan computing
+    * `least` over the r fused codegen'd distance expressions (centers
+    * ride along as literals — no join, no shuffle) finished by a 1-row
+    * max(struct(dist, −id, embedding)) aggregate that carries the
+    * winner's embedding out with it, so a round never needs a second
+    * lookup pass; the driver holds only k (id, vector) pairs — a
+    * metadata-bounded collect. The final assignment is one more scan
+    * with an array_min over k (dist, center) structs. Total work k
+    * linear passes, zero shuffles beyond the 1-row aggregates. */
+  def kcenterCoreset(corpus0: DataFrame, k: Int = KCenterK): DataFrame = {
+    import graft.functions.{QSqDist, QSqDistImpl}
+    val pts = corpus0.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(false)
+    def quantVec(xs: Seq[Float]): Array[Long] =
+      xs.map(x => QSqDistImpl.quant(x.toDouble)).toArray
+    def distTo(c: Array[Long]): Column =
+      QSqDist.q_sqdist(col("embedding"), typedlit(c))
+    val seed = pts.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centers =
+      Vector((seed.getLong(0), quantVec(seed.getSeq[Float](1))))
+    (2 to k).foreach { _ =>
+      val mind = centers.map(c => distTo(c._2)).reduceLeft(least(_, _))
+      val far = pts
+        .agg(max(struct(mind.as("d"), (-col("vec_id")).as("n"),
+          col("embedding").as("e"))).as("m"))
+        .collect()(0).getStruct(0)
+      centers :+= ((-far.getLong(1), quantVec(far.getSeq[Float](2))))
+    }
+    val assign = array_min(array(centers.map { case (id, q) =>
+      struct(distTo(q).as("d"), lit(id).as("c")) }: _*))
+    pts.select(col("vec_id"),
+      assign.getField("c").as("center_id"),
+      assign.getField("d").as("dist_sq"),
+      col("vec_id").isInCollection(centers.map(_._1)).cast("long")
+        .as("is_center"))
+  }
+
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    kcenterCoreset(Tables.load(spark, dir, "embeddings"))
 
   def d4Prune(spark: SparkSession, dir: String): DataFrame =
     d4Prune(Tables.load(spark, dir, "embeddings"))

@@ -913,6 +913,10 @@ object PipelineQueries {
       // D4-style redundancy pruning: drop the most-prototypical quarter
       // of every mutual-kNN cluster (exact-integer centroid distances).
       "d4_prune" -> ((s, dir) => Similarity.d4Prune(s, dir)),
+      // Greedy k-center coreset (Gonzalez): k corpus passes with fused
+      // integer distances to literal centers — maximum-diversity seed
+      // selection, bit-reproducible argmax/argmin.
+      "kcenter_coreset" -> ((s, dir) => Similarity.kcenterCoreset(s, dir)),
       // Majority-label purity per mutual-kNN cluster — the external
       // clustering metric against the fixture's labels.
       "cluster_purity" -> ((s, dir) => Similarity.clusterPurity(s, dir)),
@@ -3891,6 +3895,51 @@ object PipelineQueries {
            |      cluster_size * ${Similarity.D4DropPermille} // 1000
            |    THEN 1 ELSE 0 END AS BIGINT) AS keep
            |FROM r""".stripMargin,
+
+      // Greedy k-center unrolled round by round: each c$r is the
+      // ORDER BY mind DESC, vec_id LIMIT 1 farthest point (the engine's
+      // max(struct(d, −id))), each d$r folds the new center in with
+      // least(); distances are the same quantized integer squared-L2 on
+      // both engines, so selection and assignment match bit-for-bit.
+      "kcenter_coreset" -> {
+        def dist(a: String, b: String): String =
+          s"CAST(list_sum(list_transform(range(1, len($a) + 1)," +
+            s" i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+        val rounds = (2 to Similarity.KCenterK).map { r =>
+          s"""c$r AS (
+             |  SELECT q.vec_id, q.qv FROM d${r - 1} dd
+             |  JOIN q ON q.vec_id = dd.vec_id
+             |  ORDER BY dd.mind DESC, q.vec_id LIMIT 1),
+             |d$r AS (
+             |  SELECT dd.vec_id,
+             |    least(dd.mind, ${dist("q.qv", s"c$r.qv")}) AS mind
+             |  FROM d${r - 1} dd JOIN q ON q.vec_id = dd.vec_id
+             |  CROSS JOIN c$r)""".stripMargin
+        }.mkString(",\n")
+        val centUnion = (1 to Similarity.KCenterK)
+          .map(r => s"SELECT vec_id AS center_id, qv FROM c$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(round(CAST(x AS DOUBLE) * ${Similarity.ProtoQ})
+           |        AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+           |d1 AS (SELECT q.vec_id, ${dist("q.qv", "c1.qv")} AS mind
+           |       FROM q CROSS JOIN c1),
+           |$rounds,
+           |cent AS ($centUnion),
+           |a AS (SELECT q.vec_id, c.center_id,
+           |    ${dist("q.qv", "c.qv")} AS dist_sq
+           |  FROM q CROSS JOIN cent c),
+           |b AS (SELECT vec_id, center_id, dist_sq FROM a
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist_sq, center_id) = 1)
+           |SELECT b.vec_id, b.center_id, b.dist_sq,
+           |  CAST(CASE WHEN b.vec_id IN (SELECT center_id FROM cent)
+           |    THEN 1 ELSE 0 END AS BIGINT) AS is_center
+           |FROM b""".stripMargin
+      },
 
       // Fixed-point integer PageRank over the knn_graph CTE chain —
       // ranks ×1e6, per-edge contribution r // outdeg, damping

@@ -2777,6 +2777,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("kcenter coreset: serial greedy replay; covering laws") {
+    import graft.functions.QSqDistImpl
+    val pts = graft.Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => QSqDistImpl.quant(x.toDouble)).toArray)
+    def d(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val t = x - y; t * t }.sum
+    var centers = Vector(pts.minBy(_._1))
+    (2 to Similarity.KCenterK).foreach { _ =>
+      val far = pts
+        .map { case (id, q) => (centers.map(c => d(c._2, q)).min, id, q) }
+        .maxBy { case (m, id, _) => (m, -id) }
+      centers :+= ((far._2, far._3))
+    }
+    val expect = pts.map { case (id, q) =>
+      val (dd, cid) = centers.map(c => (d(c._2, q), c._1))
+        .minBy { case (x, c) => (x, c) }
+      id -> ((cid, dd, if (centers.exists(_._1 == id)) 1L else 0L))
+    }.toMap
+    val got = Similarity.kcenterCoreset(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    // laws: exactly k centers, each assigned to itself at distance 0
+    val cs = got.filter(_._2._3 == 1L)
+    assert(cs.size === Similarity.KCenterK)
+    cs.foreach { case (id, (cid, dd, _)) =>
+      assert(cid === id); assert(dd === 0L)
+    }
+    // greedy coverage shrinks: the assignment radius never exceeds the
+    // radius of the 1-center solution (distance to the seed)
+    val seedQ = pts.minBy(_._1)._2
+    val byId = pts.toMap
+    got.foreach { case (id, (_, dd, _)) =>
+      assert(dd <= d(seedQ, byId(id)))
+    }
+  }
+
   test("text hash embed: serial hashing-trick replay; mass bound; dup law") {
     import graft.functions.SigImpl
     val docs = graft.Tables.load(spark, dir, "documents")
