@@ -256,6 +256,10 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // RHO selection (r12): one bigram-tf pass feeding both models'
+      // Heaps-bounded count frames; AQE picks broadcast vs shuffle for
+      // the scoring joins; one per-doc hash-aggregate rollup.
+      "rho_select" -> SparkEntry.queries("rho_select"),
       // k-center coreset (r12): k corpus passes, each a fused-codegen
       // least-of-literal-distances map + a 1-row struct-max aggregate;
       // zero shuffles beyond the aggregates.

@@ -447,6 +447,66 @@ object TextAnalysis {
   def lmScores(spark: SparkSession, dir: String): DataFrame =
     lmScores(Tables.load(spark, dir, "documents"))
 
+  /** Keep margin for [[rhoSelect]], in permille: a document is kept when
+    * its source-local fluency exceeds its global fluency by ≥10% — the
+    * domain-signal slice. */
+  val RhoMarginPermille = 1100L
+
+  /** RHO-loss-shaped two-model data selection: score every document
+    * under BOTH the corpus-global bigram LM and its own SOURCE's bigram
+    * LM, and keep the documents the source model finds markedly more
+    * fluent than the global one (excess = source_ppm − global_ppm). The
+    * published recipe's "reducible holdout loss" (train-model loss minus
+    * reference-model loss) with the two proxy models the corpus itself
+    * provides: the global LM plays the under-trained reference, the
+    * domain LM the in-domain expert — a high margin marks text that is
+    * REGULAR WITHIN ITS DOMAIN but underrepresented globally (learnable
+    * signal), while noise is unpredictable under both models and never
+    * clears the margin. All arithmetic is the integer ppm contract of
+    * [[lmScores]], so both engines agree bit-for-bit.
+    *
+    * Scale shape: ONE bigram-tf pass feeds both models ([[lmScores]]'
+    * family constant — the tf recompute is the documented trade);
+    * global counts reduce to the Heaps-bounded (w₁,w₂)/(w₁) frames and
+    * source counts to their (source, ·) splits, all map-side-combinable
+    * hash aggregates; the scoring join brings the four count frames
+    * back per bigram with AQE choosing broadcast vs shuffled equi-join
+    * from real runtime sizes (the [[lmScoreWith]] policy — a pinned
+    * broadcast would OOM at exactly the scale the apply path is for);
+    * the per-doc rollup is one hash aggregate. Docs under 2 words have
+    * no bigrams and are absent, exactly like [[lmScores]]. */
+  def rhoSelect(docs: DataFrame): DataFrame = {
+    val tfs = bigramTf(docs)
+      .join(docs.select(col("doc_id"), col("source"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+    val gbg = tfs.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("g_bg"))
+    val gctx = gbg.groupBy(col("w1")).agg(sum(col("g_bg")).as("g_ctx"))
+    val sbg = tfs.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("s_bg"))
+    val sctx = sbg.groupBy(col("source"), col("w1"))
+      .agg(sum(col("s_bg")).as("s_ctx"))
+    tfs
+      .join(gbg, Seq("w1", "w2")).join(gctx, Seq("w1"))
+      .join(sbg, Seq("source", "w1", "w2"))
+      .join(sctx, Seq("source", "w1"))
+      .withColumn("g_ppm", expr("(g_bg * 1000000) div g_ctx"))
+      .withColumn("s_ppm", expr("(s_bg * 1000000) div s_ctx"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("g_ppm")).as("gmass"),
+        sum(col("tf") * col("s_ppm")).as("smass"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("gmass div n_bigrams").as("global_ppm"),
+        expr("smass div n_bigrams").as("source_ppm"))
+      .withColumn("excess_ppm", col("source_ppm") - col("global_ppm"))
+      .withColumn("keep", expr("CAST(CASE WHEN source_ppm * 1000 >" +
+        s" global_ppm * $RhoMarginPermille THEN 1 ELSE 0 END AS BIGINT)"))
+  }
+
+  def rhoSelect(spark: SparkSession, dir: String): DataFrame =
+    rhoSelect(Tables.load(spark, dir, "documents"))
+
   /** Adjacent-pair frequency counts — the statistic each BPE tokenizer
     * training iteration maximizes (count all adjacent symbol pairs within
     * words, merge the argmax). One explode + one hash aggregate with

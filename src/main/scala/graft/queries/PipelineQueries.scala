@@ -950,6 +950,9 @@ object PipelineQueries {
       // Lexical diversity (TTR / Simpson / top-share) in exact integers.
       "text_diversity" -> ((s, dir) => TextAnalysis.diversityScores(s, dir)),
       "text_lm_score" -> ((s, dir) => TextAnalysis.lmScores(s, dir)),
+      // RHO-loss-shaped two-model selection: source-local vs global
+      // bigram fluency, keep the domain-signal margin — integer ppm.
+      "rho_select" -> ((s, dir) => TextAnalysis.rhoSelect(s, dir)),
       "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
       // The full iterative merge loop over the pair statistic above.
       "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
@@ -2822,6 +2825,41 @@ object PipelineQueries {
       // Bigram LM trained on the corpus itself; integer ppm surrogate.
       // Same doc exclusion rule as the Spark side (len >= 2 ⇔ has a
       // bigram); casts per the DuckDB HUGEINT-widening convention.
+      // Two-model RHO selection over the shared lm CTE chain plus its
+      // per-source split — the same integer ppm contract on both
+      // engines, so excess and keep match bit-for-bit.
+      "rho_select" ->
+        s"""WITH $lmScoreCtes,
+           |tfs AS (SELECT tf.*, d.source FROM tf
+           |        JOIN documents d USING (doc_id)),
+           |sbg AS (SELECT source, w1, w2, CAST(sum(tf) AS BIGINT) AS s_bg
+           |        FROM tfs GROUP BY 1, 2, 3),
+           |sctx AS (SELECT source, w1, CAST(sum(s_bg) AS BIGINT) AS s_ctx
+           |         FROM sbg GROUP BY 1, 2),
+           |sco AS (
+           |  SELECT tfs.doc_id, tfs.source,
+           |    CAST(sum(tfs.tf) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(tfs.tf * ((bgc.c_bg * 1000000) // ctx.c_ctx))
+           |      AS BIGINT) AS gmass,
+           |    CAST(sum(tfs.tf * ((sbg.s_bg * 1000000) // sctx.s_ctx))
+           |      AS BIGINT) AS smass
+           |  FROM tfs
+           |  JOIN bgc ON bgc.w1 = tfs.w1 AND bgc.w2 = tfs.w2
+           |  JOIN ctx ON ctx.w1 = tfs.w1
+           |  JOIN sbg ON sbg.source = tfs.source AND sbg.w1 = tfs.w1
+           |    AND sbg.w2 = tfs.w2
+           |  JOIN sctx ON sctx.source = tfs.source AND sctx.w1 = tfs.w1
+           |  GROUP BY 1, 2)
+           |SELECT doc_id, source, n_bigrams,
+           |  CAST(gmass // n_bigrams AS BIGINT) AS global_ppm,
+           |  CAST(smass // n_bigrams AS BIGINT) AS source_ppm,
+           |  CAST(smass // n_bigrams - gmass // n_bigrams AS BIGINT)
+           |    AS excess_ppm,
+           |  CAST(CASE WHEN (smass // n_bigrams) * 1000 >
+           |      (gmass // n_bigrams) * ${TextAnalysis.RhoMarginPermille}
+           |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM sco""".stripMargin,
+
       "text_lm_score" ->
         """WITH tok AS (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

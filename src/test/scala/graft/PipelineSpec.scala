@@ -2777,6 +2777,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("rho select: serial two-model replay; margin law") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[(String, String)] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.length < 2) Seq.empty else w.zip(w.tail)
+    }
+    val tf = docs.flatMap { case (id, src, t) =>
+      bigrams(t).groupBy(identity).map { case (b, xs) =>
+        (id, src, b, xs.length.toLong) }
+    }
+    val gbg = tf.groupBy(_._3).map { case (b, xs) => b -> xs.map(_._4).sum }
+    val gctx = gbg.groupBy(_._1._1).map { case (w1, xs) => w1 -> xs.values.sum }
+    val sbg = tf.groupBy(x => (x._2, x._3))
+      .map { case (k, xs) => k -> xs.map(_._4).sum }
+    val sctx = sbg.groupBy { case ((s, b), _) => (s, b._1) }
+      .map { case (k, xs) => k -> xs.values.sum }
+    val expect = tf.groupBy(x => (x._1, x._2)).map { case ((id, src), xs) =>
+      val n = xs.map(_._4).sum
+      val gm = xs.map { case (_, _, b, c) =>
+        c * (gbg(b) * 1000000L / gctx(b._1)) }.sum
+      val sm = xs.map { case (_, _, b, c) =>
+        c * (sbg((src, b)) * 1000000L / sctx((src, b._1))) }.sum
+      val (g, s) = (gm / n, sm / n)
+      (id, src) -> ((n, g, s, s - g,
+        if (s * 1000 > g * graft.exts.TextAnalysis.RhoMarginPermille) 1L
+        else 0L))
+    }
+    val got = graft.exts.TextAnalysis.rhoSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got === expect)
+    // margin law is definitional; the signal must differentiate
+    assert(got.values.map(_._4).toSeq.distinct.length > 1)
+  }
+
   test("kcenter coreset: serial greedy replay; covering laws") {
     import graft.functions.QSqDistImpl
     val pts = graft.Tables.load(spark, dir, "embeddings")
