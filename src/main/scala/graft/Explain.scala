@@ -56,7 +56,7 @@ object Explain {
       "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
       "q11_important_stock", "q13_customer_distribution",
       "q20_part_promotion", "graph_lpa", "text_hash_embed",
-      "kcenter_coreset", "rho_select")
+      "kcenter_coreset", "rho_select", "hybrid_search")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

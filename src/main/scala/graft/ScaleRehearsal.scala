@@ -256,6 +256,9 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // Hybrid retrieval (r12): both components end in bounded TopK
+      // aggregates; the RRF join + rank window run on queries×k rows.
+      "hybrid_search" -> SparkEntry.queries("hybrid_search"),
       // RHO selection (r12): one bigram-tf pass feeding both models'
       // Heaps-bounded count frames; AQE picks broadcast vs shuffle for
       // the scoring joins; one per-doc hash-aggregate rollup.

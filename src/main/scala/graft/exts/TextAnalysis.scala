@@ -247,6 +247,56 @@ object TextAnalysis {
   def bm25Retrieve(spark: SparkSession, dir: String): DataFrame =
     bm25Retrieve(Tables.load(spark, dir, "documents"))
 
+  /** Reciprocal-rank-fusion constant (the standard 60). */
+  val RrfKConst = 60L
+  /** Result depth per component and per fused list. */
+  val HybridTopK = 10
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * ranking ([[bm25Retrieve]]) and the cosine vector ranking
+    * ([[Similarity.bruteTopK]]) for the same query set — the standard
+    * two-tower serving shape (lexical catches exact terms, vectors catch
+    * paraphrase; RRF needs no score calibration between the two, which
+    * is exactly why production rankers use it). Score =
+    * Σ_components 10⁶ div (60 + rank), rank absent from a component's
+    * top-k contributes 0; fused rank breaks ties on doc_id. Rows
+    * (query_id, doc_id, rank, rrf_x1e6, lex_rank, vec_rank — 0 marks
+    * "absent from that component"), all integer.
+    *
+    * Scale shape: both components end in their bounded TopKPairs
+    * aggregates, so the fusion input is ≤ 2k rows PER QUERY at any
+    * corpus scale — the full-outer join (shuffle-hash; both sides
+    * preserved so neither may broadcast) and the rank window run on a
+    * queries×k metadata-sized frame, never the corpus. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, maxQueryId: Long = 8,
+      k: Int = HybridTopK): DataFrame = {
+    val lex = bm25Retrieve(docs, maxQueryId, k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val vec = Similarity.bruteTopK(emb, maxQueryId, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val fused = lex
+      .join(vec.hint("shuffle_hash"), Seq("query_id", "doc_id"),
+        "full_outer")
+      .withColumn("rrf_x1e6",
+        coalesce(expr(s"1000000 div ($RrfKConst + lex_rank)"), lit(0L)) +
+        coalesce(expr(s"1000000 div ($RrfKConst + vec_rank)"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_x1e6").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("rrf_x1e6"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+  }
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybridSearch(Tables.load(spark, dir, "documents"),
+      Tables.load(spark, dir, "embeddings"))
+
   /** Corpus-level document-frequency head: the `topN` terms appearing in
     * the most documents (df = docs containing the term, not total
     * occurrences). Deterministic order: df desc, term asc. */
@@ -469,12 +519,13 @@ object TextAnalysis {
     * family constant — the tf recompute is the documented trade);
     * global counts reduce to the Heaps-bounded (w₁,w₂)/(w₁) frames and
     * source counts to their (source, ·) splits, all map-side-combinable
-    * hash aggregates; the scoring join brings the four count frames
-    * back per bigram with AQE choosing broadcast vs shuffled equi-join
-    * from real runtime sizes (the [[lmScoreWith]] policy — a pinned
-    * broadcast would OOM at exactly the scale the apply path is for);
-    * the per-doc rollup is one hash aggregate. Docs under 2 words have
-    * no bigrams and are absent, exactly like [[lmScores]]. */
+    * hash aggregates; the scoring joins bring the four count frames
+    * back per bigram as SHUFFLE-HASH builds (never a pinned broadcast —
+    * that would OOM at exactly the scale the apply path is for, the
+    * [[lmScoreWith]] lesson; never sort-merge — nothing needs the sort;
+    * AQE still demotes any of them to broadcast when the runtime size
+    * fits); the per-doc rollup is one hash aggregate. Docs under 2
+    * words have no bigrams and are absent, exactly like [[lmScores]]. */
   def rhoSelect(docs: DataFrame): DataFrame = {
     val tfs = bigramTf(docs)
       .join(docs.select(col("doc_id"), col("source"))
@@ -487,9 +538,10 @@ object TextAnalysis {
     val sctx = sbg.groupBy(col("source"), col("w1"))
       .agg(sum(col("s_bg")).as("s_ctx"))
     tfs
-      .join(gbg, Seq("w1", "w2")).join(gctx, Seq("w1"))
-      .join(sbg, Seq("source", "w1", "w2"))
-      .join(sctx, Seq("source", "w1"))
+      .join(gbg.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(gctx.hint("shuffle_hash"), Seq("w1"))
+      .join(sbg.hint("shuffle_hash"), Seq("source", "w1", "w2"))
+      .join(sctx.hint("shuffle_hash"), Seq("source", "w1"))
       .withColumn("g_ppm", expr("(g_bg * 1000000) div g_ctx"))
       .withColumn("s_ppm", expr("(s_bg * 1000000) div s_ctx"))
       .groupBy(col("doc_id"), col("source"))

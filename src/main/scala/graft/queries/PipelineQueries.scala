@@ -349,6 +349,35 @@ object PipelineQueries {
   /** Per-doc bigram-LM score CTE chain (final CTE: `sc` with
     * (doc_id, lm_score_ppm)) — shared by the CCNet bucket chain and
     * mix_doremi so the perplexity surrogate is single-sourced. */
+  /** BM25 core chain (docs → postings `tf` → vocabulary `dfr` → 1-row
+    * `st`), shared by bm25_retrieve / bm25_batch / hybrid_search so the
+    * index definition cannot drift between the retrieval oracles. */
+  private val bm25CoreCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |          unnest(ws) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs,
+       |         (CAST(sum(len(ws)) AS BIGINT) * 1000) // count(*)
+       |           AS avgdl_x1000
+       |       FROM d)""".stripMargin
+
+  /** The BM25 per-(query, doc) contribution expression over joined
+    * tf/dfr/st rows — the integer Okapi shape both engines share. */
+  private val bm25ContribSql: String =
+    s"""(((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1))
+       |      * ((tf * ${TextAnalysis.Bm25K1x1000 + 1000} * 1000)
+       |         // (tf * 1000
+       |             + (${TextAnalysis.Bm25K1x1000}
+       |                * ((1000 - ${TextAnalysis.Bm25Bx1000})
+       |                   + (${TextAnalysis.Bm25Bx1000} * dl * 1000)
+       |                     // avgdl_x1000)) // 1000))
+       |      // 1000""".stripMargin
+
   private val lmScoreCtes: String =
     s"""tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -932,6 +961,10 @@ object PipelineQueries {
       "span_corrupt" -> ((s, dir) => TextAnalysis.spanCorrupt(s, dir)),
       "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
       "bm25_retrieve" -> ((s, dir) => TextAnalysis.bm25Retrieve(s, dir)),
+      // Reciprocal-rank fusion of the BM25 and cosine rankings — the
+      // two-tower hybrid serving shape; fusion runs on the bounded
+      // top-k frames, never the corpus.
+      "hybrid_search" -> ((s, dir) => TextAnalysis.hybridSearch(s, dir)),
       // Train/apply split: the persisted inverted-index artifact
       // (Bm25Index — postings + df + stats parquet) serving an incoming
       // query batch with zero corpus-text scans. The batch is a BOUNDED
@@ -2700,31 +2733,13 @@ object PipelineQueries {
       // kept rational (×1000, no ln), k1/b are the ×1000 Okapi defaults
       // rendered from the Scala constants so the two sides can't drift.
       "bm25_retrieve" ->
-        s"""WITH d AS (
-           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-           |  FROM documents),
-           |tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
-           |          unnest(ws) AS term FROM d),
-           |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-           |       FROM tok GROUP BY 1, 2),
-           |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           |st AS (SELECT count(*) AS n_docs,
-           |         (CAST(sum(len(ws)) AS BIGINT) * 1000) // count(*)
-           |           AS avgdl_x1000
-           |       FROM d),
+        s"""WITH $bm25CoreCtes,
            |q AS (SELECT doc_id AS query_id,
            |        unnest(list_distinct(ws)) AS term
            |      FROM d WHERE doc_id < 8),
            |c AS (
            |  SELECT q.query_id, tf.doc_id,
-           |    (((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1))
-           |      * ((tf * ${TextAnalysis.Bm25K1x1000 + 1000} * 1000)
-           |         // (tf * 1000
-           |             + (${TextAnalysis.Bm25K1x1000}
-           |                * ((1000 - ${TextAnalysis.Bm25Bx1000})
-           |                   + (${TextAnalysis.Bm25Bx1000} * dl * 1000)
-           |                     // avgdl_x1000)) // 1000))
-           |      // 1000 AS contrib
+           |    $bm25ContribSql AS contrib
            |  FROM tf JOIN dfr USING (term) JOIN q USING (term)
            |  CROSS JOIN st
            |  WHERE tf.doc_id <> q.query_id),
@@ -2743,18 +2758,7 @@ object PipelineQueries {
       // +600000, tail-perturbed %7 copies at +700000), no self-exclusion
       // (batch ids live in their own offset range).
       "bm25_batch" ->
-        s"""WITH d AS (
-           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-           |  FROM documents),
-           |tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
-           |          unnest(ws) AS term FROM d),
-           |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-           |       FROM tok GROUP BY 1, 2),
-           |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           |st AS (SELECT count(*) AS n_docs,
-           |         (CAST(sum(len(ws)) AS BIGINT) * 1000) // count(*)
-           |           AS avgdl_x1000
-           |       FROM d),
+        s"""WITH $bm25CoreCtes,
            |batch AS (
            |  SELECT doc_id + 600000 AS query_id, text FROM documents
            |  WHERE doc_id % 5 = 0 AND (doc_id + 600000) % 100000 < 160
@@ -2767,14 +2771,7 @@ object PipelineQueries {
            |      FROM batch),
            |c AS (
            |  SELECT q.query_id, tf.doc_id,
-           |    (((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1))
-           |      * ((tf * ${TextAnalysis.Bm25K1x1000 + 1000} * 1000)
-           |         // (tf * 1000
-           |             + (${TextAnalysis.Bm25K1x1000}
-           |                * ((1000 - ${TextAnalysis.Bm25Bx1000})
-           |                   + (${TextAnalysis.Bm25Bx1000} * dl * 1000)
-           |                     // avgdl_x1000)) // 1000))
-           |      // 1000 AS contrib
+           |    $bm25ContribSql AS contrib
            |  FROM tf JOIN dfr USING (term) JOIN q USING (term)
            |  CROSS JOIN st),
            |s AS (SELECT query_id, doc_id,
@@ -2786,6 +2783,68 @@ object PipelineQueries {
            |          ORDER BY score DESC, doc_id) AS rank
            |      FROM s)
            |WHERE rank <= 10""".stripMargin,
+
+      // RRF fusion over the SAME bm25 core chain and the sim_topk
+      // cosine ranking — both component rank lists recomputed at depth
+      // HybridTopK, fused with coalesce-to-0 absent ranks, ties on
+      // doc_id; every constant interpolated from the engine's.
+      "hybrid_search" -> {
+        val kk = TextAnalysis.HybridTopK
+        val rrf = TextAnalysis.RrfKConst
+        s"""WITH $bm25CoreCtes,
+           |q AS (SELECT doc_id AS query_id,
+           |        unnest(list_distinct(ws)) AS term
+           |      FROM d WHERE doc_id < 8),
+           |c AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |    $bm25ContribSql AS contrib
+           |  FROM tf JOIN dfr USING (term) JOIN q USING (term)
+           |  CROSS JOIN st
+           |  WHERE tf.doc_id <> q.query_id),
+           |s AS (SELECT query_id, doc_id,
+           |        CAST(sum(contrib) AS BIGINT) AS score
+           |      FROM c GROUP BY 1, 2),
+           |lr AS (SELECT query_id, doc_id, rank
+           |  FROM (SELECT query_id, doc_id,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY score DESC, doc_id) AS rank
+           |        FROM s)
+           |  WHERE rank <= $kk),
+           |vq AS (SELECT vec_id AS query_id, embedding AS e_q
+           |       FROM embeddings WHERE vec_id < 8),
+           |vc AS (SELECT vec_id AS neighbor_id, embedding AS e_n
+           |       FROM embeddings),
+           |vsc AS (
+           |  SELECT query_id, neighbor_id,
+           |    list_cosine_similarity(e_q, e_n) AS cos
+           |  FROM vq CROSS JOIN vc WHERE neighbor_id <> query_id),
+           |vr AS (SELECT query_id, neighbor_id AS doc_id, rank
+           |  FROM (SELECT query_id, neighbor_id,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, neighbor_id) AS rank
+           |        FROM vsc)
+           |  WHERE rank <= $kk),
+           |f AS (
+           |  SELECT coalesce(lr.query_id, vr.query_id) AS query_id,
+           |    coalesce(lr.doc_id, vr.doc_id) AS doc_id,
+           |    lr.rank AS lex_rank, vr.rank AS vec_rank
+           |  FROM lr FULL OUTER JOIN vr
+           |    ON lr.query_id = vr.query_id AND lr.doc_id = vr.doc_id),
+           |g AS (
+           |  SELECT query_id, doc_id,
+           |    coalesce(1000000 // ($rrf + lex_rank), 0)
+           |      + coalesce(1000000 // ($rrf + vec_rank), 0) AS rrf_x1e6,
+           |    coalesce(lex_rank, 0) AS lex_rank,
+           |    coalesce(vec_rank, 0) AS vec_rank
+           |  FROM f)
+           |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+           |  CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6,
+           |  CAST(lex_rank AS BIGINT) AS lex_rank,
+           |  CAST(vec_rank AS BIGINT) AS vec_rank
+           |FROM (SELECT g.*, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY rrf_x1e6 DESC, doc_id) AS rank FROM g)
+           |WHERE rank <= $kk""".stripMargin
+      },
 
       "text_diversity" ->
         """WITH tok AS (

@@ -2777,6 +2777,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("hybrid search: RRF replay from component rankings; fusion laws") {
+    import graft.exts.TextAnalysis
+    val k = TextAnalysis.HybridTopK
+    val lex = TextAnalysis
+      .bm25Retrieve(graft.Tables.load(spark, dir, "documents"), 8, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val vec = Similarity
+      .bruteTopK(graft.Tables.load(spark, dir, "embeddings"), 8, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val pairs = (lex.keySet ++ vec.keySet).toSeq
+    val fusedAll = pairs.map { p =>
+      val l = lex.get(p); val v = vec.get(p)
+      p -> ((l.map(r => 1000000L / (TextAnalysis.RrfKConst + r))
+            .getOrElse(0L)
+          + v.map(r => 1000000L / (TextAnalysis.RrfKConst + r))
+            .getOrElse(0L),
+        l.getOrElse(0L), v.getOrElse(0L)))
+    }
+    val expect = fusedAll.groupBy(_._1._1).flatMap { case (q, xs) =>
+      xs.sortBy { case ((_, d), (s, _, _)) => (-s, d) }.take(k)
+        .zipWithIndex.map { case (((qq, d), (s, l, v)), i) =>
+          (qq, d) -> ((i + 1L, s, l, v)) }
+    }
+    val got = TextAnalysis.hybridSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect)
+    // fusion laws: both components contribute to the fused lists, and
+    // every fused score is positive (≥ one component ranked the doc)
+    assert(got.values.exists(_._3 > 0))
+    assert(got.values.exists(_._4 > 0))
+    got.values.foreach { case (_, s, _, _) => assert(s > 0L) }
+  }
+
   test("rho select: serial two-model replay; margin law") {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id"),
