@@ -269,13 +269,25 @@ object TextAnalysis {
     * preserved so neither may broadcast) and the rank window run on a
     * queries×k metadata-sized frame, never the corpus. */
   def hybridSearch(docs: DataFrame, emb: DataFrame, maxQueryId: Long = 8,
+      k: Int = HybridTopK): DataFrame =
+    rrfFuse(
+      bm25Retrieve(docs, maxQueryId, k),
+      Similarity.bruteTopK(emb, maxQueryId, k)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank")),
+      k)
+
+  /** The RRF fusion core shared by [[hybridSearch]] and the online
+    * [[graft.stream.HybridServing]] — one definition so the batch key
+    * and the serving path cannot drift. Both inputs carry (query_id,
+    * doc_id, rank); both are expected to be top-k-bounded, so every
+    * operator below runs on queries×k metadata-sized frames. */
+  def rrfFuse(lex0: DataFrame, vec0: DataFrame,
       k: Int = HybridTopK): DataFrame = {
-    val lex = bm25Retrieve(docs, maxQueryId, k)
-      .select(col("query_id"), col("doc_id"),
-        col("rank").cast("long").as("lex_rank"))
-    val vec = Similarity.bruteTopK(emb, maxQueryId, k)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").cast("long").as("vec_rank"))
+    val lex = lex0.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("lex_rank"))
+    val vec = vec0.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("vec_rank"))
     val fused = lex
       .join(vec.hint("shuffle_hash"), Seq("query_id", "doc_id"),
         "full_outer")

@@ -448,6 +448,59 @@ class StreamSpec extends AnyFunSuite {
     assert(results.size === expected.size) // no duplicate emissions
   }
 
+  test("hybrid serving: per-batch stream results equal the fused batch scorers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // queries = first 6 corpus docs paired with their embeddings, ids
+    // offset into their own range (the serving convention), two arrivals
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 6)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val qs = texts.keys.toSeq.sorted
+      .map(id => (id + 900000L, texts(id), vecs(id)))
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    val q = graft.stream.HybridServing.start(spark, dir,
+      input.toDS().toDF("query_id", "text", "embedding"),
+      (df, _) => results.synchronized {
+        results ++= df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+      })
+    input.addData(qs.take(3))
+    q.processAllAvailable()
+    input.addData(qs.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    // expected: the same fusion composed directly from the two
+    // index-served batch scorers over the full query frame
+    val batchDf = qs.toDF("query_id", "text", "embedding")
+    val lex = graft.exts.Bm25Index.scoreBatch(spark, dir,
+      batchDf.select(col("query_id").as("doc_id"), col("text")))
+    val vec = graft.exts.PqIndex.ivfPqSearchFor(spark, dir,
+      batchDf.select(col("query_id"), col("embedding")),
+      graft.exts.TextAnalysis.HybridTopK, 1)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    val expected = graft.exts.TextAnalysis.rrfFuse(lex, vec).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(expected.nonEmpty)
+    assert(results.toSet === expected)
+    assert(results.size === expected.size) // no duplicate emissions
+    // both towers contribute to the fused serving results
+    assert(results.exists(_._5 > 0))
+    assert(results.exists(_._6 > 0))
+  }
+
   test("BM25 serving: per-batch stream results equal the batch scorer") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
