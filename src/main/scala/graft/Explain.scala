@@ -56,7 +56,8 @@ object Explain {
       "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
       "q11_important_stock", "q13_customer_distribution",
       "q20_part_promotion", "graph_lpa", "text_hash_embed",
-      "kcenter_coreset", "rho_select", "hybrid_search")
+      "kcenter_coreset", "rho_select", "hybrid_search",
+      "boilerplate_strip")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -256,6 +256,9 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // Boilerplate stripping (r12): one corpus pass keyed by leading
+      // window, two hash aggregates, tiny boilerplate set broadcast back.
+      "boilerplate_strip" -> SparkEntry.queries("boilerplate_strip"),
       // Hybrid retrieval (r12): both components end in bounded TopK
       // aggregates; the RRF join + rank window run on queries×k rows.
       "hybrid_search" -> SparkEntry.queries("hybrid_search"),

@@ -1758,6 +1758,71 @@ object TextAnalysis {
           .otherwise(array_join(col("kept_ws"), " ")))
       .drop("ws", "hits", "kept_ws")
 
+  /** Leading-window width (words) for [[boilerplateStrip]]. */
+  val BoilerW = 3
+  /** Share of a source's documents that must OPEN with the same leading
+    * window before it counts as boilerplate, in permille. */
+  val BoilerPermille = 200L
+  /** Planted boilerplate prefix ([[BoilerW]] words) — every 3rd doc
+    * opens with it; mirrored in the oracle CTE. */
+  val PlantedBoiler = "subscribe to newsletter"
+
+  /** documents with the planted boilerplate prefix in place (same ids —
+    * the detector thresholds against the source's doc count, so the
+    * fixture must rewrite, not union). */
+  def corpusWithBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(PlantedBoiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+
+  /** C4/RefinedWeb-style BOILERPLATE stripping — the web-corpus cleaning
+    * stage that removes per-site headers ("subscribe to our
+    * newsletter…") which exact- and near-dedup both miss because the
+    * payload after the header differs every time: a leading
+    * [[BoilerW]]-word window shared by ≥[[BoilerPermille]]‰ (and ≥2) of
+    * a SOURCE's documents is boilerplate, and flagged documents are
+    * rewritten without it. Output (doc_id, source, is_boiler,
+    * n_dropped_words, out_md5) — the md5-of-rewrite contract
+    * [[piiRedact]] uses, so the deterministic rewrite is what's pinned.
+    *
+    * Scale shape: one corpus pass keys each doc by its leading window;
+    * the per-(source, window) count and the per-source total are
+    * map-side-combinable hash aggregates; the surviving boilerplate set
+    * is PROVABLY tiny (≤ 1000/[[BoilerPermille]] windows per source) so
+    * it broadcasts back onto the corpus — no corpus-side shuffle
+    * anywhere. */
+  def boilerplateStrip(corpus: DataFrame): DataFrame = {
+    val keyed = corpus
+      .select(col("doc_id"), col("source"), col("text"),
+        words(col("text")).as("w"))
+      .withColumn("nw", size(col("w")))
+      .withColumn("lead_w", when(col("nw") >= BoilerW,
+        concat_ws(" ", slice(col("w"), 1, BoilerW))))
+    val totals = corpus.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val boiler = keyed.filter(col("lead_w").isNotNull)
+      .groupBy(col("source"), col("lead_w"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(totals), Seq("source"))
+      .filter(col("c") >= 2 &&
+        col("c") * 1000 >= col("n_src") * BoilerPermille)
+      .select(col("source"), col("lead_w"), lit(1L).as("hit"))
+    keyed.join(broadcast(boiler), Seq("source", "lead_w"), "left")
+      .withColumn("b", coalesce(col("hit"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("b").as("is_boiler"),
+        when(col("b") === 1L, lit(BoilerW.toLong)).otherwise(lit(0L))
+          .as("n_dropped_words"),
+        md5(when(col("b") === 1L,
+            expr(s"concat_ws(' ', slice(w, ${BoilerW + 1}," +
+              s" greatest(nw - $BoilerW, 0)))"))
+          .otherwise(col("text"))).as("out_md5"))
+  }
+
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStrip(corpusWithBoilerplate(spark, dir))
+
   /** PII patterns, chosen to parse and match identically under Java regex
     * (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround.
     * Redaction order matters — emails first, so the host part is gone

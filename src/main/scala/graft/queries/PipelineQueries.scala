@@ -751,6 +751,10 @@ object PipelineQueries {
       "quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(s, dir)),
       "text_pii_redact" -> ((s, dir) =>
         TextAnalysis.piiRedact(TextAnalysis.corpusWithPii(s, dir))),
+      // Source-level boilerplate stripping (C4-style header removal) —
+      // the boilerplate set is provably tiny and broadcasts back.
+      "boilerplate_strip" -> ((s, dir) =>
+        TextAnalysis.boilerplateStrip(s, dir)),
       "mix_sources" -> ((s, dir) => Sampling.mixSources(s, dir)),
       "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(s, dir)),
       // DoReMi-style multiplicative-weights domain reweighting over the
@@ -2918,6 +2922,42 @@ object PipelineQueries {
            |      (gmass // n_bigrams) * ${TextAnalysis.RhoMarginPermille}
            |    THEN 1 ELSE 0 END AS BIGINT) AS keep
            |FROM sco""".stripMargin,
+
+      // Planted prefix + leading-window threshold + md5-of-rewrite, all
+      // constants interpolated from the engine's single source.
+      "boilerplate_strip" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 3 = 0
+           |      THEN '${TextAnalysis.PlantedBoiler} ' || text
+           |      ELSE text END AS text
+           |  FROM documents),
+           |k AS (SELECT doc_id, source, text, w, len(w) AS nw,
+           |    CASE WHEN len(w) >= ${TextAnalysis.BoilerW}
+           |      THEN array_to_string(w[1:${TextAnalysis.BoilerW}], ' ')
+           |    END AS lead_w
+           |  FROM (SELECT doc_id, source, text,
+           |          regexp_split_to_array(trim(text), '\\s+') AS w
+           |        FROM corpus)),
+           |tot AS (SELECT source, count(*) AS n_src FROM k GROUP BY 1),
+           |b AS (SELECT k.source, lead_w
+           |      FROM k JOIN tot USING (source)
+           |      WHERE lead_w IS NOT NULL
+           |      GROUP BY k.source, lead_w, n_src
+           |      HAVING count(*) >= 2 AND count(*) * 1000 >=
+           |        n_src * ${TextAnalysis.BoilerPermille})
+           |SELECT k.doc_id, k.source,
+           |  CAST(CASE WHEN b.lead_w IS NOT NULL THEN 1 ELSE 0 END
+           |    AS BIGINT) AS is_boiler,
+           |  CAST(CASE WHEN b.lead_w IS NOT NULL
+           |    THEN ${TextAnalysis.BoilerW} ELSE 0 END AS BIGINT)
+           |    AS n_dropped_words,
+           |  md5(CASE WHEN b.lead_w IS NOT NULL
+           |    THEN array_to_string(k.w[${TextAnalysis.BoilerW + 1}:], ' ')
+           |    ELSE k.text END) AS out_md5
+           |FROM k LEFT JOIN b
+           |  ON b.source = k.source AND b.lead_w = k.lead_w"""
+          .stripMargin,
 
       "text_lm_score" ->
         """WITH tok AS (

@@ -2777,6 +2777,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("boilerplate strip: serial replay; planted prefixes stripped exactly") {
+    import graft.exts.TextAnalysis
+    val base = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val planted = base.map { case (id, src, t) =>
+      (id, src, if (id % 3 == 0) TextAnalysis.PlantedBoiler + " " + t else t)
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyed = planted.map { case (id, src, t) =>
+      val w = t.trim.split("\\s+").toSeq
+      (id, src, t, w,
+        if (w.length >= TextAnalysis.BoilerW)
+          Some(w.take(TextAnalysis.BoilerW).mkString(" ")) else None)
+    }
+    val totals = keyed.groupBy(_._2).map { case (s, xs) => s -> xs.length }
+    val boiler = keyed.filter(_._5.isDefined)
+      .groupBy(x => (x._2, x._5.get))
+      .collect { case ((s, lw), xs)
+        if xs.length >= 2 &&
+          xs.length * 1000L >= totals(s) * TextAnalysis.BoilerPermille =>
+        (s, lw) }.toSet
+    val expect = keyed.map { case (id, src, t, w, lw) =>
+      val hit = lw.exists(l => boiler((src, l)))
+      id -> ((src, if (hit) 1L else 0L,
+        if (hit) TextAnalysis.BoilerW.toLong else 0L,
+        md5hex(if (hit) w.drop(TextAnalysis.BoilerW).mkString(" ") else t)))
+    }.toMap
+    val got = TextAnalysis.boilerplateStrip(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got === expect)
+    // every planted doc is flagged; stripping recovers the original
+    // words exactly (md5 of the single-space rejoined original)
+    base.foreach { case (id, _, t) =>
+      if (id % 3 == 0) {
+        assert(got(id)._2 === 1L)
+        assert(got(id)._4 ===
+          md5hex(t.trim.split("\\s+").mkString(" ")))
+      }
+    }
+    // something is NOT flagged (the detector differentiates)
+    assert(got.values.exists(_._2 == 0L))
+  }
+
   test("hybrid search: RRF replay from component rankings; fusion laws") {
     import graft.exts.TextAnalysis
     val k = TextAnalysis.HybridTopK
