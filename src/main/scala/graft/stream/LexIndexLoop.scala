@@ -1,0 +1,175 @@
+package graft.stream
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.exts.{Bm25Index, TextAnalysis}
+
+/** The event-driven maintenance loop closed over the TEXT INDEX — the
+  * reference's pattern (small appends accumulate → a threshold decision
+  * → one expensive compaction) applied to the BM25 inverted index, the
+  * Lucene-segment lifecycle expressed in this engine's terms and the
+  * [[IndexLoop]] sibling for the lexical tower:
+  *
+  *  1. INGEST — each micro-batch of (doc_id, text) documents is gated
+  *     by an id probe against what the index already holds (replayed or
+  *     duplicate arrivals never land twice); survivors' postings are
+  *     written as a batch-sized DELTA SEGMENT (postings + df + stats —
+  *     a complete mini-index, [[Bm25Index.save]]'s layout).
+  *  2. SERVE — queries score against the COMPOSITE index: the main
+  *     segment plus every pending delta. Postings union by frame; per-
+  *     term df adds across segments (vocabulary-sized); length stats
+  *     add exactly — so mid-stream results are bit-identical to an
+  *     index freshly built over corpus ∪ pending (the bm25_update
+  *     doc-disjoint merge property, exercised continuously).
+  *  3. DECIDE — metadata-cheap every batch: pending doc count ≥
+  *     [[MergePermille]]‰ of the indexed count trips the merge, the
+  *     analog of the reference's commit-count threshold (many small
+  *     segments = the small-files problem, verbatim).
+  *  4. ACT — only when tripped: the composite is compacted into ONE new
+  *     main segment at `v<version+1>` (the O(index) pass), pending
+  *     clears, and the serving version bumps — the next query batch
+  *     reads the compacted index.
+  *
+  * Per-batch cost is batch-sized (tokenize + delta write + one id
+  * probe); the O(index) rewrite runs only on threshold — exactly how
+  * the table loop reserves compaction for tables past their commit
+  * threshold. At lake scale the id probe reads a doc-keyed Bloom
+  * artifact ([[graft.exts.BloomIndex]]'s shape) instead of the postings
+  * id projection this toy-scale probe scans.
+  */
+object LexIndexLoop {
+
+  /** Pending share of the indexed doc count that trips compaction. */
+  val MergePermille = 200L
+
+  /** Serving snapshot: the main segment path, the pending delta paths
+    * (in arrival order), and the doc counts the decision reads. */
+  final case class State(version: Long, mainPath: String,
+      pending: Vector[String], nIndexed: Long, nPending: Long)
+
+  /** Atomically-swapped serving state — the ingest loop writes, each
+    * query batch reads one consistent snapshot. */
+  final class ServingIndex private[LexIndexLoop] (initial: State) {
+    private val ref = new AtomicReference[State](initial)
+    def version: Long = ref.get().version
+    def snapshot: State = ref.get()
+    private[stream] def update(s: State): Unit = ref.set(s)
+  }
+
+  /** Build the version-0 main segment over the landed corpus. */
+  def buildIndex(spark: SparkSession, corpusDocs: DataFrame,
+      root: String): ServingIndex = {
+    val docs = corpusDocs.select(col("doc_id"), col("text"))
+    Bm25Index.save(TextAnalysis.bm25Postings(docs),
+      TextAnalysis.bm25Stats(docs), s"$root/v0")
+    new ServingIndex(State(0L, s"$root/v0", Vector.empty,
+      docs.count(), 0L))
+  }
+
+  /** The composite (postings, df, stats) of a snapshot: main ∪ pending
+    * segments. Postings union by frame; df sums per term; stats add and
+    * avgdl recomputes — all integer, so compositing is exact. */
+  def composite(spark: SparkSession,
+      st: State): (DataFrame, DataFrame, DataFrame) = {
+    val parts = st.mainPath +: st.pending
+    val postings = parts.map(p => spark.read.parquet(s"$p/postings"))
+      .reduce(_ unionByName _)
+    val dfr = parts.map(p => spark.read.parquet(s"$p/df"))
+      .reduce(_ unionByName _)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = parts.map(p => spark.read.parquet(s"$p/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("avgdl_x1000", expr("n_tokens * 1000 div n_docs"))
+    (postings, dfr, stats)
+  }
+
+  /** Score a (doc_id, text) query batch against a snapshot's composite
+    * index — [[Bm25Index.scoreBatch]] semantics over main ∪ pending. */
+  def scoreAgainst(spark: SparkSession, st: State, batch: DataFrame,
+      k: Int = 10): DataFrame = {
+    val (postings, dfr, stats) = composite(spark, st)
+    val qterms = batch.select(col("doc_id").as("query_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+")))
+        .as("term"))
+    TextAnalysis.bm25ScoreAgainst(postings, stats, qterms, k,
+      excludeSelf = false, dfrOpt = Some(dfr))
+  }
+
+  /** Online serving against the LIVE loop state: each query micro-batch
+    * reads the current snapshot once — a compaction bump from the
+    * ingest loop is picked up at the very next batch, and the serving
+    * version is reported alongside each batch's results. */
+  def serveWith(spark: SparkSession, index: ServingIndex,
+      queries: DataFrame, sink: (DataFrame, Long, Long) => Unit,
+      k: Int = 10): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val st = index.snapshot
+          sink(scoreAgainst(spark, st, batch, k), batchId, st.version)
+        }
+      }
+      .start()
+
+  /** Start the ingest → delta append → threshold → compaction loop over
+    * a streaming (doc_id, text) frame. `onCycle(batchId, landed,
+    * merged, version)` observes each batch's decision. */
+  def start(spark: SparkSession, index: ServingIndex, root: String,
+      docs: DataFrame,
+      onCycle: (Long, Long, Boolean, Long) => Unit = (_, _, _, _) => ())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.select(col("doc_id"), col("text"))
+          .localCheckpoint(true) // batch-sized
+        if (batch.isEmpty) {
+          onCycle(batchId, 0L, false, index.version)
+        } else {
+          val st = index.snapshot
+          // 1) GATE: ids already in any segment never land twice (the
+          // replay/duplicate-dispatch protection the event loop has).
+          val (postings, _, _) = composite(spark, st)
+          val survivors = batch
+            .join(postings.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // batch-sized
+          val landed = survivors.count()
+          if (landed == 0L) {
+            onCycle(batchId, 0L, false, st.version)
+          } else {
+            // 2) DELTA SEGMENT: a complete batch-sized mini-index.
+            val deltaPath = s"$root/p$batchId"
+            Bm25Index.save(TextAnalysis.bm25Postings(survivors),
+              TextAnalysis.bm25Stats(survivors), deltaPath)
+            val pending = st.pending :+ deltaPath
+            val nPending = st.nPending + landed
+            // 3) DECIDE: the commit-count analog over doc counts.
+            if (nPending * 1000L >= st.nIndexed * MergePermille) {
+              // 4) ACT: compact main ∪ pending into one new segment.
+              val stWithDelta = st.copy(pending = pending)
+              val (p, _, s) = composite(spark, stWithDelta)
+              val newMain = s"$root/v${st.version + 1}"
+              Bm25Index.save(p,
+                s.select(col("n_docs"), col("n_tokens"),
+                  col("avgdl_x1000")), newMain)
+              index.update(State(st.version + 1, newMain, Vector.empty,
+                st.nIndexed + nPending, 0L))
+              onCycle(batchId, landed, true, st.version + 1)
+            } else {
+              index.update(st.copy(pending = pending,
+                nPending = nPending))
+              onCycle(batchId, landed, false, st.version)
+            }
+          }
+        }
+      }
+      .start()
+}

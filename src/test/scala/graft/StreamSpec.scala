@@ -448,6 +448,98 @@ class StreamSpec extends AnyFunSuite {
     assert(results.size === expected.size) // no duplicate emissions
   }
 
+  test("lex index loop: delta serving exact; threshold compaction; replay gated") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{array_distinct, col, explode,
+      split, trim}
+    implicit val sql = spark.sqlContext
+    import graft.exts.TextAnalysis
+    import graft.stream.LexIndexLoop
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lexloop").toString
+    val corpus = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val index = LexIndexLoop.buildIndex(spark, corpus, root)
+    val base = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    // threshold = 200‰ of 500 indexed docs = 100 pending docs
+    val b1 = base.take(40).map { case (id, t) => (id + 600000L, t) }.toSeq
+    val b2 = base.slice(40, 110)
+      .map { case (id, t) => (id + 700000L, t) }.toSeq
+    val queries = base.take(5)
+      .map { case (id, t) => (id + 900000L, t) }.toSeq
+    def inline(docs: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Int, Long)] = {
+      val q = queries.toDF("doc_id", "text")
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+")))
+            .as("term"))
+      TextAnalysis.bm25ScoreAgainst(TextAnalysis.bm25Postings(docs),
+          TextAnalysis.bm25Stats(docs), q, 10, excludeSelf = false)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    }
+    def served(st: LexIndexLoop.State): Set[(Long, Long, Int, Long)] =
+      LexIndexLoop.scoreAgainst(spark, st, queries.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    val cycles = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = LexIndexLoop.start(spark, index, root,
+      input.toDS().toDF("doc_id", "text"),
+      (_, landed, merged, v) => cycles.synchronized {
+        cycles += ((landed, merged, v)) })
+    // arrival 1: below threshold — delta segment, no compaction, and
+    // the COMPOSITE serving result is bit-identical to a fresh index
+    // over corpus ∪ b1
+    input.addData(b1)
+    q.processAllAvailable()
+    assert(index.version === 0L)
+    assert(index.snapshot.nPending === 40L)
+    assert(index.snapshot.pending.length === 1)
+    assert(served(index.snapshot) ===
+      inline(corpus.unionByName(b1.toDF("doc_id", "text"))))
+    // arrival 2: crosses the threshold — compaction fires, version
+    // bumps, pending clears; post-merge serving equals a fresh index
+    // over corpus ∪ b1 ∪ b2 (the doc-disjoint merge exactness)
+    input.addData(b2)
+    q.processAllAvailable()
+    assert(index.version === 1L)
+    assert(index.snapshot.nPending === 0L)
+    assert(index.snapshot.pending.isEmpty)
+    assert(index.snapshot.nIndexed === 610L)
+    val full = corpus.unionByName(b1.toDF("doc_id", "text"))
+      .unionByName(b2.toDF("doc_id", "text"))
+    assert(served(index.snapshot) === inline(full))
+    // replayed arrival: every id already indexed — gated, nothing
+    // lands, no decision fires
+    input.addData(b1)
+    q.processAllAvailable()
+    assert(index.version === 1L)
+    assert(index.snapshot.nPending === 0L)
+    assert(cycles.toSeq === Seq((40L, false, 0L), (70L, true, 1L),
+      (0L, false, 1L)))
+    q.stop()
+    // online serving path reports the compacted version with the batch
+    val qIn = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[((Long, Long, Int, Long), Long)]
+    val sq = LexIndexLoop.serveWith(spark, index,
+      qIn.toDS().toDF("doc_id", "text"),
+      (df, _, v) => out.synchronized {
+        out ++= df.collect().map(r =>
+          ((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)), v))
+      })
+    qIn.addData(queries)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(out.map(_._2).toSet === Set(1L))
+    assert(out.map(_._1).toSet === inline(full))
+  }
+
   test("hybrid serving: per-batch stream results equal the fused batch scorers") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
