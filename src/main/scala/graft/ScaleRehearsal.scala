@@ -256,6 +256,10 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // MMR rerank (r12): bruteTopK's bounded candidate plan + two
+      // broadcast-probed corpus scans; greedy rounds on queries×cand
+      // checkpointed rows.
+      "mmr_select" -> SparkEntry.queries("mmr_select"),
       // Boilerplate stripping (r12): one corpus pass keyed by leading
       // window, two hash aggregates, tiny boilerplate set broadcast back.
       "boilerplate_strip" -> SparkEntry.queries("boilerplate_strip"),

@@ -657,6 +657,88 @@ object Similarity {
   def kcenterCoreset(spark: SparkSession, dir: String): DataFrame =
     kcenterCoreset(Tables.load(spark, dir, "embeddings"))
 
+  /** Candidate depth feeding [[mmrSelect]] (the component top-k). */
+  val MmrCand = 10
+  /** Diversified picks per query. */
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance rerank — the serving-side diversity
+    * stage after retrieval: from each query's cosine top-[[MmrCand]]
+    * candidates, greedily pick [[MmrK]] results trading relevance
+    * against redundancy (a results page of five near-identical passages
+    * wastes four slots; MMR is the standard fix). Pick 1 is the top
+    * relevance hit; each later pick maximizes
+    * `min_{s∈selected} d(x, s) − d(q, x)` (λ=½ MMR rearranged to one
+    * integer expression — far from everything already shown, close to
+    * the query), ties → smallest id. Rows (query_id, vec_id, mmr_rank,
+    * rel_dist_sq).
+    *
+    * Exactness: distances are the [[ProtoQ]]-quantized integer
+    * squared-L2 ([[d4Prune]]'s contract), so every pick and tie-break
+    * is bit-reproducible across engines.
+    *
+    * Scale shape: the candidate generator is [[bruteTopK]]'s bounded
+    * plan (swap in the IVF/PQ generators at scale, as the search keys
+    * do); the two embedding attachments are corpus scans probed by the
+    * BROADCAST bounded candidate list; everything after is
+    * queries×[[MmrCand]] rows, localCheckpoint'ed once so the
+    * [[MmrK]]−1 greedy rounds never touch the corpus again. */
+  def mmrSelect(corpus0: DataFrame, maxQueryId: Long = 8): DataFrame = {
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * lit(ProtoQ)).cast("long"))
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val cds = bruteTopK(corpus0, maxQueryId, MmrCand)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    // two corpus scans, each probed by the BROADCAST bounded frame —
+    // the corpus is never the build side and never shuffles
+    val qside = corpus0
+      .select(col("vec_id").as("query_id"),
+        quant(col("embedding")).as("qq"))
+      .join(broadcast(cds), "query_id")
+    val cand = corpus0
+      .select(col("vec_id").as("neighbor_id"),
+        quant(col("embedding")).as("qn"))
+      .join(broadcast(qside), "neighbor_id")
+      .withColumn("rel", sq(col("qq"), col("qn")))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("qn"), col("rel"))
+      .localCheckpoint(false) // queries×MmrCand rows — metadata
+    var sel = cand.filter(col("rank") === 1)
+      .select(col("query_id"), lit(1L).as("mmr_rank"),
+        col("neighbor_id"), col("qn"))
+    (2 to MmrK).foreach { r =>
+      val scored = cand
+        .join(sel.select(col("query_id"),
+            col("neighbor_id").as("sel_id"), col("qn").as("qs")),
+          Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("sel_id"))
+        .withColumn("dv", sq(col("qn"), col("qs")))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"),
+          col("qn"))
+        .agg(min(col("dv")).as("divmin"),
+          count(lit(1)).as("n_against"))
+        // a candidate already selected pairs with |sel|−1 others only —
+        // filtering on the pair count drops it without an anti-join
+        .filter(col("n_against") === (r - 1).toLong)
+      val pick = scored.groupBy(col("query_id"))
+        .agg(max(struct((col("divmin") - col("rel")).as("sc"),
+          (-col("neighbor_id")).as("n"), col("qn").as("q"))).as("m"))
+        .select(col("query_id"), lit(r.toLong).as("mmr_rank"),
+          (-col("m.n")).as("neighbor_id"), col("m.q").as("qn"))
+      sel = sel.unionByName(pick)
+    }
+    sel
+      .join(cand.select(col("query_id"), col("neighbor_id"), col("rel")),
+        Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("mmr_rank"), col("rel").as("rel_dist_sq"))
+  }
+
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame =
+    mmrSelect(Tables.load(spark, dir, "embeddings"))
+
   def d4Prune(spark: SparkSession, dir: String): DataFrame =
     d4Prune(Tables.load(spark, dir, "embeddings"))
 

@@ -950,6 +950,9 @@ object PipelineQueries {
       // integer distances to literal centers — maximum-diversity seed
       // selection, bit-reproducible argmax/argmin.
       "kcenter_coreset" -> ((s, dir) => Similarity.kcenterCoreset(s, dir)),
+      // MMR diversified rerank of the cosine top-k — integer quantized
+      // distances; the greedy rounds run on queries×candidates rows.
+      "mmr_select" -> ((s, dir) => Similarity.mmrSelect(s, dir)),
       // Majority-label purity per mutual-kNN cluster — the external
       // clustering metric against the fixture's labels.
       "cluster_purity" -> ((s, dir) => Similarity.clusterPurity(s, dir)),
@@ -4076,6 +4079,72 @@ object PipelineQueries {
            |  CAST(CASE WHEN b.vec_id IN (SELECT center_id FROM cent)
            |    THEN 1 ELSE 0 END AS BIGINT) AS is_center
            |FROM b""".stripMargin
+      },
+
+      // MMR unrolled greedy rounds over the sim_topk chain at candidate
+      // depth MmrCand: pick 1 = rank 1; each later pick maximizes
+      // min-dist-to-selected − dist-to-query (quantized integer L2, the
+      // kcenter dist formula), ties on neighbor_id; the already-selected
+      // are excluded by the pair-count HAVING (the engine's n_against
+      // filter, literally).
+      "mmr_select" -> {
+        def dist(a: String, b: String): String =
+          s"CAST(list_sum(list_transform(range(1, len($a) + 1)," +
+            s" i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+        val rounds = (2 to Similarity.MmrK).map { r =>
+          s"""sc$r AS (
+             |  SELECT c.query_id, c.neighbor_id, c.rel, c.qn,
+             |    min(${dist("c.qn", "s.qn")}) AS divmin
+             |  FROM candq c JOIN sel${r - 1} s USING (query_id)
+             |  WHERE c.neighbor_id <> s.neighbor_id
+             |  GROUP BY c.query_id, c.neighbor_id, c.rel, c.qn
+             |  HAVING count(*) = ${r - 1}),
+             |p$r AS (
+             |  SELECT query_id, CAST($r AS BIGINT) AS mmr_rank,
+             |    neighbor_id, qn
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |          ORDER BY divmin - rel DESC, neighbor_id) AS rn
+             |        FROM sc$r) WHERE rn = 1),
+             |sel$r AS (
+             |  SELECT query_id, mmr_rank, neighbor_id, qn
+             |  FROM sel${r - 1}
+             |  UNION ALL
+             |  SELECT query_id, mmr_rank, neighbor_id, qn FROM p$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(round(CAST(x AS DOUBLE) * ${Similarity.ProtoQ})
+           |        AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |vq AS (SELECT vec_id AS query_id, embedding AS e_q
+           |       FROM embeddings WHERE vec_id < 8),
+           |vc AS (SELECT vec_id AS neighbor_id, embedding AS e_n
+           |       FROM embeddings),
+           |vsc AS (
+           |  SELECT query_id, neighbor_id,
+           |    list_cosine_similarity(e_q, e_n) AS cos
+           |  FROM vq CROSS JOIN vc WHERE neighbor_id <> query_id),
+           |cand AS (SELECT query_id, neighbor_id, rank
+           |  FROM (SELECT query_id, neighbor_id,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, neighbor_id) AS rank
+           |        FROM vsc)
+           |  WHERE rank <= ${Similarity.MmrCand}),
+           |candq AS (
+           |  SELECT c.query_id, c.neighbor_id, c.rank, qn.qv AS qn,
+           |    ${dist("qq.qv", "qn.qv")} AS rel
+           |  FROM cand c JOIN q qq ON qq.vec_id = c.query_id
+           |  JOIN q qn ON qn.vec_id = c.neighbor_id),
+           |sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank,
+           |    neighbor_id, qn
+           |  FROM candq WHERE rank = 1),
+           |$rounds
+           |SELECT s.query_id, s.neighbor_id AS vec_id, s.mmr_rank,
+           |  c.rel AS rel_dist_sq
+           |FROM sel${Similarity.MmrK} s JOIN candq c
+           |  ON c.query_id = s.query_id
+           |  AND c.neighbor_id = s.neighbor_id""".stripMargin
       },
 
       // Fixed-point integer PageRank over the knn_graph CTE chain —

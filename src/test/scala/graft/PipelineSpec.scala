@@ -2777,6 +2777,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("mmr select: serial greedy replay; diversity laws") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.round(x.toDouble * Similarity.ProtoQ)).toArray)
+      .toMap
+    def d(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val t = x - y; t * t }.sum
+    val cands = Similarity
+      .bruteTopK(graft.Tables.load(spark, dir, "embeddings"), 8,
+        Similarity.MmrCand)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    val expect = cands.flatMap { case (q, xs) =>
+      val byRank = xs.sortBy(_._3)
+      var sel = Vector(byRank.head._2)
+      (2 to Similarity.MmrK).foreach { _ =>
+        val rem = byRank.map(_._2).filterNot(sel.contains)
+        val pick = rem.maxBy { c =>
+          val divmin = sel.map(s => d(emb(c), emb(s))).min
+          (divmin - d(emb(q), emb(c)), -c)
+        }
+        sel :+= pick
+      }
+      sel.zipWithIndex.map { case (c, i) =>
+        (q, c) -> ((i + 1L, d(emb(q), emb(c)))) }
+    }
+    val got = Similarity.mmrSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    // laws: MmrK picks per query, all from the candidate set, pick 1 is
+    // the pure-relevance top hit
+    got.keySet.groupBy(_._1).foreach { case (q, ks) =>
+      assert(ks.size === Similarity.MmrK)
+      ks.foreach { case (_, c) =>
+        assert(cands(q).exists(_._2 == c)) }
+      val first = got.collectFirst {
+        case ((qq, c), (1L, _)) if qq == q => c }.get
+      assert(first === cands(q).minBy(_._3)._2)
+    }
+    // diversity reorders somewhere: some query's picks differ from its
+    // pure-relevance top-MmrK prefix order
+    val deviates = cands.exists { case (q, xs) =>
+      val relOrder = xs.sortBy(_._3).take(Similarity.MmrK).map(_._2).toSeq
+      val mmrOrder = got.toSeq.collect {
+        case ((qq, c), (rk, _)) if qq == q => (rk, c)
+      }.sortBy(_._1).map(_._2)
+      relOrder != mmrOrder
+    }
+    assert(deviates)
+  }
+
   test("boilerplate strip: serial replay; planted prefixes stripped exactly") {
     import graft.exts.TextAnalysis
     val base = graft.Tables.load(spark, dir, "documents")
