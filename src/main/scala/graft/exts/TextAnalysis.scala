@@ -1793,22 +1793,66 @@ object TextAnalysis {
     * is PROVABLY tiny (≤ 1000/[[BoilerPermille]] windows per source) so
     * it broadcasts back onto the corpus — no corpus-side shuffle
     * anywhere. */
-  def boilerplateStrip(corpus: DataFrame): DataFrame = {
-    val keyed = corpus
+  /** The keyed frame behind the boilerplate detector: each doc with its
+    * word array and leading [[BoilerW]]-word window. */
+  private def boilerKeyed(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("doc_id"), col("source"), col("text"),
         words(col("text")).as("w"))
       .withColumn("nw", size(col("w")))
       .withColumn("lead_w", when(col("nw") >= BoilerW,
         concat_ws(" ", slice(col("w"), 1, BoilerW))))
+
+  /** The detected (source, lead window) boilerplate table — provably ≤
+    * 1000/[[BoilerPermille]] windows per source. */
+  private def boilerTable(corpus: DataFrame): DataFrame = {
     val totals = corpus.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
-    val boiler = keyed.filter(col("lead_w").isNotNull)
+    boilerKeyed(corpus).filter(col("lead_w").isNotNull)
       .groupBy(col("source"), col("lead_w"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(totals), Seq("source"))
       .filter(col("c") >= 2 &&
         col("c") * 1000 >= col("n_src") * BoilerPermille)
       .select(col("source"), col("lead_w"), lit(1L).as("hit"))
+  }
+
+  /** The corpus's detected boilerplate windows collected to a literal
+    * set — the batch-DETECTS / stream-APPLIES artifact (the
+    * dsirScores/evalSpans deployment shape): the nightly detector runs
+    * [[boilerTable]] over the landed corpus, the ingest stream probes
+    * the collected set row-locally
+    * ([[graft.stream.CurationPipeline]]'s boilerWindows stage). The
+    * collect is metadata-bounded by the permille threshold. Source-
+    * agnostic on the stream side (in-flight rows carry no source):
+    * a window boilerplate for ANY source strips everywhere — the
+    * conservative cross-site deployment (shared CMS headers). */
+  def boilerWindows(corpus: DataFrame): Array[String] =
+    boilerTable(corpus).select(col("lead_w")).distinct()
+      .collect().map(_.getString(0)).sorted
+
+  /** Row-local boilerplate strip against a LITERAL window set — the
+    * streaming sibling of [[boilerplateStrip]]: stateless, no
+    * aggregation, rides a streaming query unchanged. Extra columns
+    * pass through untouched; `text` is rewritten in place. */
+  def stripBoilerAgainst(docs: DataFrame, windows: Seq[String]): DataFrame = {
+    require(windows.nonEmpty, "empty window set — skip the stage instead")
+    docs
+      .withColumn("_w", words(col("text")))
+      .withColumn("_nw", size(col("_w")))
+      .withColumn("_lead", when(col("_nw") >= BoilerW,
+        concat_ws(" ", slice(col("_w"), 1, BoilerW))))
+      .withColumn("text",
+        when(col("_lead").isInCollection(windows),
+          expr(s"concat_ws(' ', slice(_w, ${BoilerW + 1}," +
+            s" greatest(_nw - $BoilerW, 0)))"))
+        .otherwise(col("text")))
+      .drop("_w", "_nw", "_lead")
+  }
+
+  def boilerplateStrip(corpus: DataFrame): DataFrame = {
+    val keyed = boilerKeyed(corpus)
+    val boiler = boilerTable(corpus)
     keyed.join(broadcast(boiler), Seq("source", "lead_w"), "left")
       .withColumn("b", coalesce(col("hit"), lit(0L)))
       .select(col("doc_id"), col("source"), col("b").as("is_boiler"),

@@ -72,15 +72,29 @@ object CurationPipeline {
     *   target distribution (`dsir_ppm > 0`, [[TextAnalysis.dsirScored]]).
     *   The model is a literal, the probe row-local: a third verdict
     *   riding the same query with no new state or exchange — the
-    *   train-nightly / gate-at-ingest deployment DSIR ships as. */
+    *   train-nightly / gate-at-ingest deployment DSIR ships as.
+    * @param boilerWindows optional boilerplate boundary: the landed
+    *   corpus's detected leading windows
+    *   ([[TextAnalysis.boilerWindows]], a permille-bounded literal
+    *   set) — in-flight documents OPENING with a known boilerplate
+    *   window are rewritten without it BEFORE quality scoring (the
+    *   header must not pollute the quality signals), a stateless
+    *   row-local probe riding the same query. */
   def run(docs: DataFrame, outDir: String, checkpointDir: String,
       watermarkDelay: String = "10 minutes",
       known: Option[KnownCorpus] = None,
       evalSpans: Option[Array[Long]] = None,
       gopherFloor: Boolean = false,
-      dsirScores: Option[Map[String, Long]] = None): StreamingQuery = {
+      dsirScores: Option[Map[String, Long]] = None,
+      boilerWindows: Option[Seq[String]] = None): StreamingQuery = {
+    val raw = observed(docs, "funnel_1_raw")
+    val cleaned = boilerWindows match {
+      case Some(ws) if ws.nonEmpty =>
+        TextAnalysis.stripBoilerAgainst(raw, ws)
+      case _ => raw
+    }
     val c4Kept = TextAnalysis
-      .qualitySignals(observed(docs, "funnel_1_raw"))
+      .qualitySignals(cleaned)
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ingest_ts_ms"))
     val gKept =

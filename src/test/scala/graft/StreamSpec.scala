@@ -1075,6 +1075,51 @@ class StreamSpec extends AnyFunSuite {
       "landed corpus must share no span with the eval set")
   }
 
+  test("streaming curation with boilerplate boundary: headers never land") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.TextAnalysis
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-boiler-src").toString
+    val planted = TextAnalysis.corpusWithBoilerplate(spark, dir)
+      .select(col("doc_id"), col("text"))
+    planted.withColumn("ingest_ts_ms", col("doc_id") * 1000L)
+      .write.mode("overwrite").parquet(srcDir)
+    // nightly detector over the landed corpus → literal window set
+    val windows = TextAnalysis.boilerWindows(
+      TextAnalysis.corpusWithBoilerplate(spark, dir))
+    assert(windows.contains(TextAnalysis.PlantedBoiler))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-boiler-out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-boiler-ckpt").toString
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_ts_ms LONG")
+      .parquet(srcDir)
+    val q = graft.stream.CurationPipeline.run(stream, outDir, ckpt,
+      boilerWindows = Some(windows.toSeq))
+    q.awaitTermination()
+    val landed = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed.nonEmpty)
+    // every landed text equals the batch strip-then-quality path
+    val expected = TextAnalysis.qualitySignals(
+        TextAnalysis.stripBoilerAgainst(
+          spark.read.parquet(srcDir).select(col("doc_id"), col("text")),
+          windows.toSeq))
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    landed.foreach { case (id, t) =>
+      assert(expected.get(id).contains(t), s"doc $id landed unstripped")
+    }
+    // and no landed document still opens with a boilerplate window
+    landed.values.foreach { t =>
+      val lead = t.trim.split("\\s+").take(TextAnalysis.BoilerW)
+        .mkString(" ")
+      assert(!windows.contains(lead))
+    }
+  }
+
   test("streaming curation with gopher floor: landed set is the stack intersection") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files
