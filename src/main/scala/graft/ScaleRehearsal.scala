@@ -256,6 +256,9 @@ object ScaleRehearsal {
       // rows, k constant) + a left-semi closure probe on the same
       // checkpointed edge list.
       "graph_triangles" -> SparkEntry.queries("graph_triangles"),
+      // Perceptual hash (r12): the mm_decode codec shape — one decoder
+      // per partition, O(pixels) per asset, shuffle-free.
+      "mm_phash" -> SparkEntry.queries("mm_phash"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

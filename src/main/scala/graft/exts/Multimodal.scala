@@ -245,6 +245,71 @@ object Multimodal {
     }
   }
 
+  /** Grid side of [[ahashStats]]' block-average perceptual hash. */
+  val AhashGrid = 4
+
+  /** Perceptual-hash output row. */
+  final case class PngHash(doc_id: Long, width: Int, height: Int,
+      gray_sum: Long, ahash: Long)
+
+  /** Perceptual image signature (average-hash family) over the REAL
+    * decode path — the image-side near-dup key an image-dedup pipeline
+    * buckets on (two renders of the same creative share a hash where
+    * byte-level md5 differs): each decoded image is partitioned into an
+    * [[AhashGrid]]² block grid by integer pixel→block mapping
+    * (i = x·G div w — no resampling, no interpolation ambiguity), block
+    * gray sums compare against the global mean CROSS-MULTIPLIED
+    * (block_sum · n_pixels > total_sum · block_n — division-free, so
+    * every bit is integer-exact), and the bits pack into one 16-bit
+    * hash. Gray = r+g+b unscaled (order-free integer).
+    *
+    * The oracle recomputes the hash from the closed-form pixel ramps,
+    * so the gate proves the REAL ImageIO decode landed on exactly the
+    * encoded pixels — the mm_decode contract extended to a derived
+    * signature. Same scale shape as [[decodeStats]]: one decoder per
+    * partition, O(pixels) per asset, shuffle-free. */
+  def ahashStats(assets: Dataset[PngAsset]): Dataset[PngHash] = {
+    import assets.sparkSession.implicits._
+    val g = AhashGrid
+    assets.mapPartitions { batch =>
+      imageIoNoDiskCache
+      batch.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val bs = new Array[Long](g * g)
+        val bn = new Array[Long](g * g)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+              + (rgb & 0xff)).toLong
+            val k = (y * g / h) * g + (x * g / w)
+            bs(k) += gray
+            bn(k) += 1L
+            total += gray
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L
+        var k = 0
+        while (k < g * g) {
+          if (bs(k) * n > total * bn(k)) hash |= 1L << k
+          k += 1
+        }
+        PngHash(a.doc_id, w, h, total, hash)
+      }
+    }
+  }
+
+  def ahashStats(spark: SparkSession, dir: String): Dataset[PngHash] =
+    ahashStats(pngAssets(spark, dir))
+
   def decodeStats(spark: SparkSession, dir: String): Dataset[PngStats] =
     decodeStats(pngAssets(spark, dir))
 

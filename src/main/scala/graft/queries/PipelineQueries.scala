@@ -1050,6 +1050,9 @@ object PipelineQueries {
       // encode + decode; the oracle recomputes the deterministic pixel
       // ramps in closed form, so a decode defect breaks the hash.
       "mm_decode" -> ((s, dir) => Multimodal.decodeStats(s, dir).toDF()),
+      // Perceptual average-hash over the real decode — the image-side
+      // near-dup bucket key, every bit integer-exact.
+      "mm_phash" -> ((s, dir) => Multimodal.ahashStats(s, dir).toDF()),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -4579,6 +4582,43 @@ object PipelineQueries {
           |  LATERAL (SELECT unnest(generate_series(0,
           |    CAST(d.doc_id % 11 + 3 AS BIGINT))) AS j) y
           |GROUP BY 1""".stripMargin,
+
+      // Closed-form mirror of the block-average perceptual hash: the
+      // same pixel ramps as mm_decode, gray = r+g+b, integer
+      // pixel→block mapping, cross-multiplied mean comparison — the
+      // real-decode gate extended to a derived signature.
+      "mm_phash" -> {
+        val g = Multimodal.AhashGrid
+        s"""WITH px AS (
+           |  SELECT d.doc_id,
+           |    CAST(d.doc_id % 13 + 4 AS BIGINT) AS w,
+           |    CAST(d.doc_id % 11 + 4 AS BIGINT) AS h,
+           |    x.i AS x, y.j AS y,
+           |    (d.doc_id * 3 + x.i + y.j) % 256
+           |      + (d.doc_id * 5 + 2 * x.i) % 256
+           |      + (d.doc_id * 7 + 3 * y.j) % 256 AS gray
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % 13 + 3 AS BIGINT))) AS i) x,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % 11 + 3 AS BIGINT))) AS j) y),
+           |tot AS (SELECT doc_id, max(w) AS w, max(h) AS h,
+           |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+           |  FROM px GROUP BY 1),
+           |blk AS (SELECT doc_id, (x * $g) // w AS i, (y * $g) // h AS j,
+           |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
+           |  FROM px GROUP BY 1, 2, 3),
+           |bits AS (SELECT b.doc_id,
+           |    CASE WHEN b.bs * t.n > t.total * b.bn
+           |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
+           |      ELSE CAST(0 AS BIGINT) END AS bit
+           |  FROM blk b JOIN tot t USING (doc_id))
+           |SELECT t.doc_id, CAST(t.w AS INTEGER) AS width,
+           |  CAST(t.h AS INTEGER) AS height, t.total AS gray_sum,
+           |  CAST(sum(bits.bit) AS BIGINT) AS ahash
+           |FROM tot t JOIN bits ON bits.doc_id = t.doc_id
+           |GROUP BY 1, 2, 3, 4""".stripMargin
+      },
 
       // Closed-form mirror of the WAV sample train: n = id%500+100
       // samples of ((id·31 + i·17) mod 65536) − 32768. The Spark side

@@ -2777,6 +2777,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSeq.distinct.length > 1)
   }
 
+  test("mm phash: closed-form replay; brightness-shift invariance") {
+    import graft.exts.Multimodal
+    val g = Multimodal.AhashGrid
+    def replay(id: Long): (Int, Int, Long, Long) = {
+      val (w, h) = ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+      val bs = new Array[Long](g * g); val bn = new Array[Long](g * g)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = (id * 3 + x + y) % 256 + (id * 5 + 2 * x) % 256 +
+          (id * 7 + 3 * y) % 256
+        val k = (y * g / h) * g + (x * g / w)
+        bs(k) += gray; bn(k) += 1L; total += gray
+      }
+      var hash = 0L
+      for (k <- 0 until g * g)
+        if (bs(k) * w * h > total * bn(k)) hash |= 1L << k
+      (w, h, total, hash)
+    }
+    val got = Multimodal.ahashStats(spark, dir).collect()
+      .map(r => r.doc_id -> ((r.width, r.height, r.gray_sum, r.ahash)))
+      .toMap
+    got.foreach { case (id, v) => assert(v === replay(id)) }
+    assert(got.values.map(_._4).toSeq.distinct.length > 10)
+    // perceptual law: a uniformly brightened copy (no clamping) keeps
+    // the EXACT hash while its byte payload and gray sum change —
+    // the property that makes the hash a near-dup bucket key
+    import spark.implicits._
+    def png(id: Long, shift: Int): graft.exts.Multimodal.PngAsset = {
+      val (w, h) = ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ((id * 3 + x + y) % 200).toInt + shift
+        val gg = ((id * 5 + 2 * x) % 200).toInt + shift
+        val b = ((id * 7 + 3 * y) % 200).toInt + shift
+        img.setRGB(x, y, (r << 16) | (gg << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      graft.exts.Multimodal.PngAsset(id, bos.toByteArray)
+    }
+    val ids = Seq(3L, 7L, 11L)
+    val base = Multimodal
+      .ahashStats(ids.map(png(_, 0)).toDS()).collect()
+      .map(r => r.doc_id -> ((r.ahash, r.gray_sum))).toMap
+    val bright = Multimodal
+      .ahashStats(ids.map(png(_, 40)).toDS()).collect()
+      .map(r => r.doc_id -> ((r.ahash, r.gray_sum))).toMap
+    ids.foreach { id =>
+      assert(bright(id)._1 === base(id)._1, s"hash moved for $id")
+      assert(bright(id)._2 > base(id)._2)
+    }
+  }
+
   test("mmr select: serial greedy replay; diversity laws") {
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
