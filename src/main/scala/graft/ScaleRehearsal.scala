@@ -259,6 +259,8 @@ object ScaleRehearsal {
       // Perceptual hash (r12): the mm_decode codec shape — one decoder
       // per partition, O(pixels) per asset, shuffle-free.
       "mm_phash" -> SparkEntry.queries("mm_phash"),
+      // Audio fingerprint (r12): the mm_audio_decode codec shape.
+      "mm_audio_fp" -> SparkEntry.queries("mm_audio_fp"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

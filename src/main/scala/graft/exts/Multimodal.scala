@@ -654,6 +654,71 @@ object Multimodal {
   def decodeWavStats(spark: SparkSession, dir: String): Dataset[WavStats] =
     decodeWavStats(wavAssets(spark, dir))
 
+  /** Windows in [[audioFingerprints]]' energy-profile hash. */
+  val AudioFpWindows = 16
+
+  /** Fingerprint output row. */
+  final case class WavFp(doc_id: Long, n_samples: Long, abs_sum: Long,
+      afp: Long)
+
+  /** Audio fingerprint over the REAL WAV decode — [[ahashStats]]' audio
+    * sibling, the energy-PROFILE bucket key an audio-dedup pipeline
+    * groups on: the decoded sample train splits into
+    * [[AudioFpWindows]] windows by integer sample→window mapping
+    * (k = i·W div n — no resampling); each window's |amplitude| share
+    * of the total quantizes to 16ths (`ws·16 div total`, clamped — a
+    * 4-bit nibble) and the first W−1 nibbles pack into one 60-bit
+    * fingerprint (the last window's share is implied by the sum, and 15
+    * nibbles keep the packed value clear of the int64 sign bit in BOTH
+    * engines). Uniform GAIN cancels exactly (`(g·ws)·16 div (g·total)`
+    * floors the same rational), so a re-mastered copy at different
+    * volume keeps the exact fingerprint — the perceptual property,
+    * proven mechanically in the spec. A threshold-vs-mean bit hash
+    * (the [[ahashStats]] shape) is DEGENERATE on near-monotone energy
+    * profiles — every doc collapses to one mask (measured on this
+    * fixture: 1 distinct value); the quantized-share profile keeps the
+    * magnitude information that differentiates. The oracle recomputes
+    * the fingerprint from the closed-form sample train, extending the
+    * mm_audio_decode real-codec gate to a derived signature. Same
+    * scale shape: one codec context per partition, O(samples) per
+    * asset, shuffle-free. */
+  def audioFingerprints(assets: Dataset[WavAsset]): Dataset[WavFp] = {
+    import assets.sparkSession.implicits._
+    val wN = AudioFpWindows
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val ais = wavIo._1.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.wav))
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        val n = data.length / 2
+        val ws = new Array[Long](wN)
+        var total = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          val s: Int =
+            if (big) (data(i) << 8) | (data(i + 1) & 0xff)
+            else (data(i + 1) << 8) | (data(i) & 0xff)
+          ws(((i / 2).toLong * wN / n).toInt) += math.abs(s)
+          total += math.abs(s)
+          i += 2
+        }
+        var fp = 0L
+        var k = 0
+        while (k < wN - 1) {
+          fp |= math.min(ws(k) * 16L / total, 15L) << (4 * k)
+          k += 1
+        }
+        WavFp(a.doc_id, n.toLong, total, fp)
+      }
+    }
+  }
+
+  def audioFingerprints(spark: SparkSession,
+      dir: String): Dataset[WavFp] =
+    audioFingerprints(wavAssets(spark, dir))
+
   /** Resize stub: metadata-level resize (a real one transforms pixels).
     * Integer arithmetic only (`w·maxDim div max(w,h)`, floor), so the
     * DuckDB oracle reproduces every pixel dimension exactly — no float

@@ -1053,6 +1053,10 @@ object PipelineQueries {
       // Perceptual average-hash over the real decode — the image-side
       // near-dup bucket key, every bit integer-exact.
       "mm_phash" -> ((s, dir) => Multimodal.ahashStats(s, dir).toDF()),
+      // Energy-profile fingerprint over the real WAV decode — the
+      // audio near-dup bucket key, gain-invariant by construction.
+      "mm_audio_fp" -> ((s, dir) =>
+        Multimodal.audioFingerprints(s, dir).toDF()),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -4618,6 +4622,37 @@ object PipelineQueries {
            |  CAST(sum(bits.bit) AS BIGINT) AS ahash
            |FROM tot t JOIN bits ON bits.doc_id = t.doc_id
            |GROUP BY 1, 2, 3, 4""".stripMargin
+      },
+
+      // Closed-form mirror of the energy-profile fingerprint: the same
+      // sample train as mm_audio_decode, integer sample→window mapping,
+      // per-window |amp| share quantized to a 4-bit nibble, first W−1
+      // nibbles packed.
+      "mm_audio_fp" -> {
+        val wN = Multimodal.AudioFpWindows
+        s"""WITH sm AS (
+           |  SELECT d.doc_id,
+           |    CAST(d.doc_id % 500 + 100 AS BIGINT) AS n,
+           |    s.i,
+           |    abs((d.doc_id * 31 + s.i * 17) % 65536 - 32768) AS a
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % 500 + 99 AS BIGINT))) AS i) s),
+           |tot AS (SELECT doc_id, max(n) AS n,
+           |    CAST(sum(a) AS BIGINT) AS total
+           |  FROM sm GROUP BY 1),
+           |wd AS (SELECT doc_id, (i * $wN) // n AS k,
+           |    CAST(sum(a) AS BIGINT) AS ws
+           |  FROM sm GROUP BY 1, 2),
+           |nib AS (SELECT w.doc_id,
+           |    least(w.ws * 16 // t.total, 15)
+           |      << CAST(4 * w.k AS INTEGER) AS nb
+           |  FROM wd w JOIN tot t USING (doc_id)
+           |  WHERE w.k < ${wN - 1})
+           |SELECT t.doc_id, t.n AS n_samples, t.total AS abs_sum,
+           |  CAST(sum(nib.nb) AS BIGINT) AS afp
+           |FROM tot t JOIN nib ON nib.doc_id = t.doc_id
+           |GROUP BY 1, 2, 3""".stripMargin
       },
 
       // Closed-form mirror of the WAV sample train: n = id%500+100

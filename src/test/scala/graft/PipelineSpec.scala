@@ -2831,6 +2831,61 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm audio fp: closed-form replay; gain invariance") {
+    import graft.exts.Multimodal
+    val wN = Multimodal.AudioFpWindows
+    def replay(id: Long): (Long, Long, Long) = {
+      val n = (id % 500 + 100).toInt
+      val ws = new Array[Long](wN)
+      var total = 0L
+      for (i <- 0 until n) {
+        val a = math.abs((id * 31 + i.toLong * 17) % 65536 - 32768)
+        ws((i.toLong * wN / n).toInt) += a
+        total += a
+      }
+      var fp = 0L
+      for (k <- 0 until wN - 1)
+        fp |= math.min(ws(k) * 16L / total, 15L) << (4 * k)
+      (n.toLong, total, fp)
+    }
+    val got = Multimodal.audioFingerprints(spark, dir).collect()
+      .map(r => r.doc_id -> ((r.n_samples, r.abs_sum, r.afp))).toMap
+    got.foreach { case (id, v) => assert(v === replay(id)) }
+    assert(got.values.map(_._3).toSeq.distinct.length > 10)
+    // perceptual law: an exactly gain-scaled copy (double amplitude —
+    // different bytes, different abs_sum) keeps the EXACT fingerprint
+    import spark.implicits._
+    def wav(id: Long, gain: Int): graft.exts.Multimodal.WavAsset = {
+      val n = (id % 500 + 100).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = ((((id * 31 + i.toLong * 17) % 16000) - 8000).toInt
+          * gain).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      graft.exts.Multimodal.WavAsset(id, bos.toByteArray)
+    }
+    val ids = Seq(3L, 8L, 21L)
+    val base = Multimodal
+      .audioFingerprints(ids.map(wav(_, 1)).toDS()).collect()
+      .map(r => r.doc_id -> ((r.afp, r.abs_sum))).toMap
+    val loud = Multimodal
+      .audioFingerprints(ids.map(wav(_, 2)).toDS()).collect()
+      .map(r => r.doc_id -> ((r.afp, r.abs_sum))).toMap
+    ids.foreach { id =>
+      assert(loud(id)._1 === base(id)._1, s"fingerprint moved for $id")
+      assert(loud(id)._2 === base(id)._2 * 2)
+    }
+  }
+
   test("mmr select: serial greedy replay; diversity laws") {
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
