@@ -710,8 +710,8 @@ object Similarity {
         col("neighbor_id"), col("qn"))
     (2 to MmrK).foreach { r =>
       val scored = cand
-        .join(sel.select(col("query_id"),
-            col("neighbor_id").as("sel_id"), col("qn").as("qs")),
+        .join(broadcast(sel.select(col("query_id"),
+            col("neighbor_id").as("sel_id"), col("qn").as("qs"))),
           Seq("query_id"))
         .filter(col("neighbor_id") =!= col("sel_id"))
         .withColumn("dv", sq(col("qn"), col("qs")))
@@ -730,7 +730,8 @@ object Similarity {
       sel = sel.unionByName(pick)
     }
     sel
-      .join(cand.select(col("query_id"), col("neighbor_id"), col("rel")),
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"),
+          col("rel"))),
         Seq("query_id", "neighbor_id"))
       .select(col("query_id"), col("neighbor_id").as("vec_id"),
         col("mmr_rank"), col("rel").as("rel_dist_sq"))
