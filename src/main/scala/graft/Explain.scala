@@ -57,7 +57,8 @@ object Explain {
       "q11_important_stock", "q13_customer_distribution",
       "q20_part_promotion", "graph_lpa", "text_hash_embed",
       "kcenter_coreset", "rho_select", "hybrid_search",
-      "boilerplate_strip", "mmr_select", "mm_phash", "mm_audio_fp")
+      "boilerplate_strip", "mmr_select", "mm_phash", "mm_audio_fp",
+      "mm_video_fp")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -261,6 +261,9 @@ object ScaleRehearsal {
       "mm_phash" -> SparkEntry.queries("mm_phash"),
       // Audio fingerprint (r12): the mm_audio_decode codec shape.
       "mm_audio_fp" -> SparkEntry.queries("mm_audio_fp"),
+      // Video fingerprint (r12): the mm_video_decode codec shape —
+      // per-partition reader, O(frames·pixels), shuffle-free.
+      "mm_video_fp" -> SparkEntry.queries("mm_video_fp"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

@@ -468,6 +468,69 @@ object Multimodal {
   def decodeGifStats(spark: SparkSession, dir: String): Dataset[GifStats] =
     decodeGifStats(gifAssets(spark, dir))
 
+  /** Per-frame perceptual hash row of [[videoFingerprints]]. */
+  final case class GifFrameHash(doc_id: Long, frame: Int,
+      gray_sum: Long, ahash: Long)
+
+  /** Video fingerprint over the REAL animated-GIF decode — the third
+    * leg of the perceptual-signature trio ([[ahashStats]] image,
+    * [[audioFingerprints]] audio): every decoded frame gets the same
+    * [[AhashGrid]]² block-average hash (integer pixel→block mapping,
+    * cross-multiplied mean bits — division-free), one row per
+    * (doc, frame). A video near-dup pipeline matches clips by the
+    * SEQUENCE of frame hashes (shared subsequences = shared footage),
+    * so the exploded per-frame layout is the join key shape it
+    * consumes. The oracle recomputes every frame hash from the
+    * closed-form frame ramps — the mm_video_decode real-codec gate
+    * extended to a derived signature. Same scale shape: one reader per
+    * partition, O(frames·pixels) per asset, shuffle-free. */
+  def videoFingerprints(assets: Dataset[GifAsset]): Dataset[GifFrameHash] = {
+    import assets.sparkSession.implicits._
+    val g = AhashGrid
+    assets.mapPartitions { batch =>
+      imageIoNoDiskCache
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      batch.flatMap { a =>
+        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(a.gif)))
+        val n = reader.getNumImages(true)
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bs = new Array[Long](g * g)
+          val bn = new Array[Long](g * g)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val gray = (img.getRGB(x, y) & 0xff).toLong
+              val k = (y * g / h) * g + (x * g / w)
+              bs(k) += gray
+              bn(k) += 1L
+              total += gray
+              x += 1
+            }
+            y += 1
+          }
+          val np = w.toLong * h
+          var hash = 0L
+          var k = 0
+          while (k < g * g) {
+            if (bs(k) * np > total * bn(k)) hash |= 1L << k
+            k += 1
+          }
+          GifFrameHash(a.doc_id, f, total, hash)
+        }
+      }
+    }
+  }
+
+  def videoFingerprints(spark: SparkSession,
+      dir: String): Dataset[GifFrameHash] =
+    videoFingerprints(gifAssets(spark, dir))
+
   // ---- Binary-file ingest (the real "media lake on disk" path) ----
 
   /** Write each GIF asset as its own `<doc_id>.gif` file under `outDir` —

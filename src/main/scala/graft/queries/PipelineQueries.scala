@@ -1057,6 +1057,10 @@ object PipelineQueries {
       // audio near-dup bucket key, gain-invariant by construction.
       "mm_audio_fp" -> ((s, dir) =>
         Multimodal.audioFingerprints(s, dir).toDF()),
+      // Per-frame perceptual hashes over the real GIF decode — the
+      // video near-dup sequence key.
+      "mm_video_fp" -> ((s, dir) =>
+        Multimodal.videoFingerprints(s, dir).toDF()),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -4652,6 +4656,43 @@ object PipelineQueries {
            |SELECT t.doc_id, t.n AS n_samples, t.total AS abs_sum,
            |  CAST(sum(nib.nb) AS BIGINT) AS afp
            |FROM tot t JOIN nib ON nib.doc_id = t.doc_id
+           |GROUP BY 1, 2, 3""".stripMargin
+      },
+
+      // Closed-form mirror of the per-frame block-average hashes: the
+      // mm_video_decode frame ramps through the mm_phash block/bit
+      // chain, one row per (doc, frame).
+      "mm_video_fp" -> {
+        val g = Multimodal.AhashGrid
+        s"""WITH px AS (
+           |  SELECT d.doc_id, f.f,
+           |    CAST(d.doc_id % 13 + 4 AS BIGINT) AS w,
+           |    CAST(d.doc_id % 11 + 4 AS BIGINT) AS h,
+           |    x.i AS x, y.j AS y,
+           |    (d.doc_id * 3 + 11 * f.f + 5 * x.i + 3 * y.j) % 256
+           |      AS gray
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % 5 + 1 AS BIGINT))) AS f) f,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % 13 + 3 AS BIGINT))) AS i) x,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % 11 + 3 AS BIGINT))) AS j) y),
+           |tot AS (SELECT doc_id, f, CAST(sum(gray) AS BIGINT) AS total,
+           |    count(*) AS n
+           |  FROM px GROUP BY 1, 2),
+           |blk AS (SELECT doc_id, f, (x * $g) // w AS i, (y * $g) // h AS j,
+           |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
+           |  FROM px GROUP BY 1, 2, 3, 4),
+           |bits AS (SELECT b.doc_id, b.f,
+           |    CASE WHEN b.bs * t.n > t.total * b.bn
+           |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
+           |      ELSE CAST(0 AS BIGINT) END AS bit
+           |  FROM blk b JOIN tot t ON t.doc_id = b.doc_id AND t.f = b.f)
+           |SELECT t.doc_id, CAST(t.f AS INTEGER) AS frame,
+           |  t.total AS gray_sum, CAST(sum(bits.bit) AS BIGINT) AS ahash
+           |FROM tot t JOIN bits ON bits.doc_id = t.doc_id
+           |  AND bits.f = t.f
            |GROUP BY 1, 2, 3""".stripMargin
       },
 

@@ -2831,6 +2831,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm video fp: closed-form per-frame replay; frame-count law") {
+    import graft.exts.Multimodal
+    val g = Multimodal.AhashGrid
+    def replay(id: Long, f: Int): (Long, Long) = {
+      val (w, h) = ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+      val bs = new Array[Long](g * g); val bn = new Array[Long](g * g)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = (id * 3 + 11 * f + 5 * x + 3 * y) % 256
+        val k = (y * g / h) * g + (x * g / w)
+        bs(k) += gray; bn(k) += 1L; total += gray
+      }
+      var hash = 0L
+      for (k <- 0 until g * g)
+        if (bs(k) * w * h > total * bn(k)) hash |= 1L << k
+      (total, hash)
+    }
+    val got = Multimodal.videoFingerprints(spark, dir).collect()
+      .map(r => (r.doc_id, r.frame) -> ((r.gray_sum, r.ahash))).toMap
+    got.foreach { case ((id, f), v) => assert(v === replay(id, f)) }
+    // frame-count law: exactly id%5+2 frames per doc, contiguous from 0
+    got.keySet.groupBy(_._1).foreach { case (id, ks) =>
+      assert(ks.map(_._2).toSeq.sorted ===
+        (0 until Multimodal.gifFrameCount(id)))
+    }
+    assert(got.values.map(_._2).toSeq.distinct.length > 10)
+  }
+
   test("mm audio fp: closed-form replay; gain invariance") {
     import graft.exts.Multimodal
     val wN = Multimodal.AudioFpWindows
