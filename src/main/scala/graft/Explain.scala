@@ -58,7 +58,7 @@ object Explain {
       "q20_part_promotion", "graph_lpa", "text_hash_embed",
       "kcenter_coreset", "rho_select", "hybrid_search",
       "boilerplate_strip", "mmr_select", "mm_phash", "mm_audio_fp",
-      "mm_video_fp")
+      "mm_video_fp", "mm_dup_groups")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

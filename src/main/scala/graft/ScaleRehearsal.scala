@@ -264,6 +264,9 @@ object ScaleRehearsal {
       // Video fingerprint (r12): the mm_video_decode codec shape —
       // per-partition reader, O(frames·pixels), shuffle-free.
       "mm_video_fp" -> SparkEntry.queries("mm_video_fp"),
+      // Media dedup (r12): one decode pass reduced to 4-long signatures
+      // + a signature-keyed hash aggregate joined back shuffle-hash.
+      "mm_dup_groups" -> SparkEntry.queries("mm_dup_groups"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

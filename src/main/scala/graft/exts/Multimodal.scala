@@ -310,6 +310,57 @@ object Multimodal {
   def ahashStats(spark: SparkSession, dir: String): Dataset[PngHash] =
     ahashStats(pngAssets(spark, dir))
 
+  /** Content modulus of the planted-duplicate media fixture: two docs
+    * share image CONTENT when their ids agree mod this (distinct
+    * payload bytes are still possible — the encoder is deterministic
+    * here, but the dedup below groups by DECODED signature, not payload
+    * md5, exactly because re-encodes of one creative differ at the byte
+    * level in the wild). */
+  val DupContentMod = 250L
+
+  /** [[pngAssets]] with planted content duplicates: the image for doc d
+    * is `encodePng(d mod DupContentMod)` — the fixture that makes
+    * signature-level image dedup measurable, mirrored in the oracle. */
+  def pngAssetsWithDups(spark: SparkSession,
+      dir: String): Dataset[PngAsset] = {
+    import spark.implicits._
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long])
+      .mapPartitions { iter =>
+        imageIoNoDiskCache
+        iter.map(id => PngAsset(id, encodePng(id % DupContentMod)))
+      }
+  }
+
+  /** Image-level duplicate groups by DECODED perceptual signature — the
+    * end-to-end media dedup the signature ops exist for: decode every
+    * (planted-duplicate) PNG for real, key each image by its decoded
+    * (width, height, gray_sum, ahash), and group documents sharing the
+    * key: (doc_id, group_id = smallest member, group_size,
+    * is_canonical). Byte-level md5 dedup would ALSO work on this
+    * fixture (one deterministic encoder) but fails in the wild the
+    * moment one creative is re-encoded; the decoded-signature key is
+    * the robust production grouping, and the oracle groups by the SAME
+    * recomputed signature (never by the planted content id), so an
+    * engine-side signature collision would be caught, not masked.
+    *
+    * Scale shape: one decode pass (per-partition reader, payload bytes
+    * never leave the partition) reduced to a 4-long signature per doc;
+    * the group rollup is a map-side-combinable hash aggregate on the
+    * signature key joined back shuffle-hash (group count is
+    * corpus-order — never broadcastable). */
+  def mmDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val sig = ahashStats(pngAssetsWithDups(spark, dir)).toDF()
+    val keys = Seq("width", "height", "gray_sum", "ahash")
+    val grp = sig.groupBy(keys.map(col): _*)
+      .agg(min(col("doc_id")).as("group_id"),
+        count(lit(1)).as("group_size"))
+    sig.join(grp.hint("shuffle_hash"), keys)
+      .select(col("doc_id"), col("group_id"), col("group_size"),
+        (col("doc_id") === col("group_id")).cast("long")
+          .as("is_canonical"))
+  }
+
   def decodeStats(spark: SparkSession, dir: String): Dataset[PngStats] =
     decodeStats(pngAssets(spark, dir))
 

@@ -1061,6 +1061,9 @@ object PipelineQueries {
       // video near-dup sequence key.
       "mm_video_fp" -> ((s, dir) =>
         Multimodal.videoFingerprints(s, dir).toDF()),
+      // Image dedup by DECODED signature over the planted-duplicate
+      // media fixture — the end-to-end media-dedup composition.
+      "mm_dup_groups" -> ((s, dir) => Multimodal.mmDupGroups(s, dir)),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -4694,6 +4697,59 @@ object PipelineQueries {
            |FROM tot t JOIN bits ON bits.doc_id = t.doc_id
            |  AND bits.f = t.f
            |GROUP BY 1, 2, 3""".stripMargin
+      },
+
+      // Planted-duplicate mirror: content id c = doc_id mod the planted
+      // modulus drives the SAME pixel/block/bit chain as mm_phash, and
+      // the grouping is by the recomputed SIGNATURE (never by c), so an
+      // engine-side signature collision would mismatch, not mask.
+      "mm_dup_groups" -> {
+        val g = Multimodal.AhashGrid
+        s"""WITH px AS (
+           |  SELECT d.doc_id, d.doc_id % ${Multimodal.DupContentMod} AS c,
+           |    CAST(d.doc_id % ${Multimodal.DupContentMod} % 13 + 4
+           |      AS BIGINT) AS w,
+           |    CAST(d.doc_id % ${Multimodal.DupContentMod} % 11 + 4
+           |      AS BIGINT) AS h,
+           |    x.i AS x, y.j AS y,
+           |    (d.doc_id % ${Multimodal.DupContentMod} * 3 + x.i + y.j)
+           |      % 256
+           |    + (d.doc_id % ${Multimodal.DupContentMod} * 5 + 2 * x.i)
+           |      % 256
+           |    + (d.doc_id % ${Multimodal.DupContentMod} * 7 + 3 * y.j)
+           |      % 256 AS gray
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % ${Multimodal.DupContentMod} % 13 + 3
+           |        AS BIGINT))) AS i) x,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % ${Multimodal.DupContentMod} % 11 + 3
+           |        AS BIGINT))) AS j) y),
+           |tot AS (SELECT doc_id, max(w) AS w, max(h) AS h,
+           |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+           |  FROM px GROUP BY 1),
+           |blk AS (SELECT doc_id, (x * $g) // w AS i, (y * $g) // h AS j,
+           |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
+           |  FROM px GROUP BY 1, 2, 3),
+           |bits AS (SELECT b.doc_id,
+           |    CASE WHEN b.bs * t.n > t.total * b.bn
+           |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
+           |      ELSE CAST(0 AS BIGINT) END AS bit
+           |  FROM blk b JOIN tot t USING (doc_id)),
+           |sig AS (SELECT t.doc_id, t.w, t.h, t.total,
+           |    CAST(sum(bits.bit) AS BIGINT) AS ahash
+           |  FROM tot t JOIN bits ON bits.doc_id = t.doc_id
+           |  GROUP BY 1, 2, 3, 4),
+           |grp AS (SELECT w, h, total, ahash,
+           |    min(doc_id) AS group_id, count(*) AS group_size
+           |  FROM sig GROUP BY 1, 2, 3, 4)
+           |SELECT s.doc_id, g.group_id,
+           |  CAST(g.group_size AS BIGINT) AS group_size,
+           |  CAST(CASE WHEN s.doc_id = g.group_id THEN 1 ELSE 0 END
+           |    AS BIGINT) AS is_canonical
+           |FROM sig s JOIN grp g ON g.w = s.w AND g.h = s.h
+           |  AND g.total = s.total AND g.ahash = s.ahash"""
+          .stripMargin
       },
 
       // Closed-form mirror of the WAV sample train: n = id%500+100

@@ -2859,6 +2859,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._2).toSeq.distinct.length > 10)
   }
 
+  test("mm dup groups: planted pairs share a group; one canonical each") {
+    import graft.exts.Multimodal
+    val m = Multimodal.DupContentMod
+    val got = Multimodal.mmDupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ids = got.keySet
+    assert(ids.nonEmpty)
+    // every planted pair (d, d+mod) lands in the SAME group
+    ids.filter(d => ids.contains(d + m)).foreach { d =>
+      assert(got(d)._1 === got(d + m)._1, s"pair $d/${d + m} split")
+    }
+    // groups partition the corpus with exactly one canonical member,
+    // which is the smallest id of its group
+    got.toSeq.groupBy(_._2._1).foreach { case (gid, members) =>
+      assert(members.count(_._2._3 == 1L) === 1)
+      assert(members.map(_._1).min === gid)
+      members.foreach { case (_, (_, sz, _)) =>
+        assert(sz === members.size.toLong) }
+    }
+    // the planting makes real duplicates: some group has ≥2 members
+    assert(got.values.exists(_._2 >= 2L))
+  }
+
   test("mm audio fp: closed-form replay; gain invariance") {
     import graft.exts.Multimodal
     val wN = Multimodal.AudioFpWindows
