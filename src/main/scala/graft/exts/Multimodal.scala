@@ -350,7 +350,10 @@ object Multimodal {
     * signature key joined back shuffle-hash (group count is
     * corpus-order — never broadcastable). */
   def mmDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    // the decode pass feeds BOTH the group rollup and the join probe —
+    // checkpoint the 4-long signatures so every PNG decodes once
     val sig = ahashStats(pngAssetsWithDups(spark, dir)).toDF()
+      .localCheckpoint(false)
     val keys = Seq("width", "height", "gray_sum", "ahash")
     val grp = sig.groupBy(keys.map(col): _*)
       .agg(min(col("doc_id")).as("group_id"),
@@ -818,11 +821,16 @@ object Multimodal {
           total += math.abs(s)
           i += 2
         }
+        // digital silence (or an empty payload) has zero total energy —
+        // emit the all-zero degenerate fingerprint instead of dividing
+        // by zero inside the executor task
         var fp = 0L
-        var k = 0
-        while (k < wN - 1) {
-          fp |= math.min(ws(k) * 16L / total, 15L) << (4 * k)
-          k += 1
+        if (total > 0L) {
+          var k = 0
+          while (k < wN - 1) {
+            fp |= math.min(ws(k) * 16L / total, 15L) << (4 * k)
+            k += 1
+          }
         }
         WavFp(a.doc_id, n.toLong, total, fp)
       }

@@ -692,15 +692,20 @@ object Similarity {
     val cds = bruteTopK(corpus0, maxQueryId, MmrCand)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
     // two corpus scans, each probed by the BROADCAST bounded frame —
-    // the corpus is never the build side and never shuffles
+    // the corpus is never the build side and never shuffles; the
+    // interpreted quant/sq lambdas run BELOW the joins on the bounded
+    // survivors only (the emb_project lesson: a higher-order lambda in
+    // a corpus-wide projection never codegens)
     val qside = corpus0
       .select(col("vec_id").as("query_id"),
-        quant(col("embedding")).as("qq"))
+        col("embedding").as("eq"))
       .join(broadcast(cds), "query_id")
     val cand = corpus0
       .select(col("vec_id").as("neighbor_id"),
-        quant(col("embedding")).as("qn"))
+        col("embedding").as("en"))
       .join(broadcast(qside), "neighbor_id")
+      .withColumn("qq", quant(col("eq")))
+      .withColumn("qn", quant(col("en")))
       .withColumn("rel", sq(col("qq"), col("qn")))
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("qn"), col("rel"))

@@ -510,8 +510,9 @@ object TextAnalysis {
     lmScores(Tables.load(spark, dir, "documents"))
 
   /** Keep margin for [[rhoSelect]], in permille: a document is kept when
-    * its source-local fluency exceeds its global fluency by ≥10% — the
-    * domain-signal slice. */
+    * its source-local fluency exceeds its global fluency by MORE THAN
+    * 10% (strict, matching the `>` in both engines) — the domain-signal
+    * slice. */
   val RhoMarginPermille = 1100L
 
   /** RHO-loss-shaped two-model data selection: score every document

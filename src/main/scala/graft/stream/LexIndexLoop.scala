@@ -128,7 +128,13 @@ object LexIndexLoop {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // within-batch id dedup FIRST (deterministic keeper), so an
+        // at-least-once upstream delivering one doc twice in a single
+        // trigger can't double its postings/stats — the gate below only
+        // covers ids already in a segment
         val batch = batch0.select(col("doc_id"), col("text"))
+          .groupBy(col("doc_id"))
+          .agg(org.apache.spark.sql.functions.min(col("text")).as("text"))
           .localCheckpoint(true) // batch-sized
         if (batch.isEmpty) {
           onCycle(batchId, 0L, false, index.version)

@@ -538,6 +538,18 @@ class StreamSpec extends AnyFunSuite {
     sq.stop()
     assert(out.map(_._2).toSet === Set(1L))
     assert(out.map(_._1).toSet === inline(full))
+    // within-batch duplicate: one trigger delivering a doc TWICE lands
+    // it once (the deterministic pre-gate id dedup)
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = LexIndexLoop.start(spark, index, root,
+      input2.toDS().toDF("doc_id", "text"),
+      (_, landed, merged, v) => cycles.synchronized {
+        cycles += ((landed, merged, v)) })
+    input2.addData(Seq((800000L, base.head._2), (800000L, base.head._2)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(cycles.last === ((1L, false, 1L)))
+    assert(index.snapshot.nPending === 1L)
   }
 
   test("hybrid serving: per-batch stream results equal the fused batch scorers") {
