@@ -75,26 +75,21 @@ object Bench {
       graft.exts.BpeIndex.clear()
       graft.exts.LmIndex.clear()
       graft.exts.PqIndex.clear()
-      graft.exts.DsirIndex.clear()
-      graft.exts.Bm25Index.clear()
-      // DsirIndex/Bm25Index persist under deterministic tmpdir paths (any
+      graft.exts.ArtifactStore.clear()
+      // Dsir/Bm25/Knn indexes persist in the shared ArtifactStore (any
       // session resolves them), so a TRUE cold also deletes the on-disk
       // artifact — otherwise "cold" would just measure the parquet load.
-      Seq("graft-dsir-index", "graft-bm25-index").foreach { d =>
-        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), d)
-        if (java.nio.file.Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(root)
-          try walk.iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        }
-      }
+      // Eviction is SCOPED to this bench corpus's own (kind, dir,
+      // version) entries; other corpora/jobs sharing the store are
+      // untouched.
+      graft.exts.DsirIndex.evict(spark, sfDir)
+      graft.exts.Bm25Index.evict(spark, sfDir)
+      graft.exts.KnnIndex.evict(spark, sfDir)
     }
     val artifactQueries =
       Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
         "pq_search", "ivf_pq_search", "ivf_pq_refine", "dsir_score_batch",
-        "bm25_batch")
+        "bm25_batch", "knn_graph")
     val artifactSplit: Seq[(String, Double, Double)] = artifactQueries
       .filter(SparkEntry.queries.contains)
       .map { name =>
@@ -158,7 +153,16 @@ object Bench {
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"queries":$qs,"artifacts":$artifacts,"reconciled":$recon,"sweep_totals":$sweepsJson,"passes":$passes,"pass_order":"pass_major","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"artifacts":$artifacts,"reconciled":$recon,"sweep_totals":$sweepsJson,"passes":$passes,"pass_order":"pass_major","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+    println(line)
+    // The driver keeps only the tail of stdout, so the FULL per-query
+    // map also lands in a file (round-over-round regressions of every
+    // key stay diffable — the committed BENCHDETAIL_r<N>.json).
+    val detail = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT",
+      "BENCHDETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detail),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // stdout already has it
     spark.stop()
   }
 }

@@ -1,0 +1,191 @@
+package graft.exts
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared on-disk store for persisted index artifacts (BM25 postings,
+  * DSIR score table, kNN edge list, ...) — the build-once / serve-many
+  * lifecycle the reference applies to its table-maintenance outputs
+  * (AwsTableManagementMetricsEvaluator.java:108-140 accumulates events,
+  * crosses a threshold, rebuilds, and every later reader picks up the
+  * committed result), lifted to the engine's own derived structures.
+  *
+  * Design constraints this object owns (previously scattered per-index):
+  *
+  *  - '''Configurable, permission-restricted root.''' Artifacts live
+  *    under `spark.graft.artifactRoot` when set (a lake deployment points
+  *    this next to the tables, e.g. `s3://lake/graft_indexes`, so the
+  *    nightly indexer and every query job resolve the same store); the
+  *    default is a per-user directory created `rwx------` under the
+  *    JVM tmpdir — never a world-writable shared path another local user
+  *    could pre-plant artifacts in. (The corpus dir itself is typically a
+  *    read-only mount for query jobs — as it is in this harness — which
+  *    is why the root is a separate, configurable location rather than
+  *    `$dir` itself.)
+  *  - '''Identity is verified, not assumed.''' The artifact directory
+  *    name embeds the sanitized corpus dir plus a 128-bit MD5 of the
+  *    exact dir string and the [[graft.Tables.version]] snapshot token,
+  *    and a `_MANIFEST.json` written inside the artifact records the
+  *    full (kind, dir, variant, version) tuple. [[resolve]] trusts an
+  *    existing directory only after the manifest round-trips — a path
+  *    collision or a planted directory without a matching manifest is
+  *    rebuilt, never served.
+  *  - '''Publication is atomic.''' A build writes into a fresh staging
+  *    directory (unique per attempt), the manifest is written LAST, and
+  *    the staging dir is renamed into place with ATOMIC_MOVE — so a
+  *    completion marker can never coexist with a half-written artifact,
+  *    and two JVMs racing the same build can both run to completion: the
+  *    loser's rename fails on the existing target, it discards its
+  *    staging copy, and serves the winner's (bit-identical — builds are
+  *    deterministic functions of the snapshot). On an object store
+  *    without atomic rename the same protocol degrades gracefully: the
+  *    manifest-written-last IS the commit marker and [[ready]] gates on
+  *    it.
+  *
+  * In-process memo only skips the filesystem probe; cross-session and
+  * cross-job reuse go through the directory + manifest.
+  */
+object ArtifactStore {
+
+  /** Conf key for the artifact root (lake deployments set this). */
+  val RootConf = "spark.graft.artifactRoot"
+
+  private final case class Key(root: String, kind: String, dir: String,
+      variant: String, version: Long)
+
+  private val memo = new ConcurrentHashMap[Key, String]()
+
+  /** The store root: `spark.graft.artifactRoot` if set, else a per-user
+    * `rwx------` directory under tmpdir. */
+  def root(spark: SparkSession): String =
+    spark.conf.getOption(RootConf).getOrElse {
+      val p = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-indexes-${sys.props("user.name")}")
+      ensureRestricted(p)
+      p.toString
+    }
+
+  private def ensureRestricted(p: Path): Unit = {
+    if (!Files.exists(p)) {
+      try {
+        import java.nio.file.attribute.PosixFilePermissions
+        Files.createDirectories(p,
+          PosixFilePermissions.asFileAttribute(
+            PosixFilePermissions.fromString("rwx------")))
+      } catch {
+        case _: UnsupportedOperationException => // non-POSIX FS
+          Files.createDirectories(p)
+      }
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def sanitize(s: String): String = {
+    val cleaned = s.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
+    if (cleaned.length > 64) cleaned.takeRight(64) else cleaned
+  }
+
+  /** Final artifact directory for (kind, dir, variant, version) under
+    * `root` — human-readable tail of the corpus dir plus a 128-bit hash
+    * of the exact string, so distinct dirs can never alias. */
+  private[graft] def entryPath(root: String, kind: String, dir: String,
+      variant: String, version: Long): Path = {
+    val v = if (variant.isEmpty) "" else s"-$variant"
+    Paths.get(root, kind,
+      s"${sanitize(dir)}-${md5hex(dir)}$v-v$version")
+  }
+
+  private def manifestJson(kind: String, dir: String, variant: String,
+      version: Long): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
+    s"""{"kind":"${esc(kind)}","dir":"${esc(dir)}",""" +
+      s""""variant":"${esc(variant)}","version":$version}"""
+  }
+
+  /** True iff `p` holds a COMMITTED artifact for exactly this
+    * (kind, dir, variant, version) — the manifest must exist and
+    * round-trip the full identity tuple. */
+  private[graft] def ready(p: Path, kind: String, dir: String,
+      variant: String, version: Long): Boolean = {
+    val m = p.resolve("_MANIFEST.json")
+    Files.exists(m) && {
+      val got = new String(Files.readAllBytes(m), "UTF-8")
+      got == manifestJson(kind, dir, variant, version)
+    }
+  }
+
+  /** Resolve the artifact directory for (kind, dir, variant, version),
+    * building it via `build` on first use. `build` receives a private
+    * staging directory to write into; publication (manifest + atomic
+    * rename) is handled here. Returns the committed directory path. */
+  def resolve(spark: SparkSession, kind: String, dir: String,
+      version: Long, variant: String = "")(build: String => Unit): String = {
+    val r = root(spark)
+    val key = Key(r, kind, dir, variant, version)
+    memo.computeIfAbsent(key, _ => {
+      val fin = entryPath(r, kind, dir, variant, version)
+      if (!ready(fin, kind, dir, variant, version)) {
+        Files.createDirectories(fin.getParent)
+        val staging = fin.getParent.resolve(
+          s"${fin.getFileName}.staging-${java.util.UUID.randomUUID()}")
+        try {
+          Files.createDirectories(staging)
+          build(staging.toString)
+          Files.write(staging.resolve("_MANIFEST.json"),
+            manifestJson(kind, dir, variant, version).getBytes("UTF-8"))
+          // a directory at the target that FAILED the manifest check is
+          // not an artifact (planted, collided, or torn by a pre-atomic
+          // writer) — clear it so the atomic publish can land
+          if (Files.exists(fin) && !ready(fin, kind, dir, variant, version))
+            deleteRecursively(fin)
+          try Files.move(staging, fin, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.AccessDeniedException |
+                 _: java.nio.file.FileSystemException
+                if ready(fin, kind, dir, variant, version) =>
+              // another JVM committed first; its artifact is
+              // bit-identical (deterministic build of the same
+              // snapshot) — discard ours and serve the winner's
+              deleteRecursively(staging)
+          }
+        } finally if (Files.exists(staging)) deleteRecursively(staging)
+        require(ready(fin, kind, dir, variant, version),
+          s"artifact publish failed for $kind($dir, $variant, v$version)")
+      }
+      fin.toString
+    })
+  }
+
+  /** Evict ONE committed entry (its directory and the memo key) — the
+    * scoped form Bench's cold pass uses: it drops exactly the bench
+    * corpus's own (kind, dir, variant, version) artifact and never
+    * touches other corpora or jobs sharing the store. */
+  def evict(spark: SparkSession, kind: String, dir: String,
+      version: Long, variant: String = ""): Unit = {
+    val r = root(spark)
+    memo.remove(Key(r, kind, dir, variant, version))
+    val p = entryPath(r, kind, dir, variant, version)
+    if (Files.exists(p)) deleteRecursively(p)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  /** Test seam: drop all memoized paths (on-disk artifacts remain —
+    * use [[evict]] to remove those). */
+  private[graft] def clear(): Unit = memo.clear()
+}

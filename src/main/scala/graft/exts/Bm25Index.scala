@@ -1,7 +1,5 @@
 package graft.exts
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,48 +11,36 @@ import graft.Tables
   *
   * The artifact is the deployment shape of an inverted index at rest:
   * the postings frame (doc, term, tf, dl), the vocabulary df table, and
-  * the 1-row normalization stats, each a parquet under ONE deterministic
-  * (corpus dir, [[Tables.version]])-derived path — a fresh session or a
-  * separate job (the query-serving side vs the nightly indexer) resolves
-  * the same path and [[load]]s, so scoring a batch runs ZERO corpus-text
-  * scans. The version in the path means a corpus rewrite re-indexes
-  * instead of serving stale postings; the in-process memo only skips the
-  * exists() probe. Postings are written partitioned as they come off the
-  * (doc, term) aggregate; at lake scale the same write would be bucketed
-  * BY TERM so the per-batch query-term join prunes files instead of
-  * scanning all postings.
+  * the 1-row normalization stats, each a parquet inside ONE committed
+  * [[ArtifactStore]] entry keyed by (corpus dir, [[Tables.version]]) —
+  * a fresh session or a separate job (the query-serving side vs the
+  * nightly indexer) resolves the same entry and [[load]]s, so scoring a
+  * batch runs ZERO corpus-text scans. The store's manifest check means
+  * the entry provably belongs to this corpus (no hash-collision or
+  * planted-path aliasing), its atomic publish means a reader can never
+  * observe a partially written index, and the version in the key means
+  * a corpus rewrite re-indexes instead of serving stale postings.
+  * Postings are written partitioned as they come off the (doc, term)
+  * aggregate; at lake scale the same write would be bucketed BY TERM so
+  * the per-batch query-term join prunes files instead of scanning all
+  * postings.
   */
 object Bm25Index {
 
-  private final case class Key(dir: String, version: Long)
-
-  private val memo = new ConcurrentHashMap[Key, String]()
-
-  private def artifactPath(dir: String, version: Long): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-bm25-index",
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-        + s"-v$version")
+  private[exts] val Kind = "bm25-index"
 
   /** The index path for the `documents` corpus under `dir` — first call
-    * per corpus snapshot anywhere on this host builds and [[save]]s;
-    * later calls (any session, any job) resolve the existing artifact. */
-  def path(spark: SparkSession, dir: String): String = {
-    val key = Key(dir, Tables.version(dir, "documents"))
-    memo.computeIfAbsent(key, k => {
-      val p = artifactPath(k.dir, k.version)
-      if (!java.nio.file.Files.exists(p.resolve("stats/_SUCCESS"))) {
-        val docs = Tables.load(spark, dir, "documents")
-        save(TextAnalysis.bm25Postings(docs),
-          TextAnalysis.bm25Stats(docs), p.toString)
-      }
-      p.toString
-    })
-  }
+    * per corpus snapshot builds and commits; later calls (any session,
+    * any job) resolve the existing committed artifact. */
+  def path(spark: SparkSession, dir: String): String =
+    ArtifactStore.resolve(spark, Kind, dir,
+      Tables.version(dir, "documents")) { staging =>
+      val docs = Tables.load(spark, dir, "documents")
+      save(TextAnalysis.bm25Postings(docs),
+        TextAnalysis.bm25Stats(docs), staging)
+    }
 
-  /** Persist an index: postings + derived df + stats (stats LAST — its
-    * _SUCCESS is the completion marker [[path]] gates on). */
+  /** Persist an index: postings + derived df + stats. */
   def save(postings: DataFrame, stats: DataFrame, path: String): Unit = {
     postings.write.mode("overwrite").parquet(s"$path/postings")
     postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -135,6 +121,10 @@ object Bm25Index {
       .crossJoin(broadcast(merged))
   }
 
-  /** Test seam: drop all memoized index paths. */
-  private[graft] def clear(): Unit = memo.clear()
+  /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
+  private[graft] def evict(spark: SparkSession, dir: String): Unit =
+    ArtifactStore.evict(spark, Kind, dir, Tables.version(dir, "documents"))
+
+  /** Test seam: drop memoized paths (delegates to the shared store). */
+  private[graft] def clear(): Unit = ArtifactStore.clear()
 }

@@ -551,9 +551,14 @@ object Dedup {
     // LOWER labels, so the exact decimal sum strictly decreases until the
     // fixpoint — equality ⟺ no label changed. One aggregate action per
     // round instead of a join + count over the change set.
-    def checksum(c: DataFrame): java.math.BigDecimal =
-      c.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+    def checksum(c: DataFrame): java.math.BigDecimal = {
+      // sum over an EMPTY frame is null — a pair list with no pairs at
+      // all (fully deduplicated corpus, or a filtered edge view) must
+      // converge immediately, not NPE
+      val d = c.agg(sum(col("comp").cast("decimal(38,0)"))).head()
         .getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var sumPrev = checksum(comp)
     var converged = false
     while (!converged) {

@@ -1,7 +1,5 @@
 package graft.exts
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
@@ -12,56 +10,45 @@ import graft.Tables
   *
   * The model is BOUNDED ([[TextAnalysis.DsirHeadTerms]] rows — the head
   * vocabulary with its ppm lean), so unlike the LM it could live as a
-  * driver literal; it is still persisted as a parquet artifact under a
-  * DETERMINISTIC path derived from (corpus dir, [[Tables.version]]), so a
-  * fresh session — or another job entirely, the ingest gate vs the
-  * nightly trainer — resolves the same path and [[load]]s without
-  * re-running the corpus scan. The version in the path means a corpus
-  * rewrite under the same dir re-trains instead of serving a stale score
-  * table; the in-process memo only skips the exists() probe.
+  * driver literal; it is still persisted as a parquet artifact in the
+  * shared [[ArtifactStore]] keyed by (corpus dir, [[Tables.version]]) —
+  * a fresh session, or another job entirely (the ingest gate vs the
+  * nightly trainer), resolves the same committed entry and [[load]]s
+  * without re-running the corpus scan, with the store's manifest check
+  * guaranteeing the entry really belongs to this corpus and its atomic
+  * publish guaranteeing no reader ever sees a half-written table. The
+  * version in the key means a corpus rewrite re-trains instead of
+  * serving a stale score table.
   */
 object DsirIndex {
 
-  private final case class Key(dir: String, version: Long)
-
-  private val memo = new ConcurrentHashMap[Key, String]()
-
-  /** Deterministic artifact path for a corpus snapshot: any session (or
-    * separate JVM) training the same (dir, version) resolves here. */
-  private def artifactPath(dir: String, version: Long): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-dsir-index",
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-        + s"-v$version")
+  private[exts] val Kind = "dsir-index"
 
   /** The trained (term, s) score table for the `documents` table under
-    * `dir`, parquet-backed. First call per corpus snapshot ANYWHERE on
-    * this host trains and [[save]]s; later calls — including from a
-    * fresh session or a different job — [[load]] (zero training jobs,
-    * gated on the parquet writer's _SUCCESS marker). Integer scores
-    * round-trip parquet exactly, so results are bit-identical to an
-    * inline [[TextAnalysis.dsirHead]]. */
-  def scores(spark: SparkSession, dir: String): DataFrame = {
-    val key = Key(dir, Tables.version(dir, "documents"))
-    val path = memo.computeIfAbsent(key, k => {
-      val p = artifactPath(k.dir, k.version)
-      if (!java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-        save(TextAnalysis.dsirHead(Tables.load(spark, dir, "documents")),
-          p.toString)
-      p.toString
+    * `dir`, parquet-backed via [[ArtifactStore]]. First call per corpus
+    * snapshot builds and commits; later calls — including from a fresh
+    * session or a different job — [[load]] (zero training jobs).
+    * Integer scores round-trip parquet exactly, so results are
+    * bit-identical to an inline [[TextAnalysis.dsirHead]]. */
+  def scores(spark: SparkSession, dir: String): DataFrame =
+    load(spark, ArtifactStore.resolve(spark, Kind, dir,
+      Tables.version(dir, "documents")) { staging =>
+      save(TextAnalysis.dsirHead(Tables.load(spark, dir, "documents")),
+        staging)
     })
-    load(spark, path)
-  }
 
   /** Persist a trained score table as a parquet artifact. */
   def save(head: DataFrame, path: String): Unit =
-    head.coalesce(1).write.mode("overwrite").parquet(path)
+    head.coalesce(1).write.mode("overwrite").parquet(s"$path/scores")
 
   /** Load a previously [[save]]d score-table artifact. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(s"$path/scores")
 
-  /** Test seam: drop all memoized score tables. */
-  private[graft] def clear(): Unit = memo.clear()
+  /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
+  private[graft] def evict(spark: SparkSession, dir: String): Unit =
+    ArtifactStore.evict(spark, Kind, dir, Tables.version(dir, "documents"))
+
+  /** Test seam: drop memoized paths (delegates to the shared store). */
+  private[graft] def clear(): Unit = ArtifactStore.clear()
 }

@@ -1,0 +1,67 @@
+package graft.exts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Persisted kNN-graph artifact: build the graph ONCE per corpus
+  * snapshot, serve every graph consumer — the [[IvfIndex]]/[[Bm25Index]]
+  * build/apply split applied to the single most reused derived structure
+  * in the engine. Nine operators (knn_graph, knn_components,
+  * cluster_purity, d4_prune, graph_pagerank, graph_lpa, graph_walks,
+  * walk_skipgrams, graph_triangles) consume the same top-k cosine edge
+  * list; before this artifact each rebuilt it from raw embeddings —
+  * paying the dominant within-bucket candidate-scoring self-join per
+  * invocation. At lake scale the graph is computed once at ingest and
+  * maintained, exactly the reference's accumulate→threshold→rebuild
+  * lifecycle (AwsTableManagementMetricsEvaluator.java:108-140) already
+  * applied to the IVF and BM25 indexes here.
+  *
+  * The artifact is the [[Similarity.knnGraph]] edge frame (src_id,
+  * dst_id, rank, mutual — longs and ints, so the parquet round-trip is
+  * bit-exact and every consumer's result is identical to an inline
+  * rebuild) committed to the shared [[ArtifactStore]] keyed by (corpus
+  * dir, [[Tables.version]] of `embeddings`, k). Edges are written
+  * partitioned as they come off the top-k aggregate; at lake scale the
+  * write would be bucketed BY src_id so the per-consumer src-keyed joins
+  * start co-located.
+  */
+object KnnIndex {
+
+  private[exts] val Kind = "knn-graph"
+
+  /** The committed artifact directory for (`dir`, k) — first call per
+    * corpus snapshot builds the graph and commits; later calls (any
+    * session, any job) resolve the existing entry. */
+  def path(spark: SparkSession, dir: String,
+      k: Int = Similarity.KnnGraphK): String =
+    ArtifactStore.resolve(spark, Kind, dir,
+      Tables.version(dir, "embeddings"), variant = s"k$k") { staging =>
+      save(Similarity.knnGraph(
+        Tables.load(spark, dir, "embeddings"), k), staging)
+    }
+
+  /** Persist an edge frame ([[Similarity.knnGraph]] schema). */
+  def save(edges: DataFrame, path: String): Unit =
+    edges.write.mode("overwrite").parquet(s"$path/edges")
+
+  /** Load a previously [[save]]d edge frame. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+
+  /** The corpus's kNN edge list, artifact-backed: (src_id, dst_id,
+    * rank, mutual) — built on first use, loaded thereafter. Every graph
+    * consumer's (spark, dir) entry point reads through here. */
+  def edges(spark: SparkSession, dir: String,
+      k: Int = Similarity.KnnGraphK): DataFrame =
+    load(spark, path(spark, dir, k))
+
+  /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
+  private[graft] def evict(spark: SparkSession, dir: String,
+      k: Int = Similarity.KnnGraphK): Unit =
+    ArtifactStore.evict(spark, Kind, dir,
+      Tables.version(dir, "embeddings"), variant = s"k$k")
+
+  /** Test seam: drop memoized paths (delegates to the shared store). */
+  private[graft] def clear(): Unit = ArtifactStore.clear()
+}

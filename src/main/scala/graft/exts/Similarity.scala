@@ -196,8 +196,13 @@ object Similarity {
         coalesce(col("mutual"), lit(0L)).as("mutual"))
   }
 
+  /** Artifact-backed entry point: the edge list is built once per
+    * corpus snapshot by [[KnnIndex]] and LOADED here (and by every
+    * other graph consumer's (spark, dir) overload) — bit-identical to
+    * an inline build, without re-paying the candidate-scoring
+    * self-join per consumer. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
-    knnGraph(Tables.load(spark, dir, "embeddings"))
+    KnnIndex.edges(spark, dir)
 
   /** Semantic clusters = connected components over the MUTUAL edges of
     * [[knnGraph]] — the graph-clustering step after graph construction
@@ -212,8 +217,14 @@ object Similarity {
     * (diameter-bounded rounds of join + aggregate); the size rollup joins
     * back on the component key it was just aggregated by (shuffle-hash —
     * component count is corpus-order, never broadcastable). */
-  def knnComponents(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame = {
-    val pairs = knnGraph(corpus0, k)
+  def knnComponents(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame =
+    knnComponentsFromEdges(knnGraph(corpus0, k))
+
+  /** [[knnComponents]] over a PREBUILT edge frame ([[knnGraph]]
+    * schema) — the artifact-consuming form every (spark, dir) entry
+    * point routes through via [[KnnIndex.edges]]. */
+  def knnComponentsFromEdges(edges: DataFrame): DataFrame = {
+    val pairs = edges
       .filter(col("mutual") === 1L && col("src_id") < col("dst_id"))
       .select(col("src_id").as("a_id"), col("dst_id").as("b_id"))
     val comp = Dedup.dupComponents(pairs)
@@ -225,7 +236,7 @@ object Similarity {
   }
 
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
-    knnComponents(Tables.load(spark, dir, "embeddings"))
+    knnComponentsFromEdges(KnnIndex.edges(spark, dir))
 
   /** Fixed rounds for [[graphPagerank]] — centrality stabilizes in a few
     * rounds on a k-regular-ish graph; a fixed count keeps the plan and
@@ -260,8 +271,14 @@ object Similarity {
     * are lazily checkpointed per round ([[Dedup.dupComponents]]'
     * convention) so lineage stays flat at any round count. */
   def graphPagerank(corpus0: DataFrame, k: Int = KnnGraphK,
+      iters: Int = PagerankIters): DataFrame =
+    graphPagerankFromEdges(corpus0, knnGraph(corpus0, k), iters)
+
+  /** [[graphPagerank]] over a PREBUILT edge frame; `corpus0` supplies
+    * only the node list (isolated nodes keep the base rank). */
+  def graphPagerankFromEdges(corpus0: DataFrame, edges0: DataFrame,
       iters: Int = PagerankIters): DataFrame = {
-    val edges = knnGraph(corpus0, k)
+    val edges = edges0
       .select(col("src_id"), col("dst_id")).localCheckpoint(false)
     val outdeg = edges.groupBy(col("src_id"))
       .agg(count(lit(1)).as("outdeg"))
@@ -295,7 +312,8 @@ object Similarity {
   }
 
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
-    graphPagerank(Tables.load(spark, dir, "embeddings"))
+    graphPagerankFromEdges(Tables.load(spark, dir, "embeddings"),
+      KnnIndex.edges(spark, dir))
 
   /** Steps per walk for [[graphWalks]] (positions 0..WalkLen per walk). */
   val WalkLen = 4
@@ -328,8 +346,13 @@ object Similarity {
     * whose sign bucket is a singleton (no out-edges) end at step 0 —
     * dropped by the join, not erred. */
   def graphWalks(corpus0: DataFrame, k: Int = KnnGraphK,
+      len: Int = WalkLen): DataFrame =
+    graphWalksFromEdges(corpus0, knnGraph(corpus0, k), len)
+
+  /** [[graphWalks]] over a PREBUILT edge frame; `corpus0` supplies only
+    * the walk-start node list. */
+  def graphWalksFromEdges(corpus0: DataFrame, e: DataFrame,
       len: Int = WalkLen): DataFrame = {
-    val e = knnGraph(corpus0, k)
     val outdeg = e.groupBy(col("src_id"))
       .agg(count(lit(1)).as("outdeg"))
     val edges = e
@@ -358,7 +381,8 @@ object Similarity {
   }
 
   def graphWalks(spark: SparkSession, dir: String): DataFrame =
-    graphWalks(Tables.load(spark, dir, "embeddings"))
+    graphWalksFromEdges(Tables.load(spark, dir, "embeddings"),
+      KnnIndex.edges(spark, dir))
 
   /** Skip-gram context window for [[walkSkipgrams]]. */
   val SkipWindow = 2
@@ -378,8 +402,13 @@ object Similarity {
     * frames [[graphWalks]] materialized, so the walk generation runs
     * once, not twice. */
   def walkSkipgrams(corpus0: DataFrame, k: Int = KnnGraphK,
+      len: Int = WalkLen, window: Int = SkipWindow): DataFrame =
+    walkSkipgramsFromEdges(corpus0, knnGraph(corpus0, k), len, window)
+
+  /** [[walkSkipgrams]] over a PREBUILT edge frame. */
+  def walkSkipgramsFromEdges(corpus0: DataFrame, edges: DataFrame,
       len: Int = WalkLen, window: Int = SkipWindow): DataFrame = {
-    val walks = graphWalks(corpus0, k, len)
+    val walks = graphWalksFromEdges(corpus0, edges, len)
     val a = walks.select(col("walk_id"), col("step").as("step_a"),
       col("vec_id").as("center_id"))
     val b = walks.select(col("walk_id"), col("step").as("step_b"),
@@ -392,7 +421,8 @@ object Similarity {
   }
 
   def walkSkipgrams(spark: SparkSession, dir: String): DataFrame =
-    walkSkipgrams(Tables.load(spark, dir, "embeddings"))
+    walkSkipgramsFromEdges(Tables.load(spark, dir, "embeddings"),
+      KnnIndex.edges(spark, dir))
 
   /** Directed transitivity over the [[knnGraph]] edges — per vector: how
     * many of its two-hop wedges close into triangles. A high closure
@@ -411,8 +441,12 @@ object Similarity {
     * against the same edge list on (src, far) — multiplicity lives on
     * the wedge side, so the semi-join never duplicates; both rollups are
     * map-side-combinable hash aggregates joined on their own key. */
-  def graphTriangles(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame = {
-    val e = knnGraph(corpus0, k).select("src_id", "dst_id")
+  def graphTriangles(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame =
+    graphTrianglesFromEdges(knnGraph(corpus0, k))
+
+  /** [[graphTriangles]] over a PREBUILT edge frame. */
+  def graphTrianglesFromEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select("src_id", "dst_id")
       .localCheckpoint(false)
     val wedges = e.select(col("src_id"), col("dst_id").as("mid_id"))
       .join(e.select(col("src_id").as("mid_id"), col("dst_id").as("far_id"))
@@ -434,7 +468,7 @@ object Similarity {
   }
 
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
-    graphTriangles(Tables.load(spark, dir, "embeddings"))
+    graphTrianglesFromEdges(KnnIndex.edges(spark, dir))
 
   /** Fixed synchronous rounds for [[graphLpa]] — like [[PagerankIters]],
     * a fixed count keeps the plan and the artifact deterministic. */
@@ -464,8 +498,14 @@ object Similarity {
     * frames are lazily checkpointed per round so lineage stays flat at
     * any round count. */
   def graphLpa(corpus0: DataFrame, k: Int = KnnGraphK,
+      iters: Int = LpaIters): DataFrame =
+    graphLpaFromEdges(corpus0, knnGraph(corpus0, k), iters)
+
+  /** [[graphLpa]] over a PREBUILT edge frame; `corpus0` supplies only
+    * the node list (isolated nodes keep their own label). */
+  def graphLpaFromEdges(corpus0: DataFrame, edges: DataFrame,
       iters: Int = LpaIters): DataFrame = {
-    val mutual = knnGraph(corpus0, k)
+    val mutual = edges
       .filter(col("mutual") === 1L)
       .select(col("src_id").as("u"), col("dst_id").as("v"))
       .localCheckpoint(false)
@@ -496,7 +536,8 @@ object Similarity {
   }
 
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
-    graphLpa(Tables.load(spark, dir, "embeddings"))
+    graphLpaFromEdges(Tables.load(spark, dir, "embeddings"),
+      KnnIndex.edges(spark, dir))
 
   /** Clustering evaluation against the labeled fixture — majority-label
     * purity per [[knnComponents]] cluster: how often a semantic cluster
@@ -511,8 +552,14 @@ object Similarity {
     * contingency table is one map-side-combinable hash aggregate (≤
     * clusters×labels rows); the majority pick is a rank window over
     * that REDUCED frame partitioned by component (corpus-order keys). */
-  def clusterPurity(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame = {
-    val memb = knnComponents(corpus0, k)
+  def clusterPurity(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame =
+    clusterPurityFromEdges(corpus0, knnGraph(corpus0, k))
+
+  /** [[clusterPurity]] over a PREBUILT edge frame; `corpus0` supplies
+    * the ground-truth label column. */
+  def clusterPurityFromEdges(corpus0: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val memb = knnComponentsFromEdges(edges)
       .select("vec_id", "component", "cluster_size")
       .join(corpus0.select(col("vec_id"),
         col("label").cast("long").as("label")).hint("shuffle_hash"),
@@ -533,7 +580,8 @@ object Similarity {
   }
 
   def clusterPurity(spark: SparkSession, dir: String): DataFrame =
-    clusterPurity(Tables.load(spark, dir, "embeddings"))
+    clusterPurityFromEdges(Tables.load(spark, dir, "embeddings"),
+      KnnIndex.edges(spark, dir))
 
   /** Component quantization scale for [[d4Prune]] distances (×1e3 — one
     * decade coarser than embStats' 1e4 so the n²-scaled squared distance
@@ -565,8 +613,13 @@ object Similarity {
     * count is corpus-order); the distance is one row-local zip_with
     * fold; the rank window partitions BY CLUSTER (corpus-order key
     * count — never a global window). */
-  def d4Prune(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame = {
-    val memb = knnComponents(corpus0, k)
+  def d4Prune(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame =
+    d4PruneFromEdges(corpus0, knnGraph(corpus0, k))
+
+  /** [[d4Prune]] over a PREBUILT edge frame; `corpus0` supplies the
+    * embedding column the centroid distances quantize. */
+  def d4PruneFromEdges(corpus0: DataFrame, edges: DataFrame): DataFrame = {
+    val memb = knnComponentsFromEdges(edges)
       .select("vec_id", "component", "cluster_size")
       .join(corpus0.select(col("vec_id"),
           transform(col("embedding"),
@@ -746,7 +799,8 @@ object Similarity {
     mmrSelect(Tables.load(spark, dir, "embeddings"))
 
   def d4Prune(spark: SparkSession, dir: String): DataFrame =
-    d4Prune(Tables.load(spark, dir, "embeddings"))
+    d4PruneFromEdges(Tables.load(spark, dir, "embeddings"),
+      KnnIndex.edges(spark, dir))
 
   /** Johnson–Lindenstrauss output width for [[embProject]]. */
   val ProjectDims = 16

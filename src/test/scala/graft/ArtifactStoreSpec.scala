@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exts.{ArtifactStore, KnnIndex, Similarity}
+
+/** The shared artifact store's commit protocol (manifest-verified
+  * identity, atomic publish, scoped eviction) and the kNN-graph artifact
+  * built on it (artifact == inline rebuild; consumers provably READ the
+  * artifact rather than silently rebuilding). */
+class ArtifactStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("resolve builds once, then serves the committed entry (no rebuild)") {
+    var builds = 0
+    def get() = ArtifactStore.resolve(spark, "spec-kind", "/spec/corpus",
+      7L) { staging =>
+      builds += 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(staging, "payload.txt"),
+        "v1".getBytes("UTF-8"))
+    }
+    ArtifactStore.evict(spark, "spec-kind", "/spec/corpus", 7L)
+    val p1 = get()
+    assert(builds === 1)
+    // same key: memo hit
+    assert(get() === p1 && builds === 1)
+    // fresh "session" (memo dropped): manifest check passes, still no
+    // rebuild — the cross-job reuse path
+    ArtifactStore.clear()
+    assert(get() === p1 && builds === 1)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p1, "payload.txt")), "UTF-8") === "v1")
+    ArtifactStore.evict(spark, "spec-kind", "/spec/corpus", 7L)
+  }
+
+  test("planted/collided dir without a matching manifest is rebuilt, not served") {
+    val kind = "spec-poison"
+    ArtifactStore.evict(spark, kind, "/spec/corpus", 9L)
+    // plant a directory AT the entry path with a payload but a wrong
+    // manifest (simulates a path collision or a pre-planted artifact)
+    val planted = graft.exts.ArtifactStore.entryPath(
+      ArtifactStore.root(spark), kind, "/spec/corpus", "", 9L)
+    java.nio.file.Files.createDirectories(planted)
+    java.nio.file.Files.write(planted.resolve("payload.txt"),
+      "poisoned".getBytes("UTF-8"))
+    java.nio.file.Files.write(planted.resolve("_MANIFEST.json"),
+      """{"kind":"spec-poison","dir":"/other/corpus","variant":"","version":9}"""
+        .getBytes("UTF-8"))
+    var builds = 0
+    val p = ArtifactStore.resolve(spark, kind, "/spec/corpus", 9L) { st =>
+      builds += 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(st, "payload.txt"), "real".getBytes("UTF-8"))
+    }
+    assert(builds === 1, "manifest mismatch must force a rebuild")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p, "payload.txt")), "UTF-8") === "real")
+    ArtifactStore.evict(spark, kind, "/spec/corpus", 9L)
+  }
+
+  test("eviction is scoped: evicting one entry leaves siblings committed") {
+    def put(kind: String, d: String) =
+      ArtifactStore.resolve(spark, kind, d, 1L) { st =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(st, "x.txt"), "x".getBytes("UTF-8"))
+      }
+    val a = put("spec-evict", "/corpus/a")
+    val b = put("spec-evict", "/corpus/b")
+    val c = put("spec-evict-other", "/corpus/a")
+    ArtifactStore.evict(spark, "spec-evict", "/corpus/a", 1L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(a)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(b, "x.txt")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(c, "x.txt")))
+    ArtifactStore.evict(spark, "spec-evict", "/corpus/b", 1L)
+    ArtifactStore.evict(spark, "spec-evict-other", "/corpus/a", 1L)
+  }
+
+  test("distinct corpus dirs never alias (128-bit identity in the path)") {
+    val r = ArtifactStore.root(spark)
+    val p1 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/a", "", 1L)
+    val p2 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/b", "", 1L)
+    val p3 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/a", "", 2L)
+    val p4 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/a", "k5", 1L)
+    assert(Set(p1, p2, p3, p4).size === 4)
+  }
+
+  test("knn artifact: edges == inline rebuild, bit-exact") {
+    KnnIndex.evict(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("mutual"))).toSet
+    val fresh = key(Similarity.knnGraph(
+      Tables.load(spark, dir, "embeddings")))
+    val art = key(KnnIndex.edges(spark, dir))
+    assert(art === fresh)
+    // fresh session (memo dropped): loads the committed artifact
+    ArtifactStore.clear()
+    assert(key(KnnIndex.edges(spark, dir)) === fresh)
+  }
+
+  test("graph consumers READ the artifact: a doctored edge propagates") {
+    // baseline components, then doctor the committed edge frame by
+    // deleting every mutual edge of one component's bridge pair — if
+    // knnComponents rebuilt from raw embeddings the doctoring would be
+    // invisible; consuming it proves the artifact is the source of truth
+    KnnIndex.evict(spark, dir)
+    val before = Similarity.knnComponents(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(before.nonEmpty)
+    val path = KnnIndex.path(spark, dir)
+    val doctored = KnnIndex.load(spark, path)
+      .withColumn("mutual", org.apache.spark.sql.functions.lit(0L))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("knn-doctored").toString
+    doctored.write.mode("overwrite").parquet(s"$tmp/edges")
+    // swap the doctored edges INTO the committed artifact
+    val fs = java.nio.file.Paths.get(path, "edges")
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(fs)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp, "edges"), fs)
+    ArtifactStore.clear()
+    // with every mutual flag zeroed, no vector has a mutual neighbor →
+    // the component frame must be EMPTY; a rebuild would repopulate it
+    assert(Similarity.knnComponents(spark, dir).count() === 0L,
+      "consumer ignored the doctored artifact — it rebuilt instead")
+    // restore a clean artifact for later tests
+    KnnIndex.evict(spark, dir)
+    assert(Similarity.knnComponents(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_size")))
+      .toMap === before)
+  }
+}
