@@ -41,7 +41,7 @@ object Explain {
       "topk_agg", "pq_search", "ivf_pq_search", "ivf_pq_refine",
       "simhash_band_pairs", "dedup_keep_best", "ivf_maintenance",
       "text_scrub_spans", "decontaminate_scrub", "curation_audit",
-      "ccnet_buckets", "gopher_rules", "cluster_balance", "bitext_mine",
+      "ccnet_buckets", "gopher_rules", "cluster_balance",
       "bitext_mine_lsh", "cluster_topics", "filter_agreement",
       "ccnet_sample", "corpus_stats", "ann_mrr",
       "bm25_retrieve", "knn_graph", "emb_project", "lsh_tune",
@@ -58,7 +58,7 @@ object Explain {
       "q20_part_promotion", "graph_lpa", "text_hash_embed",
       "kcenter_coreset", "rho_select", "hybrid_search",
       "boilerplate_strip", "mmr_select", "mm_phash", "mm_audio_fp",
-      "mm_video_fp", "mm_dup_groups")
+      "mm_video_fp", "mm_dup_groups", "mm_video_dups", "mm_audio_dups")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -180,10 +180,6 @@ object ScaleRehearsal {
       // learned-cluster downsampling (r11): broadcast-centroid assign +
       // cells-sized rollup + broadcast rates — one corpus pass.
       "cluster_balance" -> SparkEntry.queries("cluster_balance"),
-      // mutual-NN mining (r11): toy-scale exact langA × langB scoring
-      // (the quadratic candidate stage is the documented bucket-swap
-      // point); both rank directions finish in bounded TopKPairs.
-      "bitext_mine" -> SparkEntry.queries("bitext_mine"),
       // the mining scale path (r11): adaptive-bucket candidates hold
       // per-bucket occupancy ~constant, so candidate volume is linear
       // where the exact path above is quadratic.
@@ -267,6 +263,14 @@ object ScaleRehearsal {
       // Media dedup (r12): one decode pass reduced to 4-long signatures
       // + a signature-keyed hash aggregate joined back shuffle-hash.
       "mm_dup_groups" -> SparkEntry.queries("mm_dup_groups"),
+      // Video shared footage (r13): one decode pass checkpointed to
+      // per-frame signatures; candidates from a signature-keyed
+      // self-join (per-signature multiplicity bounded by the fixture's
+      // group size), run assembly windowed per (a, b, gap).
+      "mm_video_dups" -> SparkEntry.queries("mm_video_dups"),
+      // Trim-robust audio matching (r13): same shape over fixed-size
+      // window fingerprints.
+      "mm_audio_dups" -> SparkEntry.queries("mm_audio_dups"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

@@ -426,6 +426,15 @@ object Multimodal {
 
     def encode(id: Long): Array[Byte] = {
       val (w, h) = pngDims(id)
+      encodeFrames(w, h,
+        (0 until gifFrameCount(id)).map(f => id * 3 + 11L * f))
+    }
+
+    /** General multi-frame encode: frame f's pixel (x, y) is
+      * `(offsets(f) + 5x + 3y) mod 256` — [[encode]] is the
+      * (id·3 + 11f) instance, the shared-clip fixture the
+      * stock-footage-ramp instance. */
+    def encodeFrames(w: Int, h: Int, offsets: Seq[Long]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       // memory-cached stream: the ImageIO.createImageOutputStream
       // default spools a DISK cache file per asset — a hidden per-row
@@ -433,8 +442,7 @@ object Multimodal {
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < gifFrameCount(id)) {
+      offsets.foreach { off =>
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
         val raster = img.getRaster
@@ -443,7 +451,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             raster.setSample(x, y, 0,
-              ((id * 3 + 11 * f + 5 * x + 3 * y) % 256).toInt)
+              ((off + 5 * x + 3 * y) % 256).toInt)
             x += 1
           }
           y += 1
@@ -451,7 +459,6 @@ object Multimodal {
         writer.writeToSequence(
           new javax.imageio.IIOImage(img, null, metadataFor(img, w, h)),
           null)
-        f += 1
       }
       writer.endWriteSequence()
       ios.close()
@@ -585,6 +592,108 @@ object Multimodal {
       dir: String): Dataset[GifFrameHash] =
     videoFingerprints(gifAssets(spark, dir))
 
+  // ---- Shared-footage matching (the consumer of the per-frame /
+  //      per-window signature layouts) ----
+
+  /** Docs per stock-footage group in the shared-clip fixtures: doc d
+    * draws its frames (windows) from the stream of group d div this —
+    * content reuse is bounded to one group BY CONSTRUCTION, so
+    * per-signature match multiplicity (and with it candidate volume in
+    * [[sharedRuns]]' signature join) stays constant as the corpus
+    * grows. */
+  val ClipGroup = 8L
+  /** Content-index stride between adjacent groups' streams (> max
+    * offset + max length, so streams never overlap across groups). */
+  val ClipStride = 16L
+  /** Minimum matched consecutive positions to call footage shared —
+    * a single matching frame is coincidence-prone; a RUN is footage. */
+  val MinSharedRun = 2L
+
+  /** Shared-subsequence runs over a per-position signature layout —
+    * the matcher [[videoFingerprints]]' exploded (doc, frame, hash)
+    * rows exist for, equally consumed by the audio window layout
+    * ([[audioWindowFps]]): two documents share footage iff they carry
+    * the SAME signature sequence at a CONSTANT index offset for
+    * `minRun`+ consecutive positions. Rows: (a_id, b_id, gap = b's
+    * index minus a's for the matched content, start_a = first matched
+    * index in a, run_len).
+    *
+    * Scale shape: candidates come from an equi-join keyed on the
+    * content signature — banding by (hash, then gap), NEVER an
+    * all-pairs document join; per-signature multiplicity is what
+    * bounds the volume (constant in the planted fixtures; in the wild
+    * a df-cap on viral signatures, the ngramJaccardPairsCapped rule,
+    * bounds it the same way). Run assembly is the classic
+    * islands trick — `pos − row_number()` is constant exactly on a
+    * consecutive stretch — over a window partitioned by (a, b, gap):
+    * match-pair-sized keys on an already-reduced frame, never a
+    * global window. */
+  private[graft] def sharedRuns(frames: DataFrame, posCol: String,
+      sigCols: Seq[String], minRun: Long = MinSharedRun): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = frames.select(
+      (col("doc_id").as("a_id") +: col(posCol).cast("long").as("pa") +:
+        sigCols.map(col)): _*)
+    val b = frames.select(
+      (col("doc_id").as("b_id") +: col(posCol).cast("long").as("pb") +:
+        sigCols.map(col)): _*)
+    val m = a.join(b.hint("shuffle_hash"), sigCols)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("gap", col("pb") - col("pa"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("gap"))
+      .orderBy(col("pa"))
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("gap"), col("island"))
+      .agg(min(col("pa")).as("start_a"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .select(col("a_id"), col("b_id"), col("gap"), col("start_a"),
+        col("run_len"))
+  }
+
+  /** [[gifAssets]] with planted SHARED CLIPS: docs in group
+    * g = d div [[ClipGroup]] all cut their frames from group g's stock
+    * ramp — doc d shows stream positions [d mod 4, d mod 4 + n(d)), so
+    * two docs of one group overlap in a frame RUN (same footage at a
+    * constant frame offset) without being whole-video duplicates.
+    * Frame at stream position p has pixel (p·7 + 5x + 3y) mod 256 at
+    * the GROUP's dimensions (g mod 13 + 4, g mod 11 + 4) — dimensions
+    * agreeing within a group (shared footage implies shared
+    * resolution) and differing across groups. Mirrored closed-form in
+    * the oracle. */
+  def gifClipAssets(spark: SparkSession, dir: String): Dataset[GifAsset] = {
+    import spark.implicits._
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long])
+      .mapPartitions { iter =>
+        imageIoNoDiskCache
+        val enc = new GifEncoder()
+        iter.map { d =>
+          val g = d / ClipGroup
+          val w = (g % 13 + 4).toInt
+          val h = (g % 11 + 4).toInt
+          val offsets = (0 until gifFrameCount(d))
+            .map(f => (g * ClipStride + d % 4 + f) * 7L)
+          GifAsset(d, enc.encodeFrames(w, h, offsets))
+        }
+      }
+  }
+
+  /** Video shared-footage pairs — the consumer [[videoFingerprints]]'
+    * per-frame hash layout was designed for: decode the (planted
+    * shared-clip) GIFs for real, hash every frame, and join documents
+    * on matching (gray_sum, ahash) frame signatures banded by frame
+    * gap; `minRun`+ consecutive matches = shared footage. The oracle
+    * recomputes every frame hash from the closed-form stock ramps and
+    * runs the same gap/island assembly, so an engine-side hash drift
+    * or a run miscount fails loudly. */
+  def mmVideoDups(spark: SparkSession, dir: String): DataFrame = {
+    // one decode pass feeds both join sides — checkpoint the 4-long
+    // signature rows so every GIF is decoded once (mmDupGroups rule)
+    val fp = videoFingerprints(gifClipAssets(spark, dir)).toDF()
+      .localCheckpoint(false)
+    sharedRuns(fp, "frame", Seq("gray_sum", "ahash"))
+  }
+
   // ---- Binary-file ingest (the real "media lake on disk" path) ----
 
   /** Write each GIF asset as its own `<doc_id>.gif` file under `outDir` —
@@ -705,12 +814,19 @@ object Multimodal {
   }
 
   /** Encode one real WAV via the JDK's WAVE file writer. */
-  def encodeWav(id: Long): Array[Byte] = {
-    val n = wavSampleCount(id)
+  def encodeWav(id: Long): Array[Byte] =
+    encodeWavSamples(Array.tabulate(wavSampleCount(id))(i =>
+      wavSample(id, i)))
+
+  /** General real-WAV encode of an explicit 16-bit sample train —
+    * [[encodeWav]] is the (id·31 + i·17) instance, the trimmed-copy
+    * fixture the shared-stream instance. */
+  def encodeWavSamples(samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = wavSample(id, i)
+      val s = samples(i)
       pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -840,6 +956,160 @@ object Multimodal {
   def audioFingerprints(spark: SparkSession,
       dir: String): Dataset[WavFp] =
     audioFingerprints(wavAssets(spark, dir))
+
+  // ---- Trim-robust audio matching (per-window fingerprints) ----
+
+  /** Samples per fingerprint window in [[audioWindowFps]] — FIXED
+    * size, unlike [[audioFingerprints]]' n-div-W file-relative
+    * windows, so a leading trim shifts window INDICES but never window
+    * CONTENTS. */
+  val AudioWin = 64
+  /** Sub-bins per window (8 samples each) — the window's internal
+    * energy profile. */
+  val AudioSubBins = 8
+
+  /** Per-window fingerprint row of [[audioWindowFps]]. */
+  final case class WavWinFp(doc_id: Long, win: Int, wfp: Long)
+
+  /** Order-free fingerprint combination weights — one fixed prime per
+    * sub-bin position, so the window fingerprint is a plain weighted
+    * SUM of the quantized shares (q ≤ 2¹⁷, weights < 2³⁰, 8 terms →
+    * < 2⁵¹: overflow-free in both engines, and expressible as a SQL
+    * aggregate with no ordered fold). */
+  private[graft] val WfpWeights = Array(
+    236887691L, 433024223L, 613651349L, 704597717L,
+    821443123L, 899809343L, 941083981L, 982451653L)
+
+  /** Trim-robust audio fingerprints: the decoded sample train cut into
+    * FIXED [[AudioWin]]-sample windows, each window fingerprinted by
+    * its own internal energy ENVELOPE — [[AudioSubBins]] sub-bin
+    * |amplitude| shares quantized to 65536ths of the WINDOW's energy
+    * and combined by the [[WfpWeights]] weighted sum. Window-local
+    * quantities only, so the fingerprint of a window is invariant to
+    * (a) uniform gain — `(g·b)·65536 div (g·w)` floors the same
+    * rational, the [[audioFingerprints]] law — and (b) anything
+    * OUTSIDE the window, which is exactly what the whole-file
+    * fingerprint lacks: a trimmed or padded copy (the common wild
+    * case) shifts every file-relative window and changes
+    * [[WavFp.afp]], while here it only offsets the window index —
+    * recovered by [[sharedRuns]]' gap-banded subsequence match (the
+    * [[mmVideoDups]] layout). The fine (2¹⁶) share quantization is
+    * load-bearing: a 16ths-coarse profile collapses smooth envelopes
+    * into a handful of classes (measured: 42 distinct fingerprints
+    * over 5 000 windows on a quadratic-ramp train — every window
+    * matched every window), while at 2¹⁶ the fixture's window space is
+    * >99.99% distinct at sf1 volume. Same scale shape as every
+    * decode: one codec context per partition, O(samples) per asset,
+    * shuffle-free. */
+  def audioWindowFps(assets: Dataset[WavAsset]): Dataset[WavWinFp] = {
+    import assets.sparkSession.implicits._
+    val winN = AudioWin
+    val binN = AudioSubBins
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        val ais = wavIo._1.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.wav))
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        val n = data.length / 2
+        (0 until n / winN).map { k =>
+          val bs = new Array[Long](binN)
+          var wsum = 0L
+          var j = 0
+          while (j < winN) {
+            val i = k * winN + j
+            val s: Int =
+              if (big) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            bs(j * binN / winN) += math.abs(s)
+            wsum += math.abs(s)
+            j += 1
+          }
+          // digital silence: all-zero window profile, same guard as
+          // the whole-file fingerprint
+          var fp = 0L
+          if (wsum > 0L) {
+            var m = 0
+            while (m < binN) {
+              fp += (bs(m) * 65536L / wsum) * WfpWeights(m)
+              m += 1
+            }
+          }
+          WavWinFp(a.doc_id, k, fp)
+        }
+      }
+    }
+  }
+
+  /** Offset unit of the trimmed-copy fixture: trims are whole windows
+    * (0–3 of them), the alignment [[sharedRuns]]' index-gap banding
+    * recovers; sub-window trims are re-aligned upstream by a coarse
+    * energy-onset anchor in a production pipeline. */
+  val AudioTrimMax = 4L
+
+  /** Per-sub-bin amplitude-level moduli of the trimmed-copy fixture's
+    * stream: DISTINCT primes per sub-bin, so the 8-level envelope
+    * vector of a stream window is (near-)injective in the window id —
+    * any single-modulus level map factors through `id mod M` and
+    * collapses the vector space to M classes (measured: 32 768
+    * distinct envelopes over 125 000 windows with one 2¹⁵ modulus). */
+  private[graft] val ClipLevelPrimes = Array(
+    32749L, 32719L, 32717L, 32713L, 32707L, 32693L, 32687L, 32653L)
+
+  /** The shared-stream sample train of the trimmed-copy fixture:
+    * stream position j of group g carries a ±LEVEL square tone whose
+    * level is constant per sub-bin — an 8-step amplitude envelope per
+    * window, the structure an energy-envelope fingerprint keys on
+    * (smooth ramps and noise-like trains both collapse |amp|-share
+    * profiles into low-entropy families; measured in this round's
+    * fixture probes). Levels stay ≤ 32 764 (16-bit safe), floor 16
+    * keeps every sub-bin audible. */
+  private def clipWavSample(g: Long, j: Long): Short = {
+    val w = j / AudioWin
+    val m = ((j % AudioWin) / (AudioWin / AudioSubBins)).toInt
+    val lvl = (g * ClipStride + w) * 48271L % ClipLevelPrimes(m) + 16L
+    (if (j % 2 == 0) lvl else -lvl).toShort
+  }
+
+  /** [[wavAssets]] with planted TRIMMED COPIES: docs in group
+    * g = d div [[ClipGroup]] all cut their samples from group g's
+    * stream — doc d carries stream positions
+    * [(d mod 4)·[[AudioWin]], …) for (4 + d mod 3) windows, so one
+    * group's docs are leading-trimmed copies of each other: same
+    * content at a constant window offset, different whole-file
+    * fingerprints. Mirrored closed-form in the oracle. */
+  def wavClipAssets(spark: SparkSession, dir: String): Dataset[WavAsset] = {
+    import spark.implicits._
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long])
+      .mapPartitions(_.map { d =>
+        val g = d / ClipGroup
+        val off = (d % AudioTrimMax) * AudioWin
+        val n = ((4 + d % 3) * AudioWin).toInt
+        WavAsset(d,
+          encodeWavSamples(Array.tabulate(n)(i =>
+            clipWavSample(g, off + i))))
+      })
+  }
+
+  /** Audio shared-content pairs over trimmed/padded copies — the
+    * windowed subsequence match the per-window layout exists for:
+    * decode the (planted trimmed-copy) WAVs for real, fingerprint
+    * every fixed-size window, and join documents on matching window
+    * fingerprints banded by window gap; [[MinSharedRun]]+ consecutive
+    * matches = shared audio. The whole-file [[audioFingerprints]]
+    * PROVABLY misses these pairs (its windows are file-relative — the
+    * spec asserts the planted copies differ in afp), which is the gap
+    * this operator closes. Oracle recomputes every window fingerprint
+    * from the closed-form stream and runs the same gap/island
+    * assembly. */
+  def mmAudioDups(spark: SparkSession, dir: String): DataFrame = {
+    // one decode pass feeds both join sides (mmDupGroups rule)
+    val fp = audioWindowFps(wavClipAssets(spark, dir)).toDF()
+      .localCheckpoint(false)
+    sharedRuns(fp, "win", Seq("wfp"))
+  }
 
   /** Resize stub: metadata-level resize (a real one transforms pixels).
     * Integer arithmetic only (`w·maxDim div max(w,h)`, floor), so the

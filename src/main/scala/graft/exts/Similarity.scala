@@ -1296,16 +1296,16 @@ object Similarity {
     * score. Language comes from the aligned documents row (vec_id =
     * doc_id — a co-partitioned metadata join, text never moves).
     *
-    * Scale shape: the exact all-pairs scoring is the TOY-SCALE baseline
-    * (langA × langB candidates); both direction ranks finish in the
-    * bounded [[graft.functions.TopKPairs]] aggregate (≤1 row per query
-    * per mapper reaches the exchange), so the FINISH survives any scale
-    * even though candidate generation would not — at 100 TB the
-    * candidate stage swaps to the sign-bucket prefilter
-    * ([[signBucketBits]], same bucket ⇒ candidate), which bounds
-    * fan-out exactly like the ANN search path and leaves this mutual
-    * top-1 finish unchanged. */
-  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: the exact all-pairs scoring is the SPEC-ONLY oracle
+    * baseline (langA × langB candidates — quadratic by design, measured
+    * 27× at sf1), demoted from the registered surface in r13 so no
+    * runnable key carries a known-quadratic plan; the deployable key is
+    * [[bitextMineLsh]], whose recall the specs gate against this
+    * baseline. Both direction ranks finish in the bounded
+    * [[graft.functions.TopKPairs]] aggregate (≤1 row per query per
+    * mapper reaches the exchange), so the FINISH is shared unchanged
+    * with the LSH path. */
+  private[graft] def bitextMine(spark: SparkSession, dir: String): DataFrame = {
     val lang = Tables.load(spark, dir, "documents")
       .select(col("doc_id").as("vec_id"), col("lang"))
     // corpus-scale metadata ⋈ corpus-scale vectors on the unique id:

@@ -214,17 +214,24 @@ object TextAnalysis {
   /** Shared BM25 scorer: rank `qterms` (query_id, term — DISTINCT terms
     * per query) against a postings index. Query terms broadcast FIRST so
     * candidate volume is Σ_queryterm df(term); the vocabulary df table
-    * (derived here if the caller didn't persist one) broadcasts onto the
-    * survivors; exact top-k finish in the bounded TopKPairs aggregate. */
+    * (derived here if the caller didn't persist one) is SEMI-JOINED down
+    * to the batch's own terms before it broadcasts — a Heaps'-bounded
+    * vocabulary is still multi-GB at lake scale, so the full table is
+    * never a pinned broadcast (the rhoSelect rule); the filtered frame
+    * is bounded by the batch's distinct terms by construction. Exact
+    * top-k finish in the bounded TopKPairs aggregate. */
   private[graft] def bm25ScoreAgainst(tf: DataFrame, stats: DataFrame,
       qterms: DataFrame, k: Int, excludeSelf: Boolean,
       dfrOpt: Option[DataFrame] = None): DataFrame = {
     val dfr = dfrOpt.getOrElse(
       tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val dfrBatch = dfr.join(
+      broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
     val cand = tf.join(broadcast(qterms), "term")
     val contrib = (if (excludeSelf)
         cand.filter(col("doc_id") =!= col("query_id")) else cand)
-      .join(broadcast(dfr), "term")
+      .join(broadcast(dfrBatch), "term")
       .crossJoin(broadcast(stats))
       .withColumn("k_x1000", expr(
         s"($Bm25K1x1000 * ((1000 - $Bm25Bx1000) + " +

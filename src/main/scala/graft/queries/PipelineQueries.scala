@@ -882,7 +882,12 @@ object PipelineQueries {
       "filter_agreement" -> ((s, dir) => TextAnalysis.filterAgreement(s, dir)),
       "cluster_balance" -> ((s, dir) => Similarity.clusterBalance(s, dir)),
       "cluster_topics" -> ((s, dir) => Similarity.clusterTopics(s, dir)),
-      "bitext_mine" -> ((s, dir) => Similarity.bitextMine(s, dir)),
+      // bitext_mine (exact all-pairs) is DEMOTED from the registered
+      // surface (r13): its candidate stage is quadratic by design (the
+      // measured 27× sf1 growth) and exists only as the oracle baseline
+      // the LSH path's recall is spec-gated against
+      // (Similarity.bitextMineOver, PipelineSpec "bitext mining" /
+      // "bitext mutual mining"). The deployable key is the LSH path.
       "bitext_mine_lsh" -> ((s, dir) => Similarity.bitextMineLsh(s, dir)),
       "ivf_cells" -> ((s, dir) => Similarity.ivfCells(s, dir)),
       "ivf_maintenance" -> ((s, dir) => Similarity.ivfMaintenance(s, dir)),
@@ -1064,6 +1069,15 @@ object PipelineQueries {
       // Image dedup by DECODED signature over the planted-duplicate
       // media fixture — the end-to-end media-dedup composition.
       "mm_dup_groups" -> ((s, dir) => Multimodal.mmDupGroups(s, dir)),
+      // Video shared-footage pairs: per-frame hashes joined on the
+      // signature, banded by frame gap, assembled into consecutive
+      // runs — the consumer of mm_video_fp's exploded layout.
+      "mm_video_dups" -> ((s, dir) => Multimodal.mmVideoDups(s, dir)),
+      // Trim-robust audio matching: FIXED-size window fingerprints
+      // (window-local, gain-invariant) joined and run-assembled — the
+      // trimmed/padded-copy case the whole-file mm_audio_fp provably
+      // misses.
+      "mm_audio_dups" -> ((s, dir) => Multimodal.mmAudioDups(s, dir)),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -3204,37 +3218,6 @@ object PipelineQueries {
            |      FROM ct)
            |WHERE rank <= 5""".stripMargin,
 
-      // Mutual-nearest-neighbor bitext mining: both direction ranks
-      // recomputed over the full cross-lingual score matrix; only
-      // orderings (cos DESC, id ASC) cross the engine boundary.
-      "bitext_mine" ->
-        """WITH e AS (
-          |  SELECT d.lang, v.vec_id, v.embedding
-          |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
-          |en AS (SELECT vec_id AS en_id, embedding AS e_en
-          |       FROM e WHERE lang = 'en'),
-          |xx AS (SELECT lang, vec_id AS xx_id, embedding AS e_xx
-          |       FROM e WHERE lang <> 'en'),
-          |scored AS (
-          |  SELECT lang, xx_id, en_id,
-          |    list_cosine_similarity(e_xx, e_en) AS cos
-          |  FROM xx CROSS JOIN en),
-          |d1 AS (
-          |  SELECT xx_id, en_id FROM (
-          |    SELECT xx_id, en_id,
-          |      row_number() OVER (PARTITION BY xx_id
-          |        ORDER BY cos DESC, en_id) AS rn
-          |    FROM scored) WHERE rn = 1),
-          |d2 AS (
-          |  SELECT lang, en_id, xx_id FROM (
-          |    SELECT lang, en_id, xx_id,
-          |      row_number() OVER (PARTITION BY en_id, lang
-          |        ORDER BY cos DESC, xx_id) AS rn
-          |    FROM scored) WHERE rn = 1)
-          |SELECT d2.lang, d1.en_id AS src_id, d1.xx_id AS tgt_id
-          |FROM d1 JOIN d2 ON d1.en_id = d2.en_id AND d1.xx_id = d2.xx_id"""
-          .stripMargin,
-
       // The mining scale path: same mutual-top-1 law, candidates
       // restricted to the adaptive sign bucket (identical bits
       // derivation as dedup_embedding's oracle).
@@ -4750,6 +4733,109 @@ object PipelineQueries {
            |FROM sig s JOIN grp g ON g.w = s.w AND g.h = s.h
            |  AND g.total = s.total AND g.ahash = s.ahash"""
           .stripMargin
+      },
+
+      // Shared-clip mirror: the stock-footage ramp (stream position
+      // p = doc//8·16 + doc%4 + f at the GROUP's dimensions) through
+      // the same pixel/block/bit chain as mm_video_fp, then the same
+      // signature join → gap band → island run assembly the engine
+      // runs — recomputed end to end, so a hash drift OR a run
+      // miscount mismatches.
+      "mm_video_dups" -> {
+        val g = Multimodal.AhashGrid
+        val cg = Multimodal.ClipGroup
+        val cs = Multimodal.ClipStride
+        s"""WITH px AS (
+           |  SELECT d.doc_id, f.f,
+           |    CAST((d.doc_id // $cg) % 13 + 4 AS BIGINT) AS w,
+           |    CAST((d.doc_id // $cg) % 11 + 4 AS BIGINT) AS h,
+           |    x.i AS x, y.j AS y,
+           |    (((d.doc_id // $cg) * $cs + d.doc_id % 4 + f.f) * 7
+           |      + 5 * x.i + 3 * y.j) % 256 AS gray
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(d.doc_id % 5 + 1 AS BIGINT))) AS f) f,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST((d.doc_id // $cg) % 13 + 3 AS BIGINT))) AS i) x,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST((d.doc_id // $cg) % 11 + 3 AS BIGINT))) AS j) y),
+           |tot AS (SELECT doc_id, f, max(w) AS w, max(h) AS h,
+           |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+           |  FROM px GROUP BY 1, 2),
+           |blk AS (SELECT doc_id, f, (x * $g) // w AS i, (y * $g) // h AS j,
+           |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
+           |  FROM px GROUP BY 1, 2, 3, 4),
+           |bits AS (SELECT b.doc_id, b.f,
+           |    CASE WHEN b.bs * t.n > t.total * b.bn
+           |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
+           |      ELSE CAST(0 AS BIGINT) END AS bit
+           |  FROM blk b JOIN tot t ON t.doc_id = b.doc_id AND t.f = b.f),
+           |sig AS (SELECT t.doc_id, t.f, t.total AS gray_sum,
+           |    CAST(sum(bits.bit) AS BIGINT) AS ahash
+           |  FROM tot t JOIN bits ON bits.doc_id = t.doc_id
+           |    AND bits.f = t.f
+           |  GROUP BY 1, 2, 3),
+           |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    CAST(b.f - a.f AS BIGINT) AS gap, CAST(a.f AS BIGINT) AS pa
+           |  FROM sig a JOIN sig b ON a.gray_sum = b.gray_sum
+           |    AND a.ahash = b.ahash AND a.doc_id < b.doc_id),
+           |isl AS (SELECT a_id, b_id, gap, pa,
+           |    pa - CAST(row_number() OVER (PARTITION BY a_id, b_id, gap
+           |      ORDER BY pa) AS BIGINT) AS island
+           |  FROM m)
+           |SELECT a_id, b_id, gap, CAST(min(pa) AS BIGINT) AS start_a,
+           |  CAST(count(*) AS BIGINT) AS run_len
+           |FROM isl GROUP BY a_id, b_id, gap, island
+           |HAVING count(*) >= ${Multimodal.MinSharedRun}""".stripMargin
+      },
+
+      // Trimmed-copy mirror: the shared stream's per-sub-bin amplitude
+      // levels (stream window B = doc//8·16 + doc%4 + k) through the
+      // fixed-window envelope-share fingerprint, then the same join →
+      // gap band → island run assembly. The engine decodes REAL WAV
+      // bytes to land on these exact integers (each sub-bin's |amp|
+      // sum is 8·level — PCM is lossless).
+      "mm_audio_dups" -> {
+        val cg = Multimodal.ClipGroup
+        val cs = Multimodal.ClipStride
+        val primes = Multimodal.ClipLevelPrimes
+        val weights = Multimodal.WfpWeights
+        val pCase = primes.zipWithIndex
+          .map { case (p, m) => s"WHEN $m THEN $p" }.mkString(" ")
+        val wCase = weights.zipWithIndex
+          .map { case (w, m) => s"WHEN $m THEN $w" }.mkString(" ")
+        s"""WITH wins AS (
+           |  SELECT d.doc_id, k.k AS win,
+           |    (d.doc_id // $cg) * $cs + d.doc_id % 4 + k.k AS b
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0,
+           |      CAST(3 + d.doc_id % 3 AS BIGINT))) AS k) k),
+           |lv AS (SELECT doc_id, win,
+           |    (b * 48271) % (CASE m.m $pCase END) + 16 AS lvl,
+           |    CAST(m.m AS BIGINT) AS m
+           |  FROM wins,
+           |    LATERAL (SELECT unnest(generate_series(0, 7)) AS m) m),
+           |ws AS (SELECT doc_id, win, CAST(sum(lvl) AS BIGINT) AS wsum
+           |  FROM lv GROUP BY 1, 2),
+           |fp AS (SELECT l.doc_id, l.win,
+           |    CAST(sum((l.lvl * 65536 // w.wsum)
+           |      * (CASE l.m $wCase END)) AS BIGINT) AS wfp
+           |  FROM lv l JOIN ws w ON w.doc_id = l.doc_id
+           |    AND w.win = l.win
+           |  GROUP BY 1, 2),
+           |m2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    CAST(b.win - a.win AS BIGINT) AS gap,
+           |    CAST(a.win AS BIGINT) AS pa
+           |  FROM fp a JOIN fp b ON a.wfp = b.wfp
+           |    AND a.doc_id < b.doc_id),
+           |isl AS (SELECT a_id, b_id, gap, pa,
+           |    pa - CAST(row_number() OVER (PARTITION BY a_id, b_id, gap
+           |      ORDER BY pa) AS BIGINT) AS island
+           |  FROM m2)
+           |SELECT a_id, b_id, gap, CAST(min(pa) AS BIGINT) AS start_a,
+           |  CAST(count(*) AS BIGINT) AS run_len
+           |FROM isl GROUP BY a_id, b_id, gap, island
+           |HAVING count(*) >= ${Multimodal.MinSharedRun}""".stripMargin
       },
 
       // Closed-form mirror of the WAV sample train: n = id%500+100

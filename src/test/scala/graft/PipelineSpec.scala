@@ -2938,6 +2938,112 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm video dups: every planted shared clip found with exact gap and run") {
+    import graft.exts.Multimodal
+    // one (a, b, gap) key can carry several islands (a planted run
+    // plus a disjoint signature coincidence) — keep them all
+    val got = Multimodal.mmVideoDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    assert(got.nonEmpty)
+    // closed-form expectation: docs a < b of one group show stream
+    // positions [a%4, a%4+n(a)) and [b%4, b%4+n(b)); the interval
+    // intersection is a shared clip at frame gap (a%4 − b%4)
+    val docIds = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    var planted = 0
+    for {
+      a <- docIds; b <- docIds
+      if a < b && a / Multimodal.ClipGroup == b / Multimodal.ClipGroup
+    } {
+      val (oa, ob) = (a % 4, b % 4)
+      val (na, nb) = (a % 5 + 2, b % 5 + 2)
+      val lo = math.max(oa, ob)
+      val hi = math.min(oa + na, ob + nb)
+      if (hi - lo >= Multimodal.MinSharedRun) {
+        planted += 1
+        val gap = oa - ob // b's frame index − a's for shared content
+        val hits = got.getOrElse((a, b, gap), Seq.empty)
+        assert(hits.nonEmpty, s"planted clip $a/$b gap $gap missed")
+        // signature coincidences may only EXTEND a run, never shrink
+        // it — some island must cover the planted clip
+        assert(hits.exists { case (start, len) =>
+          len >= hi - lo && start <= lo - oa
+        }, s"no island covers planted clip $a/$b: $hits")
+      }
+    }
+    assert(planted > 50, s"fixture planted only $planted clips")
+    // every reported pair is within one stock-footage group (dims and
+    // ramps differ across groups, so cross-group runs would mark a
+    // degenerate signature)
+    got.keys.foreach { case (a, b, _) =>
+      assert(a / Multimodal.ClipGroup === b / Multimodal.ClipGroup) }
+  }
+
+  test("mm audio dups: finds trimmed copies the whole-file fingerprint provably misses") {
+    import graft.exts.Multimodal
+    // the planted trimmed-copy pair: docs 16 and 17 (group 2) carry
+    // stream windows [0, 5) and [1, 7) — same audio, 17 trimmed to
+    // start one window later and running longer
+    val assets = Multimodal.wavClipAssets(spark, dir)
+    val whole = Multimodal.audioFingerprints(assets).collect()
+      .map(r => r.doc_id -> r.afp).toMap
+    assert(whole(16L) !== whole(17L),
+      "whole-file fingerprints agree — the trim fixture is broken")
+    val got = Multimodal.mmAudioDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val hit = got.getOrElse((16L, 17L, -1L), Seq.empty)
+    assert(hit.nonEmpty, "trimmed copy 16/17 missed")
+    assert(hit.exists(_._2 >= 4L)) // windows 1..4 shared
+    // full closed-form recall over every same-group pair
+    val docIds = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    var planted = 0
+    for {
+      a <- docIds; b <- docIds
+      if a < b && a / Multimodal.ClipGroup == b / Multimodal.ClipGroup
+    } {
+      val (oa, ob) = (a % Multimodal.AudioTrimMax,
+        b % Multimodal.AudioTrimMax)
+      val (na, nb) = (4 + a % 3, 4 + b % 3)
+      val lo = math.max(oa, ob)
+      val hi = math.min(oa + na, ob + nb)
+      if (hi - lo >= Multimodal.MinSharedRun) {
+        planted += 1
+        val hit2 = got.getOrElse((a, b, oa - ob), Seq.empty)
+        assert(hit2.exists(_._2 >= hi - lo), s"trimmed copy $a/$b missed")
+      }
+    }
+    assert(planted > 50, s"fixture planted only $planted copies")
+  }
+
+  test("mm audio window fps: gain-scaled copy keeps every window fingerprint") {
+    import graft.exts.Multimodal
+    import spark.implicits._
+    // two windows of explicit levels; gain 2 must not move any wfp
+    def asset(id: Long, gain: Int): Multimodal.WavAsset = {
+      val levels = Array(500, 9000, 120, 7400, 3100, 15000, 40, 2200,
+        8100, 16, 12000, 640, 5000, 900, 14000, 300)
+      val samples = Array.tabulate[Short](128) { i =>
+        val l = levels(i / 8) * gain
+        (if (i % 2 == 0) l else -l).toShort
+      }
+      Multimodal.WavAsset(id, Multimodal.encodeWavSamples(samples))
+    }
+    def fps(gain: Int) = Multimodal
+      .audioWindowFps(Seq(asset(1L, gain)).toDS()).collect()
+      .map(r => r.win -> r.wfp).toMap
+    val (base, loud) = (fps(1), fps(2))
+    assert(base.keySet === Set(0, 1))
+    assert(base(0) !== base(1)) // distinct envelopes → distinct fps
+    assert(loud === base, "gain moved a window fingerprint")
+  }
+
   test("mmr select: serial greedy replay; diversity laws") {
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
