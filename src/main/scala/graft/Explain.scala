@@ -58,7 +58,8 @@ object Explain {
       "q20_part_promotion", "graph_lpa", "text_hash_embed",
       "kcenter_coreset", "rho_select", "hybrid_search",
       "boilerplate_strip", "mmr_select", "mm_phash", "mm_audio_fp",
-      "mm_video_fp", "mm_dup_groups", "mm_video_dups", "mm_audio_dups")
+      "mm_video_fp", "mm_dup_groups", "mm_video_dups", "mm_audio_dups",
+      "knn_incremental")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

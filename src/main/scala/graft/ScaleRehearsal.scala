@@ -237,6 +237,11 @@ object ScaleRehearsal {
       // mutual-kNN clustering (r12): knn_graph's linear build + the
       // min-label loop over ≤ n·k/2 id pairs + component-keyed rollup.
       "knn_components" -> SparkEntry.queries("knn_components"),
+      // incremental graph maintenance (r13): batch buckets broadcast
+      // onto one corpus scan, rescore bounded by batch × occupancy,
+      // untouched artifact edges pass through a broadcast anti-join —
+      // growth tracks the artifact + corpus scans, never the rebuild.
+      "knn_incremental" -> SparkEntry.queries("knn_incremental"),
       // integer PageRank (r12): knn_graph's linear build, then
       // PagerankIters rounds of join+partial-agg over ≤ n·k 16-byte
       // (id, long) rows — each round one linear co-partitioned shuffle.

@@ -204,6 +204,68 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     KnnIndex.edges(spark, dir)
 
+  /** knn_incremental: INCREMENTAL kNN-graph maintenance — merge a
+    * vector ingest batch into the persisted [[KnnIndex]] edge list
+    * without rebuilding the graph from the corpus; the reference's
+    * accumulate→threshold→rebuild lifecycle
+    * (AwsTableManagementMetricsEvaluator.java:108-140) taken one step
+    * further: between full rebuilds, maintenance is BUCKET-LOCAL.
+    *
+    * Why locality is exact, not approximate: every edge of the graph
+    * is within one sign bucket ([[knnGraphOver]]'s candidate rule), so
+    * a batch vector can only create, displace, or re-rank edges inside
+    * the buckets the batch lands in. Nodes of untouched buckets keep
+    * their edge rows verbatim — including the `mutual` flag, because a
+    * kept edge's endpoint lives in the same (untouched) bucket, so its
+    * top-k is unchanged too. The merge is therefore
+    * `untouched artifact edges ∪ rescored touched buckets`, and the
+    * spec + oracle gate it as BIT-EQUAL to a full rebuild over
+    * corpus ∪ batch at the same bucket width.
+    *
+    * Scale shape: the batch's bucket set broadcasts onto one corpus
+    * scan to pull affected members (≤ batch × target cell occupancy —
+    * bounded, checkpointed once); rescoring is [[knnGraphOver]]'s plan
+    * restricted to those members; the artifact scan drops affected
+    * sources via one broadcast anti-join. The corpus embeddings are
+    * scanned once (at rest the bucket is the partition key —
+    * [[IvfIndex.writeClustered]]'s layout — so even that scan prunes
+    * to the touched buckets' files). Bucket width is PINNED to the
+    * artifact's ([[adaptiveBucketBits]] of the BASE corpus, the
+    * [[embIncrementalGateAt]] convention): widths re-adapt at the next
+    * full rebuild, exactly when the reference's threshold loop would
+    * rebuild anyway. */
+  def knnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    knnGraphMergeAt(KnnIndex.edges(spark, dir), corpus,
+      incomingVecBatch(spark, dir)
+        .select(col("batch_id").as("vec_id"), col("embedding")),
+      adaptiveBucketBits(corpus.count()))
+  }
+
+  /** [[knnIncremental]]'s core over explicit frames: merge `batch`
+    * (id-disjoint from `corpus`) into a prebuilt `edges` frame at the
+    * EXPLICIT bucket width the edges were built with. */
+  def knnGraphMergeAt(edges: DataFrame, corpus: DataFrame,
+      batch: DataFrame, bits: Int, k: Int = KnnGraphK): DataFrame = {
+    val bb = batch.select(col("vec_id"), col("embedding"),
+      signBucketBits(col("embedding"), bits).as("bucket"))
+    val touched = bb.select(col("bucket")).distinct()
+    val affected = corpus
+      .select(col("vec_id"), col("embedding"),
+        signBucketBits(col("embedding"), bits).as("bucket"))
+      .join(broadcast(touched), "bucket")
+    // affected-bucket members: ≤ batch × cell occupancy — bounded;
+    // checkpointed because both the rescore and the anti-join read it
+    val members = affected.unionByName(bb).localCheckpoint(false)
+    val rescored = knnGraphOver(
+      members.select(col("vec_id"), col("embedding")), bits, k)
+    val untouched = edges.join(
+      broadcast(members.select(col("vec_id").as("src_id"))),
+      Seq("src_id"), "left_anti")
+    untouched.unionByName(rescored)
+  }
+
   /** Semantic clusters = connected components over the MUTUAL edges of
     * [[knnGraph]] — the graph-clustering step after graph construction
     * (mutual-kNN is the standard precision cut: a one-way edge into a hub

@@ -931,6 +931,11 @@ object PipelineQueries {
       "emb_pca" -> ((s, dir) => Similarity.embPca(s, dir)),
       "emb_project" -> ((s, dir) => Similarity.embProject(s, dir)),
       "knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
+      // Incremental graph maintenance: merge the vector ingest batch
+      // into the persisted KnnIndex edges bucket-locally — bit-equal
+      // to a full rebuild over corpus ∪ batch (the oracle IS that
+      // rebuild), without re-scoring untouched buckets.
+      "knn_incremental" -> ((s, dir) => Similarity.knnIncremental(s, dir)),
       "knn_components" -> ((s, dir) => Similarity.knnComponents(s, dir)),
       // Fixed-point integer PageRank over the knn_graph edges — the
       // corpus-centrality record (bit-reproducible across engines).
@@ -3959,6 +3964,53 @@ object PipelineQueries {
       // reverse edge also survived its endpoint's top-k.
       "knn_graph" ->
         s"""WITH $knnGraphCtes
+           |SELECT e.src_id, e.dst_id, e.rank,
+           |  CAST(CASE WHEN r.src_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |    AS mutual
+           |FROM e LEFT JOIN e r
+           |  ON r.src_id = e.dst_id AND r.dst_id = e.src_id""".stripMargin,
+
+      // FULL REBUILD over corpus ∪ the mirrored ingest batch at the
+      // BASE corpus's bucket width — the equivalence law itself: the
+      // engine's bucket-local merge must be bit-equal to this rebuild,
+      // so a stale kept edge, a missed displacement, or a wrong mutual
+      // flag on either side of the touched/untouched boundary
+      // hash-mismatches.
+      "knn_incremental" ->
+        s"""WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
+           |p AS (SELECT coalesce(min(b), ${Similarity.MaxBucketBits}) AS bits
+           |      FROM (SELECT unnest(range(${Similarity.BucketBits},
+           |                               ${Similarity.MaxBucketBits + 1})) AS b), n
+           |      WHERE n_corpus <= ${Similarity.TargetCellVectors}
+           |                        * (CAST(1 AS BIGINT) << b)),
+           |allv AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + ${Similarity.VecScaledOff},
+           |    list_transform(embedding, x -> x * 2)
+           |  FROM embeddings WHERE vec_id % 6 = 0
+           |  UNION ALL
+           |  SELECT vec_id + ${Similarity.VecFlippedOff},
+           |    list_transform(embedding, x -> -x)
+           |  FROM embeddings WHERE vec_id % 9 = 0),
+           |bkt AS (SELECT vec_id, embedding,
+           |    CAST(list_sum(list_transform(range(1, bits + 1),
+           |      k -> CASE WHEN embedding[k] >= 0
+           |                THEN CAST(1 AS BIGINT) << (k - 1)
+           |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+           |  FROM allv CROSS JOIN p),
+           |cand AS (
+           |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+           |    list_cosine_similarity(x.embedding, y.embedding) AS cos
+           |  FROM bkt x JOIN bkt y
+           |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+           |e AS (
+           |  SELECT src_id, dst_id, CAST(rn AS INTEGER) AS rank
+           |  FROM (SELECT src_id, dst_id,
+           |          row_number() OVER (PARTITION BY src_id
+           |            ORDER BY cos DESC, dst_id) AS rn
+           |        FROM cand)
+           |  WHERE rn <= ${Similarity.KnnGraphK})
            |SELECT e.src_id, e.dst_id, e.rank,
            |  CAST(CASE WHEN r.src_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
            |    AS mutual

@@ -100,6 +100,66 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(key(KnnIndex.edges(spark, dir)) === fresh)
   }
 
+  test("knn incremental merge: bit-equal to full rebuild; reuses untouched buckets; batch displaces") {
+    import org.apache.spark.sql.functions.col
+    KnnIndex.evict(spark, dir)
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bits = Similarity.adaptiveBucketBits(corpus.count())
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("mutual"))).toSet
+    val batch = Similarity.incomingVecBatch(spark, dir)
+      .select(col("batch_id").as("vec_id"), col("embedding"))
+    // the law: merge == full rebuild over corpus ∪ batch at the same
+    // bucket width, bit-exact
+    val merged = key(Similarity.knnIncremental(spark, dir))
+    val rebuilt = key(Similarity.knnGraphOver(
+      corpus.unionByName(batch), bits, Similarity.KnnGraphK))
+    assert(merged === rebuilt)
+    // the batch genuinely displaces: a scaled copy has cosine 1 with
+    // its source, so at least one affected existing node's edge set
+    // must change vs the artifact
+    val artifact = key(KnnIndex.edges(spark, dir))
+    assert(merged !== artifact)
+    // untouched buckets are REUSED, not recomputed: doctor an
+    // untouched-bucket edge in the committed artifact and the merge
+    // must carry the doctored row through verbatim
+    val touched = batch
+      .select(Similarity.signBucketBits(col("embedding"), bits)
+        .as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val untouchedSrc = corpus
+      .select(col("vec_id"),
+        Similarity.signBucketBits(col("embedding"), bits).as("bucket"))
+      .collect().collectFirst {
+        case r if !touched.contains(r.getLong(1)) &&
+          artifact.exists(_._1 == r.getLong(0)) => r.getLong(0)
+      }.get
+    val path = KnnIndex.path(spark, dir)
+    val doctored = KnnIndex.load(spark, path)
+      .withColumn("rank",
+        org.apache.spark.sql.functions.when(
+          col("src_id") === untouchedSrc, col("rank") + 100)
+          .otherwise(col("rank")))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("knn-inc-doctored").toString
+    doctored.write.parquet(s"$tmp/edges")
+    val fs = java.nio.file.Paths.get(path, "edges")
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(fs)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp, "edges"), fs)
+    graft.exts.ArtifactStore.clear()
+    val viaDoctored = key(Similarity.knnIncremental(spark, dir))
+    assert(viaDoctored.exists { case (s, _, rk, _) =>
+      s == untouchedSrc && rk > 100
+    }, "merge recomputed an untouched bucket instead of reusing it")
+    KnnIndex.evict(spark, dir) // restore clean artifact for later tests
+  }
+
   test("graph consumers READ the artifact: a doctored edge propagates") {
     // baseline components, then doctor the committed edge frame by
     // deleting every mutual edge of one component's bridge pair — if

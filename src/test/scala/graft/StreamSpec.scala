@@ -920,6 +920,90 @@ class StreamSpec extends AnyFunSuite {
     assert(reloaded.snapshot.cents.toSet === index.snapshot.cents.toSet)
   }
 
+  test("graph loop: ingest gate → bucket-local merge → width-drift rebuild → serving") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graph-loop")
+      .toString
+    val corpusPath = tmpRoot + "/corpus"
+    val graphPath = tmpRoot + "/graph"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).write.parquet(corpusPath)
+    // target 4 → width 7 for the 500-vector base; pushing the corpus
+    // past 4<<7 = 512 fires the width-drift rebuild inside the test
+    val graph = graft.stream.GraphIndexLoop.buildGraph(spark, corpusPath,
+      graphPath, target = 4L)
+    val bits0 = graph.snapshot.bits
+    assert(new java.io.File(s"$graphPath/b$bits0").isDirectory)
+    def served(): Set[(Long, Long, Int, Long)] = graph.edges(spark)
+      .collect().map(r => (r.getAs[Long]("src_id"),
+        r.getAs[Long]("dst_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("mutual"))).toSet
+    def rebuilt(bits: Int): Set[(Long, Long, Int, Long)] =
+      graft.exts.Similarity.knnGraphOver(
+        spark.read.parquet(corpusPath)
+          .select(col("vec_id"), col("embedding")),
+        bits, graft.exts.Similarity.KnnGraphK)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    // the built layout equals a direct rebuild
+    assert(served() === rebuilt(bits0))
+    val cycles = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.stream.GraphIndexLoop.start(spark, graph, corpusPath,
+      input.toDS().toDF("vec_id", "embedding"), target = 4L,
+      onCycle = (b, n, v) => cycles.synchronized { cycles += ((b, n, v)) })
+    val base = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def flip(v: Seq[Float]): Seq[Float] = v.map(x => -x)
+    // batch 1: two novel vectors — the per-batch LAW: the layout after
+    // the bucket-local merge equals a FULL rebuild over the landed
+    // corpus at the pinned width
+    input.addData((2000001L, flip(base(1L))), (2000002L, flip(base(2L))))
+    q.processAllAvailable()
+    assert(graph.nCorpus === 502L)
+    assert(graph.version === 0L,
+      "a non-drifting batch must not bump the version")
+    assert(served() === rebuilt(bits0))
+    // gate: a scaled corpus copy (cosine 1) never lands, layout untouched
+    input.addData((2000003L, base(6L).map(x => x * 2.0f)))
+    q.processAllAvailable()
+    assert(graph.nCorpus === 502L, "a gated near-dup must never land")
+    assert(served() === rebuilt(bits0))
+    // hot batch: 20 novel directions push the corpus past 4<<7 = 512 —
+    // the width-drift rebuild fires, the version bumps, and the served
+    // layout equals a rebuild at the NEW width
+    val novel = (0 until 20).map { i =>
+      val v = flip(base((20 + i).toLong))
+      val d = 2 + i % 6
+      (2100000L + i, v.updated(d, v(d) + 0.4f * math.abs(v(d)) + 0.1f))
+    }
+    input.addData(novel: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(graph.nCorpus > 512L, s"corpus stuck at ${graph.nCorpus}")
+    assert(graph.version === 1L,
+      s"width drift must bump the version, got ${graph.version}")
+    val bits1 = graph.snapshot.bits
+    assert(bits1 === bits0 + 1,
+      s"width must drift $bits0 → ${bits0 + 1}, got $bits1")
+    assert(new java.io.File(s"$graphPath/b$bits1").isDirectory)
+    assert(served() === rebuilt(bits1))
+    // every graph consumer runs against the served frame unchanged
+    assert(graft.exts.Similarity
+      .knnComponentsFromEdges(graph.edges(spark)).count() > 0L)
+    // restart durability: meta round-trips, the reloaded handle serves
+    // the same layout with zero graph work
+    graft.stream.GraphIndexLoop.saveMeta(spark, graph, s"$tmpRoot/meta")
+    val reloaded = graft.stream.GraphIndexLoop.loadMeta(spark, graphPath,
+      s"$tmpRoot/meta")
+    assert(reloaded.snapshot === graph.snapshot)
+    assert(reloaded.edges(spark).count() === graph.edges(spark).count())
+  }
+
   test("ANN serving restart: cold path loads the codebook artifact, not a retrain") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
