@@ -89,7 +89,7 @@ object Bench {
     val artifactQueries =
       Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
         "pq_search", "ivf_pq_search", "ivf_pq_refine", "dsir_score_batch",
-        "bm25_batch", "knn_graph")
+        "bm25_batch", "knn_graph", "knn_components")
     val artifactSplit: Seq[(String, Double, Double)] = artifactQueries
       .filter(SparkEntry.queries.contains)
       .map { name =>

@@ -56,11 +56,50 @@ object KnnIndex {
       k: Int = Similarity.KnnGraphK): DataFrame =
     load(spark, path(spark, dir, k))
 
+  // ---- the derived COMPONENTS artifact (one level up the reuse
+  //      chain: knn_components, cluster_purity and d4_prune all
+  //      consume the same mutual-edge component frame, and the
+  //      min-label loop over it is the dominant cost once the edge
+  //      list itself is artifact-served) ----
+
+  private[exts] val CompKind = "knn-components"
+
+  /** The committed components artifact for (`dir`, k): the full
+    * [[Similarity.knnComponentsFromEdges]] frame (vec_id, component,
+    * cluster_size, is_canonical — longs and a boolean, parquet
+    * round-trip bit-exact) over the [[edges]] artifact. Built on first
+    * use; the component loop runs once per corpus snapshot instead of
+    * once per consumer. */
+  def componentsPath(spark: SparkSession, dir: String,
+      k: Int = Similarity.KnnGraphK): String =
+    ArtifactStore.resolve(spark, CompKind, dir,
+      Tables.version(dir, "embeddings"), variant = s"k$k") { staging =>
+      Similarity.knnComponentsFromEdges(edges(spark, dir, k))
+        .write.mode("overwrite").parquet(s"$staging/components")
+    }
+
+  /** The corpus's mutual-kNN component frame, artifact-backed. */
+  def components(spark: SparkSession, dir: String,
+      k: Int = Similarity.KnnGraphK): DataFrame =
+    spark.read.parquet(s"${componentsPath(spark, dir, k)}/components")
+
+  /** Evict only the derived components artifact (test seam: after
+    * doctoring the edge artifact in place, the derived frame must be
+    * re-derived — in production both artifacts share the corpus
+    * version, so they can never drift apart). */
+  private[graft] def evictComponents(spark: SparkSession, dir: String,
+      k: Int = Similarity.KnnGraphK): Unit =
+    ArtifactStore.evict(spark, CompKind, dir,
+      Tables.version(dir, "embeddings"), variant = s"k$k")
+
   /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
   private[graft] def evict(spark: SparkSession, dir: String,
-      k: Int = Similarity.KnnGraphK): Unit =
+      k: Int = Similarity.KnnGraphK): Unit = {
     ArtifactStore.evict(spark, Kind, dir,
       Tables.version(dir, "embeddings"), variant = s"k$k")
+    ArtifactStore.evict(spark, CompKind, dir,
+      Tables.version(dir, "embeddings"), variant = s"k$k")
+  }
 
   /** Test seam: drop memoized paths (delegates to the shared store). */
   private[graft] def clear(): Unit = ArtifactStore.clear()

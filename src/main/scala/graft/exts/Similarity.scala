@@ -297,8 +297,12 @@ object Similarity {
         col("cluster_size"), col("is_canonical"))
   }
 
+  /** Artifact-backed: the component frame is itself a [[KnnIndex]]
+    * artifact (built once over the edge artifact), so the min-label
+    * loop never re-runs per consumer — cluster_purity and d4_prune
+    * read the same committed frame. */
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
-    knnComponentsFromEdges(KnnIndex.edges(spark, dir))
+    KnnIndex.components(spark, dir)
 
   /** Fixed rounds for [[graphPagerank]] — centrality stabilizes in a few
     * rounds on a k-regular-ish graph; a fixed count keeps the plan and
@@ -620,8 +624,14 @@ object Similarity {
   /** [[clusterPurity]] over a PREBUILT edge frame; `corpus0` supplies
     * the ground-truth label column. */
   def clusterPurityFromEdges(corpus0: DataFrame,
-      edges: DataFrame): DataFrame = {
-    val memb = knnComponentsFromEdges(edges)
+      edges: DataFrame): DataFrame =
+    clusterPurityOver(corpus0, knnComponentsFromEdges(edges))
+
+  /** [[clusterPurity]] over a PREBUILT component frame (the
+    * [[KnnIndex.components]] artifact-consuming form). */
+  def clusterPurityOver(corpus0: DataFrame,
+      components: DataFrame): DataFrame = {
+    val memb = components
       .select("vec_id", "component", "cluster_size")
       .join(corpus0.select(col("vec_id"),
         col("label").cast("long").as("label")).hint("shuffle_hash"),
@@ -642,8 +652,8 @@ object Similarity {
   }
 
   def clusterPurity(spark: SparkSession, dir: String): DataFrame =
-    clusterPurityFromEdges(Tables.load(spark, dir, "embeddings"),
-      KnnIndex.edges(spark, dir))
+    clusterPurityOver(Tables.load(spark, dir, "embeddings"),
+      KnnIndex.components(spark, dir))
 
   /** Component quantization scale for [[d4Prune]] distances (×1e3 — one
     * decade coarser than embStats' 1e4 so the n²-scaled squared distance
@@ -680,8 +690,13 @@ object Similarity {
 
   /** [[d4Prune]] over a PREBUILT edge frame; `corpus0` supplies the
     * embedding column the centroid distances quantize. */
-  def d4PruneFromEdges(corpus0: DataFrame, edges: DataFrame): DataFrame = {
-    val memb = knnComponentsFromEdges(edges)
+  def d4PruneFromEdges(corpus0: DataFrame, edges: DataFrame): DataFrame =
+    d4PruneOver(corpus0, knnComponentsFromEdges(edges))
+
+  /** [[d4Prune]] over a PREBUILT component frame (the
+    * [[KnnIndex.components]] artifact-consuming form). */
+  def d4PruneOver(corpus0: DataFrame, components: DataFrame): DataFrame = {
+    val memb = components
       .select("vec_id", "component", "cluster_size")
       .join(corpus0.select(col("vec_id"),
           transform(col("embedding"),
@@ -861,8 +876,8 @@ object Similarity {
     mmrSelect(Tables.load(spark, dir, "embeddings"))
 
   def d4Prune(spark: SparkSession, dir: String): DataFrame =
-    d4PruneFromEdges(Tables.load(spark, dir, "embeddings"),
-      KnnIndex.edges(spark, dir))
+    d4PruneOver(Tables.load(spark, dir, "embeddings"),
+      KnnIndex.components(spark, dir))
 
   /** Johnson–Lindenstrauss output width for [[embProject]]. */
   val ProjectDims = 16

@@ -100,6 +100,45 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(key(KnnIndex.edges(spark, dir)) === fresh)
   }
 
+  test("components artifact: == fresh derivation; purity/d4 consume it (doctored row propagates)") {
+    import org.apache.spark.sql.functions._
+    KnnIndex.evict(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("component"),
+        r.getAs[Long]("cluster_size"))).toSet
+    val art = key(KnnIndex.components(spark, dir))
+    val fresh = key(Similarity.knnComponentsFromEdges(
+      KnnIndex.edges(spark, dir)))
+    assert(art === fresh && art.nonEmpty)
+    // provenance: inflate one cluster_size in the committed artifact —
+    // d4_prune's keep threshold reads cluster_size, so the doctored
+    // value must flow through (a recompute would mask it)
+    val someComp = art.head._2
+    val path = KnnIndex.componentsPath(spark, dir)
+    val doctored = spark.read.parquet(s"$path/components")
+      .withColumn("cluster_size",
+        when(col("component") === someComp,
+          col("cluster_size") + 1000L).otherwise(col("cluster_size")))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("knn-comp-doctored").toString
+    doctored.write.parquet(s"$tmp/components")
+    val fs = java.nio.file.Paths.get(path, "components")
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(fs)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp, "components"), fs)
+    graft.exts.ArtifactStore.clear()
+    val viaD4 = Similarity.d4Prune(spark, dir).collect()
+      .map(r => r.getAs[Long]("component") ->
+        r.getAs[Long]("cluster_size")).toMap
+    assert(viaD4(someComp) > 1000L,
+      "d4_prune recomputed components instead of reading the artifact")
+    KnnIndex.evict(spark, dir) // restore for later tests
+  }
+
   test("knn incremental merge: bit-equal to full rebuild; reuses untouched buckets; batch displaces") {
     import org.apache.spark.sql.functions.col
     KnnIndex.evict(spark, dir)
@@ -185,6 +224,10 @@ class ArtifactStoreSpec extends AnyFunSuite {
     finally walk.close()
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp, "edges"), fs)
     ArtifactStore.clear()
+    // the derived components artifact must re-derive from the doctored
+    // edges (in production both share the corpus version — doctoring
+    // in place is a test-only intervention, so the seam evicts it)
+    KnnIndex.evictComponents(spark, dir)
     // with every mutual flag zeroed, no vector has a mutual neighbor →
     // the component frame must be EMPTY; a rebuild would repopulate it
     assert(Similarity.knnComponents(spark, dir).count() === 0L,
