@@ -1002,6 +1002,41 @@ class StreamSpec extends AnyFunSuite {
       s"$tmpRoot/meta")
     assert(reloaded.snapshot === graph.snapshot)
     assert(reloaded.edges(spark).count() === graph.edges(spark).count())
+    // SERVING: per query batch, neighbors come from the current layout,
+    // read through a directory-pruned scan of the batch's own buckets
+    val qids = Seq(1L, 5L, 9L, 2000001L)
+    val qvecs = spark.read.parquet(corpusPath)
+      .filter(col("vec_id").isin(qids: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    assert(qvecs.size === qids.size)
+    val sresults = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Long, Long)]
+    val splans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val qinput = MemoryStream[(Long, Seq[Float])]
+    val sq = graft.stream.GraphServing.serveWith(spark, graph,
+      qinput.toDS().toDF("query_id", "embedding"),
+      (df, _, v) => {
+        splans.synchronized {
+          splans += df.queryExecution.executedPlan.toString }
+        sresults.synchronized {
+          sresults ++= df.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getInt(2), r.getLong(3), v)) }
+      })
+    qinput.addData(qvecs: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val expectedNbrs = graph.edges(spark)
+      .filter(col("src_id").isin(qids: _*)).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("mutual"))).toSet
+    assert(sresults.synchronized(sresults.toSeq)
+      .map(t => (t._1, t._2, t._3, t._4)).toSet === expectedNbrs)
+    assert(sresults.synchronized(sresults.toSeq)
+      .forall(_._5 === graph.version),
+      "serving must observe the current graph version")
+    val splan = splans.synchronized(splans.mkString)
+    assert(splan.contains("PartitionFilters") && splan.contains("bucket"),
+      s"no bucket partition filter in:\n$splan")
   }
 
   test("ANN serving restart: cold path loads the codebook artifact, not a retrain") {
