@@ -276,6 +276,10 @@ object ScaleRehearsal {
       // Trim-robust audio matching (r13): same shape over fixed-size
       // window fingerprints.
       "mm_audio_dups" -> SparkEntry.queries("mm_audio_dups"),
+      // Real pixel resize (r13): the mm_decode codec shape — one
+      // decoder per partition, O(resized pixels) per asset past the
+      // decode, shuffle-free.
+      "mm_resize_px" -> SparkEntry.queries("mm_resize_px"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

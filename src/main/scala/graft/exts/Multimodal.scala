@@ -1111,7 +1111,67 @@ object Multimodal {
     sharedRuns(fp, "win", Seq("wfp"))
   }
 
-  /** Resize stub: metadata-level resize (a real one transforms pixels).
+  /** REAL pixel resize over the decoded PNG: nearest-neighbor integer
+    * downscale to [[resizeMeta]]'s exact target dimensions (source
+    * pixel (x·w₀ div w₁, y·h₀ div h₁) — all-integer, so the DuckDB
+    * oracle replays every sampled pixel), then the resized image's
+    * perceptual signature (gray_sum over r+g+b, [[AhashGrid]]² block
+    * hash — the [[ahashStats]] chain on the RESIZED raster). This is
+    * the thumbnail/feature-extraction stage a media pipeline runs
+    * after decode: payloads stay in their partition, one decoder per
+    * partition, O(pixels) per asset, shuffle-free; the output is a
+    * 4-long signature row, never the resized bytes. Images already at
+    * or under `maxDim` pass through unresized (the resizeMeta law),
+    * exercising both branches. */
+  def resizePixels(assets: Dataset[PngAsset], maxDim: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    val g = AhashGrid
+    assets.mapPartitions { batch =>
+      imageIoNoDiskCache
+      batch.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.png))
+        val (w0, h0) = (img.getWidth, img.getHeight)
+        val m = math.max(w0, h0)
+        val (rw, rh) =
+          if (m <= maxDim) (w0, h0)
+          else (math.max(1, w0 * maxDim / m), math.max(1, h0 * maxDim / m))
+        val bs = new Array[Long](g * g)
+        val bn = new Array[Long](g * g)
+        var total = 0L
+        var y = 0
+        while (y < rh) {
+          var x = 0
+          while (x < rw) {
+            val rgb = img.getRGB(x * w0 / rw, y * h0 / rh)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)).toLong
+            val k = (y * g / rh) * g + (x * g / rw)
+            bs(k) += gray
+            bn(k) += 1L
+            total += gray
+            x += 1
+          }
+          y += 1
+        }
+        val np = rw.toLong * rh
+        var hash = 0L
+        var k = 0
+        while (k < g * g) {
+          if (bs(k) * np > total * bn(k)) hash |= 1L << k
+          k += 1
+        }
+        (a.doc_id, rw, rh, total, hash)
+      }
+    }.toDF("doc_id", "resized_w", "resized_h", "gray_sum", "ahash")
+  }
+
+  def resizePixels(spark: SparkSession, dir: String,
+      maxDim: Int): DataFrame =
+    resizePixels(pngAssets(spark, dir), maxDim)
+
+  /** Metadata-level resize — the planning half ([[resizePixels]] is
+    * the pixel-transforming half, sharing this exact dimension law).
     * Integer arithmetic only (`w·maxDim div max(w,h)`, floor), so the
     * DuckDB oracle reproduces every pixel dimension exactly — no float
     * scale whose rounding could differ at a boundary. */

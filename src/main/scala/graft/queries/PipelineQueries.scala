@@ -1054,6 +1054,10 @@ object PipelineQueries {
         Multimodal.sampleFrames(Multimodal.assets(s, dir), 4)),
       "mm_resize" -> ((s, dir) =>
         Multimodal.resizeMeta(Multimodal.assets(s, dir), 256)),
+      // REAL pixel resize over the decoded PNG: nearest-neighbor
+      // integer downscale to resizeMeta's dimension law, signature of
+      // the RESIZED raster — the thumbnail/feature stage after decode.
+      "mm_resize_px" -> ((s, dir) => Multimodal.resizePixels(s, dir, 8)),
       "mm_audio" -> ((s, dir) =>
         Multimodal.audioWindows(Multimodal.assets(s, dir))),
       // REAL codec round-trip: genuine PNG bytes through javax.imageio
@@ -4942,5 +4946,55 @@ object PipelineQueries {
           |  CAST(CASE WHEN greatest(width, height) <= 256 THEN height
           |    ELSE greatest(1, height * 256 // greatest(width, height))
           |    END AS INTEGER) AS resized_h
-          |FROM a""".stripMargin))
+          |FROM a""".stripMargin,
+
+      // REAL pixel-resize mirror: nearest-neighbor sampling replayed
+      // pixel-for-pixel — source (x·w0 // rw, y·h0 // rh) through the
+      // PNG channel ramps, then the mm_phash block/bit chain over the
+      // RESIZED raster, so a wrong sample coordinate, a dropped pixel,
+      // or a block-mapping drift all hash-mismatch.
+      "mm_resize_px" -> {
+        val g = Multimodal.AhashGrid
+        s"""WITH rd AS (
+           |  SELECT doc_id,
+           |    CAST(doc_id % 13 + 4 AS BIGINT) AS w0,
+           |    CAST(doc_id % 11 + 4 AS BIGINT) AS h0,
+           |    greatest(doc_id % 13 + 4, doc_id % 11 + 4) AS m
+           |  FROM documents),
+           |rz AS (
+           |  SELECT doc_id, w0, h0,
+           |    CASE WHEN m <= 8 THEN w0
+           |      ELSE greatest(1, w0 * 8 // m) END AS rw,
+           |    CASE WHEN m <= 8 THEN h0
+           |      ELSE greatest(1, h0 * 8 // m) END AS rh
+           |  FROM rd),
+           |px AS (
+           |  SELECT r.doc_id, r.rw, r.rh, x.i AS x, y.j AS y,
+           |    (r.doc_id * 3 + (x.i * r.w0) // r.rw
+           |       + (y.j * r.h0) // r.rh) % 256
+           |    + (r.doc_id * 5 + 2 * ((x.i * r.w0) // r.rw)) % 256
+           |    + (r.doc_id * 7 + 3 * ((y.j * r.h0) // r.rh)) % 256
+           |      AS gray
+           |  FROM rz r,
+           |    LATERAL (SELECT unnest(generate_series(0, r.rw - 1))
+           |      AS i) x,
+           |    LATERAL (SELECT unnest(generate_series(0, r.rh - 1))
+           |      AS j) y),
+           |tot AS (SELECT doc_id, max(rw) AS rw, max(rh) AS rh,
+           |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+           |  FROM px GROUP BY 1),
+           |blk AS (SELECT doc_id, (x * $g) // rw AS i, (y * $g) // rh AS j,
+           |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
+           |  FROM px GROUP BY 1, 2, 3),
+           |bits AS (SELECT b.doc_id,
+           |    CASE WHEN b.bs * t.n > t.total * b.bn
+           |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
+           |      ELSE CAST(0 AS BIGINT) END AS bit
+           |  FROM blk b JOIN tot t USING (doc_id))
+           |SELECT t.doc_id, CAST(t.rw AS INTEGER) AS resized_w,
+           |  CAST(t.rh AS INTEGER) AS resized_h, t.total AS gray_sum,
+           |  CAST(sum(bits.bit) AS BIGINT) AS ahash
+           |FROM tot t JOIN bits ON bits.doc_id = t.doc_id
+           |GROUP BY 1, 2, 3, 4""".stripMargin
+      }))
 }

@@ -2883,6 +2883,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 >= 2L))
   }
 
+  test("mm resize px: pass-through equals the unresized hash; downscale dims law") {
+    import graft.exts.Multimodal
+    val sig = Multimodal.ahashStats(spark, dir).collect()
+      .map(r => r.doc_id -> ((r.width, r.height, r.gray_sum, r.ahash)))
+      .toMap
+    val rz = Multimodal.resizePixels(spark, dir, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rz.nonEmpty)
+    var (passThrough, downscaled) = (0, 0)
+    rz.foreach { case (id, rw, rh, gs, ah) =>
+      val (w, h, gs0, ah0) = sig(id)
+      val m = math.max(w, h)
+      if (m <= 8) {
+        // no resize → the whole pipeline must reproduce the plain
+        // decode→hash signature exactly
+        passThrough += 1
+        assert((rw, rh, gs, ah) === ((w, h, gs0, ah0)), s"doc $id moved")
+      } else {
+        downscaled += 1
+        assert(rw === math.max(1, w * 8 / m), s"doc $id rw")
+        assert(rh === math.max(1, h * 8 / m), s"doc $id rh")
+        assert(gs < gs0, s"doc $id: fewer pixels must carry less mass")
+      }
+    }
+    assert(passThrough > 0 && downscaled > 0,
+      s"fixture must exercise both branches: $passThrough/$downscaled")
+  }
+
   test("mm audio fp: closed-form replay; gain invariance") {
     import graft.exts.Multimodal
     val wN = Multimodal.AudioFpWindows
