@@ -125,44 +125,53 @@ object ArtifactStore {
   /** Resolve the artifact directory for (kind, dir, variant, version),
     * building it via `build` on first use. `build` receives a private
     * staging directory to write into; publication (manifest + atomic
-    * rename) is handled here. Returns the committed directory path. */
+    * rename) is handled here. Returns the committed directory path.
+    *
+    * Deliberately get-then-publish rather than `computeIfAbsent`: a
+    * build may itself resolve ANOTHER artifact (the components
+    * artifact builds over the edge artifact), and a nested
+    * computeIfAbsent on one ConcurrentHashMap throws "recursive
+    * update" whenever the two keys share a bin. Two threads racing the
+    * same key may both build — the atomic-rename publish already makes
+    * that safe (deterministic builds; loser discards its staging). */
   def resolve(spark: SparkSession, kind: String, dir: String,
       version: Long, variant: String = "")(build: String => Unit): String = {
     val r = root(spark)
     val key = Key(r, kind, dir, variant, version)
-    memo.computeIfAbsent(key, _ => {
-      val fin = entryPath(r, kind, dir, variant, version)
-      if (!ready(fin, kind, dir, variant, version)) {
-        Files.createDirectories(fin.getParent)
-        val staging = fin.getParent.resolve(
-          s"${fin.getFileName}.staging-${java.util.UUID.randomUUID()}")
-        try {
-          Files.createDirectories(staging)
-          build(staging.toString)
-          Files.write(staging.resolve("_MANIFEST.json"),
-            manifestJson(kind, dir, variant, version).getBytes("UTF-8"))
-          // a directory at the target that FAILED the manifest check is
-          // not an artifact (planted, collided, or torn by a pre-atomic
-          // writer) — clear it so the atomic publish can land
-          if (Files.exists(fin) && !ready(fin, kind, dir, variant, version))
-            deleteRecursively(fin)
-          try Files.move(staging, fin, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.AccessDeniedException |
-                 _: java.nio.file.FileSystemException
-                if ready(fin, kind, dir, variant, version) =>
-              // another JVM committed first; its artifact is
-              // bit-identical (deterministic build of the same
-              // snapshot) — discard ours and serve the winner's
-              deleteRecursively(staging)
-          }
-        } finally if (Files.exists(staging)) deleteRecursively(staging)
-        require(ready(fin, kind, dir, variant, version),
-          s"artifact publish failed for $kind($dir, $variant, v$version)")
-      }
-      fin.toString
-    })
+    val cached = memo.get(key)
+    if (cached != null) return cached
+    val fin = entryPath(r, kind, dir, variant, version)
+    if (!ready(fin, kind, dir, variant, version)) {
+      Files.createDirectories(fin.getParent)
+      val staging = fin.getParent.resolve(
+        s"${fin.getFileName}.staging-${java.util.UUID.randomUUID()}")
+      try {
+        Files.createDirectories(staging)
+        build(staging.toString)
+        Files.write(staging.resolve("_MANIFEST.json"),
+          manifestJson(kind, dir, variant, version).getBytes("UTF-8"))
+        // a directory at the target that FAILED the manifest check is
+        // not an artifact (planted, collided, or torn by a pre-atomic
+        // writer) — clear it so the atomic publish can land
+        if (Files.exists(fin) && !ready(fin, kind, dir, variant, version))
+          deleteRecursively(fin)
+        try Files.move(staging, fin, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.FileSystemException
+              if ready(fin, kind, dir, variant, version) =>
+            // another JVM committed first; its artifact is
+            // bit-identical (deterministic build of the same
+            // snapshot) — discard ours and serve the winner's
+            deleteRecursively(staging)
+        }
+      } finally if (Files.exists(staging)) deleteRecursively(staging)
+      require(ready(fin, kind, dir, variant, version),
+        s"artifact publish failed for $kind($dir, $variant, v$version)")
+    }
+    memo.putIfAbsent(key, fin.toString)
+    fin.toString
   }
 
   /** Evict ONE committed entry (its directory and the memo key) — the
