@@ -242,6 +242,9 @@ object ScaleRehearsal {
       // untouched artifact edges pass through a broadcast anti-join —
       // growth tracks the artifact + corpus scans, never the rebuild.
       "knn_incremental" -> SparkEntry.queries("knn_incremental"),
+      // graph health report (r13): one pass over the artifact's n·k
+      // edge rows reduced to broadcast-joined 1-row aggregates.
+      "graph_health" -> SparkEntry.queries("graph_health"),
       // integer PageRank (r12): knn_graph's linear build, then
       // PagerankIters rounds of join+partial-agg over ≤ n·k 16-byte
       // (id, long) rows — each round one linear co-partitioned shuffle.

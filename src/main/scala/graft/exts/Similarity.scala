@@ -204,6 +204,37 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     KnnIndex.edges(spark, dir)
 
+  /** graph_health: the maintenance-dashboard report over the kNN-graph
+    * artifact — the reference is at its core a METRICS EVALUATOR
+    * (AwsTableManagementMetricsEvaluator.java emits per-table health
+    * numbers that drive maintenance); this is that reporter for the
+    * graph index (the small_file_metrics sibling): one row of
+    * (n_nodes, n_edges, n_mutual, mutual_permille, n_isolated,
+    * max_out_deg) — the numbers a rebuild/threshold policy reads
+    * (collapsing mutual rate = buckets too wide; isolated mass =
+    * buckets too narrow; a degree hot-spot = a hub cell).
+    *
+    * Scale shape: one pass over the artifact's n·k edge rows
+    * (checkpointed — two rollups share it), reduced to 1-row
+    * aggregates joined by broadcast; integer permille so both engines
+    * agree bit-for-bit. */
+  def graphHealth(spark: SparkSession, dir: String): DataFrame = {
+    val e = KnnIndex.edges(spark, dir).localCheckpoint(false)
+    val s = e.agg(count(lit(1)).as("n_edges"),
+      coalesce(sum(col("mutual")), lit(0L)).as("n_mutual"))
+    val dd = e.groupBy(col("src_id")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("max_out_deg"),
+        count(lit(1)).as("n_srcs"))
+    val nn = Tables.load(spark, dir, "embeddings")
+      .agg(count(lit(1)).as("n_nodes"))
+    nn.crossJoin(broadcast(s)).crossJoin(broadcast(dd))
+      .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
+        expr("CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE n_mutual * 1000 div n_edges END").as("mutual_permille"),
+        (col("n_nodes") - col("n_srcs")).as("n_isolated"),
+        col("max_out_deg"))
+  }
+
   /** knn_incremental: INCREMENTAL kNN-graph maintenance — merge a
     * vector ingest batch into the persisted [[KnnIndex]] edge list
     * without rebuilding the graph from the corpus; the reference's

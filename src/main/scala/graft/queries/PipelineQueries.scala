@@ -936,6 +936,11 @@ object PipelineQueries {
       // to a full rebuild over corpus ∪ batch (the oracle IS that
       // rebuild), without re-scoring untouched buckets.
       "knn_incremental" -> ((s, dir) => Similarity.knnIncremental(s, dir)),
+      // The graph index's maintenance-dashboard report — the
+      // reference's metrics-evaluator role for this index family
+      // (small_file_metrics' sibling): the numbers a rebuild policy
+      // reads, one integer-exact row.
+      "graph_health" -> ((s, dir) => Similarity.graphHealth(s, dir)),
       "knn_components" -> ((s, dir) => Similarity.knnComponents(s, dir)),
       // Fixed-point integer PageRank over the knn_graph edges — the
       // corpus-centrality record (bit-reproducible across engines).
@@ -4020,6 +4025,32 @@ object PipelineQueries {
            |    AS mutual
            |FROM e LEFT JOIN e r
            |  ON r.src_id = e.dst_id AND r.dst_id = e.src_id""".stripMargin,
+
+      // One-row health report over the same single-sourced graph CTE
+      // chain — mutual flag recomputed like knn_graph's oracle, then
+      // three rollups; guarded permille so an empty graph reads 0.
+      "graph_health" ->
+        s"""WITH $knnGraphCtes,
+           |g AS (
+           |  SELECT e.src_id,
+           |    CASE WHEN r.src_id IS NULL THEN 0 ELSE 1 END AS mutual
+           |  FROM e LEFT JOIN e r
+           |    ON r.src_id = e.dst_id AND r.dst_id = e.src_id),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |    CAST(coalesce(sum(mutual), 0) AS BIGINT) AS n_mutual
+           |  FROM g),
+           |d AS (SELECT src_id, count(*) AS n FROM g GROUP BY 1),
+           |dd AS (SELECT CAST(coalesce(max(n), 0) AS BIGINT)
+           |      AS max_out_deg,
+           |    CAST(count(*) AS BIGINT) AS n_srcs
+           |  FROM d),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+           |  FROM embeddings)
+           |SELECT nn.n_nodes, s.n_edges, s.n_mutual,
+           |  CASE WHEN s.n_edges = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE s.n_mutual * 1000 // s.n_edges END AS mutual_permille,
+           |  nn.n_nodes - dd.n_srcs AS n_isolated, dd.max_out_deg
+           |FROM nn, s, dd""".stripMargin,
 
       // Connected components over the MUTUAL edges of the knn_graph CTE
       // chain (single-sourced, so graph and clustering cannot drift) —

@@ -2883,6 +2883,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 >= 2L))
   }
 
+  test("graph health: report row replays from the edge artifact") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.exts.KnnIndex.edges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Long]("mutual")))
+    val nNodes = graft.Tables.load(spark, dir, "embeddings").count()
+    val degs = edges.groupBy(_._1).map { case (_, es) => es.size }
+    val row = Similarity.graphHealth(spark, dir).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getAs[Long]("n_nodes") === nNodes)
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(r.getAs[Long]("n_mutual") === edges.map(_._3).sum)
+    assert(r.getAs[Long]("mutual_permille") ===
+      edges.map(_._3).sum * 1000 / edges.length)
+    assert(r.getAs[Long]("n_isolated") ===
+      nNodes - edges.map(_._1).distinct.length)
+    assert(r.getAs[Long]("max_out_deg") === degs.max.toLong)
+    // the mutual flag is symmetric, so n_mutual is even — a parity
+    // canary for a half-updated artifact
+    assert(r.getAs[Long]("n_mutual") % 2 === 0L)
+  }
+
   test("mm resize px: pass-through equals the unresized hash; downscale dims law") {
     import graft.exts.Multimodal
     val sig = Multimodal.ahashStats(spark, dir).collect()
