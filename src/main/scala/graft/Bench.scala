@@ -73,15 +73,19 @@ object Bench {
       graft.exts.BloomIndex.clear()
       graft.exts.IvfIndex.clear()
       graft.exts.BpeIndex.clear()
-      graft.exts.LmIndex.clear()
       graft.exts.PqIndex.clear()
       graft.exts.ArtifactStore.clear()
-      // Dsir/Bm25/Knn indexes persist in the shared ArtifactStore (any
-      // session resolves them), so a TRUE cold also deletes the on-disk
-      // artifact — otherwise "cold" would just measure the parquet load.
-      // Eviction is SCOPED to this bench corpus's own (kind, dir,
-      // version) entries; other corpora/jobs sharing the store are
-      // untouched.
+      // ALL eight index families persist in the shared ArtifactStore
+      // (any session resolves them), so a TRUE cold also deletes the
+      // on-disk artifact — otherwise "cold" would just measure the
+      // parquet load. Eviction is SCOPED to this bench corpus's own
+      // (kind, dir, variant, version) entries; other corpora/jobs
+      // sharing the store are untouched.
+      graft.exts.BloomIndex.evict(spark, sfDir)
+      graft.exts.IvfIndex.evict(spark, sfDir)
+      graft.exts.BpeIndex.evict(spark, sfDir)
+      graft.exts.LmIndex.evict(spark, sfDir)
+      graft.exts.PqIndex.evict(spark, sfDir)
       graft.exts.DsirIndex.evict(spark, sfDir)
       graft.exts.Bm25Index.evict(spark, sfDir)
       graft.exts.KnnIndex.evict(spark, sfDir)
@@ -90,12 +94,19 @@ object Bench {
       Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
         "pq_search", "ivf_pq_search", "ivf_pq_refine", "dsir_score_batch",
         "bm25_batch", "knn_graph", "knn_components")
+    // warm = min of 2 passes: a single warm pass is as noisy as any
+    // single execution (r13 shipped lm_score_batch "warm" 2.19 s against
+    // its own 0.34 s min-of-sweeps headline — a 6× phantom from one
+    // disturbed pass). Cold stays single-pass BY DEFINITION (the build
+    // runs once; re-running it would measure the warm path).
     val artifactSplit: Seq[(String, Double, Double)] = artifactQueries
       .filter(SparkEntry.queries.contains)
       .map { name =>
         clearMemos()
         val cold = once(name, SparkEntry.queries(name))
-        val warm = once(name, SparkEntry.queries(name))
+        val warms = (1 to 2)
+          .map(_ => once(name, SparkEntry.queries(name))).filter(_ >= 0)
+        val warm = if (warms.nonEmpty) warms.min else -1.0
         (name, cold, warm)
       }
     // INTERNAL CONSISTENCY GATE (r9 "What's wrong #1", r10 advice): the
@@ -130,12 +141,19 @@ object Bench {
     // DRIFT GATE over the slowest band (r12 "What's wrong #3": emb_gram
     // drifted 1.71→2.15 s with untouched code and nothing guarded it —
     // the warm-consistency gate only covered artifact queries). The
-    // top-10 slowest non-artifact queries get one replication pass: if
-    // the fresh min undercuts the sweep min by >1.5×, the sweep figure
-    // was session-drift-disturbed — the replicated re-measurement
-    // becomes the headline and the violation lands in "reconciled".
+    // top-10 slowest queries get one replication pass: if the fresh min
+    // undercuts the sweep min by >1.5×, the sweep figure was
+    // session-drift-disturbed — the replicated re-measurement becomes
+    // the headline and the violation lands in "reconciled". Artifact
+    // queries are INCLUDED (r13 "What's wrong #1": bm25_batch regressed
+    // 1.49× and the old filterNot exempted exactly the regressing set;
+    // their warm-consistency gate only fired on main>warm×1.5, blind to
+    // a uniform slowdown). An artifact query's FIRST replication pass
+    // may absorb an artifact rebuild (the artifactSplit loop's eviction
+    // leaves earlier queries' artifacts cold); the min over the two
+    // passes discards it and compares steady state to steady state.
     val slowBand = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map(_._1).filterNot(artifactQueries.contains)
+      .map(_._1)
     slowBand.foreach { name =>
       val rerunTimes = (1 to 2)
         .map(_ => once(name, SparkEntry.queries(name))).filter(_ >= 0)

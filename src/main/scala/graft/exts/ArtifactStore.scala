@@ -16,8 +16,9 @@ import org.apache.spark.sql.SparkSession
   *
   *  - '''Configurable, permission-restricted root.''' Artifacts live
   *    under `spark.graft.artifactRoot` when set (a lake deployment points
-  *    this next to the tables, e.g. `s3://lake/graft_indexes`, so the
-  *    nightly indexer and every query job resolve the same store); the
+  *    this at a shared mount, e.g. `/mnt/lake/graft_indexes`, so the
+  *    nightly indexer and every query job resolve the same store — URI
+  *    roots are rejected, see [[root]]); the
   *    default is a per-user directory created `rwx------` under the
   *    JVM tmpdir — never a world-writable shared path another local user
   *    could pre-plant artifacts in. (The corpus dir itself is typically a
@@ -58,9 +59,29 @@ object ArtifactStore {
   private val memo = new ConcurrentHashMap[Key, String]()
 
   /** The store root: `spark.graft.artifactRoot` if set, else a per-user
-    * `rwx------` directory under tmpdir. */
+    * `rwx------` directory under tmpdir.
+    *
+    * The store's IO is java.nio (local/NFS filesystems). A URI root
+    * (`s3://…`, `hdfs://…`) is REJECTED with a named error rather than
+    * silently resolved as a relative local path — the failure mode that
+    * would otherwise land every "shared" artifact on whichever host ran
+    * the job while cross-job sharing silently broke. A lake deployment
+    * points this at a shared mount; object-store roots would need the
+    * Hadoop FileSystem API end to end (including an object-store commit
+    * protocol in place of ATOMIC_MOVE), which this store deliberately
+    * does not fake. `file://` URIs are accepted and stripped. */
   def root(spark: SparkSession): String =
-    spark.conf.getOption(RootConf).getOrElse {
+    spark.conf.getOption(RootConf).map { r =>
+      if (r.startsWith("file://")) r.stripPrefix("file://")
+      else if (r.contains("://"))
+        throw new IllegalArgumentException(
+          s"graft.artifactStore: $RootConf=$r is a URI root; the store's " +
+            "IO is java.nio-local (Paths.get would resolve this as a " +
+            "RELATIVE LOCAL path and cross-job sharing would silently " +
+            "fail). Point it at a locally mounted shared path, or mount " +
+            "the object store first.")
+      else r
+    }.getOrElse {
       val p = Paths.get(sys.props("java.io.tmpdir"),
         s"graft-indexes-${sys.props("user.name")}")
       ensureRestricted(p)
@@ -100,6 +121,14 @@ object ArtifactStore {
     Paths.get(root, kind,
       s"${sanitize(dir)}-${md5hex(dir)}$v-v$version")
   }
+
+  /** The entry path an artifact for this identity WOULD commit to —
+    * computed without probing or building. Index families use it as a
+    * stable session-memo key (and as the seam an explicit install can
+    * pre-seed without forcing a store build). */
+  private[graft] def locate(spark: SparkSession, kind: String, dir: String,
+      version: Long, variant: String = ""): String =
+    entryPath(root(spark), kind, dir, variant, version).toString
 
   private def manifestJson(kind: String, dir: String, variant: String,
       version: Long): String = {

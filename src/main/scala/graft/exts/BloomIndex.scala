@@ -22,30 +22,45 @@ import graft.Tables
   * broadcast/artifact scale, vs re-shuffling corpus keys on EVERY batch
   * with a plain anti-join.
   *
-  *  - [[sketch]] — session-scoped memo keyed by (applicationId, dir, fpp):
-  *    first call scans the corpus once; later calls are free.
-  *  - [[save]]/[[load]] — the sketch as an on-disk index artifact (the
-  *    spark-sketch serialized form), built at ingest, loaded by every
-  *    later batch job or streaming query.
+  *  - [[sketch]] — [[ArtifactStore]]-backed: the first resolve per
+  *    (corpus snapshot, fpp) scans the corpus once and COMMITS the
+  *    serialized sketch; a fresh session or a separate job (the ingest
+  *    gate vs the nightly builder) loads the committed bytes instead of
+  *    re-scanning. Within a session the deserialized filter memoizes on
+  *    the entry path, so later calls are free. The spark-sketch wire
+  *    form round-trips exactly, so probe behavior is bit-identical to a
+  *    fresh build.
+  *  - [[save]]/[[load]] — the raw persist/open seam the artifact entry
+  *    is built through (the spark-sketch serialized form).
   */
 object BloomIndex {
 
-  private final case class Key(app: String, dir: String, fpp: Double,
-      version: Long)
+  private[graft] val Kind = "bloom-sketch"
 
-  private val memo = new ConcurrentHashMap[Key, BloomFilter]()
+  // session memo: committed entry path → deserialized filter
+  private val memo = new ConcurrentHashMap[String, BloomFilter]()
 
-  /** Content sketch of the `documents` table under `dir` — memoized.
-    * The key carries [[Tables.version]] of the table's file listing, so
-    * a corpus rewrite under the same path re-builds the sketch instead
-    * of silently probing a stale one (Bloom false negatives for keys
-    * added after the old build would pass landed docs as new). */
+  /** The committed sketch artifact for (`dir`, fpp) — first call per
+    * corpus snapshot builds and commits; later calls (any session, any
+    * job) resolve the existing entry. */
+  def path(spark: SparkSession, dir: String,
+      fpp: Double = 0.01): String =
+    ArtifactStore.resolve(spark, Kind, dir,
+      Tables.version(dir, "documents"), variant = s"fpp$fpp") { staging =>
+      save(build(Tables.load(spark, dir, "documents"), fpp),
+        s"$staging/sketch.bloom")
+    }
+
+  /** Content sketch of the `documents` table under `dir`,
+    * artifact-backed. The store key carries [[Tables.version]] of the
+    * table's file listing, so a corpus rewrite under the same path
+    * re-builds the sketch instead of silently probing a stale one
+    * (Bloom false negatives for keys added after the old build would
+    * pass landed docs as new). */
   def sketch(spark: SparkSession, dir: String,
       fpp: Double = 0.01): BloomFilter = {
-    val key = Key(spark.sparkContext.applicationId, dir, fpp,
-      Tables.version(dir, "documents"))
-    memo.computeIfAbsent(key, _ =>
-      build(Tables.load(spark, dir, "documents"), fpp))
+    val p = path(spark, dir, fpp)
+    memo.computeIfAbsent(p, _ => load(s"$p/sketch.bloom"))
   }
 
   /** Build a content sketch from any frame with a `text` column. The
@@ -70,6 +85,17 @@ object BloomIndex {
     try BloomFilter.readFrom(in) finally in.close()
   }
 
-  /** Test seam: drop all memoized sketches. */
+  /** Scoped cold-path eviction for this (corpus snapshot, fpp) entry
+    * (memo + disk). */
+  private[graft] def evict(spark: SparkSession, dir: String,
+      fpp: Double = 0.01): Unit = {
+    val version = Tables.version(dir, "documents")
+    memo.remove(ArtifactStore.locate(spark, Kind, dir, version,
+      variant = s"fpp$fpp"))
+    ArtifactStore.evict(spark, Kind, dir, version, variant = s"fpp$fpp")
+  }
+
+  /** Test seam: drop all memoized sketches (on-disk artifacts remain —
+    * use [[evict]] to remove those). */
   private[graft] def clear(): Unit = memo.clear()
 }

@@ -30,29 +30,60 @@ import graft.Tables
   */
 object PqIndex {
 
-  private final case class Key(app: String, dir: String, version: Long)
+  private[graft] val Kind = "pq-codebook"
 
+  // session memo: committed entry path → collected codebook rows. The
+  // memo is probed BEFORE the store resolves so an explicit
+  // [[installCodebook]] (a shipped artifact installed into a cold
+  // session) serves without the store attempting a rebuild.
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    Key, Seq[(Int, Int, Seq[Long])]]()
+    String, Seq[(Int, Int, Seq[Long])]]()
 
-  /** Memoized codebook for the `embeddings` table under `dir` (the
-    * [[IvfIndex.centroids]] artifact pattern): first call trains and
-    * collects the tiny (M×K rows) result; later calls rebuild a
-    * LocalRelation with zero Spark jobs. Keyed by [[Tables.version]] so a
-    * corpus rewrite re-trains instead of serving a stale codebook. */
-  def codebook(spark: SparkSession, dir: String): DataFrame = {
-    val key = Key(spark.sparkContext.applicationId, dir,
-      Tables.version(dir, "embeddings"))
-    val rows = memo.computeIfAbsent(key, _ =>
+  /** The committed codebook artifact for `dir` — first call per corpus
+    * snapshot trains and commits; later calls (any session, any job)
+    * resolve the existing entry. */
+  def path(spark: SparkSession, dir: String): String =
+    ArtifactStore.resolve(spark, Kind, dir,
+      Tables.version(dir, "embeddings")) { staging =>
       trainedCodebook(Tables.load(spark, dir, "embeddings"))
-        .collect().map { r =>
-          (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq)
-        }.toIndexedSeq)
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebook")
+    }
+
+  /** Codebook for the `embeddings` table under `dir`, artifact-backed
+    * (the [[IvfIndex.centroids]] pattern): first call per corpus
+    * snapshot trains, commits the tiny (M×K rows) parquet, and collects
+    * it; later calls rebuild a LocalRelation with zero Spark jobs — and
+    * a FRESH session (or a different job) loads the committed entry
+    * instead of re-training. Keyed by [[Tables.version]] so a corpus
+    * rewrite re-trains instead of serving a stale codebook; integer
+    * codewords round-trip parquet exactly, so every oracle hash is
+    * unchanged. */
+  def codebook(spark: SparkSession, dir: String): DataFrame = {
+    val ep = ArtifactStore.locate(spark, Kind, dir,
+      Tables.version(dir, "embeddings"))
+    var rows = memo.get(ep)
+    if (rows == null) {
+      val p = path(spark, dir) // == ep, now resolved/committed
+      rows = memo.computeIfAbsent(p, _ =>
+        spark.read.parquet(s"$p/codebook")
+          .select(col("m"), col("code"), col("cw"))
+          .collect().map { r =>
+            (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq)
+          }.sortBy(t => (t._1, t._2)).toIndexedSeq)
+    }
     import spark.implicits._
     rows.toDF("m", "code", "cw")
   }
 
-  /** Test seam: drop all memoized codebooks. */
+  /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
+  private[graft] def evict(spark: SparkSession, dir: String): Unit = {
+    val version = Tables.version(dir, "embeddings")
+    memo.remove(ArtifactStore.locate(spark, Kind, dir, version))
+    ArtifactStore.evict(spark, Kind, dir, version)
+  }
+
+  /** Test seam: drop all memoized codebooks (on-disk artifacts remain —
+    * use [[evict]] to remove those). */
   private[graft] def clear(): Unit = memo.clear()
 
   /** Persist the trained codebook as a version-stamped single-file
@@ -60,10 +91,11 @@ object PqIndex {
     * like [[IvfIndex.save]]'s centroid artifact. `version` is
     * [[Tables.version]] of the embeddings listing at save time, so a
     * later [[installCodebook]] can detect a corpus rewritten after the
-    * build (a stale index) instead of silently serving it. This closes
-    * the durable-artifact set: centroids, Bloom, LM and BPE indexes all
-    * had on-disk save/load; the codebook was the one artifact that only
-    * lived in the session memo, so a serving restart had to retrain. */
+    * build (a stale index) instead of silently serving it. The default
+    * [[codebook]] path already persists through the shared
+    * [[ArtifactStore]]; this explicit form SHIPS the codebook to a
+    * location of the caller's choosing (a deploy bundle, a different
+    * store root), for a serving fleet that cannot see the store. */
   def saveCodebook(spark: SparkSession, dir: String, path: String): Unit =
     codebook(spark, dir)
       .withColumn("version", lit(Tables.version(dir, "embeddings")))
@@ -91,7 +123,7 @@ object PqIndex {
       s"graft.pq: codebook artifact at $path was built for embeddings " +
         s"listing version ${vers.mkString(",")}, current is $cur — " +
         "stale artifact after a corpus rewrite; retrain and re-save")
-    memo.put(Key(spark.sparkContext.applicationId, dir, cur),
+    memo.put(ArtifactStore.locate(spark, Kind, dir, cur),
       rows.map(t => (t._1, t._2, t._3)))
     codebook(spark, dir)
   }

@@ -218,15 +218,21 @@ object Similarity {
     * (checkpointed — two rollups share it), reduced to 1-row
     * aggregates joined by broadcast; integer permille so both engines
     * agree bit-for-bit. */
-  def graphHealth(spark: SparkSession, dir: String): DataFrame = {
-    val e = KnnIndex.edges(spark, dir).localCheckpoint(false)
+  def graphHealth(spark: SparkSession, dir: String): DataFrame =
+    graphHealthOver(KnnIndex.edges(spark, dir),
+      Tables.load(spark, dir, "embeddings"))
+
+  /** [[graphHealth]] over an explicit edge frame and node corpus — the
+    * form the maintenance loop ([[graft.stream.GraphIndexLoop]]) emits
+    * per version bump against whatever layout it just published. */
+  def graphHealthOver(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(false)
     val s = e.agg(count(lit(1)).as("n_edges"),
       coalesce(sum(col("mutual")), lit(0L)).as("n_mutual"))
     val dd = e.groupBy(col("src_id")).agg(count(lit(1)).as("n"))
       .agg(coalesce(max(col("n")), lit(0L)).as("max_out_deg"),
         count(lit(1)).as("n_srcs"))
-    val nn = Tables.load(spark, dir, "embeddings")
-      .agg(count(lit(1)).as("n_nodes"))
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     nn.crossJoin(broadcast(s)).crossJoin(broadcast(dd))
       .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
         expr("CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT)" +
@@ -1737,7 +1743,15 @@ object Similarity {
     * pass at 2 000×64 building 2 080 structs per row), and a
     * single-row aggregate needs d(d+1)/2 ≈ 2 080 codegen'd sum
     * expressions, past the janino splitting regime. The tight fused
-    * multiply-add loop is the honest kernel. */
+    * multiply-add loop is the honest kernel.
+    *
+    * EAGER: constructing this frame runs the corpus pass immediately
+    * (the partial reduce is a driver-side `.collect()`); the returned
+    * d(d+1)/2-row frame is a LocalRelation. Callers that only want the
+    * plan (Explain listings, registry enumeration) still pay one scan —
+    * the price of the driver-reduced kernel, deliberate and documented
+    * rather than hidden behind a lazy wrapper that would re-run the
+    * scan on every action. */
   def embGram(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -1,5 +1,6 @@
 package graft.stream
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -19,54 +20,104 @@ import graft.exts.Similarity
   *  1. INGEST — each micro-batch of (vec_id, embedding) is gated by the
   *     emb_incremental near-dup rule ([[Similarity.embIncrementalGateAt]]
   *     at the graph's pinned bucket width); survivors land in the
-  *     parquet corpus.
+  *     parquet corpus under batch-tagged file names.
   *  2. MERGE — the graph layout AT REST is parquet PARTITIONED BY the
-  *     src vector's sign bucket, so the batch's bucket-local rescore
-  *     ([[Similarity.knnIncremental]]'s law: edges never cross buckets)
-  *     lands as a DYNAMIC PARTITION OVERWRITE of exactly the touched
-  *     bucket directories — O(batch × cell occupancy) IO per batch,
-  *     untouched buckets' files are never rewritten or even read.
+  *     src vector's sign bucket. Each acted batch publishes a FRESH
+  *     epoch layout directory `b<bits>-e<epoch>`: the batch's
+  *     bucket-local rescore ([[Similarity.knnIncremental]]'s law: edges
+  *     never cross buckets) writes only the touched buckets; untouched
+  *     buckets' files are HARD-LINKED from the previous epoch (copy
+  *     fallback) — O(batch × cell occupancy) data IO per batch, and the
+  *     layout a concurrent reader holds is NEVER mutated: serving swaps
+  *     to the new epoch atomically via the [[ServingGraph]] handle, so
+  *     a query racing a merge reads one consistent epoch end to end
+  *     (no FileNotFoundException, no pre/post-merge mix).
   *  3. DRIFT + REBUILD — the loop carries the corpus count; when growth
   *     pushes [[Similarity.adaptiveBucketBits]] past the pinned width,
-  *     the O(corpus) full rebuild runs ONCE at the new width into a
-  *     fresh `b<bits>` layout and the VERSION BUMPS — the
-  *     accumulate→threshold→rebuild event, exactly when cell occupancy
-  *     (and with it the merge's per-batch bound) would otherwise drift.
-  *  4. SERVE — [[ServingGraph.edges]] reads whatever layout version is
-  *     current; every [[Similarity]] `*FromEdges` consumer (components,
+  *     the O(corpus) full rebuild runs ONCE at the new width into the
+  *     batch's epoch dir and the VERSION BUMPS — the
+  *     accumulate→threshold→rebuild event. Each bump also emits the
+  *     [[Similarity.graphHealthOver]] report row on the freshly
+  *     published layout (`onHealth`) — the reference's evaluator emits
+  *     its health numbers ON the maintenance loop, not as a separate
+  *     query.
+  *  4. SERVE — [[ServingGraph.edges]] reads whatever epoch is current;
+  *     every [[Similarity]] `*FromEdges` consumer (components,
   *     pagerank, LPA, walks, triangles, purity, D4) runs against it
   *     unchanged.
   *
-  * Per-batch cost is O(batch): the gate broadcast, the batch-bounded
-  * rescore, and the touched-partition write; the corpus-scale rebuild
-  * runs only when the width threshold trips — the same discipline as
-  * [[IndexLoop]] (IVF cells) and [[LexIndexLoop]] (BM25 segments).
+  * '''Exactly-once batch application.''' foreachBatch replays batches
+  * after a failure, so every side effect here is keyed by batchId and
+  * committed by ONE marker written last: a batch's survivors land as
+  * `batch<id>-*` corpus files, its layout is the deterministic
+  * `b<bits>-e<batchId+1>` dir, and its driver state persists as
+  * `_meta/state-e<batchId+1>.json` (tmp + ATOMIC_MOVE). A replayed
+  * batch whose marker exists restores the recorded state and exits —
+  * a strict no-op. A replayed batch whose marker is MISSING (crash
+  * mid-apply) first deletes its own partial outputs (its corpus files,
+  * its epoch dir) and re-applies from scratch — the gate then sees
+  * exactly the pre-batch corpus, so the re-application is bit-identical.
+  *
+  * Per-batch cost is O(batch) data IO plus metadata-scale linking; the
+  * corpus-scale rebuild runs only when the width threshold trips — the
+  * same discipline as [[IndexLoop]] (IVF cells) and [[LexIndexLoop]]
+  * (BM25 segments). Superseded epoch dirs are retained for
+  * [[RetainLayouts]] generations (a reader holds one snapshot for at
+  * most one micro-batch) and garbage-collected after.
   */
 object GraphIndexLoop {
 
-  /** Driver-side metadata of the serving graph — three numbers; the
-    * edges themselves live in the bucket-partitioned parquet layout. */
-  final case class State(version: Long, bits: Int, nCorpus: Long)
+  /** Epoch layout dirs kept besides the current one: an in-flight
+    * reader that took its snapshot just before a swap still reads a
+    * complete previous epoch; anything older has no live readers
+    * (snapshots live for one micro-batch). */
+  val RetainLayouts = 2
+
+  /** Driver-side metadata of the serving graph — four numbers; the
+    * edges themselves live in the epoch's bucket-partitioned parquet
+    * layout. `version` bumps on width-drift rebuilds (the consumer-
+    * visible generation); `epoch` advances on every acted batch (the
+    * layout-directory generation). */
+  final case class State(version: Long, bits: Int, epoch: Long,
+      nCorpus: Long)
 
   /** Atomically-swapped serving handle over a `graphPath` layout root:
-    * the loop writes a new [[State]] per acted batch; consumers read
-    * whatever version is current. */
+    * the loop publishes a fresh epoch dir per acted batch and swaps the
+    * [[State]]; consumers read whatever epoch is current — published
+    * layouts are immutable, so a reader's snapshot stays consistent for
+    * its whole read. */
   final class ServingGraph private[GraphIndexLoop] (
       val graphPath: String, initial: State) {
     private val ref = new AtomicReference[State](initial)
     def snapshot: State = ref.get()
     def version: Long = ref.get().version
     def nCorpus: Long = ref.get().nCorpus
+    /** Directory of the CURRENT epoch layout. */
+    def layoutPath: String = layoutDir(graphPath, ref.get())
     /** The CURRENT edge frame ([[Similarity.knnGraph]] schema plus the
-      * `bucket` partition column) — one consistent layout read. */
+      * `bucket` partition column) — one consistent epoch read. */
     def edges(spark: SparkSession): DataFrame =
-      spark.read.parquet(layoutDir(graphPath, ref.get().bits))
+      spark.read.parquet(layoutPath)
         .select(col("src_id"), col("dst_id"), col("rank"), col("mutual"))
     private[stream] def state: State = ref.get()
     private[stream] def update(s: State): Unit = ref.set(s)
   }
 
-  private def layoutDir(root: String, bits: Int): String = s"$root/b$bits"
+  private[stream] def layoutDir(root: String, s: State): String =
+    layoutDir(root, s.bits, s.epoch)
+  private def layoutDir(root: String, bits: Int, epoch: Long): String =
+    s"$root/b$bits-e$epoch"
+
+  /** List a directory's entries with the stream closed (Files.list
+    * leaks an fd per call otherwise — this loop runs per batch). */
+  private def listDir(p: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+  }
 
   /** Edge frame of `emb` at `bits`, carrying each edge's src bucket as
     * the layout partition key. */
@@ -80,7 +131,8 @@ object GraphIndexLoop {
 
   /** Build the serving graph over a landed corpus: one full
     * [[Similarity.knnGraphOver]] pass at the corpus's adaptive width,
-    * written bucket-partitioned. */
+    * written bucket-partitioned as epoch 0, with the initial state
+    * persisted under `_meta`. */
   def buildGraph(spark: SparkSession, corpusPath: String,
       graphPath: String,
       target: Long = Similarity.TargetCellVectors): ServingGraph = {
@@ -88,116 +140,290 @@ object GraphIndexLoop {
       .select(col("vec_id"), col("embedding"))
     val n = emb.count()
     val bits = Similarity.adaptiveBucketBits(n, target)
+    val st = State(0L, bits, 0L, n)
     bucketedEdges(emb, bits).write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(layoutDir(graphPath, bits))
-    new ServingGraph(graphPath, State(0L, bits, n))
+      .partitionBy("bucket").parquet(layoutDir(graphPath, st))
+    writeMetaJson(graphPath, st, batchId = -1L, nNew = n)
+    new ServingGraph(graphPath, st)
   }
 
-  /** Persist the driver-side state (the layout is already durable). */
+  // ---- per-batch state persistence (the commit marker) ----
+
+  private def metaDir(graphPath: String): Path =
+    Paths.get(graphPath, "_meta")
+
+  private def metaFile(graphPath: String, epoch: Long): Path =
+    metaDir(graphPath).resolve(s"state-e$epoch.json")
+
+  private def metaJson(s: State, batchId: Long, nNew: Long): String =
+    s"""{"version":${s.version},"bits":${s.bits},"epoch":${s.epoch},""" +
+      s""""n_corpus":${s.nCorpus},"batch_id":$batchId,"n_new":$nNew}"""
+
+  /** Persist the post-batch state as the batch's COMMIT MARKER —
+    * written to a tmp file and ATOMIC_MOVEd into place, so the marker
+    * either exists complete or not at all. */
+  private def writeMetaJson(graphPath: String, s: State, batchId: Long,
+      nNew: Long): Unit = {
+    val dir = metaDir(graphPath)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"state-e${s.epoch}.json.tmp-" +
+      java.util.UUID.randomUUID())
+    Files.write(tmp, metaJson(s, batchId, nNew).getBytes("UTF-8"))
+    Files.move(tmp, metaFile(graphPath, s.epoch),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def parseMeta(p: Path): (State, Long, Long) = {
+    val s = new String(Files.readAllBytes(p), "UTF-8")
+    def f(k: String): Long =
+      s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
+    (State(f("version"), f("bits").toInt, f("epoch"), f("n_corpus")),
+      f("batch_id"), f("n_new"))
+  }
+
+  /** Reattach to a layout root from its self-persisted per-batch state
+    * (the serving restart's cold path: one tiny file read, no graph
+    * work). Fails loudly if the newest state's layout dir is missing —
+    * a stale or torn store must never be served silently. */
+  def reattach(spark: SparkSession, graphPath: String): ServingGraph = {
+    val dir = metaDir(graphPath)
+    require(Files.isDirectory(dir),
+      s"graft.graphLoop: no _meta under $graphPath — not a loop layout")
+    val newest = listDir(dir)
+      .filter(_.getFileName.toString.matches("state-e\\d+\\.json"))
+      .maxByOption(p => p.getFileName.toString
+        .stripPrefix("state-e").stripSuffix(".json").toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"graft.graphLoop: no committed state under $dir"))
+    val (st, _, _) = parseMeta(newest)
+    requireLayout(graphPath, st)
+    new ServingGraph(graphPath, st)
+  }
+
+  private def requireLayout(graphPath: String, st: State): Unit =
+    require(Files.isDirectory(Paths.get(layoutDir(graphPath, st))),
+      s"graft.graphLoop: state (v${st.version}, b${st.bits}, " +
+        s"e${st.epoch}) names layout ${layoutDir(graphPath, st)} which " +
+        "does not exist — stale meta for this layout root; rebuild or " +
+        "reattach to the correct root")
+
+  /** Export the driver-side state to an explicit location (the layout
+    * and the per-batch `_meta` markers are already durable — this is
+    * the cross-store shipping form). */
   def saveMeta(spark: SparkSession, g: ServingGraph, path: String): Unit = {
     import spark.implicits._
     val s = g.snapshot
-    Seq((s.version, s.bits, s.nCorpus))
-      .toDF("version", "bits", "n_corpus").coalesce(1)
+    Seq((s.version, s.bits, s.epoch, s.nCorpus))
+      .toDF("version", "bits", "epoch", "n_corpus").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Reattach to a persisted layout — the serving restart's cold path
-    * (one 1-row read; no graph work). */
+  /** Reattach from a [[saveMeta]] export. Verifies the named layout
+    * dir exists on disk and fails loudly on mismatch — an export that
+    * outlived its layouts (or points at the wrong root) must never be
+    * served silently. */
   def loadMeta(spark: SparkSession, graphPath: String,
       metaPath: String): ServingGraph = {
     val m = spark.read.parquet(metaPath).first()
-    new ServingGraph(graphPath,
-      State(m.getLong(0), m.getInt(1), m.getLong(2)))
+    val st = State(m.getLong(0), m.getInt(1), m.getLong(2), m.getLong(3))
+    requireLayout(graphPath, st)
+    new ServingGraph(graphPath, st)
   }
 
-  /** Start the ingest → gate → bucket-local merge → width-drift rebuild
+  // ---- filesystem helpers for the epoch publish ----
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Hard-link (copy fallback) every `bucket=*` subdir of `prev` NOT in
+    * `touched` into `next` — the untouched buckets' bytes are shared,
+    * never rewritten, so the per-batch data IO stays O(touched). */
+  private def linkUntouched(prev: Path, next: Path,
+      touched: Set[Long]): Unit = {
+    listDir(prev).foreach { d =>
+      val name = d.getFileName.toString
+      if (name.startsWith("bucket=") &&
+          !touched.contains(name.stripPrefix("bucket=").toLong)) {
+        val target = next.resolve(name)
+        Files.createDirectories(target)
+        listDir(d).foreach { f =>
+          val t = target.resolve(f.getFileName)
+          try Files.createLink(t, f)
+          catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
+              Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    }
+  }
+
+  /** Drop epoch dirs older than the [[RetainLayouts]] newest. */
+  private def gcLayouts(graphPath: String): Unit = {
+    val epochs = listDir(Paths.get(graphPath))
+      .filter(_.getFileName.toString.matches("b\\d+-e\\d+"))
+      .sortBy(p => p.getFileName.toString.split("-e")(1).toLong)
+    epochs.dropRight(RetainLayouts).foreach(deleteRecursively)
+  }
+
+  /** Remove every output of a crashed prior attempt at this batch —
+    * its `batch<id>-*` corpus files and its epoch dir at ANY width —
+    * so the re-application gates against exactly the pre-batch
+    * corpus. */
+  private def cleanPartial(corpusPath: String, graphPath: String,
+      batchId: Long): Unit = {
+    listDir(Paths.get(corpusPath))
+      .filter(_.getFileName.toString.startsWith(s"batch$batchId-"))
+      .foreach(Files.deleteIfExists(_))
+    listDir(Paths.get(graphPath))
+      .filter(_.getFileName.toString.matches(s"b\\d+-e${batchId + 1}"))
+      .foreach(deleteRecursively)
+  }
+
+  /** Land `survivors` in the corpus under batch-tagged file names:
+    * written to a private staging dir, then each data file moves into
+    * `corpusPath` as `batch<id>-<file>` — replay cleanup can identify
+    * and remove exactly this batch's files. */
+  private def landSurvivors(survivors: DataFrame, corpusPath: String,
+      batchId: Long): Unit = {
+    val staging = Files.createTempDirectory(s"graft-graph-b$batchId")
+    try {
+      survivors.write.mode(SaveMode.Overwrite)
+        .parquet(staging.resolve("data").toString)
+      listDir(staging.resolve("data"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { f =>
+          val t = Paths.get(corpusPath, s"batch$batchId-${f.getFileName}")
+          try Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
+          catch { // staging tmpdir may sit on a different filesystem
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              Files.move(f, t, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+    } finally deleteRecursively(staging)
+  }
+
+  /** Apply one ingest batch: gate → land → publish epoch layout →
+    * commit marker. Idempotent per (batchId): a committed batch
+    * restores its recorded state and returns; a torn batch cleans its
+    * partial outputs and re-applies identically. Returns
+    * (nSurvivors, version). Package-private for direct replay tests. */
+  private[graft] def applyBatch(spark: SparkSession, graph: ServingGraph,
+      corpusPath: String, batch0: DataFrame, batchId: Long,
+      threshold: Double, target: Long,
+      onHealth: (Long, DataFrame) => Unit): (Long, Long) = {
+    // committed already? (failure replay) → restore state, change nothing
+    val committed = metaFile(graph.graphPath, batchId + 1)
+    if (Files.exists(committed)) {
+      val (st, _, nNew) = parseMeta(committed)
+      graph.update(st)
+      return (nNew, st.version)
+    }
+    val batch = batch0.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // batch-sized
+    if (batch.isEmpty) return (0L, graph.version)
+    val st = graph.state
+    // torn prior attempt? remove its partial outputs BEFORE gating, so
+    // the gate can never see this batch's own half-landed files
+    cleanPartial(corpusPath, graph.graphPath, batchId)
+    val corpus = spark.read.parquet(corpusPath)
+      .select(col("vec_id"), col("embedding"))
+    // 1) GATE at the graph's pinned width: corpus near-dups never
+    // enter; same-batch twins keep the min id (the IndexLoop rule)
+    val keepIds = Similarity.embIncrementalGateAt(corpus,
+        batch.select(col("vec_id").as("batch_id"), col("embedding")),
+        threshold, st.bits)
+      .filter(!col("is_dup"))
+      .select(col("batch_id").as("vec_id"))
+    val bb = batch.withColumn("bucket",
+      Similarity.signBucketBits(col("embedding"), st.bits))
+    val laterTwins = bb.as("a").join(bb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          Similarity.cosine(col("a.embedding"), col("b.embedding"))
+            >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val survivors = batch.join(keepIds, Seq("vec_id"))
+      .join(laterTwins, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // ≤ batch-sized, read three times
+    val nNew = survivors.count()
+    if (nNew == 0) return (0L, st.version)
+    val epoch = batchId + 1
+    // 2/3) DECIDE width first, then publish ONE fresh epoch layout:
+    // corpus growth past the adaptive width's next threshold → a full
+    // rebuild at the new width and a version bump; otherwise the
+    // bucket-local merge (touched buckets written, untouched linked)
+    val want = Similarity.adaptiveBucketBits(st.nCorpus + nNew, target)
+    val drift = want != st.bits
+    val bits = if (drift) want else st.bits
+    val version = if (drift) st.version + 1 else st.version
+    val next = Paths.get(layoutDir(graph.graphPath, bits, epoch))
+    if (drift) {
+      bucketedEdges(corpus.unionByName(survivors), want)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(next.toString)
+    } else {
+      // rescore ONLY the touched buckets (pre-append corpus ∪
+      // survivors, members bounded by batch × occupancy) — the
+      // bucket-locality law knn_incremental's oracle proves
+      val touched = survivors
+        .select(Similarity
+          .signBucketBits(col("embedding"), st.bits).as("bucket"))
+        .distinct()
+      val members = corpus
+        .select(col("vec_id"), col("embedding"),
+          Similarity.signBucketBits(col("embedding"), st.bits)
+            .as("bucket"))
+        .join(broadcast(touched), "bucket")
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(survivors)
+        .localCheckpoint(true) // bounded; feeds rescore twice
+      bucketedEdges(members, st.bits).write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(next.toString)
+      linkUntouched(Paths.get(layoutDir(graph.graphPath, st)), next,
+        touched.collect().map(_.getLong(0)).toSet)
+    }
+    landSurvivors(survivors, corpusPath, batchId)
+    val newState = State(version, bits, epoch, st.nCorpus + nNew)
+    // COMMIT: marker last — everything above is re-creatable until here
+    writeMetaJson(graph.graphPath, newState, batchId, nNew)
+    graph.update(newState)
+    gcLayouts(graph.graphPath)
+    if (drift) {
+      // the reference's evaluator emits health numbers ON the
+      // maintenance loop: one report row per published generation
+      onHealth(version, Similarity.graphHealthOver(graph.edges(spark),
+        spark.read.parquet(corpusPath).select(col("vec_id"))))
+    }
+    (nNew, version)
+  }
+
+  /** Start the ingest → gate → epoch publish → width-drift rebuild
     * loop over a streaming (vec_id, embedding) frame. `onCycle(batchId,
-    * nSurvivors, version)` observes each batch — the reporter seam. */
+    * nSurvivors, version)` observes each batch — the reporter seam;
+    * `onHealth(version, healthFrame)` receives the
+    * [[Similarity.graphHealthOver]] row for each version bump. */
   def start(spark: SparkSession, graph: ServingGraph, corpusPath: String,
       vectors: DataFrame, threshold: Double = 0.999,
       target: Long = Similarity.TargetCellVectors,
-      onCycle: (Long, Long, Long) => Unit = (_, _, _) => ())
+      onCycle: (Long, Long, Long) => Unit = (_, _, _) => (),
+      onHealth: (Long, DataFrame) => Unit = (_, _) => ())
       : StreamingQuery = {
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val batch = batch0.select(col("vec_id"), col("embedding"))
-          .localCheckpoint(true) // batch-sized
-        if (batch.isEmpty) { onCycle(batchId, 0L, graph.version) }
-        else {
-          val st = graph.state
-          val corpus = spark.read.parquet(corpusPath)
-            .select(col("vec_id"), col("embedding"))
-          // 1) GATE at the graph's pinned width: corpus near-dups never
-          // enter; same-batch twins keep the min id (the IndexLoop rule)
-          val keepIds = Similarity.embIncrementalGateAt(corpus,
-              batch.select(col("vec_id").as("batch_id"), col("embedding")),
-              threshold, st.bits)
-            .filter(!col("is_dup"))
-            .select(col("batch_id").as("vec_id"))
-          val bb = batch.withColumn("bucket",
-            Similarity.signBucketBits(col("embedding"), st.bits))
-          val laterTwins = bb.as("a").join(bb.as("b"),
-              col("a.bucket") === col("b.bucket") &&
-                col("a.vec_id") < col("b.vec_id") &&
-                Similarity.cosine(col("a.embedding"), col("b.embedding"))
-                  >= threshold)
-            .select(col("b.vec_id").as("vec_id")).distinct()
-          val survivors = batch.join(keepIds, Seq("vec_id"))
-            .join(laterTwins, Seq("vec_id"), "left_anti")
-            .localCheckpoint(true) // ≤ batch-sized, read three times
-          val nNew = survivors.count()
-          var version = st.version
-          var bits = st.bits
-          if (nNew > 0) {
-            // 2) MERGE: rescore ONLY the touched buckets (pre-append
-            // corpus ∪ survivors, members bounded by batch × occupancy)
-            // and land them as a dynamic partition overwrite — the
-            // bucket-locality law knn_incremental's oracle proves
-            val touched = survivors
-              .select(Similarity
-                .signBucketBits(col("embedding"), st.bits).as("bucket"))
-              .distinct()
-            val members = corpus
-              .select(col("vec_id"), col("embedding"),
-                Similarity.signBucketBits(col("embedding"), st.bits)
-                  .as("bucket"))
-              .join(broadcast(touched), "bucket")
-              .select(col("vec_id"), col("embedding"))
-              .unionByName(survivors)
-              .localCheckpoint(true) // bounded; feeds rescore twice
-            survivors.write.mode("append").parquet(corpusPath)
-            val mode0 =
-              spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-              "dynamic")
-            try bucketedEdges(members, st.bits)
-              .write.mode(SaveMode.Overwrite)
-              .partitionBy("bucket")
-              .parquet(layoutDir(graph.graphPath, st.bits))
-            finally mode0 match {
-              case Some(v) => spark.conf
-                .set("spark.sql.sources.partitionOverwriteMode", v)
-              case None => spark.conf
-                .unset("spark.sql.sources.partitionOverwriteMode")
-            }
-            // 3) DRIFT: corpus growth past the adaptive width's next
-            // threshold → ONE full rebuild at the new width, version bump
-            val want = Similarity
-              .adaptiveBucketBits(st.nCorpus + nNew, target)
-            if (want != st.bits) {
-              val all = spark.read.parquet(corpusPath)
-                .select(col("vec_id"), col("embedding"))
-              bucketedEdges(all, want).write.mode(SaveMode.Overwrite)
-                .partitionBy("bucket").parquet(layoutDir(graph.graphPath, want))
-              bits = want
-              version += 1
-            }
-          }
-          graph.update(State(version, bits, st.nCorpus + nNew))
-          onCycle(batchId, nNew, version)
-        }
+        val (nNew, version) = applyBatch(spark, graph, corpusPath,
+          batch0, batchId, threshold, target, onHealth)
+        onCycle(batchId, nNew, version)
       }
       .start()
   }

@@ -54,8 +54,12 @@ object GraphServing {
           // read into directory pruning (AnnServing's probed-cell form)
           val buckets = batch.select(col("bucket")).distinct()
             .collect().map(_.getLong(0)).sorted
+          // ONE consistent epoch dir for the whole batch — published
+          // layouts are immutable (a racing merge publishes a NEW
+          // epoch and swaps the handle), so this read can never hit
+          // deleted files or a pre/post-merge mix
           val edges = spark.read
-            .parquet(s"${graph.graphPath}/b${snap.bits}")
+            .parquet(GraphIndexLoop.layoutDir(graph.graphPath, snap))
             .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
           sink(
             edges.join(broadcast(batch),

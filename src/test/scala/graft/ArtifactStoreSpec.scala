@@ -77,6 +77,21 @@ class ArtifactStoreSpec extends AnyFunSuite {
     ArtifactStore.evict(spark, "spec-evict-other", "/corpus/a", 1L)
   }
 
+  test("URI artifactRoot is rejected loudly; file:// is stripped; local passes") {
+    val conf = ArtifactStore.RootConf
+    try {
+      spark.conf.set(conf, "s3://lake/graft_indexes")
+      val err = intercept[IllegalArgumentException] {
+        ArtifactStore.root(spark)
+      }
+      assert(err.getMessage.contains("URI root"))
+      spark.conf.set(conf, "file:///tmp/graft-root-spec")
+      assert(ArtifactStore.root(spark) === "/tmp/graft-root-spec")
+      spark.conf.set(conf, "/tmp/graft-root-spec2")
+      assert(ArtifactStore.root(spark) === "/tmp/graft-root-spec2")
+    } finally spark.conf.unset(conf)
+  }
+
   test("distinct corpus dirs never alias (128-bit identity in the path)") {
     val r = ArtifactStore.root(spark)
     val p1 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/a", "", 1L)
@@ -84,6 +99,159 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val p3 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/a", "", 2L)
     val p4 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/a", "k5", 1L)
     assert(Set(p1, p2, p3, p4).size === 4)
+  }
+
+  // ---- cross-session lifecycle for the five families migrated onto
+  //      the store in r14 (Ivf, Pq, Lm, Bpe, Bloom): a fresh session
+  //      (both memos dropped) must LOAD the committed entry, not
+  //      retrain — proven by doctoring the committed parquet and
+  //      asserting the doctored value is served ----
+
+  /** Swap a doctored frame into a committed artifact's sub-parquet. */
+  private def swapIn(df: org.apache.spark.sql.DataFrame,
+      artifactDir: String, sub: String): Unit = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("store-doctor").toString
+    df.write.parquet(s"$tmp/$sub")
+    val fs = java.nio.file.Paths.get(artifactDir, sub)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(fs)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp, sub), fs)
+  }
+
+  test("lm artifact: fresh session loads the committed model (doctored row served)") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.LmIndex
+    LmIndex.evict(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_bg"), r.getAs[Long]("c_ctx"))).toSet
+    val fresh = key(graft.exts.TextAnalysis.lmTrain(
+      Tables.load(spark, dir, "documents")))
+    assert(key(LmIndex.model(spark, dir)) === fresh)
+    // cross-session: memo dropped, committed entry serves
+    ArtifactStore.clear()
+    assert(key(LmIndex.model(spark, dir)) === fresh)
+    // provenance: doctor one bigram count in the committed artifact —
+    // a load carries it through; a retrain would mask it
+    val p = ArtifactStore.locate(spark, LmIndex.Kind, dir,
+      Tables.version(dir, "documents"))
+    swapIn(LmIndex.load(spark, p)
+      .withColumn("c_bg", col("c_bg") + lit(1000000L)), p, "model")
+    ArtifactStore.clear()
+    assert(LmIndex.model(spark, dir).collect()
+      .forall(_.getAs[Long]("c_bg") > 1000000L),
+      "LmIndex retrained instead of loading the committed artifact")
+    LmIndex.evict(spark, dir)
+    assert(key(LmIndex.model(spark, dir)) === fresh)
+  }
+
+  test("ivf centroid artifact: fresh session loads (doctored centroid served)") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.{IvfIndex, Similarity}
+    IvfIndex.evict(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toSet
+    val fresh = key(Similarity.trainedCentroids(
+      Tables.load(spark, dir, "embeddings")))
+    assert(key(IvfIndex.centroids(spark, dir)) === fresh)
+    ArtifactStore.clear(); IvfIndex.clear()
+    assert(key(IvfIndex.centroids(spark, dir)) === fresh)
+    val p = ArtifactStore.locate(spark, IvfIndex.Kind, dir,
+      Tables.version(dir, "embeddings"),
+      variant = s"k${Similarity.IvfCentroids}-i${Similarity.IvfIters}")
+    swapIn(spark.read.parquet(s"$p/centroids")
+      .withColumn("cent_id", col("cent_id") + lit(5000L)),
+      p, "centroids")
+    ArtifactStore.clear(); IvfIndex.clear()
+    assert(IvfIndex.centroids(spark, dir).collect()
+      .forall(_.getLong(0) >= 5000L),
+      "IvfIndex retrained instead of loading the committed artifact")
+    IvfIndex.evict(spark, dir)
+    assert(key(IvfIndex.centroids(spark, dir)) === fresh)
+  }
+
+  test("pq codebook artifact: fresh session loads (doctored codeword served)") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.PqIndex
+    PqIndex.evict(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toList)).toSet
+    val fresh = key(PqIndex.trainedCodebook(
+      Tables.load(spark, dir, "embeddings")))
+    assert(key(PqIndex.codebook(spark, dir)) === fresh)
+    ArtifactStore.clear(); PqIndex.clear()
+    assert(key(PqIndex.codebook(spark, dir)) === fresh)
+    val p = ArtifactStore.locate(spark, PqIndex.Kind, dir,
+      Tables.version(dir, "embeddings"))
+    swapIn(spark.read.parquet(s"$p/codebook")
+      .withColumn("cw", transform(col("cw"), x => x + lit(7L))),
+      p, "codebook")
+    ArtifactStore.clear(); PqIndex.clear()
+    assert(key(PqIndex.codebook(spark, dir)) !== fresh,
+      "PqIndex retrained instead of loading the committed artifact")
+    PqIndex.evict(spark, dir)
+    assert(key(PqIndex.codebook(spark, dir)) === fresh)
+  }
+
+  test("bpe merge artifact: fresh session loads (doctored count served)") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.BpeIndex
+    BpeIndex.evict(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val fresh = key(graft.exts.TextAnalysis.bpeTrain(
+      Tables.load(spark, dir, "documents")))
+    assert(key(BpeIndex.rules(spark, dir)) === fresh)
+    ArtifactStore.clear(); BpeIndex.clear()
+    assert(key(BpeIndex.rules(spark, dir)) === fresh)
+    val p = ArtifactStore.locate(spark, BpeIndex.Kind, dir,
+      Tables.version(dir, "documents"),
+      variant = s"r${graft.exts.TextAnalysis.BpeRounds}")
+    swapIn(BpeIndex.load(spark, s"$p/rules")
+      .withColumn("cnt", col("cnt") + lit(900000L)), p, "rules")
+    ArtifactStore.clear(); BpeIndex.clear()
+    assert(BpeIndex.rules(spark, dir).collect()
+      .forall(_.getLong(4) > 900000L),
+      "BpeIndex retrained instead of loading the committed artifact")
+    BpeIndex.evict(spark, dir)
+    assert(key(BpeIndex.rules(spark, dir)) === fresh)
+  }
+
+  test("bloom sketch artifact: fresh session loads the committed bytes") {
+    import org.apache.spark.sql.functions._
+    import graft.exts.BloomIndex
+    BloomIndex.evict(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val first = BloomIndex.sketch(spark, dir)
+    ArtifactStore.clear(); BloomIndex.clear()
+    // cross-session: identical probe behavior from the committed bytes
+    val reloaded = BloomIndex.sketch(spark, dir)
+    val hashes = docs.select(xxhash64(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hashes.forall(reloaded.mightContain))
+    // provenance: overwrite the committed bytes with a sketch trained on
+    // a SENTINEL key — a load serves it; a rebuild would not contain it
+    val sentinel = java.util.UUID.randomUUID().toString
+    import spark.implicits._
+    val doctored = BloomIndex.build(
+      Seq(sentinel).toDF("text"), 0.01)
+    val p = ArtifactStore.locate(spark, BloomIndex.Kind, dir,
+      Tables.version(dir, "documents"), variant = "fpp0.01")
+    BloomIndex.save(doctored, s"$p/sketch.bloom")
+    ArtifactStore.clear(); BloomIndex.clear()
+    val served = BloomIndex.sketch(spark, dir)
+    val sentinelHash = spark.range(1)
+      .select(xxhash64(lit(sentinel))).collect()(0).getLong(0)
+    assert(served.mightContain(sentinelHash),
+      "BloomIndex rebuilt instead of loading the committed artifact")
+    BloomIndex.evict(spark, dir)
+    assert(hashes.forall(BloomIndex.sketch(spark, dir).mightContain))
+    assert(first.mightContain(hashes.head)) // silence unused warning
   }
 
   test("knn artifact: edges == inline rebuild, bit-exact") {

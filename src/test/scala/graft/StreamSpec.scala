@@ -936,7 +936,7 @@ class StreamSpec extends AnyFunSuite {
     val graph = graft.stream.GraphIndexLoop.buildGraph(spark, corpusPath,
       graphPath, target = 4L)
     val bits0 = graph.snapshot.bits
-    assert(new java.io.File(s"$graphPath/b$bits0").isDirectory)
+    assert(new java.io.File(graph.layoutPath).isDirectory)
     def served(): Set[(Long, Long, Int, Long)] = graph.edges(spark)
       .collect().map(r => (r.getAs[Long]("src_id"),
         r.getAs[Long]("dst_id"), r.getAs[Int]("rank"),
@@ -952,10 +952,16 @@ class StreamSpec extends AnyFunSuite {
     assert(served() === rebuilt(bits0))
     val cycles = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long)]
+    val healths = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, Long, Long, Long, Long, Long)])]
     val input = MemoryStream[(Long, Seq[Float])]
     val q = graft.stream.GraphIndexLoop.start(spark, graph, corpusPath,
       input.toDS().toDF("vec_id", "embedding"), target = 4L,
-      onCycle = (b, n, v) => cycles.synchronized { cycles += ((b, n, v)) })
+      onCycle = (b, n, v) => cycles.synchronized { cycles += ((b, n, v)) },
+      onHealth = (v, h) => healths.synchronized {
+        healths += ((v, h.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq))
+      })
     val base = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     def flip(v: Seq[Float]): Seq[Float] = v.map(x => -x)
@@ -990,8 +996,20 @@ class StreamSpec extends AnyFunSuite {
     val bits1 = graph.snapshot.bits
     assert(bits1 === bits0 + 1,
       s"width must drift $bits0 → ${bits0 + 1}, got $bits1")
-    assert(new java.io.File(s"$graphPath/b$bits1").isDirectory)
+    assert(new java.io.File(graph.layoutPath).isDirectory)
     assert(served() === rebuilt(bits1))
+    // the version bump emitted its health row ON the loop (the
+    // reference's evaluator pattern): same numbers as the batch
+    // graphHealthOver on the served layout + landed corpus
+    val hb = healths.synchronized(healths.toSeq)
+    assert(hb.map(_._1) === Seq(1L),
+      s"exactly the drift bump must emit health, got ${hb.map(_._1)}")
+    val batchHealth = graft.exts.Similarity.graphHealthOver(
+      graph.edges(spark),
+      spark.read.parquet(corpusPath).select(col("vec_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(hb.head._2 === batchHealth)
     // every graph consumer runs against the served frame unchanged
     assert(graft.exts.Similarity
       .knnComponentsFromEdges(graph.edges(spark)).count() > 0L)
@@ -1002,6 +1020,34 @@ class StreamSpec extends AnyFunSuite {
       s"$tmpRoot/meta")
     assert(reloaded.snapshot === graph.snapshot)
     assert(reloaded.edges(spark).count() === graph.edges(spark).count())
+    // the loop SELF-persists state per acted batch: reattach needs no
+    // export and must agree with the live handle
+    val reattached = graft.stream.GraphIndexLoop.reattach(spark, graphPath)
+    assert(reattached.snapshot === graph.snapshot)
+    // a stale export naming a layout that is not on disk fails LOUDLY
+    Seq((9L, 30, 999L, 1L))
+      .toDF("version", "bits", "epoch", "n_corpus").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmpRoot/meta_stale")
+    val staleErr = intercept[IllegalArgumentException] {
+      graft.stream.GraphIndexLoop.loadMeta(spark, graphPath,
+        s"$tmpRoot/meta_stale")
+    }
+    assert(staleErr.getMessage.contains("does not exist"))
+    // REPLAY IDEMPOTENCY: re-applying the last committed batchId is a
+    // strict no-op — state restored from the marker, corpus and layout
+    // untouched (foreachBatch replays after failure land here)
+    val lastBatch = cycles.synchronized(cycles.map(_._1).max)
+    val corpusBefore = spark.read.parquet(corpusPath).count()
+    val layoutBefore = served()
+    val stateBefore = graph.snapshot
+    val replay = graft.stream.GraphIndexLoop.applyBatch(spark, graph,
+      corpusPath, novel.toDF("vec_id", "embedding"), lastBatch,
+      0.999, 4L, (_, _) => fail("replay must not re-emit health"))
+    assert(replay._2 === stateBefore.version)
+    assert(graph.snapshot === stateBefore)
+    assert(spark.read.parquet(corpusPath).count() === corpusBefore,
+      "replay duplicated corpus rows")
+    assert(served() === layoutBefore)
     // SERVING: per query batch, neighbors come from the current layout,
     // read through a directory-pruned scan of the batch's own buckets
     val qids = Seq(1L, 5L, 9L, 2000001L)
