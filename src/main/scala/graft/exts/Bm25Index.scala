@@ -20,40 +20,80 @@ import graft.Tables
   * planted-path aliasing), its atomic publish means a reader can never
   * observe a partially written index, and the version in the key means
   * a corpus rewrite re-indexes instead of serving stale postings.
-  * Postings are written partitioned as they come off the (doc, term)
-  * aggregate; at lake scale the same write would be bucketed BY TERM so
-  * the per-batch query-term join prunes files instead of scanning all
-  * postings.
+  * Postings and df are written bucketed BY TERM ([[TermBuckets]]
+  * hash-partition directories), so the per-batch query-term probe
+  * prunes files to the batch vocabulary's buckets instead of scanning
+  * all postings — asserted on the executed plan in PipelineSpec.
   */
 object Bm25Index {
 
   private[exts] val Kind = "bm25-index"
 
+  /** Term-hash fan-out of the at-rest layout: postings and df are
+    * written PARTITIONED BY `t_bucket = pmod(hash(term), TermBuckets)`,
+    * so a query batch's term-keyed probe prunes to exactly the buckets
+    * its vocabulary hashes into (directory-level `PartitionFilters`,
+    * asserted in PipelineSpec) instead of scanning every postings file
+    * — the lake-scale shape the docstring below names, now tested
+    * behavior. 16 buckets match this harness's scale; a lake deployment
+    * raises it into the thousands (the bucket count only changes WHICH
+    * directories exist, never a result — Spark's murmur3 `hash` is
+    * deterministic across sessions and jobs). */
+  private[exts] val TermBuckets = 16
+
+  private def termBucket = pmod(hash(col("term")), lit(TermBuckets))
+
   /** The index path for the `documents` corpus under `dir` — first call
     * per corpus snapshot builds and commits; later calls (any session,
-    * any job) resolve the existing committed artifact. */
+    * any job) resolve the existing committed artifact. The variant tag
+    * carries the bucket fan-out, so a layout change can never be served
+    * to a reader expecting the other shape. */
   def path(spark: SparkSession, dir: String): String =
     ArtifactStore.resolve(spark, Kind, dir,
-      Tables.version(dir, "documents")) { staging =>
-      val docs = Tables.load(spark, dir, "documents")
-      save(TextAnalysis.bm25Postings(docs),
-        TextAnalysis.bm25Stats(docs), staging)
+      Tables.version(dir, "documents"), variant = s"t$TermBuckets") {
+      staging =>
+        val docs = Tables.load(spark, dir, "documents")
+        save(TextAnalysis.bm25Postings(docs),
+          TextAnalysis.bm25Stats(docs), staging)
     }
 
-  /** Persist an index: postings + derived df + stats. */
+  /** Persist an index: postings + derived df + stats, both term-keyed
+    * frames bucketed BY TERM (see [[TermBuckets]]). */
   def save(postings: DataFrame, stats: DataFrame, path: String): Unit = {
-    postings.write.mode("overwrite").parquet(s"$path/postings")
+    postings.withColumn("t_bucket", termBucket)
+      .write.mode("overwrite").partitionBy("t_bucket")
+      .parquet(s"$path/postings")
     postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df")
+      .withColumn("t_bucket", termBucket)
+      .write.mode("overwrite").partitionBy("t_bucket")
+      .parquet(s"$path/df")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Load a previously [[save]]d index: (postings, df, stats). */
+  /** Load a previously [[save]]d index: (postings, df, stats) — the
+    * layout bucket column stripped, so every consumer sees the exact
+    * pre-layout schema. */
   def load(spark: SparkSession,
       path: String): (DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/df"),
+    (spark.read.parquet(s"$path/postings").drop("t_bucket"),
+      spark.read.parquet(s"$path/df").drop("t_bucket"),
       spark.read.parquet(s"$path/stats"))
+
+  /** Postings + df pruned to exactly the term-hash buckets `qterms`'
+    * vocabulary touches: the batch's distinct bucket ids collect to the
+    * driver (metadata-scale — at most [[TermBuckets]] ints) and become
+    * prunable partition literals, so the scan reads only those buckets'
+    * files. Results are identical to the unpruned load — every batch
+    * term's postings live in a probed bucket by construction. */
+  private def loadPruned(spark: SparkSession, path: String,
+      qterms: DataFrame): (DataFrame, DataFrame) = {
+    val buckets = qterms.select(termBucket.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    (spark.read.parquet(s"$path/postings")
+        .filter(col("t_bucket").isin(buckets: _*)).drop("t_bucket"),
+      spark.read.parquet(s"$path/df")
+        .filter(col("t_bucket").isin(buckets: _*)).drop("t_bucket"))
+  }
 
   /** Score an incoming query batch (doc_id, text) against the persisted
     * index: the batch's DISTINCT terms broadcast onto the loaded postings
@@ -64,10 +104,12 @@ object Bm25Index {
     * scoring against a freshly built inline index. */
   def scoreBatch(spark: SparkSession, dir: String, batch: DataFrame,
       k: Int = 10): DataFrame = {
-    val (postings, dfr, stats) = load(spark, path(spark, dir))
+    val p = path(spark, dir)
     val qterms = batch.select(col("doc_id").as("query_id"),
       explode(array_distinct(split(trim(col("text")), "\\s+")))
         .as("term"))
+    val (postings, dfr) = loadPruned(spark, p, qterms)
+    val stats = spark.read.parquet(s"$p/stats")
     TextAnalysis.bm25ScoreAgainst(postings, stats, qterms, k,
       excludeSelf = false, dfrOpt = Some(dfr))
   }
@@ -123,7 +165,8 @@ object Bm25Index {
 
   /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
   private[graft] def evict(spark: SparkSession, dir: String): Unit =
-    ArtifactStore.evict(spark, Kind, dir, Tables.version(dir, "documents"))
+    ArtifactStore.evict(spark, Kind, dir, Tables.version(dir, "documents"),
+      variant = s"t$TermBuckets")
 
   /** Test seam: drop memoized paths (delegates to the shared store). */
   private[graft] def clear(): Unit = ArtifactStore.clear()

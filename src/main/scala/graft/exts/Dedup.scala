@@ -541,7 +541,16 @@ object Dedup {
     * Output: one row per node that appears in any pair — (doc_id,
     * component, is_canonical) where component = min doc_id reachable and
     * is_canonical marks the member to keep. */
-  def dupComponents(pairs: DataFrame): DataFrame = {
+  def dupComponents(pairs: DataFrame): DataFrame =
+    dupComponentsCounted(pairs)._1
+
+  /** [[dupComponents]] plus the number of propagation rounds the loop
+    * actually ran (the convergence-detecting round included) — the
+    * instrument behind SCALE.md's log(diameter) claim and DedupSpec's
+    * deep-chain bound. The loop is synchronous (each round's checksum
+    * is an action), so the count is exact, not an estimate. */
+  private[graft] def dupComponentsCounted(
+      pairs: DataFrame): (DataFrame, Int) = {
     // Checkpoints are LAZY: the next action (each round's checksum)
     // materializes the round's frame and its cache in one job, instead
     // of an eager checkpoint job followed by a cached-read job — the
@@ -569,7 +578,9 @@ object Dedup {
     }
     var sumPrev = checksum(comp)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val viaNeighbors = und
         .join(comp.withColumnRenamed("doc_id", "v"), "v")
         .select(col("u").as("doc_id"), col("comp"))
@@ -595,8 +606,8 @@ object Dedup {
       sumPrev = sumNext
       comp = next
     }
-    comp.select(col("doc_id"), col("comp").as("component"),
-      (col("doc_id") === col("comp")).as("is_canonical"))
+    (comp.select(col("doc_id"), col("comp").as("component"),
+      (col("doc_id") === col("comp")).as("is_canonical")), rounds)
   }
 
   /** Duplicate DOWNWEIGHTING — the keep-everything alternative to

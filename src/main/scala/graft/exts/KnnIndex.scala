@@ -1,6 +1,7 @@
 package graft.exts
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -22,32 +23,49 @@ import graft.Tables
   * bit-exact and every consumer's result is identical to an inline
   * rebuild) committed to the shared [[ArtifactStore]] keyed by (corpus
   * dir, [[Tables.version]] of `embeddings`, k). Edges are written
-  * partitioned as they come off the top-k aggregate; at lake scale the
-  * write would be bucketed BY src_id so the per-consumer src-keyed joins
-  * start co-located.
+  * bucketed BY src_id ([[SrcBuckets]] partition directories), so a
+  * src-keyed lookup ([[edgesForSrcs]] — the ego-neighborhood /
+  * serving-side read) prunes to its sources' buckets at the directory
+  * level instead of scanning the whole edge list — asserted on the
+  * executed plan in PipelineSpec. Whole-graph consumers read every
+  * bucket exactly as before (the layout column is stripped on load).
   */
 object KnnIndex {
 
   private[exts] val Kind = "knn-graph"
 
+  /** src_id partition fan-out of the edge layout (16 matches this
+    * harness; a lake deployment raises it — the bucket count changes
+    * only which directories exist, never a result). Plain `src_id mod
+    * SrcBuckets`: ids are dense, so modulo balances without hashing. */
+  private[exts] val SrcBuckets = 16
+
+  private def srcBucket = pmod(col("src_id"), lit(SrcBuckets.toLong))
+
   /** The committed artifact directory for (`dir`, k) — first call per
     * corpus snapshot builds the graph and commits; later calls (any
-    * session, any job) resolve the existing entry. */
+    * session, any job) resolve the existing entry. The variant carries
+    * the bucket fan-out so a layout change is a different entry. */
   def path(spark: SparkSession, dir: String,
       k: Int = Similarity.KnnGraphK): String =
     ArtifactStore.resolve(spark, Kind, dir,
-      Tables.version(dir, "embeddings"), variant = s"k$k") { staging =>
+      Tables.version(dir, "embeddings"),
+      variant = s"k$k-s$SrcBuckets") { staging =>
       save(Similarity.knnGraph(
         Tables.load(spark, dir, "embeddings"), k), staging)
     }
 
-  /** Persist an edge frame ([[Similarity.knnGraph]] schema). */
+  /** Persist an edge frame ([[Similarity.knnGraph]] schema), bucketed
+    * BY src_id (see [[SrcBuckets]]). */
   def save(edges: DataFrame, path: String): Unit =
-    edges.write.mode("overwrite").parquet(s"$path/edges")
+    edges.withColumn("s_bucket", srcBucket)
+      .write.mode("overwrite").partitionBy("s_bucket")
+      .parquet(s"$path/edges")
 
-  /** Load a previously [[save]]d edge frame. */
+  /** Load a previously [[save]]d edge frame — layout column stripped,
+    * so consumers see the exact [[Similarity.knnGraph]] schema. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/edges")
+    spark.read.parquet(s"$path/edges").drop("s_bucket")
 
   /** The corpus's kNN edge list, artifact-backed: (src_id, dst_id,
     * rank, mutual) — built on first use, loaded thereafter. Every graph
@@ -55,6 +73,23 @@ object KnnIndex {
   def edges(spark: SparkSession, dir: String,
       k: Int = Similarity.KnnGraphK): DataFrame =
     load(spark, path(spark, dir, k))
+
+  /** Src-keyed edge lookup against the committed layout: the requested
+    * sources' buckets become partition literals (metadata-scale — at
+    * most [[SrcBuckets]] longs), so the scan prunes to those
+    * directories before any file IO; the residual src_id filter then
+    * selects within them. Identical rows to
+    * `edges(...).filter(src_id ∈ srcs)` — PipelineSpec asserts both the
+    * equality and the `PartitionFilters` on the executed plan. */
+  def edgesForSrcs(spark: SparkSession, dir: String, srcs: Seq[Long],
+      k: Int = Similarity.KnnGraphK): DataFrame = {
+    val buckets = srcs.map(s => ((s % SrcBuckets) + SrcBuckets)
+      % SrcBuckets).distinct.sorted
+    spark.read.parquet(s"${path(spark, dir, k)}/edges")
+      .filter(col("s_bucket").isin(buckets: _*))
+      .filter(col("src_id").isin(srcs: _*))
+      .drop("s_bucket")
+  }
 
   // ---- the derived COMPONENTS artifact (one level up the reuse
   //      chain: knn_components, cluster_purity and d4_prune all
@@ -96,7 +131,7 @@ object KnnIndex {
   private[graft] def evict(spark: SparkSession, dir: String,
       k: Int = Similarity.KnnGraphK): Unit = {
     ArtifactStore.evict(spark, Kind, dir,
-      Tables.version(dir, "embeddings"), variant = s"k$k")
+      Tables.version(dir, "embeddings"), variant = s"k$k-s$SrcBuckets")
     ArtifactStore.evict(spark, CompKind, dir,
       Tables.version(dir, "embeddings"), variant = s"k$k")
   }

@@ -1185,4 +1185,271 @@ object Multimodal {
         math.max(1, a.height * maxDim / m))
     }.toDF("doc_id", "width", "height", "resized_w", "resized_h")
   }
+
+  // ---- Robust image near-dup: canonical raster + banded Hamming ----
+  //
+  // mm_dup_groups' exact decoded-signature key misses the two most
+  // common wild image-dup cases: a RESCALED copy (dims and gray_sum
+  // change) and a lossy RE-ENCODE flipping a couple of ahash bits.
+  // This family composes the repo's two existing halves — the
+  // resizePixels nearest-neighbor resample (normalize scale FIRST) and
+  // the simhash band pattern (bucket hashes at Hamming distance ≤ t) —
+  // into the robust matcher.
+
+  /** Canonical raster side: every image is NN-resampled (up OR down —
+    * unlike [[resizeMeta]]'s pass-through for small images, which would
+    * give a base image and its upscale DIFFERENT canonical dims) to
+    * (w·C div max(w,h), h·C div max(w,h)). Floor division composes —
+    * (x·2w div cw) div 2 = x·w div cw — so an exact integer k× NN
+    * upscale lands on the IDENTICAL canonical raster as its base. */
+  val CanonDim = 8
+
+  /** Grid side of the canonical hash: 8×8 = 64 bits (unlike
+    * [[AhashGrid]]'s 16 — evidence that feeds TRANSITIVE grouping needs
+    * low accidental-collision odds; measured on the fixture, the 16-bit
+    * hash chained 99% of the corpus into one component via cross-group
+    * collisions, the 64-bit form leaves ~1% accidental pairs). */
+  val CanonGrid = 8
+
+  /** Verify threshold on canonical-hash Hamming distance. 4 bands of
+    * 16 bits make candidate generation EXACT for this threshold: k ≤ 3
+    * flipped bits touch at most 3 bands, so at least one band always
+    * matches — banding can never miss a pair the verify would accept. */
+  val NearHamMax = 3
+
+  /** Members per planted near-dup content group (see
+    * [[pngAssetsNearDups]]). */
+  val NearGroup = 4L
+
+  /** Per-channel value shift of the planted noisy re-encode — chosen
+    * small so the (0,0)-pixel perturbation flips at most [[NearHamMax]]
+    * canonical-hash bits for every sf0.001 group (the hash bits couple
+    * through the global mean, so a large delta would also flip marginal
+    * far-away bits; measured: delta=4 → max 2 flips over the 125
+    * sf0.001 groups, 16 with ≥1 flip). A copy corrupted past the
+    * Hamming threshold is NOT a near-dup by contract — exactly a
+    * threshold matcher's semantics in the wild (at sf0.1, 6 of 1250
+    * planted noisy copies land past it and are identically missed by
+    * engine and oracle). */
+  val NearNoiseDelta = 4
+
+  /** Render the planted near-dup fixture image for doc `d`: content
+    * group g = d div [[NearGroup]], variant v = d mod [[NearGroup]] —
+    *  - v=0, v=3: the base render — quadratic ramps with group-varying
+    *    slopes and cross terms, so different groups' images are
+    *    STRUCTURALLY distinct (the [[encodePng]] linear ramps all share
+    *    one coarse gradient shape, which made every same-dims pair an
+    *    accidental perceptual match),
+    *  - v=1: an exact 2× nearest-neighbor UPSCALE of the base (the
+    *    rescaled-copy wild case: dims and gray_sum both differ, so the
+    *    exact signature key provably misses it),
+    *  - v=2: the base with pixel (0,0)'s channels shifted by
+    *    [[NearNoiseDelta]] mod 256 (the lossy re-encode wild case:
+    *    gray_sum always differs — the 3-channel delta sum is never 0 —
+    *    and up to [[NearHamMax]] canonical-hash bits flip). */
+  def encodeNearPng(d: Long): Array[Byte] = {
+    val g = d / NearGroup
+    val v = (d % NearGroup).toInt
+    val (w, h) = pngDims(g)
+    val (aw, ah) = if (v == 1) (2 * w, 2 * h) else (w, h)
+    val img = new java.awt.image.BufferedImage(
+      aw, ah, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ah) {
+      var x = 0
+      while (x < aw) {
+        val bx = if (v == 1) (x / 2).toLong else x.toLong
+        val by = if (v == 1) (y / 2).toLong else y.toLong
+        var r = (((g * 3 + bx + by) * 37
+          + bx * by * (g % 17 + 1) * 11) % 256).toInt
+        var gr = (((g * 5 + 2 * bx) * 59
+          + bx * bx * (g % 19 + 1) * 13) % 256).toInt
+        var b = (((g * 7 + 3 * by) * 83
+          + by * by * (g % 23 + 1) * 17) % 256).toInt
+        if (v == 2 && bx == 0 && by == 0) {
+          r = (r + NearNoiseDelta) % 256
+          gr = (gr + NearNoiseDelta) % 256
+          b = (b + NearNoiseDelta) % 256
+        }
+        img.setRGB(x, y, (r << 16) | (gr << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** [[pngAssets]] with planted RESCALED and NOISY copies (see
+    * [[encodeNearPng]]) — the fixture that makes robust image near-dup
+    * matching measurable, mirrored closed-form in the oracle. */
+  def pngAssetsNearDups(spark: SparkSession,
+      dir: String): Dataset[PngAsset] = {
+    import spark.implicits._
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).as[Long])
+      .mapPartitions { iter =>
+        imageIoNoDiskCache
+        iter.map(id => PngAsset(id, encodeNearPng(id)))
+      }
+  }
+
+  /** Canonical-raster perceptual signature row. The 64-bit hash ships
+    * as two non-negative 32-bit halves (bits 0-31 / 32-63) — bit 63 of
+    * a single long would be a sign bit, and the oracle's `1 << 63`
+    * overflows BIGINT; two halves keep every value positive and every
+    * shift/mask identical on both engines. */
+  final case class CanonSig(doc_id: Long, canon_w: Int, canon_h: Int,
+      canon_sum: Long, hash_lo: Long, hash_hi: Long)
+
+  /** Scale-normalized perceptual signature: REAL decode, NN-resample to
+    * the [[CanonDim]] canonical raster (ALWAYS resampled — both up and
+    * down — so exact integer rescales collide, see [[CanonDim]]), then
+    * the [[ahashStats]] gray/block/bit chain over the canonical raster.
+    * Same scale shape as every codec stage: one decoder per partition,
+    * O(pixels) per asset, shuffle-free, 4-long signature out. */
+  def canonicalSignatures(assets: Dataset[PngAsset]): Dataset[CanonSig] = {
+    import assets.sparkSession.implicits._
+    val g = CanonGrid
+    val m0 = CanonDim
+    assets.mapPartitions { batch =>
+      imageIoNoDiskCache
+      batch.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.png))
+        val (aw, ah) = (img.getWidth, img.getHeight)
+        val m = math.max(aw, ah)
+        val cw = math.max(1, aw * m0 / m)
+        val ch = math.max(1, ah * m0 / m)
+        val bs = new Array[Long](g * g)
+        val bn = new Array[Long](g * g)
+        var total = 0L
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            val rgb = img.getRGB(x * aw / cw, y * ah / ch)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)).toLong
+            val k = (y * g / ch) * g + (x * g / cw)
+            bs(k) += gray
+            bn(k) += 1L
+            total += gray
+            x += 1
+          }
+          y += 1
+        }
+        val n = cw.toLong * ch
+        var lo = 0L
+        var hi = 0L
+        var k = 0
+        while (k < g * g) {
+          if (bn(k) > 0 && bs(k) * n > total * bn(k)) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        CanonSig(a.doc_id, cw, ch, total, lo, hi)
+      }
+    }
+  }
+
+  /** Banded-Hamming near-dup pairs over a canonical-signature frame:
+    * candidates come from an equi-join on (canonical dims, band index,
+    * 16-bit band value) — the simhash_band_pairs pattern, never an
+    * all-pairs document join — and verify as
+    * Hamming(canon_hash) ≤ [[NearHamMax]] (band-exact for that
+    * threshold, see [[NearHamMax]]; `bit_count` and `^` are codegen'd
+    * integer intrinsics). Canonical gray_sum deliberately does NOT key
+    * the match — it is exactly what a lossy re-encode perturbs. */
+  private[graft] def nearPairs(sig: DataFrame): DataFrame = {
+    val bands = sig
+      .select(col("doc_id"), col("canon_w"), col("canon_h"),
+        col("hash_lo"), col("hash_hi"))
+      .withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("bval", expr(
+        "(case when band < 2 then shiftright(hash_lo, cast(band * 16 as int)) " +
+          "else shiftright(hash_hi, cast((band - 2) * 16 as int)) end) & 65535"))
+    val a = bands.select(col("doc_id").as("a_id"), col("canon_w"),
+      col("canon_h"), col("band"), col("bval"),
+      col("hash_lo").as("lo_a"), col("hash_hi").as("hi_a"))
+    val b = bands.select(col("doc_id").as("b_id"), col("canon_w"),
+      col("canon_h"), col("band"), col("bval"),
+      col("hash_lo").as("lo_b"), col("hash_hi").as("hi_b"))
+    a.join(b.hint("shuffle_hash"),
+        Seq("canon_w", "canon_h", "band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr(
+        "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"))
+      .filter(col("hamming") <= NearHamMax)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
+  }
+
+  /** Robust image near-dup pairs over the planted fixture — the wild
+    * cases exact [[mmDupGroups]] provably misses, caught by composing
+    * the canonical raster (rescaled copies collide exactly) with banded
+    * Hamming matching (noisy re-encodes within [[NearHamMax]] bits
+    * bucket together). Output: (a_id, b_id, hamming). The oracle
+    * recomputes every canonical pixel, block bit, band bucket, and
+    * Hamming distance from the closed-form ramps. */
+  def mmDupNear(spark: SparkSession, dir: String): DataFrame = {
+    // one decode pass feeds both join sides (mmDupGroups rule)
+    val sig = canonicalSignatures(pngAssetsNearDups(spark, dir)).toDF()
+      .localCheckpoint(false)
+    nearPairs(sig)
+  }
+
+  /** Per-asset media disposition — the ACTION operator on top of the
+    * three robust matchers, the media analog of the text side's
+    * dedup_keep_list/curation_audit: image near-dup pairs
+    * ([[mmDupNear]]), video shared-footage pairs ([[mmVideoDups]]) and
+    * audio shared-clip pairs ([[mmAudioDups]]) union into one evidence
+    * edge set; connected components over it (the pointer-halved
+    * [[Dedup.dupComponents]] min-label loop) give every asset a
+    * canonical pointer, and the verdict keeps exactly the canonical
+    * member of each component. Per-modality evidence flags make the
+    * record auditable — which matcher(s) implicated each asset.
+    *
+    * Output: (doc_id, canonical_id, verdict keep|drop, img_dup,
+    * vid_dup, aud_dup, n_modalities), one row per corpus document.
+    *
+    * Scale shape: each matcher is bucketed by construction (band join /
+    * signature join — never all-pairs); the union edge set is
+    * match-sized; the component loop is O(log diameter) rounds of
+    * shuffled joins; the final assembly is id-keyed left joins of
+    * match-sized sets onto the corpus id column. */
+  def mmMediaVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val img = mmDupNear(spark, dir).select(col("a_id"), col("b_id"))
+    val vid = mmVideoDups(spark, dir)
+      .select(col("a_id"), col("b_id")).distinct()
+    val aud = mmAudioDups(spark, dir)
+      .select(col("a_id"), col("b_id")).distinct()
+    def touched(pairs: DataFrame, flag: String): DataFrame =
+      pairs.select(col("a_id").as("doc_id"))
+        .unionByName(pairs.select(col("b_id").as("doc_id")))
+        .distinct().withColumn(flag, lit(1L))
+    val edges = img.unionByName(vid).unionByName(aud).distinct()
+      .localCheckpoint(false)
+    val comp = Dedup.dupComponents(edges)
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(touched(img, "img_dup").hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .join(touched(vid, "vid_dup").hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .join(touched(aud, "aud_dup").hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"),
+        when(coalesce(col("component"), col("doc_id")) === col("doc_id"),
+          "keep").otherwise("drop").as("verdict"),
+        coalesce(col("img_dup"), lit(0L)).as("img_dup"),
+        coalesce(col("vid_dup"), lit(0L)).as("vid_dup"),
+        coalesce(col("aud_dup"), lit(0L)).as("aud_dup"),
+        (coalesce(col("img_dup"), lit(0L)) +
+          coalesce(col("vid_dup"), lit(0L)) +
+          coalesce(col("aud_dup"), lit(0L))).as("n_modalities"))
+  }
 }

@@ -18,6 +18,185 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** Closed-form mirror of the canonical-raster image near-dup chain
+    * (prefix `i`, ends in `ipairs(a_id, b_id, hamming)`): the planted
+    * near-dup fixture's variant-aware source raster (base / 2× NN
+    * upscale / (0,0)-noise), NN-resampled to the CanonDim raster —
+    * floor division composes, so the upscale's canonical pixel
+    * ((x·2w div cw) div 2, …) lands on the base's (x·w div cw, …) —
+    * then the 8×8 block/bit chain split into two 32-bit halves (bit 63
+    * of one BIGINT would need `1 << 63`, which overflows), 16-bit band
+    * bucketing, and the Hamming ≤ NearHamMax verify. */
+  private val mmNearCtes: String = {
+    val g = Multimodal.NearGroup
+    val d = Multimodal.NearNoiseDelta
+    val hm = Multimodal.NearHamMax
+    val c = Multimodal.CanonDim
+    val gr = Multimodal.CanonGrid
+    s"""idocs AS (SELECT doc_id, doc_id // $g AS g, doc_id % $g AS v
+       |  FROM documents),
+       |idims AS (SELECT doc_id, g, v,
+       |    CASE WHEN v = 1 THEN (g % 13 + 4) * 2 ELSE g % 13 + 4 END AS aw,
+       |    CASE WHEN v = 1 THEN (g % 11 + 4) * 2 ELSE g % 11 + 4 END AS ah
+       |  FROM idocs),
+       |icd AS (SELECT doc_id, g, v, aw, ah,
+       |    greatest(1, aw * $c // greatest(aw, ah)) AS cw,
+       |    greatest(1, ah * $c // greatest(aw, ah)) AS ch
+       |  FROM idims),
+       |ipx AS (
+       |  SELECT d.doc_id, d.g, d.v, d.cw, d.ch, x.i AS x, y.j AS y,
+       |    CASE WHEN d.v = 1 THEN ((x.i * d.aw) // d.cw) // 2
+       |         ELSE (x.i * d.aw) // d.cw END AS bx,
+       |    CASE WHEN d.v = 1 THEN ((y.j * d.ah) // d.ch) // 2
+       |         ELSE (y.j * d.ah) // d.ch END AS by
+       |  FROM icd d,
+       |    LATERAL (SELECT unnest(generate_series(0, d.cw - 1)) AS i) x,
+       |    LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS j) y),
+       |igr AS (
+       |  SELECT doc_id, cw, ch, x, y,
+       |    CASE WHEN v = 2 AND bx = 0 AND by = 0
+       |      THEN (((g * 3 + bx + by) * 37 + bx * by * (g % 17 + 1) * 11)
+       |             % 256 + $d) % 256
+       |         + (((g * 5 + 2 * bx) * 59 + bx * bx * (g % 19 + 1) * 13)
+       |             % 256 + $d) % 256
+       |         + (((g * 7 + 3 * by) * 83 + by * by * (g % 23 + 1) * 17)
+       |             % 256 + $d) % 256
+       |      ELSE ((g * 3 + bx + by) * 37 + bx * by * (g % 17 + 1) * 11) % 256
+       |         + ((g * 5 + 2 * bx) * 59 + bx * bx * (g % 19 + 1) * 13) % 256
+       |         + ((g * 7 + 3 * by) * 83 + by * by * (g % 23 + 1) * 17) % 256
+       |      END AS gray
+       |  FROM ipx),
+       |itot AS (SELECT doc_id, max(cw) AS cw, max(ch) AS ch,
+       |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+       |  FROM igr GROUP BY 1),
+       |iblk AS (SELECT doc_id, (x * $gr) // cw AS bi, (y * $gr) // ch AS bj,
+       |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
+       |  FROM igr GROUP BY 1, 2, 3),
+       |ibits AS (SELECT b.doc_id, b.bj * $gr + b.bi AS k,
+       |    CASE WHEN b.bs * t.n > t.total * b.bn THEN 1 ELSE 0 END AS bit
+       |  FROM iblk b JOIN itot t USING (doc_id)),
+       |isig AS (SELECT t.doc_id, t.cw, t.ch,
+       |    CAST(coalesce(sum(CASE WHEN b.k < 32 AND b.bit = 1
+       |      THEN CAST(1 AS BIGINT) << CAST(b.k AS INTEGER) END), 0)
+       |      AS BIGINT) AS lo,
+       |    CAST(coalesce(sum(CASE WHEN b.k >= 32 AND b.bit = 1
+       |      THEN CAST(1 AS BIGINT) << CAST(b.k - 32 AS INTEGER) END), 0)
+       |      AS BIGINT) AS hi
+       |  FROM itot t JOIN ibits b ON b.doc_id = t.doc_id
+       |  GROUP BY 1, 2, 3),
+       |ibnd AS (SELECT doc_id, cw, ch, lo, hi, b.b AS band,
+       |    (CASE WHEN b.b < 2 THEN lo >> CAST(16 * b.b AS INTEGER)
+       |      ELSE hi >> CAST(16 * (b.b - 2) AS INTEGER) END) & 65535 AS bval
+       |  FROM isig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b),
+       |ipairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |      AS BIGINT) AS hamming
+       |  FROM ibnd a JOIN ibnd b ON a.cw = b.cw AND a.ch = b.ch
+       |    AND a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |    <= $hm)""".stripMargin
+  }
+
+  /** Closed-form mirror of the shared-clip video chain (prefix `v`,
+    * ends in `vruns(a_id, b_id, gap, start_a, run_len)`): the
+    * stock-footage ramp (stream position p = doc//8·16 + doc%4 + f at
+    * the GROUP's dimensions) through the mm_video_fp pixel/block/bit
+    * chain, then signature join → gap band → island run assembly. */
+  private val mmVideoRunCtes: String = {
+    val g = Multimodal.AhashGrid
+    val cg = Multimodal.ClipGroup
+    val cs = Multimodal.ClipStride
+    s"""vpx AS (
+       |  SELECT d.doc_id, f.f,
+       |    CAST((d.doc_id // $cg) % 13 + 4 AS BIGINT) AS w,
+       |    CAST((d.doc_id // $cg) % 11 + 4 AS BIGINT) AS h,
+       |    x.i AS x, y.j AS y,
+       |    (((d.doc_id // $cg) * $cs + d.doc_id % 4 + f.f) * 7
+       |      + 5 * x.i + 3 * y.j) % 256 AS gray
+       |  FROM documents d,
+       |    LATERAL (SELECT unnest(generate_series(0,
+       |      CAST(d.doc_id % 5 + 1 AS BIGINT))) AS f) f,
+       |    LATERAL (SELECT unnest(generate_series(0,
+       |      CAST((d.doc_id // $cg) % 13 + 3 AS BIGINT))) AS i) x,
+       |    LATERAL (SELECT unnest(generate_series(0,
+       |      CAST((d.doc_id // $cg) % 11 + 3 AS BIGINT))) AS j) y),
+       |vtot AS (SELECT doc_id, f, max(w) AS w, max(h) AS h,
+       |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+       |  FROM vpx GROUP BY 1, 2),
+       |vblk AS (SELECT doc_id, f, (x * $g) // w AS i, (y * $g) // h AS j,
+       |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
+       |  FROM vpx GROUP BY 1, 2, 3, 4),
+       |vbits AS (SELECT b.doc_id, b.f,
+       |    CASE WHEN b.bs * t.n > t.total * b.bn
+       |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
+       |      ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM vblk b JOIN vtot t ON t.doc_id = b.doc_id AND t.f = b.f),
+       |vsig AS (SELECT t.doc_id, t.f, t.total AS gray_sum,
+       |    CAST(sum(vbits.bit) AS BIGINT) AS ahash
+       |  FROM vtot t JOIN vbits ON vbits.doc_id = t.doc_id
+       |    AND vbits.f = t.f
+       |  GROUP BY 1, 2, 3),
+       |vm AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(b.f - a.f AS BIGINT) AS gap, CAST(a.f AS BIGINT) AS pa
+       |  FROM vsig a JOIN vsig b ON a.gray_sum = b.gray_sum
+       |    AND a.ahash = b.ahash AND a.doc_id < b.doc_id),
+       |visl AS (SELECT a_id, b_id, gap, pa,
+       |    pa - CAST(row_number() OVER (PARTITION BY a_id, b_id, gap
+       |      ORDER BY pa) AS BIGINT) AS island
+       |  FROM vm),
+       |vruns AS (SELECT a_id, b_id, gap, CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(count(*) AS BIGINT) AS run_len
+       |  FROM visl GROUP BY a_id, b_id, gap, island
+       |  HAVING count(*) >= ${Multimodal.MinSharedRun})""".stripMargin
+  }
+
+  /** Closed-form mirror of the trimmed-copy audio chain (prefix `a`,
+    * ends in `aruns(a_id, b_id, gap, start_a, run_len)`): the shared
+    * stream's per-sub-bin amplitude levels through the fixed-window
+    * envelope-share fingerprint, then the same join → gap band →
+    * island run assembly. */
+  private val mmAudioRunCtes: String = {
+    val cg = Multimodal.ClipGroup
+    val cs = Multimodal.ClipStride
+    val pCase = Multimodal.ClipLevelPrimes.zipWithIndex
+      .map { case (p, m) => s"WHEN $m THEN $p" }.mkString(" ")
+    val wCase = Multimodal.WfpWeights.zipWithIndex
+      .map { case (w, m) => s"WHEN $m THEN $w" }.mkString(" ")
+    s"""awins AS (
+       |  SELECT d.doc_id, k.k AS win,
+       |    (d.doc_id // $cg) * $cs + d.doc_id % 4 + k.k AS b
+       |  FROM documents d,
+       |    LATERAL (SELECT unnest(generate_series(0,
+       |      CAST(3 + d.doc_id % 3 AS BIGINT))) AS k) k),
+       |alv AS (SELECT doc_id, win,
+       |    (b * 48271) % (CASE m.m $pCase END) + 16 AS lvl,
+       |    CAST(m.m AS BIGINT) AS m
+       |  FROM awins,
+       |    LATERAL (SELECT unnest(generate_series(0, 7)) AS m) m),
+       |aws AS (SELECT doc_id, win, CAST(sum(lvl) AS BIGINT) AS wsum
+       |  FROM alv GROUP BY 1, 2),
+       |afp AS (SELECT l.doc_id, l.win,
+       |    CAST(sum((l.lvl * 65536 // w.wsum)
+       |      * (CASE l.m $wCase END)) AS BIGINT) AS wfp
+       |  FROM alv l JOIN aws w ON w.doc_id = l.doc_id
+       |    AND w.win = l.win
+       |  GROUP BY 1, 2),
+       |am AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(b.win - a.win AS BIGINT) AS gap,
+       |    CAST(a.win AS BIGINT) AS pa
+       |  FROM afp a JOIN afp b ON a.wfp = b.wfp
+       |    AND a.doc_id < b.doc_id),
+       |aisl AS (SELECT a_id, b_id, gap, pa,
+       |    pa - CAST(row_number() OVER (PARTITION BY a_id, b_id, gap
+       |      ORDER BY pa) AS BIGINT) AS island
+       |  FROM am),
+       |aruns AS (SELECT a_id, b_id, gap, CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(count(*) AS BIGINT) AS run_len
+       |  FROM aisl GROUP BY a_id, b_id, gap, island
+       |  HAVING count(*) >= ${Multimodal.MinSharedRun})""".stripMargin
+  }
+
   /** Base^k mod 2⁶⁴ for k = 0..Window-1, rendered as DuckDB HUGEINT
     * literals — derived from [[graft.functions.RollingHash]]'s constants
     * so the oracle can never drift from the Spark expression. DuckDB has
@@ -1092,6 +1271,17 @@ object PipelineQueries {
       // trimmed/padded-copy case the whole-file mm_audio_fp provably
       // misses.
       "mm_audio_dups" -> ((s, dir) => Multimodal.mmAudioDups(s, dir)),
+      // Robust image near-dup: canonical-raster signature (rescaled
+      // copies collide exactly — floor division composes) + banded
+      // Hamming matching (noisy re-encodes within NearHamMax bits
+      // bucket together) — the two wild cases exact mm_dup_groups
+      // provably misses (PipelineSpec).
+      "mm_dup_near" -> ((s, dir) => Multimodal.mmDupNear(s, dir)),
+      // The media ACTION operator: per-asset keep/drop + canonical
+      // pointer composed from all three robust matchers (image near,
+      // video shared-footage, audio shared-clip) via connected
+      // components — the media analog of dedup_keep_list.
+      "mm_media_verdict" -> ((s, dir) => Multimodal.mmMediaVerdict(s, dir)),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -4827,103 +5017,84 @@ object PipelineQueries {
       // the same pixel/block/bit chain as mm_video_fp, then the same
       // signature join → gap band → island run assembly the engine
       // runs — recomputed end to end, so a hash drift OR a run
-      // miscount mismatches.
-      "mm_video_dups" -> {
-        val g = Multimodal.AhashGrid
-        val cg = Multimodal.ClipGroup
-        val cs = Multimodal.ClipStride
-        s"""WITH px AS (
-           |  SELECT d.doc_id, f.f,
-           |    CAST((d.doc_id // $cg) % 13 + 4 AS BIGINT) AS w,
-           |    CAST((d.doc_id // $cg) % 11 + 4 AS BIGINT) AS h,
-           |    x.i AS x, y.j AS y,
-           |    (((d.doc_id // $cg) * $cs + d.doc_id % 4 + f.f) * 7
-           |      + 5 * x.i + 3 * y.j) % 256 AS gray
-           |  FROM documents d,
-           |    LATERAL (SELECT unnest(generate_series(0,
-           |      CAST(d.doc_id % 5 + 1 AS BIGINT))) AS f) f,
-           |    LATERAL (SELECT unnest(generate_series(0,
-           |      CAST((d.doc_id // $cg) % 13 + 3 AS BIGINT))) AS i) x,
-           |    LATERAL (SELECT unnest(generate_series(0,
-           |      CAST((d.doc_id // $cg) % 11 + 3 AS BIGINT))) AS j) y),
-           |tot AS (SELECT doc_id, f, max(w) AS w, max(h) AS h,
-           |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-           |  FROM px GROUP BY 1, 2),
-           |blk AS (SELECT doc_id, f, (x * $g) // w AS i, (y * $g) // h AS j,
-           |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
-           |  FROM px GROUP BY 1, 2, 3, 4),
-           |bits AS (SELECT b.doc_id, b.f,
-           |    CASE WHEN b.bs * t.n > t.total * b.bn
-           |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
-           |      ELSE CAST(0 AS BIGINT) END AS bit
-           |  FROM blk b JOIN tot t ON t.doc_id = b.doc_id AND t.f = b.f),
-           |sig AS (SELECT t.doc_id, t.f, t.total AS gray_sum,
-           |    CAST(sum(bits.bit) AS BIGINT) AS ahash
-           |  FROM tot t JOIN bits ON bits.doc_id = t.doc_id
-           |    AND bits.f = t.f
-           |  GROUP BY 1, 2, 3),
-           |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    CAST(b.f - a.f AS BIGINT) AS gap, CAST(a.f AS BIGINT) AS pa
-           |  FROM sig a JOIN sig b ON a.gray_sum = b.gray_sum
-           |    AND a.ahash = b.ahash AND a.doc_id < b.doc_id),
-           |isl AS (SELECT a_id, b_id, gap, pa,
-           |    pa - CAST(row_number() OVER (PARTITION BY a_id, b_id, gap
-           |      ORDER BY pa) AS BIGINT) AS island
-           |  FROM m)
-           |SELECT a_id, b_id, gap, CAST(min(pa) AS BIGINT) AS start_a,
-           |  CAST(count(*) AS BIGINT) AS run_len
-           |FROM isl GROUP BY a_id, b_id, gap, island
-           |HAVING count(*) >= ${Multimodal.MinSharedRun}""".stripMargin
-      },
+      // miscount mismatches. CTE chain shared with mm_media_verdict.
+      "mm_video_dups" ->
+        s"""WITH $mmVideoRunCtes
+           |SELECT a_id, b_id, gap, start_a, run_len
+           |FROM vruns""".stripMargin,
 
       // Trimmed-copy mirror: the shared stream's per-sub-bin amplitude
       // levels (stream window B = doc//8·16 + doc%4 + k) through the
       // fixed-window envelope-share fingerprint, then the same join →
       // gap band → island run assembly. The engine decodes REAL WAV
       // bytes to land on these exact integers (each sub-bin's |amp|
-      // sum is 8·level — PCM is lossless).
-      "mm_audio_dups" -> {
-        val cg = Multimodal.ClipGroup
-        val cs = Multimodal.ClipStride
-        val primes = Multimodal.ClipLevelPrimes
-        val weights = Multimodal.WfpWeights
-        val pCase = primes.zipWithIndex
-          .map { case (p, m) => s"WHEN $m THEN $p" }.mkString(" ")
-        val wCase = weights.zipWithIndex
-          .map { case (w, m) => s"WHEN $m THEN $w" }.mkString(" ")
-        s"""WITH wins AS (
-           |  SELECT d.doc_id, k.k AS win,
-           |    (d.doc_id // $cg) * $cs + d.doc_id % 4 + k.k AS b
-           |  FROM documents d,
-           |    LATERAL (SELECT unnest(generate_series(0,
-           |      CAST(3 + d.doc_id % 3 AS BIGINT))) AS k) k),
-           |lv AS (SELECT doc_id, win,
-           |    (b * 48271) % (CASE m.m $pCase END) + 16 AS lvl,
-           |    CAST(m.m AS BIGINT) AS m
-           |  FROM wins,
-           |    LATERAL (SELECT unnest(generate_series(0, 7)) AS m) m),
-           |ws AS (SELECT doc_id, win, CAST(sum(lvl) AS BIGINT) AS wsum
-           |  FROM lv GROUP BY 1, 2),
-           |fp AS (SELECT l.doc_id, l.win,
-           |    CAST(sum((l.lvl * 65536 // w.wsum)
-           |      * (CASE l.m $wCase END)) AS BIGINT) AS wfp
-           |  FROM lv l JOIN ws w ON w.doc_id = l.doc_id
-           |    AND w.win = l.win
-           |  GROUP BY 1, 2),
-           |m2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    CAST(b.win - a.win AS BIGINT) AS gap,
-           |    CAST(a.win AS BIGINT) AS pa
-           |  FROM fp a JOIN fp b ON a.wfp = b.wfp
-           |    AND a.doc_id < b.doc_id),
-           |isl AS (SELECT a_id, b_id, gap, pa,
-           |    pa - CAST(row_number() OVER (PARTITION BY a_id, b_id, gap
-           |      ORDER BY pa) AS BIGINT) AS island
-           |  FROM m2)
-           |SELECT a_id, b_id, gap, CAST(min(pa) AS BIGINT) AS start_a,
-           |  CAST(count(*) AS BIGINT) AS run_len
-           |FROM isl GROUP BY a_id, b_id, gap, island
-           |HAVING count(*) >= ${Multimodal.MinSharedRun}""".stripMargin
-      },
+      // sum is 8·level — PCM is lossless). CTE chain shared with
+      // mm_media_verdict.
+      "mm_audio_dups" ->
+        s"""WITH $mmAudioRunCtes
+           |SELECT a_id, b_id, gap, start_a, run_len
+           |FROM aruns""".stripMargin,
+
+      // Robust image near-dup mirror: the variant-aware canonical
+      // raster (base / exact 2× NN upscale / (0,0)-noise) recomputed
+      // pixel-for-pixel, 64-bit block hash as two 32-bit halves,
+      // 16-bit band bucketing, Hamming ≤ NearHamMax verify — banding
+      // is EXACT for that threshold (4 bands, ≤3 flipped bits always
+      // leave one band intact), so engine and oracle provably agree on
+      // the full pair set, not just the planted one.
+      "mm_dup_near" ->
+        s"""WITH $mmNearCtes
+           |SELECT a_id, b_id, hamming FROM ipairs""".stripMargin,
+
+      // The media ACTION mirror: all three matcher chains (image
+      // canonical-raster near-dup, video shared-footage runs, audio
+      // shared-clip runs) recomputed closed-form, their pair sets
+      // unioned, transitive closure via the recursive reach CTE (the
+      // dedup_groups device), and the per-asset disposition assembled
+      // exactly as the engine does: canonical = min reachable id,
+      // keep ⟺ doc is its component's canonical, per-modality
+      // evidence flags.
+      "mm_media_verdict" ->
+        s"""WITH RECURSIVE $mmNearCtes,
+           |$mmVideoRunCtes,
+           |$mmAudioRunCtes,
+           |edges AS (
+           |  SELECT a_id, b_id FROM ipairs
+           |  UNION SELECT a_id, b_id FROM vruns
+           |  UNION SELECT a_id, b_id FROM aruns),
+           |bi AS (SELECT a_id AS u, b_id AS v FROM edges
+           |  UNION ALL SELECT b_id, a_id FROM edges),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM bi
+           |  UNION
+           |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+           |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u),
+           |imd AS (SELECT DISTINCT u AS doc_id FROM
+           |  (SELECT a_id AS u FROM ipairs UNION ALL SELECT b_id FROM ipairs)),
+           |vmd AS (SELECT DISTINCT u AS doc_id FROM
+           |  (SELECT a_id AS u FROM vruns UNION ALL SELECT b_id FROM vruns)),
+           |amd AS (SELECT DISTINCT u AS doc_id FROM
+           |  (SELECT a_id AS u FROM aruns UNION ALL SELECT b_id FROM aruns))
+           |SELECT d.doc_id,
+           |  coalesce(c.component, d.doc_id) AS canonical_id,
+           |  CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+           |    THEN 'keep' ELSE 'drop' END AS verdict,
+           |  CAST(CASE WHEN imd.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |    AS img_dup,
+           |  CAST(CASE WHEN vmd.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |    AS vid_dup,
+           |  CAST(CASE WHEN amd.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |    AS aud_dup,
+           |  CAST(CASE WHEN imd.doc_id IS NULL THEN 0 ELSE 1 END
+           |     + CASE WHEN vmd.doc_id IS NULL THEN 0 ELSE 1 END
+           |     + CASE WHEN amd.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |    AS n_modalities
+           |FROM documents d
+           |LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |LEFT JOIN imd ON imd.doc_id = d.doc_id
+           |LEFT JOIN vmd ON vmd.doc_id = d.doc_id
+           |LEFT JOIN amd ON amd.doc_id = d.doc_id""".stripMargin,
 
       // Closed-form mirror of the WAV sample train: n = id%500+100
       // samples of ((id·31 + i·17) mod 65536) − 32768. The Spark side

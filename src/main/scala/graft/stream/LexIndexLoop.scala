@@ -76,7 +76,10 @@ object LexIndexLoop {
   def composite(spark: SparkSession,
       st: State): (DataFrame, DataFrame, DataFrame) = {
     val parts = st.mainPath +: st.pending
-    val postings = parts.map(p => spark.read.parquet(s"$p/postings"))
+    // drop the segments' term-bucket layout column (Bm25Index.save
+    // partitions by it); the composite is a logical union, not a layout
+    val postings = parts
+      .map(p => spark.read.parquet(s"$p/postings").drop("t_bucket"))
       .reduce(_ unionByName _)
     val dfr = parts.map(p => spark.read.parquet(s"$p/df"))
       .reduce(_ unionByName _)

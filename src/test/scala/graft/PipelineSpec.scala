@@ -1448,6 +1448,19 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L to 9L).forall(comp(_) === 0L))
   }
 
+  test("dup components: pointer halving bounds rounds to O(log diameter)") {
+    import spark.implicits._
+    // path 0-1-...-64: diameter 64. Plain min-label relaxation crawls
+    // one hop per round (~64 rounds); with pointer halving the label
+    // horizon roughly doubles per round, so the loop must close in
+    // O(log₂ 64) plus the convergence-confirming round.
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (comp, rounds) = Dedup.dupComponentsCounted(pairs)
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 64L).forall(got(_) === 0L))
+    assert(rounds <= 10, s"pointer halving took $rounds rounds on a 64-chain")
+  }
+
   test("contamination: doc sharing >=3 shingles with eval doc is flagged") {
     import spark.implicits._
     // doc 97 is "eval" (97 % 97 == 0); doc 1 copies 8 of its words (4
@@ -3074,6 +3087,89 @@ class PipelineSpec extends AnyFunSuite {
     assert(planted > 50, s"fixture planted only $planted copies")
   }
 
+  test("mm dup near: exact key provably misses the planted copies; near matching catches them") {
+    import graft.exts.Multimodal
+    val g = Multimodal.NearGroup
+    // exact decoded-signature key (the mm_dup_groups grouping) over the
+    // near-dup fixture's ORIGINAL rasters
+    val exact = Multimodal
+      .ahashStats(Multimodal.pngAssetsNearDups(spark, dir)).collect()
+      .map(r => r.doc_id -> ((r.width, r.height, r.gray_sum, r.ahash)))
+      .toMap
+    // canonical signatures — the scale-normalized key
+    val canon = Multimodal
+      .canonicalSignatures(Multimodal.pngAssetsNearDups(spark, dir))
+      .collect()
+      .map(r => r.doc_id ->
+        ((r.canon_w, r.canon_h, r.canon_sum, r.hash_lo, r.hash_hi)))
+      .toMap
+    val groups = exact.keySet.map(_ / g).toSeq.sorted
+      .filter(grp => (0 until g.toInt).forall(v => exact.contains(grp * g + v)))
+    assert(groups.size >= 100, s"only ${groups.size} full groups")
+    groups.foreach { grp =>
+      val Seq(v0, v1, v2, v3) = (0L until g).map(v => grp * g + v)
+      // v3 is a byte-identical re-render of v0
+      assert(exact(v0) === exact(v3))
+      // the rescaled copy: dims (and mass) differ → exact key misses
+      assert(exact(v1)._1 === exact(v0)._1 * 2)
+      assert(exact(v1) !== exact(v0), s"group $grp rescale not missed")
+      // the noisy copy: same dims, gray_sum always moved → exact misses
+      assert(exact(v2)._1 === exact(v0)._1)
+      assert(exact(v2)._3 !== exact(v0)._3, s"group $grp noise not missed")
+      // canonical law: the exact 2× NN upscale lands on the IDENTICAL
+      // canonical raster (floor division composes)
+      assert(canon(v1) === canon(v0), s"group $grp canonical drifted")
+    }
+    // the near matcher catches every planted combination
+    val pairs = Multimodal.mmDupNear(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.keys.foreach { case (a, b) => assert(a < b) }
+    assert(pairs.values.forall(h => h >= 0 && h <= Multimodal.NearHamMax))
+    groups.foreach { grp =>
+      for (i <- 0 until g.toInt; j <- (i + 1) until g.toInt)
+        assert(pairs.contains((grp * g + i, grp * g + j)),
+          s"planted pair ${grp * g + i}/${grp * g + j} missed")
+    }
+    // the noise genuinely exercises the Hamming path: some planted
+    // noisy pair matches at distance > 0 (band-exact for ≤ NearHamMax)
+    assert(groups.exists(grp => pairs((grp * g, grp * g + 2)) > 0),
+      "no planted pair exercised a bit flip")
+  }
+
+  test("mm media verdict: one keep per component; evidence composes all three matchers") {
+    import graft.exts.Multimodal
+    val rows = Multimodal.mmMediaVerdict(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(rows.size.toLong === nDocs)
+    rows.foreach { case (id, (canon, verdict, img, vid, aud, nm)) =>
+      assert(canon <= id) // canonical = min reachable
+      assert(verdict === (if (canon == id) "keep" else "drop"))
+      assert(nm === img + vid + aud)
+      // a non-trivial component implies at least one modality implicated
+      if (canon != id) assert(nm >= 1)
+    }
+    // exactly one keep per component, and it IS the component id
+    rows.toSeq.groupBy(_._2._1).foreach { case (canon, members) =>
+      assert(members.count(_._2._2 == "keep") === 1, s"component $canon")
+      assert(members.map(_._1).min === canon)
+    }
+    // composition: the image matcher links every planted 4-group and
+    // the video/audio matchers link the enclosing 8-block, so all
+    // members of one ClipGroup share one canonical pointer
+    rows.keys.groupBy(_ / Multimodal.ClipGroup).foreach {
+      case (blk, ids) =>
+        assert(ids.map(rows(_)._1).toSet.size === 1,
+          s"clip block $blk split across components")
+    }
+    // per-modality evidence is individually present somewhere
+    assert(rows.values.exists(_._3 == 1L), "no image evidence")
+    assert(rows.values.exists(_._4 == 1L), "no video evidence")
+    assert(rows.values.exists(_._5 == 1L), "no audio evidence")
+  }
+
   test("mm audio window fps: gain-scaled copy keeps every window fingerprint") {
     import graft.exts.Multimodal
     import spark.implicits._
@@ -3716,6 +3812,33 @@ class PipelineSpec extends AnyFunSuite {
     got.groupBy(_._1).values.foreach { rows =>
       assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
     }
+  }
+
+  test("bucketed index layouts: term/src probes prune partitions; rows unchanged") {
+    import org.apache.spark.sql.functions.col
+    // BM25: the batch's term-hash buckets reach the postings scan as
+    // PartitionFilters (directory-level pruning before any file IO);
+    // the score equality vs an unpruned inline index is pinned by the
+    // "bm25 index" spec above and by the hash-green bm25_batch oracle.
+    val scored = graft.exts.Bm25Index.scoreBatch(spark, dir,
+      Dedup.incomingBatch(spark, dir))
+    assert(scored.collect().nonEmpty)
+    val bplan = scored.queryExecution.executedPlan.toString
+    assert(bplan.contains("PartitionFilters") && bplan.contains("t_bucket"),
+      s"no term-bucket partition filter in:\n$bplan")
+    // kNN: a src-keyed lookup prunes to its sources' buckets and equals
+    // the whole-graph filter row-for-row
+    val srcs = Seq(1L, 5L, 33L)
+    val viaLayout = graft.exts.KnnIndex.edgesForSrcs(spark, dir, srcs)
+    val gotRows = viaLayout.collect().map(_.toString).toSet
+    val expected = graft.exts.KnnIndex.edges(spark, dir)
+      .filter(col("src_id").isin(srcs: _*))
+      .collect().map(_.toString).toSet
+    assert(gotRows === expected)
+    assert(gotRows.nonEmpty)
+    val kplan = viaLayout.queryExecution.executedPlan.toString
+    assert(kplan.contains("PartitionFilters") && kplan.contains("s_bucket"),
+      s"no src-bucket partition filter in:\n$kplan")
   }
 
   test("quality winsorize: serial percentile replay; clamp is monotone and bounded") {
