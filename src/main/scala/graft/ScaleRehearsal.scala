@@ -283,6 +283,15 @@ object ScaleRehearsal {
       // decoder per partition, O(resized pixels) per asset past the
       // decode, shuffle-free.
       "mm_resize_px" -> SparkEntry.queries("mm_resize_px"),
+      // Robust image near-dup (r14): one decode pass reduced to 6-long
+      // canonical signatures; candidates from the (dims, band) equi-join
+      // — per-bucket multiplicity follows the planted group size, the
+      // 64-bit hash keeps accidental cross-group pairs ~1% of planted.
+      "mm_dup_near" -> SparkEntry.queries("mm_dup_near"),
+      // Media ACTION verdict (r14): the three matchers' pair sets (each
+      // already rehearsed above) + the pointer-halved component loop
+      // over the match-sized union + id-keyed left joins onto the corpus.
+      "mm_media_verdict" -> SparkEntry.queries("mm_media_verdict"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

@@ -1421,11 +1421,19 @@ object Multimodal {
     * shuffled joins; the final assembly is id-keyed left joins of
     * match-sized sets onto the corpus id column. */
   def mmMediaVerdict(spark: SparkSession, dir: String): DataFrame = {
+    // Each matcher's pair frame feeds BOTH the component edge set and
+    // its modality evidence flag — checkpointed so each
+    // decode-the-corpus matcher executes once. Sequential on purpose:
+    // every codec stage already spreads across all cores (spreadIds),
+    // so the wall clock IS Σ(matcher) — measured: running the three
+    // eagerly from concurrent driver threads was ~30% SLOWER at sf0.1
+    // (scheduler interleaving on saturated cores), not max(matcher).
     val img = mmDupNear(spark, dir).select(col("a_id"), col("b_id"))
+      .localCheckpoint(false)
     val vid = mmVideoDups(spark, dir)
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id")).distinct().localCheckpoint(false)
     val aud = mmAudioDups(spark, dir)
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id")).distinct().localCheckpoint(false)
     def touched(pairs: DataFrame, flag: String): DataFrame =
       pairs.select(col("a_id").as("doc_id"))
         .unionByName(pairs.select(col("b_id").as("doc_id")))
