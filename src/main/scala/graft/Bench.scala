@@ -89,11 +89,12 @@ object Bench {
       graft.exts.DsirIndex.evict(spark, sfDir)
       graft.exts.Bm25Index.evict(spark, sfDir)
       graft.exts.KnnIndex.evict(spark, sfDir)
+      graft.exts.MediaIndex.evict(spark, sfDir)
     }
     val artifactQueries =
       Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
         "pq_search", "ivf_pq_search", "ivf_pq_refine", "dsir_score_batch",
-        "bm25_batch", "knn_graph", "knn_components")
+        "bm25_batch", "knn_graph", "knn_components", "mm_media_verdict")
     // warm = min of 2 passes: a single warm pass is as noisy as any
     // single execution (r13 shipped lm_score_batch "warm" 2.19 s against
     // its own 0.34 s min-of-sweeps headline — a 6× phantom from one

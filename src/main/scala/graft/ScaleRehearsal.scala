@@ -288,9 +288,12 @@ object ScaleRehearsal {
       // — per-bucket multiplicity follows the planted group size, the
       // 64-bit hash keeps accidental cross-group pairs ~1% of planted.
       "mm_dup_near" -> SparkEntry.queries("mm_dup_near"),
-      // Media ACTION verdict (r14): the three matchers' pair sets (each
-      // already rehearsed above) + the pointer-halved component loop
-      // over the match-sized union + id-keyed left joins onto the corpus.
+      // Media ACTION verdict (r14): consumes the committed MediaIndex
+      // pair artifact (the three matchers run once per corpus snapshot
+      // — each rehearsed above); the serve side is the pointer-halved
+      // component loop over the match-sized pair frame + id-keyed left
+      // joins onto the corpus. Pass 1 pays the artifact build; the
+      // min-of-2 keeps the warm consumer figure.
       "mm_media_verdict" -> SparkEntry.queries("mm_media_verdict"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand

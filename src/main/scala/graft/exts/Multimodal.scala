@@ -1415,30 +1415,27 @@ object Multimodal {
     * Output: (doc_id, canonical_id, verdict keep|drop, img_dup,
     * vid_dup, aud_dup, n_modalities), one row per corpus document.
     *
-    * Scale shape: each matcher is bucketed by construction (band join /
-    * signature join — never all-pairs); the union edge set is
-    * match-sized; the component loop is O(log diameter) rounds of
-    * shuffled joins; the final assembly is id-keyed left joins of
-    * match-sized sets onto the corpus id column. */
+    * The pair sets come from the committed [[MediaIndex]] artifact —
+    * the matchers (all the codec work: every asset decoded three times
+    * across three fixtures) run ONCE per corpus snapshot; the verdict
+    * is the consumer side: a match-sized artifact scan, the component
+    * loop (O(log diameter) rounds of shuffled joins — measured in
+    * SCALE.md r14), and id-keyed left joins onto the corpus id column.
+    * Results are bit-identical to recomputing the matchers inline
+    * (exact longs through parquet; ArtifactStoreSpec doctors a pair
+    * row to prove the artifact is the source of truth). */
   def mmMediaVerdict(spark: SparkSession, dir: String): DataFrame = {
-    // Each matcher's pair frame feeds BOTH the component edge set and
-    // its modality evidence flag — checkpointed so each
-    // decode-the-corpus matcher executes once. Sequential on purpose:
-    // every codec stage already spreads across all cores (spreadIds),
-    // so the wall clock IS Σ(matcher) — measured: running the three
-    // eagerly from concurrent driver threads was ~30% SLOWER at sf0.1
-    // (scheduler interleaving on saturated cores), not max(matcher).
-    val img = mmDupNear(spark, dir).select(col("a_id"), col("b_id"))
-      .localCheckpoint(false)
-    val vid = mmVideoDups(spark, dir)
-      .select(col("a_id"), col("b_id")).distinct().localCheckpoint(false)
-    val aud = mmAudioDups(spark, dir)
-      .select(col("a_id"), col("b_id")).distinct().localCheckpoint(false)
+    val pairs = MediaIndex.pairs(spark, dir)
+    def byMod(m: String): DataFrame =
+      pairs.filter(col("modality") === m).select(col("a_id"), col("b_id"))
+    val img = byMod("img")
+    val vid = byMod("vid")
+    val aud = byMod("aud")
     def touched(pairs: DataFrame, flag: String): DataFrame =
       pairs.select(col("a_id").as("doc_id"))
         .unionByName(pairs.select(col("b_id").as("doc_id")))
         .distinct().withColumn(flag, lit(1L))
-    val edges = img.unionByName(vid).unionByName(aud).distinct()
+    val edges = pairs.select(col("a_id"), col("b_id")).distinct()
       .localCheckpoint(false)
     val comp = Dedup.dupComponents(edges)
     Tables.load(spark, dir, "documents").select(col("doc_id"))

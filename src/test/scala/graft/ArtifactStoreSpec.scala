@@ -406,4 +406,48 @@ class ArtifactStoreSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_size")))
       .toMap === before)
   }
+
+  test("media pair artifact: verdict == inline matchers; doctored pair propagates") {
+    import org.apache.spark.sql.functions.col
+    import graft.exts.{MediaIndex, Multimodal}
+    MediaIndex.evict(spark, dir)
+    def verdictRows() = Multimodal.mmMediaVerdict(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val viaArtifact = verdictRows()
+    // the artifact is bit-equal to running the three matchers inline
+    val inline = MediaIndex.buildPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val committed = MediaIndex.pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(committed === inline)
+    // a fresh session (memo dropped) loads the committed entry and the
+    // verdict reproduces exactly — zero codec work on the serve side
+    MediaIndex.clear()
+    assert(verdictRows() === viaArtifact)
+    // doctor the committed pairs: drop every image-modality row. The
+    // verdict must LOSE all img_dup evidence — a consumer silently
+    // re-running the matchers would show none of that
+    val path = MediaIndex.path(spark, dir)
+    val doctored = MediaIndex.load(spark, path)
+      .filter(col("modality") =!= "img")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("media-doctored").toString
+    doctored.write.parquet(s"$tmp/pairs")
+    val fs = java.nio.file.Paths.get(path, "pairs")
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(fs)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp, "pairs"), fs)
+    graft.exts.ArtifactStore.clear()
+    val afterDoctor = verdictRows()
+    assert(afterDoctor.values.forall(_._3 == 0L),
+      "img evidence survived — the verdict rebuilt instead of reading")
+    assert(viaArtifact.values.exists(_._3 == 1L))
+    // restore a clean artifact for later tests
+    MediaIndex.evict(spark, dir)
+    assert(verdictRows() === viaArtifact)
+  }
 }
