@@ -94,7 +94,8 @@ object Bench {
     val artifactQueries =
       Seq("dedup_incremental", "sim_ivf", "bpe_encode", "lm_score_batch",
         "pq_search", "ivf_pq_search", "ivf_pq_refine", "dsir_score_batch",
-        "bm25_batch", "knn_graph", "knn_components", "mm_media_verdict")
+        "bm25_batch", "knn_graph", "knn_components", "mm_media_verdict",
+        "mm_dup_incremental")
     // warm = min of 2 passes: a single warm pass is as noisy as any
     // single execution (r13 shipped lm_score_batch "warm" 2.19 s against
     // its own 0.34 s min-of-sweeps headline — a 6× phantom from one

@@ -295,6 +295,11 @@ object ScaleRehearsal {
       // joins onto the corpus. Pass 1 pays the artifact build; the
       // min-of-2 keeps the warm consumer figure.
       "mm_media_verdict" -> SparkEntry.queries("mm_media_verdict"),
+      // Incremental media ingest gate (r14): batch decode is
+      // batch-sized; the corpus side is one artifact scan probed by the
+      // banded equi-join — growth tracks the signature artifact scan,
+      // never a corpus decode (pass 1 pays the one-time sig build).
+      "mm_dup_incremental" -> SparkEntry.queries("mm_dup_incremental"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

@@ -66,9 +66,36 @@ object MediaIndex {
   def pairs(spark: SparkSession, dir: String): DataFrame =
     load(spark, path(spark, dir))
 
-  /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
-  private[graft] def evict(spark: SparkSession, dir: String): Unit =
+  // ---- the CORPUS SIGNATURE artifact (the match-key side an
+  //      incremental ingest gate probes: decode the corpus once per
+  //      snapshot, serve every incoming batch) ----
+
+  private[exts] val SigKind = "canon-sigs"
+
+  /** The committed canonical-signature artifact for the corpus under
+    * `dir`: one 6-long row per asset ([[Multimodal.CanonSig]] schema —
+    * exact longs, parquet round-trip bit-identical). First call per
+    * corpus snapshot decodes and commits; later calls (any session, any
+    * job) resolve the existing entry. */
+  def sigsPath(spark: SparkSession, dir: String): String =
+    ArtifactStore.resolve(spark, SigKind, dir,
+      Tables.version(dir, "documents")) { staging =>
+      Multimodal.canonicalSignatures(
+          Multimodal.pngAssetsNearDups(spark, dir)).toDF()
+        .write.mode("overwrite").parquet(s"$staging/sigs")
+    }
+
+  /** The corpus's canonical signatures, artifact-backed. */
+  def sigs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${sigsPath(spark, dir)}/sigs")
+
+  /** Scoped cold-path eviction for this corpus snapshot (memo + disk,
+    * both artifact kinds). */
+  private[graft] def evict(spark: SparkSession, dir: String): Unit = {
     ArtifactStore.evict(spark, Kind, dir, Tables.version(dir, "documents"))
+    ArtifactStore.evict(spark, SigKind, dir,
+      Tables.version(dir, "documents"))
+  }
 
   /** Test seam: drop memoized paths (delegates to the shared store). */
   private[graft] def clear(): Unit = ArtifactStore.clear()

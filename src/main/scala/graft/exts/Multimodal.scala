@@ -1401,6 +1401,95 @@ object Multimodal {
     nearPairs(sig)
   }
 
+  /** Batch-id offset of the incoming-asset fixture (outside every other
+    * planted-id convention; media and text id domains never join). */
+  val IncomingIdOffset = 900000L
+
+  /** Group offset that makes an incoming asset's content NOVEL — far
+    * past any corpus group id, so its ramps/dims share no group. */
+  val IncomingNovelOffset = 1000000L
+
+  /** Incoming-asset fixture — the media ingest batch: docs with
+    * d mod 8 = 3 upload a new image under batch id d + [[IncomingIdOffset]];
+    * d mod 16 = 3 uploads NOVEL content (the base render of fake group
+    * g + [[IncomingNovelOffset]]), the rest RE-UPLOAD their group's
+    * content as an exact 2× NN upscale (a rescaled copy of an already-
+    * ingested creative — the common wild re-upload). Mirrored
+    * closed-form in the oracle. */
+  def pngAssetsIncoming(spark: SparkSession,
+      dir: String): Dataset[PngAsset] = {
+    import spark.implicits._
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 8 === 3).as[Long])
+      .mapPartitions { iter =>
+        imageIoNoDiskCache
+        iter.map { d =>
+          val g = d / NearGroup
+          val render =
+            if (d % 16 == 3) encodeNearPng((g + IncomingNovelOffset) * NearGroup)
+            else encodeNearPng(g * NearGroup + 1)
+          PngAsset(d + IncomingIdOffset, render)
+        }
+      }
+  }
+
+  /** Cross-population banded match: every (corpus, batch) signature
+    * pair agreeing on canonical dims and ≥1 of the 4 bands, verified at
+    * Hamming ≤ [[NearHamMax]] — [[nearPairs]]' plan shape with the two
+    * populations on either side of the equi-join (batch side bounded by
+    * the ingest batch; corpus side served from the committed signature
+    * artifact). Output: (batch_id, corpus_id, hamming). */
+  private[graft] def nearMatchesAgainst(corpusSig: DataFrame,
+      batchSig: DataFrame): DataFrame = {
+    def banded(sig: DataFrame, idAs: String, loAs: String,
+        hiAs: String): DataFrame =
+      sig.select(col("doc_id").as(idAs), col("canon_w"), col("canon_h"),
+          col("hash_lo").as(loAs), col("hash_hi").as(hiAs))
+        .withColumn("band", explode(expr("sequence(0, 3)")))
+        .withColumn("bval", expr(
+          s"(case when band < 2 then shiftright($loAs, cast(band * 16 as int)) " +
+            s"else shiftright($hiAs, cast((band - 2) * 16 as int)) end) & 65535"))
+    banded(corpusSig, "corpus_id", "lo_c", "hi_c")
+      .join(banded(batchSig, "batch_id", "lo_b", "hi_b")
+          .hint("shuffle_hash"),
+        Seq("canon_w", "canon_h", "band", "bval"))
+      .withColumn("hamming", expr(
+        "cast(bit_count(lo_c ^ lo_b) + bit_count(hi_c ^ hi_b) as bigint)"))
+      .filter(col("hamming") <= NearHamMax)
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
+      .distinct()
+  }
+
+  /** Incremental media ingest gate — the media analog of
+    * dedup_incremental_near / emb_incremental: an incoming image batch
+    * is decoded to canonical signatures and banded-matched against the
+    * CORPUS signature artifact ([[MediaIndex.sigs]] — built once per
+    * corpus snapshot), so admitting a batch runs zero corpus decodes.
+    * Per incoming asset: match count, the smallest matching corpus id
+    * (the canonical the re-upload should point at), the closest Hamming
+    * distance, and an is_new flag (-1 sentinels when unmatched).
+    *
+    * Scale shape: batch decode is batch-sized; the match is the banded
+    * equi-join (batch side ≤ 4·|batch| band rows, broadcast-scale by
+    * the hint; corpus side one artifact scan); the rollup is a
+    * batch-keyed hash aggregate. */
+  def mmDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpusSigs = MediaIndex.sigs(spark, dir)
+    val batchSigs = canonicalSignatures(pngAssetsIncoming(spark, dir))
+      .toDF().localCheckpoint(false)
+    val agg = nearMatchesAgainst(corpusSigs, batchSigs)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("m_n"), min(col("corpus_id")).as("m_id"),
+        min(col("hamming")).as("m_ham"))
+    batchSigs.select(col("doc_id").as("batch_id"))
+      .join(agg.hint("shuffle_hash"), Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("m_n"), lit(0L)).as("n_matches"),
+        coalesce(col("m_id"), lit(-1L)).as("matched_id"),
+        coalesce(col("m_ham"), lit(-1L)).as("min_hamming"),
+        col("m_n").isNull.cast("long").as("is_new"))
+  }
+
   /** Per-asset media disposition — the ACTION operator on top of the
     * three robust matchers, the media analog of the text side's
     * dedup_keep_list/curation_audit: image near-dup pairs

@@ -18,41 +18,40 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  /** Closed-form mirror of the canonical-raster image near-dup chain
-    * (prefix `i`, ends in `ipairs(a_id, b_id, hamming)`): the planted
-    * near-dup fixture's variant-aware source raster (base / 2× NN
-    * upscale / (0,0)-noise), NN-resampled to the CanonDim raster —
+  /** Closed-form canonical-raster signature chain (CTE prefix `p`,
+    * ends in `<p>sig(doc_id, cw, ch, lo, hi)`), parameterized by a docs
+    * CTE emitting (doc_id, g, v) — g drives the ramp/dims, v the
+    * variant (0/3 base, 1 = exact 2× NN upscale, 2 = (0,0)-noise):
+    * variant-aware source raster, NN-resample to the CanonDim canvas —
     * floor division composes, so the upscale's canonical pixel
     * ((x·2w div cw) div 2, …) lands on the base's (x·w div cw, …) —
     * then the 8×8 block/bit chain split into two 32-bit halves (bit 63
-    * of one BIGINT would need `1 << 63`, which overflows), 16-bit band
-    * bucketing, and the Hamming ≤ NearHamMax verify. */
-  private val mmNearCtes: String = {
-    val g = Multimodal.NearGroup
+    * of one BIGINT would need `1 << 63`, which overflows). Shared by
+    * the near-dup pair chain (corpus) and the incremental ingest gate
+    * (corpus + incoming batch populations). */
+  private def canonSigChain(p: String, docsSelect: String): String = {
     val d = Multimodal.NearNoiseDelta
-    val hm = Multimodal.NearHamMax
     val c = Multimodal.CanonDim
     val gr = Multimodal.CanonGrid
-    s"""idocs AS (SELECT doc_id, doc_id // $g AS g, doc_id % $g AS v
-       |  FROM documents),
-       |idims AS (SELECT doc_id, g, v,
+    s"""${p}docs AS ($docsSelect),
+       |${p}dims AS (SELECT doc_id, g, v,
        |    CASE WHEN v = 1 THEN (g % 13 + 4) * 2 ELSE g % 13 + 4 END AS aw,
        |    CASE WHEN v = 1 THEN (g % 11 + 4) * 2 ELSE g % 11 + 4 END AS ah
-       |  FROM idocs),
-       |icd AS (SELECT doc_id, g, v, aw, ah,
+       |  FROM ${p}docs),
+       |${p}cd AS (SELECT doc_id, g, v, aw, ah,
        |    greatest(1, aw * $c // greatest(aw, ah)) AS cw,
        |    greatest(1, ah * $c // greatest(aw, ah)) AS ch
-       |  FROM idims),
-       |ipx AS (
+       |  FROM ${p}dims),
+       |${p}px AS (
        |  SELECT d.doc_id, d.g, d.v, d.cw, d.ch, x.i AS x, y.j AS y,
        |    CASE WHEN d.v = 1 THEN ((x.i * d.aw) // d.cw) // 2
        |         ELSE (x.i * d.aw) // d.cw END AS bx,
        |    CASE WHEN d.v = 1 THEN ((y.j * d.ah) // d.ch) // 2
        |         ELSE (y.j * d.ah) // d.ch END AS by
-       |  FROM icd d,
+       |  FROM ${p}cd d,
        |    LATERAL (SELECT unnest(generate_series(0, d.cw - 1)) AS i) x,
        |    LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS j) y),
-       |igr AS (
+       |${p}gr AS (
        |  SELECT doc_id, cw, ch, x, y,
        |    CASE WHEN v = 2 AND bx = 0 AND by = 0
        |      THEN (((g * 3 + bx + by) * 37 + bx * by * (g % 17 + 1) * 11)
@@ -65,29 +64,50 @@ object PipelineQueries {
        |         + ((g * 5 + 2 * bx) * 59 + bx * bx * (g % 19 + 1) * 13) % 256
        |         + ((g * 7 + 3 * by) * 83 + by * by * (g % 23 + 1) * 17) % 256
        |      END AS gray
-       |  FROM ipx),
-       |itot AS (SELECT doc_id, max(cw) AS cw, max(ch) AS ch,
+       |  FROM ${p}px),
+       |${p}tot AS (SELECT doc_id, max(cw) AS cw, max(ch) AS ch,
        |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-       |  FROM igr GROUP BY 1),
-       |iblk AS (SELECT doc_id, (x * $gr) // cw AS bi, (y * $gr) // ch AS bj,
+       |  FROM ${p}gr GROUP BY 1),
+       |${p}blk AS (SELECT doc_id, (x * $gr) // cw AS bi, (y * $gr) // ch AS bj,
        |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
-       |  FROM igr GROUP BY 1, 2, 3),
-       |ibits AS (SELECT b.doc_id, b.bj * $gr + b.bi AS k,
+       |  FROM ${p}gr GROUP BY 1, 2, 3),
+       |${p}bits AS (SELECT b.doc_id, b.bj * $gr + b.bi AS k,
        |    CASE WHEN b.bs * t.n > t.total * b.bn THEN 1 ELSE 0 END AS bit
-       |  FROM iblk b JOIN itot t USING (doc_id)),
-       |isig AS (SELECT t.doc_id, t.cw, t.ch,
+       |  FROM ${p}blk b JOIN ${p}tot t USING (doc_id)),
+       |${p}sig AS (SELECT t.doc_id, t.cw, t.ch,
        |    CAST(coalesce(sum(CASE WHEN b.k < 32 AND b.bit = 1
        |      THEN CAST(1 AS BIGINT) << CAST(b.k AS INTEGER) END), 0)
        |      AS BIGINT) AS lo,
        |    CAST(coalesce(sum(CASE WHEN b.k >= 32 AND b.bit = 1
        |      THEN CAST(1 AS BIGINT) << CAST(b.k - 32 AS INTEGER) END), 0)
        |      AS BIGINT) AS hi
-       |  FROM itot t JOIN ibits b ON b.doc_id = t.doc_id
-       |  GROUP BY 1, 2, 3),
-       |ibnd AS (SELECT doc_id, cw, ch, lo, hi, b.b AS band,
+       |  FROM ${p}tot t JOIN ${p}bits b ON b.doc_id = t.doc_id
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** 16-bit band explosion over a `<p>sig` chain (prefix-matched). */
+  private def canonBandCte(p: String): String =
+    s"""${p}bnd AS (SELECT doc_id, cw, ch, lo, hi, b.b AS band,
        |    (CASE WHEN b.b < 2 THEN lo >> CAST(16 * b.b AS INTEGER)
        |      ELSE hi >> CAST(16 * (b.b - 2) AS INTEGER) END) & 65535 AS bval
-       |  FROM isig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b),
+       |  FROM ${p}sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b)"""
+      .stripMargin
+
+  /** The near-dup fixture's corpus population: group = doc div 4,
+    * variant = doc mod 4. */
+  private val mmNearDocsSelect: String = {
+    val g = Multimodal.NearGroup
+    s"SELECT doc_id, doc_id // $g AS g, doc_id % $g AS v FROM documents"
+  }
+
+  /** Closed-form mirror of the canonical-raster image near-dup chain
+    * (prefix `i`, ends in `ipairs(a_id, b_id, hamming)`): the
+    * [[canonSigChain]] over the planted fixture, 16-bit band
+    * bucketing, and the Hamming ≤ NearHamMax verify. */
+  private val mmNearCtes: String = {
+    val hm = Multimodal.NearHamMax
+    s"""${canonSigChain("i", mmNearDocsSelect)},
+       |${canonBandCte("i")},
        |ipairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
@@ -1282,6 +1302,12 @@ object PipelineQueries {
       // video shared-footage, audio shared-clip) via connected
       // components — the media analog of dedup_keep_list.
       "mm_media_verdict" -> ((s, dir) => Multimodal.mmMediaVerdict(s, dir)),
+      // Incremental media ingest gate: an incoming image batch decoded
+      // to canonical signatures and banded-matched against the
+      // PERSISTED corpus signature artifact — zero corpus decodes per
+      // batch; the media analog of dedup_incremental_near.
+      "mm_dup_incremental" -> ((s, dir) =>
+        Multimodal.mmDupIncremental(s, dir)),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -5045,6 +5071,48 @@ object PipelineQueries {
       "mm_dup_near" ->
         s"""WITH $mmNearCtes
            |SELECT a_id, b_id, hamming FROM ipairs""".stripMargin,
+
+      // Incremental ingest-gate mirror: the corpus signature chain and
+      // the incoming batch's chain (re-uploads as exact 2× upscales of
+      // their group content, novels from a far-offset fake group) both
+      // recomputed closed-form, the cross-population band join at the
+      // same Hamming verify, and the per-asset rollup with -1
+      // sentinels — exactly the engine's artifact-probe semantics.
+      "mm_dup_incremental" -> {
+        val hm = Multimodal.NearHamMax
+        val off = Multimodal.IncomingIdOffset
+        val nov = Multimodal.IncomingNovelOffset
+        val g = Multimodal.NearGroup
+        val batchDocs =
+          s"""SELECT doc_id + $off AS doc_id,
+             |    CASE WHEN doc_id % 16 = 3 THEN doc_id // $g + $nov
+             |      ELSE doc_id // $g END AS g,
+             |    CASE WHEN doc_id % 16 = 3 THEN 0 ELSE 1 END AS v
+             |  FROM documents WHERE doc_id % 8 = 3""".stripMargin
+        s"""WITH ${canonSigChain("i", mmNearDocsSelect)},
+           |${canonSigChain("n", batchDocs)},
+           |${canonBandCte("i")},
+           |${canonBandCte("n")},
+           |nmatch AS (
+           |  SELECT DISTINCT n.doc_id AS batch_id, i.doc_id AS corpus_id,
+           |    CAST(bit_count(xor(n.lo, i.lo)) + bit_count(xor(n.hi, i.hi))
+           |      AS BIGINT) AS hamming
+           |  FROM nbnd n JOIN ibnd i ON n.cw = i.cw AND n.ch = i.ch
+           |    AND n.band = i.band AND n.bval = i.bval
+           |  WHERE bit_count(xor(n.lo, i.lo)) + bit_count(xor(n.hi, i.hi))
+           |    <= $hm),
+           |nagg AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches,
+           |    min(corpus_id) AS matched_id, min(hamming) AS min_hamming
+           |  FROM nmatch GROUP BY 1)
+           |SELECT s.doc_id AS batch_id,
+           |  coalesce(a.n_matches, 0) AS n_matches,
+           |  coalesce(a.matched_id, -1) AS matched_id,
+           |  coalesce(a.min_hamming, -1) AS min_hamming,
+           |  CAST(CASE WHEN a.batch_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_new
+           |FROM nsig s LEFT JOIN nagg a ON a.batch_id = s.doc_id"""
+          .stripMargin
+      },
 
       // The media ACTION mirror: all three matcher chains (image
       // canonical-raster near-dup, video shared-footage runs, audio

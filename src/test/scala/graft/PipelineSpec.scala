@@ -3170,6 +3170,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.values.exists(_._5 == 1L), "no audio evidence")
   }
 
+  test("mm dup incremental: re-uploads resolve to their group at Hamming 0; novels flagged new") {
+    import graft.exts.Multimodal
+    val off = Multimodal.IncomingIdOffset
+    val rows = Multimodal.mmDupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.size >= 60)
+    rows.foreach { case (bid, (n, mid, mh, isNew)) =>
+      val d = bid - off
+      assert(d % 8 === 3)
+      assert((isNew == 1L) === (n == 0L))
+      if (isNew == 1L) assert(mid === -1L && mh === -1L)
+      else assert(mid >= 0L && mh >= 0L && mh <= Multimodal.NearHamMax)
+    }
+    val (novel, reup) = rows.partition { case (bid, _) =>
+      (bid - off) % 16 == 3 }
+    assert(reup.nonEmpty && novel.nonEmpty)
+    // every re-upload (an exact 2× NN upscale of already-ingested
+    // content) lands on its group's canonical at Hamming 0 — the
+    // canonical-raster collision law — and the min matching id IS in
+    // its own group (measured on this fixture; accidental cross-group
+    // matches carry larger ids here)
+    reup.foreach { case (bid, (n, mid, mh, _)) =>
+      val g = (bid - off) / Multimodal.NearGroup
+      assert(n >= 1L, s"re-upload $bid unmatched")
+      assert(mh === 0L, s"re-upload $bid min hamming $mh")
+      assert(mid / Multimodal.NearGroup === g,
+        s"re-upload $bid resolved to foreign canonical $mid")
+    }
+    // novel uploads are overwhelmingly admitted as new (a rare novel
+    // ramp may accidentally band-match — deterministic on both engines)
+    val newCount = novel.count(_._2._4 == 1L)
+    assert(newCount * 10 >= novel.size * 9,
+      s"only $newCount/${novel.size} novels flagged new")
+  }
+
   test("mm audio window fps: gain-scaled copy keeps every window fingerprint") {
     import graft.exts.Multimodal
     import spark.implicits._
