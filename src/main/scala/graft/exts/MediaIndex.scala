@@ -66,6 +66,40 @@ object MediaIndex {
   def pairs(spark: SparkSession, dir: String): DataFrame =
     load(spark, path(spark, dir))
 
+  // ---- the derived COMPONENTS artifact (the KnnIndex edges →
+  //      components precedent on the media side: the disposition
+  //      consumer's dominant per-query cost is the min-label loop over
+  //      the pair union, and the loop's fixpoint is a pure function of
+  //      the committed pairs — so it runs once per corpus snapshot) ----
+
+  private[exts] val CompKind = "media-components"
+
+  /** The committed component frame over the [[pairs]] artifact:
+    * (doc_id, component, is_canonical) for every asset in ≥1 pair —
+    * [[Dedup.dupComponents]]' fixpoint, longs + a boolean, parquet
+    * round-trip bit-exact. Built on first use; the component loop runs
+    * once per corpus snapshot instead of once per verdict. */
+  def componentsPath(spark: SparkSession, dir: String): String =
+    ArtifactStore.resolve(spark, CompKind, dir,
+      Tables.version(dir, "documents")) { staging =>
+      Dedup.dupComponents(pairs(spark, dir)
+          .select(col("a_id"), col("b_id")).distinct())
+        .write.mode("overwrite").parquet(s"$staging/components")
+    }
+
+  /** The corpus's media-dup component frame, artifact-backed. */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${componentsPath(spark, dir)}/components")
+
+  /** Evict only the derived components artifact (test seam: after
+    * doctoring the pair artifact in place, the derived frame must be
+    * re-derived — in production both artifacts share the corpus
+    * version, so they can never drift apart). */
+  private[graft] def evictComponents(spark: SparkSession,
+      dir: String): Unit =
+    ArtifactStore.evict(spark, CompKind, dir,
+      Tables.version(dir, "documents"))
+
   // ---- the CORPUS SIGNATURE artifact (the match-key side an
   //      incremental ingest gate probes: decode the corpus once per
   //      snapshot, serve every incoming batch) ----
@@ -90,9 +124,11 @@ object MediaIndex {
     spark.read.parquet(s"${sigsPath(spark, dir)}/sigs")
 
   /** Scoped cold-path eviction for this corpus snapshot (memo + disk,
-    * both artifact kinds). */
+    * all three artifact kinds). */
   private[graft] def evict(spark: SparkSession, dir: String): Unit = {
     ArtifactStore.evict(spark, Kind, dir, Tables.version(dir, "documents"))
+    ArtifactStore.evict(spark, CompKind, dir,
+      Tables.version(dir, "documents"))
     ArtifactStore.evict(spark, SigKind, dir,
       Tables.version(dir, "documents"))
   }

@@ -1473,9 +1473,17 @@ object Multimodal {
     * equi-join (batch side ≤ 4·|batch| band rows, broadcast-scale by
     * the hint; corpus side one artifact scan); the rollup is a
     * batch-keyed hash aggregate. */
-  def mmDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def mmDupIncremental(spark: SparkSession, dir: String): DataFrame =
+    mmDupIncrementalOver(spark, dir, pngAssetsIncoming(spark, dir))
+
+  /** [[mmDupIncremental]] over a caller-supplied asset batch — the seam
+    * the streaming ingest gate ([[graft.stream.MediaServing]]) feeds
+    * with each micro-batch; per-asset rows are independent, so any
+    * micro-batch split of one batch yields identical rows. */
+  def mmDupIncrementalOver(spark: SparkSession, dir: String,
+      assets: Dataset[PngAsset]): DataFrame = {
     val corpusSigs = MediaIndex.sigs(spark, dir)
-    val batchSigs = canonicalSignatures(pngAssetsIncoming(spark, dir))
+    val batchSigs = canonicalSignatures(assets)
       .toDF().localCheckpoint(false)
     val agg = nearMatchesAgainst(corpusSigs, batchSigs)
       .groupBy(col("batch_id"))
@@ -1524,9 +1532,10 @@ object Multimodal {
       pairs.select(col("a_id").as("doc_id"))
         .unionByName(pairs.select(col("b_id").as("doc_id")))
         .distinct().withColumn(flag, lit(1L))
-    val edges = pairs.select(col("a_id"), col("b_id")).distinct()
-      .localCheckpoint(false)
-    val comp = Dedup.dupComponents(edges)
+    // the component fixpoint is itself a committed artifact derived
+    // from the pairs (the KnnIndex components precedent) — the
+    // min-label loop runs once per corpus snapshot, not per verdict
+    val comp = MediaIndex.components(spark, dir)
     Tables.load(spark, dir, "documents").select(col("doc_id"))
       .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
       .join(touched(img, "img_dup").hint("shuffle_hash"),

@@ -442,6 +442,10 @@ class ArtifactStoreSpec extends AnyFunSuite {
     finally walk.close()
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp, "pairs"), fs)
     graft.exts.ArtifactStore.clear()
+    // the derived component artifact must re-derive from the doctored
+    // pairs (in production both share the corpus version — doctoring in
+    // place is a test-only intervention, so the seam evicts it)
+    MediaIndex.evictComponents(spark, dir)
     val afterDoctor = verdictRows()
     assert(afterDoctor.values.forall(_._3 == 0L),
       "img evidence survived — the verdict rebuilt instead of reading")

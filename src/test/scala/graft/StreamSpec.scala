@@ -638,6 +638,39 @@ class StreamSpec extends AnyFunSuite {
     assert(results.size === expected.size) // no duplicate emissions
   }
 
+  test("media serving: per-batch stream verdicts equal the batch ingest gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the incoming-asset fixture streamed in two arrivals; per-asset
+    // rows are independent, so the union must equal the batch gate
+    val assets = graft.exts.Multimodal.pngAssetsIncoming(spark, dir)
+      .collect().map(a => (a.doc_id, a.png))
+    assert(assets.length > 10)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val q = graft.stream.MediaServing.start(spark, dir,
+      input.toDS().toDF("doc_id", "png"),
+      (df, _) => results.synchronized {
+        results ++= df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+      })
+    input.addData(assets.take(7).toSeq)
+    q.processAllAvailable()
+    input.addData(assets.drop(7).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.exts.Multimodal.mmDupIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(results.toSet === expected)
+    assert(results.size === expected.size) // no duplicate emissions
+    // both dispositions flow through the serve path
+    assert(results.exists(_._5 == 1L) && results.exists(_._5 == 0L))
+  }
+
   test("streaming near-dedup suppresses tail-edited rewrites, keeps novel docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
