@@ -1498,6 +1498,37 @@ object Multimodal {
         col("m_n").isNull.cast("long").as("is_new"))
   }
 
+  /** Media-index health report — the reference's metrics-evaluator role
+    * ([[Similarity.graphHealth]]'s sibling) over the committed media
+    * artifacts: one integer-exact row a maintenance policy reads to
+    * decide whether the index is drifting (dup ratio climbing, one
+    * component swallowing the corpus). All inputs are the committed
+    * [[MediaIndex]] artifacts — pairs and components — plus the corpus
+    * row count; zero codec work.
+    *
+    * Output (1 row): n_assets, n_pairs (tagged matcher pairs),
+    * n_dup_assets (assets in ≥1 pair), dup_permille, n_components,
+    * max_component. */
+  def mediaHealth(spark: SparkSession, dir: String): DataFrame = {
+    val nAssets = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_assets"))
+    val pairs = MediaIndex.pairs(spark, dir)
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    val dupAssets = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+      .agg(count(lit(1)).as("n_dup_assets"))
+    val comp = MediaIndex.components(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_components"),
+        coalesce(max(col("sz")), lit(0L)).as("max_component"))
+    nAssets.crossJoin(broadcast(nPairs))
+      .crossJoin(broadcast(dupAssets))
+      .crossJoin(broadcast(comp))
+      .select(col("n_assets"), col("n_pairs"), col("n_dup_assets"),
+        expr("n_dup_assets * 1000 div n_assets").as("dup_permille"),
+        col("n_components"), col("max_component"))
+  }
+
   /** Per-asset media disposition — the ACTION operator on top of the
     * three robust matchers, the media analog of the text side's
     * dedup_keep_list/curation_audit: image near-dup pairs

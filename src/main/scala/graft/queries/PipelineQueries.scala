@@ -1308,6 +1308,10 @@ object PipelineQueries {
       // batch; the media analog of dedup_incremental_near.
       "mm_dup_incremental" -> ((s, dir) =>
         Multimodal.mmDupIncremental(s, dir)),
+      // Media-index health report over the committed pair/component
+      // artifacts — the metrics-evaluator role (graph_health's sibling)
+      // for the media index family; zero codec work.
+      "media_health" -> ((s, dir) => Multimodal.mediaHealth(s, dir)),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -5113,6 +5117,46 @@ object PipelineQueries {
            |FROM nsig s LEFT JOIN nagg a ON a.batch_id = s.doc_id"""
           .stripMargin
       },
+
+      // Media-health mirror: the three matcher chains recomputed
+      // closed-form, the tagged pair count (image pairs + distinct
+      // video/audio run pairs), distinct dup endpoints, and component
+      // count/max via the recursive closure — the counts the engine
+      // reads off its committed artifacts.
+      "media_health" ->
+        s"""WITH RECURSIVE $mmNearCtes,
+           |$mmVideoRunCtes,
+           |$mmAudioRunCtes,
+           |edges AS (
+           |  SELECT a_id, b_id FROM ipairs
+           |  UNION SELECT a_id, b_id FROM vruns
+           |  UNION SELECT a_id, b_id FROM aruns),
+           |bi AS (SELECT a_id AS u, b_id AS v FROM edges
+           |  UNION ALL SELECT b_id, a_id FROM edges),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM bi
+           |  UNION
+           |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+           |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u),
+           |sizes AS (SELECT component, count(*) AS sz
+           |  FROM comp GROUP BY 1),
+           |tagged AS (SELECT count(*) AS n_pairs FROM (
+           |  SELECT a_id, b_id FROM ipairs
+           |  UNION ALL SELECT DISTINCT a_id, b_id FROM vruns
+           |  UNION ALL SELECT DISTINCT a_id, b_id FROM aruns)),
+           |dup AS (SELECT count(*) AS n_dup_assets FROM (
+           |  SELECT a_id AS d FROM edges UNION SELECT b_id FROM edges)),
+           |na AS (SELECT count(*) AS n_assets FROM documents)
+           |SELECT CAST(na.n_assets AS BIGINT) AS n_assets,
+           |  CAST(tagged.n_pairs AS BIGINT) AS n_pairs,
+           |  CAST(dup.n_dup_assets AS BIGINT) AS n_dup_assets,
+           |  CAST(dup.n_dup_assets * 1000 // na.n_assets AS BIGINT)
+           |    AS dup_permille,
+           |  CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_components,
+           |  CAST((SELECT coalesce(max(sz), 0) FROM sizes) AS BIGINT)
+           |    AS max_component
+           |FROM na, tagged, dup""".stripMargin,
 
       // The media ACTION mirror: all three matcher chains (image
       // canonical-raster near-dup, video shared-footage runs, audio

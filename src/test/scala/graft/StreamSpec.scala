@@ -671,6 +671,99 @@ class StreamSpec extends AnyFunSuite {
     assert(results.exists(_._5 == 1L) && results.exists(_._5 == 0L))
   }
 
+  test("media index loop: pending gate, threshold rebuild + health, replay no-op, reattach") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import graft.exts.Multimodal
+    import graft.stream.MediaIndexLoop
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("media-loop").toString
+    val corpusSigs = Multimodal.canonicalSignatures(
+      Multimodal.pngAssetsNearDups(spark, dir)).toDF()
+    val serving = MediaIndexLoop.build(spark, corpusSigs, root)
+    assert(serving.version === 0L)
+    val n0 = serving.nAssets
+    // fake groups 2000001+ verified collision-free against the corpus
+    // and each other; base render = variant 0, exact 2× upscale = 1
+    def novel(id: Long, g: Long) =
+      (id, Multimodal.encodeNearPng((g + 2000000L) * 4))
+    def novelUp(id: Long, g: Long) =
+      (id, Multimodal.encodeNearPng((g + 2000000L) * 4 + 1))
+    def corpusUp(id: Long, g: Long) =
+      (id, Multimodal.encodeNearPng(g * 4 + 1))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val verdicts = scala.collection.mutable
+      .Map.empty[Long, (Long, Long, Long, Long)]
+    val healths = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Long])]
+    val q = MediaIndexLoop.start(spark, serving,
+      input.toDS().toDF("doc_id", "png"), rebuildAfter = 4L,
+      (df, _) => verdicts.synchronized {
+        df.collect().foreach(r => verdicts(r.getLong(0)) =
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      },
+      (v, h) => healths.synchronized {
+        healths += ((v, h.collect().head.toSeq.map(_.toString.toLong)))
+      })
+    // batch 1: three novels + one corpus re-upload → 3 admitted (< 4:
+    // no rebuild); the re-upload resolves to corpus group 6's canonical
+    input.addData(Seq(novel(5000001L, 1), novel(5000002L, 2),
+      novel(5000003L, 3), corpusUp(5000004L, 6)))
+    q.processAllAvailable()
+    assert(serving.version === 0L)
+    assert(serving.snapshot.nPending === 3L)
+    assert(verdicts(5000001L)._4 === 1L) // is_new
+    assert(verdicts(5000004L) === ((4L, 24L, 0L, 0L)),
+      "corpus re-upload must resolve to group 6's canonical 24")
+    // batch 2: an upscale of PENDING novel 1 (dup via the pending set,
+    // before any rebuild) + two more novels → pending 5 ≥ 4 → rebuild
+    input.addData(Seq(novelUp(5000005L, 1), novel(5000006L, 4),
+      novel(5000007L, 5)))
+    q.processAllAvailable()
+    assert(verdicts(5000005L) === ((1L, 5000001L, 0L, 0L)),
+      "pending-admitted asset must gate its own re-upload")
+    assert(serving.version === 1L)
+    assert(serving.snapshot.nPending === 0L)
+    assert(serving.nAssets === n0 + 5L)
+    // the version bump emitted its health row ON the loop
+    assert(healths.map(_._1) === Seq(1L),
+      s"exactly the rebuild must emit health, got ${healths.map(_._1)}")
+    // batch 3: an upscale of novel 2 → dup via the REBUILT v1 layout
+    input.addData(Seq(novelUp(5000008L, 2)))
+    q.processAllAvailable()
+    q.stop()
+    assert(verdicts(5000008L) === ((1L, 5000002L, 0L, 0L)),
+      "rebuilt layout must serve the admitted asset")
+    assert(serving.nAssets === n0 + 5L) // batch 3 admitted nothing
+    // the emitted health row equals the same formulas computed directly
+    // over the serving signatures
+    val sigs = serving.sigs(spark)
+    val pairs = Multimodal.nearPairs(sigs)
+    val comp = graft.exts.Dedup.dupComponents(
+      pairs.select(org.apache.spark.sql.functions.col("a_id"),
+        org.apache.spark.sql.functions.col("b_id")))
+    val direct = MediaIndexLoop.healthOver(sigs, pairs, comp)
+      .collect().head.toSeq.map(_.toString.toLong)
+    assert(healths.head._2 === direct)
+    assert(direct.head === n0 + 5L) // n_assets covers the admitted set
+    // replay no-op: re-applying an already-recorded batch id changes
+    // nothing and emits nothing
+    val before = serving.snapshot
+    val replay = MediaIndexLoop.applyBatch(spark, serving,
+      Seq(novel(5000009L, 7)).toDF("doc_id", "png"), before.lastBatchId,
+      4L, (_, _) => fail("replay must not re-emit health"))
+    assert(replay.count() === 0L)
+    assert(serving.snapshot === before)
+    // reattach: a fresh handle restores the recorded state and serves
+    // the identical signature set
+    val re = MediaIndexLoop.reattach(spark, root)
+    assert(re.snapshot === before)
+    assert(re.sigs(spark).collect().map(_.toString).toSet ===
+      sigs.collect().map(_.toString).toSet)
+  }
+
   test("streaming near-dedup suppresses tail-edited rewrites, keeps novel docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
