@@ -215,6 +215,47 @@ object ArtifactStore {
     if (Files.exists(p)) deleteRecursively(p)
   }
 
+  /** Garbage-collect SUPERSEDED entries of one (kind, dir, variant):
+    * every committed entry whose version differs from `keepVersion` is
+    * removed — the store's retention sweep (the expire_snapshots role:
+    * each corpus rewrite mints a fresh version-keyed entry, and without
+    * a sweep the store grows one dead index per rewrite forever).
+    * Scoped exactly like [[evict]]: only directories whose manifest
+    * round-trips THIS (kind, dir, variant) at some other version are
+    * candidates — a hash-prefix coincidence, another corpus, or a
+    * staging dir in flight is never touched. Returns the number of
+    * entries removed. */
+  def sweep(spark: SparkSession, kind: String, dir: String,
+      keepVersion: Long, variant: String = ""): Int = {
+    val r = root(spark)
+    val kindDir = Paths.get(r, kind)
+    if (!Files.isDirectory(kindDir)) return 0
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(kindDir)
+    val entries =
+      try ls.iterator().asScala.toSeq.filter(Files.isDirectory(_))
+      finally ls.close()
+    var removed = 0
+    entries.foreach { p =>
+      val m = p.resolve("_MANIFEST.json")
+      if (Files.exists(m)) {
+        val got = new String(Files.readAllBytes(m), "UTF-8")
+        val version = """"version":(-?\d+)""".r.findFirstMatchIn(got)
+          .map(_.group(1).toLong)
+        // identity check: the manifest must name exactly this
+        // (kind, dir, variant) — at any version
+        val mine = version.exists(v =>
+          got == manifestJson(kind, dir, variant, v))
+        if (mine && !version.contains(keepVersion)) {
+          memo.remove(Key(r, kind, dir, variant, version.get))
+          deleteRecursively(p)
+          removed += 1
+        }
+      }
+    }
+    removed
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = Files.walk(p)

@@ -35,6 +35,34 @@ class ArtifactStoreSpec extends AnyFunSuite {
     ArtifactStore.evict(spark, "spec-kind", "/spec/corpus", 7L)
   }
 
+  test("sweep removes superseded versions only; foreign entries untouched") {
+    import java.nio.file.{Files, Paths}
+    val kind = "spec-sweep"
+    def mk(d: String, v: Long): String =
+      ArtifactStore.resolve(spark, kind, d, v) { st =>
+        Files.write(Paths.get(st, "p.txt"), s"$d-$v".getBytes("UTF-8"))
+      }
+    val p1 = mk("/sweep/corpus", 1L)
+    val p2 = mk("/sweep/corpus", 2L)
+    val p3 = mk("/sweep/corpus", 3L)
+    val foreign = mk("/sweep/other", 1L)
+    // superseded versions of THIS (kind, dir) go; the current version
+    // and the foreign corpus stay
+    assert(ArtifactStore.sweep(spark, kind, "/sweep/corpus", 3L) === 2)
+    assert(!Files.exists(Paths.get(p1)) && !Files.exists(Paths.get(p2)))
+    assert(Files.exists(Paths.get(p3)) && Files.exists(Paths.get(foreign)))
+    // idempotent, and the kept entry still serves with zero rebuilds
+    assert(ArtifactStore.sweep(spark, kind, "/sweep/corpus", 3L) === 0)
+    ArtifactStore.clear()
+    var builds = 0
+    val again = ArtifactStore.resolve(spark, kind, "/sweep/corpus", 3L) {
+      _ => builds += 1
+    }
+    assert(again === p3 && builds === 0)
+    ArtifactStore.evict(spark, kind, "/sweep/corpus", 3L)
+    ArtifactStore.evict(spark, kind, "/sweep/other", 1L)
+  }
+
   test("planted/collided dir without a matching manifest is rebuilt, not served") {
     val kind = "spec-poison"
     ArtifactStore.evict(spark, kind, "/spec/corpus", 9L)
