@@ -300,6 +300,10 @@ object ScaleRehearsal {
       // banded equi-join — growth tracks the signature artifact scan,
       // never a corpus decode (pass 1 pays the one-time sig build).
       "mm_dup_incremental" -> SparkEntry.queries("mm_dup_incremental"),
+      // Media-index health (r14): counts over the committed pair and
+      // component artifacts reduced to broadcast-joined 1-row
+      // aggregates — growth tracks the match-sized artifact scans.
+      "media_health" -> SparkEntry.queries("media_health"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.
