@@ -146,6 +146,10 @@ object ScaleRehearsal {
       // vector ingest gate (r9): batch broadcast into the bucket
       // equi-join; growth tracks batch × bucket-collision volume.
       "emb_incremental" -> SparkEntry.queries("emb_incremental"),
+      // distribution drift (r14): two token-linear hash aggregates +
+      // one full-outer join whose shuffle tracks DISTINCT terms
+      // (Heaps-bounded) + two reductions of the checkpointed join.
+      "corpus_drift" -> SparkEntry.queries("corpus_drift"),
       // near ingest gate (r9): batch kept-shingles broadcast against the
       // capped corpus index; growth tracks batch size + the hot-set pass.
       "dedup_incremental_near" -> SparkEntry.queries("dedup_incremental_near"),

@@ -1921,4 +1921,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"),
         md5(col("redacted")).as("redacted_md5"))
+
+  /** Term-distribution DRIFT between two corpus versions — the mixture
+    * monitor a lake runs per release (the distribution-level companion
+    * of corpus_diff's per-document md5 ledger): exact-integer total
+    * variation distance over whitespace-token frequencies,
+    * TVD = ½·Σ_t |p_t − q_t|, computed over the common denominator as
+    * Σ_t |c_A(t)·N_B − c_B(t)·N_A| · 10⁶ div (2·N_A·N_B) — every step
+    * int64 (bounds: the L1 sum ≤ 2·N_A·N_B ≈ 5·10¹¹ at the sf1
+    * rehearsal scale and the ×10⁶ stays under 2⁶³; a 100 TB deployment
+    * lifts the arithmetic to decimal — DuckDB already runs it in
+    * HUGEINT). Plus the vocabulary ledger: term counts per side, terms
+    * new in B, terms gone from A.
+    *
+    * Scale shape: two token-linear explode+hash aggregates, one
+    * co-partitioned full-outer join on term (shuffle rows track
+    * DISTINCT terms — Heaps-bounded, never corpus-scale), the joined
+    * frame checkpointed once and reduced twice (totals, then the L1
+    * sum against the broadcast 1-row totals). */
+  def corpusDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def tf(c: DataFrame, cnt: String): DataFrame =
+      c.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(cnt))
+    val joined = tf(a, "c_a").join(tf(b, "c_b"), Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint(false)
+    val totals = joined.agg(
+      sum(col("c_a")).as("n_tokens_a"), sum(col("c_b")).as("n_tokens_b"),
+      count(when(col("c_a") > 0, 1)).as("n_terms_a"),
+      count(when(col("c_b") > 0, 1)).as("n_terms_b"),
+      count(when(col("c_a") === 0, 1)).as("n_new_terms"),
+      count(when(col("c_b") === 0, 1)).as("n_gone_terms"))
+    joined.crossJoin(broadcast(totals))
+      .agg(max(col("n_tokens_a")).as("n_tokens_a"),
+        max(col("n_tokens_b")).as("n_tokens_b"),
+        max(col("n_terms_a")).as("n_terms_a"),
+        max(col("n_terms_b")).as("n_terms_b"),
+        max(col("n_new_terms")).as("n_new_terms"),
+        max(col("n_gone_terms")).as("n_gone_terms"),
+        sum(abs(col("c_a") * col("n_tokens_b")
+          - col("c_b") * col("n_tokens_a"))).as("l1"))
+      .select(col("n_tokens_a"), col("n_tokens_b"), col("n_terms_a"),
+        col("n_terms_b"), col("n_new_terms"), col("n_gone_terms"),
+        expr("l1 * 1000000 div (2 * n_tokens_a * n_tokens_b)")
+          .as("tvd_ppm"))
+  }
+
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame =
+    corpusDrift(
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")),
+      Dedup.corpusNextVersion(spark, dir))
 }

@@ -1029,6 +1029,12 @@ object PipelineQueries {
             .select(col("doc_id"), col("text")),
           Dedup.corpusNextVersion(s, dir))
       }),
+      // Distribution-level version drift: exact-integer total-variation
+      // distance over token frequencies between releases + the
+      // vocabulary ledger — the mixture monitor corpus_diff's md5
+      // ledger can't see (a release can keep every doc_id and still
+      // shift the token mixture).
+      "corpus_drift" -> ((s, dir) => TextAnalysis.corpusDrift(s, dir)),
       // the economy corpus_diff buys: only added/changed docs re-enter
       // the (quality) pipeline — never the whole corpus
       "incremental_curate" -> ((s, dir) => {
@@ -2216,6 +2222,43 @@ object PipelineQueries {
           |       WHEN b.h_base <> n.h_next THEN 'changed'
           |       ELSE 'kept' END AS status
           |FROM b FULL OUTER JOIN n ON n.doc_id = b.doc_id""".stripMargin,
+
+      // Drift mirror: the same deterministic next release, token
+      // frequencies full-outer-joined on term, the L1 sum over the
+      // common denominator in HUGEINT, ppm division at the end.
+      "corpus_drift" ->
+        """WITH nextv AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 10 = 0 THEN text || ' rev2'
+          |         ELSE text END AS text
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 800000, text FROM documents
+          |  WHERE doc_id % 11 = 0),
+          |ta AS (SELECT t AS term, count(*) AS c_a FROM (
+          |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          |  FROM documents) GROUP BY 1),
+          |tb AS (SELECT t AS term, count(*) AS c_b FROM (
+          |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          |  FROM nextv) GROUP BY 1),
+          |j AS (SELECT coalesce(ta.term, tb.term) AS term,
+          |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+          |  FROM ta FULL OUTER JOIN tb ON tb.term = ta.term),
+          |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+          |    CAST(sum(c_b) AS BIGINT) AS nb,
+          |    CAST(count(CASE WHEN c_a > 0 THEN 1 END) AS BIGINT) AS nta,
+          |    CAST(count(CASE WHEN c_b > 0 THEN 1 END) AS BIGINT) AS ntb,
+          |    CAST(count(CASE WHEN c_a = 0 THEN 1 END) AS BIGINT) AS nnew,
+          |    CAST(count(CASE WHEN c_b = 0 THEN 1 END) AS BIGINT) AS ngone
+          |  FROM j),
+          |l1 AS (SELECT sum(abs(j.c_a * t.nb - j.c_b * t.na)) AS l1
+          |  FROM j, tot t)
+          |SELECT t.na AS n_tokens_a, t.nb AS n_tokens_b,
+          |  t.nta AS n_terms_a, t.ntb AS n_terms_b,
+          |  t.nnew AS n_new_terms, t.ngone AS n_gone_terms,
+          |  CAST(l1.l1 * 1000000 // (2 * t.na * t.nb) AS BIGINT)
+          |    AS tvd_ppm
+          |FROM tot t, l1""".stripMargin,
 
       // Only the added/changed delta runs the quality chain — the shared
       // qualitySigCtes signal definitions over the `delta` CTE.

@@ -1448,6 +1448,29 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L to 9L).forall(comp(_) === 0L))
   }
 
+  test("corpus drift: identical versions measure zero; the planted release drifts symmetrically") {
+    import org.apache.spark.sql.functions.col
+    import graft.exts.TextAnalysis
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val self = TextAnalysis.corpusDrift(docs, docs).collect().head
+    assert(self.getAs[Long]("tvd_ppm") === 0L)
+    assert(self.getAs[Long]("n_new_terms") === 0L)
+    assert(self.getAs[Long]("n_gone_terms") === 0L)
+    assert(self.getAs[Long]("n_tokens_a") === self.getAs[Long]("n_tokens_b"))
+    val next = TextAnalysis.corpusDrift(spark, dir).collect().head
+    assert(next.getAs[Long]("tvd_ppm") > 0L)
+    assert(next.getAs[Long]("n_new_terms") >= 1L) // the ' rev2' token
+    // total variation is symmetric; the vocabulary ledger transposes
+    val sym = TextAnalysis.corpusDrift(
+      Dedup.corpusNextVersion(spark, dir), docs).collect().head
+    assert(sym.getAs[Long]("tvd_ppm") === next.getAs[Long]("tvd_ppm"))
+    assert(sym.getAs[Long]("n_new_terms") ===
+      next.getAs[Long]("n_gone_terms"))
+    assert(sym.getAs[Long]("n_gone_terms") ===
+      next.getAs[Long]("n_new_terms"))
+  }
+
   test("dup components: pointer halving bounds rounds to O(log diameter)") {
     import spark.implicits._
     // path 0-1-...-64: diameter 64. Plain min-label relaxation crawls
