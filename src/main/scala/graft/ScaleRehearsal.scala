@@ -304,6 +304,14 @@ object ScaleRehearsal {
       // banded equi-join — growth tracks the signature artifact scan,
       // never a corpus decode (pass 1 pays the one-time sig build).
       "mm_dup_incremental" -> SparkEntry.queries("mm_dup_incremental"),
+      // Incremental VIDEO ingest gate (r15): batch decode batch-sized;
+      // corpus side one per-frame fingerprint artifact scan through the
+      // signature equi-join (multiplicity group-bounded), run assembly
+      // windowed per match-pair key (pass 1 pays the sig build).
+      "mm_vid_incremental" -> SparkEntry.queries("mm_vid_incremental"),
+      // Incremental AUDIO ingest gate (r15): same shape over fixed-size
+      // window fingerprints.
+      "mm_aud_incremental" -> SparkEntry.queries("mm_aud_incremental"),
       // Media-index health (r14): counts over the committed pair and
       // component artifacts reduced to broadcast-joined 1-row
       // aggregates — growth tracks the match-sized artifact scans.

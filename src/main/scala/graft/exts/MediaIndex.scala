@@ -123,13 +123,55 @@ object MediaIndex {
   def sigs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${sigsPath(spark, dir)}/sigs")
 
+  // ---- the VIDEO / AUDIO per-position fingerprint artifacts (the
+  //      corpus side of the run-matched incremental ingest gates:
+  //      decode the corpus once per snapshot, probe every incoming
+  //      clip/track batch against signatures only) ----
+
+  private[exts] val VidSigKind = "vid-sigs"
+  private[exts] val AudSigKind = "aud-sigs"
+
+  /** The committed per-FRAME video fingerprint artifact
+    * ([[Multimodal.GifFrameHash]] schema — exact longs, parquet
+    * round-trip bit-identical): one decode pass per corpus snapshot,
+    * served to [[Multimodal.mmVidIncrementalOver]]'s run probe. */
+  def vidSigsPath(spark: SparkSession, dir: String): String =
+    ArtifactStore.resolve(spark, VidSigKind, dir,
+      Tables.version(dir, "documents")) { staging =>
+      Multimodal.videoFingerprints(
+          Multimodal.gifClipAssets(spark, dir)).toDF()
+        .write.mode("overwrite").parquet(s"$staging/sigs")
+    }
+
+  /** The corpus's per-frame video fingerprints, artifact-backed. */
+  def vidSigs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${vidSigsPath(spark, dir)}/sigs")
+
+  /** The committed per-WINDOW audio fingerprint artifact
+    * ([[Multimodal.WavWinFp]] schema), the audio gate's corpus side. */
+  def audSigsPath(spark: SparkSession, dir: String): String =
+    ArtifactStore.resolve(spark, AudSigKind, dir,
+      Tables.version(dir, "documents")) { staging =>
+      Multimodal.audioWindowFps(
+          Multimodal.wavClipAssets(spark, dir)).toDF()
+        .write.mode("overwrite").parquet(s"$staging/sigs")
+    }
+
+  /** The corpus's per-window audio fingerprints, artifact-backed. */
+  def audSigs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${audSigsPath(spark, dir)}/sigs")
+
   /** Scoped cold-path eviction for this corpus snapshot (memo + disk,
-    * all three artifact kinds). */
+    * all five artifact kinds). */
   private[graft] def evict(spark: SparkSession, dir: String): Unit = {
     ArtifactStore.evict(spark, Kind, dir, Tables.version(dir, "documents"))
     ArtifactStore.evict(spark, CompKind, dir,
       Tables.version(dir, "documents"))
     ArtifactStore.evict(spark, SigKind, dir,
+      Tables.version(dir, "documents"))
+    ArtifactStore.evict(spark, VidSigKind, dir,
+      Tables.version(dir, "documents"))
+    ArtifactStore.evict(spark, AudSigKind, dir,
       Tables.version(dir, "documents"))
   }
 

@@ -1498,6 +1498,161 @@ object Multimodal {
         col("m_n").isNull.cast("long").as("is_new"))
   }
 
+  // ---- Incremental ingest gates for the RUN-matched modalities (the
+  //      r14 image gate extended to video and audio: the reference's
+  //      per-commit event gating — AwsTableManagementMetricsEvaluator
+  //      .java:64-70 — applied to the two modalities that previously
+  //      only batch-matched at the next full pairs rebuild) ----
+
+  /** Incoming-video fixture — the video ingest batch: docs with
+    * d mod 8 = 6 upload a clip under batch id d + [[IncomingIdOffset]];
+    * d mod 16 = 6 uploads NOVEL footage (the stream of fake group
+    * g + [[IncomingNovelOffset]]), the rest RE-UPLOAD their group's
+    * stream TRIMMED to a different frame offset ((d+1) mod 4 — one
+    * frame off corpus doc d's own cut): the wild trimmed-clip
+    * re-upload [[mmVideoDups]] exists for, now arriving at ingest.
+    * The frame ramp is mod-256-cyclic in the stream position, so at
+    * corpora large enough that group ids collide mod lcm(16·,256)
+    * ranges a "novel" stream can alias an existing group's frames —
+    * the oracle recomputes the same closed form, so any alias is
+    * mirrored, and at the verify fixture's scale (groups < 2 288) no
+    * alias exists. */
+  def gifClipAssetsIncoming(spark: SparkSession,
+      dir: String): Dataset[GifAsset] = {
+    import spark.implicits._
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 8 === 6).as[Long])
+      .mapPartitions { iter =>
+        imageIoNoDiskCache
+        val enc = new GifEncoder()
+        iter.map { d =>
+          val g = d / ClipGroup +
+            (if (d % 16 == 6) IncomingNovelOffset else 0L)
+          val w = (g % 13 + 4).toInt
+          val h = (g % 11 + 4).toInt
+          val offsets = (0 until gifFrameCount(d))
+            .map(f => (g * ClipStride + (d + 1) % 4 + f) * 7L)
+          GifAsset(d + IncomingIdOffset, enc.encodeFrames(w, h, offsets))
+        }
+      }
+  }
+
+  /** Incoming-audio fixture — the audio ingest batch: docs with
+    * d mod 8 = 5 upload a clip under batch id d + [[IncomingIdOffset]];
+    * d mod 16 = 5 uploads NOVEL content (the stream of fake group
+    * g + [[IncomingNovelOffset]] — the window-level primes make
+    * distinct streams' envelopes distinct), the rest RE-UPLOAD their
+    * group's stream TRIMMED one window off corpus doc d's own cut:
+    * the re-mastered/trimmed re-upload [[mmAudioDups]] exists for,
+    * now arriving at ingest. Mirrored closed-form in the oracle. */
+  def wavClipAssetsIncoming(spark: SparkSession,
+      dir: String): Dataset[WavAsset] = {
+    import spark.implicits._
+    spreadIds(Tables.load(spark, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 8 === 5).as[Long])
+      .mapPartitions(_.map { d =>
+        val g = d / ClipGroup +
+          (if (d % 16 == 5) IncomingNovelOffset else 0L)
+        val off = ((d + 1) % AudioTrimMax) * AudioWin
+        val n = ((4 + d % 3) * AudioWin).toInt
+        WavAsset(d + IncomingIdOffset,
+          encodeWavSamples(Array.tabulate(n)(i =>
+            clipWavSample(g, off + i))))
+      })
+  }
+
+  /** Cross-population shared-run match — [[sharedRuns]]' islands
+    * assembly with the two populations on either side of the signature
+    * equi-join ([[nearMatchesAgainst]]'s role for the per-position
+    * layouts): batch side bounded by the ingest batch, corpus side one
+    * scan of the committed per-position fingerprint artifact, candidate
+    * volume bounded by per-signature multiplicity exactly as in the
+    * batch matcher. Rows: (batch_id, corpus_id, gap = corpus pos −
+    * batch pos, start_b = first matched batch position, run_len ≥
+    * `minRun`) — a trimmed copy differs only in gap. */
+  private[graft] def sharedRunsAgainst(corpusFps: DataFrame,
+      batchFps: DataFrame, posCol: String, sigCols: Seq[String],
+      minRun: Long = MinSharedRun): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpusFps.select(
+      (col("doc_id").as("corpus_id") +:
+        col(posCol).cast("long").as("pc") +: sigCols.map(col)): _*)
+    val b = batchFps.select(
+      (col("doc_id").as("batch_id") +:
+        col(posCol).cast("long").as("pb") +: sigCols.map(col)): _*)
+    val m = c.join(b.hint("shuffle_hash"), sigCols)
+      .withColumn("gap", col("pc") - col("pb"))
+    val w = Window
+      .partitionBy(col("batch_id"), col("corpus_id"), col("gap"))
+      .orderBy(col("pb"))
+    m.withColumn("island", col("pb") - row_number().over(w))
+      .groupBy(col("batch_id"), col("corpus_id"), col("gap"),
+        col("island"))
+      .agg(min(col("pb")).as("start_b"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .select(col("batch_id"), col("corpus_id"), col("gap"),
+        col("start_b"), col("run_len"))
+  }
+
+  /** Per-asset ingest disposition over a cross-population run frame —
+    * the [[mmDupIncrementalOver]] rollup shape for run-matched
+    * modalities: distinct matched corpus assets, the smallest matching
+    * corpus id (the canonical a re-upload should point at), the
+    * longest matched run, and is_new (−1 sentinels when unmatched). */
+  private[graft] def runGateRollup(batchIds: DataFrame,
+      runs: DataFrame): DataFrame = {
+    val agg = runs.groupBy(col("batch_id"))
+      .agg(countDistinct(col("corpus_id")).as("m_n"),
+        min(col("corpus_id")).as("m_id"),
+        max(col("run_len")).as("m_run"))
+    batchIds.join(agg.hint("shuffle_hash"), Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("m_n"), lit(0L)).as("n_matches"),
+        coalesce(col("m_id"), lit(-1L)).as("matched_id"),
+        coalesce(col("m_run"), lit(-1L)).as("best_run"),
+        col("m_n").isNull.cast("long").as("is_new"))
+  }
+
+  /** Incremental VIDEO ingest gate — [[mmDupIncremental]]'s sibling for
+    * the run-matched modality: an incoming clip batch decodes to
+    * per-frame hashes (batch-sized codec work only) and run-matches
+    * against the corpus per-frame fingerprint artifact
+    * ([[MediaIndex.vidSigs]] — built once per corpus snapshot), so a
+    * trimmed-clip re-upload is caught AT INGEST with zero corpus
+    * decodes, not at the next full pairs rebuild. */
+  def mmVidIncremental(spark: SparkSession, dir: String): DataFrame =
+    mmVidIncrementalOver(spark, dir, gifClipAssetsIncoming(spark, dir))
+
+  /** [[mmVidIncremental]] over a caller-supplied clip batch — the seam
+    * the streaming media loop feeds per micro-batch. */
+  def mmVidIncrementalOver(spark: SparkSession, dir: String,
+      assets: Dataset[GifAsset]): DataFrame = {
+    val batchFps = videoFingerprints(assets).toDF()
+      .localCheckpoint(false)
+    runGateRollup(
+      batchFps.select(col("doc_id").as("batch_id")).distinct(),
+      sharedRunsAgainst(MediaIndex.vidSigs(spark, dir), batchFps,
+        "frame", Seq("gray_sum", "ahash")))
+  }
+
+  /** Incremental AUDIO ingest gate — the trim-robust window-fingerprint
+    * probe against the corpus per-window artifact
+    * ([[MediaIndex.audSigs]]): a re-mastered or trimmed track is gated
+    * at ingest with zero corpus decodes. */
+  def mmAudIncremental(spark: SparkSession, dir: String): DataFrame =
+    mmAudIncrementalOver(spark, dir, wavClipAssetsIncoming(spark, dir))
+
+  /** [[mmAudIncremental]] over a caller-supplied track batch. */
+  def mmAudIncrementalOver(spark: SparkSession, dir: String,
+      assets: Dataset[WavAsset]): DataFrame = {
+    val batchFps = audioWindowFps(assets).toDF()
+      .localCheckpoint(false)
+    runGateRollup(
+      batchFps.select(col("doc_id").as("batch_id")).distinct(),
+      sharedRunsAgainst(MediaIndex.audSigs(spark, dir), batchFps,
+        "win", Seq("wfp")))
+  }
+
   /** Media-index health report — the reference's metrics-evaluator role
     * ([[Similarity.graphHealth]]'s sibling) over the committed media
     * artifacts: one integer-exact row a maintenance policy reads to

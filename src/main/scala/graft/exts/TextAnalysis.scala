@@ -1927,12 +1927,14 @@ object TextAnalysis {
     * of corpus_diff's per-document md5 ledger): exact-integer total
     * variation distance over whitespace-token frequencies,
     * TVD = ½·Σ_t |p_t − q_t|, computed over the common denominator as
-    * Σ_t |c_A(t)·N_B − c_B(t)·N_A| · 10⁶ div (2·N_A·N_B) — every step
-    * int64 (bounds: the L1 sum ≤ 2·N_A·N_B ≈ 5·10¹¹ at the sf1
-    * rehearsal scale and the ×10⁶ stays under 2⁶³; a 100 TB deployment
-    * lifts the arithmetic to decimal — DuckDB already runs it in
-    * HUGEINT). Plus the vocabulary ledger: term counts per side, terms
-    * new in B, terms gone from A.
+    * Σ_t |c_A(t)·N_B − c_B(t)·N_A| · 10⁶ div (2·N_A·N_B). The cross
+    * products and the L1 sum run in decimal(38,0) — exact to ~10³⁸,
+    * the same headroom as the DuckDB oracle's HUGEINT — because the
+    * int64 bound (2·N_A·N_B·10⁶ < 2⁶³) is crossed at only ~2·10⁶
+    * tokens per side and int64 would WRAP silently there while the
+    * oracle keeps going; the final ppm quotient (≤ 10⁶ by
+    * construction) lands back in int64. Plus the vocabulary ledger:
+    * term counts per side, terms new in B, terms gone from A.
     *
     * Scale shape: two token-linear explode+hash aggregates, one
     * co-partitioned full-outer join on term (shuffle rows track
@@ -1960,11 +1962,13 @@ object TextAnalysis {
         max(col("n_terms_b")).as("n_terms_b"),
         max(col("n_new_terms")).as("n_new_terms"),
         max(col("n_gone_terms")).as("n_gone_terms"),
-        sum(abs(col("c_a") * col("n_tokens_b")
-          - col("c_b") * col("n_tokens_a"))).as("l1"))
+        sum(abs(col("c_a").cast("decimal(38,0)") * col("n_tokens_b")
+          - col("c_b").cast("decimal(38,0)") * col("n_tokens_a")))
+          .as("l1"))
       .select(col("n_tokens_a"), col("n_tokens_b"), col("n_terms_a"),
         col("n_terms_b"), col("n_new_terms"), col("n_gone_terms"),
-        expr("l1 * 1000000 div (2 * n_tokens_a * n_tokens_b)")
+        expr("l1 * 1000000 div " +
+            "(2 * cast(n_tokens_a as decimal(38,0)) * n_tokens_b)")
           .as("tvd_ppm"))
   }
 

@@ -118,45 +118,63 @@ object PipelineQueries {
        |    <= $hm)""".stripMargin
   }
 
-  /** Closed-form mirror of the shared-clip video chain (prefix `v`,
-    * ends in `vruns(a_id, b_id, gap, start_a, run_len)`): the
-    * stock-footage ramp (stream position p = doc//8·16 + doc%4 + f at
-    * the GROUP's dimensions) through the mm_video_fp pixel/block/bit
-    * chain, then signature join → gap band → island run assembly. */
-  private val mmVideoRunCtes: String = {
+  /** Closed-form per-frame video fingerprint chain (prefix `p`, ends
+    * in `<p>sig(doc_id, f, gray_sum, ahash)`), parameterized by a docs
+    * CTE emitting (doc_id, g, off, nf): frames f ∈ [0, nf) cut from
+    * group g's stock stream at position g·ClipStride + off + f,
+    * rendered at the group's dimensions through the mm_video_fp
+    * pixel/block/bit chain. Shared by the corpus matcher and the
+    * incremental ingest gate's two populations. */
+  private def vidFpChain(p: String, docsSelect: String): String = {
     val g = Multimodal.AhashGrid
-    val cg = Multimodal.ClipGroup
     val cs = Multimodal.ClipStride
-    s"""vpx AS (
+    s"""${p}docs AS ($docsSelect),
+       |${p}px AS (
        |  SELECT d.doc_id, f.f,
-       |    CAST((d.doc_id // $cg) % 13 + 4 AS BIGINT) AS w,
-       |    CAST((d.doc_id // $cg) % 11 + 4 AS BIGINT) AS h,
+       |    CAST(d.g % 13 + 4 AS BIGINT) AS w,
+       |    CAST(d.g % 11 + 4 AS BIGINT) AS h,
        |    x.i AS x, y.j AS y,
-       |    (((d.doc_id // $cg) * $cs + d.doc_id % 4 + f.f) * 7
-       |      + 5 * x.i + 3 * y.j) % 256 AS gray
-       |  FROM documents d,
+       |    ((d.g * $cs + d.off + f.f) * 7 + 5 * x.i + 3 * y.j) % 256
+       |      AS gray
+       |  FROM ${p}docs d,
+       |    LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS f) f,
        |    LATERAL (SELECT unnest(generate_series(0,
-       |      CAST(d.doc_id % 5 + 1 AS BIGINT))) AS f) f,
+       |      CAST(d.g % 13 + 3 AS BIGINT))) AS i) x,
        |    LATERAL (SELECT unnest(generate_series(0,
-       |      CAST((d.doc_id // $cg) % 13 + 3 AS BIGINT))) AS i) x,
-       |    LATERAL (SELECT unnest(generate_series(0,
-       |      CAST((d.doc_id // $cg) % 11 + 3 AS BIGINT))) AS j) y),
-       |vtot AS (SELECT doc_id, f, max(w) AS w, max(h) AS h,
+       |      CAST(d.g % 11 + 3 AS BIGINT))) AS j) y),
+       |${p}tot AS (SELECT doc_id, f, max(w) AS w, max(h) AS h,
        |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-       |  FROM vpx GROUP BY 1, 2),
-       |vblk AS (SELECT doc_id, f, (x * $g) // w AS i, (y * $g) // h AS j,
+       |  FROM ${p}px GROUP BY 1, 2),
+       |${p}blk AS (SELECT doc_id, f, (x * $g) // w AS i, (y * $g) // h AS j,
        |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
-       |  FROM vpx GROUP BY 1, 2, 3, 4),
-       |vbits AS (SELECT b.doc_id, b.f,
+       |  FROM ${p}px GROUP BY 1, 2, 3, 4),
+       |${p}bits AS (SELECT b.doc_id, b.f,
        |    CASE WHEN b.bs * t.n > t.total * b.bn
        |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
        |      ELSE CAST(0 AS BIGINT) END AS bit
-       |  FROM vblk b JOIN vtot t ON t.doc_id = b.doc_id AND t.f = b.f),
-       |vsig AS (SELECT t.doc_id, t.f, t.total AS gray_sum,
-       |    CAST(sum(vbits.bit) AS BIGINT) AS ahash
-       |  FROM vtot t JOIN vbits ON vbits.doc_id = t.doc_id
-       |    AND vbits.f = t.f
-       |  GROUP BY 1, 2, 3),
+       |  FROM ${p}blk b JOIN ${p}tot t ON t.doc_id = b.doc_id
+       |    AND t.f = b.f),
+       |${p}sig AS (SELECT t.doc_id, t.f, t.total AS gray_sum,
+       |    CAST(sum(b.bit) AS BIGINT) AS ahash
+       |  FROM ${p}tot t JOIN ${p}bits b ON b.doc_id = t.doc_id
+       |    AND b.f = t.f
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** The shared-clip video corpus population: group = doc div 8,
+    * frame offset = doc mod 4, doc mod 5 + 2 frames. */
+  private val vidCorpusDocs: String =
+    s"""SELECT doc_id, doc_id // ${Multimodal.ClipGroup} AS g,
+       |  doc_id % 4 AS off,
+       |  CAST(doc_id % 5 + 2 AS BIGINT) AS nf FROM documents"""
+      .stripMargin
+
+  /** Closed-form mirror of the shared-clip video chain (prefix `v`,
+    * ends in `vruns(a_id, b_id, gap, start_a, run_len)`): the
+    * [[vidFpChain]] over the corpus population, then signature join →
+    * gap band → island run assembly. */
+  private val mmVideoRunCtes: String =
+    s"""${vidFpChain("v", vidCorpusDocs)},
        |vm AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |    CAST(b.f - a.f AS BIGINT) AS gap, CAST(a.f AS BIGINT) AS pa
        |  FROM vsig a JOIN vsig b ON a.gray_sum = b.gray_sum
@@ -169,39 +187,55 @@ object PipelineQueries {
        |    CAST(count(*) AS BIGINT) AS run_len
        |  FROM visl GROUP BY a_id, b_id, gap, island
        |  HAVING count(*) >= ${Multimodal.MinSharedRun})""".stripMargin
-  }
 
-  /** Closed-form mirror of the trimmed-copy audio chain (prefix `a`,
-    * ends in `aruns(a_id, b_id, gap, start_a, run_len)`): the shared
-    * stream's per-sub-bin amplitude levels through the fixed-window
-    * envelope-share fingerprint, then the same join → gap band →
-    * island run assembly. */
-  private val mmAudioRunCtes: String = {
-    val cg = Multimodal.ClipGroup
+  /** Closed-form per-window audio fingerprint chain (prefix `p`, ends
+    * in `<p>fp(doc_id, win, wfp)`), parameterized by a docs CTE
+    * emitting (doc_id, g, off, nw): windows k ∈ [0, nw) cut from group
+    * g's stream at window g·ClipStride + off + k, each fingerprinted
+    * by the envelope-share weighted sum (the engine's 8-sample sub-bin
+    * sums are 8·level each — the 8 cancels in the floor division, so
+    * levels stand in exactly). Shared by the corpus matcher and the
+    * incremental ingest gate's two populations. */
+  private def audFpChain(p: String, docsSelect: String): String = {
     val cs = Multimodal.ClipStride
     val pCase = Multimodal.ClipLevelPrimes.zipWithIndex
-      .map { case (p, m) => s"WHEN $m THEN $p" }.mkString(" ")
+      .map { case (pr, m) => s"WHEN $m THEN $pr" }.mkString(" ")
     val wCase = Multimodal.WfpWeights.zipWithIndex
       .map { case (w, m) => s"WHEN $m THEN $w" }.mkString(" ")
-    s"""awins AS (
-       |  SELECT d.doc_id, k.k AS win,
-       |    (d.doc_id // $cg) * $cs + d.doc_id % 4 + k.k AS b
-       |  FROM documents d,
-       |    LATERAL (SELECT unnest(generate_series(0,
-       |      CAST(3 + d.doc_id % 3 AS BIGINT))) AS k) k),
-       |alv AS (SELECT doc_id, win,
+    s"""${p}docs AS ($docsSelect),
+       |${p}wins AS (
+       |  SELECT d.doc_id, k.k AS win, d.g * $cs + d.off + k.k AS b
+       |  FROM ${p}docs d,
+       |    LATERAL (SELECT unnest(generate_series(0, d.nw - 1)) AS k) k),
+       |${p}lv AS (SELECT doc_id, win,
        |    (b * 48271) % (CASE m.m $pCase END) + 16 AS lvl,
        |    CAST(m.m AS BIGINT) AS m
-       |  FROM awins,
+       |  FROM ${p}wins,
        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS m) m),
-       |aws AS (SELECT doc_id, win, CAST(sum(lvl) AS BIGINT) AS wsum
-       |  FROM alv GROUP BY 1, 2),
-       |afp AS (SELECT l.doc_id, l.win,
+       |${p}ws AS (SELECT doc_id, win, CAST(sum(lvl) AS BIGINT) AS wsum
+       |  FROM ${p}lv GROUP BY 1, 2),
+       |${p}fp AS (SELECT l.doc_id, l.win,
        |    CAST(sum((l.lvl * 65536 // w.wsum)
        |      * (CASE l.m $wCase END)) AS BIGINT) AS wfp
-       |  FROM alv l JOIN aws w ON w.doc_id = l.doc_id
+       |  FROM ${p}lv l JOIN ${p}ws w ON w.doc_id = l.doc_id
        |    AND w.win = l.win
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The trimmed-copy audio corpus population: group = doc div 8,
+    * window offset = doc mod 4, 4 + doc mod 3 windows. */
+  private val audCorpusDocs: String =
+    s"""SELECT doc_id, doc_id // ${Multimodal.ClipGroup} AS g,
+       |  doc_id % 4 AS off,
+       |  CAST(4 + doc_id % 3 AS BIGINT) AS nw FROM documents"""
+      .stripMargin
+
+  /** Closed-form mirror of the trimmed-copy audio chain (prefix `a`,
+    * ends in `aruns(a_id, b_id, gap, start_a, run_len)`): the
+    * [[audFpChain]] over the corpus population, then the same join →
+    * gap band → island run assembly. */
+  private val mmAudioRunCtes: String =
+    s"""${audFpChain("a", audCorpusDocs)},
        |am AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |    CAST(b.win - a.win AS BIGINT) AS gap,
        |    CAST(a.win AS BIGINT) AS pa
@@ -215,7 +249,38 @@ object PipelineQueries {
        |    CAST(count(*) AS BIGINT) AS run_len
        |  FROM aisl GROUP BY a_id, b_id, gap, island
        |  HAVING count(*) >= ${Multimodal.MinSharedRun})""".stripMargin
-  }
+
+  /** Cross-population run-gate assembly (batch `q` chain vs a corpus
+    * chain ending in `<c>(doc_id, <pos>, <sig cols>)`): signature
+    * equi-join, islands per (batch, corpus, gap), runs ≥ MinSharedRun,
+    * and the per-asset rollup with −1 sentinels — the oracle mirror of
+    * the engine's runGateRollup ∘ sharedRunsAgainst. */
+  private def runGateSql(corpusRel: String, batchRel: String,
+      posCol: String, sigJoin: String): String =
+    s"""qm AS (SELECT q.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |    CAST(c.$posCol - q.$posCol AS BIGINT) AS gap,
+       |    CAST(q.$posCol AS BIGINT) AS pb
+       |  FROM $batchRel q JOIN $corpusRel c ON $sigJoin),
+       |qisl AS (SELECT batch_id, corpus_id, gap, pb,
+       |    pb - CAST(row_number() OVER (PARTITION BY batch_id, corpus_id,
+       |      gap ORDER BY pb) AS BIGINT) AS island
+       |  FROM qm),
+       |qruns AS (SELECT batch_id, corpus_id,
+       |    CAST(count(*) AS BIGINT) AS run_len
+       |  FROM qisl GROUP BY batch_id, corpus_id, gap, island
+       |  HAVING count(*) >= ${Multimodal.MinSharedRun}),
+       |qagg AS (SELECT batch_id,
+       |    CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_matches,
+       |    min(corpus_id) AS matched_id, max(run_len) AS best_run
+       |  FROM qruns GROUP BY 1),
+       |qids AS (SELECT DISTINCT doc_id AS batch_id FROM $batchRel)
+       |SELECT i.batch_id, coalesce(a.n_matches, 0) AS n_matches,
+       |  coalesce(a.matched_id, -1) AS matched_id,
+       |  coalesce(a.best_run, -1) AS best_run,
+       |  CAST(CASE WHEN a.batch_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_new
+       |FROM qids i LEFT JOIN qagg a ON a.batch_id = i.batch_id"""
+      .stripMargin
 
   /** Base^k mod 2⁶⁴ for k = 0..Window-1, rendered as DuckDB HUGEINT
     * literals — derived from [[graft.functions.RollingHash]]'s constants
@@ -1314,6 +1379,17 @@ object PipelineQueries {
       // batch; the media analog of dedup_incremental_near.
       "mm_dup_incremental" -> ((s, dir) =>
         Multimodal.mmDupIncremental(s, dir)),
+      // Incremental VIDEO ingest gate: an incoming clip batch's
+      // per-frame hashes run-matched against the PERSISTED corpus
+      // frame-fingerprint artifact — a trimmed-clip re-upload is
+      // gated at ingest with zero corpus decodes.
+      "mm_vid_incremental" -> ((s, dir) =>
+        Multimodal.mmVidIncremental(s, dir)),
+      // Incremental AUDIO ingest gate: trim-robust window fingerprints
+      // probed against the persisted corpus window artifact — the
+      // re-mastered/trimmed track gated at ingest.
+      "mm_aud_incremental" -> ((s, dir) =>
+        Multimodal.mmAudIncremental(s, dir)),
       // Media-index health report over the committed pair/component
       // artifacts — the metrics-evaluator role (graph_health's sibling)
       // for the media index family; zero codec work.
@@ -5158,6 +5234,49 @@ object PipelineQueries {
            |  CAST(CASE WHEN a.batch_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
            |    AS is_new
            |FROM nsig s LEFT JOIN nagg a ON a.batch_id = s.doc_id"""
+          .stripMargin
+      },
+
+      // Incremental video-gate mirror: the corpus per-frame chain and
+      // the incoming batch's (re-uploads trimmed one frame off their
+      // group's corpus cut, novels from a far-offset fake group) both
+      // recomputed closed-form, then the cross-population signature
+      // join → gap islands → run threshold → per-asset rollup.
+      "mm_vid_incremental" -> {
+        val off = Multimodal.IncomingIdOffset
+        val nov = Multimodal.IncomingNovelOffset
+        val cg = Multimodal.ClipGroup
+        val batchDocs =
+          s"""SELECT d.doc_id + $off AS doc_id,
+             |  d.doc_id // $cg + CASE WHEN d.doc_id % 16 = 6
+             |    THEN $nov ELSE 0 END AS g,
+             |  (d.doc_id + 1) % 4 AS off,
+             |  CAST(d.doc_id % 5 + 2 AS BIGINT) AS nf
+             |FROM documents d WHERE d.doc_id % 8 = 6""".stripMargin
+        s"""WITH ${vidFpChain("v", vidCorpusDocs)},
+           |${vidFpChain("q", batchDocs)},
+           |${runGateSql("vsig", "qsig", "f",
+              "c.gray_sum = q.gray_sum AND c.ahash = q.ahash")}"""
+          .stripMargin
+      },
+
+      // Incremental audio-gate mirror: corpus + incoming window
+      // fingerprint chains recomputed closed-form, same run-gate
+      // assembly.
+      "mm_aud_incremental" -> {
+        val off = Multimodal.IncomingIdOffset
+        val nov = Multimodal.IncomingNovelOffset
+        val cg = Multimodal.ClipGroup
+        val batchDocs =
+          s"""SELECT d.doc_id + $off AS doc_id,
+             |  d.doc_id // $cg + CASE WHEN d.doc_id % 16 = 5
+             |    THEN $nov ELSE 0 END AS g,
+             |  (d.doc_id + 1) % 4 AS off,
+             |  CAST(4 + d.doc_id % 3 AS BIGINT) AS nw
+             |FROM documents d WHERE d.doc_id % 8 = 5""".stripMargin
+        s"""WITH ${audFpChain("a", audCorpusDocs)},
+           |${audFpChain("q", batchDocs)},
+           |${runGateSql("afp", "qfp", "win", "c.wfp = q.wfp")}"""
           .stripMargin
       },
 

@@ -3229,6 +3229,41 @@ class PipelineSpec extends AnyFunSuite {
       s"only $newCount/${novel.size} novels flagged new")
   }
 
+  test("mm vid/aud incremental: trimmed re-uploads gated to their group; novels admitted") {
+    import graft.exts.Multimodal
+    val off = Multimodal.IncomingIdOffset
+    for ((rows, res) <- Seq(
+        (Multimodal.mmVidIncremental(spark, dir).collect(), 6L),
+        (Multimodal.mmAudIncremental(spark, dir).collect(), 5L))) {
+      val m = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+      assert(m.size >= 50)
+      m.foreach { case (bid, (n, mid, run, isNew)) =>
+        val d = bid - off
+        assert(d % 8 === res)
+        assert((isNew == 1L) === (n == 0L))
+        if (isNew == 1L) assert(mid === -1L && run === -1L)
+        else assert(mid >= 0L && run >= Multimodal.MinSharedRun)
+      }
+      val (novel, reup) = m.partition { case (bid, _) =>
+        (bid - off) % 16 == res }
+      assert(reup.nonEmpty && novel.nonEmpty)
+      // every trimmed re-upload (one window/frame off its own corpus
+      // cut — its whole-file fingerprint differs, which is exactly why
+      // the run gate exists) still shares a ≥MinSharedRun consecutive
+      // run with its OWN clip group and resolves to an in-group
+      // canonical
+      reup.foreach { case (bid, (n, mid, _, _)) =>
+        val g = (bid - off) / Multimodal.ClipGroup
+        assert(n >= 1L, s"re-upload $bid unmatched")
+        assert(mid / Multimodal.ClipGroup === g,
+          s"re-upload $bid resolved to foreign canonical $mid")
+      }
+      // novel streams never alias corpus content at this fixture scale
+      assert(novel.forall(_._2._4 == 1L))
+    }
+  }
+
   test("mm audio window fps: gain-scaled copy keeps every window fingerprint") {
     import graft.exts.Multimodal
     import spark.implicits._
