@@ -1,7 +1,6 @@
 package graft.stream
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,7 +70,7 @@ object GraphIndexLoop {
     * reader that took its snapshot just before a swap still reads a
     * complete previous epoch; anything older has no live readers
     * (snapshots live for one micro-batch). */
-  val RetainLayouts = 2
+  val RetainLayouts: Int = LoopCore.RetainLayouts
 
   /** Driver-side metadata of the serving graph — four numbers; the
     * edges themselves live in the epoch's bucket-partitioned parquet
@@ -87,20 +86,17 @@ object GraphIndexLoop {
     * layouts are immutable, so a reader's snapshot stays consistent for
     * its whole read. */
   final class ServingGraph private[GraphIndexLoop] (
-      val graphPath: String, initial: State) {
-    private val ref = new AtomicReference[State](initial)
-    def snapshot: State = ref.get()
-    def version: Long = ref.get().version
-    def nCorpus: Long = ref.get().nCorpus
+      val graphPath: String, initial: State)
+      extends LoopCore.ServingRef[State](initial) {
+    def version: Long = snapshot.version
+    def nCorpus: Long = snapshot.nCorpus
     /** Directory of the CURRENT epoch layout. */
-    def layoutPath: String = layoutDir(graphPath, ref.get())
+    def layoutPath: String = layoutDir(graphPath, snapshot)
     /** The CURRENT edge frame ([[Similarity.knnGraph]] schema plus the
       * `bucket` partition column) — one consistent epoch read. */
     def edges(spark: SparkSession): DataFrame =
       spark.read.parquet(layoutPath)
         .select(col("src_id"), col("dst_id"), col("rank"), col("mutual"))
-    private[stream] def state: State = ref.get()
-    private[stream] def update(s: State): Unit = ref.set(s)
   }
 
   private[stream] def layoutDir(root: String, s: State): String =
@@ -108,16 +104,7 @@ object GraphIndexLoop {
   private def layoutDir(root: String, bits: Int, epoch: Long): String =
     s"$root/b$bits-e$epoch"
 
-  /** List a directory's entries with the stream closed (Files.list
-    * leaks an fd per call otherwise — this loop runs per batch). */
-  private def listDir(p: Path): Seq[Path] = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.isDirectory(p)) Seq.empty
-    else {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq finally s.close()
-    }
-  }
+  private def listDir(p: Path): Seq[Path] = LoopCore.listDir(p)
 
   /** Edge frame of `emb` at `bits`, carrying each edge's src bucket as
     * the layout partition key. */
@@ -147,56 +134,36 @@ object GraphIndexLoop {
     new ServingGraph(graphPath, st)
   }
 
-  // ---- per-batch state persistence (the commit marker) ----
+  // ---- per-batch state persistence (the commit marker — the shared
+  //      [[LoopCore.MetaStore]] tmp + ATOMIC_MOVE discipline, payload
+  //      = post-batch state + the batch's id and survivor count) ----
 
-  private def metaDir(graphPath: String): Path =
-    Paths.get(graphPath, "_meta")
+  private def meta(
+      graphPath: String): LoopCore.MetaStore[(State, Long, Long)] =
+    new LoopCore.MetaStore(graphPath, "e",
+      { case (s, batchId, nNew) =>
+        s"""{"version":${s.version},"bits":${s.bits},""" +
+          s""""epoch":${s.epoch},"n_corpus":${s.nCorpus},""" +
+          s""""batch_id":$batchId,"n_new":$nNew}""" },
+      j => (State(LoopCore.jsonLong(j, "version"),
+          LoopCore.jsonLong(j, "bits").toInt,
+          LoopCore.jsonLong(j, "epoch"),
+          LoopCore.jsonLong(j, "n_corpus")),
+        LoopCore.jsonLong(j, "batch_id"),
+        LoopCore.jsonLong(j, "n_new")))
 
-  private def metaFile(graphPath: String, epoch: Long): Path =
-    metaDir(graphPath).resolve(s"state-e$epoch.json")
-
-  private def metaJson(s: State, batchId: Long, nNew: Long): String =
-    s"""{"version":${s.version},"bits":${s.bits},"epoch":${s.epoch},""" +
-      s""""n_corpus":${s.nCorpus},"batch_id":$batchId,"n_new":$nNew}"""
-
-  /** Persist the post-batch state as the batch's COMMIT MARKER —
-    * written to a tmp file and ATOMIC_MOVEd into place, so the marker
-    * either exists complete or not at all. */
   private def writeMetaJson(graphPath: String, s: State, batchId: Long,
-      nNew: Long): Unit = {
-    val dir = metaDir(graphPath)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s"state-e${s.epoch}.json.tmp-" +
-      java.util.UUID.randomUUID())
-    Files.write(tmp, metaJson(s, batchId, nNew).getBytes("UTF-8"))
-    Files.move(tmp, metaFile(graphPath, s.epoch),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def parseMeta(p: Path): (State, Long, Long) = {
-    val s = new String(Files.readAllBytes(p), "UTF-8")
-    def f(k: String): Long =
-      s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
-    (State(f("version"), f("bits").toInt, f("epoch"), f("n_corpus")),
-      f("batch_id"), f("n_new"))
-  }
+      nNew: Long): Unit =
+    meta(graphPath).write(s.epoch, (s, batchId, nNew))
 
   /** Reattach to a layout root from its self-persisted per-batch state
     * (the serving restart's cold path: one tiny file read, no graph
     * work). Fails loudly if the newest state's layout dir is missing —
     * a stale or torn store must never be served silently. */
   def reattach(spark: SparkSession, graphPath: String): ServingGraph = {
-    val dir = metaDir(graphPath)
-    require(Files.isDirectory(dir),
-      s"graft.graphLoop: no _meta under $graphPath — not a loop layout")
-    val newest = listDir(dir)
-      .filter(_.getFileName.toString.matches("state-e\\d+\\.json"))
-      .maxByOption(p => p.getFileName.toString
-        .stripPrefix("state-e").stripSuffix(".json").toLong)
+    val (st, _, _) = meta(graphPath).newest
       .getOrElse(throw new IllegalStateException(
-        s"graft.graphLoop: no committed state under $dir"))
-    val (st, _, _) = parseMeta(newest)
+        s"graft.graphLoop: no committed state under $graphPath/_meta"))
     requireLayout(graphPath, st)
     new ServingGraph(graphPath, st)
   }
@@ -233,15 +200,8 @@ object GraphIndexLoop {
 
   // ---- filesystem helpers for the epoch publish ----
 
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
-  }
+  private def deleteRecursively(p: Path): Unit =
+    LoopCore.deleteRecursively(p)
 
   /** Hard-link (copy fallback) every `bucket=*` subdir of `prev` NOT in
     * `touched` into `next` — the untouched buckets' bytes are shared,
@@ -267,13 +227,10 @@ object GraphIndexLoop {
     }
   }
 
-  /** Drop epoch dirs older than the [[RetainLayouts]] newest. */
-  private def gcLayouts(graphPath: String): Unit = {
-    val epochs = listDir(Paths.get(graphPath))
-      .filter(_.getFileName.toString.matches("b\\d+-e\\d+"))
-      .sortBy(p => p.getFileName.toString.split("-e")(1).toLong)
-    epochs.dropRight(RetainLayouts).foreach(deleteRecursively)
-  }
+  /** Drop epoch dirs older than the [[RetainLayouts]] newest — the
+    * shared retention sweep keyed on the epoch ordinal. */
+  private def gcLayouts(graphPath: String): Unit =
+    LoopCore.gcVersions(graphPath, "b\\d+-e(\\d+)".r, RetainLayouts)
 
   /** Remove every output of a crashed prior attempt at this batch —
     * its `batch<id>-*` corpus files and its epoch dir at ANY width —
@@ -322,9 +279,9 @@ object GraphIndexLoop {
       threshold: Double, target: Long,
       onHealth: (Long, DataFrame) => Unit): (Long, Long) = {
     // committed already? (failure replay) → restore state, change nothing
-    val committed = metaFile(graph.graphPath, batchId + 1)
-    if (Files.exists(committed)) {
-      val (st, _, nNew) = parseMeta(committed)
+    val prior = meta(graph.graphPath).read(batchId + 1)
+    if (prior.isDefined) {
+      val (st, _, nNew) = prior.get
       graph.update(st)
       return (nNew, st.version)
     }

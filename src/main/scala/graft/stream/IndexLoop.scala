@@ -1,7 +1,5 @@
 package graft.stream
 
-import java.util.concurrent.atomic.AtomicReference
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -40,28 +38,21 @@ object IndexLoop {
 
   /** Immutable snapshot of the serving index: centroid rows + per-cell
     * occupancy stats (cell → (n_vectors, min_vec_id)) + corpus size +
-    * the gate layout's bucket width — all metadata-sized (k cells,
-    * never corpus rows). */
+    * the gate layout's bucket width + the last applied batch id (the
+    * replay guard) — all metadata-sized (k cells, never corpus rows). */
   final case class State(version: Long, cents: Seq[(Long, Seq[Float])],
       cellStats: Map[Long, (Long, Long)], nCorpus: Long,
-      gateBits: Int = 0)
+      gateBits: Int = 0, lastBatchId: Long = -1L)
 
   /** The atomically-swapped serving index: the ingest loop writes a new
     * [[State]] per acted batch; the serving path reads whatever version
     * is current at each query micro-batch. */
-  final class ServingIndex private[IndexLoop] (initial: State) {
-    private val ref = new AtomicReference[State](initial)
-    def version: Long = ref.get().version
-    def nCorpus: Long = ref.get().nCorpus
-    /** One consistent read of (version, centroids, stats) — serving
-      * reads the snapshot ONCE per batch so a concurrent maintenance
-      * bump cannot mix centroids of one version with the layout of
-      * another. */
-    def snapshot: State = ref.get()
+  final class ServingIndex private[IndexLoop] (initial: State)
+      extends LoopCore.ServingRef[State](initial) {
+    def version: Long = snapshot.version
+    def nCorpus: Long = snapshot.nCorpus
     def centroids(spark: SparkSession): DataFrame =
-      centFrame(spark, ref.get().cents)
-    private[stream] def state: State = ref.get()
-    private[stream] def update(s: State): Unit = ref.set(s)
+      centFrame(spark, snapshot.cents)
   }
 
   /** Centroid frame of a [[ServingIndex.snapshot]]. */
@@ -84,12 +75,15 @@ object IndexLoop {
     s.cellStats.toSeq.map { case (c, (n, mn)) => (c, n, mn) }
       .toDF("cell", "n_vectors", "min_vec_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats.parquet")
-    Seq((s.version, s.nCorpus, s.gateBits))
-      .toDF("version", "n_corpus", "gate_bits").coalesce(1)
+    Seq((s.version, s.nCorpus, s.gateBits, s.lastBatchId))
+      .toDF("version", "n_corpus", "gate_bits", "last_batch_id")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta.parquet")
   }
 
-  /** Load a [[saveIndex]] artifact — the serving restart's cold path. */
+  /** Load a [[saveIndex]] artifact — the serving restart's cold path.
+    * The carried last_batch_id restores the replay guard, so a restart
+    * re-delivering the last checkpointed batch no-ops. */
   def loadIndex(spark: SparkSession, path: String): ServingIndex = {
     val cents = spark.read.parquet(s"$path/cents.parquet")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
@@ -99,7 +93,7 @@ object IndexLoop {
       .toMap
     val m = spark.read.parquet(s"$path/meta.parquet").first()
     new ServingIndex(State(m.getLong(0), cents, stats, m.getLong(1),
-      m.getInt(2)))
+      m.getInt(2), m.getLong(3)))
   }
 
   private def centFrame(spark: SparkSession,
@@ -226,10 +220,32 @@ object IndexLoop {
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val batch = batch0.select(col("vec_id"), col("embedding"))
-          .localCheckpoint(true) // batch-sized
-        if (batch.isEmpty) { onCycle(batchId, Map.empty, index.version) }
-        else {
+        applyBatch(spark, index, corpusPath, batch0, batchId, threshold,
+          maxPasses, codesPath, codebook, gatePath, gateTarget, onCycle)
+      }
+      .start()
+  }
+
+  /** Apply one ingest batch (the [[start]] body, callable directly for
+    * replay tests). Idempotent per batch id: a batch id ≤ the carried
+    * `lastBatchId` — a checkpointed restart re-delivering the last
+    * applied batch, the [[LoopCore]] replay discipline — is a strict
+    * no-op; [[saveIndex]]/[[loadIndex]] carry the guard across
+    * restarts. */
+  private[graft] def applyBatch(spark: SparkSession, index: ServingIndex,
+      corpusPath: String, batch0: DataFrame, batchId: Long,
+      threshold: Double, maxPasses: Int,
+      codesPath: Option[String], codebook: Option[DataFrame],
+      gatePath: Option[String], gateTarget: Long,
+      onCycle: (Long, Map[String, Long], Long) => Unit): Unit = {
+    if (batchId <= index.state.lastBatchId) {
+      onCycle(batchId, Map.empty, index.version)
+      return
+    }
+    val batch = batch0.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // batch-sized
+    if (batch.isEmpty) { onCycle(batchId, Map.empty, index.version) }
+    else {
           val st = index.state
           // 1) GATE: near-dups of the landed corpus never enter the
           // index. With a gate layout the corpus side is PRUNED to the
@@ -300,6 +316,9 @@ object IndexLoop {
                   .select(col("vec_id"), col("embedding")),
                 want, s"$p/b$want")
               newGateBits = want
+              // superseded narrower-width layouts beyond the retain
+              // window have no live readers — sweep (widths only grow)
+              LoopCore.gcVersions(p, "b(\\d+)".r)
             }
           }
           // 2) DRIFT SIGNAL: assign ONLY the survivors (batch-sized),
@@ -335,16 +354,17 @@ object IndexLoop {
             cents = collectCents(centsDf)
             version += 1
             // rewrite the layout for the NEW cell geometry before the
-            // version flips — readers of v<old> stay consistent
-            for (p <- codesPath; cb <- codebook)
+            // version flips — readers of v<old> stay consistent; then
+            // sweep code layouts beyond the retain window
+            for (p <- codesPath; cb <- codebook) {
               graft.exts.PqIndex.writeClusteredCodesWith(all,
                 centFrame(spark, cents), cb, s"$p/v$version")
+              LoopCore.gcVersions(p, "v(\\d+)".r)
+            }
           }
           index.update(State(version, cents, stats, st.nCorpus + nNew,
-            newGateBits))
+            newGateBits, batchId))
           onCycle(batchId, actions, version)
-        }
-      }
-      .start()
+    }
   }
 }

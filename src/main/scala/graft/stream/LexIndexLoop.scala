@@ -1,6 +1,6 @@
 package graft.stream
 
-import java.util.concurrent.atomic.AtomicReference
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,7 +32,21 @@ import graft.exts.{Bm25Index, TextAnalysis}
   *  4. ACT — only when tripped: the composite is compacted into ONE new
   *     main segment at `v<version+1>` (the O(index) pass), pending
   *     clears, and the serving version bumps — the next query batch
-  *     reads the compacted index.
+  *     reads the compacted index. Retention then sweeps: main segments
+  *     beyond the [[LoopCore.RetainLayouts]] newest are deleted, and
+  *     the deltas absorbed by the PREVIOUS compaction go with them —
+  *     one generation late, so an in-flight reader still holding the
+  *     previous (main, pending) composite reads complete segments.
+  *
+  * '''Idempotent batch application''' (the [[LoopCore]] discipline,
+  * r15): the post-batch state commits LAST as a `_meta/state-b<id>`
+  * marker (tmp + ATOMIC_MOVE); a replayed batch whose marker exists
+  * restores the recorded state and no-ops; one whose marker is missing
+  * re-applies over its own overwritten partial outputs (every segment
+  * write is mode=overwrite at a batch-deterministic path). Batch ids
+  * are the streaming checkpoint's — monotone across restarts — and
+  * [[reattach]] restores a serving handle from the newest marker in
+  * one tiny file read.
   *
   * Per-batch cost is batch-sized (tokenize + delta write + one id
   * probe); the O(index) rewrite runs only on threshold — exactly how
@@ -47,18 +61,38 @@ object LexIndexLoop {
   val MergePermille = 200L
 
   /** Serving snapshot: the main segment path, the pending delta paths
-    * (in arrival order), and the doc counts the decision reads. */
+    * (in arrival order), the doc counts the decision reads, the last
+    * committed batch id, and the deltas absorbed by the latest
+    * compaction (deleted one compaction later — the retention lag). */
   final case class State(version: Long, mainPath: String,
-      pending: Vector[String], nIndexed: Long, nPending: Long)
+      pending: Vector[String], nIndexed: Long, nPending: Long,
+      lastBatchId: Long = -1L, absorbed: Vector[String] = Vector.empty)
 
   /** Atomically-swapped serving state — the ingest loop writes, each
     * query batch reads one consistent snapshot. */
-  final class ServingIndex private[LexIndexLoop] (initial: State) {
-    private val ref = new AtomicReference[State](initial)
-    def version: Long = ref.get().version
-    def snapshot: State = ref.get()
-    private[stream] def update(s: State): Unit = ref.set(s)
+  final class ServingIndex private[LexIndexLoop] (
+      private[stream] val root: String, initial: State)
+      extends LoopCore.ServingRef[State](initial) {
+    def version: Long = snapshot.version
   }
+
+  private def splitPaths(s: String): Vector[String] =
+    if (s.isEmpty) Vector.empty else s.split(",").toVector
+
+  private def meta(root: String): LoopCore.MetaStore[State] =
+    new LoopCore.MetaStore(root, "b",
+      s => s"""{"version":${s.version},"mainPath":"${s.mainPath}",""" +
+        s""""pending":"${s.pending.mkString(",")}",""" +
+        s""""nIndexed":${s.nIndexed},"nPending":${s.nPending},""" +
+        s""""lastBatchId":${s.lastBatchId},""" +
+        s""""absorbed":"${s.absorbed.mkString(",")}"}""",
+      j => State(LoopCore.jsonLong(j, "version"),
+        LoopCore.jsonString(j, "mainPath"),
+        splitPaths(LoopCore.jsonString(j, "pending")),
+        LoopCore.jsonLong(j, "nIndexed"),
+        LoopCore.jsonLong(j, "nPending"),
+        LoopCore.jsonLong(j, "lastBatchId"),
+        splitPaths(LoopCore.jsonString(j, "absorbed"))))
 
   /** Build the version-0 main segment over the landed corpus. */
   def buildIndex(spark: SparkSession, corpusDocs: DataFrame,
@@ -66,8 +100,23 @@ object LexIndexLoop {
     val docs = corpusDocs.select(col("doc_id"), col("text"))
     Bm25Index.save(TextAnalysis.bm25Postings(docs),
       TextAnalysis.bm25Stats(docs), s"$root/v0")
-    new ServingIndex(State(0L, s"$root/v0", Vector.empty,
-      docs.count(), 0L))
+    val st = State(0L, s"$root/v0", Vector.empty, docs.count(), 0L)
+    meta(root).write(st.lastBatchId, st)
+    new ServingIndex(root, st)
+  }
+
+  /** Restore a serving handle from the self-persisted state markers —
+    * fails loudly if the recorded segments are missing (a stale or
+    * swept-too-far export must never serve silently). */
+  def reattach(spark: SparkSession, root: String): ServingIndex = {
+    val st = meta(root).newest.getOrElse(
+      throw new IllegalStateException(
+        s"lexIndexLoop: no state markers under $root"))
+    (st.mainPath +: st.pending).foreach(p =>
+      require(Files.isDirectory(Paths.get(p)),
+        s"lexIndexLoop: recorded segment $p missing under $root — " +
+          "stale export"))
+    new ServingIndex(root, st)
   }
 
   /** The composite (postings, df, stats) of a snapshot: main ∪ pending
@@ -121,6 +170,84 @@ object LexIndexLoop {
       }
       .start()
 
+  /** Apply ONE document batch: id-gate, land the delta segment, maybe
+    * compact, commit the marker LAST. Idempotent per batch id (see the
+    * class doc). Package-private for direct replay tests. */
+  private[graft] def applyBatch(spark: SparkSession, index: ServingIndex,
+      root: String, batch0: DataFrame, batchId: Long,
+      onCycle: (Long, Long, Boolean, Long) => Unit): Unit = {
+    // committed already? (failure replay) → restore recorded state,
+    // change nothing on disk
+    val prior = meta(root).read(batchId)
+    if (prior.isDefined) {
+      index.update(prior.get)
+      onCycle(batchId, 0L, false, prior.get.version)
+      return
+    }
+    // within-batch id dedup FIRST (deterministic keeper), so an
+    // at-least-once upstream delivering one doc twice in a single
+    // trigger can't double its postings/stats — the gate below only
+    // covers ids already in a segment
+    val batch = batch0.select(col("doc_id"), col("text"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("text")).as("text"))
+      .localCheckpoint(true) // batch-sized
+    if (batch.isEmpty) {
+      onCycle(batchId, 0L, false, index.version)
+      return
+    }
+    val st = index.snapshot
+    // 1) GATE: ids already in any segment never land twice (the
+    // replay/duplicate-dispatch protection the event loop has).
+    val (postings, _, _) = composite(spark, st)
+    val survivors = batch
+      .join(postings.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // batch-sized
+    val landed = survivors.count()
+    if (landed == 0L) {
+      val next = st.copy(lastBatchId = batchId)
+      meta(root).write(batchId, next)
+      index.update(next)
+      onCycle(batchId, 0L, false, st.version)
+      return
+    }
+    // 2) DELTA SEGMENT: a complete batch-sized mini-index (overwrite
+    // at a batch-deterministic path — a torn prior attempt re-lands).
+    val deltaPath = s"$root/p$batchId"
+    Bm25Index.save(TextAnalysis.bm25Postings(survivors),
+      TextAnalysis.bm25Stats(survivors), deltaPath)
+    val pending = st.pending :+ deltaPath
+    val nPending = st.nPending + landed
+    // 3) DECIDE: the commit-count analog over doc counts.
+    if (nPending * 1000L >= st.nIndexed * MergePermille) {
+      // 4) ACT: compact main ∪ pending into one new segment.
+      val stWithDelta = st.copy(pending = pending)
+      val (p, _, s) = composite(spark, stWithDelta)
+      val newMain = s"$root/v${st.version + 1}"
+      Bm25Index.save(p,
+        s.select(col("n_docs"), col("n_tokens"), col("avgdl_x1000")),
+        newMain)
+      val next = State(st.version + 1, newMain, Vector.empty,
+        st.nIndexed + nPending, 0L, batchId, pending)
+      // COMMIT before sweeping — the marker is the source of truth
+      meta(root).write(batchId, next)
+      index.update(next)
+      // retention: deltas absorbed by the PREVIOUS compaction die now
+      // (no reader holds a composite older than one generation), and
+      // main segments beyond the retain window go with them
+      st.absorbed.foreach(d => LoopCore.deleteRecursively(Paths.get(d)))
+      LoopCore.gcVersions(root, "v(\\d+)".r)
+      onCycle(batchId, landed, true, st.version + 1)
+    } else {
+      val next = st.copy(pending = pending, nPending = nPending,
+        lastBatchId = batchId)
+      meta(root).write(batchId, next)
+      index.update(next)
+      onCycle(batchId, landed, false, st.version)
+    }
+  }
+
   /** Start the ingest → delta append → threshold → compaction loop over
     * a streaming (doc_id, text) frame. `onCycle(batchId, landed,
     * merged, version)` observes each batch's decision. */
@@ -131,54 +258,7 @@ object LexIndexLoop {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        // within-batch id dedup FIRST (deterministic keeper), so an
-        // at-least-once upstream delivering one doc twice in a single
-        // trigger can't double its postings/stats — the gate below only
-        // covers ids already in a segment
-        val batch = batch0.select(col("doc_id"), col("text"))
-          .groupBy(col("doc_id"))
-          .agg(org.apache.spark.sql.functions.min(col("text")).as("text"))
-          .localCheckpoint(true) // batch-sized
-        if (batch.isEmpty) {
-          onCycle(batchId, 0L, false, index.version)
-        } else {
-          val st = index.snapshot
-          // 1) GATE: ids already in any segment never land twice (the
-          // replay/duplicate-dispatch protection the event loop has).
-          val (postings, _, _) = composite(spark, st)
-          val survivors = batch
-            .join(postings.select(col("doc_id")).distinct(),
-              Seq("doc_id"), "left_anti")
-            .localCheckpoint(true) // batch-sized
-          val landed = survivors.count()
-          if (landed == 0L) {
-            onCycle(batchId, 0L, false, st.version)
-          } else {
-            // 2) DELTA SEGMENT: a complete batch-sized mini-index.
-            val deltaPath = s"$root/p$batchId"
-            Bm25Index.save(TextAnalysis.bm25Postings(survivors),
-              TextAnalysis.bm25Stats(survivors), deltaPath)
-            val pending = st.pending :+ deltaPath
-            val nPending = st.nPending + landed
-            // 3) DECIDE: the commit-count analog over doc counts.
-            if (nPending * 1000L >= st.nIndexed * MergePermille) {
-              // 4) ACT: compact main ∪ pending into one new segment.
-              val stWithDelta = st.copy(pending = pending)
-              val (p, _, s) = composite(spark, stWithDelta)
-              val newMain = s"$root/v${st.version + 1}"
-              Bm25Index.save(p,
-                s.select(col("n_docs"), col("n_tokens"),
-                  col("avgdl_x1000")), newMain)
-              index.update(State(st.version + 1, newMain, Vector.empty,
-                st.nIndexed + nPending, 0L))
-              onCycle(batchId, landed, true, st.version + 1)
-            } else {
-              index.update(st.copy(pending = pending,
-                nPending = nPending))
-              onCycle(batchId, landed, false, st.version)
-            }
-          }
-        }
+        applyBatch(spark, index, root, batch0, batchId, onCycle)
       }
       .start()
 }

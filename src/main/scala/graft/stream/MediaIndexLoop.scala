@@ -1,9 +1,8 @@
 package graft.stream
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.concurrent.atomic.AtomicReference
+import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -13,36 +12,64 @@ import graft.exts.{Dedup, Multimodal}
   * reference's commit → threshold → rebuild pattern
   * (AwsTableManagementMetricsEvaluator.java:64-140) on the fourth index
   * family (IVF: [[IndexLoop]]; BM25: [[LexIndexLoop]]; graph:
-  * [[GraphIndexLoop]]; media signatures: here):
+  * [[GraphIndexLoop]]; media signatures: here), covering the WHOLE
+  * media lake since r15: images, video clips and audio tracks all gate
+  * at ingest (r14 gated PNG signatures only, so a trimmed clip or
+  * re-mastered track was caught no earlier than the next full pairs
+  * rebuild — exactly the wild cases the run matchers exist for):
   *
-  *  1. INGEST — each micro-batch of (doc_id, png) assets decodes to
-  *     canonical signatures (BATCH work only) and is gated by the
-  *     banded-Hamming probe against the CURRENT serving set — the
-  *     committed version's signatures PLUS every already-admitted
-  *     pending batch, so a duplicate of an asset admitted seconds ago
-  *     is caught before any rebuild. Duplicates are dispositioned with
-  *     a canonical pointer and NOT landed; novel assets' signatures
-  *     land as a batch-tagged pending parquet.
+  *  1. INGEST — each micro-batch of (doc_id, modality ∈ img|vid|aud,
+  *     media) assets is deduped by (modality, doc_id) (an
+  *     at-least-once upstream delivering one asset twice in a single
+  *     trigger must not double its signatures — the [[LexIndexLoop]]
+  *     rule), decoded to its modality's signature layout (BATCH codec
+  *     work only: canonical rasters for images,
+  *     [[Multimodal.videoFingerprints]] per-frame hashes for clips,
+  *     [[Multimodal.audioWindowFps]] per-window fingerprints for
+  *     tracks) and gated against the CURRENT serving set — the
+  *     committed version's signatures plus every pending batch
+  *     RECORDED by the last commit marker — AND against the batch's
+  *     own earlier (smaller-id) assets, so a duplicate of an asset
+  *     admitted seconds ago, or one arriving in the same trigger, is
+  *     caught before any rebuild. Images match by banded Hamming;
+  *     video/audio by the gap-banded shared-run subsequence match
+  *     (trim-robust BY CONSTRUCTION — a trimmed copy differs only in
+  *     run gap). Duplicates are dispositioned with a canonical pointer
+  *     and NOT landed; novel assets' signatures land as batch-tagged
+  *     pending parquet under the current version dir.
   *  2. DRIFT SIGNAL — the admitted count since the last rebuild, pure
   *     driver metadata (the analog of the reference's commit count).
   *  3. DECIDE — admitted ≥ `rebuildAfter` trips the threshold; deciding
   *     is free every batch.
   *  4. ACT — pending merges into a FRESH immutable version directory
-  *     (`v<k+1>/sigs` — the previous version stays intact for any
-  *     in-flight reader, the [[GraphIndexLoop]] epoch discipline), the
-  *     near-pair frame and component fixpoint recompute over
-  *     SIGNATURES ONLY (zero codec work — the index's whole point), the
-  *     serving [[State]] swaps atomically, and the health row the
-  *     rebuild policy reads is emitted ON the loop (the reference's
-  *     evaluator emits metrics on the maintenance path, not as a
-  *     separate query).
+  *     (`v<k+1>/sigs-<modality>` — the previous version stays intact
+  *     for any in-flight reader, the epoch discipline), the TAGGED
+  *     pair frame (image near pairs + video/audio shared runs — the
+  *     [[graft.exts.MediaIndex]] pair-union shape) and component
+  *     fixpoint recompute over SIGNATURES ONLY (zero codec work — the
+  *     index's whole point), the serving [[State]] swaps atomically,
+  *     the health row the rebuild policy reads is emitted ON the loop,
+  *     and layout generations older than [[LoopCore.RetainLayouts]]
+  *     are swept (expire_snapshots' retain-last-N on the loop's own
+  *     version chain — superseded `v<j>` dirs no longer accumulate).
   *
-  * Batch application is idempotent: pending lands in batch-tagged dirs
-  * written with overwrite, per-batch state markers persist the three
-  * counters, and a replayed batch id ≤ the recorded last is skipped —
-  * a checkpointed restart re-delivering a batch is a no-op.
+  * '''Idempotent, torn-write-safe batch application''' (the
+  * [[LoopCore]] discipline): pending lands in batch-tagged dirs
+  * written with overwrite, the post-batch state commits LAST as a
+  * `_meta/state-b<id>.json` marker, and a replayed batch id ≤ the
+  * recorded last is a no-op. Crucially the serving signature read
+  * EXCLUDES pending dirs whose batch ordinal exceeds the marker-
+  * recorded `lastBatchId`: if a crash lands between the pending write
+  * and the marker, the replayed batch re-gates against exactly the
+  * pre-crash serving set (its own torn dir is invisible) and the
+  * overwrite re-lands it — without the exclusion the batch's novel
+  * assets would self-match against their own earlier-landed
+  * signatures and be silently dropped from the index.
   */
 object MediaIndexLoop {
+
+  /** The modality tags the loop ingests, in stable enumeration order. */
+  val Modalities: Seq[String] = Seq("img", "vid", "aud")
 
   /** Serving-state snapshot — all driver metadata. */
   final case class State(version: Long, nAssets: Long, nPending: Long,
@@ -50,80 +77,73 @@ object MediaIndexLoop {
 
   /** The atomically-swapped serving handle. */
   final class ServingMedia private[MediaIndexLoop] (
-      private[stream] val root: String, initial: State) {
-    private val ref = new AtomicReference[State](initial)
-    def snapshot: State = ref.get()
-    def version: Long = ref.get().version
-    def nAssets: Long = ref.get().nAssets
-    /** The CURRENT serving signature frame: the committed version's
-      * sigs plus every admitted pending batch — one consistent read
-      * per call (the state is snapshotted once). */
-    def sigs(spark: SparkSession): DataFrame = {
-      val s = ref.get()
-      val base = spark.read.parquet(sigsDir(root, s.version))
-      pendingDirs(root, s.version).foldLeft(base)((acc, p) =>
+      private[stream] val root: String, initial: State)
+      extends LoopCore.ServingRef[State](initial) {
+    def version: Long = snapshot.version
+    def nAssets: Long = snapshot.nAssets
+    /** The CURRENT serving signature frame of one modality: the
+      * committed version's sigs plus every pending batch the commit
+      * marker has recorded — one consistent read per call (the state
+      * is snapshotted once), torn dirs from a crashed attempt
+      * excluded by the ordinal filter. */
+    def sigs(spark: SparkSession, modality: String): DataFrame = {
+      val s = snapshot
+      sigsAt(spark, root, s, modality)
+    }
+    /** Back-compat image read (the r14 single-modality surface). */
+    def sigs(spark: SparkSession): DataFrame = sigs(spark, "img")
+  }
+
+  private def sigsAt(spark: SparkSession, root: String, s: State,
+      modality: String): DataFrame = {
+    val base = spark.read.parquet(sigsDir(root, s.version, modality))
+    pendingDirs(root, s.version, modality)
+      .filter { case (ord, _) => ord <= s.lastBatchId }
+      .map(_._2)
+      .foldLeft(base)((acc, p) =>
         acc.unionByName(spark.read.parquet(p.toString)))
-    }
-    private[stream] def state: State = ref.get()
-    private[stream] def update(s: State): Unit = ref.set(s)
   }
 
-  private def sigsDir(root: String, v: Long): String =
-    s"$root/v$v/sigs"
-  private def pendingRoot(root: String, v: Long): Path =
-    Paths.get(s"$root/v$v/pending")
-  private def pendingDirs(root: String, v: Long): Seq[Path] = {
-    val pr = pendingRoot(root, v)
-    if (!Files.isDirectory(pr)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      val ls = Files.list(pr)
-      try ls.iterator().asScala.toSeq.filter(Files.isDirectory(_))
-        .sortBy(_.getFileName.toString)
-      finally ls.close()
-    }
+  private def sigsDir(root: String, v: Long, modality: String): String =
+    s"$root/v$v/sigs-$modality"
+  private def pendingDir(root: String, v: Long, batchId: Long,
+      modality: String): String =
+    s"$root/v$v/pending/batch-$batchId-$modality"
+  /** (batch ordinal, dir) pairs of one version's landed pending dirs
+    * for one modality. */
+  private def pendingDirs(root: String, v: Long,
+      modality: String): Seq[(Long, java.nio.file.Path)] = {
+    val pr = Paths.get(s"$root/v$v/pending")
+    LoopCore.listDir(pr).flatMap { p =>
+      p.getFileName.toString match {
+        case s"batch-$ord-$m" if m == modality && Files.isDirectory(p) =>
+          Some((ord.toLong, p))
+        case _ => None
+      }
+    }.sortBy(_._1)
   }
 
-  private def metaDir(root: String): Path = Paths.get(root, "_meta")
-  private def metaJson(s: State): String =
-    s"""{"version":${s.version},"nAssets":${s.nAssets},""" +
-      s""""nPending":${s.nPending},"lastBatchId":${s.lastBatchId}}"""
-  private def writeMeta(root: String, s: State): Unit = {
-    val dir = metaDir(root)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(
-      s"state-b${s.lastBatchId}.json.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, metaJson(s).getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(s"state-b${s.lastBatchId}.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
-  private def readMeta(root: String): Option[State] = {
-    val dir = metaDir(root)
-    if (!Files.isDirectory(dir)) return None
-    import scala.jdk.CollectionConverters._
-    val ls = Files.list(dir)
-    val files =
-      try ls.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.matches("state-b-?\\d+\\.json"))
-      finally ls.close()
-    if (files.isEmpty) None
-    else {
-      val latest = files.maxBy(p => p.getFileName.toString
-        .stripPrefix("state-b").stripSuffix(".json").toLong)
-      val j = new String(Files.readAllBytes(latest), "UTF-8")
-      def f(k: String): Long =
-        s""""$k":(-?\\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
-      Some(State(f("version"), f("nAssets"), f("nPending"),
-        f("lastBatchId")))
-    }
-  }
+  private def meta(root: String): LoopCore.MetaStore[State] =
+    new LoopCore.MetaStore[State](root, "b",
+      s => s"""{"version":${s.version},"nAssets":${s.nAssets},""" +
+        s""""nPending":${s.nPending},"lastBatchId":${s.lastBatchId}}""",
+      j => State(LoopCore.jsonLong(j, "version"),
+        LoopCore.jsonLong(j, "nAssets"), LoopCore.jsonLong(j, "nPending"),
+        LoopCore.jsonLong(j, "lastBatchId")))
 
-  /** Bootstrap version 0 from a corpus signature frame. */
-  def build(spark: SparkSession, corpusSigs: DataFrame,
-      root: String): ServingMedia = {
-    corpusSigs.write.mode("overwrite").parquet(sigsDir(root, 0L))
-    val st = State(0L, corpusSigs.count(), 0L, -1L)
-    writeMeta(root, st)
+  /** Bootstrap version 0 from per-modality corpus signature frames
+    * (pass an empty frame of the right schema for an absent
+    * modality). */
+  def build(spark: SparkSession, imgSigs: DataFrame, vidSigs: DataFrame,
+      audSigs: DataFrame, root: String): ServingMedia = {
+    val byMod = Map("img" -> imgSigs, "vid" -> vidSigs, "aud" -> audSigs)
+    Modalities.foreach(m => byMod(m).write.mode("overwrite")
+      .parquet(sigsDir(root, 0L, m)))
+    val st = State(0L,
+      byMod.values.map(df => df.select(col("doc_id")).distinct().count())
+        .sum,
+      0L, -1L)
+    meta(root).write(st.lastBatchId, st)
     new ServingMedia(root, st)
   }
 
@@ -131,19 +151,101 @@ object MediaIndexLoop {
     * fails loudly if the recorded version's layout is missing (a stale
     * or torn export must not serve silently). */
   def reattach(spark: SparkSession, root: String): ServingMedia = {
-    val st = readMeta(root).getOrElse(
+    val st = meta(root).newest.getOrElse(
       throw new IllegalStateException(
         s"mediaIndexLoop: no state markers under $root"))
-    require(Files.isDirectory(Paths.get(sigsDir(root, st.version))),
-      s"mediaIndexLoop: recorded v${st.version} layout missing under " +
-        s"$root — stale export")
+    Modalities.foreach(m =>
+      require(Files.isDirectory(Paths.get(sigsDir(root, st.version, m))),
+        s"mediaIndexLoop: recorded v${st.version} $m layout missing " +
+          s"under $root — stale export"))
     new ServingMedia(root, st)
   }
 
-  /** Apply ONE asset batch: gate, land survivors, maybe rebuild.
-    * Returns the per-asset disposition frame (the
-    * [[Multimodal.mmDupIncrementalOver]] shape). Idempotent: a batch id
-    * ≤ the recorded last is a no-op returning an empty frame. */
+  // ---- per-modality gate plumbing ----
+
+  /** Batch decode: the modality's signature frame over its slice of
+    * the (doc_id, media) batch. */
+  private def batchSigs(spark: SparkSession, modality: String,
+      slice: DataFrame): DataFrame = {
+    import spark.implicits._
+    modality match {
+      case "img" => Multimodal.canonicalSignatures(
+        slice.toDF("doc_id", "png").as[Multimodal.PngAsset]).toDF()
+      case "vid" => Multimodal.videoFingerprints(
+        slice.toDF("doc_id", "gif").as[Multimodal.GifAsset]).toDF()
+      case "aud" => Multimodal.audioWindowFps(
+        slice.toDF("doc_id", "wav").as[Multimodal.WavAsset]).toDF()
+    }
+  }
+
+  /** (batch_id, matched_id, metric) match evidence for one modality:
+    * the serving probe PLUS the within-batch self-match (later ids
+    * match earlier ones — two copies arriving in one trigger admit
+    * exactly the first). Images carry Hamming distance as the metric
+    * (smaller = closer); video/audio carry the shared-run length
+    * (longer = stronger). */
+  private def matches(serving: DataFrame, batch: DataFrame,
+      modality: String): DataFrame = modality match {
+    case "img" =>
+      val corpus = Multimodal.nearMatchesAgainst(serving, batch)
+        .select(col("batch_id"), col("corpus_id").as("matched_id"),
+          col("hamming").as("metric"))
+      val within = Multimodal.nearPairs(batch)
+        .select(col("b_id").as("batch_id"), col("a_id").as("matched_id"),
+          col("hamming").as("metric"))
+      corpus.unionByName(within)
+    case _ =>
+      val (pos, sig) =
+        if (modality == "vid") ("frame", Seq("gray_sum", "ahash"))
+        else ("win", Seq("wfp"))
+      val corpus = Multimodal.sharedRunsAgainst(serving, batch, pos, sig)
+        .select(col("batch_id"), col("corpus_id").as("matched_id"),
+          col("run_len").as("metric"))
+      val within = Multimodal.sharedRuns(batch, pos, sig)
+        .select(col("b_id").as("batch_id"), col("a_id").as("matched_id"),
+          col("run_len").as("metric"))
+      corpus.unionByName(within)
+  }
+
+  /** Per-asset disposition rollup: images keep the CLOSEST match
+    * (min Hamming), runs keep the LONGEST; both resolve the canonical
+    * pointer to the smallest matched id. −1 sentinels when new. */
+  private def verdictsOf(ids: DataFrame, m: DataFrame,
+      modality: String): DataFrame = {
+    val best =
+      if (modality == "img") min(col("metric")) else max(col("metric"))
+    val agg = m.groupBy(col("batch_id"))
+      .agg(countDistinct(col("matched_id")).as("m_n"),
+        min(col("matched_id")).as("m_id"), best.as("m_metric"))
+    ids.join(agg.hint("shuffle_hash"), Seq("batch_id"), "left")
+      .select(col("batch_id"), lit(modality).as("modality"),
+        coalesce(col("m_n"), lit(0L)).as("n_matches"),
+        coalesce(col("m_id"), lit(-1L)).as("matched_id"),
+        coalesce(col("m_metric"), lit(-1L)).as("metric"),
+        col("m_n").isNull.cast("long").as("is_new"))
+  }
+
+  /** The rebuild's tagged pair frame over merged per-modality
+    * signature frames — the [[graft.exts.MediaIndex.buildPairs]]
+    * union shape computed from signatures only. */
+  private[graft] def taggedPairs(img: DataFrame, vid: DataFrame,
+      aud: DataFrame): DataFrame =
+    Multimodal.nearPairs(img).select(col("a_id"), col("b_id"))
+      .withColumn("modality", lit("img"))
+      .unionByName(Multimodal
+        .sharedRuns(vid, "frame", Seq("gray_sum", "ahash"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .withColumn("modality", lit("vid")))
+      .unionByName(Multimodal.sharedRuns(aud, "win", Seq("wfp"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .withColumn("modality", lit("aud")))
+
+  /** Apply ONE asset batch: gate all three modalities, land survivors,
+    * maybe rebuild. Returns the per-asset disposition frame
+    * (batch_id, modality, n_matches, matched_id, metric, is_new).
+    * Idempotent: a batch id ≤ the recorded last is a no-op returning
+    * an empty frame; a torn prior attempt (pending landed, marker
+    * missing) is invisible to the gate and overwritten. */
   private[graft] def applyBatch(spark: SparkSession,
       serving: ServingMedia, batch: DataFrame, batchId: Long,
       rebuildAfter: Long,
@@ -151,62 +253,82 @@ object MediaIndexLoop {
     import spark.implicits._
     val st = serving.state
     if (batchId <= st.lastBatchId)
-      return Seq.empty[(Long, Long, Long, Long, Long)]
-        .toDF("batch_id", "n_matches", "matched_id", "min_hamming",
-          "is_new")
-    val assets = batch.select("doc_id", "png").as[Multimodal.PngAsset]
-    val batchSigs = Multimodal.canonicalSignatures(assets).toDF()
+      return Seq.empty[(Long, String, Long, Long, Long, Long)]
+        .toDF("batch_id", "modality", "n_matches", "matched_id",
+          "metric", "is_new")
+    // within-batch id dedup FIRST (deterministic keeper: min payload),
+    // so an at-least-once upstream delivering one asset twice in a
+    // single trigger cannot double its signatures — the LexIndexLoop
+    // rule; content-level twins are handled by the self-match below
+    val deduped = batch.select(col("doc_id"), col("modality"),
+        col("media"))
+      .groupBy(col("doc_id"), col("modality"))
+      .agg(min(col("media")).as("media"))
       .localCheckpoint(false)
-    val agg = Multimodal
-      .nearMatchesAgainst(serving.sigs(spark), batchSigs)
-      .groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("m_n"), min(col("corpus_id")).as("m_id"),
-        min(col("hamming")).as("m_ham"))
-    val verdicts = batchSigs.select(col("doc_id").as("batch_id"))
-      .join(agg.hint("shuffle_hash"), Seq("batch_id"), "left")
-      .select(col("batch_id"),
-        coalesce(col("m_n"), lit(0L)).as("n_matches"),
-        coalesce(col("m_id"), lit(-1L)).as("matched_id"),
-        coalesce(col("m_ham"), lit(-1L)).as("min_hamming"),
-        col("m_n").isNull.cast("long").as("is_new"))
-      .localCheckpoint(false)
-    // land the NOVEL assets' signatures as a batch-tagged pending dir
-    // (overwrite ⇒ a torn earlier attempt is replaced, never doubled)
-    val admitted = batchSigs.join(
-      verdicts.filter(col("is_new") === 1L)
-        .select(col("batch_id").as("doc_id")).hint("shuffle_hash"),
-      Seq("doc_id"), "left_semi")
-    val nAdmitted = admitted.count()
-    if (nAdmitted > 0)
-      admitted.write.mode("overwrite").parquet(
-        s"${pendingRoot(serving.root, st.version)}/batch-$batchId")
+    var nAdmitted = 0L
+    val verdictFrames = Modalities.flatMap { m =>
+      val slice = deduped.filter(col("modality") === m)
+        .select(col("doc_id"), col("media"))
+      if (slice.isEmpty) None
+      else {
+        val sigs = batchSigs(spark, m, slice).localCheckpoint(false)
+        val ids = sigs.select(col("doc_id").as("batch_id")).distinct()
+        val v = verdictsOf(ids,
+            matches(serving.sigs(spark, m), sigs, m), m)
+          .localCheckpoint(false)
+        // land the NOVEL assets' signatures as a batch-tagged pending
+        // dir (overwrite ⇒ a torn earlier attempt is replaced, never
+        // doubled)
+        val admitted = sigs.join(
+          v.filter(col("is_new") === 1L)
+            .select(col("batch_id").as("doc_id")).hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+        val nNew = admitted.select(col("doc_id")).distinct().count()
+        if (nNew > 0)
+          admitted.write.mode("overwrite").parquet(
+            pendingDir(serving.root, st.version, batchId, m))
+        nAdmitted += nNew
+        Some(v)
+      }
+    }
+    val verdicts = verdictFrames
+      .reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(Long, String, Long, Long, Long, Long)]
+        .toDF("batch_id", "modality", "n_matches", "matched_id",
+          "metric", "is_new"))
     var next = State(st.version, st.nAssets + nAdmitted,
       st.nPending + nAdmitted, batchId)
     if (next.nPending >= rebuildAfter) {
-      // ACT: merge into a fresh immutable version dir; recompute the
-      // pair frame + component fixpoint over SIGNATURES ONLY; emit the
-      // health row the policy reads
-      val sv = new ServingMedia(serving.root, next) // read sigs∪pending
-      val merged = sv.sigs(spark).localCheckpoint(false)
-      merged.write.mode("overwrite")
-        .parquet(sigsDir(serving.root, next.version + 1))
-      val pairs = Multimodal.nearPairs(merged).localCheckpoint(false)
+      // ACT: merge each modality into a fresh immutable version dir;
+      // recompute the tagged pair frame + component fixpoint over
+      // SIGNATURES ONLY; emit the health row the policy reads
+      val merged = Modalities.map { m =>
+        m -> sigsAt(spark, serving.root, next, m).localCheckpoint(false)
+      }.toMap
+      Modalities.foreach(m => merged(m).write.mode("overwrite")
+        .parquet(sigsDir(serving.root, next.version + 1, m)))
+      val pairs = taggedPairs(merged("img"), merged("vid"),
+        merged("aud")).localCheckpoint(false)
       val comp = Dedup.dupComponents(
-        pairs.select(col("a_id"), col("b_id")))
+        pairs.select(col("a_id"), col("b_id")).distinct())
       next = State(next.version + 1, next.nAssets, 0L, batchId)
-      onHealth(next.version, healthOver(merged, pairs, comp))
+      onHealth(next.version, healthOver(spark, next.nAssets, pairs, comp))
     }
-    writeMeta(serving.root, next)
+    // COMMIT: marker last — everything above is re-creatable until here
+    meta(serving.root).write(batchId, next)
     serving.update(next)
+    // retention sweep AFTER the commit: superseded v<j> generations
+    // beyond the retain window have no live readers
+    LoopCore.gcVersions(serving.root, "v(\\d+)".r)
     verdicts
   }
 
   /** The loop's health row (the media_health shape over the serving
-    * signature index: image-signature pairs only — the loop maintains
-    * the signature index, not the video/audio matchers). */
-  private[graft] def healthOver(sigs: DataFrame, pairs: DataFrame,
-      comp: DataFrame): DataFrame = {
-    val nAssets = sigs.agg(count(lit(1)).as("n_assets"))
+    * index: tagged matcher pairs across all three modalities). */
+  private[graft] def healthOver(spark: SparkSession, nAssets: Long,
+      pairs: DataFrame, comp: DataFrame): DataFrame = {
+    import spark.implicits._
+    val na = Seq(nAssets).toDF("n_assets")
     val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
     val dup = pairs.select(col("a_id").as("doc_id"))
       .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
@@ -214,14 +336,15 @@ object MediaIndexLoop {
     val c = comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_components"),
         coalesce(max(col("sz")), lit(0L)).as("max_component"))
-    nAssets.crossJoin(broadcast(nPairs)).crossJoin(broadcast(dup))
+    na.crossJoin(broadcast(nPairs)).crossJoin(broadcast(dup))
       .crossJoin(broadcast(c))
       .select(col("n_assets"), col("n_pairs"), col("n_dup_assets"),
         expr("n_dup_assets * 1000 div n_assets").as("dup_permille"),
         col("n_components"), col("max_component"))
   }
 
-  /** Run the loop over a streaming (doc_id, png) asset frame. */
+  /** Run the loop over a streaming (doc_id, modality, media) asset
+    * frame. */
   def start(spark: SparkSession, serving: ServingMedia,
       assets: DataFrame, rebuildAfter: Long,
       sink: (DataFrame, Long) => Unit,

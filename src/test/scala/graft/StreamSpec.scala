@@ -539,17 +539,61 @@ class StreamSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet === Set(1L))
     assert(out.map(_._1).toSet === inline(full))
     // within-batch duplicate: one trigger delivering a doc TWICE lands
-    // it once (the deterministic pre-gate id dedup)
+    // it once (the deterministic pre-gate id dedup) — fresh root: a
+    // NEW query's batch ids restart at 0, and the commit markers of
+    // the first query must not mistake them for replays
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-lexloop2").toString
+    val index2 = LexIndexLoop.buildIndex(spark, corpus, root2)
     val input2 = MemoryStream[(Long, String)]
-    val q2 = LexIndexLoop.start(spark, index, root,
+    val q2 = LexIndexLoop.start(spark, index2, root2,
       input2.toDS().toDF("doc_id", "text"),
       (_, landed, merged, v) => cycles.synchronized {
         cycles += ((landed, merged, v)) })
     input2.addData(Seq((800000L, base.head._2), (800000L, base.head._2)))
     q2.processAllAvailable()
     q2.stop()
-    assert(cycles.last === ((1L, false, 1L)))
-    assert(index.snapshot.nPending === 1L)
+    assert(cycles.last === ((1L, false, 0L)))
+    assert(index2.snapshot.nPending === 1L)
+    // replay no-op (the LoopCore marker discipline, new in r15): the
+    // SAME batch id re-delivered — a checkpointed restart — restores
+    // the recorded state and lands nothing twice
+    val beforeReplay = index2.snapshot
+    LexIndexLoop.applyBatch(spark, index2, root2,
+      Seq((800001L, base.head._2)).toDF("doc_id", "text"), 0L,
+      (_, landed, merged, v) => cycles.synchronized {
+        cycles += ((landed, merged, v)) })
+    assert(cycles.last === ((0L, false, 0L)))
+    assert(index2.snapshot === beforeReplay)
+    // reattach: a fresh handle from the markers serves the identical
+    // composite
+    val re = LexIndexLoop.reattach(spark, root2)
+    assert(re.snapshot === beforeReplay)
+    assert(LexIndexLoop.scoreAgainst(spark, re.snapshot,
+        queries.toDF("doc_id", "text")).collect()
+        .map(_.toString).toSet ===
+      LexIndexLoop.scoreAgainst(spark, index2.snapshot,
+        queries.toDF("doc_id", "text")).collect()
+        .map(_.toString).toSet)
+    // compaction retention: drive the FIRST loop's root through a
+    // second compaction — the deltas absorbed by compaction 1 die at
+    // compaction 2 (one-generation lag) and v0 leaves the retain
+    // window, while v1 (a just-superseded reader's main) survives
+    val absorbed1 = java.nio.file.Paths.get(s"$root/p0")
+    assert(java.nio.file.Files.isDirectory(absorbed1),
+      "compaction 1's absorbed delta must survive its own compaction")
+    val b3 = base.slice(110, 240)
+      .map { case (id, t) => (id + 750000L, t) }.toSeq
+    LexIndexLoop.applyBatch(spark, index, root,
+      b3.toDF("doc_id", "text"), 3L, (_, _, _, _) => ())
+    assert(index.version === 2L)
+    assert(!java.nio.file.Files.isDirectory(absorbed1),
+      "deltas absorbed by the previous compaction must be swept")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$root/v0")),
+      "main segments beyond the retain window must be swept")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$root/v1")))
   }
 
   test("hybrid serving: per-batch stream results equal the fused batch scorers") {
@@ -671,97 +715,254 @@ class StreamSpec extends AnyFunSuite {
     assert(results.exists(_._5 == 1L) && results.exists(_._5 == 0L))
   }
 
-  test("media index loop: pending gate, threshold rebuild + health, replay no-op, reattach") {
+  // shared scaffolding of the media-loop tests: version-0 serving set
+  // over the three corpus matcher fixtures + the incoming single-asset
+  // pools (ids offset by IncomingIdOffset; re-uploads are trimmed one
+  // position off their own corpus cut, novels draw far-offset streams)
+  private def mediaLoopCorpus(dir: String) = {
+    import graft.exts.Multimodal
+    (Multimodal.canonicalSignatures(
+        Multimodal.pngAssetsNearDups(spark, dir)).toDF(),
+      Multimodal.videoFingerprints(
+        Multimodal.gifClipAssets(spark, dir)).toDF(),
+      Multimodal.audioWindowFps(
+        Multimodal.wavClipAssets(spark, dir)).toDF())
+  }
+
+  test("media index loop: all three modalities gate at ingest; threshold rebuild + health; replay no-op; reattach") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
     implicit val sql = spark.sqlContext
     import graft.exts.Multimodal
     import graft.stream.MediaIndexLoop
     val dir = "/root/testdata/sf0.001"
     val root = java.nio.file.Files
       .createTempDirectory("media-loop").toString
-    val corpusSigs = Multimodal.canonicalSignatures(
-      Multimodal.pngAssetsNearDups(spark, dir)).toDF()
-    val serving = MediaIndexLoop.build(spark, corpusSigs, root)
+    val (imgSigs, vidSigs, audSigs) = mediaLoopCorpus(dir)
+    val serving = MediaIndexLoop.build(spark, imgSigs, vidSigs, audSigs,
+      root)
     assert(serving.version === 0L)
     val n0 = serving.nAssets
-    // fake groups 2000001+ verified collision-free against the corpus
-    // and each other; base render = variant 0, exact 2× upscale = 1
+    // image plants (the r14 cases): fake groups 2000001+ verified
+    // collision-free; video/audio plants from the incoming fixtures —
+    // a TRIMMED re-upload of corpus content and a novel stream each
     def novel(id: Long, g: Long) =
-      (id, Multimodal.encodeNearPng((g + 2000000L) * 4))
+      (id, "img", Multimodal.encodeNearPng((g + 2000000L) * 4))
     def novelUp(id: Long, g: Long) =
-      (id, Multimodal.encodeNearPng((g + 2000000L) * 4 + 1))
+      (id, "img", Multimodal.encodeNearPng((g + 2000000L) * 4 + 1))
     def corpusUp(id: Long, g: Long) =
-      (id, Multimodal.encodeNearPng(g * 4 + 1))
-    val input = MemoryStream[(Long, Array[Byte])]
+      (id, "img", Multimodal.encodeNearPng(g * 4 + 1))
+    val off = Multimodal.IncomingIdOffset
+    val vidPool = Multimodal.gifClipAssetsIncoming(spark, dir).collect()
+      .map(a => (a.doc_id, a.gif)).toMap
+    val audPool = Multimodal.wavClipAssetsIncoming(spark, dir).collect()
+      .map(a => (a.doc_id, a.wav)).toMap
+    // d%8=6, d%16≠6 → trimmed VIDEO re-upload of group d/8's stream;
+    // d%16=6 → novel stream; audio mirrors at residue 5
+    val vidReupId = vidPool.keys.filter(id => (id - off) % 16 == 14).min
+    val vidNovelId = vidPool.keys.filter(id => (id - off) % 16 == 6).min
+    val audReupId = audPool.keys.filter(id => (id - off) % 16 == 13).min
+    val audNovelId = audPool.keys.filter(id => (id - off) % 16 == 5).min
+    val input = MemoryStream[(Long, String, Array[Byte])]
     val verdicts = scala.collection.mutable
-      .Map.empty[Long, (Long, Long, Long, Long)]
+      .Map.empty[(Long, String), (Long, Long, Long, Long)]
     val healths = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Seq[Long])]
     val q = MediaIndexLoop.start(spark, serving,
-      input.toDS().toDF("doc_id", "png"), rebuildAfter = 4L,
+      input.toDS().toDF("doc_id", "modality", "media"),
+      rebuildAfter = 6L,
       (df, _) => verdicts.synchronized {
-        df.collect().foreach(r => verdicts(r.getLong(0)) =
-          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        df.collect().foreach(r =>
+          verdicts((r.getLong(0), r.getString(1))) =
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
       },
       (v, h) => healths.synchronized {
         healths += ((v, h.collect().head.toSeq.map(_.toString.toLong)))
       })
-    // batch 1: three novels + one corpus re-upload → 3 admitted (< 4:
-    // no rebuild); the re-upload resolves to corpus group 6's canonical
+    // batch 1 (images, the r14 cases): three novels + one corpus
+    // re-upload → 3 admitted (< 6: no rebuild); the re-upload resolves
+    // to corpus group 6's canonical
     input.addData(Seq(novel(5000001L, 1), novel(5000002L, 2),
       novel(5000003L, 3), corpusUp(5000004L, 6)))
     q.processAllAvailable()
     assert(serving.version === 0L)
     assert(serving.snapshot.nPending === 3L)
-    assert(verdicts(5000001L)._4 === 1L) // is_new
-    assert(verdicts(5000004L) === ((4L, 24L, 0L, 0L)),
+    assert(verdicts((5000001L, "img"))._4 === 1L) // is_new
+    assert(verdicts((5000004L, "img")) === ((4L, 24L, 0L, 0L)),
       "corpus re-upload must resolve to group 6's canonical 24")
-    // batch 2: an upscale of PENDING novel 1 (dup via the pending set,
-    // before any rebuild) + two more novels → pending 5 ≥ 4 → rebuild
-    input.addData(Seq(novelUp(5000005L, 1), novel(5000006L, 4),
-      novel(5000007L, 5)))
+    // batch 2 — THE r15 cases: a trimmed-clip video re-upload and a
+    // trimmed audio re-upload are GATED AT INGEST (r14 only caught
+    // them at the next full pairs rebuild), while novel video/audio
+    // streams admit; plus an upscale of PENDING image novel 1 (dup
+    // via the marker-recorded pending set, before any rebuild)
+    input.addData(Seq(
+      (vidReupId, "vid", vidPool(vidReupId)),
+      (vidNovelId, "vid", vidPool(vidNovelId)),
+      (audReupId, "aud", audPool(audReupId)),
+      (audNovelId, "aud", audPool(audNovelId)),
+      novelUp(5000005L, 1), novel(5000006L, 4)))
     q.processAllAvailable()
-    assert(verdicts(5000005L) === ((1L, 5000001L, 0L, 0L)),
+    val vidVerdict = verdicts((vidReupId, "vid"))
+    assert(vidVerdict._4 === 0L,
+      s"trimmed-clip video re-upload must be gated, got $vidVerdict")
+    assert(vidVerdict._2 / Multimodal.ClipGroup ===
+      (vidReupId - off) / Multimodal.ClipGroup,
+      "video re-upload must resolve to its own clip group")
+    assert(vidVerdict._3 >= Multimodal.MinSharedRun,
+      "gate evidence is a shared RUN, not a single frame")
+    val audVerdict = verdicts((audReupId, "aud"))
+    assert(audVerdict._4 === 0L,
+      s"trimmed audio re-upload must be gated, got $audVerdict")
+    assert(audVerdict._2 / Multimodal.ClipGroup ===
+      (audReupId - off) / Multimodal.ClipGroup,
+      "audio re-upload must resolve to its own clip group")
+    assert(verdicts((vidNovelId, "vid"))._4 === 1L)
+    assert(verdicts((audNovelId, "aud"))._4 === 1L)
+    assert(verdicts((5000005L, "img")) === ((1L, 5000001L, 0L, 0L)),
       "pending-admitted asset must gate its own re-upload")
+    // pending grew by img novel 5000006 + vid novel + aud novel = 3
+    // → 6 ≥ 6 → rebuild
     assert(serving.version === 1L)
     assert(serving.snapshot.nPending === 0L)
-    assert(serving.nAssets === n0 + 5L)
-    // the version bump emitted its health row ON the loop
+    assert(serving.nAssets === n0 + 6L)
     assert(healths.map(_._1) === Seq(1L),
       s"exactly the rebuild must emit health, got ${healths.map(_._1)}")
-    // batch 3: an upscale of novel 2 → dup via the REBUILT v1 layout
-    input.addData(Seq(novelUp(5000008L, 2)))
+    // batch 3: re-uploads of batch-2 novels → dups via the REBUILT v1
+    // layout, across two modalities
+    input.addData(Seq(novelUp(5000008L, 2),
+      (vidNovelId + 70000L, "vid", vidPool(vidNovelId))))
     q.processAllAvailable()
     q.stop()
-    assert(verdicts(5000008L) === ((1L, 5000002L, 0L, 0L)),
-      "rebuilt layout must serve the admitted asset")
-    assert(serving.nAssets === n0 + 5L) // batch 3 admitted nothing
-    // the emitted health row equals the same formulas computed directly
-    // over the serving signatures
-    val sigs = serving.sigs(spark)
-    val pairs = Multimodal.nearPairs(sigs)
+    assert(verdicts((5000008L, "img")) === ((1L, 5000002L, 0L, 0L)),
+      "rebuilt layout must serve the admitted image")
+    val vidReplayVerdict = verdicts((vidNovelId + 70000L, "vid"))
+    assert(vidReplayVerdict._4 === 0L &&
+      vidReplayVerdict._2 === vidNovelId,
+      "rebuilt layout must serve the admitted clip")
+    assert(serving.nAssets === n0 + 6L) // batch 3 admitted nothing
+    // the emitted health row equals the same formulas computed
+    // directly over the serving signature frames
+    val pairs = MediaIndexLoop.taggedPairs(serving.sigs(spark, "img"),
+      serving.sigs(spark, "vid"), serving.sigs(spark, "aud"))
     val comp = graft.exts.Dedup.dupComponents(
-      pairs.select(org.apache.spark.sql.functions.col("a_id"),
-        org.apache.spark.sql.functions.col("b_id")))
-    val direct = MediaIndexLoop.healthOver(sigs, pairs, comp)
-      .collect().head.toSeq.map(_.toString.toLong)
+      pairs.select(col("a_id"), col("b_id")).distinct())
+    val direct = MediaIndexLoop.healthOver(spark, serving.nAssets,
+      pairs, comp).collect().head.toSeq.map(_.toString.toLong)
     assert(healths.head._2 === direct)
-    assert(direct.head === n0 + 5L) // n_assets covers the admitted set
+    assert(direct.head === n0 + 6L) // n_assets covers the admitted set
     // replay no-op: re-applying an already-recorded batch id changes
     // nothing and emits nothing
     val before = serving.snapshot
     val replay = MediaIndexLoop.applyBatch(spark, serving,
-      Seq(novel(5000009L, 7)).toDF("doc_id", "png"), before.lastBatchId,
-      4L, (_, _) => fail("replay must not re-emit health"))
+      Seq(novel(5000009L, 7)).toDF("doc_id", "modality", "media"),
+      before.lastBatchId, 6L,
+      (_, _) => fail("replay must not re-emit health"))
     assert(replay.count() === 0L)
     assert(serving.snapshot === before)
     // reattach: a fresh handle restores the recorded state and serves
-    // the identical signature set
+    // the identical signature set in every modality
     val re = MediaIndexLoop.reattach(spark, root)
     assert(re.snapshot === before)
-    assert(re.sigs(spark).collect().map(_.toString).toSet ===
-      sigs.collect().map(_.toString).toSet)
+    for (m <- MediaIndexLoop.Modalities)
+      assert(re.sigs(spark, m).collect().map(_.toString).toSet ===
+        serving.sigs(spark, m).collect().map(_.toString).toSet)
+  }
+
+  test("media index loop: torn batch (pending landed, marker missing) replays identically; within-batch twins gated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.exts.Multimodal
+    import graft.stream.MediaIndexLoop
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("media-torn").toString
+    val (imgSigs, vidSigs, audSigs) = mediaLoopCorpus(dir)
+    val serving = MediaIndexLoop.build(spark, imgSigs, vidSigs, audSigs,
+      root)
+    def png(g: Long) = Multimodal.encodeNearPng((g + 2000000L) * 4)
+    // batch 0 applies cleanly: one novel admitted
+    MediaIndexLoop.applyBatch(spark, serving,
+      Seq((6000001L, "img", png(11))).toDF("doc_id", "modality", "media"),
+      0L, 100L, (_, _) => ())
+    val committed = serving.snapshot
+    assert(committed.nPending === 1L)
+    val servedBefore = serving.sigs(spark, "img").count()
+    // ADVERSARIAL REPLAY (the GraphIndexLoop missing-marker case):
+    // batch 1's pending dir LANDS but the crash hits before the
+    // marker write — simulated by writing the exact signature rows
+    // batch 1 would land, with no state-b1 marker
+    val batch1 = Seq((6000002L, "img", png(12)))
+      .toDF("doc_id", "modality", "media")
+    Multimodal.canonicalSignatures(
+        batch1.select(col("doc_id"), col("media").as("png"))
+          .as[Multimodal.PngAsset]).toDF()
+      .write.parquet(s"$root/v${committed.version}/pending/batch-1-img")
+    // the torn dir is INVISIBLE to the serving read (ordinal 1 >
+    // lastBatchId 0) — without the ordinal filter the replay below
+    // would self-match asset 6000002 against its own torn signatures
+    // and silently drop it from the index
+    assert(serving.sigs(spark, "img").count() === servedBefore)
+    // the replayed batch re-gates against the pre-crash serving set
+    // and re-lands via overwrite: novel admitted exactly once
+    val v = MediaIndexLoop.applyBatch(spark, serving, batch1, 1L, 100L,
+      (_, _) => ()).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(v(6000002L) === 1L,
+      "replayed novel must not self-match its torn pending dir")
+    assert(serving.snapshot.nPending === 2L)
+    assert(serving.sigs(spark, "img").count() === servedBefore + 1L)
+    // WITHIN-BATCH twins (the LexIndexLoop rule, extended to content):
+    // the same asset id delivered twice lands ONCE; a content twin
+    // under a later id is gated to the earlier id in the same trigger
+    val twins = Seq(
+      (6000010L, "img", png(13)), (6000010L, "img", png(13)),
+      (6000011L, "img", png(13)))
+      .toDF("doc_id", "modality", "media")
+    val tv = MediaIndexLoop.applyBatch(spark, serving, twins, 2L, 100L,
+      (_, _) => ()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    assert(tv.size === 2, "id-duplicate must collapse to one verdict")
+    assert(tv(6000010L)._2 === 1L, "first copy admits")
+    assert(tv(6000011L) === ((6000010L, 0L)),
+      "same-trigger content twin must gate to the earlier id")
+    assert(serving.snapshot.nPending === 3L)
+  }
+
+  test("media index loop: retention sweep keeps the serving window, in-flight reader on v<k-1> survives") {
+    import spark.implicits._
+    import graft.exts.Multimodal
+    import graft.stream.MediaIndexLoop
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("media-sweep").toString
+    val (imgSigs, vidSigs, audSigs) = mediaLoopCorpus(dir)
+    val serving = MediaIndexLoop.build(spark, imgSigs, vidSigs, audSigs,
+      root)
+    def png(g: Long) = Multimodal.encodeNearPng((g + 2000000L) * 4)
+    // every batch admits one novel and trips the threshold → one
+    // version bump per batch; retain-last-2 must sweep v0 once v3
+    // publishes while v2 (the in-flight reader's snapshot) survives
+    for (b <- 0L until 3L) {
+      val prev = serving.snapshot
+      MediaIndexLoop.applyBatch(spark, serving,
+        Seq((6100000L + b, "img", png(100L + b)))
+          .toDF("doc_id", "modality", "media"),
+        b, 1L, (_, _) => ())
+      assert(serving.version === prev.version + 1L)
+    }
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally dirs.close()
+    assert(!names.contains("v0") && !names.contains("v1"),
+      s"superseded generations must be swept, kept $names")
+    assert(names.contains("v2") && names.contains("v3"))
+    // an in-flight reader that snapshotted v2 just before the v3 swap
+    // still reads a complete retained layout in every modality
+    for (m <- MediaIndexLoop.Modalities)
+      assert(spark.read.parquet(s"$root/v2/sigs-$m").count() > 0L)
   }
 
   test("streaming near-dedup suppresses tail-edited rewrites, keeps novel docs") {
@@ -1044,6 +1245,21 @@ class StreamSpec extends AnyFunSuite {
     assert(reloaded.snapshot.nCorpus === index.snapshot.nCorpus)
     assert(reloaded.snapshot.cellStats === index.snapshot.cellStats)
     assert(reloaded.snapshot.cents.toSet === index.snapshot.cents.toSet)
+    assert(reloaded.snapshot.lastBatchId === index.snapshot.lastBatchId,
+      "the replay guard must survive the save/load round-trip")
+    // replay no-op (the LoopCore discipline, new in r15): a batch id ≤
+    // the carried lastBatchId — a checkpointed restart re-delivering an
+    // applied batch — changes nothing, not even the landed corpus
+    val beforeReplay = index.snapshot
+    val nFiles = new java.io.File(corpusPath).list().length
+    graft.stream.IndexLoop.applyBatch(spark, index, corpusPath,
+      Seq((2200001L, flip(base(9L)))).toDF("vec_id", "embedding"),
+      beforeReplay.lastBatchId, 0.999, 4, Some(codesPath), Some(cb),
+      Some(gatePath), 4L,
+      (b, a, v) => cycles.synchronized { cycles += ((b, a, v)) })
+    assert(index.snapshot === beforeReplay)
+    assert(new java.io.File(corpusPath).list().length === nFiles,
+      "a replayed batch must not append corpus files")
   }
 
   test("graph loop: ingest gate → bucket-local merge → width-drift rebuild → serving") {
