@@ -316,6 +316,14 @@ object ScaleRehearsal {
       // component artifacts reduced to broadcast-joined 1-row
       // aggregates — growth tracks the match-sized artifact scans.
       "media_health" -> SparkEntry.queries("media_health"),
+      // Per-asset media audit (r15): match-sized artifact scans through
+      // two hash aggregates + id-keyed left joins — zero codec work,
+      // growth tracks the committed pair/component artifacts.
+      "media_audit" -> SparkEntry.queries("media_audit"),
+      // Embedding release drift (r15): two posexplode + per-dim hash
+      // aggregates (map-side combine ⇒ dims·partitions exchange rows)
+      // + one dims-sized join — corpus-linear, shuffle-constant.
+      "emb_drift" -> SparkEntry.queries("emb_drift"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

@@ -1741,4 +1741,62 @@ object Multimodal {
           coalesce(col("vid_dup"), lit(0L)) +
           coalesce(col("aud_dup"), lit(0L))).as("n_modalities"))
   }
+
+  /** media_audit — the per-asset EXPLAIN record of the media pipeline,
+    * [[TextAnalysis.curationAudit]]'s symmetry on the media side (the
+    * "why did my asset disappear" ticket): one wide row per corpus
+    * asset with the evidence behind its disposition — the canonical
+    * pointer, the size of its duplicate component, the PAIR DEGREE per
+    * modality (how many committed matcher pairs implicate it — the
+    * audit detail the verdict's 0/1 flags compress away), the
+    * per-modality flags, and the composed disposition
+    * (keep | drop_duplicate, extensible the way curation_audit chains
+    * drop_quality → drop_duplicate → keep).
+    *
+    * Composition law (spec-asserted): the flag/canonical/disposition
+    * columns agree row-for-row with [[mmMediaVerdict]] — both are
+    * views over the same committed [[MediaIndex]] artifacts, and the
+    * audit never recomputes a matcher. Scale shape: match-sized
+    * artifact scans through two hash aggregates + id-keyed left joins
+    * onto the corpus id column; zero codec work. */
+  def mediaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = MediaIndex.pairs(spark, dir)
+    val touch = pairs.select(col("a_id").as("doc_id"), col("modality"))
+      .unionByName(
+        pairs.select(col("b_id").as("doc_id"), col("modality")))
+    val deg = touch.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("modality") === "img", 1L).otherwise(0L))
+          .as("n_img_pairs"),
+        sum(when(col("modality") === "vid", 1L).otherwise(0L))
+          .as("n_vid_pairs"),
+        sum(when(col("modality") === "aud", 1L).otherwise(0L))
+          .as("n_aud_pairs"))
+    val comp = MediaIndex.components(spark, dir)
+    val csize = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"))
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(comp.select(col("doc_id"), col("component"))
+        .hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(deg.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(csize.hint("shuffle_hash"), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"),
+        coalesce(col("component_size"), lit(1L)).as("component_size"),
+        coalesce(col("n_img_pairs"), lit(0L)).as("n_img_pairs"),
+        coalesce(col("n_vid_pairs"), lit(0L)).as("n_vid_pairs"),
+        coalesce(col("n_aud_pairs"), lit(0L)).as("n_aud_pairs"),
+        (coalesce(col("n_img_pairs"), lit(0L)) > 0L).cast("long")
+          .as("img_dup"),
+        (coalesce(col("n_vid_pairs"), lit(0L)) > 0L).cast("long")
+          .as("vid_dup"),
+        (coalesce(col("n_aud_pairs"), lit(0L)) > 0L).cast("long")
+          .as("aud_dup"),
+        ((coalesce(col("n_img_pairs"), lit(0L)) > 0L).cast("long") +
+          (coalesce(col("n_vid_pairs"), lit(0L)) > 0L).cast("long") +
+          (coalesce(col("n_aud_pairs"), lit(0L)) > 0L).cast("long"))
+          .as("n_modalities"),
+        when(coalesce(col("component"), col("doc_id")) === col("doc_id"),
+          "keep").otherwise("drop_duplicate").as("disposition"))
+  }
 }

@@ -1680,6 +1680,90 @@ object Similarity {
           transform(col("embedding"), x => x / lit(16.0f)).as("embedding")))
   }
 
+  /** Mean-shift tolerance of [[embDrift]] in fixed-point 1e-4 units
+    * (500 = 0.05 raw) — intra-release dim means sit within ±0.02 of
+    * each other on the fixture family, so a half-decade shift is a
+    * deploy, not noise. */
+  val EmbDriftMeanTol = 500L
+  /** Second-moment ratio tolerance of [[embDrift]] in ppm (100 000 =
+    * 10%): the planted ×2-on-every-10th re-embedding moves every dim's
+    * mean square by 16–47% (measured at sf0.01), a same-release
+    * comparison by exactly 0 — 10% splits the two with a wide margin
+    * on both sides. */
+  val EmbDriftMsqTolPpm = 100000L
+
+  /** The fixture's "next embedding release" — [[Dedup.corpusNextVersion]]'s
+    * (dir, version) conventions applied to the vector side: every 13th
+    * vector dropped, every 11th additionally re-keyed under a fresh id,
+    * and every 10th RE-EMBEDDED by an exact power-of-two rescale (×2 —
+    * the planted encoder-deploy drift; IEEE-exact in FLOAT, so the
+    * oracle reproduces the release bit-for-bit). */
+  def embNextVersion(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    base.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 === 0,
+          transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(base.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 800000L).as("vec_id"), col("embedding")))
+  }
+
+  /** Release-over-release embedding drift — corpus_drift's vector
+    * sibling, the check a re-embedding deploy trips: per-dimension
+    * first and second moments of release A vs release B in the
+    * [[embStats]] fixed-point-1e-4 integer arithmetic (exact,
+    * order-independent, oracle-checkable), plus the drift verdict a
+    * monitor alerts on. The per-dim mean-square ledger IS the norm
+    * profile — Σ_dim msq·n = Σ_vec ‖v‖² — so a collapsed or rescaled
+    * encoder shows in these rows even when means cancel. Flag: mean
+    * shifted by > [[EmbDriftMeanTol]] OR mean square off by >
+    * [[EmbDriftMsqTolPpm]] from parity. Squared sums run in
+    * decimal(38,0) (the corpus_drift HUGEINT-headroom rule: q² ≈ 10⁸
+    * per element crosses int64 at ~10¹⁰ elements per dim — 100 TB
+    * scale — and would wrap silently). Dims join INNER: positional
+    * dimensionality is stable across releases by encoder contract (a
+    * dim-count change is a different model, not drift).
+    *
+    * Plan shape: two posexplode + per-dim hash aggregates (map-side
+    * combine ⇒ dims·partitions exchange rows), one dims-sized join —
+    * corpus-linear, shuffle volume corpus-independent. */
+  def embDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def dimStats(c: DataFrame, sfx: String): DataFrame =
+      c.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"),
+          expr("cast(round(cast(x as double) * 10000) as bigint)")
+            .as("q"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(s"n_$sfx"), sum(col("q")).as(s"sum_$sfx"),
+          sum(col("q").cast("decimal(38,0)") * col("q"))
+            .as(s"sumsq_$sfx"))
+    dimStats(a, "a").join(dimStats(b, "b"), Seq("dim"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        expr("sum_a div n_a").as("mean_q_a"),
+        expr("sum_b div n_b").as("mean_q_b"),
+        expr("sumsq_a div n_a").as("msq_a"),
+        expr("sumsq_b div n_b").as("msq_b"))
+      .select(col("dim"), col("n_a"), col("n_b"), col("mean_q_a"),
+        col("mean_q_b"),
+        (col("mean_q_b") - col("mean_q_a")).as("mean_shift_q"),
+        col("msq_a"), col("msq_b"),
+        expr("case when msq_a = 0 then -1 " +
+          "else msq_b * 1000000 div msq_a end").as("msq_ratio_ppm"))
+      .withColumn("drifted",
+        (abs(col("mean_shift_q")) > EmbDriftMeanTol ||
+          col("msq_ratio_ppm") === -1L ||
+          abs(col("msq_ratio_ppm") - lit(1000000L)) > EmbDriftMsqTolPpm)
+          .cast("long"))
+  }
+
+  def embDrift(spark: SparkSession, dir: String): DataFrame =
+    embDrift(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      embNextVersion(spark, dir))
+
   /** Median-sample bound: ≥ every fixture corpus (exact there), constant
     * at any real scale. 128 Ki (normsq_q, vec_id) pairs ≈ 2 MB in the
     * one aggregation row — driver-side cost is fixed, not O(corpus). */

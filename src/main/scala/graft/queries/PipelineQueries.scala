@@ -1193,6 +1193,11 @@ object PipelineQueries {
       "ivf_pq_refine_recall" -> ((s, dir) =>
         PqIndex.ivfPqRefineRecall(s, dir)),
       "emb_stats" -> ((s, dir) => Similarity.embStats(s, dir)),
+      // Release-over-release embedding drift: per-dim moment + norm-
+      // profile deltas between release A and the planted re-embedding
+      // release B, with the integer drift verdict a monitor alerts on
+      // — corpus_drift's vector sibling.
+      "emb_drift" -> ((s, dir) => Similarity.embDrift(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
       // distributed integer-exact scatter matrix + its top principal
       // component by fixed-count power iteration (bit-reproducible IEEE
@@ -1394,6 +1399,10 @@ object PipelineQueries {
       // artifacts — the metrics-evaluator role (graph_health's sibling)
       // for the media index family; zero codec work.
       "media_health" -> ((s, dir) => Multimodal.mediaHealth(s, dir)),
+      // Per-asset media EXPLAIN record — curation_audit's symmetry on
+      // the media side: canonical pointer, component size, per-modality
+      // pair degrees + flags, composed disposition; artifact-only.
+      "media_audit" -> ((s, dir) => Multimodal.mediaAudit(s, dir)),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -4738,6 +4747,62 @@ object PipelineQueries {
           |  min(q) AS min_q, max(q) AS max_q
           |FROM q GROUP BY dim""".stripMargin,
 
+      // Release-drift mirror: the next-release plant (drop %13, re-key
+      // %11, re-embed %10 at exact ×2) recomputed, both releases'
+      // per-dim fixed-point moments (squares in HUGEINT — the
+      // decimal(38,0) twin), and the same two-step integer mean-square
+      // ratio + verdict thresholds.
+      "emb_drift" -> {
+        val mt = Similarity.EmbDriftMeanTol
+        val rt = Similarity.EmbDriftMsqTolPpm
+        s"""WITH nextv AS (
+           |  SELECT vec_id, CASE WHEN vec_id % 10 = 0
+           |      THEN list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+           |      ELSE embedding END AS embedding
+           |    FROM embeddings WHERE vec_id % 13 != 0
+           |  UNION ALL
+           |  SELECT vec_id + 800000, embedding FROM embeddings
+           |  WHERE vec_id % 11 = 0),
+           |qa AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+           |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+           |      AS q
+           |  FROM embeddings,
+           |    LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+           |             AS i) t),
+           |qb AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+           |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+           |      AS q
+           |  FROM nextv,
+           |    LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+           |             AS i) t),
+           |sa AS (SELECT dim, count(*) AS n_a,
+           |    CAST(sum(q) AS BIGINT) AS sum_a,
+           |    sum(CAST(q AS HUGEINT) * q) AS sumsq_a
+           |  FROM qa GROUP BY 1),
+           |sb AS (SELECT dim, count(*) AS n_b,
+           |    CAST(sum(q) AS BIGINT) AS sum_b,
+           |    sum(CAST(q AS HUGEINT) * q) AS sumsq_b
+           |  FROM qb GROUP BY 1),
+           |j AS (SELECT sa.dim, n_a, n_b,
+           |    CAST(sum_a // n_a AS BIGINT) AS mean_q_a,
+           |    CAST(sum_b // n_b AS BIGINT) AS mean_q_b,
+           |    CAST(sumsq_a // n_a AS BIGINT) AS msq_a,
+           |    CAST(sumsq_b // n_b AS BIGINT) AS msq_b
+           |  FROM sa JOIN sb USING (dim))
+           |SELECT dim, CAST(n_a AS BIGINT) AS n_a,
+           |  CAST(n_b AS BIGINT) AS n_b, mean_q_a, mean_q_b,
+           |  mean_q_b - mean_q_a AS mean_shift_q, msq_a, msq_b,
+           |  CASE WHEN msq_a = 0 THEN CAST(-1 AS BIGINT)
+           |    ELSE CAST(msq_b * 1000000 // msq_a AS BIGINT) END
+           |    AS msq_ratio_ppm,
+           |  CAST(CASE WHEN abs(mean_q_b - mean_q_a) > $mt
+           |      OR msq_a = 0
+           |      OR abs(CAST(msq_b * 1000000 // msq_a AS BIGINT)
+           |          - 1000000) > $rt
+           |    THEN 1 ELSE 0 END AS BIGINT) AS drifted
+           |FROM j""".stripMargin
+      },
+
       // Fixed-point squared norms over the outlier-planted corpus; the
       // ×8 / ÷16 plantings are power-of-two float scalings, IEEE-exact on
       // both engines. Median = value at row ceil(n/2).
@@ -5319,6 +5384,65 @@ object PipelineQueries {
            |  CAST((SELECT coalesce(max(sz), 0) FROM sizes) AS BIGINT)
            |    AS max_component
            |FROM na, tagged, dup""".stripMargin,
+
+      // Media-audit mirror: the three matcher chains recomputed
+      // closed-form into the tagged pair set, per-asset pair degrees
+      // per modality, component sizes via the recursive closure, and
+      // the composed disposition — the oracle proof that the audit is
+      // a faithful view over the same pair algebra.
+      "media_audit" ->
+        s"""WITH RECURSIVE $mmNearCtes,
+           |$mmVideoRunCtes,
+           |$mmAudioRunCtes,
+           |tag AS (
+           |  SELECT a_id, b_id, 'img' AS m FROM ipairs
+           |  UNION ALL SELECT DISTINCT a_id, b_id, 'vid' FROM vruns
+           |  UNION ALL SELECT DISTINCT a_id, b_id, 'aud' FROM aruns),
+           |touch AS (SELECT a_id AS doc_id, m FROM tag
+           |  UNION ALL SELECT b_id, m FROM tag),
+           |deg AS (SELECT doc_id,
+           |    CAST(sum(CASE WHEN m = 'img' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_img_pairs,
+           |    CAST(sum(CASE WHEN m = 'vid' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_vid_pairs,
+           |    CAST(sum(CASE WHEN m = 'aud' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_aud_pairs
+           |  FROM touch GROUP BY 1),
+           |edges AS (SELECT DISTINCT a_id, b_id FROM tag),
+           |bi AS (SELECT a_id AS u, b_id AS v FROM edges
+           |  UNION ALL SELECT b_id, a_id FROM edges),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM bi
+           |  UNION
+           |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+           |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u),
+           |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+           |  FROM comp GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(c.component, d.doc_id) AS canonical_id,
+           |  coalesce(s.sz, 1) AS component_size,
+           |  coalesce(g.n_img_pairs, 0) AS n_img_pairs,
+           |  coalesce(g.n_vid_pairs, 0) AS n_vid_pairs,
+           |  coalesce(g.n_aud_pairs, 0) AS n_aud_pairs,
+           |  CAST(CASE WHEN coalesce(g.n_img_pairs, 0) > 0 THEN 1 ELSE 0
+           |    END AS BIGINT) AS img_dup,
+           |  CAST(CASE WHEN coalesce(g.n_vid_pairs, 0) > 0 THEN 1 ELSE 0
+           |    END AS BIGINT) AS vid_dup,
+           |  CAST(CASE WHEN coalesce(g.n_aud_pairs, 0) > 0 THEN 1 ELSE 0
+           |    END AS BIGINT) AS aud_dup,
+           |  CAST((CASE WHEN coalesce(g.n_img_pairs, 0) > 0 THEN 1 ELSE 0
+           |      END)
+           |    + (CASE WHEN coalesce(g.n_vid_pairs, 0) > 0 THEN 1 ELSE 0
+           |      END)
+           |    + (CASE WHEN coalesce(g.n_aud_pairs, 0) > 0 THEN 1 ELSE 0
+           |      END) AS BIGINT) AS n_modalities,
+           |  CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+           |    THEN 'keep' ELSE 'drop_duplicate' END AS disposition
+           |FROM documents d
+           |LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |LEFT JOIN deg g ON g.doc_id = d.doc_id
+           |LEFT JOIN sizes s ON s.component = c.component""".stripMargin,
 
       // The media ACTION mirror: all three matcher chains (image
       // canonical-raster near-dup, video shared-footage runs, audio

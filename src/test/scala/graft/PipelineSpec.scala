@@ -3264,6 +3264,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("emb drift: planted re-embedding flagged on every dim; same release flags none") {
+    import org.apache.spark.sql.functions.col
+    val deploy = Similarity.embDrift(spark, dir).collect()
+    assert(deploy.nonEmpty)
+    // the ×2-on-every-10th re-embedding moves every dim's mean square
+    // well past the ppm tolerance — the deploy trips on ALL dims
+    deploy.foreach { r =>
+      assert(r.getAs[Long]("drifted") === 1L,
+        s"dim ${r.getAs[Int]("dim")} must flag the re-embedding deploy")
+      assert(r.getAs[Long]("msq_ratio_ppm") > 1000000L +
+        Similarity.EmbDriftMsqTolPpm)
+    }
+    // a release compared against itself is exactly at parity — no dim
+    // may flag (the false-positive guard)
+    val a = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val same = Similarity.embDrift(a, a).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getAs[Long]("drifted") === 0L)
+      assert(r.getAs[Long]("mean_shift_q") === 0L)
+      assert(r.getAs[Long]("msq_ratio_ppm") === 1000000L)
+    }
+  }
+
+  test("media audit: composition law — flags, canonical and disposition agree with the verdict") {
+    import graft.exts.Multimodal
+    val audit = Multimodal.mediaAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val verdict = Multimodal.mmMediaVerdict(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(audit.keySet === verdict.keySet)
+    audit.foreach { case (id, a) =>
+      val v = verdict(id)
+      assert(a.getAs[Long]("canonical_id") ===
+        v.getAs[Long]("canonical_id"))
+      assert((a.getAs[String]("disposition") == "keep") ===
+        (v.getAs[String]("verdict") == "keep"))
+      for (f <- Seq("img_dup", "vid_dup", "aud_dup", "n_modalities"))
+        assert(a.getAs[Long](f) === v.getAs[Long](f), s"$f of $id")
+      // degree refines the flag: positive exactly when flagged
+      assert((a.getAs[Long]("n_img_pairs") > 0) ===
+        (a.getAs[Long]("img_dup") == 1L))
+      // a dropped asset sits in a component of ≥ 2 with its canonical
+      if (a.getAs[String]("disposition") == "drop_duplicate") {
+        assert(a.getAs[Long]("component_size") >= 2L)
+        assert(audit(a.getAs[Long]("canonical_id"))
+          .getAs[String]("disposition") === "keep")
+      }
+    }
+    // the audit surfaces real multi-pair evidence somewhere
+    assert(audit.values.exists(_.getAs[Long]("n_img_pairs") >= 2L))
+  }
+
   test("mm audio window fps: gain-scaled copy keeps every window fingerprint") {
     import graft.exts.Multimodal
     import spark.implicits._
