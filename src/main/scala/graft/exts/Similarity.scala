@@ -1829,13 +1829,16 @@ object Similarity {
     * expressions, past the janino splitting regime. The tight fused
     * multiply-add loop is the honest kernel.
     *
-    * EAGER: constructing this frame runs the corpus pass immediately
-    * (the partial reduce is a driver-side `.collect()`); the returned
-    * d(d+1)/2-row frame is a LocalRelation. Callers that only want the
-    * plan (Explain listings, registry enumeration) still pay one scan —
-    * the price of the driver-reduced kernel, deliberate and documented
-    * rather than hidden behind a lazy wrapper that would re-run the
-    * scan on every action. */
+    * LAZY, memoized (the r14 ADVICE item): the per-partition kernel's
+    * packed partials reduce DECLARATIVELY — posexplode + sum keyed by
+    * packed index over the ≤ partitions rows of metadata, the (i, j)
+    * pairing rebuilt by a dims-sized self-join against the packed-index
+    * arithmetic — so constructing this frame schedules NO job
+    * (spec-asserted); Explain listings and registry enumeration read
+    * the plan for free. The first action runs the one corpus pass,
+    * whose output the exchange-free lazy localCheckpoint on the
+    * partials memoizes; later actions re-run only the metadata-sized
+    * reduce over the cached partials. */
   def embGram(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1866,19 +1869,37 @@ object Similarity {
       }
       if (acc == null) Iterator.empty
       else Iterator.single((n, sx.toSeq, acc.toSeq))
-    }.collect() // ≤ partitions × d(d+1)/2 longs — metadata by construction
-    if (partials.isEmpty)
-      return Seq.empty[(Long, Long, Long, Long)].toDF("i", "j", "sxy", "m")
-    val d = partials.head._2.length
-    val n = partials.iterator.map(_._1).sum
-    val sx = Array.tabulate(d)(i => partials.iterator.map(_._2(i)).sum)
-    val acc = Array.tabulate(d * (d + 1) / 2)(k =>
-      partials.iterator.map(_._3(k)).sum)
-    val rows = for { i <- 0 until d; j <- i until d } yield {
-      val sxy = acc(i * d - i * (i - 1) / 2 + (j - i))
-      (i.toLong, j.toLong, sxy, n * sxy - sx(i) * sx(j))
-    }
-    rows.toDF("i", "j", "sxy", "m")
+    }.toDF("pn", "psx", "pacc")
+      // one lazy checkpoint of the ≤ partitions × d(d+1)/2-long packed
+      // partials: the corpus pass runs once, feeding all three reads
+      .localCheckpoint(false)
+    val accSum = partials
+      .select(posexplode(col("pacc")).as(Seq("k", "v")))
+      .groupBy(col("k").cast("long").as("k"))
+      .agg(sum(col("v")).as("sxy"))
+    val sxSum = partials
+      .select(posexplode(col("psx")).as(Seq("p", "v")))
+      .groupBy(col("p").cast("long").as("p"))
+      .agg(sum(col("v")).as("s"))
+    val totals = partials.agg(sum(col("pn")).as("n"))
+    val dims = sxSum.agg(count(lit(1)).as("d"))
+    sxSum.select(col("p").as("i"), col("s").as("s_i"))
+      .join(sxSum.select(col("p").as("j"), col("s").as("s_j")),
+        col("i") <= col("j"))
+      .crossJoin(broadcast(dims))
+      .crossJoin(broadcast(totals))
+      .select(col("i"), col("j"),
+        // the kernel's packed upper-triangle index, inverted in SQL
+        expr("i * d - i * (i - 1) div 2 + (j - i)").as("k"),
+        col("s_i"), col("s_j"), col("n"))
+      .join(accSum, Seq("k"))
+      .select(col("i"), col("j"), col("sxy"),
+        (col("n") * col("sxy") - col("s_i") * col("s_j")).as("m"))
+    // no checkpoint HERE: lazily checkpointing a plan with exchanges
+    // would make AQE materialize its stages at construction — the
+    // exact eager scan this rework removes. The partials checkpoint
+    // above already memoizes all corpus-sized work; re-running the
+    // metadata reduce per action is noise.
   }
 
   def embGram(spark: SparkSession, dir: String): DataFrame =

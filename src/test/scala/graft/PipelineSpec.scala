@@ -3264,6 +3264,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("emb gram: plan construction schedules no job; first action computes and memoizes") {
+    import org.apache.spark.sql.functions.col
+    // load (and physically plan) the corpus OUTSIDE the observation
+    // window — parquet footer reads may schedule their own tiny job
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    corpus.queryExecution.executedPlan
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = Similarity.embGram(corpus)
+      df.queryExecution.executedPlan // planning itself is job-free too
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        "embGram construction must schedule no Spark job (the r14 " +
+          "ADVICE item: Explain/registry enumeration paid a corpus scan)")
+      val n = df.count()
+      assert(n > 0L)
+      assert(df.collect().length.toLong === n) // memoized re-read
+      Thread.sleep(500)
+      assert(jobs.get() > 0, "the first action must run the pass")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("emb drift: planted re-embedding flagged on every dim; same release flags none") {
     import org.apache.spark.sql.functions.col
     val deploy = Similarity.embDrift(spark, dir).collect()
