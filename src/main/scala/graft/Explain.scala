@@ -59,7 +59,9 @@ object Explain {
       "kcenter_coreset", "rho_select", "hybrid_search",
       "boilerplate_strip", "mmr_select", "mm_phash", "mm_audio_fp",
       "mm_video_fp", "mm_dup_groups", "mm_video_dups", "mm_audio_dups",
-      "knn_incremental", "mm_resize_px", "graph_health")
+      "knn_incremental", "mm_resize_px", "graph_health",
+      "mm_vid_incremental", "mm_aud_incremental", "media_audit",
+      "emb_drift")
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = SparkEntry.queries(n)(spark, dir)

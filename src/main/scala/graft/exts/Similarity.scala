@@ -1829,16 +1829,19 @@ object Similarity {
     * expressions, past the janino splitting regime. The tight fused
     * multiply-add loop is the honest kernel.
     *
-    * LAZY, memoized (the r14 ADVICE item): the per-partition kernel's
-    * packed partials reduce DECLARATIVELY — posexplode + sum keyed by
-    * packed index over the ≤ partitions rows of metadata, the (i, j)
+    * LAZY (the r14 ADVICE item): the per-partition kernel's packed
+    * partials reduce DECLARATIVELY — ONE posexplode + sum keyed by
+    * packed index over the concatenated (acc ++ sx) arrays, the (i, j)
     * pairing rebuilt by a dims-sized self-join against the packed-index
     * arithmetic — so constructing this frame schedules NO job
     * (spec-asserted); Explain listings and registry enumeration read
-    * the plan for free. The first action runs the one corpus pass,
-    * whose output the exchange-free lazy localCheckpoint on the
-    * partials memoizes; later actions re-run only the metadata-sized
-    * reduce over the cached partials. */
+    * the plan for free. The corpus pass runs ONCE per action: the
+    * partials feed exactly one aggregate subtree whose shuffle every
+    * downstream consumer shares via ReusedExchange, and d / n come
+    * from the corpus directly (a 1-row limit and a column-pruned
+    * count). The earlier lazy-localCheckpoint draft was measured
+    * pathological — three consumers raced the unmaterialized
+    * checkpoint and each recomputed the scan concurrently. */
   def embGram(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1870,23 +1873,30 @@ object Similarity {
       if (acc == null) Iterator.empty
       else Iterator.single((n, sx.toSeq, acc.toSeq))
     }.toDF("pn", "psx", "pacc")
-      // one lazy checkpoint of the ≤ partitions × d(d+1)/2-long packed
-      // partials: the corpus pass runs once, feeding all three reads
-      .localCheckpoint(false)
-    val accSum = partials
-      .select(posexplode(col("pacc")).as(Seq("k", "v")))
+    // d and n come from the CORPUS (a 1-row limit; a zero-column
+    // count), so the expensive partials feed exactly ONE aggregate
+    // subtree — its shuffle computes the kernel once per action and
+    // every consumer below shares it through ReusedExchange. (No lazy
+    // checkpoint anywhere: on a plan with exchanges AQE materializes
+    // stages at construction, and on the raw partials three consumers
+    // raced the unmaterialized checkpoint — both measured.)
+    val dims = corpus
+      .select(size(col("embedding")).cast("long").as("d")).limit(1)
+    val totals = corpus.agg(count(lit(1)).as("n"))
+    val tot = partials
+      .select(posexplode(concat(col("pacc"), col("psx")))
+        .as(Seq("k", "v")))
       .groupBy(col("k").cast("long").as("k"))
-      .agg(sum(col("v")).as("sxy"))
-    val sxSum = partials
-      .select(posexplode(col("psx")).as(Seq("p", "v")))
-      .groupBy(col("p").cast("long").as("p"))
-      .agg(sum(col("v")).as("s"))
-    val totals = partials.agg(sum(col("pn")).as("n"))
-    val dims = sxSum.agg(count(lit(1)).as("d"))
-    sxSum.select(col("p").as("i"), col("s").as("s_i"))
+      .agg(sum(col("v")).as("v"))
+      .crossJoin(broadcast(dims))
+    val accSum = tot.filter(col("k") < expr("d * (d + 1) div 2"))
+      .select(col("k"), col("v").as("sxy"))
+    val sxSum = tot.filter(col("k") >= expr("d * (d + 1) div 2"))
+      .select((col("k") - expr("d * (d + 1) div 2")).as("p"),
+        col("v").as("s"), col("d"))
+    sxSum.select(col("p").as("i"), col("s").as("s_i"), col("d"))
       .join(sxSum.select(col("p").as("j"), col("s").as("s_j")),
         col("i") <= col("j"))
-      .crossJoin(broadcast(dims))
       .crossJoin(broadcast(totals))
       .select(col("i"), col("j"),
         // the kernel's packed upper-triangle index, inverted in SQL
@@ -1895,11 +1905,6 @@ object Similarity {
       .join(accSum, Seq("k"))
       .select(col("i"), col("j"), col("sxy"),
         (col("n") * col("sxy") - col("s_i") * col("s_j")).as("m"))
-    // no checkpoint HERE: lazily checkpointing a plan with exchanges
-    // would make AQE materialize its stages at construction — the
-    // exact eager scan this rework removes. The partials checkpoint
-    // above already memoizes all corpus-sized work; re-running the
-    // metadata reduce per action is noise.
   }
 
   def embGram(spark: SparkSession, dir: String): DataFrame =

@@ -3264,7 +3264,7 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("emb gram: plan construction schedules no job; first action computes and memoizes") {
+  test("emb gram: plan construction schedules no job; actions run the one-pass reduce") {
     import org.apache.spark.sql.functions.col
     // load (and physically plan) the corpus OUTSIDE the observation
     // window — parquet footer reads may schedule their own tiny job
@@ -3288,7 +3288,7 @@ class PipelineSpec extends AnyFunSuite {
           "ADVICE item: Explain/registry enumeration paid a corpus scan)")
       val n = df.count()
       assert(n > 0L)
-      assert(df.collect().length.toLong === n) // memoized re-read
+      assert(df.collect().length.toLong === n)
       Thread.sleep(500)
       assert(jobs.get() > 0, "the first action must run the pass")
     } finally spark.sparkContext.removeSparkListener(l)
