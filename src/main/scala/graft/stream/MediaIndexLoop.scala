@@ -344,12 +344,18 @@ object MediaIndexLoop {
   }
 
   /** Run the loop over a streaming (doc_id, modality, media) asset
-    * frame. */
+    * frame. With `checkpoint` the query is DURABLE: a restarted
+    * process reattaches the serving handle from the `_meta` markers,
+    * restarts the loop on the same checkpoint, and the source resumes
+    * at the first unprocessed batch with the SAME monotone batch ids —
+    * the marker replay guard then makes any re-delivered tail batch a
+    * strict no-op (spec-exercised end to end with a file source). */
   def start(spark: SparkSession, serving: ServingMedia,
       assets: DataFrame, rebuildAfter: Long,
       sink: (DataFrame, Long) => Unit,
-      onHealth: (Long, DataFrame) => Unit = (_, _) => ()): StreamingQuery =
-    assets.writeStream
+      onHealth: (Long, DataFrame) => Unit = (_, _) => (),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val w = assets.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -357,5 +363,7 @@ object MediaIndexLoop {
             onHealth), batchId)
         }
       }
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 }

@@ -729,6 +729,106 @@ class StreamSpec extends AnyFunSuite {
         Multimodal.wavClipAssets(spark, dir)).toDF())
   }
 
+  test("media serving (all modalities): stream verdicts equal the three registered batch gates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import graft.exts.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    // the three incoming fixtures interleaved and split across two
+    // arrivals; per-asset rows are independent, so the union must
+    // equal the three registered batch keys exactly
+    val all = (Multimodal.pngAssetsIncoming(spark, dir).collect()
+        .map(a => (a.doc_id, "img", a.png)) ++
+      Multimodal.gifClipAssetsIncoming(spark, dir).collect()
+        .map(a => (a.doc_id, "vid", a.gif)) ++
+      Multimodal.wavClipAssetsIncoming(spark, dir).collect()
+        .map(a => (a.doc_id, "aud", a.wav))).sortBy(_._1)
+    assert(all.length > 100)
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Long)]
+    val q = graft.stream.MediaServing.startMedia(spark, dir,
+      input.toDS().toDF("doc_id", "modality", "media"),
+      (df, _) => results.synchronized {
+        results ++= df.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      })
+    input.addData(all.take(all.length / 2).toSeq)
+    q.processAllAvailable()
+    input.addData(all.drop(all.length / 2).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    def expected(df: org.apache.spark.sql.DataFrame, m: String) =
+      df.collect().map(r => (r.getLong(0), m, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val exp = expected(Multimodal.mmDupIncremental(spark, dir), "img") ++
+      expected(Multimodal.mmVidIncremental(spark, dir), "vid") ++
+      expected(Multimodal.mmAudIncremental(spark, dir), "aud")
+    assert(results.toSet === exp)
+    assert(results.size === exp.size) // no duplicate emissions
+    // all three modalities actually flowed through the serve path
+    assert(Set("img", "vid", "aud").subsetOf(results.map(_._2).toSet))
+  }
+
+  test("media index loop: durable checkpoint restart — reattach resumes, no batch re-applies") {
+    import spark.implicits._
+    import graft.exts.Multimodal
+    import graft.stream.MediaIndexLoop
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("media-durable").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("media-cp").toString
+    val inDir = java.nio.file.Files
+      .createTempDirectory("media-in").toString
+    val (imgSigs, vidSigs, audSigs) = mediaLoopCorpus(dir)
+    val serving = MediaIndexLoop.build(spark, imgSigs, vidSigs, audSigs,
+      root)
+    val n0 = serving.nAssets
+    def png(g: Long) = Multimodal.encodeNearPng((g + 2000000L) * 4)
+    def src() = spark.readStream
+      .schema("doc_id LONG, modality STRING, media BINARY")
+      .parquet(inDir)
+    // arrival A (two novels) lands as files; the DURABLE query
+    // processes it and stops — a planned shutdown
+    Seq((7000001L, "img", png(11)), (7000002L, "img", png(12)))
+      .toDF("doc_id", "modality", "media")
+      .write.mode("append").parquet(inDir)
+    val q1 = MediaIndexLoop.start(spark, serving, src(),
+      rebuildAfter = 100L, (_, _) => (), checkpoint = Some(cp))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(serving.nAssets === n0 + 2L)
+    val afterA = serving.snapshot
+    // arrival B lands WHILE THE PROCESS IS DOWN: a content dup of an
+    // A-admitted asset plus one novel
+    Seq((7000003L, "img", png(11)), (7000004L, "img", png(13)))
+      .toDF("doc_id", "modality", "media")
+      .write.mode("append").parquet(inDir)
+    // "process restart": a FRESH handle from the self-persisted
+    // markers + the same checkpoint — the streaming source resumes at
+    // the first unprocessed batch with monotone ids
+    val re = MediaIndexLoop.reattach(spark, root)
+    assert(re.snapshot === afterA)
+    val verdicts = scala.collection.mutable.Map.empty[Long, Long]
+    val q2 = MediaIndexLoop.start(spark, re, src(), rebuildAfter = 100L,
+      (df, _) => verdicts.synchronized {
+        df.collect().foreach(r => verdicts(r.getLong(0)) = r.getLong(5))
+      }, checkpoint = Some(cp))
+    q2.processAllAvailable()
+    q2.stop()
+    // only arrival B processed: A is not re-applied (no verdict rows,
+    // no double admission), the dup gates against the A-admitted
+    // pending set, the novel admits
+    assert(!verdicts.contains(7000001L) && !verdicts.contains(7000002L),
+      s"restart must not re-apply the committed batch, got $verdicts")
+    assert(verdicts(7000003L) === 0L,
+      "the admitted set must gate its re-upload across the restart")
+    assert(verdicts(7000004L) === 1L)
+    assert(re.nAssets === n0 + 3L)
+  }
+
   test("media index loop: all three modalities gate at ingest; threshold rebuild + health; replay no-op; reattach") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
