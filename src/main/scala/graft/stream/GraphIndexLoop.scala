@@ -373,15 +373,21 @@ object GraphIndexLoop {
       vectors: DataFrame, threshold: Double = 0.999,
       target: Long = Similarity.TargetCellVectors,
       onCycle: (Long, Long, Long) => Unit = (_, _, _) => (),
-      onHealth: (Long, DataFrame) => Unit = (_, _) => ())
+      onHealth: (Long, DataFrame) => Unit = (_, _) => (),
+      checkpoint: Option[String] = None)
       : StreamingQuery = {
-    vectors.writeStream
+    val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val (nNew, version) = applyBatch(spark, graph, corpusPath,
           batch0, batchId, threshold, target, onHealth)
         onCycle(batchId, nNew, version)
       }
-      .start()
+    // durable restart: reattach() + the same checkpoint resumes at the
+    // first unprocessed batch with monotone ids; the commit markers
+    // make any re-delivered tail batch a strict no-op (the
+    // MediaIndexLoop durable-restart spec exercises the pattern)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
   }
 }

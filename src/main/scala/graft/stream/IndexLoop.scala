@@ -209,7 +209,8 @@ object IndexLoop {
       codebook: Option[DataFrame] = None,
       gatePath: Option[String] = None,
       gateTarget: Long = Similarity.TargetCellVectors,
-      onCycle: (Long, Map[String, Long], Long) => Unit = (_, _, _) => ())
+      onCycle: (Long, Map[String, Long], Long) => Unit = (_, _, _) => (),
+      checkpoint: Option[String] = None)
       : StreamingQuery = {
     // Same invariant as buildIndex: a codesPath without its codebook
     // would silently skip all layout upkeep, leaving v<new> unwritten
@@ -217,13 +218,17 @@ object IndexLoop {
     // on its next query batch. Fail at wiring time, not mid-stream.
     require(codesPath.isEmpty == codebook.isEmpty,
       "codesPath and codebook go together")
-    vectors.writeStream
+    val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         applyBatch(spark, index, corpusPath, batch0, batchId, threshold,
           maxPasses, codesPath, codebook, gatePath, gateTarget, onCycle)
       }
-      .start()
+    // durable restart: loadIndex() (which carries the lastBatchId
+    // replay guard) + the same checkpoint (the MediaIndexLoop
+    // durable-restart spec exercises the pattern)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
   }
 
   /** Apply one ingest batch (the [[start]] body, callable directly for

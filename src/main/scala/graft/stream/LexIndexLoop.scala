@@ -253,12 +253,16 @@ object LexIndexLoop {
     * merged, version)` observes each batch's decision. */
   def start(spark: SparkSession, index: ServingIndex, root: String,
       docs: DataFrame,
-      onCycle: (Long, Long, Boolean, Long) => Unit = (_, _, _, _) => ())
-      : StreamingQuery =
-    docs.writeStream
+      onCycle: (Long, Long, Boolean, Long) => Unit = (_, _, _, _) => (),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         applyBatch(spark, index, root, batch0, batchId, onCycle)
       }
-      .start()
+    // durable restart: reattach() + the same checkpoint (the
+    // MediaIndexLoop durable-restart spec exercises the pattern)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 }

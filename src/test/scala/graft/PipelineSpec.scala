@@ -3291,6 +3291,13 @@ class PipelineSpec extends AnyFunSuite {
       assert(df.collect().length.toLong === n)
       Thread.sleep(500)
       assert(jobs.get() > 0, "the first action must run the pass")
+      // the kernel subtree appears under BOTH consumers in the static
+      // plan; at execution AQE must REUSE the one aggregate stage so
+      // each action runs a single corpus pass (the SCALE.md claim)
+      val fin = df.queryExecution.executedPlan.toString
+      assert(fin.contains("ReusedQueryStage") ||
+        fin.contains("ReusedExchange"),
+        s"kernel stage must be shared, got plan:\n${fin.take(4000)}")
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
