@@ -324,6 +324,10 @@ object ScaleRehearsal {
       // aggregates (map-side combine ⇒ dims·partitions exchange rows)
       // + one dims-sized join — corpus-linear, shuffle-constant.
       "emb_drift" -> SparkEntry.queries("emb_drift"),
+      // Per-vector release ledger (r15): both releases reduce to
+      // (vec_id, 16-byte digest) before one co-partitioned full-outer
+      // — the corpus_diff metadata-plane shape on vectors.
+      "emb_diff" -> SparkEntry.queries("emb_diff"),
       // MMR rerank (r12): bruteTopK's bounded candidate plan + two
       // broadcast-probed corpus scans; greedy rounds on queries×cand
       // checkpointed rows.

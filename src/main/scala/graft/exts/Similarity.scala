@@ -1764,6 +1764,37 @@ object Similarity {
         .select(col("vec_id"), col("embedding")),
       embNextVersion(spark, dir))
 
+  /** Per-vector release ledger — [[Dedup.corpusDiff]]'s vector sibling
+    * and [[embDrift]]'s id-level companion (drift says THAT the
+    * distribution moved; this says WHICH vectors did — the edit log an
+    * incremental re-index plans from, since only added/changed vectors
+    * re-enter the ANN build): each release reduces to (vec_id, md5 of
+    * the comma-joined fixed-point-1e-4 codes — the quantizeInt8Stats
+    * digest device, IEEE-exact on both engines) before one
+    * co-partitioned full-outer join on vec_id; 24-byte rows through
+    * the exchange, never raw vectors. Statuses: added / removed /
+    * changed / kept — the planted ×2 re-embedding lands every 10th
+    * surviving vector in `changed`. */
+  def embDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, h: String) =
+      df.select(col("vec_id"), md5(expr(
+        "concat_ws(',', transform(embedding, x -> cast(cast(round(" +
+          "cast(x as double) * 10000) as bigint) as string)))")).as(h))
+    keyed(a, "h_base").join(keyed(b, "h_next"), Seq("vec_id"),
+        "full_outer")
+      .select(col("vec_id"),
+        when(col("h_base").isNull, "added")
+          .when(col("h_next").isNull, "removed")
+          .when(col("h_base") =!= col("h_next"), "changed")
+          .otherwise("kept").as("status"))
+  }
+
+  def embDiff(spark: SparkSession, dir: String): DataFrame =
+    embDiff(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      embNextVersion(spark, dir))
+
   /** Median-sample bound: ≥ every fixture corpus (exact there), constant
     * at any real scale. 128 Ki (normsq_q, vec_id) pairs ≈ 2 MB in the
     * one aggregation row — driver-side cost is fixed, not O(corpus). */

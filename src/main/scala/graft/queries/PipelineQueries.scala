@@ -1198,6 +1198,10 @@ object PipelineQueries {
       // release B, with the integer drift verdict a monitor alerts on
       // — corpus_drift's vector sibling.
       "emb_drift" -> ((s, dir) => Similarity.embDrift(s, dir)),
+      // Per-vector release ledger: added/removed/changed/kept via the
+      // fixed-point code digest — corpus_diff's vector sibling, the
+      // id-level edit log an incremental re-index plans from.
+      "emb_diff" -> ((s, dir) => Similarity.embDiff(s, dir)),
       "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
       // distributed integer-exact scatter matrix + its top principal
       // component by fixed-count power iteration (bit-reproducible IEEE
@@ -4802,6 +4806,36 @@ object PipelineQueries {
            |    THEN 1 ELSE 0 END AS BIGINT) AS drifted
            |FROM j""".stripMargin
       },
+
+      // Vector-ledger mirror: the same next-release plant, both
+      // releases reduced to md5 of the comma-joined fixed-point codes
+      // (the quantizeInt8Stats digest chain — bit-identical rendering
+      // on both engines), one full outer join on vec_id.
+      "emb_diff" ->
+        """WITH nextv AS (
+          |  SELECT vec_id, CASE WHEN vec_id % 10 = 0
+          |      THEN list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+          |      ELSE embedding END AS embedding
+          |    FROM embeddings WHERE vec_id % 13 != 0
+          |  UNION ALL
+          |  SELECT vec_id + 800000, embedding FROM embeddings
+          |  WHERE vec_id % 11 = 0),
+          |b AS (SELECT vec_id, md5(array_to_string(
+          |    list_transform(embedding, x -> CAST(CAST(round(
+          |      CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)), ','))
+          |    AS h_base
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, md5(array_to_string(
+          |    list_transform(embedding, x -> CAST(CAST(round(
+          |      CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)), ','))
+          |    AS h_next
+          |  FROM nextv)
+          |SELECT coalesce(b.vec_id, n.vec_id) AS vec_id,
+          |  CASE WHEN b.vec_id IS NULL THEN 'added'
+          |       WHEN n.vec_id IS NULL THEN 'removed'
+          |       WHEN b.h_base <> n.h_next THEN 'changed'
+          |       ELSE 'kept' END AS status
+          |FROM b FULL OUTER JOIN n ON n.vec_id = b.vec_id""".stripMargin,
 
       // Fixed-point squared norms over the outlier-planted corpus; the
       // ×8 / ÷16 plantings are power-of-two float scalings, IEEE-exact on

@@ -3301,6 +3301,26 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("emb diff: release ledger statuses follow the version plants exactly") {
+    import org.apache.spark.sql.functions.col
+    val m = Similarity.embDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    ids.foreach { id =>
+      val s = m(id)
+      if (id % 13 == 0) assert(s === "removed", s"vec $id")
+      else if (id % 10 == 0) assert(s === "changed", s"vec $id")
+      else assert(s === "kept", s"vec $id")
+    }
+    // every 11th additionally re-keys under a fresh id → added
+    ids.filter(_ % 11 == 0).foreach(id =>
+      assert(m(id + 800000L) === "added", s"re-key of $id"))
+    assert(m.values.toSet ===
+      Set("added", "removed", "changed", "kept"))
+  }
+
   test("emb drift: planted re-embedding flagged on every dim; same release flags none") {
     import org.apache.spark.sql.functions.col
     val deploy = Similarity.embDrift(spark, dir).collect()
