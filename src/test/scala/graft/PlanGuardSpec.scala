@@ -35,10 +35,12 @@ class PlanGuardSpec extends AnyFunSuite {
     *    outer cannot broadcast.
     *  - corpus_diff: the same shape at the content level — FULL OUTER of
     *    two (doc_id, md5) projections, 24-byte rows co-partitioned on
-    *    doc_id; full outer cannot broadcast. */
+    *    doc_id; full outer cannot broadcast.
+    *  - emb_diff: corpus_diff's vector sibling — FULL OUTER of two
+    *    (vec_id, digest) projections, identical metadata-plane shape. */
   private val smjJustified = Set(
     "join_outer", "merge_upsert", "dedup_semantic", "corpus_curate_semantic",
-    "snapshot_diff", "corpus_diff", "incremental_curate")
+    "snapshot_diff", "corpus_diff", "incremental_curate", "emb_diff")
 
   test("no CartesianProduct anywhere; SortMergeJoin only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
