@@ -1,7 +1,5 @@
 package graft.stream
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -50,12 +48,17 @@ import graft.exts.Similarity
   * committed by ONE marker written last: a batch's survivors land as
   * `batch<id>-*` corpus files, its layout is the deterministic
   * `b<bits>-e<batchId+1>` dir, and its driver state persists as
-  * `_meta/state-e<batchId+1>.json` (tmp + ATOMIC_MOVE). A replayed
-  * batch whose marker exists restores the recorded state and exits —
-  * a strict no-op. A replayed batch whose marker is MISSING (crash
-  * mid-apply) first deletes its own partial outputs (its corpus files,
-  * its epoch dir) and re-applies from scratch — the gate then sees
-  * exactly the pre-batch corpus, so the re-application is bit-identical.
+  * `_meta/state-e<batchId+1>.json` ([[LoopCore.atomicWrite]] through
+  * the Hadoop-FileSystem seam). A replayed batch at or below the
+  * handle's epoch is a strict no-op that leaves the serving state
+  * UNTOUCHED (never a restore from the historical marker — the r16
+  * discipline shared with [[LexIndexLoop]]/[[MediaIndexLoop]]). A
+  * replayed batch whose marker is MISSING (crash mid-apply) first
+  * deletes its own partial outputs (its corpus files, its epoch dir)
+  * and re-applies from scratch — the gate then sees exactly the
+  * pre-batch corpus, so the re-application is bit-identical. [[start]]
+  * refuses a checkpoint-less query on a root with committed batches
+  * (fresh queries restart batch ids at 0).
   *
   * Per-batch cost is O(batch) data IO plus metadata-scale linking; the
   * corpus-scale rebuild runs only when the width threshold trips — the
@@ -103,8 +106,6 @@ object GraphIndexLoop {
     layoutDir(root, s.bits, s.epoch)
   private def layoutDir(root: String, bits: Int, epoch: Long): String =
     s"$root/b$bits-e$epoch"
-
-  private def listDir(p: Path): Seq[Path] = LoopCore.listDir(p)
 
   /** Edge frame of `emb` at `bits`, carrying each edge's src bucket as
     * the layout partition key. */
@@ -169,7 +170,7 @@ object GraphIndexLoop {
   }
 
   private def requireLayout(graphPath: String, st: State): Unit =
-    require(Files.isDirectory(Paths.get(layoutDir(graphPath, st))),
+    require(LoopCore.isDirectory(layoutDir(graphPath, st)),
       s"graft.graphLoop: state (v${st.version}, b${st.bits}, " +
         s"e${st.epoch}) names layout ${layoutDir(graphPath, st)} which " +
         "does not exist — stale meta for this layout root; rebuild or " +
@@ -198,30 +199,23 @@ object GraphIndexLoop {
     new ServingGraph(graphPath, st)
   }
 
-  // ---- filesystem helpers for the epoch publish ----
+  // ---- filesystem helpers for the epoch publish (all through the
+  //      [[LoopCore]] Hadoop-FileSystem seam — r16) ----
 
-  private def deleteRecursively(p: Path): Unit =
-    LoopCore.deleteRecursively(p)
-
-  /** Hard-link (copy fallback) every `bucket=*` subdir of `prev` NOT in
-    * `touched` into `next` — the untouched buckets' bytes are shared,
-    * never rewritten, so the per-batch data IO stays O(touched). */
-  private def linkUntouched(prev: Path, next: Path,
+  /** Hard-link (local FS) or byte-copy (any other scheme) every
+    * `bucket=*` subdir of `prev` NOT in `touched` into `next` — the
+    * untouched buckets' bytes are shared where the store allows it,
+    * never rewritten, so the per-batch data IO stays O(touched) on a
+    * local store and O(untouched-bytes) worst case elsewhere (an
+    * object store's server-side copy never moves bytes through the
+    * driver either way). */
+  private def linkUntouched(prev: String, next: String,
       touched: Set[Long]): Unit = {
-    listDir(prev).foreach { d =>
-      val name = d.getFileName.toString
+    LoopCore.listDir(prev).foreach { case (name, d) =>
       if (name.startsWith("bucket=") &&
           !touched.contains(name.stripPrefix("bucket=").toLong)) {
-        val target = next.resolve(name)
-        Files.createDirectories(target)
-        listDir(d).foreach { f =>
-          val t = target.resolve(f.getFileName)
-          try Files.createLink(t, f)
-          catch {
-            case _: UnsupportedOperationException |
-                 _: java.nio.file.FileSystemException =>
-              Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
-          }
+        LoopCore.listDir(d).foreach { case (fname, f) =>
+          LoopCore.copyOrLink(f, s"$next/$name/$fname")
         }
       }
     }
@@ -238,35 +232,39 @@ object GraphIndexLoop {
     * corpus. */
   private def cleanPartial(corpusPath: String, graphPath: String,
       batchId: Long): Unit = {
-    listDir(Paths.get(corpusPath))
-      .filter(_.getFileName.toString.startsWith(s"batch$batchId-"))
-      .foreach(Files.deleteIfExists(_))
-    listDir(Paths.get(graphPath))
-      .filter(_.getFileName.toString.matches(s"b\\d+-e${batchId + 1}"))
-      .foreach(deleteRecursively)
+    LoopCore.listDir(corpusPath)
+      .filter { case (name, _) => name.startsWith(s"batch$batchId-") }
+      .foreach { case (_, p) => LoopCore.deleteRecursively(p) }
+    LoopCore.listDir(graphPath)
+      .filter { case (name, _) =>
+        name.matches(s"b\\d+-e${batchId + 1}") }
+      .foreach { case (_, p) => LoopCore.deleteRecursively(p) }
   }
 
   /** Land `survivors` in the corpus under batch-tagged file names:
-    * written to a private staging dir, then each data file moves into
-    * `corpusPath` as `batch<id>-<file>` — replay cleanup can identify
-    * and remove exactly this batch's files. */
+    * written to a dot-prefixed staging dir INSIDE the corpus root
+    * (hidden from Spark's file index, and guaranteed same-FS), then
+    * each data file renames into `corpusPath` as `batch<id>-<file>` —
+    * replay cleanup can identify and remove exactly this batch's
+    * files. Payload renames need no atomicity: visibility is gated by
+    * the state marker written last (the manifest-commit discipline). */
   private def landSurvivors(survivors: DataFrame, corpusPath: String,
       batchId: Long): Unit = {
-    val staging = Files.createTempDirectory(s"graft-graph-b$batchId")
+    val staging = s"$corpusPath/.staging-b$batchId-" +
+      java.util.UUID.randomUUID()
     try {
       survivors.write.mode(SaveMode.Overwrite)
-        .parquet(staging.resolve("data").toString)
-      listDir(staging.resolve("data"))
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .foreach { f =>
-          val t = Paths.get(corpusPath, s"batch$batchId-${f.getFileName}")
-          try Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
-          catch { // staging tmpdir may sit on a different filesystem
-            case _: java.nio.file.AtomicMoveNotSupportedException =>
-              Files.move(f, t, StandardCopyOption.REPLACE_EXISTING)
-          }
+        .parquet(s"$staging/data")
+      LoopCore.listDir(s"$staging/data")
+        .filter { case (name, _) => name.endsWith(".parquet") }
+        .foreach { case (name, f) =>
+          val (fs, src) = LoopCore.resolve(f)
+          val dst = new org.apache.hadoop.fs.Path(
+            corpusPath, s"batch$batchId-$name")
+          if (fs.exists(dst)) fs.delete(dst, false)
+          fs.rename(src, dst)
         }
-    } finally deleteRecursively(staging)
+    } finally LoopCore.deleteRecursively(staging)
   }
 
   /** Apply one ingest batch: gate → land → publish epoch layout →
@@ -278,12 +276,17 @@ object GraphIndexLoop {
       corpusPath: String, batch0: DataFrame, batchId: Long,
       threshold: Double, target: Long,
       onHealth: (Long, DataFrame) => Unit): (Long, Long) = {
-    // committed already? (failure replay) → restore state, change nothing
-    val prior = meta(graph.graphPath).read(batchId + 1)
-    if (prior.isDefined) {
-      val (st, _, nNew) = prior.get
-      graph.update(st)
-      return (nNew, st.version)
+    // committed already? (failure replay) → strict no-op WITHOUT
+    // touching the serving state: the guard keys on the handle's epoch
+    // (epoch = last acted batch id + 1), never on a historical marker —
+    // restoring a marker's state would rewind a live handle to a
+    // layout generation the retention sweep may already have deleted
+    // (the r16 LexIndexLoop fix, applied uniformly). The recorded
+    // survivor count is returned when its marker is still retained —
+    // observability only.
+    if (batchId + 1 <= graph.snapshot.epoch) {
+      val recorded = meta(graph.graphPath).read(batchId + 1)
+      return (recorded.map(_._3).getOrElse(0L), graph.version)
     }
     val batch = batch0.select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // batch-sized
@@ -323,11 +326,11 @@ object GraphIndexLoop {
     val drift = want != st.bits
     val bits = if (drift) want else st.bits
     val version = if (drift) st.version + 1 else st.version
-    val next = Paths.get(layoutDir(graph.graphPath, bits, epoch))
+    val next = layoutDir(graph.graphPath, bits, epoch)
     if (drift) {
       bucketedEdges(corpus.unionByName(survivors), want)
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(next.toString)
+        .partitionBy("bucket").parquet(next)
     } else {
       // rescore ONLY the touched buckets (pre-append corpus ∪
       // survivors, members bounded by batch × occupancy) — the
@@ -345,8 +348,8 @@ object GraphIndexLoop {
         .unionByName(survivors)
         .localCheckpoint(true) // bounded; feeds rescore twice
       bucketedEdges(members, st.bits).write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(next.toString)
-      linkUntouched(Paths.get(layoutDir(graph.graphPath, st)), next,
+        .partitionBy("bucket").parquet(next)
+      linkUntouched(layoutDir(graph.graphPath, st), next,
         touched.collect().map(_.getLong(0)).toSet)
     }
     landSurvivors(survivors, corpusPath, batchId)
@@ -376,6 +379,8 @@ object GraphIndexLoop {
       onHealth: (Long, DataFrame) => Unit = (_, _) => (),
       checkpoint: Option[String] = None)
       : StreamingQuery = {
+    LoopCore.requireCheckpointIfResuming("graphIndexLoop",
+      meta(graph.graphPath).newest.map(_._2).getOrElse(-1L), checkpoint)
     val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>

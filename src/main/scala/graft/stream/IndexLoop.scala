@@ -218,6 +218,8 @@ object IndexLoop {
     // on its next query batch. Fail at wiring time, not mid-stream.
     require(codesPath.isEmpty == codebook.isEmpty,
       "codesPath and codebook go together")
+    LoopCore.requireCheckpointIfResuming("indexLoop",
+      index.state.lastBatchId, checkpoint)
     val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>

@@ -1,7 +1,5 @@
 package graft.stream
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -39,12 +37,18 @@ import graft.exts.{Bm25Index, TextAnalysis}
   *     previous (main, pending) composite reads complete segments.
   *
   * '''Idempotent batch application''' (the [[LoopCore]] discipline,
-  * r15): the post-batch state commits LAST as a `_meta/state-b<id>`
-  * marker (tmp + ATOMIC_MOVE); a replayed batch whose marker exists
-  * restores the recorded state and no-ops; one whose marker is missing
-  * re-applies over its own overwritten partial outputs (every segment
-  * write is mode=overwrite at a batch-deterministic path). Batch ids
-  * are the streaming checkpoint's — monotone across restarts — and
+  * r15; guard tightened r16): the post-batch state commits LAST as a
+  * `_meta/state-b<id>` marker; a replayed batch id at or below the
+  * serving handle's lastBatchId is a strict NO-OP that leaves the
+  * in-memory state untouched — never a restore from the historical
+  * marker, which would rewind a live handle to a generation whose
+  * pending deltas a later compaction may have swept. A batch whose
+  * marker is missing re-applies over its own overwritten partial
+  * outputs (every segment write is mode=overwrite at a
+  * batch-deterministic path). Batch ids are the streaming
+  * checkpoint's — monotone across restarts — so [[start]] REFUSES a
+  * checkpoint-less query on a root with committed batches (a new
+  * query restarts ids at 0, which the guard would silently no-op);
   * [[reattach]] restores a serving handle from the newest marker in
   * one tiny file read.
   *
@@ -81,11 +85,12 @@ object LexIndexLoop {
 
   private def meta(root: String): LoopCore.MetaStore[State] =
     new LoopCore.MetaStore(root, "b",
-      s => s"""{"version":${s.version},"mainPath":"${s.mainPath}",""" +
-        s""""pending":"${s.pending.mkString(",")}",""" +
+      s => s"""{"version":${s.version},""" +
+        s""""mainPath":${LoopCore.jsonStr(s.mainPath)},""" +
+        s""""pending":${LoopCore.jsonStr(s.pending.mkString(","))},""" +
         s""""nIndexed":${s.nIndexed},"nPending":${s.nPending},""" +
         s""""lastBatchId":${s.lastBatchId},""" +
-        s""""absorbed":"${s.absorbed.mkString(",")}"}""",
+        s""""absorbed":${LoopCore.jsonStr(s.absorbed.mkString(","))}}""",
       j => State(LoopCore.jsonLong(j, "version"),
         LoopCore.jsonString(j, "mainPath"),
         splitPaths(LoopCore.jsonString(j, "pending")),
@@ -113,7 +118,7 @@ object LexIndexLoop {
       throw new IllegalStateException(
         s"lexIndexLoop: no state markers under $root"))
     (st.mainPath +: st.pending).foreach(p =>
-      require(Files.isDirectory(Paths.get(p)),
+      require(LoopCore.isDirectory(p),
         s"lexIndexLoop: recorded segment $p missing under $root — " +
           "stale export"))
     new ServingIndex(root, st)
@@ -176,12 +181,18 @@ object LexIndexLoop {
   private[graft] def applyBatch(spark: SparkSession, index: ServingIndex,
       root: String, batch0: DataFrame, batchId: Long,
       onCycle: (Long, Long, Boolean, Long) => Unit): Unit = {
-    // committed already? (failure replay) → restore recorded state,
-    // change nothing on disk
-    val prior = meta(root).read(batchId)
-    if (prior.isDefined) {
-      index.update(prior.get)
-      onCycle(batchId, 0L, false, prior.get.version)
+    // committed already? (failure replay) → strict no-op WITHOUT
+    // touching the serving state (the MediaIndexLoop discipline). The
+    // guard keys on the in-memory/reattached lastBatchId, never on a
+    // historical marker: restoring a marker's recorded state would
+    // REWIND a live handle to a past generation whose pending delta
+    // dirs a later compaction may already have swept — the r15
+    // fresh-query-on-an-existing-root hazard. (A genuine durable
+    // restart reattaches from the NEWEST marker before the checkpoint
+    // re-delivers the tail batch, so this id check covers it exactly;
+    // [[start]] rejects the ambiguous no-checkpoint restart outright.)
+    if (batchId <= index.snapshot.lastBatchId) {
+      onCycle(batchId, 0L, false, index.version)
       return
     }
     // within-batch id dedup FIRST (deterministic keeper), so an
@@ -236,7 +247,7 @@ object LexIndexLoop {
       // retention: deltas absorbed by the PREVIOUS compaction die now
       // (no reader holds a composite older than one generation), and
       // main segments beyond the retain window go with them
-      st.absorbed.foreach(d => LoopCore.deleteRecursively(Paths.get(d)))
+      st.absorbed.foreach(LoopCore.deleteRecursively)
       LoopCore.gcVersions(root, "v(\\d+)".r)
       onCycle(batchId, landed, true, st.version + 1)
     } else {
@@ -255,6 +266,8 @@ object LexIndexLoop {
       docs: DataFrame,
       onCycle: (Long, Long, Boolean, Long) => Unit = (_, _, _, _) => (),
       checkpoint: Option[String] = None): StreamingQuery = {
+    LoopCore.requireCheckpointIfResuming("lexIndexLoop",
+      index.snapshot.lastBatchId, checkpoint)
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>

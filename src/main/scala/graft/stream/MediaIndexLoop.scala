@@ -1,7 +1,5 @@
 package graft.stream
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -101,7 +99,7 @@ object MediaIndexLoop {
       .filter { case (ord, _) => ord <= s.lastBatchId }
       .map(_._2)
       .foldLeft(base)((acc, p) =>
-        acc.unionByName(spark.read.parquet(p.toString)))
+        acc.unionByName(spark.read.parquet(p)))
   }
 
   private def sigsDir(root: String, v: Long, modality: String): String =
@@ -112,11 +110,11 @@ object MediaIndexLoop {
   /** (batch ordinal, dir) pairs of one version's landed pending dirs
     * for one modality. */
   private def pendingDirs(root: String, v: Long,
-      modality: String): Seq[(Long, java.nio.file.Path)] = {
-    val pr = Paths.get(s"$root/v$v/pending")
-    LoopCore.listDir(pr).flatMap { p =>
-      p.getFileName.toString match {
-        case s"batch-$ord-$m" if m == modality && Files.isDirectory(p) =>
+      modality: String): Seq[(Long, String)] = {
+    LoopCore.listDir(s"$root/v$v/pending").flatMap { case (name, p) =>
+      name match {
+        case s"batch-$ord-$m" if m == modality &&
+            LoopCore.isDirectory(p) =>
           Some((ord.toLong, p))
         case _ => None
       }
@@ -155,7 +153,7 @@ object MediaIndexLoop {
       throw new IllegalStateException(
         s"mediaIndexLoop: no state markers under $root"))
     Modalities.foreach(m =>
-      require(Files.isDirectory(Paths.get(sigsDir(root, st.version, m))),
+      require(LoopCore.isDirectory(sigsDir(root, st.version, m)),
         s"mediaIndexLoop: recorded v${st.version} $m layout missing " +
           s"under $root — stale export"))
     new ServingMedia(root, st)
@@ -225,6 +223,51 @@ object MediaIndexLoop {
         col("m_n").isNull.cast("long").as("is_new"))
   }
 
+  /** Rewrite duplicate dispositions whose canonical pointer names a
+    * batch asset that was ITSELF gated (is_new = 0): pointer-jump each
+    * such matched_id to its target's own matched_id until every
+    * canonical pointer names a LANDED asset — a corpus asset or an
+    * admitted batch asset. Without this, asset B arriving in the same
+    * trigger as corpus-duplicate A could be dispositioned with
+    * matched_id = A while A's content lands nowhere (A was gated), so
+    * B's pointer would dangle. Within-batch matches point at strictly
+    * smaller ids (and corpus pointers terminate immediately), so chains
+    * strictly decrease; the iteration cap only trips if ids collide
+    * across corpus and batch, which the ingest contract forbids —
+    * fail loudly rather than emit a cyclic pointer. */
+  private def resolveCanonicals(spark: SparkSession,
+      verdicts: DataFrame): DataFrame = {
+    var cur = verdicts
+    var iter = 0
+    while (iter < 64) {
+      // pointer table: each gated batch asset's own canonical pointer
+      // (batch-sized; is_new is immutable so the dup set is fixed)
+      val ptr = cur.filter(col("is_new") === 0L)
+        .select(col("modality").as("p_mod"), col("batch_id").as("p_id"),
+          col("matched_id").as("p_to"))
+        .localCheckpoint(false)
+      val pending = cur.alias("c").filter(col("c.is_new") === 0L)
+        .join(ptr.alias("p"),
+          col("c.modality") === col("p.p_mod") &&
+            col("c.matched_id") === col("p.p_id"), "left_semi")
+        .count()
+      if (pending == 0) return cur
+      cur = cur.alias("c")
+        .join(ptr.hint("shuffle_hash").alias("p"),
+          col("c.is_new") === 0L &&
+            col("c.modality") === col("p.p_mod") &&
+            col("c.matched_id") === col("p.p_id"), "left")
+        .select(col("c.batch_id"), col("c.modality"), col("c.n_matches"),
+          coalesce(col("p.p_to"), col("c.matched_id")).as("matched_id"),
+          col("c.metric"), col("c.is_new"))
+        .localCheckpoint(false)
+      iter += 1
+    }
+    throw new IllegalStateException(
+      "mediaIndexLoop: canonical pointer chain did not resolve in 64 " +
+        "jumps — duplicate asset ids across corpus and batch?")
+  }
+
   /** The rebuild's tagged pair frame over merged per-modality
     * signature frames — the [[graft.exts.MediaIndex.buildPairs]]
     * union shape computed from signatures only. */
@@ -242,7 +285,12 @@ object MediaIndexLoop {
 
   /** Apply ONE asset batch: gate all three modalities, land survivors,
     * maybe rebuild. Returns the per-asset disposition frame
-    * (batch_id, modality, n_matches, matched_id, metric, is_new).
+    * (batch_id, modality, n_matches, matched_id, metric, is_new) —
+    * is_new 1 = admitted, 0 = duplicate (matched_id names a LANDED
+    * canonical, see [[resolveCanonicals]]), −1 = REJECTED: the row's
+    * modality is outside [[Modalities]], nothing was landed, and the
+    * explicit verdict row is the recovery record (the batch still
+    * commits — silent disappearance is the failure mode this guards).
     * Idempotent: a batch id ≤ the recorded last is a no-op returning
     * an empty frame; a torn prior attempt (pending landed, marker
     * missing) is invisible to the gate and overwritten. */
@@ -291,11 +339,19 @@ object MediaIndexLoop {
         Some(v)
       }
     }
+    // assets whose modality tag is outside the three gates would
+    // otherwise vanish while the marker still advanced — emit an
+    // explicit rejected verdict row per residue asset instead
+    val rejected = deduped
+      .filter(!col("modality").isin(Modalities: _*))
+      .select(col("doc_id").as("batch_id"), col("modality"),
+        lit(0L).as("n_matches"), lit(-1L).as("matched_id"),
+        lit(-1L).as("metric"), lit(-1L).as("is_new"))
     val verdicts = verdictFrames
       .reduceOption(_ unionByName _)
-      .getOrElse(Seq.empty[(Long, String, Long, Long, Long, Long)]
-        .toDF("batch_id", "modality", "n_matches", "matched_id",
-          "metric", "is_new"))
+      .map(resolveCanonicals(spark, _))
+      .map(_ unionByName rejected)
+      .getOrElse(rejected)
     var next = State(st.version, st.nAssets + nAdmitted,
       st.nPending + nAdmitted, batchId)
     if (next.nPending >= rebuildAfter) {
@@ -355,6 +411,8 @@ object MediaIndexLoop {
       sink: (DataFrame, Long) => Unit,
       onHealth: (Long, DataFrame) => Unit = (_, _) => (),
       checkpoint: Option[String] = None): StreamingQuery = {
+    LoopCore.requireCheckpointIfResuming("mediaIndexLoop",
+      serving.snapshot.lastBatchId, checkpoint)
     val w = assets.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
