@@ -206,6 +206,34 @@ object Bench {
     }.sorted
     val sessionShift =
       if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    // CONFIRMATION DISCIPLINE (r15 verdict #1): a rerun inside a
+    // shifted session can only confirm that the session is slow for
+    // that key — the fleet MEDIAN under-corrects for shuffle/codec-
+    // heavy keys, so r15's gate "confirmed" 12 regressions that the
+    // quiet-session record contradicted. Two changes:
+    //  (a) the rerun is ALSO normalized by an INSTANTANEOUS in-session
+    //      control shift, measured by re-running the 3 most
+    //      session-representative shared keys (cur/prior ratio closest
+    //      to the median, mid-range prior cost) in the same window as
+    //      the flagged reruns — if the control-normalized rerun lands
+    //      back in band, the drift was instrument, not plan;
+    //  (b) a "round_regression_confirmed" verdict REQUIRES a quiet
+    //      session (both the sweep-level and instantaneous shifts
+    //      ≤ 1.1); otherwise the entry ships as
+    //      "round_regression_deferred_shifted_session" — re-adjudicated
+    //      by the next quiet sweep instead of crying wolf.
+    val controls = priorQueries.toSeq
+      .filter { case (k, pv) => pv >= 0.15 && pv <= 1.0 &&
+        results.get(k).exists(_ > 0) }
+      .sortBy { case (k, pv) => math.abs(results(k) / pv - sessionShift) }
+      .take(3).map(_._1)
+    lazy val instShift: Double = {
+      val rs = controls.flatMap { k =>
+        val t = once(k, SparkEntry.queries(k))
+        if (t > 0) Some(t / priorQueries(k)) else None
+      }.sorted
+      if (rs.isEmpty) sessionShift else math.max(1.0, rs(rs.size / 2))
+    }
     priorQueries.toSeq.sortBy(_._1).foreach { case (name, prior0) =>
       val prior = prior0 * sessionShift
       val main = results.getOrElse(name, -1.0)
@@ -214,12 +242,21 @@ object Bench {
           .map(_ => once(name, SparkEntry.queries(name))).filter(_ >= 0)
         if (rerunTimes.nonEmpty) {
           val rerun = rerunTimes.min
-          val cause = if (rerun <= prior * 1.3) "round_drift_restored"
-            else "round_regression_confirmed"
+          val (cause, instField) =
+            if (rerun <= prior * 1.3) ("round_drift_restored", "")
+            else {
+              val shift = math.max(sessionShift, instShift)
+              val field = s""","inst_shift":${f3(instShift)}"""
+              if (rerun <= prior0 * shift * 1.3)
+                ("round_drift_restored_by_control", field)
+              else if (math.min(sessionShift, instShift) > 1.1)
+                ("round_regression_deferred_shifted_session", field)
+              else ("round_regression_confirmed", field)
+            }
           inconsistent += s"""{"query":"$name","main":${f3(main)},""" +
             s""""prior":${f3(prior0)},""" +
-            s""""prior_shifted":${f3(prior)},"rerun":${f3(rerun)},""" +
-            s""""cause":"$cause"}"""
+            s""""prior_shifted":${f3(prior)},"rerun":${f3(rerun)}""" +
+            instField + s""","cause":"$cause"}"""
           if (rerun < main) results = results.updated(name, rerun)
         }
       }

@@ -367,6 +367,98 @@ object Multimodal {
   def decodeStats(spark: SparkSession, dir: String): Dataset[PngStats] =
     decodeStats(pngAssets(spark, dir))
 
+  // ---- cross-modal captions (r16): the asset × caption composition a
+  //      VLM-data pipeline curates on — the one pairing the
+  //      per-modality surface never exercised ----
+
+  /** Caption-plant branch modulus: a doc's caption FOLLOWS its image
+    * content (caption id = doc mod [[DupContentMod]]) except two
+    * planted branches — doc%5==3: the SAME image re-captioned (a
+    * unique caption id, so its image-dup pairs disagree on the text
+    * side), doc%5==4: a STOCK caption drawn from a pool of
+    * [[CapStockPool]] (shared across docs whose images differ, so its
+    * caption-dup pairs disagree on the image side). Both planted
+    * cells measured non-empty at sf0.001/0.01/0.1 (150/100/93 pairs
+    * per cell at sf0.01). */
+  val CapBranchMod = 5L
+
+  /** Stock-caption pool size of the doc%5==4 branch. */
+  val CapStockPool = 7L
+
+  /** Deterministic caption of each document — a pure integer closed
+    * form over doc_id both engines replay (the documents fixture has
+    * no caption column; the convention lives here and in
+    * FIXTURES.md §4, pinned by FixturesSpec). */
+  def captions(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val capId = when(d % CapBranchMod === 3L, lit(100000L) + d)
+      .when(d % CapBranchMod === 4L, lit(90000L) + d % CapStockPool)
+      .otherwise(d % DupContentMod)
+    Tables.load(spark, dir, "documents").select(d,
+      concat(lit("caption "), capId.cast("string"),
+        lit(" about subject "), ((capId * 7L) % 97L).cast("string"))
+        .as("caption"))
+  }
+
+  /** Pair-level agreement matrix between IMAGE-side grouping (the
+    * decoded-signature key [[mmDupGroups]] groups by) and TEXT-side
+    * dedup (exact md5 over the caption) — the VLM-training
+    * composition: `img_only` = the same image re-captioned (text dedup
+    * alone would keep both, wasting an image-dup pair), `cap_only` =
+    * the same caption on different images (image dedup alone would
+    * keep a caption-duplicated pair), `both` = a true multimodal
+    * duplicate.
+    *
+    * Pair universe — scale-deliberate: each doc pairs with its image
+    * group's canonical and its caption group's canonical (≤ 2 pairs
+    * per doc, linear), NEVER all pairs within a group (quadratic in
+    * group size — a stock caption shared by millions of docs must not
+    * explode the frame). The canonical-pair set still hits every
+    * disagreement class: a re-captioned copy disagrees with its image
+    * canonical; a stock caption disagrees with its caption canonical's
+    * image.
+    *
+    * Scale shape: one decode pass reduced to 4-long signatures, two
+    * hash-aggregate group rollups, id-keyed shuffle-hash joins; output
+    * is ≤ 2 rows per doc. */
+  def mmCaptionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = ahashStats(pngAssetsWithDups(spark, dir)).toDF()
+      .localCheckpoint(false)
+    val keys = Seq("width", "height", "gray_sum", "ahash")
+    val igrp = sig.join(
+        sig.groupBy(keys.map(col): _*)
+          .agg(min(col("doc_id")).as("img_gid")).hint("shuffle_hash"),
+        keys)
+      .select(col("doc_id"), col("img_gid"))
+    val caps = captions(spark, dir).withColumn("m", md5(col("caption")))
+    val cgrp = caps.join(
+        caps.groupBy(col("m")).agg(min(col("doc_id")).as("cap_gid"))
+          .hint("shuffle_hash"), Seq("m"))
+      .select(col("doc_id"), col("cap_gid"))
+    val grouped = igrp.join(cgrp.hint("shuffle_hash"), Seq("doc_id"))
+      .localCheckpoint(false)
+    val pairs = grouped.filter(col("doc_id") =!= col("img_gid"))
+      .select(least(col("doc_id"), col("img_gid")).as("a_id"),
+        greatest(col("doc_id"), col("img_gid")).as("b_id"))
+      .unionByName(grouped.filter(col("doc_id") =!= col("cap_gid"))
+        .select(least(col("doc_id"), col("cap_gid")).as("a_id"),
+          greatest(col("doc_id"), col("cap_gid")).as("b_id")))
+      .distinct()
+    val aSide = grouped.select(col("doc_id").as("a_id"),
+      col("img_gid").as("a_ig"), col("cap_gid").as("a_cg"))
+    val bSide = grouped.select(col("doc_id").as("b_id"),
+      col("img_gid").as("b_ig"), col("cap_gid").as("b_cg"))
+    pairs.join(aSide.hint("shuffle_hash"), Seq("a_id"))
+      .join(bSide.hint("shuffle_hash"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("a_ig") === col("b_ig")).cast("long").as("img_dup"),
+        (col("a_cg") === col("b_cg")).cast("long").as("cap_dup"),
+        when(col("a_ig") === col("b_ig") && col("a_cg") === col("b_cg"),
+            lit("both"))
+          .when(col("a_ig") === col("b_ig"), lit("img_only"))
+          .otherwise(lit("cap_only")).as("cell"))
+  }
+
   // ---- REAL video decode (javax.imageio, multi-frame animated GIF) ----
 
   /** A video asset whose payload is a GENUINE animated GIF: GIF89a

@@ -739,6 +739,129 @@ object PipelineQueries {
     * final centroid set is CTE `cent${Similarity.IvfIters}` (see
     * [[trainFinalCte]]). Used by the IVF search oracles AND the semantic
     * dedup oracle, so all three pin the same training semantics. */
+  /** Oracle body of `ivf_maintenance` — factored so index_fleet_health
+    * reuses the exact committed chain as a scoped subquery. */
+  /** Planted-duplicate image SIGNATURE chain (ends in
+    * `sig(doc_id, w, h, total, ahash)`): content id c = doc_id mod the
+    * planted modulus drives the same pixel/block/bit chain as
+    * mm_phash. Shared by mm_dup_groups and mm_caption_pairs so the
+    * image-side grouping the two keys pin cannot drift. */
+  private val mmDupSigCtes: String = {
+    val g = Multimodal.AhashGrid
+    val m = Multimodal.DupContentMod
+    s"""px AS (
+       |  SELECT d.doc_id, d.doc_id % $m AS c,
+       |    CAST(d.doc_id % $m % 13 + 4 AS BIGINT) AS w,
+       |    CAST(d.doc_id % $m % 11 + 4 AS BIGINT) AS h,
+       |    x.i AS x, y.j AS y,
+       |    (d.doc_id % $m * 3 + x.i + y.j) % 256
+       |    + (d.doc_id % $m * 5 + 2 * x.i) % 256
+       |    + (d.doc_id % $m * 7 + 3 * y.j) % 256 AS gray
+       |  FROM documents d,
+       |    LATERAL (SELECT unnest(generate_series(0,
+       |      CAST(d.doc_id % $m % 13 + 3 AS BIGINT))) AS i) x,
+       |    LATERAL (SELECT unnest(generate_series(0,
+       |      CAST(d.doc_id % $m % 11 + 3 AS BIGINT))) AS j) y),
+       |tot AS (SELECT doc_id, max(w) AS w, max(h) AS h,
+       |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
+       |  FROM px GROUP BY 1),
+       |blk AS (SELECT doc_id, (x * $g) // w AS i, (y * $g) // h AS j,
+       |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
+       |  FROM px GROUP BY 1, 2, 3),
+       |bits AS (SELECT b.doc_id,
+       |    CASE WHEN b.bs * t.n > t.total * b.bn
+       |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
+       |      ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM blk b JOIN tot t USING (doc_id)),
+       |sig AS (SELECT t.doc_id, t.w, t.h, t.total,
+       |    CAST(sum(bits.bit) AS BIGINT) AS ahash
+       |  FROM tot t JOIN bits ON bits.doc_id = t.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
+
+  private def ivfMaintenanceSql: String =
+    s"""WITH $trainCtes,
+       |asgn AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+       |                 c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN $trainFinalCte c)
+       |  WHERE rn = 1),
+       |cells AS (
+       |  SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+       |  FROM asgn GROUP BY cell),
+       |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+       |SELECT cell, n_vectors, min_vec_id,
+       |  CAST(n_vectors * n_cells * 1000 // total AS BIGINT)
+       |    AS occupancy_x1000,
+       |  CASE WHEN n_vectors * n_cells > total * 2 THEN 'split'
+       |       WHEN n_vectors * n_cells * 2 < total THEN 'merge'
+       |       ELSE 'keep' END AS action
+       |FROM cells CROSS JOIN tot""".stripMargin
+  /** Oracle body of `graph_health` — factored so index_fleet_health
+    * reuses the exact committed chain as a scoped subquery. */
+  private def graphHealthSql: String =
+    s"""WITH $knnGraphCtes,
+       |g AS (
+       |  SELECT e.src_id,
+       |    CASE WHEN r.src_id IS NULL THEN 0 ELSE 1 END AS mutual
+       |  FROM e LEFT JOIN e r
+       |    ON r.src_id = e.dst_id AND r.dst_id = e.src_id),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(coalesce(sum(mutual), 0) AS BIGINT) AS n_mutual
+       |  FROM g),
+       |d AS (SELECT src_id, count(*) AS n FROM g GROUP BY 1),
+       |dd AS (SELECT CAST(coalesce(max(n), 0) AS BIGINT)
+       |      AS max_out_deg,
+       |    CAST(count(*) AS BIGINT) AS n_srcs
+       |  FROM d),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM embeddings)
+       |SELECT nn.n_nodes, s.n_edges, s.n_mutual,
+       |  CASE WHEN s.n_edges = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE s.n_mutual * 1000 // s.n_edges END AS mutual_permille,
+       |  nn.n_nodes - dd.n_srcs AS n_isolated, dd.max_out_deg
+       |FROM nn, s, dd""".stripMargin
+  /** Oracle body of `media_health` — factored so index_fleet_health
+    * reuses the exact committed chain as a scoped subquery. */
+  private def mediaHealthSql: String =
+    s"""WITH RECURSIVE $mmNearCtes,
+       |$mmVideoRunCtes,
+       |$mmAudioRunCtes,
+       |edges AS (
+       |  SELECT a_id, b_id FROM ipairs
+       |  UNION SELECT a_id, b_id FROM vruns
+       |  UNION SELECT a_id, b_id FROM aruns),
+       |bi AS (SELECT a_id AS u, b_id AS v FROM edges
+       |  UNION ALL SELECT b_id, a_id FROM edges),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM bi
+       |  UNION
+       |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |  FROM reach GROUP BY u),
+       |sizes AS (SELECT component, count(*) AS sz
+       |  FROM comp GROUP BY 1),
+       |tagged AS (SELECT count(*) AS n_pairs FROM (
+       |  SELECT a_id, b_id FROM ipairs
+       |  UNION ALL SELECT DISTINCT a_id, b_id FROM vruns
+       |  UNION ALL SELECT DISTINCT a_id, b_id FROM aruns)),
+       |dup AS (SELECT count(*) AS n_dup_assets FROM (
+       |  SELECT a_id AS d FROM edges UNION SELECT b_id FROM edges)),
+       |na AS (SELECT count(*) AS n_assets FROM documents)
+       |SELECT CAST(na.n_assets AS BIGINT) AS n_assets,
+       |  CAST(tagged.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dup.n_dup_assets AS BIGINT) AS n_dup_assets,
+       |  CAST(dup.n_dup_assets * 1000 // na.n_assets AS BIGINT)
+       |    AS dup_permille,
+       |  CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_components,
+       |  CAST((SELECT coalesce(max(sz), 0) FROM sizes) AS BIGINT)
+       |    AS max_component
+       |FROM na, tagged, dup""".stripMargin
+
   private def trainCtes: String = {
     val iterCtes = (1 to Similarity.IvfIters).map { i =>
       s"""asg$i AS (
@@ -1407,6 +1530,18 @@ object PipelineQueries {
       // the media side: canonical pointer, component size, per-modality
       // pair degrees + flags, composed disposition; artifact-only.
       "media_audit" -> ((s, dir) => Multimodal.mediaAudit(s, dir)),
+      // Cross-modal asset × caption pairs (r16): the agreement matrix
+      // between image-signature grouping and caption md5 dedup — the
+      // same-image-re-captioned / same-caption-different-image cells a
+      // VLM pipeline curates on; canonical pairs only (linear).
+      "mm_caption_pairs" -> ((s, dir) =>
+        Multimodal.mmCaptionPairs(s, dir)),
+      // Fleet-scope index health (r16): the four index families'
+      // health rows normalized to one integer pressure each and
+      // ranked — "which index needs maintenance next", the
+      // metrics-evaluator role one level above the per-family keys.
+      "index_fleet_health" -> ((s, dir) =>
+        graft.exts.IndexFleet.indexFleetHealth(s, dir)),
       // REAL codec round-trip for audio: genuine RIFF/WAVE PCM bytes
       // through javax.sound.sampled encode + decode; the oracle
       // recomputes the deterministic sample train in closed form.
@@ -2965,28 +3100,7 @@ object PipelineQueries {
       // The event-driven maintenance decision lifted to the vector
       // index: per-cell occupancy vs the corpus mean, integer
       // cross-multiplied thresholds (split > 2× mean, merge < ½ mean).
-      "ivf_maintenance" ->
-        s"""WITH $trainCtes,
-           |asgn AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT e.vec_id, c.cent_id AS cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
-           |                 c.cent_id) AS rn
-           |    FROM embeddings e CROSS JOIN $trainFinalCte c)
-           |  WHERE rn = 1),
-           |cells AS (
-           |  SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-           |  FROM asgn GROUP BY cell),
-           |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
-           |               CAST(count(*) AS BIGINT) AS n_cells FROM cells)
-           |SELECT cell, n_vectors, min_vec_id,
-           |  CAST(n_vectors * n_cells * 1000 // total AS BIGINT)
-           |    AS occupancy_x1000,
-           |  CASE WHEN n_vectors * n_cells > total * 2 THEN 'split'
-           |       WHEN n_vectors * n_cells * 2 < total THEN 'merge'
-           |       ELSE 'keep' END AS action
-           |FROM cells CROSS JOIN tot""".stripMargin,
+      "ivf_maintenance" -> ivfMaintenanceSql,
 
       "decontaminate" ->
         """WITH corpus AS (
@@ -4381,28 +4495,7 @@ object PipelineQueries {
       // One-row health report over the same single-sourced graph CTE
       // chain — mutual flag recomputed like knn_graph's oracle, then
       // three rollups; guarded permille so an empty graph reads 0.
-      "graph_health" ->
-        s"""WITH $knnGraphCtes,
-           |g AS (
-           |  SELECT e.src_id,
-           |    CASE WHEN r.src_id IS NULL THEN 0 ELSE 1 END AS mutual
-           |  FROM e LEFT JOIN e r
-           |    ON r.src_id = e.dst_id AND r.dst_id = e.src_id),
-           |s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
-           |    CAST(coalesce(sum(mutual), 0) AS BIGINT) AS n_mutual
-           |  FROM g),
-           |d AS (SELECT src_id, count(*) AS n FROM g GROUP BY 1),
-           |dd AS (SELECT CAST(coalesce(max(n), 0) AS BIGINT)
-           |      AS max_out_deg,
-           |    CAST(count(*) AS BIGINT) AS n_srcs
-           |  FROM d),
-           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
-           |  FROM embeddings)
-           |SELECT nn.n_nodes, s.n_edges, s.n_mutual,
-           |  CASE WHEN s.n_edges = 0 THEN CAST(0 AS BIGINT)
-           |    ELSE s.n_mutual * 1000 // s.n_edges END AS mutual_permille,
-           |  nn.n_nodes - dd.n_srcs AS n_isolated, dd.max_out_deg
-           |FROM nn, s, dd""".stripMargin,
+      "graph_health" -> graphHealthSql,
 
       // Connected components over the MUTUAL edges of the knn_graph CTE
       // chain (single-sourced, so graph and clustering cannot drift) —
@@ -5211,43 +5304,8 @@ object PipelineQueries {
       // modulus drives the SAME pixel/block/bit chain as mm_phash, and
       // the grouping is by the recomputed SIGNATURE (never by c), so an
       // engine-side signature collision would mismatch, not mask.
-      "mm_dup_groups" -> {
-        val g = Multimodal.AhashGrid
-        s"""WITH px AS (
-           |  SELECT d.doc_id, d.doc_id % ${Multimodal.DupContentMod} AS c,
-           |    CAST(d.doc_id % ${Multimodal.DupContentMod} % 13 + 4
-           |      AS BIGINT) AS w,
-           |    CAST(d.doc_id % ${Multimodal.DupContentMod} % 11 + 4
-           |      AS BIGINT) AS h,
-           |    x.i AS x, y.j AS y,
-           |    (d.doc_id % ${Multimodal.DupContentMod} * 3 + x.i + y.j)
-           |      % 256
-           |    + (d.doc_id % ${Multimodal.DupContentMod} * 5 + 2 * x.i)
-           |      % 256
-           |    + (d.doc_id % ${Multimodal.DupContentMod} * 7 + 3 * y.j)
-           |      % 256 AS gray
-           |  FROM documents d,
-           |    LATERAL (SELECT unnest(generate_series(0,
-           |      CAST(d.doc_id % ${Multimodal.DupContentMod} % 13 + 3
-           |        AS BIGINT))) AS i) x,
-           |    LATERAL (SELECT unnest(generate_series(0,
-           |      CAST(d.doc_id % ${Multimodal.DupContentMod} % 11 + 3
-           |        AS BIGINT))) AS j) y),
-           |tot AS (SELECT doc_id, max(w) AS w, max(h) AS h,
-           |    CAST(sum(gray) AS BIGINT) AS total, count(*) AS n
-           |  FROM px GROUP BY 1),
-           |blk AS (SELECT doc_id, (x * $g) // w AS i, (y * $g) // h AS j,
-           |    CAST(sum(gray) AS BIGINT) AS bs, count(*) AS bn
-           |  FROM px GROUP BY 1, 2, 3),
-           |bits AS (SELECT b.doc_id,
-           |    CASE WHEN b.bs * t.n > t.total * b.bn
-           |      THEN CAST(1 AS BIGINT) << CAST(b.j * $g + b.i AS INTEGER)
-           |      ELSE CAST(0 AS BIGINT) END AS bit
-           |  FROM blk b JOIN tot t USING (doc_id)),
-           |sig AS (SELECT t.doc_id, t.w, t.h, t.total,
-           |    CAST(sum(bits.bit) AS BIGINT) AS ahash
-           |  FROM tot t JOIN bits ON bits.doc_id = t.doc_id
-           |  GROUP BY 1, 2, 3, 4),
+      "mm_dup_groups" ->
+        s"""WITH $mmDupSigCtes,
            |grp AS (SELECT w, h, total, ahash,
            |    min(doc_id) AS group_id, count(*) AS group_size
            |  FROM sig GROUP BY 1, 2, 3, 4)
@@ -5256,9 +5314,60 @@ object PipelineQueries {
            |  CAST(CASE WHEN s.doc_id = g.group_id THEN 1 ELSE 0 END
            |    AS BIGINT) AS is_canonical
            |FROM sig s JOIN grp g ON g.w = s.w AND g.h = s.h
-           |  AND g.total = s.total AND g.ahash = s.ahash"""
-          .stripMargin
-      },
+           |  AND g.total = s.total AND g.ahash = s.ahash""".stripMargin,
+
+      // Cross-modal mirror (r16): image groups from the SAME recomputed
+      // signature chain mm_dup_groups pins; captions from the planted
+      // closed form (doc%5==3 re-captioned unique, doc%5==4 stock pool
+      // of 7, else follows image content); text dedup groups by md5 of
+      // the caption STRING (so a caption-render drift between engines
+      // mismatches, never masks); pairs = each doc vs its image
+      // canonical and its caption canonical (linear — never within-
+      // group all-pairs); flags and cell recomputed end to end.
+      "mm_caption_pairs" ->
+        s"""WITH $mmDupSigCtes,
+           |igrp AS (SELECT s.doc_id, g2.img_gid FROM sig s JOIN (
+           |    SELECT w, h, total, ahash, min(doc_id) AS img_gid
+           |    FROM sig GROUP BY 1, 2, 3, 4) g2
+           |  ON g2.w = s.w AND g2.h = s.h AND g2.total = s.total
+           |    AND g2.ahash = s.ahash),
+           |cap0 AS (SELECT doc_id,
+           |    CASE WHEN doc_id % ${Multimodal.CapBranchMod} = 3
+           |           THEN 100000 + doc_id
+           |         WHEN doc_id % ${Multimodal.CapBranchMod} = 4
+           |           THEN 90000 + doc_id % ${Multimodal.CapStockPool}
+           |         ELSE doc_id % ${Multimodal.DupContentMod} END
+           |      AS cap_id
+           |  FROM documents),
+           |captext AS (SELECT doc_id,
+           |    'caption ' || cap_id || ' about subject '
+           |      || ((cap_id * 7) % 97) AS caption
+           |  FROM cap0),
+           |cgrp AS (SELECT c.doc_id, g3.cap_gid FROM
+           |    (SELECT doc_id, md5(caption) AS m FROM captext) c
+           |  JOIN (SELECT md5(caption) AS m, min(doc_id) AS cap_gid
+           |        FROM captext GROUP BY 1) g3 USING (m)),
+           |bothg AS (SELECT i.doc_id, i.img_gid, c.cap_gid
+           |  FROM igrp i JOIN cgrp c USING (doc_id)),
+           |prs AS (
+           |  SELECT least(doc_id, img_gid) AS a_id,
+           |    greatest(doc_id, img_gid) AS b_id
+           |  FROM bothg WHERE doc_id <> img_gid
+           |  UNION
+           |  SELECT least(doc_id, cap_gid), greatest(doc_id, cap_gid)
+           |  FROM bothg WHERE doc_id <> cap_gid),
+           |flags AS (SELECT p.a_id, p.b_id,
+           |    CAST(CASE WHEN a.img_gid = b.img_gid THEN 1 ELSE 0 END
+           |      AS BIGINT) AS img_dup,
+           |    CAST(CASE WHEN a.cap_gid = b.cap_gid THEN 1 ELSE 0 END
+           |      AS BIGINT) AS cap_dup
+           |  FROM prs p JOIN bothg a ON a.doc_id = p.a_id
+           |    JOIN bothg b ON b.doc_id = p.b_id)
+           |SELECT a_id, b_id, img_dup, cap_dup,
+           |  CASE WHEN img_dup = 1 AND cap_dup = 1 THEN 'both'
+           |       WHEN img_dup = 1 THEN 'img_only'
+           |       ELSE 'cap_only' END AS cell
+           |FROM flags""".stripMargin,
 
       // Shared-clip mirror: the stock-footage ramp (stream position
       // p = doc//8·16 + doc%4 + f at the GROUP's dimensions) through
@@ -5384,40 +5493,39 @@ object PipelineQueries {
       // video/audio run pairs), distinct dup endpoints, and component
       // count/max via the recursive closure — the counts the engine
       // reads off its committed artifacts.
-      "media_health" ->
-        s"""WITH RECURSIVE $mmNearCtes,
-           |$mmVideoRunCtes,
-           |$mmAudioRunCtes,
-           |edges AS (
-           |  SELECT a_id, b_id FROM ipairs
-           |  UNION SELECT a_id, b_id FROM vruns
-           |  UNION SELECT a_id, b_id FROM aruns),
-           |bi AS (SELECT a_id AS u, b_id AS v FROM edges
-           |  UNION ALL SELECT b_id, a_id FROM edges),
-           |reach(u, v) AS (
-           |  SELECT u, v FROM bi
-           |  UNION
-           |  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
-           |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
-           |  FROM reach GROUP BY u),
-           |sizes AS (SELECT component, count(*) AS sz
-           |  FROM comp GROUP BY 1),
-           |tagged AS (SELECT count(*) AS n_pairs FROM (
-           |  SELECT a_id, b_id FROM ipairs
-           |  UNION ALL SELECT DISTINCT a_id, b_id FROM vruns
-           |  UNION ALL SELECT DISTINCT a_id, b_id FROM aruns)),
-           |dup AS (SELECT count(*) AS n_dup_assets FROM (
-           |  SELECT a_id AS d FROM edges UNION SELECT b_id FROM edges)),
-           |na AS (SELECT count(*) AS n_assets FROM documents)
-           |SELECT CAST(na.n_assets AS BIGINT) AS n_assets,
-           |  CAST(tagged.n_pairs AS BIGINT) AS n_pairs,
-           |  CAST(dup.n_dup_assets AS BIGINT) AS n_dup_assets,
-           |  CAST(dup.n_dup_assets * 1000 // na.n_assets AS BIGINT)
-           |    AS dup_permille,
-           |  CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_components,
-           |  CAST((SELECT coalesce(max(sz), 0) FROM sizes) AS BIGINT)
-           |    AS max_component
-           |FROM na, tagged, dup""".stripMargin,
+      "media_health" -> mediaHealthSql,
+
+      // Fleet-scope rollup (r16): the three committed per-family
+      // oracle chains reused VERBATIM as scoped subqueries (each keeps
+      // its own CTE namespace), plus the BM25 postings-density branch;
+      // the four pressures and the rank are recomputed end to end, so
+      // a drift in ANY family's health chain or in the normalization
+      // mismatches here too.
+      "index_fleet_health" ->
+        s"""SELECT family, pressure_permille,
+           |  CAST(row_number() OVER (ORDER BY pressure_permille DESC,
+           |    family) AS INTEGER) AS rank
+           |FROM (
+           |  SELECT 'ivf' AS family,
+           |    CAST(sum(abs(occupancy_x1000 - 1000)) // count(*)
+           |      AS BIGINT) AS pressure_permille
+           |  FROM ($ivfMaintenanceSql)
+           |  UNION ALL
+           |  SELECT 'graph' AS family,
+           |    CAST((1000 - mutual_permille)
+           |      + n_isolated * 1000 // n_nodes AS BIGINT)
+           |  FROM ($graphHealthSql)
+           |  UNION ALL
+           |  SELECT 'media' AS family, CAST(dup_permille AS BIGINT)
+           |  FROM ($mediaHealthSql)
+           |  UNION ALL
+           |  SELECT 'lex' AS family,
+           |    CAST(sum(df) * 1000 // (count(*) * max(n_docs))
+           |      AS BIGINT)
+           |  FROM (WITH $bm25CoreCtes,
+           |    dfn AS (SELECT term, df,
+           |        (SELECT count(*) FROM documents) AS n_docs FROM dfr)
+           |    SELECT * FROM dfn))""".stripMargin,
 
       // Media-audit mirror: the three matcher chains recomputed
       // closed-form into the tagged pair set, per-asset pair degrees

@@ -138,4 +138,30 @@ class FixturesSpec extends AnyFunSuite {
           "match wordPolyHash; iterate codepoints or regenerate the fixture")
     }
   }
+
+  test("caption convention (FIXTURES.md §4): closed form over doc_id, both planted branches populated") {
+    import org.apache.spark.sql.functions.col
+    import graft.exts.Multimodal
+    val caps = Multimodal.captions(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(caps.size === 500)
+    // the driver regenerating documents.parquet cannot break this
+    // convention (captions derive from doc_id only), but a fixture
+    // regeneration that changed the doc_id domain would surface here
+    def expected(d: Long): String = {
+      val capId =
+        if (d % Multimodal.CapBranchMod == 3L) 100000L + d
+        else if (d % Multimodal.CapBranchMod == 4L)
+          90000L + d % Multimodal.CapStockPool
+        else d % Multimodal.DupContentMod
+      s"caption $capId about subject ${(capId * 7) % 97}"
+    }
+    caps.foreach { case (d, c) => assert(c === expected(d), s"doc $d") }
+    // planted branches present: re-captioned (unique) and stock (pool)
+    assert(caps.keys.count(_ % Multimodal.CapBranchMod == 3L) > 0)
+    assert(caps.keys.count(_ % Multimodal.CapBranchMod == 4L) > 0)
+    // stock pool actually SHARES captions across different images
+    val stock = caps.filter(_._1 % Multimodal.CapBranchMod == 4L)
+    assert(stock.values.toSet.size.toLong === Multimodal.CapStockPool)
+  }
 }

@@ -4230,4 +4230,86 @@ class PipelineSpec extends AnyFunSuite {
         s"cell $cell counts not monotone: ${cnts.mkString(",")}")
     }
   }
+
+  test("mm_caption_pairs: both planting modes land in their cells; flags agree with the underlying groupings") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.mmCaptionPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    // cell is a pure function of the two flags on every pair
+    rows.foreach { case (a, b, img, cap, cell) =>
+      val want = if (img == 1L && cap == 1L) "both"
+        else if (img == 1L) "img_only" else "cap_only"
+      assert(cell === want, s"pair ($a,$b) flags ($img,$cap) vs $cell")
+      assert(a < b)
+      assert(img == 1L || cap == 1L,
+        "the canonical-pair universe only contains related pairs")
+    }
+    val byCell = rows.groupBy(_._5).view.mapValues(_.length).toMap
+    // plant 1 — SAME IMAGE RE-CAPTIONED (doc%5==3 gets a unique
+    // caption): its image-dup pairs must land in img_only
+    assert(byCell.getOrElse("img_only", 0) > 0,
+      s"re-captioned plant missing: $byCell")
+    // plant 2 — SAME CAPTION, DIFFERENT IMAGES (doc%5==4 draws from
+    // the stock pool): its caption-dup pairs must land in cap_only
+    assert(byCell.getOrElse("cap_only", 0) > 0,
+      s"stock-caption plant missing: $byCell")
+    // unplanted docs: caption follows image content → true multimodal
+    // duplicates land in both
+    assert(byCell.getOrElse("both", 0) > 0, s"both-cell empty: $byCell")
+    // spot-check plant 1 end to end: a doc d with d%5==3 and an image
+    // twin at d-250 must appear as an img_only pair (d-250, d)
+    val d = (0L until 500L).find(x =>
+      x >= Multimodal.DupContentMod && x % Multimodal.CapBranchMod == 3L)
+      .get
+    val pair = rows.find(r => r._1 == d - Multimodal.DupContentMod &&
+      r._2 == d).get
+    assert(pair._5 === "img_only",
+      s"re-captioned twin pair $pair must disagree on the text side")
+    // spot-check plant 2: two distinct-image docs sharing a stock
+    // caption appear via the caption canonical with cap_only
+    val stock = (0L until 500L).filter(x =>
+      x % Multimodal.CapBranchMod == 4L)
+    val c0 = stock.filter(_ % Multimodal.CapStockPool ==
+      stock.head % Multimodal.CapStockPool)
+    assert(c0.size >= 2)
+    val sp = rows.find(r => r._1 == c0.head && r._2 == c0(1)).get
+    assert(sp._5 === "cap_only",
+      s"stock-caption pair $sp must disagree on the image side")
+  }
+
+  test("index_fleet_health: a planted needy family ranks first; corpus pressures match the per-family keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{abs, col, count, expr, lit, sum}
+    import graft.exts.IndexFleet
+    // ranking law on planted pressures: the needy family wins; ties
+    // break on family name so the order is total
+    val planted = IndexFleet.fleetRank(
+      Seq(("ivf", 50L), ("graph", 10L), ("media", 999L), ("lex", 50L))
+        .toDF("family", "pressure_permille")).collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(planted("media") === 1, s"needy family must rank 1: $planted")
+    assert(planted("ivf") === 2 && planted("lex") === 3,
+      s"equal pressures break on family name: $planted")
+    assert(planted("graph") === 4)
+    // the registered frame: all four families present, ranks a
+    // permutation of 1..4, and each pressure equals the same integer
+    // recomputed from that family's own registered health key
+    val fleet = IndexFleet.indexFleetHealth(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(fleet.keySet === Set("ivf", "graph", "media", "lex"))
+    assert(fleet.values.map(_._2).toSet === Set(1, 2, 3, 4))
+    val ivfP = Similarity.ivfMaintenance(spark, dir)
+      .agg(expr("sum(abs(occupancy_x1000 - 1000)) div count(1)"))
+      .collect().head.getLong(0)
+    assert(fleet("ivf")._1 === ivfP)
+    val mediaP = Multimodal.mediaHealth(spark, dir)
+      .select(col("dup_permille")).collect().head.getLong(0)
+    assert(fleet("media")._1 === mediaP)
+    // the media fixture plants a duplicate for EVERY asset
+    // (dup_permille = 1000) — the genuinely neediest family ranks 1
+    assert(fleet("media")._2 === 1,
+      s"planted-needy media family must rank first: $fleet")
+  }
 }

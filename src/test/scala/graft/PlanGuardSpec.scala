@@ -80,7 +80,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "mix_doremi",
       // unimax_alloc: the waterfill sort/prefix/threshold windows run
       // over the same sources-sized aggregate.
-      "unimax_alloc")
+      "unimax_alloc",
+      // index_fleet_health: the fleet rank is a global window over the
+      // 4-row per-family pressure union — the same reduced-frame shape
+      // as mix_sources (rows = #index families, fixed).
+      "index_fleet_health")
 
   test("no partition-less Window over unreduced input (one-task global sort)") {
     // A Window with an empty partitionSpec moves its ENTIRE input through
