@@ -56,5 +56,27 @@ object GifProbe {
     val decS = minOf3(timeS(decodeAll()))
     println(f"decode_total_s=$decS%.3f per_gif_us=${decS * 1e6 / n}%.0f " +
       f"per_frame_us=${decS * 1e6 / frames}%.0f sink=$sink")
+
+    // CONTENTION probe: the keys run 32 codec threads (one encoder /
+    // reader per partition). If a JVM-global lock hides in the GIF
+    // path, aggregate throughput per frame collapses vs single-thread.
+    for (threads <- Seq(8, 32)) {
+      val perThread = ids.grouped(math.max(1, n / threads)).toArray
+      def parEncode(): Unit = {
+        val ts = perThread.map { chunk =>
+          val t = new Thread(() => {
+            val e = new Multimodal.GifEncoder()
+            chunk.foreach(e.encode(_))
+          })
+          t.start(); t
+        }
+        ts.foreach(_.join())
+      }
+      parEncode() // warm
+      val parS = minOf3(timeS(parEncode()))
+      println(f"encode_par${threads}_total_s=$parS%.3f " +
+        f"agg_per_frame_us=${parS * 1e6 / frames}%.0f " +
+        f"speedup_vs_1t=${encS / parS}%.1f")
+    }
   }
 }

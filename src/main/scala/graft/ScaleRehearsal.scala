@@ -386,7 +386,15 @@ object ScaleRehearsal {
       // incremental index merge (r12): batch tokenize/agg + a
       // batch-vocabulary probe of the persisted df table — the corpus
       // text is never scanned, so growth tracks BATCH size.
-      "bm25_update" -> SparkEntry.queries("bm25_update"))
+      "bm25_update" -> SparkEntry.queries("bm25_update"),
+      // cross-modal pairs (r16): one image decode pass reduced to 4-long
+      // signatures + two group rollups + id-keyed joins; pairs ≤ 2/doc,
+      // so growth tracks the decode (the PNG-family linear constant).
+      "mm_caption_pairs" -> SparkEntry.queries("mm_caption_pairs"),
+      // fleet rollup (r16): cost = Σ of the four families' health
+      // chains (each separately rehearsed); the union/rank tail is a
+      // 4-row window — growth tracks the ivf/graph/media components.
+      "index_fleet_health" -> SparkEntry.queries("index_fleet_health"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =
@@ -447,6 +455,90 @@ object ScaleRehearsal {
         q.stop()
         println(f"[scale] $label%-6s stream_near_dedup ${docs.length} docs " +
           f"in $secs%.2f s = ${docs.length / secs}%.0f rows/s " +
+          f"($nb batches of $per)")
+      }
+    }
+    // Whole-lake media serve throughput at a FIXED TRIGGER (150
+    // assets/micro-batch — the stream_near_dedup convention): the three
+    // incoming fixture populations interleaved through
+    // MediaServing.startMedia. Per-batch cost is the BATCH's codec work
+    // plus three persisted-artifact probes (the corpus is never decoded
+    // on the serve side), so rows/s should hold ~flat as the corpus
+    // grows; the one-time corpus artifact build is excluded (resolved
+    // before the clock starts — the deployment's nightly build).
+    if (wanted("media_serving")) {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sql = spark.sqlContext
+      import graft.exts.Multimodal
+      for ((label, dir) <- Seq(("sf0.1", src), ("sf1", out))) {
+        val assets = (Multimodal.pngAssetsIncoming(spark, dir).collect()
+            .map(a => (a.doc_id, "img", a.png)) ++
+          Multimodal.gifClipAssetsIncoming(spark, dir).collect()
+            .map(a => (a.doc_id, "vid", a.gif)) ++
+          Multimodal.wavClipAssetsIncoming(spark, dir).collect()
+            .map(a => (a.doc_id, "aud", a.wav))).sortBy(_._1)
+        // resolve the three corpus artifacts BEFORE timing (build-once)
+        graft.stream.MediaServing.gateBatch(spark, dir,
+          assets.take(3).toSeq.toDF("doc_id", "modality", "media"))
+          .count()
+        val input = MemoryStream[(Long, String, Array[Byte])]
+        val q = graft.stream.MediaServing.startMedia(spark, dir,
+          input.toDS().toDF("doc_id", "modality", "media"),
+          (df, _) => { df.count(); () })
+        val per = 150
+        var nb = 0
+        val t0 = System.nanoTime()
+        assets.grouped(per).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable(); nb += 1
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"[scale] $label%-6s media_serving ${assets.length} " +
+          f"assets in $secs%.2f s = ${assets.length / secs}%.0f rows/s " +
+          f"($nb batches of $per)")
+      }
+    }
+    // Lex composite serve throughput at a FIXED TRIGGER (250
+    // queries/micro-batch): v0 built over the corpus, one below-threshold
+    // delta landed so every query scores against the COMPOSITE
+    // (main + pending) — the mid-stream state a deployment serves from.
+    // Per-batch cost is the batch tokenize + a postings probe of the
+    // segments; rows/s tracks batch size, not corpus size.
+    if (wanted("lex_serve")) {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sql = spark.sqlContext
+      import graft.stream.LexIndexLoop
+      for ((label, dir) <- Seq(("sf0.1", src), ("sf1", out))) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"lexserve-$label").toString
+        val corpus = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val index = LexIndexLoop.buildIndex(spark, corpus, root)
+        val base = corpus.limit(1000).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        // one pending delta (5% of 1000 < the 200‰ threshold at either
+        // scale) — queries must traverse main ∪ pending
+        LexIndexLoop.applyBatch(spark, index, root,
+          base.take(50).map { case (id, t) => (id + 600000L, t) }.toSeq
+            .toDF("doc_id", "text"), 0L, (_, _, _, _) => ())
+        require(index.snapshot.pending.nonEmpty, "composite not exercised")
+        val queries = base.map { case (id, t) => (id + 900000L, t) }
+        val input = MemoryStream[(Long, String)]
+        val q = LexIndexLoop.serveWith(spark, index,
+          input.toDS().toDF("doc_id", "text"),
+          (df, _, _) => { df.count(); () })
+        val per = 250
+        var nb = 0
+        val t0 = System.nanoTime()
+        queries.grouped(per).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable(); nb += 1
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"[scale] $label%-6s lex_serve ${queries.length} queries " +
+          f"in $secs%.2f s = ${queries.length / secs}%.0f rows/s " +
           f"($nb batches of $per)")
       }
     }

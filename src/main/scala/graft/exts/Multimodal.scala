@@ -422,8 +422,13 @@ object Multimodal {
     * hash-aggregate group rollups, id-keyed shuffle-hash joins; output
     * is ≤ 2 rows per doc. */
   def mmCaptionPairs(spark: SparkSession, dir: String): DataFrame = {
+    // EAGER checkpoints: both reused frames are exchange-free or
+    // join-reduced and feed MULTIPLE subtrees — the r15 lesson: a lazy
+    // checkpoint on an exchange-free frame with >1 consumer lets the
+    // consumers race the unmaterialized cell and re-run the decode
+    // concurrently (measured here: 2.6 s/run lazy vs sibling-band eager)
     val sig = ahashStats(pngAssetsWithDups(spark, dir)).toDF()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val keys = Seq("width", "height", "gray_sum", "ahash")
     val igrp = sig.join(
         sig.groupBy(keys.map(col): _*)
@@ -436,7 +441,7 @@ object Multimodal {
           .hint("shuffle_hash"), Seq("m"))
       .select(col("doc_id"), col("cap_gid"))
     val grouped = igrp.join(cgrp.hint("shuffle_hash"), Seq("doc_id"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val pairs = grouped.filter(col("doc_id") =!= col("img_gid"))
       .select(least(col("doc_id"), col("img_gid")).as("a_id"),
         greatest(col("doc_id"), col("img_gid")).as("b_id"))
