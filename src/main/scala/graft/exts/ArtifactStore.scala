@@ -1,12 +1,13 @@
 package graft.exts
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 
-/** Shared on-disk store for persisted index artifacts (BM25 postings,
-  * DSIR score table, kNN edge list, ...) — the build-once / serve-many
+/** Shared store for persisted index artifacts (BM25 postings, DSIR
+  * score table, kNN edge list, ...) — the build-once / serve-many
   * lifecycle the reference applies to its table-maintenance outputs
   * (AwsTableManagementMetricsEvaluator.java:108-140 accumulates events,
   * crosses a threshold, rebuilds, and every later reader picks up the
@@ -14,36 +15,38 @@ import org.apache.spark.sql.SparkSession
   *
   * Design constraints this object owns (previously scattered per-index):
   *
-  *  - '''Configurable, permission-restricted root.''' Artifacts live
-  *    under `spark.graft.artifactRoot` when set (a lake deployment points
-  *    this at a shared mount, e.g. `/mnt/lake/graft_indexes`, so the
-  *    nightly indexer and every query job resolve the same store — URI
-  *    roots are rejected, see [[root]]); the
-  *    default is a per-user directory created `rwx------` under the
-  *    JVM tmpdir — never a world-writable shared path another local user
-  *    could pre-plant artifacts in. (The corpus dir itself is typically a
-  *    read-only mount for query jobs — as it is in this harness — which
-  *    is why the root is a separate, configurable location rather than
-  *    `$dir` itself.)
+  *  - '''Configurable root on ANY registered filesystem (r16).''' All
+  *    store IO resolves through the Hadoop `FileSystem` API — the same
+  *    seam the reference reaches through Iceberg's FileIO
+  *    (BaseEmrOptimizeDataExecutor.java:82-89) and the one
+  *    [[graft.stream.LoopCore]] adopted this round — so
+  *    `spark.graft.artifactRoot` may name a local mount, HDFS, or an
+  *    object-store connector (`scheme://…`); an UNREGISTERED scheme
+  *    still fails loudly at [[root]] rather than resolving as a
+  *    relative local path. The default remains a per-user directory
+  *    created `rwx------` under the JVM tmpdir — never a
+  *    world-writable shared path another local user could pre-plant
+  *    artifacts in.
   *  - '''Identity is verified, not assumed.''' The artifact directory
   *    name embeds the sanitized corpus dir plus a 128-bit MD5 of the
   *    exact dir string and the [[graft.Tables.version]] snapshot token,
-  *    and a `_MANIFEST.json` written inside the artifact records the
-  *    full (kind, dir, variant, version) tuple. [[resolve]] trusts an
+  *    and a `_MANIFEST.json` inside the artifact records the full
+  *    (kind, dir, variant, version) tuple. [[resolve]] trusts an
   *    existing directory only after the manifest round-trips — a path
   *    collision or a planted directory without a matching manifest is
   *    rebuilt, never served.
-  *  - '''Publication is atomic.''' A build writes into a fresh staging
-  *    directory (unique per attempt), the manifest is written LAST, and
-  *    the staging dir is renamed into place with ATOMIC_MOVE — so a
-  *    completion marker can never coexist with a half-written artifact,
-  *    and two JVMs racing the same build can both run to completion: the
-  *    loser's rename fails on the existing target, it discards its
-  *    staging copy, and serves the winner's (bit-identical — builds are
-  *    deterministic functions of the snapshot). On an object store
-  *    without atomic rename the same protocol degrades gracefully: the
-  *    manifest-written-last IS the commit marker and [[ready]] gates on
-  *    it.
+  *  - '''Publication is manifest-committed, payload first.''' A build
+  *    writes into a fresh staging directory (unique per attempt,
+  *    sibling of the target so it shares the target's filesystem), the
+  *    payload renames into place, and the manifest is written LAST as
+  *    one small object — so a manifest can never be observed before
+  *    its payload on ANY store: on POSIX/HDFS the dir rename is atomic
+  *    and the manifest create follows it; on an object store the
+  *    "rename" materializes payload objects first and the manifest PUT
+  *    (whole-object visibility) is the commit marker [[ready]] gates
+  *    on. Two JVMs racing the same build both run to completion: builds
+  *    are deterministic functions of the snapshot, so whichever
+  *    payload+manifest pair lands last is bit-identical to the other.
   *
   * In-process memo only skips the filesystem probe; cross-session and
   * cross-job reuse go through the directory + manifest.
@@ -58,46 +61,56 @@ object ArtifactStore {
 
   private val memo = new ConcurrentHashMap[Key, String]()
 
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Resolve a path string to its (FileSystem, Path) — the single seam
+    * every store IO call goes through (shared with the index families'
+    * own small byte-stream artifacts, e.g. [[BloomIndex]]). */
+  private[graft] def resolvePath(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(hadoopConf), p)
+  }
+
   /** The store root: `spark.graft.artifactRoot` if set, else a per-user
-    * `rwx------` directory under tmpdir.
-    *
-    * The store's IO is java.nio (local/NFS filesystems). A URI root
-    * (`s3://…`, `hdfs://…`) is REJECTED with a named error rather than
-    * silently resolved as a relative local path — the failure mode that
-    * would otherwise land every "shared" artifact on whichever host ran
-    * the job while cross-job sharing silently broke. A lake deployment
-    * points this at a shared mount; object-store roots would need the
-    * Hadoop FileSystem API end to end (including an object-store commit
-    * protocol in place of ATOMIC_MOVE), which this store deliberately
-    * does not fake. `file://` URIs are accepted and stripped. */
+    * `rwx------` directory under tmpdir. A URI root is accepted iff its
+    * scheme resolves to a registered Hadoop FileSystem — an unknown
+    * scheme fails HERE with a named error (the failure mode that would
+    * otherwise land every "shared" artifact on whichever host ran the
+    * job while cross-job sharing silently broke). `file://` URIs are
+    * stripped to plain paths (same filesystem, shorter keys). */
   def root(spark: SparkSession): String =
     spark.conf.getOption(RootConf).map { r =>
       if (r.startsWith("file://")) r.stripPrefix("file://")
-      else if (r.contains("://"))
-        throw new IllegalArgumentException(
-          s"graft.artifactStore: $RootConf=$r is a URI root; the store's " +
-            "IO is java.nio-local (Paths.get would resolve this as a " +
-            "RELATIVE LOCAL path and cross-job sharing would silently " +
-            "fail). Point it at a locally mounted shared path, or mount " +
-            "the object store first.")
-      else r
+      else if (r.contains("://")) {
+        try { new HPath(r).getFileSystem(hadoopConf); r }
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"graft.artifactStore: $RootConf=$r names a URI root whose " +
+              "scheme has no registered Hadoop FileSystem in this " +
+              "session — artifacts would silently not be shared. " +
+              s"Register fs.<scheme>.impl or use a mounted path. (${e.getMessage})")
+        }
+      } else r
     }.getOrElse {
-      val p = Paths.get(sys.props("java.io.tmpdir"),
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-indexes-${sys.props("user.name")}")
       ensureRestricted(p)
       p.toString
     }
 
-  private def ensureRestricted(p: Path): Unit = {
-    if (!Files.exists(p)) {
+  private def ensureRestricted(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) {
       try {
         import java.nio.file.attribute.PosixFilePermissions
-        Files.createDirectories(p,
+        java.nio.file.Files.createDirectories(p,
           PosixFilePermissions.asFileAttribute(
             PosixFilePermissions.fromString("rwx------")))
       } catch {
         case _: UnsupportedOperationException => // non-POSIX FS
-          Files.createDirectories(p)
+          java.nio.file.Files.createDirectories(p)
       }
     }
   }
@@ -116,10 +129,9 @@ object ArtifactStore {
     * `root` — human-readable tail of the corpus dir plus a 128-bit hash
     * of the exact string, so distinct dirs can never alias. */
   private[graft] def entryPath(root: String, kind: String, dir: String,
-      variant: String, version: Long): Path = {
+      variant: String, version: Long): String = {
     val v = if (variant.isEmpty) "" else s"-$variant"
-    Paths.get(root, kind,
-      s"${sanitize(dir)}-${md5hex(dir)}$v-v$version")
+    s"$root/$kind/${sanitize(dir)}-${md5hex(dir)}$v-v$version"
   }
 
   /** The entry path an artifact for this identity WOULD commit to —
@@ -128,7 +140,7 @@ object ArtifactStore {
     * pre-seed without forcing a store build). */
   private[graft] def locate(spark: SparkSession, kind: String, dir: String,
       version: Long, variant: String = ""): String =
-    entryPath(root(spark), kind, dir, variant, version).toString
+    entryPath(root(spark), kind, dir, variant, version)
 
   private def manifestJson(kind: String, dir: String, variant: String,
       version: Long): String = {
@@ -139,30 +151,51 @@ object ArtifactStore {
       s""""variant":"${esc(variant)}","version":$version}"""
   }
 
+  private def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeString(fs: FileSystem, p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
   /** True iff `p` holds a COMMITTED artifact for exactly this
     * (kind, dir, variant, version) — the manifest must exist and
     * round-trip the full identity tuple. */
-  private[graft] def ready(p: Path, kind: String, dir: String,
+  private[graft] def ready(p: String, kind: String, dir: String,
       variant: String, version: Long): Boolean = {
-    val m = p.resolve("_MANIFEST.json")
-    Files.exists(m) && {
-      val got = new String(Files.readAllBytes(m), "UTF-8")
-      got == manifestJson(kind, dir, variant, version)
-    }
+    val (fs, mp) = resolvePath(s"$p/_MANIFEST.json")
+    fs.exists(mp) &&
+      readString(fs, mp) == manifestJson(kind, dir, variant, version)
   }
 
   /** Resolve the artifact directory for (kind, dir, variant, version),
     * building it via `build` on first use. `build` receives a private
-    * staging directory to write into; publication (manifest + atomic
-    * rename) is handled here. Returns the committed directory path.
+    * staging directory to write into; publication (payload rename, then
+    * manifest written LAST) is handled here. Returns the committed
+    * directory path.
     *
     * Deliberately get-then-publish rather than `computeIfAbsent`: a
     * build may itself resolve ANOTHER artifact (the components
     * artifact builds over the edge artifact), and a nested
     * computeIfAbsent on one ConcurrentHashMap throws "recursive
     * update" whenever the two keys share a bin. Two threads racing the
-    * same key may both build — the atomic-rename publish already makes
-    * that safe (deterministic builds; loser discards its staging). */
+    * same key may both build — deterministic builds plus the
+    * manifest-last commit make that safe (see the class doc). */
+  /** Per-key publish locks: IN-PROCESS races on one key serialize (two
+    * queries resolving the same artifact in one JVM is the common
+    * case); cross-JVM races rely on deterministic builds + the
+    * two-rename commit below. */
+  private val publishLocks = new ConcurrentHashMap[Key, Object]()
+
   def resolve(spark: SparkSession, kind: String, dir: String,
       version: Long, variant: String = "")(build: String => Unit): String = {
     val r = root(spark)
@@ -171,36 +204,52 @@ object ArtifactStore {
     if (cached != null) return cached
     val fin = entryPath(r, kind, dir, variant, version)
     if (!ready(fin, kind, dir, variant, version)) {
-      Files.createDirectories(fin.getParent)
-      val staging = fin.getParent.resolve(
-        s"${fin.getFileName}.staging-${java.util.UUID.randomUUID()}")
+      val (fs, finP) = resolvePath(fin)
+      fs.mkdirs(finP.getParent)
+      val staging = new HPath(finP.getParent,
+        s"${finP.getName}.staging-${java.util.UUID.randomUUID()}")
       try {
-        Files.createDirectories(staging)
+        fs.mkdirs(staging)
+        // the build runs OUTSIDE the publish lock (it may itself
+        // resolve another artifact); the manifest rides in staging
+        // under a name ready() does not match, so the payload rename
+        // can never expose a committed-looking entry early
         build(staging.toString)
-        Files.write(staging.resolve("_MANIFEST.json"),
-          manifestJson(kind, dir, variant, version).getBytes("UTF-8"))
-        // a directory at the target that FAILED the manifest check is
-        // not an artifact (planted, collided, or torn by a pre-atomic
-        // writer) — clear it so the atomic publish can land
-        if (Files.exists(fin) && !ready(fin, kind, dir, variant, version))
-          deleteRecursively(fin)
-        try Files.move(staging, fin, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.AccessDeniedException |
-               _: java.nio.file.FileSystemException
-              if ready(fin, kind, dir, variant, version) =>
-            // another JVM committed first; its artifact is
-            // bit-identical (deterministic build of the same
-            // snapshot) — discard ours and serve the winner's
-            deleteRecursively(staging)
+        writeString(fs, new HPath(staging, "_MANIFEST.staged"),
+          manifestJson(kind, dir, variant, version))
+        val lock = publishLocks
+          .computeIfAbsent(key, _ => new Object)
+        lock.synchronized {
+          if (!ready(fin, kind, dir, variant, version)) {
+            // a directory at the target that FAILS the manifest check
+            // is not an artifact (planted, collided, or torn by a
+            // crashed attempt) — clear it so the payload rename lands
+            if (fs.exists(finP)) fs.delete(finP, true)
+            if (fs.rename(staging, finP)) {
+              // COMMIT: one single-file rename — atomic on POSIX/HDFS,
+              // whole-object-visible on object stores — is the marker
+              // ready() gates on, and it happens strictly AFTER every
+              // payload byte is in place
+              fs.rename(new HPath(finP, "_MANIFEST.staged"),
+                new HPath(finP, "_MANIFEST.json"))
+            }
+            // a failed payload rename means a cross-JVM winner landed
+            // between our check and rename — verified below; its
+            // artifact is bit-identical (deterministic builds)
+          }
         }
-      } finally if (Files.exists(staging)) deleteRecursively(staging)
+      } finally if (fs.exists(staging)) fs.delete(staging, true)
+      // a cross-JVM racer may be between its payload rename and its
+      // manifest commit — give it a bounded moment before failing loud
+      var tries = 0
+      while (!ready(fin, kind, dir, variant, version) && tries < 3) {
+        Thread.sleep(200); tries += 1
+      }
       require(ready(fin, kind, dir, variant, version),
         s"artifact publish failed for $kind($dir, $variant, v$version)")
     }
-    memo.putIfAbsent(key, fin.toString)
-    fin.toString
+    memo.putIfAbsent(key, fin)
+    fin
   }
 
   /** Evict ONE committed entry (its directory and the memo key) — the
@@ -211,8 +260,8 @@ object ArtifactStore {
       version: Long, variant: String = ""): Unit = {
     val r = root(spark)
     memo.remove(Key(r, kind, dir, variant, version))
-    val p = entryPath(r, kind, dir, variant, version)
-    if (Files.exists(p)) deleteRecursively(p)
+    val (fs, p) = resolvePath(entryPath(r, kind, dir, variant, version))
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Garbage-collect SUPERSEDED entries of one (kind, dir, variant):
@@ -228,18 +277,14 @@ object ArtifactStore {
   def sweep(spark: SparkSession, kind: String, dir: String,
       keepVersion: Long, variant: String = ""): Int = {
     val r = root(spark)
-    val kindDir = Paths.get(r, kind)
-    if (!Files.isDirectory(kindDir)) return 0
-    import scala.jdk.CollectionConverters._
-    val ls = Files.list(kindDir)
-    val entries =
-      try ls.iterator().asScala.toSeq.filter(Files.isDirectory(_))
-      finally ls.close()
+    val (fs, kindDir) = resolvePath(s"$r/$kind")
+    if (!fs.exists(kindDir) || !fs.getFileStatus(kindDir).isDirectory)
+      return 0
     var removed = 0
-    entries.foreach { p =>
-      val m = p.resolve("_MANIFEST.json")
-      if (Files.exists(m)) {
-        val got = new String(Files.readAllBytes(m), "UTF-8")
+    fs.listStatus(kindDir).filter(_.isDirectory).foreach { st =>
+      val m = new HPath(st.getPath, "_MANIFEST.json")
+      if (fs.exists(m)) {
+        val got = readString(fs, m)
         val version = """"version":(-?\d+)""".r.findFirstMatchIn(got)
           .map(_.group(1).toLong)
         // identity check: the manifest must name exactly this
@@ -248,20 +293,12 @@ object ArtifactStore {
           got == manifestJson(kind, dir, variant, v))
         if (mine && !version.contains(keepVersion)) {
           memo.remove(Key(r, kind, dir, variant, version.get))
-          deleteRecursively(p)
+          fs.delete(st.getPath, true)
           removed += 1
         }
       }
     }
     removed
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(p)
-    try walk.iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
-    finally walk.close()
   }
 
   /** Test seam: drop all memoized paths (on-disk artifacts remain —

@@ -1,7 +1,6 @@
 package graft.exts
 
-import java.io.{BufferedInputStream, BufferedOutputStream, File,
-  FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream}
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -71,17 +70,20 @@ object BloomIndex {
     corpus.select(xxhash64(col("text")).as("h")).stat.bloomFilter("h", n, fpp)
   }
 
-  /** Persist the sketch as an on-disk artifact (spark-sketch wire form). */
+  /** Persist the sketch as an on-disk artifact (spark-sketch wire
+    * form) — through the Hadoop FileSystem seam, so the store root may
+    * live on any registered scheme (r16, with [[ArtifactStore]]). */
   def save(bf: BloomFilter, path: String): Unit = {
-    val f = new File(path)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    val out = new BufferedOutputStream(new FileOutputStream(f))
+    val (fs, p) = ArtifactStore.resolvePath(path)
+    fs.mkdirs(p.getParent)
+    val out = new BufferedOutputStream(fs.create(p, true))
     try bf.writeTo(out) finally out.close()
   }
 
   /** Load a previously [[save]]d sketch artifact. */
   def load(path: String): BloomFilter = {
-    val in = new BufferedInputStream(new FileInputStream(path))
+    val (fs, p) = ArtifactStore.resolvePath(path)
+    val in = new BufferedInputStream(fs.open(p))
     try BloomFilter.readFrom(in) finally in.close()
   }
 

@@ -68,8 +68,9 @@ class ArtifactStoreSpec extends AnyFunSuite {
     ArtifactStore.evict(spark, kind, "/spec/corpus", 9L)
     // plant a directory AT the entry path with a payload but a wrong
     // manifest (simulates a path collision or a pre-planted artifact)
-    val planted = graft.exts.ArtifactStore.entryPath(
-      ArtifactStore.root(spark), kind, "/spec/corpus", "", 9L)
+    val planted = java.nio.file.Paths.get(
+      graft.exts.ArtifactStore.entryPath(
+        ArtifactStore.root(spark), kind, "/spec/corpus", "", 9L))
     java.nio.file.Files.createDirectories(planted)
     java.nio.file.Files.write(planted.resolve("payload.txt"),
       "poisoned".getBytes("UTF-8"))
@@ -105,18 +106,63 @@ class ArtifactStoreSpec extends AnyFunSuite {
     ArtifactStore.evict(spark, "spec-evict-other", "/corpus/a", 1L)
   }
 
-  test("URI artifactRoot is rejected loudly; file:// is stripped; local passes") {
+  test("unregistered-scheme artifactRoot is rejected loudly; file:// is stripped; local passes") {
     val conf = ArtifactStore.RootConf
     try {
-      spark.conf.set(conf, "s3://lake/graft_indexes")
+      // a URI root whose scheme has no registered FileSystem must fail
+      // HERE, not silently resolve as a relative local path (r16: the
+      // store's IO is FileSystem-resolved, so REGISTERED schemes are
+      // accepted — see the graftfs:// test below)
+      spark.conf.set(conf, "nosuchfs://lake/graft_indexes")
       val err = intercept[IllegalArgumentException] {
         ArtifactStore.root(spark)
       }
-      assert(err.getMessage.contains("URI root"))
+      assert(err.getMessage.contains("registered"))
       spark.conf.set(conf, "file:///tmp/graft-root-spec")
       assert(ArtifactStore.root(spark) === "/tmp/graft-root-spec")
       spark.conf.set(conf, "/tmp/graft-root-spec2")
       assert(ArtifactStore.root(spark) === "/tmp/graft-root-spec2")
+    } finally spark.conf.unset(conf)
+  }
+
+  test("store end to end on a non-default FileSystem scheme (graftfs://): build, commit, reuse, sweep, evict") {
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[graft.stream.GraftTestFs].getName)
+    val conf = ArtifactStore.RootConf
+    val base = java.nio.file.Files
+      .createTempDirectory("store-graftfs").toString
+    try {
+      spark.conf.set(conf, s"graftfs://$base/indexes")
+      var builds = 0
+      def get(v: Long) = ArtifactStore.resolve(spark, "spec-fs",
+        "/fs/corpus", v) { staging =>
+        builds += 1
+        // builders on a URI root write through Spark / the FS API
+        import spark.implicits._
+        Seq(("payload", v)).toDF("k", "v")
+          .write.parquet(s"$staging/payload")
+      }
+      val p1 = get(1L)
+      assert(p1.startsWith("graftfs://"),
+        "committed paths must carry the scheme end to end")
+      assert(builds === 1)
+      // manifest-last commit visible through the scheme
+      assert(graft.exts.ArtifactStore.ready(p1, "spec-fs", "/fs/corpus",
+        "", 1L))
+      // memo dropped: the committed entry serves, no rebuild, and the
+      // payload reads back through the scheme
+      ArtifactStore.clear()
+      assert(get(1L) === p1 && builds === 1)
+      assert(spark.read.parquet(s"$p1/payload").count() === 1L)
+      // version bump + sweep on the scheme
+      val p2 = get(2L)
+      assert(builds === 2)
+      assert(ArtifactStore.sweep(spark, "spec-fs", "/fs/corpus", 2L) === 1)
+      assert(!new java.io.File(s"$base/indexes/spec-fs").listFiles()
+        .exists(_.getName.endsWith("-v1")),
+        "superseded entry must be swept through the scheme")
+      assert(spark.read.parquet(s"$p2/payload").count() === 1L)
+      ArtifactStore.evict(spark, "spec-fs", "/fs/corpus", 2L)
     } finally spark.conf.unset(conf)
   }
 
