@@ -394,7 +394,11 @@ object ScaleRehearsal {
       // fleet rollup (r16): cost = Σ of the four families' health
       // chains (each separately rehearsed); the union/rank tail is a
       // 4-row window — growth tracks the ivf/graph/media components.
-      "index_fleet_health" -> SparkEntry.queries("index_fleet_health"))
+      "index_fleet_health" -> SparkEntry.queries("index_fleet_health"),
+      // pair gate (r16): image side = the persisted-artifact probe
+      // (batch-sized codec work), caption side = a corpus-linear md5
+      // reduce joined on the digest — growth tracks the caption reduce.
+      "mm_pair_gate" -> SparkEntry.queries("mm_pair_gate"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

@@ -464,6 +464,70 @@ object Multimodal {
           .otherwise(lit("cap_only")).as("cell"))
   }
 
+  /** Caption-branch modulus of the INCOMING pair fixture: the incoming
+    * asset for source doc d carries caption id `300000 + d` when
+    * d%3==1 (a NOVEL caption), the stock-pool id `90000 + d%7` when
+    * d%3==2 (always already in the corpus caption set), else the base
+    * id `d mod DupContentMod` (in the corpus set iff some corpus doc
+    * in the caption-follows-content branch shares it — the membership
+    * law the gate itself decides, never special-cased). */
+  val PairCapBranchMod = 3L
+
+  /** Captions of the incoming (image, caption) PAIR batch — same id
+    * population as [[pngAssetsIncoming]] (source docs d mod 8 = 3,
+    * batch ids offset by [[IncomingIdOffset]]), caption text rendered
+    * by the corpus convention. */
+  def pairCaptions(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val capId = when(d % PairCapBranchMod === 1L, lit(300000L) + d)
+      .when(d % PairCapBranchMod === 2L, lit(90000L) + d % CapStockPool)
+      .otherwise(d % DupContentMod)
+    Tables.load(spark, dir, "documents")
+      .filter(d % 8L === 3L)
+      .select((d + IncomingIdOffset).as("batch_id"),
+        concat(lit("caption "), capId.cast("string"),
+          lit(" about subject "), ((capId * 7L) % 97L).cast("string"))
+          .as("caption"))
+  }
+
+  /** The VLM ingest gate over (image, caption) PAIRS — the cross-modal
+    * composition of the two sides' incremental gates: each incoming
+    * pair's IMAGE runs the banded probe against the persisted corpus
+    * signature artifact ([[mmDupIncremental]], batch-sized codec work
+    * only) while its CAPTION probes the corpus caption md5 set; the
+    * composed disposition is what a curation queue acts on:
+    *
+    *  - `drop_duplicate_pair` — image dup AND caption dup: nothing new;
+    *  - `review_recaptioned` — image dup, caption NEW: the text may be
+    *    a better label for an asset the lake already holds;
+    *  - `review_restocked` — image NEW, caption dup: a stock caption
+    *    re-used on fresh pixels (the spam/template smell);
+    *  - `admit` — both new.
+    *
+    * Scale shape: the image side is the committed incremental gate
+    * (artifact probe, zero corpus decodes); the caption side reduces
+    * the corpus to a distinct md5 frame joined shuffle-hash on the
+    * digest — both sides linear, the composition a batch-sized join. */
+  def mmPairGate(spark: SparkSession, dir: String): DataFrame = {
+    val img = mmDupIncremental(spark, dir)
+    val corpusCaps = captions(spark, dir)
+      .select(md5(col("caption")).as("m")).distinct()
+      .withColumn("hit", lit(1L))
+    val capFlag = pairCaptions(spark, dir)
+      .withColumn("m", md5(col("caption")))
+      .join(corpusCaps.hint("shuffle_hash"), Seq("m"), "left")
+      .select(col("batch_id"),
+        coalesce(col("hit"), lit(0L)).as("cap_dup"))
+    img.join(capFlag.hint("shuffle_hash"), Seq("batch_id"))
+      .select(col("batch_id"), col("n_matches"), col("matched_id"),
+        col("min_hamming"), col("cap_dup"),
+        when(col("is_new") === 0L && col("cap_dup") === 1L,
+            lit("drop_duplicate_pair"))
+          .when(col("is_new") === 0L, lit("review_recaptioned"))
+          .when(col("cap_dup") === 1L, lit("review_restocked"))
+          .otherwise(lit("admit")).as("disposition"))
+  }
+
   // ---- REAL video decode (javax.imageio, multi-frame animated GIF) ----
 
   /** A video asset whose payload is a GENUINE animated GIF: GIF89a

@@ -741,6 +741,45 @@ object PipelineQueries {
     * dedup oracle, so all three pin the same training semantics. */
   /** Oracle body of `ivf_maintenance` — factored so index_fleet_health
     * reuses the exact committed chain as a scoped subquery. */
+  /** Oracle body of `mm_dup_incremental` — factored so mm_pair_gate
+    * reuses the exact committed image-gate chain as a scoped
+    * subquery. */
+  private def mmDupIncrementalSql: String = {
+    val hm = Multimodal.NearHamMax
+    val off = Multimodal.IncomingIdOffset
+    val nov = Multimodal.IncomingNovelOffset
+    val g = Multimodal.NearGroup
+    val batchDocs =
+      s"""SELECT doc_id + $off AS doc_id,
+         |    CASE WHEN doc_id % 16 = 3 THEN doc_id // $g + $nov
+         |      ELSE doc_id // $g END AS g,
+         |    CASE WHEN doc_id % 16 = 3 THEN 0 ELSE 1 END AS v
+         |  FROM documents WHERE doc_id % 8 = 3""".stripMargin
+    s"""WITH ${canonSigChain("i", mmNearDocsSelect)},
+       |${canonSigChain("n", batchDocs)},
+       |${canonBandCte("i")},
+       |${canonBandCte("n")},
+       |nmatch AS (
+       |  SELECT DISTINCT n.doc_id AS batch_id, i.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(n.lo, i.lo)) + bit_count(xor(n.hi, i.hi))
+       |      AS BIGINT) AS hamming
+       |  FROM nbnd n JOIN ibnd i ON n.cw = i.cw AND n.ch = i.ch
+       |    AND n.band = i.band AND n.bval = i.bval
+       |  WHERE bit_count(xor(n.lo, i.lo)) + bit_count(xor(n.hi, i.hi))
+       |    <= $hm),
+       |nagg AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |    min(corpus_id) AS matched_id, min(hamming) AS min_hamming
+       |  FROM nmatch GROUP BY 1)
+       |SELECT s.doc_id AS batch_id,
+       |  coalesce(a.n_matches, 0) AS n_matches,
+       |  coalesce(a.matched_id, -1) AS matched_id,
+       |  coalesce(a.min_hamming, -1) AS min_hamming,
+       |  CAST(CASE WHEN a.batch_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_new
+       |FROM nsig s LEFT JOIN nagg a ON a.batch_id = s.doc_id"""
+      .stripMargin
+  }
+
   /** Planted-duplicate image SIGNATURE chain (ends in
     * `sig(doc_id, w, h, total, ahash)`): content id c = doc_id mod the
     * planted modulus drives the same pixel/block/bit chain as
@@ -1536,6 +1575,13 @@ object PipelineQueries {
       // VLM pipeline curates on; canonical pairs only (linear).
       "mm_caption_pairs" -> ((s, dir) =>
         Multimodal.mmCaptionPairs(s, dir)),
+      // Cross-modal PAIR ingest gate (r16): each incoming (image,
+      // caption) pair gated on BOTH sides — banded signature probe of
+      // the persisted corpus artifact for the image, corpus caption
+      // md5-set probe for the text — composed into the curation-queue
+      // disposition (drop / review_recaptioned / review_restocked /
+      // admit).
+      "mm_pair_gate" -> ((s, dir) => Multimodal.mmPairGate(s, dir)),
       // Fleet-scope index health (r16): the four index families'
       // health rows normalized to one integer pressure each and
       // ranked — "which index needs maintenance next", the
@@ -5409,41 +5455,54 @@ object PipelineQueries {
       // recomputed closed-form, the cross-population band join at the
       // same Hamming verify, and the per-asset rollup with -1
       // sentinels — exactly the engine's artifact-probe semantics.
-      "mm_dup_incremental" -> {
-        val hm = Multimodal.NearHamMax
-        val off = Multimodal.IncomingIdOffset
-        val nov = Multimodal.IncomingNovelOffset
-        val g = Multimodal.NearGroup
-        val batchDocs =
-          s"""SELECT doc_id + $off AS doc_id,
-             |    CASE WHEN doc_id % 16 = 3 THEN doc_id // $g + $nov
-             |      ELSE doc_id // $g END AS g,
-             |    CASE WHEN doc_id % 16 = 3 THEN 0 ELSE 1 END AS v
-             |  FROM documents WHERE doc_id % 8 = 3""".stripMargin
-        s"""WITH ${canonSigChain("i", mmNearDocsSelect)},
-           |${canonSigChain("n", batchDocs)},
-           |${canonBandCte("i")},
-           |${canonBandCte("n")},
-           |nmatch AS (
-           |  SELECT DISTINCT n.doc_id AS batch_id, i.doc_id AS corpus_id,
-           |    CAST(bit_count(xor(n.lo, i.lo)) + bit_count(xor(n.hi, i.hi))
-           |      AS BIGINT) AS hamming
-           |  FROM nbnd n JOIN ibnd i ON n.cw = i.cw AND n.ch = i.ch
-           |    AND n.band = i.band AND n.bval = i.bval
-           |  WHERE bit_count(xor(n.lo, i.lo)) + bit_count(xor(n.hi, i.hi))
-           |    <= $hm),
-           |nagg AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches,
-           |    min(corpus_id) AS matched_id, min(hamming) AS min_hamming
-           |  FROM nmatch GROUP BY 1)
-           |SELECT s.doc_id AS batch_id,
-           |  coalesce(a.n_matches, 0) AS n_matches,
-           |  coalesce(a.matched_id, -1) AS matched_id,
-           |  coalesce(a.min_hamming, -1) AS min_hamming,
-           |  CAST(CASE WHEN a.batch_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
-           |    AS is_new
-           |FROM nsig s LEFT JOIN nagg a ON a.batch_id = s.doc_id"""
-          .stripMargin
-      },
+      "mm_dup_incremental" -> mmDupIncrementalSql,
+
+      // Cross-modal PAIR ingest gate (r16): the image side is the
+      // mm_dup_incremental chain VERBATIM (factored val — the two keys
+      // cannot drift); the caption side renders the incoming pair
+      // batch's planted caption branches (d%3: base / novel / stock)
+      // and probes the corpus caption md5 set built from the SAME
+      // convention mm_caption_pairs pins; the composed disposition is
+      // recomputed end to end.
+      "mm_pair_gate" ->
+        s"""WITH ginc AS ($mmDupIncrementalSql),
+           |icap AS (SELECT doc_id + ${Multimodal.IncomingIdOffset}
+           |      AS batch_id,
+           |    CASE WHEN doc_id % ${Multimodal.PairCapBranchMod} = 1
+           |           THEN 300000 + doc_id
+           |         WHEN doc_id % ${Multimodal.PairCapBranchMod} = 2
+           |           THEN 90000 + doc_id % ${Multimodal.CapStockPool}
+           |         ELSE doc_id % ${Multimodal.DupContentMod} END
+           |      AS cap_id
+           |  FROM documents WHERE doc_id % 8 = 3),
+           |ictext AS (SELECT batch_id,
+           |    'caption ' || cap_id || ' about subject '
+           |      || ((cap_id * 7) % 97) AS caption
+           |  FROM icap),
+           |ccap AS (SELECT doc_id,
+           |    CASE WHEN doc_id % ${Multimodal.CapBranchMod} = 3
+           |           THEN 100000 + doc_id
+           |         WHEN doc_id % ${Multimodal.CapBranchMod} = 4
+           |           THEN 90000 + doc_id % ${Multimodal.CapStockPool}
+           |         ELSE doc_id % ${Multimodal.DupContentMod} END
+           |      AS cap_id
+           |  FROM documents),
+           |cm AS (SELECT DISTINCT md5('caption ' || cap_id
+           |    || ' about subject ' || ((cap_id * 7) % 97)) AS m
+           |  FROM ccap),
+           |cflag AS (SELECT i.batch_id,
+           |    CAST(CASE WHEN cm.m IS NOT NULL THEN 1 ELSE 0 END
+           |      AS BIGINT) AS cap_dup
+           |  FROM (SELECT batch_id, md5(caption) AS m FROM ictext) i
+           |  LEFT JOIN cm ON cm.m = i.m)
+           |SELECT g.batch_id, g.n_matches, g.matched_id, g.min_hamming,
+           |  f.cap_dup,
+           |  CASE WHEN g.is_new = 0 AND f.cap_dup = 1
+           |         THEN 'drop_duplicate_pair'
+           |       WHEN g.is_new = 0 THEN 'review_recaptioned'
+           |       WHEN f.cap_dup = 1 THEN 'review_restocked'
+           |       ELSE 'admit' END AS disposition
+           |FROM ginc g JOIN cflag f USING (batch_id)""".stripMargin,
 
       // Incremental video-gate mirror: the corpus per-frame chain and
       // the incoming batch's (re-uploads trimmed one frame off their

@@ -4312,4 +4312,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(fleet("media")._2 === 1,
       s"planted-needy media family must rank first: $fleet")
   }
+
+  test("mm_pair_gate: all four dispositions planted; composition law vs the two sides") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val rows = Multimodal.mmPairGate(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(rows.nonEmpty)
+    val byDisp = rows.values.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(Set("drop_duplicate_pair", "review_recaptioned",
+        "review_restocked", "admit").subsetOf(byDisp.keySet),
+      s"all four dispositions must be planted, got $byDisp")
+    // composition law: the gate IS the two sides joined — image side
+    // equals mm_dup_incremental row for row, caption side equals the
+    // corpus caption md5-set membership
+    val img = Multimodal.mmDupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val corpusMd5 = Multimodal.captions(spark, dir)
+      .select(md5(col("caption"))).collect().map(_.getString(0)).toSet
+    val capSide = Multimodal.pairCaptions(spark, dir)
+      .select(col("batch_id"), md5(col("caption")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet === img.keySet)
+    rows.foreach { case (id, (nm, mid, mh, capDup, disp)) =>
+      val (iNm, iMid, iMh, iNew) = img(id)
+      assert((nm, mid, mh) === ((iNm, iMid, iMh)),
+        s"image evidence drifted for $id")
+      val wantCap = if (corpusMd5.contains(capSide(id))) 1L else 0L
+      assert(capDup === wantCap, s"caption membership drifted for $id")
+      val want =
+        if (iNew == 0L && wantCap == 1L) "drop_duplicate_pair"
+        else if (iNew == 0L) "review_recaptioned"
+        else if (wantCap == 1L) "review_restocked"
+        else "admit"
+      assert(disp === want, s"disposition law broken for $id")
+    }
+  }
 }
