@@ -508,12 +508,22 @@ object Multimodal {
     * (artifact probe, zero corpus decodes); the caption side reduces
     * the corpus to a distinct md5 frame joined shuffle-hash on the
     * digest — both sides linear, the composition a batch-sized join. */
-  def mmPairGate(spark: SparkSession, dir: String): DataFrame = {
-    val img = mmDupIncremental(spark, dir)
+  def mmPairGate(spark: SparkSession, dir: String): DataFrame =
+    mmPairGateOver(spark, dir,
+      pngAssetsIncoming(spark, dir), pairCaptions(spark, dir))
+
+  /** [[mmPairGate]] over an ARBITRARY incoming pair batch — the form
+    * the streaming serve path runs per micro-batch: `assets` carries
+    * the images (batch ids), `caps` the same ids' captions. Per-pair
+    * rows are independent, so stream results under any arrival split
+    * are bit-identical to the batch key. */
+  def mmPairGateOver(spark: SparkSession, dir: String,
+      assets: Dataset[PngAsset], caps: DataFrame): DataFrame = {
+    val img = mmDupIncrementalOver(spark, dir, assets)
     val corpusCaps = captions(spark, dir)
       .select(md5(col("caption")).as("m")).distinct()
       .withColumn("hit", lit(1L))
-    val capFlag = pairCaptions(spark, dir)
+    val capFlag = caps
       .withColumn("m", md5(col("caption")))
       .join(corpusCaps.hint("shuffle_hash"), Seq("m"), "left")
       .select(col("batch_id"),

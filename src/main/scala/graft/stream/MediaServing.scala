@@ -62,6 +62,32 @@ object MediaServing {
       }
       .start()
 
+  /** The cross-modal PAIR serve path (r16): a streaming (doc_id, png,
+    * caption) frame gated per micro-batch on BOTH sides — the image
+    * against the committed corpus signature artifact, the caption
+    * against the corpus caption md5 set — composed into the curation
+    * disposition ([[Multimodal.mmPairGateOver]], the registered
+    * mm_pair_gate semantics). Per-pair rows are independent, so stream
+    * results are bit-identical to the batch key under any arrival
+    * split (StreamSpec asserts the equality). Verdicts: (batch_id,
+    * n_matches, matched_id, min_hamming, cap_dup, disposition). */
+  def startPairs(spark: SparkSession, dir: String, pairs: DataFrame,
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import spark.implicits._
+          import org.apache.spark.sql.functions.col
+          sink(Multimodal.mmPairGateOver(spark, dir,
+            batch.select(col("doc_id"), col("png"))
+              .as[Multimodal.PngAsset],
+            batch.select(col("doc_id").as("batch_id"), col("caption"))),
+            batchId)
+        }
+      }
+      .start()
+
   /** One mixed-modality batch through the three artifact probes. */
   private[graft] def gateBatch(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {

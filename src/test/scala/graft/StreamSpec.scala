@@ -771,6 +771,42 @@ class StreamSpec extends AnyFunSuite {
     assert(Set("img", "vid", "aud").subsetOf(results.map(_._2).toSet))
   }
 
+  test("pair serving: stream verdicts equal the mm_pair_gate batch key under an arrival split") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    import graft.exts.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val caps = Multimodal.pairCaptions(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Multimodal.pngAssetsIncoming(spark, dir).collect()
+      .map(a => (a.doc_id, a.png, caps(a.doc_id))).sortBy(_._1)
+    assert(pairs.length > 30)
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, String)]
+    val q = graft.stream.MediaServing.startPairs(spark, dir,
+      input.toDS().toDF("doc_id", "png", "caption"),
+      (df, _) => results.synchronized {
+        results ++= df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      })
+    input.addData(pairs.take(pairs.length / 2).toSeq)
+    q.processAllAvailable()
+    input.addData(pairs.drop(pairs.length / 2).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Multimodal.mmPairGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(results.toSet === expected)
+    assert(results.size === expected.size) // no duplicate emissions
+    // both sides of the composition actually exercised on the stream
+    assert(results.exists(_._6 == "drop_duplicate_pair") &&
+      results.exists(_._6 == "admit"))
+  }
+
   test("media index loop: durable checkpoint restart — reattach resumes, no batch re-applies") {
     import spark.implicits._
     import graft.exts.Multimodal
