@@ -226,4 +226,67 @@ class LoopCoreSpec extends AnyFunSuite {
     assert(serving.snapshot.lastBatchId === 0L)
     assert(serving.snapshot.nPending === 0L)
   }
+
+  test("live fleet health: the four loops' serving states rank by threshold pressure; the needy family is first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.exts.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    // MEDIA — the planted needy family: rebuildAfter 4, two admitted
+    // pending assets → 500‰ of its own threshold
+    val mediaRoot = tmp("fleet-media")
+    val corpusPng = Multimodal.encodeNearPng(4100004L)
+    val serving = MediaIndexLoop.build(spark,
+      Multimodal.canonicalSignatures(Seq((100L, corpusPng))
+        .toDF("doc_id", "png").as[Multimodal.PngAsset]).toDF(),
+      Multimodal.videoFingerprints(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "gif").as[Multimodal.GifAsset]).toDF(),
+      Multimodal.audioWindowFps(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "wav").as[Multimodal.WavAsset]).toDF(),
+      mediaRoot)
+    MediaIndexLoop.applyBatch(spark, serving,
+      Seq((10L, "img", Multimodal.encodeNearPng(4200004L)),
+        (20L, "img", Multimodal.encodeNearPng(4300004L)))
+        .toDF("doc_id", "modality", "media"), 0L, 100L, (_, _) => ())
+    assert(serving.snapshot.nPending === 2L)
+    // LEX — one pending doc over a 20-doc index → 250‰ of the 200‰
+    // compaction threshold
+    val lexRoot = tmp("fleet-lex")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).limit(20)
+    val lex = LexIndexLoop.buildIndex(spark, docs, lexRoot)
+    LexIndexLoop.applyBatch(spark, lex, lexRoot,
+      Seq((910001L, "solo pending doc")).toDF("doc_id", "text"), 0L,
+      (_, _, _, _) => ())
+    assert(lex.snapshot.nPending === 1L)
+    // IVF + GRAPH — built over the fixture embeddings, no ingest: low
+    // pressure by construction
+    val base = tmp("fleet-vec")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 100L).write.parquet(s"$base/corpus")
+    val ivf = IndexLoop.buildIndex(spark, s"$base/corpus")
+    val graph = GraphIndexLoop.buildGraph(spark, s"$base/corpus",
+      s"$base/graph", target = 8L)
+    val fleet = FleetHealth.snapshot(spark, (serving, 4L), lex, ivf,
+        graph, graphTarget = 8L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(fleet.keySet === Set("media", "lex", "ivf", "graph"))
+    // pressures are the loops' OWN decide quantities, closed form
+    assert(fleet("media")._1 === 500L) // 2 pending / rebuildAfter 4
+    assert(fleet("lex")._1 === 250L)   // 1*1e6 / (20*200)
+    val gs = graph.snapshot
+    assert(fleet("graph")._1 === gs.nCorpus * 1000L / (8L << gs.bits))
+    // the planted needy family ranks FIRST
+    assert(fleet("media")._2 === 1,
+      s"media at 500 permille of its threshold must rank 1: $fleet")
+    // zero-IO law: the live frame is built from serving-state
+    // snapshots alone — its optimized plan is a LocalRelation (no
+    // scans, no corpus reads; the rank is a window over 4 local rows)
+    val plan = FleetHealth.pressures(spark, (serving, 4L), lex, ivf,
+      graph, graphTarget = 8L).queryExecution.optimizedPlan
+    assert(plan.collectLeaves().forall(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"live fleet frame must read no storage, got:\n$plan")
+  }
 }
