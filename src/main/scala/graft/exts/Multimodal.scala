@@ -538,6 +538,109 @@ object Multimodal {
           .otherwise(lit("admit")).as("disposition"))
   }
 
+  /** Residue (mod [[PairCapTailMod]]) of the TAIL-EDIT plant in the
+    * near-gate pair fixture: d ≡ 43 (mod 48) is the unique class inside
+    * the incoming population (d ≡ 3 mod 8) that is BOTH an image
+    * re-upload (d ≡ 11 mod 16 — never the d%16==3 novel-image cell) and
+    * a former novel-caption doc (d ≡ 1 mod 3) — so converting it to a
+    * tail edit creates exactly the hole the md5 tier misses on a
+    * duplicate image: the disposition the exact gate emits is
+    * `review_recaptioned` where the near gate proves
+    * `drop_duplicate_pair`. */
+  val PairCapTailMod = 48L
+
+  /** Captions of the incoming pair batch for the NEAR gate — the
+    * [[pairCaptions]] convention with the planted TAIL-EDIT branch:
+    * d % 48 == 43 carries its base caption (`d mod DupContentMod`) with
+    * ONE appended token (` v2`) — a lightly-edited recaption whose md5
+    * differs from every corpus caption while its shingle set still
+    * half-overlaps the original's. All other branches unchanged
+    * (d%3==1 → novel 300000+d, now the d ≡ 19 mod 48 cell; d%3==2 →
+    * stock; else base). */
+  def pairCaptionsNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val capId = when(d % PairCapTailMod === 43L, d % DupContentMod)
+      .when(d % PairCapBranchMod === 1L, lit(300000L) + d)
+      .when(d % PairCapBranchMod === 2L, lit(90000L) + d % CapStockPool)
+      .otherwise(d % DupContentMod)
+    Tables.load(spark, dir, "documents")
+      .filter(d % 8L === 3L)
+      .select((d + IncomingIdOffset).as("batch_id"),
+        concat(lit("caption "), capId.cast("string"),
+          lit(" about subject "), ((capId * 7L) % 97L).cast("string"),
+          when(d % PairCapTailMod === 43L, lit(" v2")).otherwise(lit("")))
+          .as("caption"))
+  }
+
+  /** The pair ingest gate with a caption NEAR-dup tier — closes the
+    * exact-match hole of [[mmPairGateOver]]: a tail-edited recaption of
+    * a corpus caption sails past the md5 probe (`cap_dup` = 0) but is a
+    * text near-duplicate, so pairing it with a duplicate image should
+    * DROP the pair, not queue it for recaptioning. The caption tier is
+    * the engine's own batch-vs-corpus near gate
+    * ([[Dedup.incrementalNearDups]] — df-capped shingle Jaccard ≥ ½ in
+    * integer arithmetic) run against the DISTINCT corpus caption texts:
+    * captions repeat massively across docs (stock pools, content-keyed
+    * captions), so the corpus side of the inverted index is
+    * distinct-caption-sized, not corpus-sized — the same reduction the
+    * md5 tier already applies. Exact duplicates are Jaccard 1, so the
+    * near flag subsumes the exact one (`cap_dup` = 1 ⇒ `cap_dup_near`
+    * = 1); both ship as evidence columns and the DISPOSITION keys on
+    * the near flag.
+    *
+    * Per-pair rows stay independent (the hot-shingle cap and the
+    * distinct-caption index derive from the CORPUS alone), so stream
+    * results under any arrival split remain bit-identical to the batch
+    * key — the [[mmPairGateOver]] serving contract.
+    *
+    * Reference analog: the whole premise of not letting near-identical
+    * writes accumulate
+    * (AwsTableManagementMetricsEvaluator.java:108-140), applied to the
+    * caption side of the VLM pair. */
+  def mmPairGateNearOver(spark: SparkSession, dir: String,
+      assets: Dataset[PngAsset], caps: DataFrame): DataFrame = {
+    val img = mmDupIncrementalOver(spark, dir, assets)
+    val capsDf = caps.select(col("batch_id"), col("caption"))
+    // exact tier: md5 membership in the distinct corpus caption set
+    val corpusCaps = captions(spark, dir)
+      .select(md5(col("caption")).as("m")).distinct()
+      .withColumn("hit", lit(1L))
+    val exact = capsDf
+      .withColumn("m", md5(col("caption")))
+      .join(corpusCaps.hint("shuffle_hash"), Seq("m"), "left")
+      .select(col("batch_id"),
+        coalesce(col("hit"), lit(0L)).as("cap_dup"))
+    // near tier: the incremental shingle-Jaccard gate over DISTINCT
+    // corpus caption texts (one row per distinct caption, keyed by its
+    // smallest carrier doc — the id only labels the index entry)
+    val distinctCaps = captions(spark, dir)
+      .groupBy(col("caption"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("caption").as("text"))
+    val near = Dedup.incrementalNearDups(distinctCaps,
+        capsDf.select(col("batch_id").as("doc_id"),
+          col("caption").as("text")))
+      .select(col("doc_id").as("batch_id"),
+        col("n_near_matches").as("cap_near_matches"),
+        col("is_near_dup").cast("long").as("cap_dup_near"))
+    img.join(exact.hint("shuffle_hash"), Seq("batch_id"))
+      .join(near.hint("shuffle_hash"), Seq("batch_id"))
+      .select(col("batch_id"), col("n_matches"), col("matched_id"),
+        col("min_hamming"), col("cap_dup"), col("cap_near_matches"),
+        col("cap_dup_near"),
+        when(col("is_new") === 0L && col("cap_dup_near") === 1L,
+            lit("drop_duplicate_pair"))
+          .when(col("is_new") === 0L, lit("review_recaptioned"))
+          .when(col("cap_dup_near") === 1L, lit("review_restocked"))
+          .otherwise(lit("admit")).as("disposition"))
+  }
+
+  /** [[mmPairGateNearOver]] on the planted near-pair fixture — the
+    * registered `mm_pair_gate_near` key. */
+  def mmPairGateNear(spark: SparkSession, dir: String): DataFrame =
+    mmPairGateNearOver(spark, dir,
+      pngAssetsIncoming(spark, dir), pairCaptionsNear(spark, dir))
+
   // ---- REAL video decode (javax.imageio, multi-frame animated GIF) ----
 
   /** A video asset whose payload is a GENUINE animated GIF: GIF89a

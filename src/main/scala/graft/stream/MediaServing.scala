@@ -88,6 +88,34 @@ object MediaServing {
       }
       .start()
 
+  /** [[startPairs]] with the caption NEAR-dup tier (r17) — the serve
+    * form of the registered mm_pair_gate_near key
+    * ([[Multimodal.mmPairGateNearOver]]): the caption side runs the
+    * df-capped shingle-Jaccard gate against the distinct corpus caption
+    * index instead of (only) the md5 set, so a tail-edited recaption of
+    * a duplicate image DROPS at ingest rather than queueing for
+    * recapture. The near index derives from the corpus alone, so
+    * per-pair rows stay independent and stream ≡ batch under any
+    * arrival split (StreamSpec asserts the equality). Verdicts:
+    * (batch_id, n_matches, matched_id, min_hamming, cap_dup,
+    * cap_near_matches, cap_dup_near, disposition). */
+  def startPairsNear(spark: SparkSession, dir: String, pairs: DataFrame,
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import spark.implicits._
+          import org.apache.spark.sql.functions.col
+          sink(Multimodal.mmPairGateNearOver(spark, dir,
+            batch.select(col("doc_id"), col("png"))
+              .as[Multimodal.PngAsset],
+            batch.select(col("doc_id").as("batch_id"), col("caption"))),
+            batchId)
+        }
+      }
+      .start()
+
   /** One mixed-modality batch through the three artifact probes. */
   private[graft] def gateBatch(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {

@@ -164,4 +164,44 @@ class FixturesSpec extends AnyFunSuite {
     val stock = caps.filter(_._1 % Multimodal.CapBranchMod == 4L)
     assert(stock.values.toSet.size.toLong === Multimodal.CapStockPool)
   }
+
+  test("near-pair caption convention (FIXTURES.md §4): tail-edit plant populated and positioned on dup images") {
+    import graft.exts.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val near = Multimodal.pairCaptionsNear(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = Multimodal.pairCaptions(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(near.keySet === base.keySet,
+      "near fixture must cover exactly the incoming pair population")
+    val docsOf = near.keys.map(b => b - Multimodal.IncomingIdOffset)
+    val tailDocs = docsOf.filter(_ % Multimodal.PairCapTailMod == 43L)
+    assert(tailDocs.nonEmpty, "tail-edit branch must be populated")
+    tailDocs.foreach { d =>
+      // every tail doc is an image RE-UPLOAD (d ≡ 11 mod 16, never the
+      // d%16==3 novel cell) — the divergence the plant exists for needs
+      // a duplicate image under the edited caption
+      assert(d % 16L === 11L, s"tail doc $d must carry a dup image")
+      val capId = d % Multimodal.DupContentMod
+      val expected =
+        s"caption $capId about subject ${(capId * 7) % 97} v2"
+      assert(near(d + Multimodal.IncomingIdOffset) === expected,
+        s"tail caption of doc $d must be its base caption + ' v2'")
+    }
+    // all non-tail branches are byte-identical to the exact-gate fixture
+    docsOf.filterNot(_ % Multimodal.PairCapTailMod == 43L).foreach { d =>
+      val b = d + Multimodal.IncomingIdOffset
+      assert(near(b) === base(b), s"non-tail doc $d must not drift")
+    }
+    // at least one tail doc's BASE caption exists in the corpus — the
+    // rows where near catches what md5 misses (the others' base caption
+    // is absent at this sf, a genuinely new text either way)
+    val corpusCaps = Multimodal.captions(spark, dir)
+      .collect().map(_.getString(1)).toSet
+    assert(tailDocs.exists { d =>
+      val capId = d % Multimodal.DupContentMod
+      corpusCaps.contains(
+        s"caption $capId about subject ${(capId * 7) % 97}")
+    }, "at least one tail edit must shadow a LIVE corpus caption")
+  }
 }

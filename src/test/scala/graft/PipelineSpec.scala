@@ -4351,4 +4351,61 @@ class PipelineSpec extends AnyFunSuite {
       assert(disp === want, s"disposition law broken for $id")
     }
   }
+
+  test("mm_pair_gate_near: tail-edited captions of dup images DROP where the md5 tier provably queues review_recaptioned") {
+    import org.apache.spark.sql.functions.col
+    // columns: batch_id, n_matches, matched_id, min_hamming, cap_dup,
+    //          cap_near_matches, cap_dup_near, disposition
+    val near = Multimodal.mmPairGateNear(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(near.nonEmpty)
+    val byDisp = near.values.groupBy(_._7).view.mapValues(_.size).toMap
+    assert(Set("drop_duplicate_pair", "review_recaptioned",
+        "review_restocked", "admit").subsetOf(byDisp.keySet),
+      s"all four dispositions must stay planted, got $byDisp")
+    // exact implies near everywhere (Jaccard 1 can never miss)
+    near.foreach { case (id, (_, _, _, capDup, _, capNear, _)) =>
+      assert(capDup <= capNear,
+        s"md5 hit without a near hit for $id — the near tier must " +
+          "subsume the exact one")
+    }
+    // the md5-only gate on the SAME fixture: identical image evidence,
+    // caption side exact-match only
+    val md5Gate = Multimodal.mmPairGateOver(spark, dir,
+        Multimodal.pngAssetsIncoming(spark, dir),
+        Multimodal.pairCaptionsNear(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getString(5)))).toMap
+    assert(md5Gate.keySet === near.keySet)
+    // the verdict divergence class: tail docs whose base caption is
+    // live in the corpus — md5 misses (review_recaptioned), the near
+    // tier catches (drop_duplicate_pair)
+    val diverged = near.filter { case (id, v) =>
+      v._4 == 0L && v._6 == 1L && // missed by exact, caught by near
+        (id - Multimodal.IncomingIdOffset) %
+          Multimodal.PairCapTailMod == 43L
+    }
+    assert(diverged.nonEmpty,
+      "the planted tail edits must create md5-miss/near-hit rows")
+    diverged.foreach { case (id, v) =>
+      assert(v._7 === "drop_duplicate_pair",
+        s"near gate must drop the tail-edited dup pair $id, got ${v._7}")
+      assert(md5Gate(id)._2 === "review_recaptioned",
+        s"md5 gate must provably mis-queue pair $id, got ${md5Gate(id)}")
+    }
+    // rows the near tier does NOT touch agree with the md5 gate
+    near.foreach { case (id, (_, _, _, capDup, _, capNear, disp)) =>
+      if (capDup == capNear)
+        assert(disp === md5Gate(id)._2,
+          s"tiers agree on the caption for $id but dispositions differ")
+    }
+    // image evidence identical to the committed incremental gate
+    val img = Multimodal.mmDupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    near.foreach { case (id, (nm, mid, mh, _, _, _, _)) =>
+      assert((nm, mid, mh) === img(id), s"image evidence drifted for $id")
+    }
+  }
 }
