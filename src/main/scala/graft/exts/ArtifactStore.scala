@@ -56,13 +56,26 @@ object ArtifactStore {
   /** Conf key for the artifact root (lake deployments set this). */
   val RootConf = "spark.graft.artifactRoot"
 
+  /** Conf key (ms) bounding how long [[resolve]] awaits a CROSS-JVM
+    * racer's in-flight publish before failing loud — on an object store
+    * the winner's payload "rename" is a server-side copy whose duration
+    * scales with artifact size, so the bound must be deployment-tunable
+    * rather than a fixed few hundred ms. */
+  val PublishWaitConf = "spark.graft.artifactPublishWaitMs"
+  private val DefaultPublishWaitMs = 30000L
+
   private final case class Key(root: String, kind: String, dir: String,
       variant: String, version: Long)
 
   private val memo = new ConcurrentHashMap[Key, String]()
 
+  /** Session Hadoop conf — falls back from the thread-local active
+    * session to the JVM-global default session, so a filesystem first
+    * resolved from a non-session thread still carries the session's
+    * `spark.hadoop.*` settings into Hadoop's (scheme, authority,
+    * UGI)-keyed FileSystem cache (the [[graft.stream.LoopCore]] rule). */
   private def hadoopConf: Configuration =
-    SparkSession.getActiveSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
@@ -229,9 +242,15 @@ object ArtifactStore {
               // COMMIT: one single-file rename — atomic on POSIX/HDFS,
               // whole-object-visible on object stores — is the marker
               // ready() gates on, and it happens strictly AFTER every
-              // payload byte is in place
-              fs.rename(new HPath(finP, "_MANIFEST.staged"),
-                new HPath(finP, "_MANIFEST.json"))
+              // payload byte is in place. rename reports failure by
+              // returning false — checked, so OUR failed commit aborts
+              // here by name instead of surfacing later as a
+              // misleading cross-JVM-wait timeout
+              require(fs.rename(new HPath(finP, "_MANIFEST.staged"),
+                new HPath(finP, "_MANIFEST.json")),
+                s"graft.artifactStore: manifest commit rename failed " +
+                  s"under $finP — payload landed but the artifact is " +
+                  "uncommitted")
             }
             // a failed payload rename means a cross-JVM winner landed
             // between our check and rename — verified below; its
@@ -240,13 +259,33 @@ object ArtifactStore {
         }
       } finally if (fs.exists(staging)) fs.delete(staging, true)
       // a cross-JVM racer may be between its payload rename and its
-      // manifest commit — give it a bounded moment before failing loud
-      var tries = 0
-      while (!ready(fin, kind, dir, variant, version) && tries < 3) {
-        Thread.sleep(200); tries += 1
+      // manifest commit — on an object store that "rename" is a
+      // server-side copy that can take far longer than a fixed few
+      // hundred ms for a large artifact, so the wait is CONFIGURABLE
+      // ([[PublishWaitConf]], default 30 s) with exponential backoff,
+      // and the await is announced rather than silent
+      val deadline = System.nanoTime() +
+        spark.conf.getOption(PublishWaitConf).map(_.toLong)
+          .getOrElse(DefaultPublishWaitMs) * 1000000L
+      var sleepMs = 200L
+      var announced = false
+      while (!ready(fin, kind, dir, variant, version) &&
+          System.nanoTime() < deadline) {
+        if (!announced) {
+          System.err.println(s"[graft.artifactStore] awaiting a " +
+            s"cross-JVM publish of $kind($dir, $variant, v$version) — " +
+            s"payload landed by another writer, manifest pending")
+          announced = true
+        }
+        Thread.sleep(sleepMs)
+        sleepMs = math.min(sleepMs * 2, 2000L)
       }
       require(ready(fin, kind, dir, variant, version),
-        s"artifact publish failed for $kind($dir, $variant, v$version)")
+        s"artifact publish failed for $kind($dir, $variant, v$version)" +
+          (if (announced) s" after awaiting a cross-JVM winner for " +
+            s"${spark.conf.getOption(PublishWaitConf)
+              .getOrElse(DefaultPublishWaitMs.toString)} ms — raise " +
+            s"$PublishWaitConf if the store's copy is slower" else ""))
     }
     memo.putIfAbsent(key, fin)
     fin

@@ -74,4 +74,54 @@ object FleetHealth {
       graphTarget: Long = Similarity.TargetCellVectors): DataFrame =
     IndexFleet.fleetRank(
       pressures(spark, media, lex, ivf, graph, graphTarget))
+
+  /** One fleet MAINTENANCE TICK — the reference's evaluator→executor
+    * dispatch (AwsTableManagementMetricsEvaluator.java:75-82: read the
+    * telemetry, pick what crossed the line, hand it to the executor)
+    * closed at fleet scope: read the four loops' LIVE pressures
+    * (driver-metadata arithmetic, zero jobs, zero corpus IO — the
+    * [[pressures]] LocalRelation law), pick the rank-1 family, and
+    * trigger exactly THAT family's existing ACT branch out of band:
+    *
+    *  - `media` → [[MediaIndexLoop.rebuildNow]] (merge pending into a
+    *    fresh version dir);
+    *  - `lex`   → [[LexIndexLoop.compactNow]] (compact main ∪ pending);
+    *  - `ivf`   → [[IndexLoop.maintainNow]] (split-triggered cell
+    *    maintenance — merge-only pressure never acts, the loop's own
+    *    hysteresis rule);
+    *  - `graph` → [[GraphIndexLoop.rebuildNow]] (width-drift rebuild —
+    *    acts only when the adaptive width actually moved).
+    *
+    * Every dispatched rebuild commits through its loop's own marker
+    * protocol at a fresh commit ordinal with `lastBatchId` untouched,
+    * so concurrent streams' replay guards are unaffected; the next
+    * tick reads the acted family's pressure RESET from its swapped
+    * serving state. Returns (family, acted) — acted is false when the
+    * rank-1 family's own ACT trigger declines (nothing pending, no
+    * split verdict, width unchanged), mirroring the reference's
+    * evaluator passing over tables whose metrics retreated between
+    * the decision and the action. */
+  def maintenanceTick(spark: SparkSession,
+      media: (MediaIndexLoop.ServingMedia, Long),
+      lex: LexIndexLoop.ServingIndex,
+      ivf: (IndexLoop.ServingIndex, String),
+      graph: (GraphIndexLoop.ServingGraph, String),
+      graphTarget: Long = Similarity.TargetCellVectors,
+      maxPasses: Int = 4,
+      onHealth: (String, Long, DataFrame) => Unit = (_, _, _) => ())
+      : (String, Boolean) = {
+    val ranked = snapshot(spark, media, lex, ivf._1, graph._1,
+      graphTarget).collect()
+    val first = ranked.find(_.getInt(2) == 1).get.getString(0)
+    val acted = first match {
+      case "media" => MediaIndexLoop.rebuildNow(spark, media._1,
+        (v, h) => onHealth("media", v, h))
+      case "lex" => LexIndexLoop.compactNow(spark, lex)
+      case "ivf" => IndexLoop.maintainNow(spark, ivf._1, ivf._2,
+        maxPasses)
+      case "graph" => GraphIndexLoop.rebuildNow(spark, graph._1,
+        graph._2, graphTarget, (v, h) => onHealth("graph", v, h))
+    }
+    (first, acted)
+  }
 }

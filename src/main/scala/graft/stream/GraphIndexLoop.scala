@@ -75,13 +75,16 @@ object GraphIndexLoop {
     * (snapshots live for one micro-batch). */
   val RetainLayouts: Int = LoopCore.RetainLayouts
 
-  /** Driver-side metadata of the serving graph — four numbers; the
-    * edges themselves live in the epoch's bucket-partitioned parquet
-    * layout. `version` bumps on width-drift rebuilds (the consumer-
-    * visible generation); `epoch` advances on every acted batch (the
-    * layout-directory generation). */
+  /** Driver-side metadata of the serving graph; the edges themselves
+    * live in the epoch's bucket-partitioned parquet layout. `version`
+    * bumps on width-drift rebuilds (the consumer-visible generation);
+    * `epoch` advances on every COMMIT that publishes a layout — acted
+    * batches and fleet-dispatched rebuilds alike (the layout-directory
+    * generation and the marker ordinal, decoupled from batch ids since
+    * r17 so an out-of-band rebuild can commit without colliding with a
+    * batch marker); `lastBatchId` carries the replay guard. */
   final case class State(version: Long, bits: Int, epoch: Long,
-      nCorpus: Long)
+      nCorpus: Long, lastBatchId: Long = -1L)
 
   /** Atomically-swapped serving handle over a `graphPath` layout root:
     * the loop publishes a fresh epoch dir per acted batch and swaps the
@@ -131,7 +134,7 @@ object GraphIndexLoop {
     val st = State(0L, bits, 0L, n)
     bucketedEdges(emb, bits).write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(layoutDir(graphPath, st))
-    writeMetaJson(graphPath, st, batchId = -1L, nNew = n)
+    writeMetaJson(graphPath, st, nNew = n)
     new ServingGraph(graphPath, st)
   }
 
@@ -140,29 +143,42 @@ object GraphIndexLoop {
   //      = post-batch state + the batch's id and survivor count) ----
 
   private def meta(
-      graphPath: String): LoopCore.MetaStore[(State, Long, Long)] =
+      graphPath: String): LoopCore.MetaStore[(State, Long)] =
     new LoopCore.MetaStore(graphPath, "e",
-      { case (s, batchId, nNew) =>
+      { case (s, nNew) =>
         s"""{"version":${s.version},"bits":${s.bits},""" +
           s""""epoch":${s.epoch},"n_corpus":${s.nCorpus},""" +
-          s""""batch_id":$batchId,"n_new":$nNew}""" },
+          s""""batch_id":${s.lastBatchId},"n_new":$nNew}""" },
       j => (State(LoopCore.jsonLong(j, "version"),
           LoopCore.jsonLong(j, "bits").toInt,
           LoopCore.jsonLong(j, "epoch"),
-          LoopCore.jsonLong(j, "n_corpus")),
-        LoopCore.jsonLong(j, "batch_id"),
+          LoopCore.jsonLong(j, "n_corpus"),
+          LoopCore.jsonLong(j, "batch_id")),
         LoopCore.jsonLong(j, "n_new")))
 
-  private def writeMetaJson(graphPath: String, s: State, batchId: Long,
+  private def writeMetaJson(graphPath: String, s: State,
       nNew: Long): Unit =
-    meta(graphPath).write(s.epoch, (s, batchId, nNew))
+    meta(graphPath).write(s.epoch, (s, nNew))
+
+  /** Recorded survivor count of one batch, when its marker is still
+    * retained — replay observability only (markers are keyed by epoch,
+    * so this scans the bounded retained set for the batch id). */
+  private def recordedNNew(graphPath: String,
+      batchId: Long): Option[Long] =
+    LoopCore.listDir(meta(graphPath).dir).collect {
+      case (name, p) if name.matches("state-e-?\\d+\\.json") =>
+        LoopCore.readString(p)
+    }.collectFirst {
+      case j if LoopCore.jsonLong(j, "batch_id") == batchId =>
+        LoopCore.jsonLong(j, "n_new")
+    }
 
   /** Reattach to a layout root from its self-persisted per-batch state
     * (the serving restart's cold path: one tiny file read, no graph
     * work). Fails loudly if the newest state's layout dir is missing —
     * a stale or torn store must never be served silently. */
   def reattach(spark: SparkSession, graphPath: String): ServingGraph = {
-    val (st, _, _) = meta(graphPath).newest
+    val (st, _) = meta(graphPath).newest
       .getOrElse(throw new IllegalStateException(
         s"graft.graphLoop: no committed state under $graphPath/_meta"))
     requireLayout(graphPath, st)
@@ -182,8 +198,9 @@ object GraphIndexLoop {
   def saveMeta(spark: SparkSession, g: ServingGraph, path: String): Unit = {
     import spark.implicits._
     val s = g.snapshot
-    Seq((s.version, s.bits, s.epoch, s.nCorpus))
-      .toDF("version", "bits", "epoch", "n_corpus").coalesce(1)
+    Seq((s.version, s.bits, s.epoch, s.nCorpus, s.lastBatchId))
+      .toDF("version", "bits", "epoch", "n_corpus", "last_batch_id")
+      .coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -193,8 +210,11 @@ object GraphIndexLoop {
     * served silently. */
   def loadMeta(spark: SparkSession, graphPath: String,
       metaPath: String): ServingGraph = {
-    val m = spark.read.parquet(metaPath).first()
-    val st = State(m.getLong(0), m.getInt(1), m.getLong(2), m.getLong(3))
+    val df = spark.read.parquet(metaPath)
+    val m = df.select("version", "bits", "epoch", "n_corpus",
+      "last_batch_id").first()
+    val st = State(m.getLong(0), m.getInt(1), m.getLong(2), m.getLong(3),
+      m.getLong(4))
     requireLayout(graphPath, st)
     new ServingGraph(graphPath, st)
   }
@@ -227,17 +247,18 @@ object GraphIndexLoop {
     LoopCore.gcVersions(graphPath, "b\\d+-e(\\d+)".r, RetainLayouts)
 
   /** Remove every output of a crashed prior attempt at this batch —
-    * its `batch<id>-*` corpus files and its epoch dir at ANY width —
-    * so the re-application gates against exactly the pre-batch
-    * corpus. */
+    * its `batch<id>-*` corpus files and the epoch dir the attempt
+    * would have published (`nextEpoch`, recomputed from the SAME
+    * pre-batch state the torn attempt saw) at ANY width — so the
+    * re-application gates against exactly the pre-batch corpus. */
   private def cleanPartial(corpusPath: String, graphPath: String,
-      batchId: Long): Unit = {
+      batchId: Long, nextEpoch: Long): Unit = {
     LoopCore.listDir(corpusPath)
       .filter { case (name, _) => name.startsWith(s"batch$batchId-") }
       .foreach { case (_, p) => LoopCore.deleteRecursively(p) }
     LoopCore.listDir(graphPath)
       .filter { case (name, _) =>
-        name.matches(s"b\\d+-e${batchId + 1}") }
+        name.matches(s"b\\d+-e$nextEpoch") }
       .foreach { case (_, p) => LoopCore.deleteRecursively(p) }
   }
 
@@ -262,7 +283,12 @@ object GraphIndexLoop {
           val dst = new org.apache.hadoop.fs.Path(
             corpusPath, s"batch$batchId-$name")
           if (fs.exists(dst)) fs.delete(dst, false)
-          fs.rename(src, dst)
+          // FileSystem.rename reports failure by returning FALSE (it
+          // rarely throws) — an unchecked failure here would silently
+          // drop this batch's corpus file while the epoch layout and
+          // marker still publish, diverging corpus and served graph
+          require(fs.rename(src, dst),
+            s"graphIndexLoop: failed to land corpus file $src -> $dst")
         }
     } finally LoopCore.deleteRecursively(staging)
   }
@@ -277,24 +303,27 @@ object GraphIndexLoop {
       threshold: Double, target: Long,
       onHealth: (Long, DataFrame) => Unit): (Long, Long) = {
     // committed already? (failure replay) → strict no-op WITHOUT
-    // touching the serving state: the guard keys on the handle's epoch
-    // (epoch = last acted batch id + 1), never on a historical marker —
-    // restoring a marker's state would rewind a live handle to a
-    // layout generation the retention sweep may already have deleted
-    // (the r16 LexIndexLoop fix, applied uniformly). The recorded
-    // survivor count is returned when its marker is still retained —
-    // observability only.
-    if (batchId + 1 <= graph.snapshot.epoch) {
-      val recorded = meta(graph.graphPath).read(batchId + 1)
-      return (recorded.map(_._3).getOrElse(0L), graph.version)
+    // touching the serving state: the guard keys on the handle's
+    // lastBatchId, never on a historical marker — restoring a marker's
+    // state would rewind a live handle to a layout generation the
+    // retention sweep may already have deleted (the r16 LexIndexLoop
+    // fix, applied uniformly; keyed on lastBatchId rather than epoch
+    // since r17, when fleet-dispatched rebuilds started advancing the
+    // epoch between batches). The recorded survivor count is returned
+    // when its marker is still retained — observability only.
+    if (batchId <= graph.snapshot.lastBatchId) {
+      return (recordedNNew(graph.graphPath, batchId).getOrElse(0L),
+        graph.version)
     }
     val batch = batch0.select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // batch-sized
     if (batch.isEmpty) return (0L, graph.version)
     val st = graph.state
     // torn prior attempt? remove its partial outputs BEFORE gating, so
-    // the gate can never see this batch's own half-landed files
-    cleanPartial(corpusPath, graph.graphPath, batchId)
+    // the gate can never see this batch's own half-landed files (the
+    // torn attempt saw the same pre-batch state, so its epoch dir is
+    // exactly st.epoch + 1)
+    cleanPartial(corpusPath, graph.graphPath, batchId, st.epoch + 1)
     val corpus = spark.read.parquet(corpusPath)
       .select(col("vec_id"), col("embedding"))
     // 1) GATE at the graph's pinned width: corpus near-dups never
@@ -317,7 +346,7 @@ object GraphIndexLoop {
       .localCheckpoint(true) // ≤ batch-sized, read three times
     val nNew = survivors.count()
     if (nNew == 0) return (0L, st.version)
-    val epoch = batchId + 1
+    val epoch = st.epoch + 1
     // 2/3) DECIDE width first, then publish ONE fresh epoch layout:
     // corpus growth past the adaptive width's next threshold → a full
     // rebuild at the new width and a version bump; otherwise the
@@ -353,9 +382,9 @@ object GraphIndexLoop {
         touched.collect().map(_.getLong(0)).toSet)
     }
     landSurvivors(survivors, corpusPath, batchId)
-    val newState = State(version, bits, epoch, st.nCorpus + nNew)
+    val newState = State(version, bits, epoch, st.nCorpus + nNew, batchId)
     // COMMIT: marker last — everything above is re-creatable until here
-    writeMetaJson(graph.graphPath, newState, batchId, nNew)
+    writeMetaJson(graph.graphPath, newState, nNew)
     graph.update(newState)
     gcLayouts(graph.graphPath)
     if (drift) {
@@ -365,6 +394,37 @@ object GraphIndexLoop {
         spark.read.parquet(corpusPath).select(col("vec_id"))))
     }
     (nNew, version)
+  }
+
+  /** Fleet-dispatched width-drift rebuild — the loop's ACT branch run
+    * OUT OF BAND (the reference's evaluator→executor dispatch at fleet
+    * scope: [[FleetHealth.maintenanceTick]] reads the live pressures
+    * and triggers exactly the neediest family's rebuild). Acts only
+    * when the corpus's adaptive width has actually drifted past the
+    * pinned bits — the same threshold the batch path acts on — and
+    * commits exactly like a batch: fresh epoch layout published first,
+    * ONE marker last at the new epoch ordinal (epoch is the marker key
+    * and advances here too, so this commit can never collide with a
+    * batch marker), `lastBatchId` untouched so the stream's replay
+    * guard is unaffected. Returns true iff a rebuild ran. */
+  def rebuildNow(spark: SparkSession, graph: ServingGraph,
+      corpusPath: String, target: Long = Similarity.TargetCellVectors,
+      onHealth: (Long, DataFrame) => Unit = (_, _) => ()): Boolean = {
+    val st = graph.state
+    val want = Similarity.adaptiveBucketBits(st.nCorpus, target)
+    if (want == st.bits) return false
+    val corpus = spark.read.parquet(corpusPath)
+      .select(col("vec_id"), col("embedding"))
+    val next = State(st.version + 1, want, st.epoch + 1, st.nCorpus,
+      st.lastBatchId)
+    bucketedEdges(corpus, want).write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(layoutDir(graph.graphPath, next))
+    writeMetaJson(graph.graphPath, next, nNew = 0L)
+    graph.update(next)
+    gcLayouts(graph.graphPath)
+    onHealth(next.version, Similarity.graphHealthOver(
+      graph.edges(spark), corpus.select(col("vec_id"))))
+    true
   }
 
   /** Start the ingest → gate → epoch publish → width-drift rebuild
@@ -380,7 +440,8 @@ object GraphIndexLoop {
       checkpoint: Option[String] = None)
       : StreamingQuery = {
     LoopCore.requireCheckpointIfResuming("graphIndexLoop",
-      meta(graph.graphPath).newest.map(_._2).getOrElse(-1L), checkpoint)
+      meta(graph.graphPath).newest.map(_._1.lastBatchId).getOrElse(-1L),
+      checkpoint)
     val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>

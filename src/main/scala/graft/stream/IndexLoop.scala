@@ -218,6 +218,15 @@ object IndexLoop {
     // on its next query batch. Fail at wiring time, not mid-stream.
     require(codesPath.isEmpty == codebook.isEmpty,
       "codesPath and codebook go together")
+    // in-memory-keyed BY NECESSITY: this loop's durable state is the
+    // explicit saveIndex/loadIndex artifact (no _meta marker root the
+    // other three loops disk-key their guard on), so the handle's
+    // carried lastBatchId — restored by loadIndex on a durable
+    // restart — is the only replay signal. The fresh-handle hazard the
+    // disk key closes elsewhere does not arise here: a buildIndex
+    // handle starts at lastBatchId = -1 so NO batch id is no-op'd, and
+    // re-ingest over an existing corpus is idempotent through the
+    // near-dup gate rather than through id no-ops.
     LoopCore.requireCheckpointIfResuming("indexLoop",
       index.state.lastBatchId, checkpoint)
     val w = vectors.writeStream
@@ -347,31 +356,74 @@ object IndexLoop {
           // 4) ACT — the O(corpus) pass runs only on a SPLIT verdict
           // (see hasSplit for why merge-only states must not trigger)
           if (hasSplit(actions)) {
-            val all = spark.read.parquet(corpusPath)
-              .select(col("vec_id"), col("embedding"))
-            var centsDf = centFrame(spark, cents)
-            var pass = 0
-            while (pass < maxPasses && hasSplit(actions)) {
-              centsDf = Similarity.applyMaintenance(all, centsDf)
-                .localCheckpoint(true)
-              stats = fullStats(all, centsDf)
-              actions = verdictCounts(spark, stats)
-              pass += 1
-            }
-            cents = collectCents(centsDf)
-            version += 1
-            // rewrite the layout for the NEW cell geometry before the
-            // version flips — readers of v<old> stay consistent; then
-            // sweep code layouts beyond the retain window
-            for (p <- codesPath; cb <- codebook) {
-              graft.exts.PqIndex.writeClusteredCodesWith(all,
-                centFrame(spark, cents), cb, s"$p/v$version")
-              LoopCore.gcVersions(p, "v(\\d+)".r)
-            }
+            val (c2, s2, a2, v2) = runMaintenance(spark, corpusPath,
+              cents, actions, version, maxPasses, codesPath, codebook)
+            cents = c2; stats = s2; actions = a2; version = v2
           }
           index.update(State(version, cents, stats, st.nCorpus + nNew,
             newGateBits, batchId))
           onCycle(batchId, actions, version)
     }
+  }
+
+  /** The ACT branch: run [[Similarity.applyMaintenance]] to quiescence
+    * (bounded by maxPasses), bump the version, rewrite the clustered
+    * CODES layout for the new geometry when maintained, sweep old
+    * layouts. Returns (cents, stats, actions, version). */
+  private def runMaintenance(spark: SparkSession, corpusPath: String,
+      cents0: Seq[(Long, Seq[Float])], actions0: Map[String, Long],
+      version0: Long, maxPasses: Int, codesPath: Option[String],
+      codebook: Option[DataFrame])
+      : (Seq[(Long, Seq[Float])], Map[Long, (Long, Long)],
+        Map[String, Long], Long) = {
+    val all = spark.read.parquet(corpusPath)
+      .select(col("vec_id"), col("embedding"))
+    var centsDf = centFrame(spark, cents0)
+    var actions = actions0
+    var stats = Map.empty[Long, (Long, Long)]
+    var pass = 0
+    while (pass < maxPasses && hasSplit(actions)) {
+      centsDf = Similarity.applyMaintenance(all, centsDf)
+        .localCheckpoint(true)
+      stats = fullStats(all, centsDf)
+      actions = verdictCounts(spark, stats)
+      pass += 1
+    }
+    val cents = collectCents(centsDf)
+    val version = version0 + 1
+    // rewrite the layout for the NEW cell geometry before the
+    // version flips — readers of v<old> stay consistent; then
+    // sweep code layouts beyond the retain window
+    for (p <- codesPath; cb <- codebook) {
+      graft.exts.PqIndex.writeClusteredCodesWith(all,
+        centFrame(spark, cents), cb, s"$p/v$version")
+      LoopCore.gcVersions(p, "v(\\d+)".r)
+    }
+    (cents, stats, actions, version)
+  }
+
+  /** Fleet-dispatched maintenance — the ACT branch run OUT OF BAND
+    * (the reference's evaluator→executor dispatch at fleet scope, see
+    * [[FleetHealth.maintenanceTick]]). Acts only when the carried
+    * stats hold a SPLIT verdict — the same trigger the batch path
+    * uses (merge-only pressure never acts; see [[hasSplit]] for the
+    * hysteresis rule) — and swaps the serving state exactly like an
+    * acted batch, lastBatchId untouched. This loop's durability is
+    * the explicit [[saveIndex]] artifact, so there is no marker to
+    * commit. Returns true iff a maintenance pass ran. */
+  def maintainNow(spark: SparkSession, index: ServingIndex,
+      corpusPath: String, maxPasses: Int = 4,
+      codesPath: Option[String] = None,
+      codebook: Option[DataFrame] = None): Boolean = {
+    require(codesPath.isEmpty == codebook.isEmpty,
+      "codesPath and codebook go together")
+    val st = index.state
+    val actions0 = verdictCounts(spark, st.cellStats)
+    if (!hasSplit(actions0)) return false
+    val (cents, stats, _, version) = runMaintenance(spark, corpusPath,
+      st.cents, actions0, st.version, maxPasses, codesPath, codebook)
+    index.update(State(version, cents, stats, st.nCorpus, st.gateBits,
+      st.lastBatchId))
+    true
   }
 }

@@ -66,11 +66,15 @@ object LexIndexLoop {
 
   /** Serving snapshot: the main segment path, the pending delta paths
     * (in arrival order), the doc counts the decision reads, the last
-    * committed batch id, and the deltas absorbed by the latest
-    * compaction (deleted one compaction later — the retention lag). */
+    * committed batch id, the deltas absorbed by the latest compaction
+    * (deleted one compaction later — the retention lag), and the
+    * commit ordinal (`commitSeq` — the marker file key, advancing on
+    * EVERY commit: batches and fleet-dispatched compactions alike, so
+    * an out-of-band commit never collides with a batch marker; r17). */
   final case class State(version: Long, mainPath: String,
       pending: Vector[String], nIndexed: Long, nPending: Long,
-      lastBatchId: Long = -1L, absorbed: Vector[String] = Vector.empty)
+      lastBatchId: Long = -1L, absorbed: Vector[String] = Vector.empty,
+      commitSeq: Long = 0L)
 
   /** Atomically-swapped serving state — the ingest loop writes, each
     * query batch reads one consistent snapshot. */
@@ -90,14 +94,25 @@ object LexIndexLoop {
         s""""pending":${LoopCore.jsonStr(s.pending.mkString(","))},""" +
         s""""nIndexed":${s.nIndexed},"nPending":${s.nPending},""" +
         s""""lastBatchId":${s.lastBatchId},""" +
-        s""""absorbed":${LoopCore.jsonStr(s.absorbed.mkString(","))}}""",
+        s""""absorbed":${LoopCore.jsonStr(s.absorbed.mkString(","))},""" +
+        s""""commitSeq":${s.commitSeq}}""",
       j => State(LoopCore.jsonLong(j, "version"),
         LoopCore.jsonString(j, "mainPath"),
         splitPaths(LoopCore.jsonString(j, "pending")),
         LoopCore.jsonLong(j, "nIndexed"),
         LoopCore.jsonLong(j, "nPending"),
         LoopCore.jsonLong(j, "lastBatchId"),
-        splitPaths(LoopCore.jsonString(j, "absorbed"))))
+        splitPaths(LoopCore.jsonString(j, "absorbed")),
+        LoopCore.jsonLong(j, "commitSeq")))
+
+  /** Commit `next` as the newest marker (ordinal = its commitSeq) and
+    * swap the serving handle — the single commit point every path
+    * (delta, compaction, no-op advance, fleet dispatch) goes through. */
+  private def commit(root: String, index: ServingIndex,
+      next: State): Unit = {
+    meta(root).write(next.commitSeq, next)
+    index.update(next)
+  }
 
   /** Build the version-0 main segment over the landed corpus. */
   def buildIndex(spark: SparkSession, corpusDocs: DataFrame,
@@ -106,7 +121,7 @@ object LexIndexLoop {
     Bm25Index.save(TextAnalysis.bm25Postings(docs),
       TextAnalysis.bm25Stats(docs), s"$root/v0")
     val st = State(0L, s"$root/v0", Vector.empty, docs.count(), 0L)
-    meta(root).write(st.lastBatchId, st)
+    meta(root).write(st.commitSeq, st)
     new ServingIndex(root, st)
   }
 
@@ -217,9 +232,8 @@ object LexIndexLoop {
       .localCheckpoint(true) // batch-sized
     val landed = survivors.count()
     if (landed == 0L) {
-      val next = st.copy(lastBatchId = batchId)
-      meta(root).write(batchId, next)
-      index.update(next)
+      commit(root, index, st.copy(lastBatchId = batchId,
+        commitSeq = st.commitSeq + 1))
       onCycle(batchId, 0L, false, st.version)
       return
     }
@@ -233,30 +247,54 @@ object LexIndexLoop {
     // 3) DECIDE: the commit-count analog over doc counts.
     if (nPending * 1000L >= st.nIndexed * MergePermille) {
       // 4) ACT: compact main ∪ pending into one new segment.
-      val stWithDelta = st.copy(pending = pending)
-      val (p, _, s) = composite(spark, stWithDelta)
-      val newMain = s"$root/v${st.version + 1}"
-      Bm25Index.save(p,
-        s.select(col("n_docs"), col("n_tokens"), col("avgdl_x1000")),
-        newMain)
-      val next = State(st.version + 1, newMain, Vector.empty,
-        st.nIndexed + nPending, 0L, batchId, pending)
-      // COMMIT before sweeping — the marker is the source of truth
-      meta(root).write(batchId, next)
-      index.update(next)
-      // retention: deltas absorbed by the PREVIOUS compaction die now
-      // (no reader holds a composite older than one generation), and
-      // main segments beyond the retain window go with them
-      st.absorbed.foreach(LoopCore.deleteRecursively)
-      LoopCore.gcVersions(root, "v(\\d+)".r)
+      compactInto(spark, root, index,
+        st.copy(pending = pending, nPending = nPending,
+          lastBatchId = batchId))
       onCycle(batchId, landed, true, st.version + 1)
     } else {
-      val next = st.copy(pending = pending, nPending = nPending,
-        lastBatchId = batchId)
-      meta(root).write(batchId, next)
-      index.update(next)
+      commit(root, index, st.copy(pending = pending, nPending = nPending,
+        lastBatchId = batchId, commitSeq = st.commitSeq + 1))
       onCycle(batchId, landed, false, st.version)
     }
+  }
+
+  /** The ACT branch: compact `st`'s main ∪ pending into one new main
+    * segment, commit, then sweep the PREVIOUS compaction's absorbed
+    * deltas and out-of-window main segments. `st` carries the pending
+    * list, counts, and lastBatchId the compacted state should record;
+    * commitSeq advances here. */
+  private def compactInto(spark: SparkSession, root: String,
+      index: ServingIndex, st: State): State = {
+    val (p, _, s) = composite(spark, st)
+    val newMain = s"$root/v${st.version + 1}"
+    Bm25Index.save(p,
+      s.select(col("n_docs"), col("n_tokens"), col("avgdl_x1000")),
+      newMain)
+    val next = State(st.version + 1, newMain, Vector.empty,
+      st.nIndexed + st.nPending, 0L, st.lastBatchId, st.pending,
+      st.commitSeq + 1)
+    // COMMIT before sweeping — the marker is the source of truth
+    commit(root, index, next)
+    // retention: deltas absorbed by the PREVIOUS compaction die now
+    // (no reader holds a composite older than one generation), and
+    // main segments beyond the retain window go with them
+    st.absorbed.foreach(LoopCore.deleteRecursively)
+    LoopCore.gcVersions(root, "v(\\d+)".r)
+    next
+  }
+
+  /** Fleet-dispatched compaction — the ACT branch run OUT OF BAND (the
+    * reference's evaluator→executor dispatch at fleet scope, see
+    * [[FleetHealth.maintenanceTick]]): compacts whatever is pending
+    * RIGHT NOW without waiting for the per-batch threshold, committing
+    * at the next commitSeq ordinal with `lastBatchId` untouched so the
+    * stream's replay guard is unaffected. Returns true iff anything
+    * was pending to compact. */
+  def compactNow(spark: SparkSession, index: ServingIndex): Boolean = {
+    val st = index.snapshot
+    if (st.nPending == 0L) return false
+    compactInto(spark, index.root, index, st)
+    true
   }
 
   /** Start the ingest → delta append → threshold → compaction loop over
@@ -266,8 +304,14 @@ object LexIndexLoop {
       docs: DataFrame,
       onCycle: (Long, Long, Boolean, Long) => Unit = (_, _, _, _) => (),
       checkpoint: Option[String] = None): StreamingQuery = {
+    // keyed on the ON-DISK newest marker (not the in-memory handle):
+    // a freshly built handle over a root that already has committed
+    // batches carries lastBatchId = -1 and would pass an in-memory
+    // guard — the exact footgun this closes (the GraphIndexLoop
+    // discipline). An intentional rebuild clears the root first.
     LoopCore.requireCheckpointIfResuming("lexIndexLoop",
-      index.snapshot.lastBatchId, checkpoint)
+      math.max(index.snapshot.lastBatchId,
+        meta(root).newest.map(_.lastBatchId).getOrElse(-1L)), checkpoint)
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>

@@ -85,8 +85,16 @@ private[stream] object LoopCore {
     private[stream] def update(s: S): Unit = ref.set(s)
   }
 
+  /** The session Hadoop conf. `getActiveSession` is a THREAD-LOCAL, and
+    * Hadoop's FileSystem cache keys on (scheme, authority, UGI) — not on
+    * the conf — so a filesystem first resolved from a non-session thread
+    * with a bare `new Configuration()` would be cached WITHOUT the
+    * session's `spark.hadoop.*` settings (object-store credentials,
+    * `fs.<scheme>.impl` registrations) and then reused by session
+    * threads. Fall back to the JVM-global default session first; the
+    * bare conf remains only for sessionless unit contexts. */
   private def hadoopConf: Configuration =
-    SparkSession.getActiveSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
@@ -124,7 +132,16 @@ private[stream] object LoopCore {
   /** Write `content` so the target is never observed partial: tmp file
     * + same-FS rename (atomic on POSIX/HDFS; object-store renames
     * materialize whole objects). Used for commit markers ONLY — data
-    * payloads rely on the marker-written-last protocol instead. */
+    * payloads rely on the marker-written-last protocol instead.
+    *
+    * A pre-existing target is NEVER deleted first (a delete+rename pair
+    * would open a window with no marker at all — a crash inside it
+    * erases a previously committed marker): the rename goes straight at
+    * the target, and on filesystems whose rename refuses an existing
+    * destination (HDFS) the existing marker is ACCEPTED as the winner —
+    * marker content is deterministic per ordinal, so a re-commit of the
+    * same ordinal carries identical bytes and either copy commits the
+    * batch. */
   def atomicWrite(path: String, content: String): Unit = {
     val (fs, p) = resolve(path)
     fs.mkdirs(p.getParent)
@@ -132,13 +149,12 @@ private[stream] object LoopCore {
       s"${p.getName}.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    // markers are idempotent per ordinal: a pre-existing target is a
-    // prior commit of the same state — replace it
-    if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       if (!fs.exists(p)) throw new IllegalStateException(
         s"loopCore: marker rename failed and no winner exists at $p")
+      // else: an identical prior commit of this ordinal already holds
+      // the target (idempotent markers) — nothing to do
     }
   }
 

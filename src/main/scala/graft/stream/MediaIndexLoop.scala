@@ -69,9 +69,13 @@ object MediaIndexLoop {
   /** The modality tags the loop ingests, in stable enumeration order. */
   val Modalities: Seq[String] = Seq("img", "vid", "aud")
 
-  /** Serving-state snapshot — all driver metadata. */
+  /** Serving-state snapshot — all driver metadata. `commitSeq` is the
+    * marker file key, advancing on EVERY commit — batches and
+    * fleet-dispatched rebuilds alike — so an out-of-band rebuild's
+    * marker never collides with a batch marker (r17); `lastBatchId`
+    * alone carries the replay guard. */
   final case class State(version: Long, nAssets: Long, nPending: Long,
-      lastBatchId: Long)
+      lastBatchId: Long, commitSeq: Long = 0L)
 
   /** The atomically-swapped serving handle. */
   final class ServingMedia private[MediaIndexLoop] (
@@ -124,10 +128,12 @@ object MediaIndexLoop {
   private def meta(root: String): LoopCore.MetaStore[State] =
     new LoopCore.MetaStore[State](root, "b",
       s => s"""{"version":${s.version},"nAssets":${s.nAssets},""" +
-        s""""nPending":${s.nPending},"lastBatchId":${s.lastBatchId}}""",
+        s""""nPending":${s.nPending},"lastBatchId":${s.lastBatchId},""" +
+        s""""commitSeq":${s.commitSeq}}""",
       j => State(LoopCore.jsonLong(j, "version"),
         LoopCore.jsonLong(j, "nAssets"), LoopCore.jsonLong(j, "nPending"),
-        LoopCore.jsonLong(j, "lastBatchId")))
+        LoopCore.jsonLong(j, "lastBatchId"),
+        LoopCore.jsonLong(j, "commitSeq")))
 
   /** Bootstrap version 0 from per-modality corpus signature frames
     * (pass an empty frame of the right schema for an absent
@@ -141,7 +147,7 @@ object MediaIndexLoop {
       byMod.values.map(df => df.select(col("doc_id")).distinct().count())
         .sum,
       0L, -1L)
-    meta(root).write(st.lastBatchId, st)
+    meta(root).write(st.commitSeq, st)
     new ServingMedia(root, st)
   }
 
@@ -353,30 +359,58 @@ object MediaIndexLoop {
       .map(_ unionByName rejected)
       .getOrElse(rejected)
     var next = State(st.version, st.nAssets + nAdmitted,
-      st.nPending + nAdmitted, batchId)
-    if (next.nPending >= rebuildAfter) {
-      // ACT: merge each modality into a fresh immutable version dir;
-      // recompute the tagged pair frame + component fixpoint over
-      // SIGNATURES ONLY; emit the health row the policy reads
-      val merged = Modalities.map { m =>
-        m -> sigsAt(spark, serving.root, next, m).localCheckpoint(false)
-      }.toMap
-      Modalities.foreach(m => merged(m).write.mode("overwrite")
-        .parquet(sigsDir(serving.root, next.version + 1, m)))
-      val pairs = taggedPairs(merged("img"), merged("vid"),
-        merged("aud")).localCheckpoint(false)
-      val comp = Dedup.dupComponents(
-        pairs.select(col("a_id"), col("b_id")).distinct())
-      next = State(next.version + 1, next.nAssets, 0L, batchId)
-      onHealth(next.version, healthOver(spark, next.nAssets, pairs, comp))
-    }
+      st.nPending + nAdmitted, batchId, st.commitSeq + 1)
+    if (next.nPending >= rebuildAfter)
+      next = mergePending(spark, serving.root, next, onHealth)
     // COMMIT: marker last — everything above is re-creatable until here
-    meta(serving.root).write(batchId, next)
+    meta(serving.root).write(next.commitSeq, next)
     serving.update(next)
     // retention sweep AFTER the commit: superseded v<j> generations
     // beyond the retain window have no live readers
     LoopCore.gcVersions(serving.root, "v(\\d+)".r)
     verdicts
+  }
+
+  /** The ACT step: merge each modality's committed + pending sigs into
+    * a fresh immutable version dir, recompute the tagged pair frame +
+    * component fixpoint over SIGNATURES ONLY, emit the health row the
+    * policy reads. Pure layout work — the caller commits the returned
+    * state (marker last). */
+  private def mergePending(spark: SparkSession, root: String,
+      pre: State, onHealth: (Long, DataFrame) => Unit): State = {
+    import org.apache.spark.sql.functions.col
+    val merged = Modalities.map { m =>
+      m -> sigsAt(spark, root, pre, m).localCheckpoint(false)
+    }.toMap
+    Modalities.foreach(m => merged(m).write.mode("overwrite")
+      .parquet(sigsDir(root, pre.version + 1, m)))
+    val pairs = taggedPairs(merged("img"), merged("vid"),
+      merged("aud")).localCheckpoint(false)
+    val comp = Dedup.dupComponents(
+      pairs.select(col("a_id"), col("b_id")).distinct())
+    val next = State(pre.version + 1, pre.nAssets, 0L, pre.lastBatchId,
+      pre.commitSeq)
+    onHealth(next.version, healthOver(spark, next.nAssets, pairs, comp))
+    next
+  }
+
+  /** Fleet-dispatched rebuild — the loop's ACT branch run OUT OF BAND
+    * (the reference's evaluator→executor dispatch at fleet scope, see
+    * [[graft.stream.FleetHealth.maintenanceTick]]): merges whatever is
+    * pending RIGHT NOW without waiting for `rebuildAfter`, committing
+    * at the next commitSeq ordinal with `lastBatchId` untouched so the
+    * stream's replay guard is unaffected. Returns true iff anything
+    * was pending to merge. */
+  def rebuildNow(spark: SparkSession, serving: ServingMedia,
+      onHealth: (Long, DataFrame) => Unit = (_, _) => ()): Boolean = {
+    val st = serving.state
+    if (st.nPending == 0L) return false
+    val next = mergePending(spark, serving.root,
+      st.copy(commitSeq = st.commitSeq + 1), onHealth)
+    meta(serving.root).write(next.commitSeq, next)
+    serving.update(next)
+    LoopCore.gcVersions(serving.root, "v(\\d+)".r)
+    true
   }
 
   /** The loop's health row (the media_health shape over the serving
@@ -411,8 +445,14 @@ object MediaIndexLoop {
       sink: (DataFrame, Long) => Unit,
       onHealth: (Long, DataFrame) => Unit = (_, _) => (),
       checkpoint: Option[String] = None): StreamingQuery = {
+    // keyed on the ON-DISK newest marker (not the in-memory handle):
+    // a freshly built handle over a root with committed batches would
+    // pass an in-memory guard at lastBatchId = -1 (the GraphIndexLoop
+    // discipline); an intentional rebuild clears the root first
     LoopCore.requireCheckpointIfResuming("mediaIndexLoop",
-      serving.snapshot.lastBatchId, checkpoint)
+      math.max(serving.snapshot.lastBatchId,
+        meta(serving.root).newest.map(_.lastBatchId).getOrElse(-1L)),
+      checkpoint)
     val w = assets.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -807,6 +807,47 @@ class StreamSpec extends AnyFunSuite {
       results.exists(_._6 == "admit"))
   }
 
+  test("near-pair serving: stream verdicts equal the mm_pair_gate_near batch key under an arrival split") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import graft.exts.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val caps = Multimodal.pairCaptionsNear(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Multimodal.pngAssetsIncoming(spark, dir).collect()
+      .map(a => (a.doc_id, a.png, caps(a.doc_id))).sortBy(_._1)
+    assert(pairs.length > 30)
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, String)]
+    val q = graft.stream.MediaServing.startPairsNear(spark, dir,
+      input.toDS().toDF("doc_id", "png", "caption"),
+      (df, _) => results.synchronized {
+        results ++= df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getString(7)))
+      })
+    // split the arrivals so at least one tail-edited pair lands in each
+    // micro-batch — the near index derives from the corpus alone, so
+    // the split must not change any verdict
+    input.addData(pairs.take(pairs.length / 2).toSeq)
+    q.processAllAvailable()
+    input.addData(pairs.drop(pairs.length / 2).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Multimodal.mmPairGateNear(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSet
+    assert(results.toSet === expected)
+    assert(results.size === expected.size) // no duplicate emissions
+    // the near tier actually fired on the stream: an md5-miss/near-hit
+    // row (the tail-edit plant) flowed through and dropped
+    assert(results.exists(r => r._5 == 0L && r._7 == 1L &&
+      r._8 == "drop_duplicate_pair"),
+      "a tail-edited dup pair must drop on the serve path")
+  }
+
   test("media index loop: durable checkpoint restart — reattach resumes, no batch re-applies") {
     import spark.implicits._
     import graft.exts.Multimodal
@@ -1503,8 +1544,9 @@ class StreamSpec extends AnyFunSuite {
     val reattached = graft.stream.GraphIndexLoop.reattach(spark, graphPath)
     assert(reattached.snapshot === graph.snapshot)
     // a stale export naming a layout that is not on disk fails LOUDLY
-    Seq((9L, 30, 999L, 1L))
-      .toDF("version", "bits", "epoch", "n_corpus").coalesce(1)
+    Seq((9L, 30, 999L, 1L, 5L))
+      .toDF("version", "bits", "epoch", "n_corpus", "last_batch_id")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$tmpRoot/meta_stale")
     val staleErr = intercept[IllegalArgumentException] {
       graft.stream.GraphIndexLoop.loadMeta(spark, graphPath,

@@ -13,6 +13,67 @@ class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
 
+/** S3-class rename semantics: `rename` is a NON-ATOMIC copy-then-delete
+  * (directories file by file), with an injectable failure at three
+  * points — the exact store class the r16 FileSystem port exists for
+  * (the reference reaches the same seam through Iceberg's FileIO,
+  * BaseEmrOptimizeDataExecutor.java:82-89). Failures are one-shot and
+  * keyed by a destination-path substring so a test targets EXACTLY the
+  * rename under scrutiny while Spark's own committer renames proceed:
+  *
+  *  - `before`  — the rename fails before any byte moves (dst absent);
+  *  - `between` — the copy completes but the source delete never runs
+  *    (crash between the two halves: dst complete, src still there);
+  *  - `midway`  — a DIRECTORY rename copies only half its children
+  *    then fails (the half-published layout a reader must never take
+  *    for a committed one).
+  *
+  * Per-object copies stay whole-object-visible (each file lands via one
+  * local copy), matching object-store PUT semantics — non-atomicity
+  * lives between objects, not inside one. */
+object GraftHostileFs {
+  @volatile var failDstSubstring: Option[String] = None
+  /** Suffix-matched arm for targets whose name also appears in interior
+    * paths (an artifact dir's name rides inside its own staging dir and
+    * every committer rename under it — only the final publish rename's
+    * dst ENDS with the bare entry name). */
+  @volatile var failDstSuffix: Option[String] = None
+  @volatile var failMode: String = "between"
+}
+
+class GraftHostileFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FileUtil, Path}
+  override def getScheme: String = "hostilefs"
+  override def getUri: java.net.URI = java.net.URI.create("hostilefs:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    val bySub = GraftHostileFs.failDstSubstring
+      .exists(s => dst.toString.contains(s))
+    val bySuf = GraftHostileFs.failDstSuffix
+      .exists(s => dst.toString.endsWith(s))
+    val armed = bySub || bySuf
+    if (bySub) GraftHostileFs.failDstSubstring = None // one-shot
+    if (bySuf) GraftHostileFs.failDstSuffix = None
+    if (armed && GraftHostileFs.failMode == "before") return false
+    if (armed && GraftHostileFs.failMode == "midway" &&
+        getFileStatus(src).isDirectory) {
+      mkdirs(dst)
+      val kids = listStatus(src).sortBy(_.getPath.getName)
+      kids.take(kids.length / 2).foreach { st =>
+        FileUtil.copy(this, st.getPath, this,
+          new Path(dst, st.getPath.getName), false, true, getConf)
+      }
+      return false
+    }
+    if (!FileUtil.copy(this, src, this, dst, false, true, getConf))
+      return false
+    // 'between': crash after the copy, before the source delete — the
+    // caller sees a failed rename while dst is complete and src remains
+    if (armed) return false
+    delete(src, true)
+    true
+  }
+}
+
 /** Gates on the [[LoopCore]] machinery shared by the four
   * index-maintenance loops: marker escaping, marker retention, the
   * fresh-query-on-a-resumed-root guard, and the loops running end to
@@ -288,5 +349,259 @@ class LoopCoreSpec extends AnyFunSuite {
     assert(plan.collectLeaves().forall(_.isInstanceOf[
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
       s"live fleet frame must read no storage, got:\n$plan")
+  }
+
+  test("fleet maintenance tick: exactly the rank-1 family rebuilds; its pressure resets; replay guards untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.exts.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    // MEDIA — the planted needy family (two pending admitted assets at
+    // rebuildAfter 4 → 500‰); the other three low by construction
+    val mediaRoot = tmp("tick-media")
+    val corpusPng = Multimodal.encodeNearPng(4400004L)
+    val serving = MediaIndexLoop.build(spark,
+      Multimodal.canonicalSignatures(Seq((100L, corpusPng))
+        .toDF("doc_id", "png").as[Multimodal.PngAsset]).toDF(),
+      Multimodal.videoFingerprints(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "gif").as[Multimodal.GifAsset]).toDF(),
+      Multimodal.audioWindowFps(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "wav").as[Multimodal.WavAsset]).toDF(),
+      mediaRoot)
+    MediaIndexLoop.applyBatch(spark, serving,
+      Seq((10L, "img", Multimodal.encodeNearPng(4500004L)),
+        (20L, "img", Multimodal.encodeNearPng(4600004L)))
+        .toDF("doc_id", "modality", "media"), 0L, 100L, (_, _) => ())
+    assert(serving.snapshot.nPending === 2L)
+    val lexRoot = tmp("tick-lex")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).limit(20)
+    val lex = LexIndexLoop.buildIndex(spark, docs, lexRoot)
+    val base = tmp("tick-vec")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 100L).write.parquet(s"$base/corpus")
+    val ivf = IndexLoop.buildIndex(spark, s"$base/corpus")
+    val graph = GraphIndexLoop.buildGraph(spark, s"$base/corpus",
+      s"$base/graph", target = 8L)
+    val beforeLex = lex.snapshot
+    val beforeIvf = ivf.snapshot
+    val beforeGraph = graph.snapshot
+    val beforeMediaBatch = serving.snapshot.lastBatchId
+    var healths = List.empty[(String, Long)]
+    // TICK: the decision reads serving snapshots only; exactly the
+    // planted-needy family's ACT branch runs
+    val (family, acted) = FleetHealth.maintenanceTick(spark,
+      (serving, 4L), lex, (ivf, s"$base/corpus"),
+      (graph, s"$base/corpus"), graphTarget = 8L,
+      onHealth = (f, v, h) => { h.count(); healths ::= (f, v) })
+    assert(family === "media" && acted,
+      s"the planted-needy family must be dispatched, got ($family, $acted)")
+    // ONLY media rebuilt: version bumped, pending merged and reset
+    assert(serving.snapshot.version === 1L)
+    assert(serving.snapshot.nPending === 0L)
+    assert(serving.snapshot.lastBatchId === beforeMediaBatch,
+      "a fleet rebuild must not move the stream replay guard")
+    assert(lex.snapshot === beforeLex, "lex must be untouched")
+    assert(ivf.snapshot === beforeIvf, "ivf must be untouched")
+    assert(graph.snapshot === beforeGraph, "graph must be untouched")
+    // the merged layout serves the admitted assets
+    assert(serving.sigs(spark, "img").select(col("doc_id")).distinct()
+      .count() === 3L)
+    // the NEXT tick reads media's pressure reset from the swapped state
+    val after = FleetHealth.pressures(spark, (serving, 4L), lex, ivf,
+        graph, graphTarget = 8L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("media") === 0L,
+      s"acted family's pressure must reset, got $after")
+    val (family2, acted2) = FleetHealth.maintenanceTick(spark,
+      (serving, 4L), lex, (ivf, s"$base/corpus"),
+      (graph, s"$base/corpus"), graphTarget = 8L)
+    assert(family2 !== "media",
+      s"the reset family must not be dispatched again, got $family2")
+    assert(!acted2 || family2 != "media")
+    // a fleet commit is durable and replay-safe: reattach restores the
+    // post-rebuild state, and the stream's next batch id applies once
+    val re = MediaIndexLoop.reattach(spark, mediaRoot)
+    assert(re.snapshot === serving.snapshot,
+      "the fleet rebuild must commit through the marker protocol")
+    val v2 = MediaIndexLoop.applyBatch(spark, serving,
+      Seq((30L, "img", corpusPng)).toDF("doc_id", "modality", "media"),
+      1L, 100L, (_, _) => ()).collect()
+    assert(v2.length === 1 && v2.head.getLong(5) === 0L,
+      "post-rebuild batches keep gating against the merged layout")
+    assert(serving.snapshot.lastBatchId === 1L)
+  }
+
+  // ---- hostile-rename FileSystem gate (r17): the loops' commit
+  //      protocol against S3-class rename semantics ----
+
+  private def registerHostileFs(): Unit = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hostilefs.impl", classOf[GraftHostileFs].getName)
+    GraftHostileFs.failDstSubstring = None
+    GraftHostileFs.failDstSuffix = None
+  }
+
+  test("hostile FS: lex loop end to end when EVERY rename is non-atomic copy+delete") {
+    import spark.implicits._
+    registerHostileFs()
+    val root = s"hostilefs://${tmp("hostile-lex")}/lex"
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents").select(col("doc_id"), col("text")).limit(20)
+      .localCheckpoint(true)
+    val index = LexIndexLoop.buildIndex(spark, corpus, root)
+    val base = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val b0 = base.take(10).map { case (id, t) => (id + 600000L, t) }.toSeq
+    LexIndexLoop.applyBatch(spark, index, root,
+      b0.toDF("doc_id", "text"), 0L, (_, _, _, _) => ())
+    assert(index.version === 1L,
+      "compaction must fire under copy+delete renames")
+    // served results equal a fresh inline index — no step depended on
+    // rename atomicity (payloads are marker-gated, markers idempotent)
+    val full = corpus.unionByName(b0.toDF("doc_id", "text"))
+    val queries = base.take(3)
+      .map { case (id, t) => (id + 900000L, t) }.toSeq
+      .toDF("doc_id", "text")
+    val inline = graft.exts.TextAnalysis.bm25ScoreAgainst(
+        graft.exts.TextAnalysis.bm25Postings(full),
+        graft.exts.TextAnalysis.bm25Stats(full),
+        queries.select(col("doc_id").as("query_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+")))
+            .as("term")),
+        10, excludeSelf = false)
+      .collect().map(_.toString).toSet
+    val served = LexIndexLoop.scoreAgainst(spark, index.snapshot, queries)
+      .collect().map(_.toString).toSet
+    assert(served === inline)
+    assert(LexIndexLoop.reattach(spark, root).snapshot === index.snapshot)
+  }
+
+  test("hostile FS: a marker rename that dies between copy and delete still commits (complete dst is the winner)") {
+    registerHostileFs()
+    val root = s"hostilefs://${tmp("hostile-marker")}"
+    val store = new LoopCore.MetaStore[Long](root, "h",
+      n => s"""{"n":$n}""", j => LoopCore.jsonLong(j, "n"))
+    GraftHostileFs.failMode = "between"
+    GraftHostileFs.failDstSubstring = Some("state-h5")
+    store.write(5L, 50L)
+    assert(GraftHostileFs.failDstSubstring.isEmpty, "injection consumed")
+    assert(store.read(5L).contains(50L),
+      "a complete destination must commit even when rename 'fails'")
+    assert(store.newest.contains(50L))
+  }
+
+  test("hostile FS: a marker rename that dies before any byte moves fails LOUDLY, never silently") {
+    registerHostileFs()
+    val root = s"hostilefs://${tmp("hostile-marker2")}"
+    val store = new LoopCore.MetaStore[Long](root, "h",
+      n => s"""{"n":$n}""", j => LoopCore.jsonLong(j, "n"))
+    GraftHostileFs.failMode = "before"
+    GraftHostileFs.failDstSubstring = Some("state-h7")
+    val err = intercept[IllegalStateException] { store.write(7L, 70L) }
+    assert(err.getMessage.contains("no winner"))
+    assert(store.read(7L).isEmpty,
+      "a failed commit must be invisible to readers")
+    GraftHostileFs.failMode = "between"
+  }
+
+  test("hostile FS: a half-published artifact payload is never taken for committed; the retry self-heals") {
+    registerHostileFs()
+    import graft.exts.ArtifactStore
+    val root = s"hostilefs://${tmp("hostile-store")}"
+    val prior = spark.conf.getOption(ArtifactStore.RootConf)
+    spark.conf.set(ArtifactStore.RootConf, root)
+    spark.conf.set(ArtifactStore.PublishWaitConf, "400")
+    try {
+      ArtifactStore.clear()
+      val dir = "/root/testdata/sf0.001"
+      val version = graft.Tables.version(dir, "documents")
+      // arm on the final entry dir's bare name (suffix match — only the
+      // PUBLISH rename's dst ends with it; committer renames inside the
+      // staging dir carry it mid-path): the payload DIRECTORY rename
+      // copies half its files and fails — the half-published version a
+      // reader must never serve
+      val finName = graft.exts.ArtifactStore.locate(spark,
+        "hostile-probe", dir, version).split('/').last
+      GraftHostileFs.failMode = "midway"
+      GraftHostileFs.failDstSuffix = Some(s"/$finName")
+      val err = intercept[IllegalArgumentException] {
+        ArtifactStore.resolve(spark, "hostile-probe", dir, version) { st =>
+          spark.range(64).toDF("n").write.mode("overwrite")
+            .parquet(s"$st/payload.parquet")
+        }
+      }
+      assert(err.getMessage.contains("artifact publish failed"))
+      // the torn directory exists but is NOT ready: no manifest landed
+      val fin = graft.exts.ArtifactStore.locate(spark, "hostile-probe",
+        dir, version)
+      assert(!ArtifactStore.ready(fin, "hostile-probe", dir, "", version),
+        "a half-published payload must never read as committed")
+      // retry with the injection cleared: the torn dir is swept and the
+      // artifact commits (manifest strictly after every payload byte)
+      GraftHostileFs.failMode = "between"
+      ArtifactStore.clear()
+      val fin2 = ArtifactStore.resolve(spark, "hostile-probe", dir,
+        version) { st =>
+        spark.range(64).toDF("n").write.mode("overwrite")
+          .parquet(s"$st/payload.parquet")
+      }
+      assert(ArtifactStore.ready(fin2, "hostile-probe", dir, "", version))
+      assert(spark.read.parquet(s"$fin2/payload.parquet").count() === 64L)
+    } finally {
+      spark.conf.unset(ArtifactStore.PublishWaitConf)
+      prior match {
+        case Some(p) => spark.conf.set(ArtifactStore.RootConf, p)
+        case None => spark.conf.unset(ArtifactStore.RootConf)
+      }
+      ArtifactStore.clear()
+    }
+  }
+
+  test("hostile FS: a failed corpus-file landing aborts the graph batch BEFORE the marker; the replay re-applies identically") {
+    import spark.implicits._
+    registerHostileFs()
+    val base = s"hostilefs://${tmp("hostile-graph")}"
+    val corpusPath = s"$base/corpus"
+    val graphPath = s"$base/graph"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 100L)
+      .write.parquet(corpusPath)
+    val graph = GraphIndexLoop.buildGraph(spark, corpusPath, graphPath,
+      target = 8L)
+    val before = graph.snapshot
+    val vecs = spark.read.parquet(corpusPath).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batch = Seq((3000001L, vecs(1L).map(x => -x)),
+      (3000002L, vecs(2L).map(x => -x))).toDF("vec_id", "embedding")
+    // arm: the batch's corpus-file landing rename fails (r17 ADVICE —
+    // an unchecked false return here silently dropped the file while
+    // the marker still published)
+    GraftHostileFs.failMode = "before"
+    GraftHostileFs.failDstSubstring = Some("batch0-")
+    val err = intercept[IllegalArgumentException] {
+      GraphIndexLoop.applyBatch(spark, graph, corpusPath, batch, 0L,
+        0.999, 8L, (_, _) => ())
+    }
+    assert(err.getMessage.contains("failed to land"))
+    assert(graph.snapshot === before,
+      "an aborted batch must leave the serving state untouched")
+    assert(!LoopCore.exists(s"$graphPath/_meta/state-e1.json"),
+      "the marker must never commit after a failed landing")
+    // replay with the fault cleared: the torn attempt's outputs are
+    // swept and the batch re-applies to the same result as a rebuild
+    GraftHostileFs.failMode = "between"
+    val (nNew, _) = GraphIndexLoop.applyBatch(spark, graph, corpusPath,
+      batch, 0L, 0.999, 8L, (_, _) => ())
+    assert(nNew === 2L)
+    assert(graph.snapshot.epoch === 1L)
+    val served = graph.edges(spark).collect().map(_.toString).toSet
+    val rebuilt = graft.exts.Similarity.knnGraphOver(
+        spark.read.parquet(corpusPath)
+          .select(col("vec_id"), col("embedding")),
+        before.bits, graft.exts.Similarity.KnnGraphK)
+      .collect().map(_.toString).toSet
+    assert(served === rebuilt)
   }
 }
