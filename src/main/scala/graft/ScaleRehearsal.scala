@@ -398,7 +398,13 @@ object ScaleRehearsal {
       // pair gate (r16): image side = the persisted-artifact probe
       // (batch-sized codec work), caption side = a corpus-linear md5
       // reduce joined on the digest — growth tracks the caption reduce.
-      "mm_pair_gate" -> SparkEntry.queries("mm_pair_gate"))
+      "mm_pair_gate" -> SparkEntry.queries("mm_pair_gate"),
+      // near pair gate + audit (r17): adds the shingle near tier over
+      // the DISTINCT corpus caption index (distinct-caption-sized, not
+      // corpus-sized) — growth still tracks the caption reduce; the
+      // audit adds one batch-keyed evidence join.
+      "mm_pair_gate_near" -> SparkEntry.queries("mm_pair_gate_near"),
+      "mm_pair_audit" -> SparkEntry.queries("mm_pair_audit"))
     // optional args(2): comma-separated substrings — rehearse only the
     // matching queries (dev loop for a new row; default = all)
     val only =

@@ -330,6 +330,17 @@ object Dedup {
     * universe. Candidate pairs and match counts are batch-bounded
     * metadata. */
   def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    incrementalNearEvidence(corpus, batch, maxShingleDf)
+      .select(col("doc_id"), col("n_near_matches"), col("is_near_dup"))
+
+  /** [[incrementalNearDups]] with the MATCH EVIDENCE kept: `match_id`
+    * is the smallest corpus doc id whose kept-shingle Jaccard clears
+    * the threshold (−1 when new) — the canonical-pointer column the
+    * audit records need (the matched_id convention of the media gates),
+    * folded into the SAME rollup aggregate so the two forms cannot
+    * drift. */
+  def incrementalNearEvidence(corpus: DataFrame, batch: DataFrame,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val hot = hotShingles(corpus, maxShingleDf)
     val cSh = hashedShingles(corpus).join(hot, Seq("sh"), "left_anti")
@@ -344,13 +355,15 @@ object Dedup {
       .join(cSizes, Seq("doc_id"))
       .join(broadcast(bSizes), Seq("b_id"))
       .filter(col("inter") * 3 >= col("n_b") + col("n_c"))
-      .groupBy(col("b_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("b_id")).agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("m_id"))
     batch.select(col("doc_id"))
       .join(broadcast(near.withColumnRenamed("b_id", "doc_id")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_near_matches"),
-        (coalesce(col("n"), lit(0L)) > 0L).as("is_near_dup"))
+        (coalesce(col("n"), lit(0L)) > 0L).as("is_near_dup"),
+        coalesce(col("m_id"), lit(-1L)).as("match_id"))
   }
 
   def incrementalNearDups(spark: SparkSession, dir: String): DataFrame =

@@ -641,6 +641,46 @@ object Multimodal {
     mmPairGateNearOver(spark, dir,
       pngAssetsIncoming(spark, dir), pairCaptionsNear(spark, dir))
 
+  /** Per-PAIR audit record — curation_audit answers "why did my doc
+    * disappear", media_audit the same for assets; this is the pair
+    * analog: one explain row per incoming (image, caption) pair joining
+    * BOTH sides' evidence in pipeline order — the image tier's match
+    * count / canonical pointer / closest Hamming, the caption tier's
+    * exact-md5 flag, near-match count and CANONICAL CAPTION SOURCE
+    * (`cap_match_id` — the smallest corpus doc whose caption this one
+    * near-duplicates, the matched_id convention applied to the text
+    * side), and the composed disposition exactly as
+    * [[mmPairGateNearOver]] emits it. A reviewer reading the
+    * `review_recaptioned` queue sees WHICH corpus caption the md5 tier
+    * compared against (none — cap_match_id −1) while a
+    * `drop_duplicate_pair` row names both canonicals.
+    *
+    * Scale shape: the gate's own chains plus ONE extra batch-keyed
+    * shuffle-hash join for the caption evidence
+    * ([[Dedup.incrementalNearEvidence]] — the same rollup aggregate as
+    * the gate's flag, so the two columns cannot drift); everything
+    * stays batch-bounded. */
+  def mmPairAudit(spark: SparkSession, dir: String): DataFrame = {
+    val caps = pairCaptionsNear(spark, dir)
+    val gate = mmPairGateNearOver(spark, dir,
+      pngAssetsIncoming(spark, dir), caps)
+    val distinctCaps = captions(spark, dir)
+      .groupBy(col("caption"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("caption").as("text"))
+    val capEv = Dedup.incrementalNearEvidence(distinctCaps,
+        caps.select(col("batch_id").as("doc_id"),
+          col("caption").as("text")))
+      .select(col("doc_id").as("batch_id"),
+        col("match_id").as("cap_match_id"))
+    gate.join(capEv.hint("shuffle_hash"), Seq("batch_id"))
+      .select(col("batch_id"),
+        (col("n_matches") > 0L).cast("long").as("img_dup"),
+        col("n_matches"), col("matched_id"), col("min_hamming"),
+        col("cap_dup"), col("cap_near_matches"), col("cap_dup_near"),
+        col("cap_match_id"), col("disposition"))
+  }
+
   // ---- REAL video decode (javax.imageio, multi-frame animated GIF) ----
 
   /** A video asset whose payload is a GENUINE animated GIF: GIF89a

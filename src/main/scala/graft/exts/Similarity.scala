@@ -537,20 +537,30 @@ object Similarity {
     * with at least one wedge; the ratio is integer ‰ so both engines
     * agree bit-for-bit.
     *
-    * Scale shape: the edge list (≤ n·k rows of two longs) checkpoints
-    * once and feeds all three passes; wedges are edges⋈edges on the
-    * shared middle node (co-partitioned shuffle-hash, ≤ n·k² rows — k is
-    * a constant, so linear in n); closure is a LEFT-SEMI join of wedges
-    * against the same edge list on (src, far) — multiplicity lives on
-    * the wedge side, so the semi-join never duplicates; both rollups are
-    * map-side-combinable hash aggregates joined on their own key. */
+    * Scale shape: wedges are edges⋈edges on the shared middle node
+    * (co-partitioned shuffle-hash, ≤ n·k² rows — k is a constant, so
+    * linear in n); closure is a LEFT-SEMI join of wedges against the
+    * same edge list on (src, far) — multiplicity lives on the wedge
+    * side, so the semi-join never duplicates; both rollups are
+    * map-side-combinable hash aggregates joined on their own key. The
+    * edge list (≤ n·k rows of two longs) feeds all three passes: an
+    * EXPENSIVE edge frame must be materialized by the caller (the
+    * corpus overload eagerly checkpoints its fresh knnGraph), while the
+    * artifact/serving-layout callers re-scan their parquet three
+    * times — the r17 TriangleProbe measured the former blanket
+    * localCheckpoint(false) here at +47% wall on the registered key
+    * (materialize + 32-partition local-RDD rescan of a 6,000-row frame
+    * costs more than two extra columnar scans; at lake scale three
+    * column-pruned parquet scans of a 2-column artifact stay cheaper
+    * than one serialized local checkpoint round-trip). */
   def graphTriangles(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame =
-    graphTrianglesFromEdges(knnGraph(corpus0, k))
+    graphTrianglesFromEdges(knnGraph(corpus0, k).localCheckpoint(true))
 
-  /** [[graphTriangles]] over a PREBUILT edge frame. */
+  /** [[graphTriangles]] over a PREBUILT edge frame (one the caller can
+    * afford to have scanned three times — an artifact, a serving
+    * layout, or an already-checkpointed build). */
   def graphTrianglesFromEdges(edges: DataFrame): DataFrame = {
     val e = edges.select("src_id", "dst_id")
-      .localCheckpoint(false)
     val wedges = e.select(col("src_id"), col("dst_id").as("mid_id"))
       .join(e.select(col("src_id").as("mid_id"), col("dst_id").as("far_id"))
         .hint("shuffle_hash"), Seq("mid_id"))

@@ -780,6 +780,90 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** Shared CTE chain of the NEAR pair gate and its audit
+    * (mm_pair_gate_near / mm_pair_audit): the mm_dup_incremental image
+    * chain as `ginc`, the near-pair caption fixture (tail-edit branch
+    * d%48==43), the distinct-corpus-caption index with its canonical
+    * (min) carrier doc, the generic shingle / df-cap / integer-Jaccard
+    * near law, and the per-batch caption flags + canonical source in
+    * `cflag`. */
+  private def mmPairNearCtes: String =
+    s"""ginc AS ($mmDupIncrementalSql),
+       |icap AS (SELECT doc_id,
+       |    doc_id + ${Multimodal.IncomingIdOffset} AS batch_id,
+       |    CASE WHEN doc_id % ${Multimodal.PairCapTailMod} = 43
+       |           THEN doc_id % ${Multimodal.DupContentMod}
+       |         WHEN doc_id % ${Multimodal.PairCapBranchMod} = 1
+       |           THEN 300000 + doc_id
+       |         WHEN doc_id % ${Multimodal.PairCapBranchMod} = 2
+       |           THEN 90000 + doc_id % ${Multimodal.CapStockPool}
+       |         ELSE doc_id % ${Multimodal.DupContentMod} END
+       |      AS cap_id,
+       |    (doc_id % ${Multimodal.PairCapTailMod} = 43) AS tail
+       |  FROM documents WHERE doc_id % 8 = 3),
+       |ictext AS (SELECT batch_id,
+       |    'caption ' || cap_id || ' about subject ' ||
+       |      ((cap_id * 7) % 97) ||
+       |      CASE WHEN tail THEN ' v2' ELSE '' END AS caption
+       |  FROM icap),
+       |ccap AS (SELECT doc_id,
+       |    CASE WHEN doc_id % ${Multimodal.CapBranchMod} = 3
+       |           THEN 100000 + doc_id
+       |         WHEN doc_id % ${Multimodal.CapBranchMod} = 4
+       |           THEN 90000 + doc_id % ${Multimodal.CapStockPool}
+       |         ELSE doc_id % ${Multimodal.DupContentMod} END
+       |      AS cap_id
+       |  FROM documents),
+       |cdist AS (SELECT 'caption ' || cap_id ||
+       |    ' about subject ' || ((cap_id * 7) % 97) AS caption,
+       |    min(doc_id) AS doc_id
+       |  FROM ccap GROUP BY 1),
+       |csh AS (
+       |  SELECT DISTINCT caption,
+       |    array_to_string(words[i:i+4], ' ') AS sh
+       |  FROM (SELECT caption,
+       |          regexp_split_to_array(trim(caption), '\\s+') AS words
+       |        FROM cdist),
+       |       LATERAL (SELECT unnest(generate_series(1,
+       |         len(words) - 4)) AS i) t
+       |  WHERE len(words) >= 5),
+       |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM csh
+       |                        GROUP BY sh)
+       |        WHERE df > ${Dedup.DefaultMaxShingleDf}),
+       |ck AS (SELECT caption, sh FROM csh ANTI JOIN hot USING (sh)),
+       |bsh AS (
+       |  SELECT DISTINCT batch_id,
+       |    array_to_string(words[i:i+4], ' ') AS sh
+       |  FROM (SELECT batch_id,
+       |          regexp_split_to_array(trim(caption), '\\s+') AS words
+       |        FROM ictext),
+       |       LATERAL (SELECT unnest(generate_series(1,
+       |         len(words) - 4)) AS i) t
+       |  WHERE len(words) >= 5),
+       |bk AS (SELECT batch_id, sh FROM bsh ANTI JOIN hot USING (sh)),
+       |cs AS (SELECT caption, count(*) AS n_c FROM ck GROUP BY 1),
+       |bs AS (SELECT batch_id, count(*) AS n_b FROM bk GROUP BY 1),
+       |inter AS (SELECT bk.batch_id, ck.caption, count(*) AS inter
+       |  FROM bk JOIN ck USING (sh) GROUP BY 1, 2),
+       |near AS (SELECT i.batch_id, count(*) AS n,
+       |    min(cd.doc_id) AS m_id
+       |  FROM inter i
+       |  JOIN cs ON cs.caption = i.caption
+       |  JOIN bs ON bs.batch_id = i.batch_id
+       |  JOIN cdist cd ON cd.caption = i.caption
+       |  WHERE i.inter * 3 >= bs.n_b + cs.n_c GROUP BY 1),
+       |cm AS (SELECT DISTINCT md5(caption) AS m FROM cdist),
+       |cflag AS (SELECT i.batch_id,
+       |    CAST(CASE WHEN cm.m IS NOT NULL THEN 1 ELSE 0 END
+       |      AS BIGINT) AS cap_dup,
+       |    CAST(coalesce(near.n, 0) AS BIGINT) AS cap_near_matches,
+       |    CAST(CASE WHEN coalesce(near.n, 0) > 0 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS cap_dup_near,
+       |    coalesce(near.m_id, -1) AS cap_match_id
+       |  FROM (SELECT batch_id, md5(caption) AS m FROM ictext) i
+       |  LEFT JOIN cm ON cm.m = i.m
+       |  LEFT JOIN near ON near.batch_id = i.batch_id)""".stripMargin
+
   /** Planted-duplicate image SIGNATURE chain (ends in
     * `sig(doc_id, w, h, total, ahash)`): content id c = doc_id mod the
     * planted modulus drives the same pixel/block/bit chain as
@@ -1591,6 +1675,12 @@ object PipelineQueries {
       // flag kept as evidence — near subsumes exact).
       "mm_pair_gate_near" -> ((s, dir) =>
         Multimodal.mmPairGateNear(s, dir)),
+      // Per-pair audit record (r17): curation_audit / media_audit's
+      // pair analog — both tiers' evidence (image match count /
+      // canonical / Hamming; caption exact flag, near count, canonical
+      // caption source doc) joined to the composed disposition, one
+      // explain row per incoming pair.
+      "mm_pair_audit" -> ((s, dir) => Multimodal.mmPairAudit(s, dir)),
       // Fleet-scope index health (r16): the four index families'
       // health rows normalized to one integer pressure each and
       // ranked — "which index needs maintenance next", the
@@ -5520,80 +5610,32 @@ object PipelineQueries {
       // near law — distinct corpus captions → word 5-gram shingles →
       // df-capped inverted index → integer Jaccard ≥ 1/2 — exactly the
       // dedup_incremental_near algorithm, never a special-cased
-      // membership test. The md5 flag rides along as evidence.
+      // membership test. The md5 flag rides along as evidence. CTE
+      // chain shared with mm_pair_audit (factored val — the gate and
+      // its audit cannot drift).
       "mm_pair_gate_near" ->
-        s"""WITH ginc AS ($mmDupIncrementalSql),
-           |icap AS (SELECT doc_id,
-           |    doc_id + ${Multimodal.IncomingIdOffset} AS batch_id,
-           |    CASE WHEN doc_id % ${Multimodal.PairCapTailMod} = 43
-           |           THEN doc_id % ${Multimodal.DupContentMod}
-           |         WHEN doc_id % ${Multimodal.PairCapBranchMod} = 1
-           |           THEN 300000 + doc_id
-           |         WHEN doc_id % ${Multimodal.PairCapBranchMod} = 2
-           |           THEN 90000 + doc_id % ${Multimodal.CapStockPool}
-           |         ELSE doc_id % ${Multimodal.DupContentMod} END
-           |      AS cap_id,
-           |    (doc_id % ${Multimodal.PairCapTailMod} = 43) AS tail
-           |  FROM documents WHERE doc_id % 8 = 3),
-           |ictext AS (SELECT batch_id,
-           |    'caption ' || cap_id || ' about subject '
-           |      || ((cap_id * 7) % 97)
-           |      || CASE WHEN tail THEN ' v2' ELSE '' END AS caption
-           |  FROM icap),
-           |ccap AS (SELECT doc_id,
-           |    CASE WHEN doc_id % ${Multimodal.CapBranchMod} = 3
-           |           THEN 100000 + doc_id
-           |         WHEN doc_id % ${Multimodal.CapBranchMod} = 4
-           |           THEN 90000 + doc_id % ${Multimodal.CapStockPool}
-           |         ELSE doc_id % ${Multimodal.DupContentMod} END
-           |      AS cap_id
-           |  FROM documents),
-           |cdist AS (SELECT DISTINCT 'caption ' || cap_id
-           |    || ' about subject ' || ((cap_id * 7) % 97) AS caption
-           |  FROM ccap),
-           |csh AS (
-           |  SELECT DISTINCT caption,
-           |    array_to_string(words[i:i+4], ' ') AS sh
-           |  FROM (SELECT caption,
-           |          regexp_split_to_array(trim(caption), '\\s+') AS words
-           |        FROM cdist),
-           |       LATERAL (SELECT unnest(generate_series(1,
-           |         len(words) - 4)) AS i) t
-           |  WHERE len(words) >= 5),
-           |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM csh
-           |                        GROUP BY sh)
-           |        WHERE df > ${Dedup.DefaultMaxShingleDf}),
-           |ck AS (SELECT caption, sh FROM csh ANTI JOIN hot USING (sh)),
-           |bsh AS (
-           |  SELECT DISTINCT batch_id,
-           |    array_to_string(words[i:i+4], ' ') AS sh
-           |  FROM (SELECT batch_id,
-           |          regexp_split_to_array(trim(caption), '\\s+') AS words
-           |        FROM ictext),
-           |       LATERAL (SELECT unnest(generate_series(1,
-           |         len(words) - 4)) AS i) t
-           |  WHERE len(words) >= 5),
-           |bk AS (SELECT batch_id, sh FROM bsh ANTI JOIN hot USING (sh)),
-           |cs AS (SELECT caption, count(*) AS n_c FROM ck GROUP BY 1),
-           |bs AS (SELECT batch_id, count(*) AS n_b FROM bk GROUP BY 1),
-           |inter AS (SELECT bk.batch_id, ck.caption, count(*) AS inter
-           |  FROM bk JOIN ck USING (sh) GROUP BY 1, 2),
-           |near AS (SELECT i.batch_id, count(*) AS n FROM inter i
-           |  JOIN cs ON cs.caption = i.caption
-           |  JOIN bs ON bs.batch_id = i.batch_id
-           |  WHERE i.inter * 3 >= bs.n_b + cs.n_c GROUP BY 1),
-           |cm AS (SELECT DISTINCT md5(caption) AS m FROM cdist),
-           |cflag AS (SELECT i.batch_id,
-           |    CAST(CASE WHEN cm.m IS NOT NULL THEN 1 ELSE 0 END
-           |      AS BIGINT) AS cap_dup,
-           |    CAST(coalesce(near.n, 0) AS BIGINT) AS cap_near_matches,
-           |    CAST(CASE WHEN coalesce(near.n, 0) > 0 THEN 1 ELSE 0 END
-           |      AS BIGINT) AS cap_dup_near
-           |  FROM (SELECT batch_id, md5(caption) AS m FROM ictext) i
-           |  LEFT JOIN cm ON cm.m = i.m
-           |  LEFT JOIN near ON near.batch_id = i.batch_id)
+        s"""WITH $mmPairNearCtes
            |SELECT g.batch_id, g.n_matches, g.matched_id, g.min_hamming,
            |  f.cap_dup, f.cap_near_matches, f.cap_dup_near,
+           |  CASE WHEN g.is_new = 0 AND f.cap_dup_near = 1
+           |         THEN 'drop_duplicate_pair'
+           |       WHEN g.is_new = 0 THEN 'review_recaptioned'
+           |       WHEN f.cap_dup_near = 1 THEN 'review_restocked'
+           |       ELSE 'admit' END AS disposition
+           |FROM ginc g JOIN cflag f USING (batch_id)""".stripMargin,
+
+      // Per-pair audit (r17): the SAME chain with the evidence columns
+      // kept — img_dup plus the canonical caption source doc
+      // (cap_match_id = smallest corpus doc whose caption near-matches;
+      // -1 when the caption is genuinely new).
+      "mm_pair_audit" ->
+        s"""WITH $mmPairNearCtes
+           |SELECT g.batch_id,
+           |  CAST(CASE WHEN g.n_matches > 0 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS img_dup,
+           |  g.n_matches, g.matched_id, g.min_hamming,
+           |  f.cap_dup, f.cap_near_matches, f.cap_dup_near,
+           |  f.cap_match_id,
            |  CASE WHEN g.is_new = 0 AND f.cap_dup_near = 1
            |         THEN 'drop_duplicate_pair'
            |       WHEN g.is_new = 0 THEN 'review_recaptioned'

@@ -4408,4 +4408,53 @@ class PipelineSpec extends AnyFunSuite {
       assert((nm, mid, mh) === img(id), s"image evidence drifted for $id")
     }
   }
+
+  test("mm_pair_audit: one explain row per pair; disposition and evidence equal the gate's; caption canonical consistent") {
+    // columns: batch_id, img_dup, n_matches, matched_id, min_hamming,
+    //          cap_dup, cap_near_matches, cap_dup_near, cap_match_id,
+    //          disposition
+    val audit = Multimodal.mmPairAudit(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getString(9)))).toMap
+    val gate = Multimodal.mmPairGateNear(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // COMPOSITION LAW: exactly the gate's pair universe, disposition
+    // and both sides' evidence byte-equal
+    assert(audit.keySet === gate.keySet)
+    audit.foreach { case (id, a) =>
+      val g = gate(id)
+      assert(a._9 === g._7, s"audit disposition drifted for $id")
+      assert((a._2, a._3, a._4) === ((g._1, g._2, g._3)),
+        s"image evidence drifted for $id")
+      assert((a._5, a._6, a._7) === ((g._4, g._5, g._6)),
+        s"caption evidence drifted for $id")
+      assert(a._1 === (if (g._1 > 0L) 1L else 0L), s"img_dup law for $id")
+      // the caption canonical exists exactly when the near tier hit,
+      // and then it names a real corpus doc (non-negative id)
+      if (a._7 == 1L) assert(a._8 >= 0L,
+        s"near-dup caption must name its corpus canonical for $id")
+      else assert(a._8 === -1L,
+        s"a new caption must carry the -1 sentinel for $id")
+    }
+    // a reviewer can resolve every drop's caption canonical: on the
+    // tail-edit divergence rows the canonical carries the BASE caption
+    val corpusCaps = Multimodal.captions(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tailDrops = audit.filter { case (id, a) =>
+      (id - Multimodal.IncomingIdOffset) %
+        Multimodal.PairCapTailMod == 43L && a._7 == 1L
+    }
+    assert(tailDrops.nonEmpty)
+    tailDrops.foreach { case (id, a) =>
+      val capId = (id - Multimodal.IncomingIdOffset) %
+        Multimodal.DupContentMod
+      assert(corpusCaps(a._8) ===
+        s"caption $capId about subject ${(capId * 7) % 97}",
+        s"tail drop $id must point at its base caption's canonical doc")
+    }
+  }
 }
