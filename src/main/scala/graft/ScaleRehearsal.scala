@@ -509,6 +509,49 @@ object ScaleRehearsal {
           f"($nb batches of $per)")
       }
     }
+    // Pair-gate serve throughput at a FIXED TRIGGER (150
+    // pairs/micro-batch — the startMedia convention): the near-pair
+    // fixture through MediaServing.startPairsNear. Per-batch cost is
+    // the batch's image decode + the banded artifact probe + the two
+    // caption probes (md5 set + the distinct-caption shingle index,
+    // both corpus-derived and resolved per batch), so rows/s should
+    // hold ~flat as the corpus grows; the one-time signature artifact
+    // build is excluded (resolved before the clock).
+    if (wanted("pairs_serving")) {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sql = spark.sqlContext
+      import graft.exts.Multimodal
+      for ((label, dir) <- Seq(("sf0.1", src), ("sf1", out))) {
+        val caps = Multimodal.pairCaptionsNear(spark, dir).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val pairs = Multimodal.pngAssetsIncoming(spark, dir).collect()
+          .map(a => (a.doc_id, a.png, caps(a.doc_id))).sortBy(_._1)
+        // resolve the corpus signature artifact BEFORE timing
+        Multimodal.mmPairGateNearOver(spark, dir,
+          pairs.take(3).toSeq.toDF("doc_id", "png", "caption")
+            .select(col("doc_id"), col("png"))
+            .as[Multimodal.PngAsset],
+          pairs.take(3).toSeq.toDF("doc_id", "png", "caption")
+            .select(col("doc_id").as("batch_id"), col("caption")))
+          .count()
+        val input = MemoryStream[(Long, Array[Byte], String)]
+        val q = graft.stream.MediaServing.startPairsNear(spark, dir,
+          input.toDS().toDF("doc_id", "png", "caption"),
+          (df, _) => { df.count(); () })
+        val per = 150
+        var nb = 0
+        val t0 = System.nanoTime()
+        pairs.grouped(per).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable(); nb += 1
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"[scale] $label%-6s pairs_serving ${pairs.length} " +
+          f"pairs in $secs%.2f s = ${pairs.length / secs}%.0f rows/s " +
+          f"($nb batches of $per)")
+      }
+    }
     // Lex composite serve throughput at a FIXED TRIGGER (250
     // queries/micro-batch): v0 built over the corpus, one below-threshold
     // delta landed so every query scores against the COMPOSITE

@@ -241,8 +241,27 @@ object MediaIndexLoop {
     * strictly decrease; the iteration cap only trips if ids collide
     * across corpus and batch, which the ingest contract forbids —
     * fail loudly rather than emit a cyclic pointer. */
-  private def resolveCanonicals(spark: SparkSession,
+  private[stream] def resolveCanonicals(spark: SparkSession,
       verdicts: DataFrame): DataFrame = {
+    // cycle guard UP FRONT: within-batch matches point at strictly
+    // smaller ids and corpus pointers terminate, so a cycle REQUIRES a
+    // gated pointer at a gated asset with a non-decreasing id — the
+    // id-collision contract violation. Detecting it here fails fast and
+    // by name; left to the iteration cap it would surface as 64 rounds
+    // of ever-deeper joins on garbage input first.
+    val gatedIds = verdicts.filter(col("is_new") === 0L)
+      .select(col("modality").as("p_mod"), col("batch_id").as("p_id"))
+    val offending = verdicts.filter(col("is_new") === 0L &&
+        col("matched_id") >= col("batch_id"))
+      .join(gatedIds,
+        col("modality") === col("p_mod") &&
+          col("matched_id") === col("p_id"), "left_semi")
+      .count()
+    if (offending > 0) throw new IllegalStateException(
+      "mediaIndexLoop: canonical pointer chain did not resolve — a " +
+        "gated asset's pointer names a gated asset with a " +
+        "non-decreasing id (duplicate asset ids across corpus and " +
+        "batch?); refusing to emit cyclic pointers")
     var cur = verdicts
     var iter = 0
     while (iter < 64) {

@@ -433,6 +433,41 @@ class LoopCoreSpec extends AnyFunSuite {
     assert(serving.snapshot.lastBatchId === 1L)
   }
 
+  test("pointer-jump property: a 64-deep canonical chain resolves (pointer doubling); a cycle fails loudly by name") {
+    import spark.implicits._
+    // chain: batch asset k (k = 2..64) duplicates batch asset k-1;
+    // asset 1 duplicates CORPUS asset 1000001 — every pointer must
+    // resolve to the landed corpus canonical. The resolver rebuilds the
+    // pointer table from the CURRENT state each jump (pointer
+    // doubling), so depth 64 needs ~6 jumps, far inside the 64-jump
+    // bound whose only reachable trip is a genuine id cycle.
+    val depth = 64
+    val chain = (2 to depth).map(k =>
+        (k.toLong, "img", 1L, (k - 1).toLong, 0L, 0L)) :+
+      ((1L, "img", 1L, 1000001L, 0L, 0L))
+    val resolved = MediaIndexLoop.resolveCanonicals(spark,
+        chain.toDF("batch_id", "modality", "n_matches", "matched_id",
+          "metric", "is_new"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(resolved.size === depth)
+    resolved.foreach { case (id, canonical) =>
+      assert(canonical === 1000001L,
+        s"chain member $id must resolve to the landed corpus " +
+          s"canonical, got $canonical")
+    }
+    // a 2-cycle of gated assets (ids colliding across corpus and
+    // batch — the contract violation) must fail by name, never emit a
+    // dangling or looping pointer
+    val cyc = Seq((10L, "img", 1L, 20L, 0L, 0L),
+      (20L, "img", 1L, 10L, 0L, 0L))
+    val err = intercept[IllegalStateException] {
+      MediaIndexLoop.resolveCanonicals(spark,
+        cyc.toDF("batch_id", "modality", "n_matches", "matched_id",
+          "metric", "is_new")).collect()
+    }
+    assert(err.getMessage.contains("did not resolve"))
+  }
+
   // ---- hostile-rename FileSystem gate (r17): the loops' commit
   //      protocol against S3-class rename semantics ----
 
