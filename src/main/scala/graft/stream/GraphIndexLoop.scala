@@ -301,6 +301,15 @@ object GraphIndexLoop {
   private[graft] def applyBatch(spark: SparkSession, graph: ServingGraph,
       corpusPath: String, batch0: DataFrame, batchId: Long,
       threshold: Double, target: Long,
+      onHealth: (Long, DataFrame) => Unit): (Long, Long) =
+    graph.withCommitLock {
+      applyBatchLocked(spark, graph, corpusPath, batch0, batchId,
+        threshold, target, onHealth)
+    }
+
+  private def applyBatchLocked(spark: SparkSession, graph: ServingGraph,
+      corpusPath: String, batch0: DataFrame, batchId: Long,
+      threshold: Double, target: Long,
       onHealth: (Long, DataFrame) => Unit): (Long, Long) = {
     // committed already? (failure replay) → strict no-op WITHOUT
     // touching the serving state: the guard keys on the handle's
@@ -409,23 +418,26 @@ object GraphIndexLoop {
     * guard is unaffected. Returns true iff a rebuild ran. */
   def rebuildNow(spark: SparkSession, graph: ServingGraph,
       corpusPath: String, target: Long = Similarity.TargetCellVectors,
-      onHealth: (Long, DataFrame) => Unit = (_, _) => ()): Boolean = {
-    val st = graph.state
-    val want = Similarity.adaptiveBucketBits(st.nCorpus, target)
-    if (want == st.bits) return false
-    val corpus = spark.read.parquet(corpusPath)
-      .select(col("vec_id"), col("embedding"))
-    val next = State(st.version + 1, want, st.epoch + 1, st.nCorpus,
-      st.lastBatchId)
-    bucketedEdges(corpus, want).write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(layoutDir(graph.graphPath, next))
-    writeMetaJson(graph.graphPath, next, nNew = 0L)
-    graph.update(next)
-    gcLayouts(graph.graphPath)
-    onHealth(next.version, Similarity.graphHealthOver(
-      graph.edges(spark), corpus.select(col("vec_id"))))
-    true
-  }
+      onHealth: (Long, DataFrame) => Unit = (_, _) => ()): Boolean =
+    graph.withCommitLock {
+      val st = graph.state
+      val want = Similarity.adaptiveBucketBits(st.nCorpus, target)
+      if (want == st.bits) false
+      else {
+        val corpus = spark.read.parquet(corpusPath)
+          .select(col("vec_id"), col("embedding"))
+        val next = State(st.version + 1, want, st.epoch + 1, st.nCorpus,
+          st.lastBatchId)
+        bucketedEdges(corpus, want).write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket").parquet(layoutDir(graph.graphPath, next))
+        writeMetaJson(graph.graphPath, next, nNew = 0L)
+        graph.update(next)
+        gcLayouts(graph.graphPath)
+        onHealth(next.version, Similarity.graphHealthOver(
+          graph.edges(spark), corpus.select(col("vec_id"))))
+        true
+      }
+    }
 
   /** Start the ingest → gate → epoch publish → width-drift rebuild
     * loop over a streaming (vec_id, embedding) frame. `onCycle(batchId,

@@ -253,6 +253,18 @@ object IndexLoop {
       threshold: Double, maxPasses: Int,
       codesPath: Option[String], codebook: Option[DataFrame],
       gatePath: Option[String], gateTarget: Long,
+      onCycle: (Long, Map[String, Long], Long) => Unit): Unit =
+    index.withCommitLock {
+      applyBatchLocked(spark, index, corpusPath, batch0, batchId,
+        threshold, maxPasses, codesPath, codebook, gatePath, gateTarget,
+        onCycle)
+    }
+
+  private def applyBatchLocked(spark: SparkSession, index: ServingIndex,
+      corpusPath: String, batch0: DataFrame, batchId: Long,
+      threshold: Double, maxPasses: Int,
+      codesPath: Option[String], codebook: Option[DataFrame],
+      gatePath: Option[String], gateTarget: Long,
       onCycle: (Long, Map[String, Long], Long) => Unit): Unit = {
     if (batchId <= index.state.lastBatchId) {
       onCycle(batchId, Map.empty, index.version)
@@ -417,13 +429,18 @@ object IndexLoop {
       codebook: Option[DataFrame] = None): Boolean = {
     require(codesPath.isEmpty == codebook.isEmpty,
       "codesPath and codebook go together")
-    val st = index.state
-    val actions0 = verdictCounts(spark, st.cellStats)
-    if (!hasSplit(actions0)) return false
-    val (cents, stats, _, version) = runMaintenance(spark, corpusPath,
-      st.cents, actions0, st.version, maxPasses, codesPath, codebook)
-    index.update(State(version, cents, stats, st.nCorpus, st.gateBits,
-      st.lastBatchId))
-    true
+    index.withCommitLock {
+      val st = index.state
+      val actions0 = verdictCounts(spark, st.cellStats)
+      if (!hasSplit(actions0)) false
+      else {
+        val (cents, stats, _, version) = runMaintenance(spark,
+          corpusPath, st.cents, actions0, st.version, maxPasses,
+          codesPath, codebook)
+        index.update(State(version, cents, stats, st.nCorpus,
+          st.gateBits, st.lastBatchId))
+        true
+      }
+    }
   }
 }

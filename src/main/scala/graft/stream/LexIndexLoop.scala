@@ -195,6 +195,13 @@ object LexIndexLoop {
     * class doc). Package-private for direct replay tests. */
   private[graft] def applyBatch(spark: SparkSession, index: ServingIndex,
       root: String, batch0: DataFrame, batchId: Long,
+      onCycle: (Long, Long, Boolean, Long) => Unit): Unit =
+    index.withCommitLock {
+      applyBatchLocked(spark, index, root, batch0, batchId, onCycle)
+    }
+
+  private def applyBatchLocked(spark: SparkSession, index: ServingIndex,
+      root: String, batch0: DataFrame, batchId: Long,
       onCycle: (Long, Long, Boolean, Long) => Unit): Unit = {
     // committed already? (failure replay) → strict no-op WITHOUT
     // touching the serving state (the MediaIndexLoop discipline). The
@@ -290,12 +297,12 @@ object LexIndexLoop {
     * at the next commitSeq ordinal with `lastBatchId` untouched so the
     * stream's replay guard is unaffected. Returns true iff anything
     * was pending to compact. */
-  def compactNow(spark: SparkSession, index: ServingIndex): Boolean = {
-    val st = index.snapshot
-    if (st.nPending == 0L) return false
-    compactInto(spark, index.root, index, st)
-    true
-  }
+  def compactNow(spark: SparkSession, index: ServingIndex): Boolean =
+    index.withCommitLock {
+      val st = index.snapshot
+      if (st.nPending == 0L) false
+      else { compactInto(spark, index.root, index, st); true }
+    }
 
   /** Start the ingest → delta append → threshold → compaction loop over
     * a streaming (doc_id, text) frame. `onCycle(batchId, landed,

@@ -83,6 +83,17 @@ private[stream] object LoopCore {
     def snapshot: S = ref.get()
     private[stream] def state: S = ref.get()
     private[stream] def update(s: S): Unit = ref.set(s)
+    /** Serializes COMMITTING operations on this handle — each loop's
+      * applyBatch and its fleet-dispatched rebuild
+      * ([[FleetHealth.maintenanceTick]]) both read the state at entry
+      * and commit at exit, so interleaving them would lose one side's
+      * update (and collide its marker ordinal). READ paths stay
+      * lock-free on the atomic snapshot; only writers queue. One lock
+      * per handle, never held across handles, so the tick (one family
+      * per call) cannot deadlock with any stream. */
+    private[stream] def withCommitLock[A](body: => A): A =
+      commitLock.synchronized(body)
+    private val commitLock = new Object
   }
 
   /** The session Hadoop conf. `getActiveSession` is a THREAD-LOCAL, and

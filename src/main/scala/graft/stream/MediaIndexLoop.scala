@@ -322,6 +322,15 @@ object MediaIndexLoop {
   private[graft] def applyBatch(spark: SparkSession,
       serving: ServingMedia, batch: DataFrame, batchId: Long,
       rebuildAfter: Long,
+      onHealth: (Long, DataFrame) => Unit): DataFrame =
+    serving.withCommitLock {
+      applyBatchLocked(spark, serving, batch, batchId, rebuildAfter,
+        onHealth)
+    }
+
+  private def applyBatchLocked(spark: SparkSession,
+      serving: ServingMedia, batch: DataFrame, batchId: Long,
+      rebuildAfter: Long,
       onHealth: (Long, DataFrame) => Unit): DataFrame = {
     import spark.implicits._
     val st = serving.state
@@ -421,16 +430,19 @@ object MediaIndexLoop {
     * stream's replay guard is unaffected. Returns true iff anything
     * was pending to merge. */
   def rebuildNow(spark: SparkSession, serving: ServingMedia,
-      onHealth: (Long, DataFrame) => Unit = (_, _) => ()): Boolean = {
-    val st = serving.state
-    if (st.nPending == 0L) return false
-    val next = mergePending(spark, serving.root,
-      st.copy(commitSeq = st.commitSeq + 1), onHealth)
-    meta(serving.root).write(next.commitSeq, next)
-    serving.update(next)
-    LoopCore.gcVersions(serving.root, "v(\\d+)".r)
-    true
-  }
+      onHealth: (Long, DataFrame) => Unit = (_, _) => ()): Boolean =
+    serving.withCommitLock {
+      val st = serving.state
+      if (st.nPending == 0L) false
+      else {
+        val next = mergePending(spark, serving.root,
+          st.copy(commitSeq = st.commitSeq + 1), onHealth)
+        meta(serving.root).write(next.commitSeq, next)
+        serving.update(next)
+        LoopCore.gcVersions(serving.root, "v(\\d+)".r)
+        true
+      }
+    }
 
   /** The loop's health row (the media_health shape over the serving
     * index: tagged matcher pairs across all three modalities). */

@@ -433,6 +433,63 @@ class LoopCoreSpec extends AnyFunSuite {
     assert(serving.snapshot.lastBatchId === 1L)
   }
 
+  test("fleet dispatch against a LIVE stream: rebuildNow between micro-batches; the stream keeps gating against the merged layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import graft.exts.Multimodal
+    val root = tmp("live-tick-media")
+    val corpusPng = Multimodal.encodeNearPng(4700004L)
+    val serving = MediaIndexLoop.build(spark,
+      Multimodal.canonicalSignatures(Seq((100L, corpusPng))
+        .toDF("doc_id", "png").as[Multimodal.PngAsset]).toDF(),
+      Multimodal.videoFingerprints(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "gif").as[Multimodal.GifAsset]).toDF(),
+      Multimodal.audioWindowFps(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "wav").as[Multimodal.WavAsset]).toDF(),
+      root)
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val verdicts = scala.collection.mutable.Map.empty[Long, Long]
+    // rebuildAfter far above the batch sizes: only the FLEET dispatch
+    // may merge pending; commit paths hold the handle's commit lock,
+    // so the dispatch serializes with any in-flight batch
+    val q = MediaIndexLoop.start(spark, serving,
+      input.toDS().toDF("doc_id", "modality", "media"),
+      rebuildAfter = 100L,
+      sink = (df, _) => verdicts.synchronized {
+        df.collect().foreach(r => verdicts(r.getLong(0)) = r.getLong(5))
+      })
+    try {
+      val novelA = Multimodal.encodeNearPng(4800004L)
+      val novelB = Multimodal.encodeNearPng(4900004L)
+      input.addData((10L, "img", novelA), (20L, "img", novelB))
+      q.processAllAvailable()
+      assert(serving.snapshot.nPending === 2L)
+      assert(serving.snapshot.version === 0L)
+      // DISPATCH while the query is live (between batches — the
+      // driver-side maintenance tick's position)
+      assert(MediaIndexLoop.rebuildNow(spark, serving))
+      assert(serving.snapshot.version === 1L)
+      assert(serving.snapshot.nPending === 0L)
+      assert(serving.snapshot.lastBatchId === 0L,
+        "the dispatch must not move the stream's replay guard")
+      // the NEXT micro-batch gates against the merged v1 layout: a
+      // re-upload of batch-0 asset 10 is a duplicate, a novel admits
+      input.addData((30L, "img", novelA),
+        (40L, "img", Multimodal.encodeNearPng(5000004L)))
+      q.processAllAvailable()
+      assert(verdicts.synchronized(verdicts(30L)) === 0L,
+        "post-dispatch batches must see the merged signatures")
+      assert(verdicts.synchronized(verdicts(40L)) === 1L)
+      assert(serving.snapshot.lastBatchId === 1L)
+      assert(serving.snapshot.version === 1L)
+      assert(serving.snapshot.nPending === 1L)
+    } finally q.stop()
+    // the interleaved commits left a consistent durable chain
+    assert(MediaIndexLoop.reattach(spark, root).snapshot
+      === serving.snapshot)
+  }
+
   test("pointer-jump property: a 64-deep canonical chain resolves (pointer doubling); a cycle fails loudly by name") {
     import spark.implicits._
     // chain: batch asset k (k = 2..64) duplicates batch asset k-1;
