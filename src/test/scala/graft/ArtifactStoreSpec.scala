@@ -166,6 +166,61 @@ class ArtifactStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset(conf)
   }
 
+  test("store on the HOSTILE scheme (non-atomic copy+delete renames): commit discipline survives; a torn publish never serves") {
+    import graft.stream.GraftHostileFs
+    spark.sparkContext.hadoopConfiguration.set("fs.hostilefs.impl",
+      classOf[GraftHostileFs].getName)
+    GraftHostileFs.failDstSubstring = None
+    GraftHostileFs.failDstSuffix = None
+    GraftHostileFs.failMode = "between"
+    val conf = ArtifactStore.RootConf
+    val base = java.nio.file.Files
+      .createTempDirectory("store-hostile").toString
+    try {
+      spark.conf.set(conf, s"hostilefs://$base/indexes")
+      spark.conf.set(ArtifactStore.PublishWaitConf, "400")
+      var builds = 0
+      def get(v: Long) = ArtifactStore.resolve(spark, "spec-hostile",
+        "/hfs/corpus", v) { staging =>
+        builds += 1
+        import spark.implicits._
+        Seq(("payload", v)).toDF("k", "v")
+          .write.parquet(s"$staging/payload")
+      }
+      // happy path with EVERY rename non-atomic: the manifest-last
+      // protocol commits and serves
+      val p1 = get(1L)
+      assert(p1.startsWith("hostilefs://"))
+      assert(builds === 1)
+      ArtifactStore.clear()
+      assert(get(1L) === p1 && builds === 1,
+        "a committed entry must serve across sessions on the scheme")
+      assert(spark.read.parquet(s"$p1/payload").count() === 1L)
+      // torn publish: the payload DIRECTORY rename copies half its
+      // children then fails — resolve fails LOUDLY, the torn dir never
+      // reads as committed, and the retry self-heals
+      ArtifactStore.clear()
+      val fin2 = graft.exts.ArtifactStore.locate(spark, "spec-hostile",
+        "/hfs/corpus", 2L)
+      GraftHostileFs.failMode = "midway"
+      GraftHostileFs.failDstSuffix = Some("/" + fin2.split('/').last)
+      intercept[IllegalArgumentException] { get(2L) }
+      assert(!graft.exts.ArtifactStore.ready(fin2, "spec-hostile",
+        "/hfs/corpus", "", 2L),
+        "a half-published payload must never read as committed")
+      GraftHostileFs.failMode = "between"
+      ArtifactStore.clear()
+      val p2 = get(2L)
+      assert(graft.exts.ArtifactStore.ready(p2, "spec-hostile",
+        "/hfs/corpus", "", 2L))
+      assert(spark.read.parquet(s"$p2/payload").count() === 1L)
+    } finally {
+      spark.conf.unset(conf)
+      spark.conf.unset(ArtifactStore.PublishWaitConf)
+      ArtifactStore.clear()
+    }
+  }
+
   test("distinct corpus dirs never alias (128-bit identity in the path)") {
     val r = ArtifactStore.root(spark)
     val p1 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/a", "", 1L)
