@@ -391,6 +391,13 @@ object ScaleRehearsal {
       // signatures + two group rollups + id-keyed joins; pairs ≤ 2/doc,
       // so growth tracks the decode (the PNG-family linear constant).
       "mm_caption_pairs" -> SparkEntry.queries("mm_caption_pairs"),
+      // near-tier matrix (r18): adds the distinct-caption shingle
+      // pair/component chain to the matrix — the near graph is
+      // matching-shaped (≤ 1 pair per distinct caption), so the
+      // component loop converges in one relax round and growth still
+      // tracks the decode + the distinct-caption reduce.
+      "mm_caption_pairs_near" ->
+        SparkEntry.queries("mm_caption_pairs_near"),
       // fleet rollup (r16): cost = Σ of the four families' health
       // chains (each separately rehearsed); the union/rank tail is a
       // 4-row window — growth tracks the ivf/graph/media components.

@@ -464,6 +464,150 @@ object Multimodal {
           .otherwise(lit("cap_only")).as("cell"))
   }
 
+  /** Modulus of the corpus TAIL-EDIT caption plant (see
+    * [[captionsNear]]): content-captioned docs (the `else` branch of
+    * the caption convention) with d ≡ [[CapEditRes]] (mod this) carry
+    * their base caption with one appended token — the lightly-edited
+    * recaption class whose md5 differs from every other caption while
+    * its shingle set still half-overlaps the original's. 3 of every
+    * 40 docs (residues 5, 21, 37 mod 40 — the d%8==5 classes outside
+    * the d%5∈{3,4} special branches); measured non-empty at every SF
+    * (37 edited / 18 of them image dups at sf0.001 and sf0.01,
+    * 375/356 at sf0.1). */
+  val CapEditMod = 8L
+
+  /** Residue of the tail-edit plant (mod [[CapEditMod]]). */
+  val CapEditRes = 5L
+
+  /** [[captions]] with the planted corpus tail-edit branch — the
+    * batch-matrix analog of [[pairCaptionsNear]]'s ingest plant: doc d
+    * in the content-caption branch with d % [[CapEditMod]] ==
+    * [[CapEditRes]] renders its base caption (`d mod DupContentMod`)
+    * plus ` v2`. A 5-token base caption has exactly ONE word 5-gram
+    * shingle and its 6-token edit exactly TWO sharing it, so the edit
+    * is Jaccard exactly ½ from its base (inclusive at the 3·inter ≥
+    * n_a+n_b integer bar) and ZERO from every other caption — the
+    * caption near graph over distinct captions is a perfect matching
+    * by construction (each base pairs with at most its own edit),
+    * which is what lets the DuckDB oracle replay the component step in
+    * closed form (one relax round IS the fixpoint; PipelineSpec pins
+    * the matching law). */
+  def captionsNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val capId = when(d % CapBranchMod === 3L, lit(100000L) + d)
+      .when(d % CapBranchMod === 4L, lit(90000L) + d % CapStockPool)
+      .otherwise(d % DupContentMod)
+    val edited = d % CapBranchMod =!= 3L && d % CapBranchMod =!= 4L &&
+      d % CapEditMod === CapEditRes
+    Tables.load(spark, dir, "documents").select(d,
+      concat(lit("caption "), capId.cast("string"),
+        lit(" about subject "), ((capId * 7L) % 97L).cast("string"),
+        when(edited, lit(" v2")).otherwise(lit("")))
+        .as("caption"))
+  }
+
+  /** Caption grouping with BOTH tiers over an arbitrary (doc_id,
+    * caption) frame: `m_gid` = the exact tier (min doc sharing the
+    * caption md5 — [[mmCaptionPairs]]' grouping verbatim), `cap_gid` =
+    * the NEAR tier (min doc reachable through the shingle-Jaccard ≥ ½
+    * graph over DISTINCT caption texts — [[Dedup.ngramJaccardPairsCapped]]
+    * candidates, [[Dedup.dupComponents]] transitive closure). The near
+    * graph's nodes are distinct captions keyed by their smallest
+    * carrier doc, so the component minimum IS the smallest doc
+    * carrying any caption of the group — the canonical convention both
+    * tiers share. Exact duplicates are Jaccard 1, so near groups only
+    * ever MERGE md5 groups, never split them (`m_gid` = `m_gid'` ⇒
+    * `cap_gid` = `cap_gid'`).
+    *
+    * Scale shape: the near side runs entirely on the distinct-caption
+    * frame (captions repeat massively — stock pools, content-keyed
+    * captions — so this is the same reduction the md5 tier applies);
+    * the inverted index is df-capped, components are pair-bounded
+    * metadata, and the corpus-sized frames only ever join back on
+    * caption/doc keys shuffle-hash. */
+  def captionNearGroups(caps0: DataFrame): DataFrame = {
+    val caps = caps0.select(col("doc_id"), col("caption"))
+    val mgrp = caps.withColumn("m", md5(col("caption")))
+      .join(caps.groupBy(md5(col("caption")).as("m"))
+          .agg(min(col("doc_id")).as("m_gid")).hint("shuffle_hash"),
+        Seq("m"))
+      .select(col("doc_id"), col("caption"), col("m_gid"))
+    // distinct-caption-sized from here down; eager checkpoint — the
+    // frame feeds the pair self-join (3 scans) and the label join-back
+    val dcap = caps.groupBy(col("caption"))
+      .agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint(true)
+    val nearPairs = Dedup.ngramJaccardPairsCapped(
+      dcap.select(col("rep").as("doc_id"), col("caption").as("text")))
+    val comps = Dedup.dupComponents(
+      nearPairs.select(col("a_id"), col("b_id")))
+    val capComp = dcap.join(
+        comps.select(col("doc_id").as("rep"), col("component")),
+        Seq("rep"), "left")
+      .select(col("caption"),
+        coalesce(col("component"), col("rep")).as("cap_gid"))
+    mgrp.join(capComp.hint("shuffle_hash"), Seq("caption"))
+      .select(col("doc_id"), col("m_gid"), col("cap_gid"))
+  }
+
+  /** The pair-agreement matrix with the caption NEAR tier — closes the
+    * md5-only hole of [[mmCaptionPairs]] on the CORPUS-AUDIT side, the
+    * way [[mmPairGateNearOver]] closed it at ingest: a tail-edited
+    * recaption of a duplicate image ([[captionsNear]]' planted class)
+    * splits the md5 caption group, so the exact matrix files the
+    * (doc, image-canonical) pair under `img_only` — invisible as a
+    * full multimodal duplicate — while the near tier's shingle
+    * components rejoin the edit with its base and the same pair lands
+    * `both`. Both tiers ship as evidence columns (`cap_dup` exact,
+    * `cap_dup_near`) and the CELL keys on the near flag, so the matrix
+    * a reviewer audits agrees with the gate's dispositions on exactly
+    * the class r17 fixed at ingest.
+    *
+    * Pair universe unchanged from [[mmCaptionPairs]] (each doc vs its
+    * image canonical and vs its NEAR caption canonical — ≤ 2 linear
+    * pairs per doc, never within-group all-pairs).
+    *
+    * Reference analog: the premise of not letting near-identical
+    * writes accumulate
+    * (AwsTableManagementMetricsEvaluator.java:108-140), applied to the
+    * corpus-audit view of the VLM pair matrix. */
+  def mmCaptionPairsNear(spark: SparkSession, dir: String): DataFrame = {
+    val sig = ahashStats(pngAssetsWithDups(spark, dir)).toDF()
+      .localCheckpoint(true)
+    val keys = Seq("width", "height", "gray_sum", "ahash")
+    val igrp = sig.join(
+        sig.groupBy(keys.map(col): _*)
+          .agg(min(col("doc_id")).as("img_gid")).hint("shuffle_hash"),
+        keys)
+      .select(col("doc_id"), col("img_gid"))
+    val cgrp = captionNearGroups(captionsNear(spark, dir))
+    val grouped = igrp.join(cgrp.hint("shuffle_hash"), Seq("doc_id"))
+      .localCheckpoint(true)
+    val pairs = grouped.filter(col("doc_id") =!= col("img_gid"))
+      .select(least(col("doc_id"), col("img_gid")).as("a_id"),
+        greatest(col("doc_id"), col("img_gid")).as("b_id"))
+      .unionByName(grouped.filter(col("doc_id") =!= col("cap_gid"))
+        .select(least(col("doc_id"), col("cap_gid")).as("a_id"),
+          greatest(col("doc_id"), col("cap_gid")).as("b_id")))
+      .distinct()
+    val aSide = grouped.select(col("doc_id").as("a_id"),
+      col("img_gid").as("a_ig"), col("m_gid").as("a_mg"),
+      col("cap_gid").as("a_cg"))
+    val bSide = grouped.select(col("doc_id").as("b_id"),
+      col("img_gid").as("b_ig"), col("m_gid").as("b_mg"),
+      col("cap_gid").as("b_cg"))
+    pairs.join(aSide.hint("shuffle_hash"), Seq("a_id"))
+      .join(bSide.hint("shuffle_hash"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("a_ig") === col("b_ig")).cast("long").as("img_dup"),
+        (col("a_mg") === col("b_mg")).cast("long").as("cap_dup"),
+        (col("a_cg") === col("b_cg")).cast("long").as("cap_dup_near"),
+        when(col("a_ig") === col("b_ig") && col("a_cg") === col("b_cg"),
+            lit("both"))
+          .when(col("a_ig") === col("b_ig"), lit("img_only"))
+          .otherwise(lit("cap_only")).as("cell"))
+  }
+
   /** Caption-branch modulus of the INCOMING pair fixture: the incoming
     * asset for source doc d carries caption id `300000 + d` when
     * d%3==1 (a NOVEL caption), the stock-pool id `90000 + d%7` when

@@ -1659,6 +1659,15 @@ object PipelineQueries {
       // VLM pipeline curates on; canonical pairs only (linear).
       "mm_caption_pairs" -> ((s, dir) =>
         Multimodal.mmCaptionPairs(s, dir)),
+      // The agreement matrix with the caption NEAR tier (r18): the
+      // corpus-audit view of pair dedup upgraded to the same
+      // shingle-Jaccard caption grouping the r17 ingest gate keys on —
+      // a tail-edited recaption of a duplicate image lands `both`
+      // (with cap_dup=0, cap_dup_near=1 as evidence) where the md5
+      // matrix provably files it `img_only`, so gate and matrix can no
+      // longer disagree on that class.
+      "mm_caption_pairs_near" -> ((s, dir) =>
+        Multimodal.mmCaptionPairsNear(s, dir)),
       // Cross-modal PAIR ingest gate (r16): each incoming (image,
       // caption) pair gated on BOTH sides — banded signature probe of
       // the persisted corpus artifact for the image, corpus caption
@@ -5510,6 +5519,109 @@ object PipelineQueries {
            |    JOIN bothg b ON b.doc_id = p.b_id)
            |SELECT a_id, b_id, img_dup, cap_dup,
            |  CASE WHEN img_dup = 1 AND cap_dup = 1 THEN 'both'
+           |       WHEN img_dup = 1 THEN 'img_only'
+           |       ELSE 'cap_only' END AS cell
+           |FROM flags""".stripMargin,
+
+      // Near-tier matrix mirror (r18): image groups from the same
+      // recomputed signature chain; captions from the planted
+      // tail-edit closed form (content-branch docs with d%8==5 carry
+      // base caption + ' v2'); the exact tier groups by caption md5;
+      // the NEAR tier replays the engine's chain — word 5-gram
+      // DISTINCT shingles over DISTINCT caption texts keyed by their
+      // min carrier, df-capped (cap 100, a no-op here but mirrored),
+      // integer Jaccard ≥ ½ (3·inter ≥ n_a+n_b) — and closes
+      // components in ONE relax round, which IS the fixpoint because
+      // the caption near graph is a perfect matching by construction
+      // (a 5-token base caption has one shingle, its 6-token edit two;
+      // PipelineSpec pins max degree 1), so the engine's generic
+      // min-label loop lands on identical labels.
+      "mm_caption_pairs_near" ->
+        s"""WITH $mmDupSigCtes,
+           |igrp AS (SELECT s.doc_id, g2.img_gid FROM sig s JOIN (
+           |    SELECT w, h, total, ahash, min(doc_id) AS img_gid
+           |    FROM sig GROUP BY 1, 2, 3, 4) g2
+           |  ON g2.w = s.w AND g2.h = s.h AND g2.total = s.total
+           |    AND g2.ahash = s.ahash),
+           |cap0 AS (SELECT doc_id,
+           |    CASE WHEN doc_id % ${Multimodal.CapBranchMod} = 3
+           |           THEN 100000 + doc_id
+           |         WHEN doc_id % ${Multimodal.CapBranchMod} = 4
+           |           THEN 90000 + doc_id % ${Multimodal.CapStockPool}
+           |         ELSE doc_id % ${Multimodal.DupContentMod} END
+           |      AS cap_id,
+           |    (doc_id % ${Multimodal.CapBranchMod} NOT IN (3, 4)
+           |      AND doc_id % ${Multimodal.CapEditMod}
+           |        = ${Multimodal.CapEditRes}) AS edited
+           |  FROM documents),
+           |captext AS (SELECT doc_id,
+           |    'caption ' || cap_id || ' about subject ' ||
+           |      ((cap_id * 7) % 97) ||
+           |      CASE WHEN edited THEN ' v2' ELSE '' END AS caption
+           |  FROM cap0),
+           |mgrp AS (SELECT c.doc_id, g3.m_gid FROM
+           |    (SELECT doc_id, md5(caption) AS m FROM captext) c
+           |  JOIN (SELECT md5(caption) AS m, min(doc_id) AS m_gid
+           |        FROM captext GROUP BY 1) g3 USING (m)),
+           |dcap AS (SELECT caption, min(doc_id) AS rep
+           |  FROM captext GROUP BY 1),
+           |shng AS (SELECT DISTINCT rep,
+           |    array_to_string(words[i:i+4], ' ') AS sh
+           |  FROM (SELECT rep,
+           |          regexp_split_to_array(trim(caption), '\\s+')
+           |            AS words
+           |        FROM dcap),
+           |       LATERAL (SELECT unnest(
+           |         generate_series(1, len(words) - 4)) AS i) t
+           |  WHERE len(words) >= 5),
+           |rare AS (
+           |  SELECT sh FROM (SELECT sh, count(*) AS df FROM shng
+           |                  GROUP BY sh)
+           |  WHERE df <= 100),
+           |kept AS (SELECT shng.rep, shng.sh FROM shng
+           |  JOIN rare USING (sh)),
+           |sizes AS (SELECT rep, count(*) AS n_sh FROM kept
+           |  GROUP BY rep),
+           |inter AS (
+           |  SELECT a.rep AS a_r, b.rep AS b_r, count(*) AS inter
+           |  FROM kept a JOIN kept b
+           |    ON a.sh = b.sh AND a.rep < b.rep
+           |  GROUP BY 1, 2),
+           |nearp AS (SELECT a_r, b_r FROM inter
+           |  JOIN sizes na ON na.rep = a_r
+           |  JOIN sizes nb ON nb.rep = b_r
+           |  WHERE inter.inter * 3 >= na.n_sh + nb.n_sh),
+           |comp AS (SELECT d.rep,
+           |    least(d.rep, coalesce(min(n.o), d.rep)) AS component
+           |  FROM dcap d LEFT JOIN (
+           |      SELECT a_r AS r, b_r AS o FROM nearp
+           |      UNION ALL SELECT b_r, a_r FROM nearp) n
+           |    ON n.r = d.rep
+           |  GROUP BY d.rep),
+           |capng AS (SELECT c.doc_id, cm.component AS cap_gid
+           |  FROM captext c JOIN dcap d USING (caption)
+           |  JOIN comp cm ON cm.rep = d.rep),
+           |bothg AS (SELECT i.doc_id, i.img_gid, m.m_gid, n.cap_gid
+           |  FROM igrp i JOIN mgrp m USING (doc_id)
+           |  JOIN capng n USING (doc_id)),
+           |prs AS (
+           |  SELECT least(doc_id, img_gid) AS a_id,
+           |    greatest(doc_id, img_gid) AS b_id
+           |  FROM bothg WHERE doc_id <> img_gid
+           |  UNION
+           |  SELECT least(doc_id, cap_gid), greatest(doc_id, cap_gid)
+           |  FROM bothg WHERE doc_id <> cap_gid),
+           |flags AS (SELECT p.a_id, p.b_id,
+           |    CAST(CASE WHEN a.img_gid = b.img_gid THEN 1 ELSE 0 END
+           |      AS BIGINT) AS img_dup,
+           |    CAST(CASE WHEN a.m_gid = b.m_gid THEN 1 ELSE 0 END
+           |      AS BIGINT) AS cap_dup,
+           |    CAST(CASE WHEN a.cap_gid = b.cap_gid THEN 1 ELSE 0 END
+           |      AS BIGINT) AS cap_dup_near
+           |  FROM prs p JOIN bothg a ON a.doc_id = p.a_id
+           |    JOIN bothg b ON b.doc_id = p.b_id)
+           |SELECT a_id, b_id, img_dup, cap_dup, cap_dup_near,
+           |  CASE WHEN img_dup = 1 AND cap_dup_near = 1 THEN 'both'
            |       WHEN img_dup = 1 THEN 'img_only'
            |       ELSE 'cap_only' END AS cell
            |FROM flags""".stripMargin,

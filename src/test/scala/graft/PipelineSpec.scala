@@ -4279,6 +4279,87 @@ class PipelineSpec extends AnyFunSuite {
       s"stock-caption pair $sp must disagree on the image side")
   }
 
+  test("mm_caption_pairs_near: a tail-edited recaption of a dup image joins its source's pair group where the md5 matrix splits it; gate and matrix agree on the union") {
+    import org.apache.spark.sql.functions.{col, min}
+    val near = Multimodal.mmCaptionPairsNear(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(near.nonEmpty)
+    // cell keys on the NEAR flag; near subsumes exact on every pair
+    near.foreach { case ((a, b), (img, cap, capN, cell)) =>
+      val want = if (img == 1L && capN == 1L) "both"
+        else if (img == 1L) "img_only" else "cap_only"
+      assert(cell === want, s"pair ($a,$b) flags ($img,$capN) vs $cell")
+      assert(a < b)
+      assert(cap <= capN, s"exact dup must imply near dup on ($a,$b)")
+    }
+    // THE planted class: content-branch doc d with d%8==5 whose image
+    // is a duplicate (d ≥ 250) — its (image-canonical, d) pair is a
+    // full multimodal duplicate the near tier sees and the md5 tier
+    // provably splits
+    val planted = (0L until 500L).filter(d =>
+      d >= Multimodal.DupContentMod &&
+        d % Multimodal.CapBranchMod != 3L &&
+        d % Multimodal.CapBranchMod != 4L &&
+        d % Multimodal.CapEditMod == Multimodal.CapEditRes)
+    assert(planted.nonEmpty, "fixture must plant image-dup tail edits")
+    planted.foreach { d =>
+      val key = (d - Multimodal.DupContentMod, d)
+      val (img, cap, capN, cell) = near(key)
+      assert(cell === "both" && cap === 0L && capN === 1L,
+        s"planted pair $key must land both on an md5 miss, got " +
+          s"${near(key)}")
+      // the md5-only matrix — cell keyed on the exact flag, exactly
+      // mmCaptionPairs' classification over THIS fixture — provably
+      // files the same pair img_only: the divergence this key closes
+      val md5Cell = if (img == 1L && cap == 1L) "both"
+        else if (img == 1L) "img_only" else "cap_only"
+      assert(md5Cell === "img_only",
+        s"the md5 tier must split the planted pair $key")
+    }
+    // matching law behind the oracle's closed-form component step:
+    // every distinct caption sits in AT MOST ONE near pair (a 5-token
+    // base has one shingle, its 6-token edit two), so one relax round
+    // is the component fixpoint
+    val caps = Multimodal.captionsNear(spark, dir)
+    val prs = graft.exts.Dedup.ngramJaccardPairsCapped(
+        caps.groupBy(col("caption")).agg(min(col("doc_id")).as("rep"))
+          .select(col("rep").as("doc_id"), col("caption").as("text")))
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prs.nonEmpty)
+    val maxDeg = (prs.map(_._1) ++ prs.map(_._2))
+      .groupBy(identity).map(_._2.size).max
+    assert(maxDeg === 1,
+      "the caption near graph must be a perfect matching — the law " +
+        "that makes one relax round the fixpoint the oracle replays")
+    // gate-vs-matrix consistency on the union corpus: a pair the
+    // ingest gate flags cap-near groups with a CORPUS caption in the
+    // matrix view, and a gate-novel caption never does — the two views
+    // of pair dedup cannot disagree on the same corpus
+    val gate = Multimodal.mmPairGateNear(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(6), r.getString(7)))).toMap
+    assert(gate.values.exists { case (cn, d) =>
+      cn == 1L && d == "drop_duplicate_pair" })
+    val union = Multimodal.captions(spark, dir)
+      .unionByName(Multimodal.pairCaptionsNear(spark, dir)
+        .select(col("batch_id").as("doc_id"), col("caption")))
+    val grp = Multimodal.captionNearGroups(union).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    gate.foreach { case (bid, (capNear, _)) =>
+      val canonical = grp(bid)
+      if (capNear == 1L)
+        assert(canonical < Multimodal.IncomingIdOffset,
+          s"gate near-dup $bid must group with a corpus caption in " +
+            s"the matrix view, got canonical $canonical")
+      else
+        assert(canonical >= Multimodal.IncomingIdOffset,
+          s"gate-novel $bid must not join a corpus caption group, " +
+            s"got canonical $canonical")
+    }
+  }
+
   test("index_fleet_health: a planted needy family ranks first; corpus pressures match the per-family keys") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{abs, col, count, expr, lit, sum}
