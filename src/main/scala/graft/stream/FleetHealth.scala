@@ -88,7 +88,10 @@ object FleetHealth {
     *  - `lex`   → [[LexIndexLoop.compactNow]] (compact main ∪ pending);
     *  - `ivf`   → [[IndexLoop.maintainNow]] (split-triggered cell
     *    maintenance — merge-only pressure never acts, the loop's own
-    *    hysteresis rule);
+    *    hysteresis rule; the handle's DECLARED codes wiring is
+    *    resolved, so a codes-backed loop's dispatch rewrites `v<new>`
+    *    before the version flips, and a handle whose wiring was never
+    *    declared fails loudly instead of corrupting serving);
     *  - `graph` → [[GraphIndexLoop.rebuildNow]] (width-drift rebuild —
     *    acts only when the adaptive width actually moved).
     *

@@ -142,34 +142,47 @@ object GraphIndexLoop {
   //      [[LoopCore.MetaStore]] tmp + ATOMIC_MOVE discipline, payload
   //      = post-batch state + the batch's id and survivor count) ----
 
+  /** Markers carry a `kind` tag (r18): `batch` for stream commits,
+    * `rebuild` for fleet-dispatched width rebuilds. A rebuild marker
+    * CARRIES the stream's lastBatchId (replay guards need it on
+    * reattach) with n_new = 0, so without the tag [[recordedNNew]]'s
+    * scan could nondeterministically report a replayed batch's
+    * survivor count as 0 depending on listDir order. Pre-r18 markers
+    * lack the field and decode as `batch` — the only kind that existed
+    * then. */
   private def meta(
-      graphPath: String): LoopCore.MetaStore[(State, Long)] =
+      graphPath: String): LoopCore.MetaStore[(State, Long, String)] =
     new LoopCore.MetaStore(graphPath, "e",
-      { case (s, nNew) =>
+      { case (s, nNew, kind) =>
         s"""{"version":${s.version},"bits":${s.bits},""" +
           s""""epoch":${s.epoch},"n_corpus":${s.nCorpus},""" +
-          s""""batch_id":${s.lastBatchId},"n_new":$nNew}""" },
+          s""""batch_id":${s.lastBatchId},"n_new":$nNew,""" +
+          s""""kind":${LoopCore.jsonStr(kind)}}""" },
       j => (State(LoopCore.jsonLong(j, "version"),
           LoopCore.jsonLong(j, "bits").toInt,
           LoopCore.jsonLong(j, "epoch"),
           LoopCore.jsonLong(j, "n_corpus"),
           LoopCore.jsonLong(j, "batch_id")),
-        LoopCore.jsonLong(j, "n_new")))
+        LoopCore.jsonLong(j, "n_new"),
+        LoopCore.jsonStringOpt(j, "kind").getOrElse("batch")))
 
-  private def writeMetaJson(graphPath: String, s: State,
-      nNew: Long): Unit =
-    meta(graphPath).write(s.epoch, (s, nNew))
+  private def writeMetaJson(graphPath: String, s: State, nNew: Long,
+      kind: String = "batch"): Unit =
+    meta(graphPath).write(s.epoch, (s, nNew, kind))
 
   /** Recorded survivor count of one batch, when its marker is still
     * retained — replay observability only (markers are keyed by epoch,
-    * so this scans the bounded retained set for the batch id). */
+    * so this scans the bounded retained set for the batch id).
+    * Rebuild-kind markers are skipped: they carry the batch id only
+    * for the replay guard, never that batch's survivor count. */
   private def recordedNNew(graphPath: String,
       batchId: Long): Option[Long] =
     LoopCore.listDir(meta(graphPath).dir).collect {
       case (name, p) if name.matches("state-e-?\\d+\\.json") =>
         LoopCore.readString(p)
     }.collectFirst {
-      case j if LoopCore.jsonLong(j, "batch_id") == batchId =>
+      case j if LoopCore.jsonLong(j, "batch_id") == batchId &&
+          LoopCore.jsonStringOpt(j, "kind").forall(_ == "batch") =>
         LoopCore.jsonLong(j, "n_new")
     }
 
@@ -178,7 +191,7 @@ object GraphIndexLoop {
     * work). Fails loudly if the newest state's layout dir is missing —
     * a stale or torn store must never be served silently. */
   def reattach(spark: SparkSession, graphPath: String): ServingGraph = {
-    val (st, _) = meta(graphPath).newest
+    val (st, _, _) = meta(graphPath).newest
       .getOrElse(throw new IllegalStateException(
         s"graft.graphLoop: no committed state under $graphPath/_meta"))
     requireLayout(graphPath, st)
@@ -430,7 +443,8 @@ object GraphIndexLoop {
           st.lastBatchId)
         bucketedEdges(corpus, want).write.mode(SaveMode.Overwrite)
           .partitionBy("bucket").parquet(layoutDir(graph.graphPath, next))
-        writeMetaJson(graph.graphPath, next, nNew = 0L)
+        writeMetaJson(graph.graphPath, next, nNew = 0L,
+          kind = "rebuild")
         graph.update(next)
         gcLayouts(graph.graphPath)
         onHealth(next.version, Similarity.graphHealthOver(

@@ -39,10 +39,36 @@ object IndexLoop {
   /** Immutable snapshot of the serving index: centroid rows + per-cell
     * occupancy stats (cell → (n_vectors, min_vec_id)) + corpus size +
     * the gate layout's bucket width + the last applied batch id (the
-    * replay guard) — all metadata-sized (k cells, never corpus rows). */
+    * replay guard) — all metadata-sized (k cells, never corpus rows).
+    * `commitSeq` is the on-disk marker ordinal (r18), advancing on
+    * EVERY commit — batches and fleet-dispatched maintenance alike —
+    * so an out-of-band bump's marker never collides with a batch
+    * marker; `lastBatchId` alone carries the replay guard. */
   final case class State(version: Long, cents: Seq[(Long, Seq[Float])],
       cellStats: Map[Long, (Long, Long)], nCorpus: Long,
-      gateBits: Int = 0, lastBatchId: Long = -1L)
+      gateBits: Int = 0, lastBatchId: Long = -1L, commitSeq: Long = 0L)
+
+  /** On-disk commit record under `<corpusPath>/_meta` (hidden from the
+    * parquet reader — `_`-prefixed) — the loop's RESUME-GUARD key
+    * (r18). Unlike the other three loops, the vector loop's full
+    * durable state is the explicit [[saveIndex]] artifact (centroids
+    * and cell stats are k-sized parquet frames, not marker JSON); the
+    * marker chain records only commit METADATA — enough for [[start]]
+    * to refuse a stale or freshly built handle over a root with
+    * committed batches keyed on what is ON DISK rather than on
+    * whatever lastBatchId the handle happens to carry (the footgun the
+    * other loops' disk-keyed guards closed in r16/r17). */
+  private final case class Mark(version: Long, nCorpus: Long,
+      gateBits: Int, lastBatchId: Long)
+
+  private def meta(corpusPath: String): LoopCore.MetaStore[Mark] =
+    new LoopCore.MetaStore[Mark](corpusPath, "i",
+      m => s"""{"version":${m.version},"nCorpus":${m.nCorpus},""" +
+        s""""gateBits":${m.gateBits},"lastBatchId":${m.lastBatchId}}""",
+      j => Mark(LoopCore.jsonLong(j, "version"),
+        LoopCore.jsonLong(j, "nCorpus"),
+        LoopCore.jsonLong(j, "gateBits").toInt,
+        LoopCore.jsonLong(j, "lastBatchId")))
 
   /** The atomically-swapped serving index: the ingest loop writes a new
     * [[State]] per acted batch; the serving path reads whatever version
@@ -53,6 +79,28 @@ object IndexLoop {
     def nCorpus: Long = snapshot.nCorpus
     def centroids(spark: SparkSession): DataFrame =
       centFrame(spark, snapshot.cents)
+    /** The loop's codes-layout wiring as DECLARED by [[buildIndex]] /
+      * [[start]] / [[declareCodes]]: `None` = never declared (a bare
+      * [[loadIndex]] handle), `Some(None)` = declared codes-less,
+      * `Some(Some((codesPath, codebook)))` = declared wired.
+      * Out-of-band maintenance ([[maintainNow]] with default args —
+      * the [[FleetHealth.maintenanceTick]] dispatch) resolves through
+      * this, so a fleet-triggered version bump can never skip the
+      * `v<new>` layout rewrite a [[AnnServing.serveWith]] reader on
+      * `codesPath` depends on. */
+    @volatile private[IndexLoop] var declaredCodes:
+      Option[Option[(String, DataFrame)]] = None
+  }
+
+  /** Declare (or re-declare) a handle's codes wiring out of band — the
+    * restart path for a [[loadIndex]] handle that will face fleet
+    * dispatch before its [[start]] call records the wiring. Pass
+    * `(None, None)` to declare a codes-less loop explicitly. */
+  def declareCodes(index: ServingIndex, codesPath: Option[String],
+      codebook: Option[DataFrame]): Unit = {
+    require(codesPath.isEmpty == codebook.isEmpty,
+      "codesPath and codebook go together")
+    index.declaredCodes = Some(codesPath.zip(codebook))
   }
 
   /** Centroid frame of a [[ServingIndex.snapshot]]. */
@@ -75,8 +123,9 @@ object IndexLoop {
     s.cellStats.toSeq.map { case (c, (n, mn)) => (c, n, mn) }
       .toDF("cell", "n_vectors", "min_vec_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats.parquet")
-    Seq((s.version, s.nCorpus, s.gateBits, s.lastBatchId))
-      .toDF("version", "n_corpus", "gate_bits", "last_batch_id")
+    Seq((s.version, s.nCorpus, s.gateBits, s.lastBatchId, s.commitSeq))
+      .toDF("version", "n_corpus", "gate_bits", "last_batch_id",
+        "commit_seq")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta.parquet")
   }
@@ -93,7 +142,7 @@ object IndexLoop {
       .toMap
     val m = spark.read.parquet(s"$path/meta.parquet").first()
     new ServingIndex(State(m.getLong(0), cents, stats, m.getLong(1),
-      m.getInt(2), m.getLong(3)))
+      m.getInt(2), m.getLong(3), m.getLong(4)))
   }
 
   private def centFrame(spark: SparkSession,
@@ -139,8 +188,16 @@ object IndexLoop {
     val n = emb.count()
     val bits = Similarity.adaptiveBucketBits(n, gateTarget)
     for (p <- gatePath) writeGateLayout(emb, bits, s"$p/b$bits")
-    new ServingIndex(State(0L, collectCents(cents), fullStats(emb, cents),
-      n, bits))
+    // buildIndex IS the explicit fresh-lineage path (full retrain,
+    // handle at lastBatchId = -1, re-ingest idempotent through the
+    // near-dup gate): reset the marker chain so the disk-keyed resume
+    // guard doesn't refuse the rebuilt loop over its own history
+    LoopCore.deleteRecursively(s"$corpusPath/_meta")
+    meta(corpusPath).write(0L, Mark(0L, n, bits, -1L))
+    val idx = new ServingIndex(State(0L, collectCents(cents),
+      fullStats(emb, cents), n, bits))
+    idx.declaredCodes = Some(codesPath.zip(codebook))
+    idx
   }
 
   /** The ingest gate's at-rest layout: the corpus partitioned by its
@@ -218,17 +275,19 @@ object IndexLoop {
     // on its next query batch. Fail at wiring time, not mid-stream.
     require(codesPath.isEmpty == codebook.isEmpty,
       "codesPath and codebook go together")
-    // in-memory-keyed BY NECESSITY: this loop's durable state is the
-    // explicit saveIndex/loadIndex artifact (no _meta marker root the
-    // other three loops disk-key their guard on), so the handle's
-    // carried lastBatchId — restored by loadIndex on a durable
-    // restart — is the only replay signal. The fresh-handle hazard the
-    // disk key closes elsewhere does not arise here: a buildIndex
-    // handle starts at lastBatchId = -1 so NO batch id is no-op'd, and
-    // re-ingest over an existing corpus is idempotent through the
-    // near-dup gate rather than through id no-ops.
+    // the live loop's wiring is authoritative for out-of-band
+    // maintenance from here on (fleet dispatch resolves through it)
+    index.declaredCodes = Some(codesPath.zip(codebook))
+    // keyed on max(handle, ON-DISK newest marker) (r18 — the other
+    // three loops' discipline): a handle restored from a STALE
+    // saveIndex artifact carries an old lastBatchId, so an in-memory
+    // guard would let a fresh checkpoint silently no-op only part of
+    // the committed history; the `<corpusPath>/_meta` chain records
+    // every commit, and buildIndex (the explicit rebuild) resets it.
     LoopCore.requireCheckpointIfResuming("indexLoop",
-      index.state.lastBatchId, checkpoint)
+      math.max(index.state.lastBatchId,
+        meta(corpusPath).newest.map(_.lastBatchId).getOrElse(-1L)),
+      checkpoint)
     val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -372,8 +431,13 @@ object IndexLoop {
               cents, actions, version, maxPasses, codesPath, codebook)
             cents = c2; stats = s2; actions = a2; version = v2
           }
+          // COMMIT: marker last (payload/layout work above is
+          // re-creatable until here), then the in-memory swap
+          val seq = st.commitSeq + 1
+          meta(corpusPath).write(seq,
+            Mark(version, st.nCorpus + nNew, newGateBits, batchId))
           index.update(State(version, cents, stats, st.nCorpus + nNew,
-            newGateBits, batchId))
+            newGateBits, batchId, seq))
           onCycle(batchId, actions, version)
     }
   }
@@ -420,9 +484,20 @@ object IndexLoop {
     * stats hold a SPLIT verdict — the same trigger the batch path
     * uses (merge-only pressure never acts; see [[hasSplit]] for the
     * hysteresis rule) — and swaps the serving state exactly like an
-    * acted batch, lastBatchId untouched. This loop's durability is
-    * the explicit [[saveIndex]] artifact, so there is no marker to
-    * commit. Returns true iff a maintenance pass ran. */
+    * acted batch, lastBatchId untouched, committing a [[Mark]] at the
+    * next commitSeq ordinal (full state durability stays the explicit
+    * [[saveIndex]] artifact). Returns true iff a maintenance pass ran.
+    *
+    * Codes wiring: with default (`None`) arguments the call resolves
+    * the HANDLE's declared wiring ([[ServingIndex.declaredCodes]],
+    * recorded by [[buildIndex]]/[[start]]/[[declareCodes]]) — the
+    * fleet dispatch needs no per-family plumbing and a codes-wired
+    * loop's out-of-band bump always rewrites `v<new>` before the
+    * version flips. Acting on a handle whose wiring was NEVER declared
+    * (a bare [[loadIndex]] handle) fails loudly instead of bumping the
+    * serving version with no layout behind it — the silent-corruption
+    * path where the next serve batch reads a missing or near-empty
+    * `v<new>`. */
   def maintainNow(spark: SparkSession, index: ServingIndex,
       corpusPath: String, maxPasses: Int = 4,
       codesPath: Option[String] = None,
@@ -434,11 +509,26 @@ object IndexLoop {
       val actions0 = verdictCounts(spark, st.cellStats)
       if (!hasSplit(actions0)) false
       else {
+        val wiring: Option[(String, DataFrame)] =
+          codesPath.zip(codebook) match {
+            case w @ Some(_) => index.declaredCodes = Some(w); w
+            case None => index.declaredCodes.getOrElse(
+              throw new IllegalStateException(
+                "indexLoop: maintenance would bump the serving " +
+                  "version but this handle's codes wiring was never " +
+                  "declared — a codes-backed reader would face a " +
+                  "missing v<new> layout. Pass codesPath/codebook, " +
+                  "or declareCodes() on the handle (with (None, " +
+                  "None) for a genuinely codes-less loop)."))
+          }
         val (cents, stats, _, version) = runMaintenance(spark,
           corpusPath, st.cents, actions0, st.version, maxPasses,
-          codesPath, codebook)
+          wiring.map(_._1), wiring.map(_._2))
+        val seq = st.commitSeq + 1
+        meta(corpusPath).write(seq,
+          Mark(version, st.nCorpus, st.gateBits, st.lastBatchId))
         index.update(State(version, cents, stats, st.nCorpus,
-          st.gateBits, st.lastBatchId))
+          st.gateBits, st.lastBatchId, seq))
         true
       }
     }

@@ -103,7 +103,11 @@ object LexIndexLoop {
         LoopCore.jsonLong(j, "nPending"),
         LoopCore.jsonLong(j, "lastBatchId"),
         splitPaths(LoopCore.jsonString(j, "absorbed")),
-        LoopCore.jsonLong(j, "commitSeq")))
+        // pre-r17 markers (ordinal = batch id) lack commitSeq; default
+        // past the old ordinal range so the next commit's marker sorts
+        // strictly newest and reattach keeps working on old roots
+        LoopCore.jsonLongOpt(j, "commitSeq").getOrElse(
+          LoopCore.jsonLong(j, "lastBatchId") + 1)))
 
   /** Commit `next` as the newest marker (ordinal = its commitSeq) and
     * swap the serving handle — the single commit point every path

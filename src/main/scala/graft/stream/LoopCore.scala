@@ -150,9 +150,15 @@ private[stream] object LoopCore {
     * erases a previously committed marker): the rename goes straight at
     * the target, and on filesystems whose rename refuses an existing
     * destination (HDFS) the existing marker is ACCEPTED as the winner —
-    * marker content is deterministic per ordinal, so a re-commit of the
-    * same ordinal carries identical bytes and either copy commits the
-    * batch. */
+    * but only after a CONTENT COMPARE (r18). Marker content is
+    * deterministic per ordinal only under the loops' single-writer-
+    * per-root protocol (in process, the per-handle commit lock
+    * enforces it; two live handles on one root in different JVMs are
+    * OUTSIDE the protocol). A matching winner means an identical prior
+    * commit of this ordinal already holds the target and either copy
+    * commits the batch; a DIVERGENT winner means two writers committed
+    * different states at one ordinal — that protocol violation fails
+    * loudly here instead of silently discarding the loser's state. */
   def atomicWrite(path: String, content: String): Unit = {
     val (fs, p) = resolve(path)
     fs.mkdirs(p.getParent)
@@ -164,6 +170,12 @@ private[stream] object LoopCore {
       fs.delete(tmp, false)
       if (!fs.exists(p)) throw new IllegalStateException(
         s"loopCore: marker rename failed and no winner exists at $p")
+      val winner = readString(path)
+      if (winner != content) throw new IllegalStateException(
+        s"loopCore: marker collision with DIVERGENT content at $p — " +
+          "two writers committed different states at one ordinal " +
+          "(single-writer-per-root violated); refusing to silently " +
+          "discard either state")
       // else: an identical prior commit of this ordinal already holds
       // the target (idempotent markers) — nothing to do
     }
@@ -239,6 +251,19 @@ private[stream] object LoopCore {
     s""""$k":(-?\\d+)""".r.findFirstMatchIn(j).getOrElse(
       throw new IllegalStateException(s"marker missing \"$k\": $j")
     ).group(1).toLong
+
+  /** Like [[jsonLong]] but `None` when the key is absent — the decode
+    * back-compat seam for fields ADDED after roots already carried
+    * markers (e.g. `commitSeq`, r17): a pre-upgrade marker decodes
+    * with a caller-chosen default instead of failing reattach. */
+  def jsonLongOpt(j: String, k: String): Option[Long] =
+    s""""$k":(-?\\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
+
+  /** Like [[jsonString]] but `None` when the key is absent (same
+    * back-compat seam for string-valued fields, e.g. `kind`). */
+  def jsonStringOpt(j: String, k: String): Option[String] =
+    s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(j)
+      .map(m => jsonUnescape(m.group(1)))
 
   /** Extract `"key":"<string>"` from a flat JSON marker payload —
     * escape-aware, the inverse of [[jsonStr]] (a state field carrying

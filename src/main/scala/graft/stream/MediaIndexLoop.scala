@@ -133,7 +133,11 @@ object MediaIndexLoop {
       j => State(LoopCore.jsonLong(j, "version"),
         LoopCore.jsonLong(j, "nAssets"), LoopCore.jsonLong(j, "nPending"),
         LoopCore.jsonLong(j, "lastBatchId"),
-        LoopCore.jsonLong(j, "commitSeq")))
+        // pre-r17 markers (ordinal = batch id) lack commitSeq; default
+        // past the old ordinal range so the next commit's marker sorts
+        // strictly newest and reattach keeps working on old roots
+        LoopCore.jsonLongOpt(j, "commitSeq").getOrElse(
+          LoopCore.jsonLong(j, "lastBatchId") + 1)))
 
   /** Bootstrap version 0 from per-modality corpus signature frames
     * (pass an empty frame of the right schema for an absent

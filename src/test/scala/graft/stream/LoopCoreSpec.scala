@@ -490,6 +490,59 @@ class LoopCoreSpec extends AnyFunSuite {
       === serving.snapshot)
   }
 
+  test("fleet ivf dispatch: the handle's declared codes wiring is resolved — v<new> is rewritten before the version flips; an undeclared handle is refused") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("ivf-codes")
+    val corpus = s"$base/corpus"
+    val codes = s"$base/codes"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 100L).write.parquet(corpus)
+    val cb = graft.exts.PqIndex.codebook(spark, dir)
+    // buildIndex DECLARES the wiring on the handle — the fleet tick's
+    // default-arg maintainNow resolves it with no per-family plumbing
+    val ivf = IndexLoop.buildIndex(spark, corpus, Some(codes), Some(cb))
+    assert(LoopCore.isDirectory(s"$codes/v0"))
+    // plant a hot cell (count 5× the corpus) so the carried stats hold
+    // a SPLIT verdict — the out-of-band ACT trigger
+    def plantHot(ix: IndexLoop.ServingIndex): Unit = {
+      val st = ix.snapshot
+      val hot = st.cellStats.keys.max
+      ix.update(st.copy(cellStats = st.cellStats
+        .updated(hot, (st.nCorpus * 5L, 0L))))
+    }
+    plantHot(ivf)
+    assert(IndexLoop.maintainNow(spark, ivf, corpus),
+      "a planted split verdict must act")
+    assert(ivf.snapshot.version === 1L)
+    assert(LoopCore.isDirectory(s"$codes/v1"),
+      "the declared codes layout must be rewritten at v<new> — a bump " +
+        "without it leaves serving readers on a missing path")
+    assert(spark.read.parquet(s"$codes/v1")
+      .select(col("neighbor_id")).distinct().count() === 100L,
+      "the rewritten layout must carry the FULL corpus")
+    // a bare loadIndex handle never declared its wiring: acting on it
+    // must fail LOUDLY, never bump the version with no layout behind it
+    IndexLoop.saveIndex(spark, ivf, s"$base/saved")
+    val bare = IndexLoop.loadIndex(spark, s"$base/saved")
+    plantHot(bare)
+    val err = intercept[IllegalStateException] {
+      IndexLoop.maintainNow(spark, bare, corpus)
+    }
+    assert(err.getMessage.contains("codes wiring"))
+    assert(bare.snapshot.version === 1L,
+      "a refused maintenance must leave the serving version untouched")
+    // declaring the wiring (the loadIndex restart path) unblocks the
+    // dispatch and the layout follows the bump again
+    IndexLoop.declareCodes(bare, Some(codes), Some(cb))
+    assert(IndexLoop.maintainNow(spark, bare, corpus))
+    assert(bare.snapshot.version === 2L)
+    assert(LoopCore.isDirectory(s"$codes/v2"))
+    assert(spark.read.parquet(s"$codes/v2")
+      .select(col("neighbor_id")).distinct().count() === 100L)
+  }
+
   test("pointer-jump property: a 64-deep canonical chain resolves (pointer doubling); a cycle fails loudly by name") {
     import spark.implicits._
     // chain: batch asset k (k = 2..64) duplicates batch asset k-1;
@@ -595,6 +648,305 @@ class LoopCoreSpec extends AnyFunSuite {
     assert(store.read(7L).isEmpty,
       "a failed commit must be invisible to readers")
     GraftHostileFs.failMode = "between"
+  }
+
+  test("graph rebuild markers are kind-tagged: a replayed batch's recorded survivor count never reads a rebuild's zero") {
+    import spark.implicits._
+    val base = tmp("graph-kind")
+    val corpusPath = s"$base/corpus"
+    val graphPath = s"$base/graph"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 100L)
+      .write.parquet(corpusPath)
+    // target 1 → bits 7 for 100 vectors; the later fleet rebuild at
+    // target 8 drifts the width back to 6 (a genuine ACT)
+    val graph = GraphIndexLoop.buildGraph(spark, corpusPath, graphPath,
+      target = 1L)
+    assert(graph.snapshot.bits === 7)
+    val vecs = spark.read.parquet(corpusPath).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batch = Seq((6000001L, vecs(1L).map(x => -x)),
+      (6000002L, vecs(2L).map(x => -x))).toDF("vec_id", "embedding")
+    val (n1, _) = GraphIndexLoop.applyBatch(spark, graph, corpusPath,
+      batch, 0L, 0.999, 1L, (_, _) => ())
+    assert(n1 === 2L)
+    // fleet rebuild: its marker CARRIES batch_id 0 (the replay guard
+    // needs it on reattach) with n_new 0 — the shadowing class the
+    // kind tag exists for
+    assert(GraphIndexLoop.rebuildNow(spark, graph, corpusPath,
+      target = 8L))
+    assert(graph.snapshot.bits === 6)
+    // replay batch 0: the recorded survivor count must deterministically
+    // be the BATCH marker's 2, never the rebuild marker's 0
+    val (rn, _) = GraphIndexLoop.applyBatch(spark, graph, corpusPath,
+      batch, 0L, 0.999, 8L, (_, _) => ())
+    assert(rn === 2L,
+      "a rebuild marker sharing the batch id must never shadow the " +
+        "batch's recorded survivor count")
+    // reattach restores the post-rebuild state (newest = the rebuild)
+    assert(GraphIndexLoop.reattach(spark, graphPath).snapshot
+      === graph.snapshot)
+  }
+
+  test("pre-r17 markers without commitSeq still reattach: decode defaults past the old ordinal range") {
+    import spark.implicits._
+    import graft.exts.Multimodal
+    // LEX: build + one batch, then strip commitSeq from every marker
+    // (the pre-r17 format) — reattach must decode, and the next commit
+    // must sort strictly newest
+    val root = tmp("lex-compat")
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents").select(col("doc_id"), col("text")).limit(20)
+    val index = LexIndexLoop.buildIndex(spark, docs, root)
+    LexIndexLoop.applyBatch(spark, index, root,
+      Seq((910001L, "alpha beta gamma")).toDF("doc_id", "text"), 0L,
+      (_, _, _, _) => ())
+    val snap = index.snapshot
+    def stripCommitSeq(metaDir: String): Unit = {
+      val d = java.nio.file.Paths.get(metaDir)
+      java.nio.file.Files.list(d).forEach { p =>
+        if (p.getFileName.toString.endsWith(".json")) {
+          val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .replaceAll(",\"commitSeq\":-?\\d+", "")
+          java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+          // drop the local-FS checksum sidecar the out-of-band edit
+          // invalidates (pre-r17 roots carry matching sums; this
+          // simulation edits bytes underneath Hadoop)
+          java.nio.file.Files.deleteIfExists(
+            p.resolveSibling("." + p.getFileName.toString + ".crc"))
+        }
+      }
+    }
+    stripCommitSeq(s"$root/_meta")
+    val re = LexIndexLoop.reattach(spark, root)
+    assert(re.snapshot.lastBatchId === snap.lastBatchId)
+    assert(re.snapshot.nIndexed === snap.nIndexed)
+    assert(re.snapshot.commitSeq === snap.lastBatchId + 1,
+      "a pre-r17 marker must default commitSeq past the old ordinals")
+    LexIndexLoop.applyBatch(spark, re, root,
+      Seq((910002L, "delta epsilon zeta")).toDF("doc_id", "text"), 1L,
+      (_, _, _, _) => ())
+    assert(LexIndexLoop.reattach(spark, root).snapshot === re.snapshot,
+      "the post-upgrade commit must be the newest marker")
+    // MEDIA: same seam on the media decode
+    val mroot = tmp("media-compat")
+    val serving = MediaIndexLoop.build(spark,
+      Multimodal.canonicalSignatures(
+        Seq((100L, Multimodal.encodeNearPng(5300004L)))
+          .toDF("doc_id", "png").as[Multimodal.PngAsset]).toDF(),
+      Multimodal.videoFingerprints(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "gif").as[Multimodal.GifAsset]).toDF(),
+      Multimodal.audioWindowFps(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "wav").as[Multimodal.WavAsset]).toDF(),
+      mroot)
+    val msnap = serving.snapshot
+    stripCommitSeq(s"$mroot/_meta")
+    val mre = MediaIndexLoop.reattach(spark, mroot)
+    assert(mre.snapshot.lastBatchId === msnap.lastBatchId)
+    assert(mre.snapshot.commitSeq === msnap.lastBatchId + 1)
+  }
+
+  test("hostile FS: a marker-rename collision accepts an identical winner and fails LOUDLY on divergent content") {
+    registerHostileFs()
+    val root = s"hostilefs://${tmp("hostile-collide")}"
+    val store = new LoopCore.MetaStore[Long](root, "h",
+      n => s"""{"n":$n}""", j => LoopCore.jsonLong(j, "n"))
+    store.write(3L, 30L)
+    // same ordinal, same bytes, rename refused: the existing winner
+    // commits the write (idempotent markers)
+    GraftHostileFs.failMode = "before"
+    GraftHostileFs.failDstSubstring = Some("state-h3")
+    store.write(3L, 30L)
+    assert(GraftHostileFs.failDstSubstring.isEmpty, "injection consumed")
+    assert(store.read(3L).contains(30L))
+    // DIVERGENT bytes at the same ordinal: the single-writer-per-root
+    // protocol was violated — fail loudly, never silently discard the
+    // loser's state (the r17 watch item, now a hard gate)
+    GraftHostileFs.failMode = "before"
+    GraftHostileFs.failDstSubstring = Some("state-h3")
+    val err = intercept[IllegalStateException] { store.write(3L, 31L) }
+    assert(err.getMessage.contains("DIVERGENT"))
+    assert(store.read(3L).contains(30L), "the committed winner survives")
+    GraftHostileFs.failMode = "between"
+  }
+
+  test("indexLoop: disk-keyed resume guard — a stale handle over a committed corpus root is refused; buildIndex is the explicit fresh-lineage path") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("ivf-guard")
+    val corpus = s"$base/corpus"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 100L).write.parquet(corpus)
+    val index = IndexLoop.buildIndex(spark, corpus)
+    // the PRE-batch artifact — the stale restore an in-memory-keyed
+    // guard cannot see past
+    IndexLoop.saveIndex(spark, index, s"$base/saved0")
+    def stream() = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(tmp("ivf-guard-in"))
+    // fresh lineage: checkpoint-less start allowed
+    IndexLoop.start(spark, index, corpus, stream()).stop()
+    // commit batch 0 → the on-disk marker chain records lastBatchId 0
+    val v1 = spark.read.parquet(corpus).filter(col("vec_id") === 1L)
+      .collect().head.getSeq[Float](1)
+    IndexLoop.applyBatch(spark, index, corpus,
+      Seq((5000001L, v1.map(x => -x).toSeq)).toDF("vec_id", "embedding"),
+      0L, 0.999, 4, None, None, None,
+      graft.exts.Similarity.TargetCellVectors, (_, _, _) => ())
+    assert(index.snapshot.lastBatchId === 0L)
+    // a handle restored from the STALE artifact carries lastBatchId -1
+    // — an in-memory guard would admit it and a fresh query's batch 0
+    // would RE-APPLY over committed history; the disk key refuses it
+    val stale = IndexLoop.loadIndex(spark, s"$base/saved0")
+    assert(stale.snapshot.lastBatchId === -1L)
+    val err = intercept[IllegalStateException] {
+      IndexLoop.start(spark, stale, corpus, stream())
+    }
+    assert(err.getMessage.contains("checkpoint"))
+    // the durable restart: the POST-batch artifact + a checkpoint
+    IndexLoop.saveIndex(spark, index, s"$base/saved1")
+    val restored = IndexLoop.loadIndex(spark, s"$base/saved1")
+    assert(restored.snapshot.lastBatchId === 0L)
+    assert(restored.snapshot.commitSeq === index.snapshot.commitSeq,
+      "the commit ordinal must survive the artifact round-trip")
+    IndexLoop.start(spark, restored, corpus, stream(),
+      checkpoint = Some(tmp("ivf-guard-cp"))).stop()
+    // the explicit rebuild: buildIndex resets the marker lineage and
+    // the fresh handle starts checkpoint-less again (re-ingest stays
+    // idempotent through the near-dup gate)
+    val rebuilt = IndexLoop.buildIndex(spark, corpus)
+    IndexLoop.start(spark, rebuilt, corpus, stream()).stop()
+  }
+
+  test("hostile FS: media loop end to end — pending landings + version publish under non-atomic renames; a torn publish never serves") {
+    import spark.implicits._
+    import graft.exts.Multimodal
+    registerHostileFs()
+    val root = s"hostilefs://${tmp("hostile-media")}/media"
+    val corpusPng = Multimodal.encodeNearPng(5100004L)
+    val serving = MediaIndexLoop.build(spark,
+      Multimodal.canonicalSignatures(Seq((100L, corpusPng))
+        .toDF("doc_id", "png").as[Multimodal.PngAsset]).toDF(),
+      Multimodal.videoFingerprints(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "gif").as[Multimodal.GifAsset]).toDF(),
+      Multimodal.audioWindowFps(Seq.empty[(Long, Array[Byte])]
+        .toDF("doc_id", "wav").as[Multimodal.WavAsset]).toDF(),
+      root)
+    // batch 0: a novel admit + a corpus duplicate — gate, landing and
+    // marker all through copy+delete renames
+    val novelA = Multimodal.encodeNearPng(5200004L)
+    val v0 = MediaIndexLoop.applyBatch(spark, serving,
+      Seq((10L, "img", novelA), (20L, "img", corpusPng))
+        .toDF("doc_id", "modality", "media"), 0L, 100L, (_, _) => ())
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(v0(10L) === 1L && v0(20L) === 0L)
+    assert(serving.snapshot.nPending === 1L)
+    assert(MediaIndexLoop.reattach(spark, root).snapshot
+      === serving.snapshot)
+    // ARM: the v1 version publish (merge of committed + pending) dies
+    // before any byte moves — the rebuild must fail loudly, the
+    // version must NOT flip, and serving still resolves v0 + pending
+    val before = serving.snapshot
+    GraftHostileFs.failMode = "before"
+    GraftHostileFs.failDstSubstring = Some("/v1/sigs-img")
+    intercept[Exception] { MediaIndexLoop.rebuildNow(spark, serving) }
+    assert(GraftHostileFs.failDstSubstring.isEmpty, "injection consumed")
+    assert(serving.snapshot === before,
+      "a torn publish must never swap the serving state")
+    assert(serving.sigs(spark, "img").select(col("doc_id")).distinct()
+      .count() === 2L,
+      "the pre-publish serving view must stay intact")
+    assert(MediaIndexLoop.reattach(spark, root).snapshot === before,
+      "no marker may commit for the torn attempt")
+    // retry with the fault cleared: the torn dir is overwritten, the
+    // rebuild commits and the merged layout serves everything admitted
+    GraftHostileFs.failMode = "between"
+    assert(MediaIndexLoop.rebuildNow(spark, serving))
+    assert(serving.snapshot.version === 1L)
+    assert(serving.snapshot.nPending === 0L)
+    assert(serving.sigs(spark, "img").select(col("doc_id")).distinct()
+      .count() === 2L)
+    // the next batch gates against the merged hostile-scheme layout:
+    // a re-upload of the admitted asset is a duplicate
+    val v1 = MediaIndexLoop.applyBatch(spark, serving,
+      Seq((30L, "img", novelA)).toDF("doc_id", "modality", "media"),
+      1L, 100L, (_, _) => ()).collect()
+    assert(v1.length === 1 && v1.head.getLong(5) === 0L)
+    assert(MediaIndexLoop.reattach(spark, root).snapshot
+      === serving.snapshot)
+  }
+
+  test("hostile FS: vector loop end to end — corpus/codes/gate layouts under non-atomic renames; a torn codes rewrite never flips the serving version") {
+    import spark.implicits._
+    registerHostileFs()
+    val dir = "/root/testdata/sf0.001"
+    val base = s"hostilefs://${tmp("hostile-vec")}"
+    val corpus = s"$base/corpus"
+    val codes = s"$base/codes"
+    val gate = s"$base/gate"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 100L).write.parquet(corpus)
+    val cb = graft.exts.PqIndex.codebook(spark, dir)
+    val index = IndexLoop.buildIndex(spark, corpus, Some(codes),
+      Some(cb), Some(gate), gateTarget = 8L)
+    val bits0 = index.snapshot.gateBits
+    assert(LoopCore.isDirectory(s"$codes/v0"))
+    assert(LoopCore.isDirectory(s"$gate/b$bits0"))
+    // batch 0: a novel direction + a scaled near-dup of corpus vec 6 —
+    // the bucket-pruned gate admits exactly the novel; its corpus,
+    // codes and gate landings all ride copy+delete renames
+    val vecs = spark.read.parquet(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batch = Seq((4000001L, vecs(1L).map(x => -x).toSeq),
+      (4000002L, vecs(6L).map(x => x * 2.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    IndexLoop.applyBatch(spark, index, corpus, batch, 0L, 0.999, 4,
+      Some(codes), Some(cb), Some(gate), 8L, (_, _, _) => ())
+    assert(index.nCorpus === 101L)
+    assert(index.snapshot.lastBatchId === 0L)
+    assert(spark.read.parquet(s"$codes/v0")
+      .select(col("neighbor_id")).distinct().count() === 101L,
+      "the admitted vector's codes must land in the current layout")
+    // replay on the hostile scheme is a strict no-op
+    val beforeReplay = index.snapshot
+    IndexLoop.applyBatch(spark, index, corpus, batch, 0L, 0.999, 4,
+      Some(codes), Some(cb), Some(gate), 8L, (_, _, _) => ())
+    assert(index.snapshot === beforeReplay)
+    // ARM: plant a hot cell, dispatch out-of-band maintenance; the v1
+    // codes rewrite dies before any byte moves — maintenance fails
+    // loudly, the version must NOT flip (readers keep resolving v0)
+    val st = index.snapshot
+    val hot = st.cellStats.keys.max
+    index.update(st.copy(cellStats = st.cellStats
+      .updated(hot, (st.nCorpus * 5L, 0L))))
+    GraftHostileFs.failMode = "before"
+    GraftHostileFs.failDstSubstring = Some("/v1")
+    intercept[Exception] { IndexLoop.maintainNow(spark, index, corpus) }
+    assert(GraftHostileFs.failDstSubstring.isEmpty, "injection consumed")
+    assert(index.snapshot.version === 0L,
+      "a torn codes rewrite must never flip the serving version")
+    // retry with the fault cleared: the rewrite completes BEFORE the
+    // flip and the v1 layout carries the full corpus — byte-equal to
+    // an inline rebuild through the same chain
+    GraftHostileFs.failMode = "between"
+    assert(IndexLoop.maintainNow(spark, index, corpus))
+    assert(index.snapshot.version === 1L)
+    assert(spark.read.parquet(s"$codes/v1")
+      .select(col("neighbor_id")).distinct().count() === 101L)
+    val served = spark.read.parquet(s"$codes/v1").collect()
+      .map(_.toString).toSet
+    val localTmp = tmp("hostile-vec-rebuild")
+    graft.exts.PqIndex.writeClusteredCodesWith(
+      spark.read.parquet(corpus)
+        .select(col("vec_id"), col("embedding")),
+      index.centroids(spark), cb, s"$localTmp/v")
+    val rebuilt = spark.read.parquet(s"$localTmp/v").collect()
+      .map(_.toString).toSet
+    assert(served === rebuilt,
+      "the hostile-scheme layout must equal an inline rebuild")
   }
 
   test("hostile FS: a half-published artifact payload is never taken for committed; the retry self-heals") {
