@@ -15,6 +15,19 @@ object Bench {
       // were paying ~20-30% janino cost that query-major's back-to-back
       // passes hid). Size it to hold the whole suite's stages.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // AQE coalescing stays at the parallelism-first DEFAULT. The r18
+      // A/B (SCALE.md r18) measured size-first coalescing
+      // (coalescePartitions.parallelismFirst=false) at 64 MB and 4 MB
+      // advisory sizes against the same-session baseline: the
+      // overhead-bound metadata tail moved within host noise
+      // (graph_triangles 0.82× in one run, 1.19× in the next) while
+      // the shingle inverted-index family regressed consistently in
+      // BOTH runs (rho_select 1.43-1.49×, source_overlap 1.33-1.45×,
+      // dedup_ngram_jaccard_capped 1.26-1.27× — size-first coalescing
+      // serializes CPU-bound small-data joins Spark sizes by bytes,
+      // not compute). Net: median 0.96-1.04× per key, total −1% to
+      // +7% — no free win at this granularity; the tail is
+      // host-dispatch-bound, not plan-bound.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.col

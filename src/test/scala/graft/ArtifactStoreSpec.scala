@@ -221,6 +221,62 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-JVM publish race on the hostile scheme: the loser backs off against a slow winner and resolves committed, never spuriously failing") {
+    import graft.stream.GraftHostileFs
+    spark.sparkContext.hadoopConfiguration.set("fs.hostilefs.impl",
+      classOf[GraftHostileFs].getName)
+    GraftHostileFs.failDstSubstring = None
+    GraftHostileFs.failDstSuffix = None
+    GraftHostileFs.failMode = "between"
+    val conf = ArtifactStore.RootConf
+    val base = java.nio.file.Files
+      .createTempDirectory("store-race").toString
+    try {
+      spark.conf.set(conf, s"hostilefs://$base/indexes")
+      spark.conf.set(ArtifactStore.PublishWaitConf, "20000")
+      ArtifactStore.clear()
+      def build(staging: String): Unit =
+        spark.range(64).toDF("n").write.mode("overwrite")
+          .parquet(s"$staging/payload.parquet")
+      val fin = graft.exts.ArtifactStore.locate(spark, "spec-race",
+        "/race/corpus", 7L)
+      // the LOSER's payload rename is refused — the cross-JVM window
+      // where a winner lands between the existence check and the
+      // rename; a WINNER thread publishes the same deterministic
+      // artifact while the loser sits in its backoff loop (the
+      // slow-copying-winner shape of an object store, the r17 ADVICE
+      // scenario the configurable wait exists for)
+      GraftHostileFs.failMode = "before"
+      GraftHostileFs.failDstSuffix = Some("/" + fin.split('/').last)
+      val winner = new Thread(() => {
+        Thread.sleep(5000)
+        ArtifactStore.resolve(spark, "spec-race", "/race/corpus",
+          7L)(build)
+      })
+      winner.setDaemon(true)
+      winner.start()
+      val t0 = System.nanoTime()
+      val p = ArtifactStore.resolve(spark, "spec-race", "/race/corpus",
+        7L)(build)
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      winner.join(30000)
+      assert(GraftHostileFs.failDstSuffix.isEmpty, "injection consumed")
+      assert(p === fin)
+      assert(graft.exts.ArtifactStore.ready(p, "spec-race",
+        "/race/corpus", "", 7L),
+        "the loser must resolve to the winner's COMMITTED artifact")
+      assert(spark.read.parquet(s"$p/payload.parquet").count() === 64L)
+      assert(waitedMs >= 4000L,
+        s"the loser must back off for the slow winner instead of " +
+          s"failing spuriously, waited ${waitedMs}ms")
+      GraftHostileFs.failMode = "between"
+    } finally {
+      spark.conf.unset(conf)
+      spark.conf.unset(ArtifactStore.PublishWaitConf)
+      ArtifactStore.clear()
+    }
+  }
+
   test("distinct corpus dirs never alias (128-bit identity in the path)") {
     val r = ArtifactStore.root(spark)
     val p1 = graft.exts.ArtifactStore.entryPath(r, "k", "/corpus/a", "", 1L)
