@@ -979,6 +979,16 @@ object Similarity {
         (if (projectSign(i, j) > 0) "+ " else "- ") + s"ql[$i]"
       }.mkString(" ")
     }
+    // r18 A/B NOTE: a literal per-index quantization array
+    // (`array(cast(round(embedding[0]*…)), …)` instead of this
+    // `transform`) was TRIED to lift the lambda into whole-stage
+    // codegen and REVERTED: the optimizer inlines the dIn-element
+    // CreateArray into every consumer (16 chains + the generator's
+    // size() guard, which even reached the scan's DataFilters), so each
+    // element quantized ~17× per row — emb_project measured 1.4 s →
+    // 5.9 s. The single-level transform evaluates its lambda
+    // interpreted but ONCE per element, and the optimizer never inlines
+    // a higher-order function — the cheaper shape in practice.
     corpus.select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")
         .as("ql"))

@@ -223,11 +223,22 @@ object TextAnalysis {
   private[graft] def bm25ScoreAgainst(tf: DataFrame, stats: DataFrame,
       qterms: DataFrame, k: Int, excludeSelf: Boolean,
       dfrOpt: Option[DataFrame] = None): DataFrame = {
-    val dfr = dfrOpt.getOrElse(
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
-    val dfrBatch = dfr.join(
-      broadcast(qterms.select(col("term")).distinct()),
-      Seq("term"), "left_semi")
+    // r18: when no persisted df table exists, the batch-term restriction
+    // is pushed BELOW the df aggregate — the broadcast semi-join drops
+    // non-batch postings map-side, so the aggregate's exchange carries
+    // only the batch's own terms instead of the full Heaps-bounded
+    // vocabulary (df values for surviving terms are identical: one
+    // postings row per (doc, term) either way). The artifact path keeps
+    // its persisted-table semi-join unchanged.
+    val dfrBatch = dfrOpt match {
+      case Some(dfr) => dfr.join(
+        broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      case None => tf.join(
+          broadcast(qterms.select(col("term")).distinct()),
+          Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
     val cand = tf.join(broadcast(qterms), "term")
     val contrib = (if (excludeSelf)
         cand.filter(col("doc_id") =!= col("query_id")) else cand)
@@ -495,12 +506,21 @@ object TextAnalysis {
 
   def lmScores(docs: DataFrame): DataFrame = {
     val tf = bigramTf(docs)
+    // r18: the model is assembled VOCAB-SIDE (bgc ⋈ ctx) before it
+    // meets the corpus-scale tf stream, so ONE corpus-side join remains
+    // where tf ⋈ bgc ⋈ ctx ran two. The bigram-count frame is NOT
+    // materialized: both a lazy and an eager localCheckpoint of bgc
+    // were MEASURED here (r18) at 2-4× the recompute baseline — the
+    // distinct-bigram frame tracks corpus token volume closely enough
+    // that caching it (and joining from a stats-less LogicalRDD) loses
+    // to replaying the codegen'd scan+explode+agg, the same verdict the
+    // r9 shingle-frame probes reached. bgc is replayed once more under
+    // ctx — the documented family trade.
     val bgc = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c_bg"))
     val ctx = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
     // Same policy as lmScoreWith: bgc/ctx grow with the corpus — let AQE
     // pick broadcast vs shuffle from their real runtime sizes.
-    tf.join(bgc, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
+    tf.join(bgc.join(ctx, Seq("w1")), Seq("w1", "w2"))
       .withColumn("ppm", expr("(c_bg * 1000000) div c_ctx"))
       .groupBy(col("doc_id"))
       .agg(
@@ -535,21 +555,30 @@ object TextAnalysis {
     * clears the margin. All arithmetic is the integer ppm contract of
     * [[lmScores]], so both engines agree bit-for-bit.
     *
-    * Scale shape: ONE bigram-tf pass feeds both models ([[lmScores]]'
-    * family constant — the tf recompute is the documented trade);
-    * global counts reduce to the Heaps-bounded (w₁,w₂)/(w₁) frames and
-    * source counts to their (source, ·) splits, all map-side-combinable
-    * hash aggregates; the scoring joins bring the four count frames
-    * back per bigram as SHUFFLE-HASH builds (never a pinned broadcast —
-    * that would OOM at exactly the scale the apply path is for, the
-    * [[lmScoreWith]] lesson; never sort-merge — nothing needs the sort;
-    * AQE still demotes any of them to broadcast when the runtime size
+    * Scale shape (r18): global counts reduce to the Heaps-bounded
+    * (w₁,w₂)/(w₁) frames and source counts to their (source, ·) splits,
+    * all map-side-combinable hash aggregates; both models' ppm are
+    * assembled bigram-side, and the corpus-scale tf stream is joined
+    * ONCE on (source, w₁, w₂) as a SHUFFLE-HASH build (never a pinned
+    * broadcast — that would OOM at exactly the scale the apply path is
+    * for, the [[lmScoreWith]] lesson; never sort-merge — nothing needs
+    * the sort; AQE still demotes to broadcast when the runtime size
     * fits); the per-doc rollup is one hash aggregate. Docs under 2
     * words have no bigrams and are absent, exactly like [[lmScores]]. */
   def rhoSelect(docs: DataFrame): DataFrame = {
     val tfs = bigramTf(docs)
       .join(docs.select(col("doc_id"), col("source"))
         .hint("shuffle_hash"), Seq("doc_id"))
+    // r18 restructure, values unchanged: both models' ppm are assembled
+    // at BIGRAM grain and the corpus-scale tf stream is joined ONCE on
+    // (source, w1, w2) — the previous shape ran FOUR corpus-scale
+    // shuffle-hash joins where this runs one; the three model joins
+    // below are bigram-scale. The count frames are NOT materialized
+    // (an eager localCheckpoint of sbg was measured here at 2-3× the
+    // recompute baseline — distinct-bigram frames track corpus token
+    // volume too closely to cache, the lmScores/r9-shingle verdict), so
+    // each aggregate branch replays the codegen'd scan+explode chain —
+    // the documented family trade.
     val gbg = tfs.groupBy(col("w1"), col("w2"))
       .agg(sum(col("tf")).as("g_bg"))
     val gctx = gbg.groupBy(col("w1")).agg(sum(col("g_bg")).as("g_ctx"))
@@ -557,13 +586,16 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("s_bg"))
     val sctx = sbg.groupBy(col("source"), col("w1"))
       .agg(sum(col("s_bg")).as("s_ctx"))
-    tfs
+    val model = sbg
       .join(gbg.hint("shuffle_hash"), Seq("w1", "w2"))
       .join(gctx.hint("shuffle_hash"), Seq("w1"))
-      .join(sbg.hint("shuffle_hash"), Seq("source", "w1", "w2"))
       .join(sctx.hint("shuffle_hash"), Seq("source", "w1"))
       .withColumn("g_ppm", expr("(g_bg * 1000000) div g_ctx"))
       .withColumn("s_ppm", expr("(s_bg * 1000000) div s_ctx"))
+      .select(col("source"), col("w1"), col("w2"),
+        col("g_ppm"), col("s_ppm"))
+    tfs
+      .join(model.hint("shuffle_hash"), Seq("source", "w1", "w2"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * col("g_ppm")).as("gmass"),
