@@ -38,7 +38,7 @@ object AbProbe {
       }
     })
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = if (args.length >= 3) args(2).toInt else 4
+    val reps = if (args.length >= 3 && args(0) != "diff") args(2).toInt else 4
 
     def run(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
       taskTimeMs = 0; shuffleRead = 0; shuffleWrite = 0
@@ -51,6 +51,17 @@ object AbProbe {
         f"  shufR=${shuffleRead / 1e6}%9.1f MB  shufW=${shuffleWrite / 1e6}%9.1f MB")
     }
 
+    if (args(0) == "diff") {
+      // identity mode: exceptAll both ways between two variants
+      val x = variants(args(1))(spark, dir)
+      val y = variants(args(2))(spark, dir).select(x.columns.map(col): _*)
+      val onlyX = x.exceptAll(y).count()
+      val onlyY = y.exceptAll(x).count()
+      println(s"[ab] diff ${args(1)} vs ${args(2)}: onlyA=$onlyX onlyB=$onlyY" +
+        s" rowsA=${x.count()} rowsB=${y.count()}" +
+        (if (onlyX == 0 && onlyY == 0) " IDENTICAL" else " MISMATCH"))
+      spark.stop(); return
+    }
     val a = variants(args(0))
     val b = variants(args(1))
     // warm both once (codegen/footers), then alternate
@@ -67,8 +78,110 @@ object AbProbe {
   private def variants: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.queries ++ Map[String, (SparkSession, String) => DataFrame](
       "lm_old" -> ((s, dir) => lmScoresOld(Tables.load(s, dir, "documents"))),
-      "rho_old" -> ((s, dir) => rhoSelectOld(Tables.load(s, dir, "documents")))
+      "rho_old" -> ((s, dir) => rhoSelectOld(Tables.load(s, dir, "documents"))),
+      "bpe_nockpt" -> ((s, dir) =>
+        bpeTrainNoCkpt(Tables.load(s, dir, "documents"))),
+      "mmr_spark_old" -> ((s, dir) =>
+        mmrSparkOld(Tables.load(s, dir, "embeddings")))
     )
+
+  /** bpeTrain with the per-round corpus checkpoint REMOVED: round r's
+    * pair count replays rounds 1..r-1's literal replaces from the scan
+    * (Σr replace evaluations) instead of caching the rewritten corpus
+    * per round. */
+  private def bpeTrainNoCkpt(docs: DataFrame,
+      rounds: Int = graft.exts.TextAnalysis.BpeRounds): DataFrame = {
+    var enc = docs.select(
+      concat(lit(" "), concat_ws("  ", words2(col("text"))), lit(" "))
+        .as("enc"))
+    var rules = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = enc
+        .select(words2(col("enc")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(element_at(w, i) AS pa," +
+            "             element_at(w, i + 1) AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1)
+        .select(lit(r).as("round"), col("pa"), col("pb"),
+          concat(col("pa"), lit("_"), col("pb")).as("merged"), col("cnt"))
+        .localCheckpoint(false)
+      rules = rules :+ best
+      if (r < rounds) {
+        enc = enc.crossJoin(broadcast(best.select(col("pa"), col("pb"),
+            col("merged"))))
+          .select(expr(
+            "replace(enc, ' ' || pa || '  ' || pb || ' '," +
+              " ' ' || merged || ' ')").as("enc"))
+      }
+    }
+    rules.reduce(_ unionByName _)
+  }
+
+  private def words2(text: org.apache.spark.sql.Column) =
+    split(trim(text), "\\s+")
+
+  /** The pre-r18 mmrSelect: MmrK−1 greedy rounds as Spark jobs
+    * (broadcast + join + two aggregates per round) over the bounded
+    * candidate frame — kept frozen so the driver-greedy equivalence
+    * diff (`runMain graft.AbProbe diff mmr_select mmr_spark_old`)
+    * stays reproducible. */
+  private def mmrSparkOld(corpus0: DataFrame,
+      maxQueryId: Long = 8): DataFrame = {
+    import graft.exts.Similarity.{MmrCand, MmrK}
+    def quant(c: org.apache.spark.sql.Column) =
+      transform(c, x => round(x.cast("double") *
+        lit(graft.exts.Similarity.ProtoQ)).cast("long"))
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val cds = graft.exts.Similarity.bruteTopK(corpus0, maxQueryId, MmrCand)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val qside = corpus0
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+      .join(broadcast(cds), "query_id")
+    val cand = corpus0
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("en"))
+      .join(broadcast(qside), "neighbor_id")
+      .withColumn("qq", quant(col("eq")))
+      .withColumn("qn", quant(col("en")))
+      .withColumn("rel", sq(col("qq"), col("qn")))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("qn"), col("rel"))
+      .localCheckpoint(false)
+    var sel = cand.filter(col("rank") === 1)
+      .select(col("query_id"), lit(1L).as("mmr_rank"),
+        col("neighbor_id"), col("qn"))
+    (2 to MmrK).foreach { r =>
+      val scored = cand
+        .join(broadcast(sel.select(col("query_id"),
+            col("neighbor_id").as("sel_id"), col("qn").as("qs"))),
+          Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("sel_id"))
+        .withColumn("dv", sq(col("qn"), col("qs")))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"),
+          col("qn"))
+        .agg(min(col("dv")).as("divmin"),
+          count(lit(1)).as("n_against"))
+        .filter(col("n_against") === (r - 1).toLong)
+      val pick = scored.groupBy(col("query_id"))
+        .agg(max(struct((col("divmin") - col("rel")).as("sc"),
+          (-col("neighbor_id")).as("n"), col("qn").as("q"))).as("m"))
+        .select(col("query_id"), lit(r.toLong).as("mmr_rank"),
+          (-col("m.n")).as("neighbor_id"), col("m.q").as("qn"))
+      sel = sel.unionByName(pick)
+    }
+    sel
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"),
+          col("rel"))),
+        Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("mmr_rank"), col("rel").as("rel_dist_sq"))
+  }
 
   // ---- frozen r17 shapes (verbatim) ----
 

@@ -9,8 +9,41 @@ import org.apache.spark.sql.functions._
   * Parquet directories keyed by name).
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Session-scoped table-metadata memo — the catalog role an Iceberg
+    * deployment's snapshot-pinned table resolution plays (guide §6: file
+    * listing caches exist precisely because re-listing per query is the
+    * dominant small-query constant; manifest-backed formats avoid it
+    * altogether). `spark.read.parquet` re-lists the directory, re-reads a
+    * footer and re-infers the schema on EVERY call — measured 50-200 ms
+    * per table on this corpus (MetaProbe r18), paid by every query before
+    * any data moves. The memo keys on (session, dir, table,
+    * [[version]]): the version fold is the same listing-derived snapshot
+    * id the artifact memos use, so a table REWRITE under the same path
+    * resolves fresh metadata instead of serving a stale plan — and the
+    * walk costs ~0.06 ms, three orders cheaper than what it avoids. Only
+    * METADATA (the resolved logical plan) is reused; every execution
+    * still scans the parquet bytes. Sessions are weakly keyed so a
+    * closed session's entries are collectable. */
+  private val memo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val bySession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        memo.put(spark, m)
+      }
+      m
+    }
+    val key = s"$dir|$name|${version(dir, name)}"
+    // Bound per-session entries: rewrite-churning tests would otherwise
+    // accumulate one stale plan per (table, version).
+    if (bySession.size > 256) bySession.clear()
+    bySession.computeIfAbsent(key,
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** The commit-event stream analog (FIXTURES.md §1). */
   def events(spark: SparkSession, dir: String): DataFrame =

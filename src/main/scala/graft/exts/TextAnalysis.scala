@@ -506,21 +506,21 @@ object TextAnalysis {
 
   def lmScores(docs: DataFrame): DataFrame = {
     val tf = bigramTf(docs)
-    // r18: the model is assembled VOCAB-SIDE (bgc ⋈ ctx) before it
-    // meets the corpus-scale tf stream, so ONE corpus-side join remains
-    // where tf ⋈ bgc ⋈ ctx ran two. The bigram-count frame is NOT
-    // materialized: both a lazy and an eager localCheckpoint of bgc
-    // were MEASURED here (r18) at 2-4× the recompute baseline — the
-    // distinct-bigram frame tracks corpus token volume closely enough
-    // that caching it (and joining from a stats-less LogicalRDD) loses
-    // to replaying the codegen'd scan+explode+agg, the same verdict the
-    // r9 shingle-frame probes reached. bgc is replayed once more under
-    // ctx — the documented family trade.
+    // r18 A/B NOTES (both alternatives measured and REVERTED):
+    //  - localCheckpoint (lazy and eager) of bgc: 2-4× the recompute
+    //    baseline — the distinct-bigram frame tracks corpus token volume
+    //    too closely to cache, and the stats-less LogicalRDD degrades
+    //    join planning; the r9 shingle-frame verdict holds here.
+    //  - model-first join (tf ⋈ (bgc ⋈ ctx)): task time parity to
+    //    slightly better, but wall consistently +15-30% at bench scale —
+    //    the chained BHJ builds serialize where this shape's two
+    //    broadcast builds overlap. The two-join form stays.
     val bgc = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c_bg"))
     val ctx = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
     // Same policy as lmScoreWith: bgc/ctx grow with the corpus — let AQE
     // pick broadcast vs shuffle from their real runtime sizes.
-    tf.join(bgc.join(ctx, Seq("w1")), Seq("w1", "w2"))
+    tf.join(bgc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
       .withColumn("ppm", expr("(c_bg * 1000000) div c_ctx"))
       .groupBy(col("doc_id"))
       .agg(
