@@ -82,8 +82,102 @@ object AbProbe {
       "bpe_nockpt" -> ((s, dir) =>
         bpeTrainNoCkpt(Tables.load(s, dir, "documents"))),
       "mmr_spark_old" -> ((s, dir) =>
-        mmrSparkOld(Tables.load(s, dir, "embeddings")))
+        mmrSparkOld(Tables.load(s, dir, "embeddings"))),
+      "ensemble_ckpt" -> ((s, dir) => ensembleCkpt(s, dir)),
+      "q21_preagg" -> ((s, dir) => q21PreAgg(s, dir)),
+      "overlap_ckpt" -> ((s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("source"), col("text"))
+        sourceOverlapCkpt(base.unionByName(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 7 === 0)
+            .select(lit("src_wire").as("source"), col("text"))))
+      })
     )
+
+  /** q21 with the two countDistincts replaced by a (orderkey, suppkey)
+    * pre-aggregation — removes the Expand×3 multi-distinct plan; values
+    * identical (per-supplier late flags then exact counts). */
+  private def q21PreAgg(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: String) =
+      round(col(c).cast("double") * 100).cast("long")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1L).otherwise(0L)).as("has_late"),
+        sum(when(late, 1L).otherwise(0L)).as("n_late"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nsupp"),
+        sum(col("has_late")).as("nlate_supp"),
+        min(when(col("has_late") === 1L, col("l_suppkey")))
+          .as("late_supp"),
+        sum(col("n_late")).as("n_late_items"))
+      .filter(col("nsupp") > 1 && col("nlate_supp") === 1)
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name")
+    perOrder.groupBy(col("late_supp"))
+      .agg(sum(col("n_late_items")).as("numwait"))
+      .join(broadcast(sup), col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  /** ensemblePairs→dupComponents with the capped shingle frame
+    * materialized once (eager) — re-adjudicating the r9 "wash" verdict
+    * with the task-time instrument. */
+  private def ensembleCkpt(s: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.exts.Dedup.corpusWithMixedDups(s, dir)
+    val sh = graft.exts.Dedup
+      .cappedShingles(corpus, graft.exts.Dedup.DefaultMaxShingleDf)
+      .localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+        "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
+        "b_id")
+      .filter(col("inter") * 3 >= col("n_a") + col("n_b") ||
+        col("inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .select(col("a_id"), col("b_id"))
+    graft.exts.Dedup.dupComponents(pairs)
+  }
+
+  /** sourceOverlap with the kept (source, shingle-hash) frame
+    * materialized once (eager) — A/B against the recompute baseline. */
+  private def sourceOverlapCkpt(docs: DataFrame,
+      maxSourceDf: Int = graft.exts.Dedup.DefaultMaxShingleDf): DataFrame = {
+    val sh0 = docs
+      .select(col("source"),
+        explode(graft.functions.Signatures.shingle_set(col("text"))).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("sh"))
+      .distinct()
+    val hot = sh0.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxSourceDf)
+      .select(col("sh"))
+    val sh = sh0.join(hot, Seq("sh"), "left_anti").localCheckpoint(true)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("n_shared * 1000 div least(n_a, n_b)")
+          .as("containment_x1000"))
+  }
 
   /** bpeTrain with the per-round corpus checkpoint REMOVED: round r's
     * pair count replays rounds 1..r-1's literal replaces from the scan

@@ -117,7 +117,24 @@ object Dedup {
     * a < b, aggregated to (a_id, b_id, inter, n_a, n_b). Every pairwise
     * detector (Jaccard, containment, ensemble, report) is a different
     * integer predicate over this one frame. */
-  private def pairStats(sh: DataFrame): DataFrame = {
+  private def pairStats(sh0: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    // r18: the inverted-index frame is materialized ONCE (eager local
+    // checkpoint) for its three consumers (self-join a/b sides + sizes),
+    // which each replayed the scan → shingle explode → (anti-join) chain
+    // — the r9 "materialization is a wash" verdict RE-ADJUDICATED with
+    // the task-time instrument on Spark 4.1.2: ensemble wall 2.4→2.0 s,
+    // task 1.31→1.20 s at sf0.1, and the win compounds at corpus scale
+    // where each replay re-scans the text while the cached frame is
+    // 16-byte (doc_id, hash) rows spilling to executor disk. Eager, not
+    // lazy — concurrent consumers of a lazy cell race and recompute (the
+    // r15/mmCaptionPairs lesson); no CacheManager substitution hazard
+    // (that was persist()'s failure mode in the r9 probe).
+    // `materialize = false` is for callers whose index frame is BOUNDED
+    // by construction (the distinct-caption chain) — there the extra
+    // checkpoint job costs more than the replays it saves (the r17
+    // graph_triangles small-frame lesson).
+    val sh = if (materialize) sh0.localCheckpoint(true) else sh0
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -216,8 +233,9 @@ object Dedup {
     * kept-shingle sets (both sides consistently), same integer-exact
     * threshold test as [[ngramJaccardPairs]]. */
   def ngramJaccardPairsCapped(corpus: DataFrame,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
-    pairStats(cappedShingles(corpus, maxShingleDf))
+      maxShingleDf: Int = DefaultMaxShingleDf,
+      materialize: Boolean = true): DataFrame =
+    pairStats(cappedShingles(corpus, maxShingleDf), materialize)
       .filter(col("inter") * 3 >= col("n_a") + col("n_b"))
       .select(col("a_id"), col("b_id"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("union_size"))
@@ -447,7 +465,16 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxSourceDf)
       .select(col("sh"))
-    val sh = sh0.join(hot, Seq("sh"), "left_anti")
+    // r18: the kept frame is materialized once (eager local checkpoint)
+    // — its three consumers (self-join a/b sides + sizes) each replayed
+    // the scan → shingle explode → DISTINCT exchange → anti-join chain,
+    // and unlike the document-level family (where the r9 probes
+    // measured materialization a wash) each replay here pays a distinct
+    // EXCHANGE, so caching wins: A/B at sf0.1 wall 2.3→1.3 s, task
+    // 2.1→1.5 s, shuffle 15.3→11.3 MB. At corpus scale the trade only
+    // widens — a replay re-scans the corpus text; the cached frame is
+    // (source, 8-byte hash) distinct rows, spilling to executor disk.
+    val sh = sh0.join(hot, Seq("sh"), "left_anti").localCheckpoint(true)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))

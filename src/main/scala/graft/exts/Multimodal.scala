@@ -538,7 +538,10 @@ object Multimodal {
       .agg(min(col("doc_id")).as("rep"))
       .localCheckpoint(true)
     val nearPairs = Dedup.ngramJaccardPairsCapped(
-      dcap.select(col("rep").as("doc_id"), col("caption").as("text")))
+      dcap.select(col("rep").as("doc_id"), col("caption").as("text")),
+      // distinct-caption frame: bounded by construction, skip the
+      // pairStats materialization (extra job > saved replays here)
+      materialize = false)
     val comps = Dedup.dupComponents(
       nearPairs.select(col("a_id"), col("b_id")))
     val capComp = dcap.join(
