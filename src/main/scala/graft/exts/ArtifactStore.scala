@@ -291,6 +291,40 @@ object ArtifactStore {
     fin
   }
 
+  /** Session-scoped reader memo for COMMITTED artifact parquet (r18).
+    * `spark.read.parquet` re-lists and re-reads footers on every call —
+    * 50-200 ms per frame (MetaProbe) that artifact-backed queries paid
+    * on each invocation (bm25_batch alone reads three frames). An
+    * entry's payload is write-once (atomic publish; a corpus rewrite
+    * mints a NEW version-keyed path), so the resolved plan is reusable
+    * with no version walk; [[evict]]/[[sweep]]/[[clear]] drop matching
+    * entries so a deleted-and-rebuilt path resolves fresh. Metadata
+    * only — every execution still scans the parquet bytes. */
+  private val readMemo =
+    new java.util.WeakHashMap[SparkSession,
+      ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]()
+
+  def readCached(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val bySession = readMemo.synchronized {
+      var m = readMemo.get(spark)
+      if (m == null) {
+        m = new ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+        readMemo.put(spark, m)
+      }
+      m
+    }
+    if (bySession.size > 512) bySession.clear()
+    bySession.computeIfAbsent(path, p => spark.read.parquet(p))
+  }
+
+  private def dropReads(pathPrefix: String): Unit =
+    readMemo.synchronized {
+      readMemo.values.forEach { m =>
+        m.keySet.removeIf(_.startsWith(pathPrefix))
+      }
+    }
+
   /** Evict ONE committed entry (its directory and the memo key) — the
     * scoped form Bench's cold pass uses: it drops exactly the bench
     * corpus's own (kind, dir, variant, version) artifact and never
@@ -299,7 +333,9 @@ object ArtifactStore {
       version: Long, variant: String = ""): Unit = {
     val r = root(spark)
     memo.remove(Key(r, kind, dir, variant, version))
-    val (fs, p) = resolvePath(entryPath(r, kind, dir, variant, version))
+    val entry = entryPath(r, kind, dir, variant, version)
+    dropReads(entry)
+    val (fs, p) = resolvePath(entry)
     if (fs.exists(p)) fs.delete(p, true)
   }
 
@@ -332,6 +368,7 @@ object ArtifactStore {
           got == manifestJson(kind, dir, variant, v))
         if (mine && !version.contains(keepVersion)) {
           memo.remove(Key(r, kind, dir, variant, version.get))
+          dropReads(st.getPath.toString)
           fs.delete(st.getPath, true)
           removed += 1
         }
@@ -342,5 +379,8 @@ object ArtifactStore {
 
   /** Test seam: drop all memoized paths (on-disk artifacts remain —
     * use [[evict]] to remove those). */
-  private[graft] def clear(): Unit = memo.clear()
+  private[graft] def clear(): Unit = {
+    memo.clear()
+    readMemo.synchronized(readMemo.clear())
+  }
 }

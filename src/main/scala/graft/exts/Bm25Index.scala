@@ -75,9 +75,9 @@ object Bm25Index {
     * pre-layout schema. */
   def load(spark: SparkSession,
       path: String): (DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/postings").drop("t_bucket"),
-      spark.read.parquet(s"$path/df").drop("t_bucket"),
-      spark.read.parquet(s"$path/stats"))
+    (ArtifactStore.readCached(spark, s"$path/postings").drop("t_bucket"),
+      ArtifactStore.readCached(spark, s"$path/df").drop("t_bucket"),
+      ArtifactStore.readCached(spark, s"$path/stats"))
 
   /** Postings + df pruned to exactly the term-hash buckets `qterms`'
     * vocabulary touches: the batch's distinct bucket ids collect to the
@@ -89,9 +89,9 @@ object Bm25Index {
       qterms: DataFrame): (DataFrame, DataFrame) = {
     val buckets = qterms.select(termBucket.as("b")).distinct()
       .collect().map(_.getInt(0)).sorted.toIndexedSeq
-    (spark.read.parquet(s"$path/postings")
+    (ArtifactStore.readCached(spark, s"$path/postings")
         .filter(col("t_bucket").isin(buckets: _*)).drop("t_bucket"),
-      spark.read.parquet(s"$path/df")
+      ArtifactStore.readCached(spark, s"$path/df")
         .filter(col("t_bucket").isin(buckets: _*)).drop("t_bucket"))
   }
 
@@ -109,7 +109,7 @@ object Bm25Index {
       explode(array_distinct(split(trim(col("text")), "\\s+")))
         .as("term"))
     val (postings, dfr) = loadPruned(spark, p, qterms)
-    val stats = spark.read.parquet(s"$p/stats")
+    val stats = ArtifactStore.readCached(spark, s"$p/stats")
     TextAnalysis.bm25ScoreAgainst(postings, stats, qterms, k,
       excludeSelf = false, dfrOpt = Some(dfr))
   }

@@ -78,7 +78,7 @@ object BpeIndex {
 
   /** Load a previously [[save]]d merge-table artifact. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    ArtifactStore.readCached(spark, path)
 
   /** Scoped cold-path eviction for this (corpus snapshot, rounds) entry
     * (memo + disk). */

@@ -43,7 +43,7 @@ object DsirIndex {
 
   /** Load a previously [[save]]d score-table artifact. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/scores")
+    ArtifactStore.readCached(spark, s"$path/scores")
 
   /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
   private[graft] def evict(spark: SparkSession, dir: String): Unit =

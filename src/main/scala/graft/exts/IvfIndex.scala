@@ -93,7 +93,7 @@ object IvfIndex {
 
   /** Load a previously [[save]]d index artifact. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    ArtifactStore.readCached(spark, path)
 
   /** Scoped cold-path eviction for this (corpus snapshot, k, iters)
     * entry (memo + disk). */

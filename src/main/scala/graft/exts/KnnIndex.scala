@@ -65,7 +65,7 @@ object KnnIndex {
   /** Load a previously [[save]]d edge frame — layout column stripped,
     * so consumers see the exact [[Similarity.knnGraph]] schema. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/edges").drop("s_bucket")
+    ArtifactStore.readCached(spark, s"$path/edges").drop("s_bucket")
 
   /** The corpus's kNN edge list, artifact-backed: (src_id, dst_id,
     * rank, mutual) — built on first use, loaded thereafter. Every graph
@@ -85,7 +85,7 @@ object KnnIndex {
       k: Int = Similarity.KnnGraphK): DataFrame = {
     val buckets = srcs.map(s => ((s % SrcBuckets) + SrcBuckets)
       % SrcBuckets).distinct.sorted
-    spark.read.parquet(s"${path(spark, dir, k)}/edges")
+    ArtifactStore.readCached(spark, s"${path(spark, dir, k)}/edges")
       .filter(col("s_bucket").isin(buckets: _*))
       .filter(col("src_id").isin(srcs: _*))
       .drop("s_bucket")
@@ -116,7 +116,8 @@ object KnnIndex {
   /** The corpus's mutual-kNN component frame, artifact-backed. */
   def components(spark: SparkSession, dir: String,
       k: Int = Similarity.KnnGraphK): DataFrame =
-    spark.read.parquet(s"${componentsPath(spark, dir, k)}/components")
+    ArtifactStore.readCached(spark,
+      s"${componentsPath(spark, dir, k)}/components")
 
   /** Evict only the derived components artifact (test seam: after
     * doctoring the edge artifact in place, the derived frame must be

@@ -50,7 +50,7 @@ object LmIndex {
 
   /** Load a previously [[save]]d model artifact. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/model")
+    ArtifactStore.readCached(spark, s"$path/model")
 
   /** Scoped cold-path eviction for this corpus snapshot (memo + disk). */
   private[graft] def evict(spark: SparkSession, dir: String): Unit =

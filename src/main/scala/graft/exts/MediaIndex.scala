@@ -60,7 +60,7 @@ object MediaIndex {
 
   /** Load a previously [[save]]d pair frame. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/pairs")
+    ArtifactStore.readCached(spark, s"$path/pairs")
 
   /** The corpus's media near-dup pairs, artifact-backed. */
   def pairs(spark: SparkSession, dir: String): DataFrame =
@@ -89,7 +89,8 @@ object MediaIndex {
 
   /** The corpus's media-dup component frame, artifact-backed. */
   def components(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${componentsPath(spark, dir)}/components")
+    ArtifactStore.readCached(spark,
+      s"${componentsPath(spark, dir)}/components")
 
   /** Evict only the derived components artifact (test seam: after
     * doctoring the pair artifact in place, the derived frame must be
@@ -121,7 +122,7 @@ object MediaIndex {
 
   /** The corpus's canonical signatures, artifact-backed. */
   def sigs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${sigsPath(spark, dir)}/sigs")
+    ArtifactStore.readCached(spark, s"${sigsPath(spark, dir)}/sigs")
 
   // ---- the VIDEO / AUDIO per-position fingerprint artifacts (the
   //      corpus side of the run-matched incremental ingest gates:
@@ -145,7 +146,7 @@ object MediaIndex {
 
   /** The corpus's per-frame video fingerprints, artifact-backed. */
   def vidSigs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${vidSigsPath(spark, dir)}/sigs")
+    ArtifactStore.readCached(spark, s"${vidSigsPath(spark, dir)}/sigs")
 
   /** The committed per-WINDOW audio fingerprint artifact
     * ([[Multimodal.WavWinFp]] schema), the audio gate's corpus side. */
@@ -159,7 +160,7 @@ object MediaIndex {
 
   /** The corpus's per-window audio fingerprints, artifact-backed. */
   def audSigs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${audSigsPath(spark, dir)}/sigs")
+    ArtifactStore.readCached(spark, s"${audSigsPath(spark, dir)}/sigs")
 
   /** Scoped cold-path eviction for this corpus snapshot (memo + disk,
     * all five artifact kinds). */
