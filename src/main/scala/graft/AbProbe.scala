@@ -60,6 +60,10 @@ object AbProbe {
       println(s"[ab] diff ${args(1)} vs ${args(2)}: onlyA=$onlyX onlyB=$onlyY" +
         s" rowsA=${x.count()} rowsB=${y.count()}" +
         (if (onlyX == 0 && onlyY == 0) " IDENTICAL" else " MISMATCH"))
+      if ((onlyX > 0 || onlyY > 0) && onlyX <= 20 && onlyY <= 20) {
+        x.exceptAll(y).collect().foreach(r => println(s"[ab]  onlyA: $r"))
+        y.exceptAll(x).collect().foreach(r => println(s"[ab]  onlyB: $r"))
+      }
       spark.stop(); return
     }
     val a = variants(args(0))
@@ -85,6 +89,8 @@ object AbProbe {
         mmrSparkOld(Tables.load(s, dir, "embeddings"))),
       "ensemble_ckpt" -> ((s, dir) => ensembleCkpt(s, dir)),
       "q21_preagg" -> ((s, dir) => q21PreAgg(s, dir)),
+      "funnel_one" -> ((s, dir) => funnelOnePass(
+        graft.exts.Dedup.corpusWithExactDups(s, dir))),
       "overlap_ckpt" -> ((s, dir) => {
         val base = Tables.load(s, dir, "documents")
           .select(col("source"), col("text"))
@@ -94,6 +100,35 @@ object AbProbe {
             .select(lit("src_wire").as("source"), col("text"))))
       })
     )
+
+  /** curationFunnel in ONE qualitySignals pass: all three stages derive
+    * from a per-content-hash pre-aggregate (same values: raw = Σ n_all,
+    * kept = Σ n_kept, deduped = hashes with a kept row / Σ per-hash min
+    * kept tokens). */
+  private def funnelOnePass(docs: DataFrame): DataFrame = {
+    val sig = graft.exts.TextAnalysis.qualitySignals(docs)
+      .select(col("text"),
+        col("n_tokens").cast("long").as("n_tokens"), col("keep"))
+    val byH = sig.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(col("n_tokens")).as("tok_all"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens"))).as("tok_kept"),
+        min(when(col("keep"), col("n_tokens"))).as("min_kept_tok"))
+    byH.agg(
+        sum(col("n_all")).as("raw_docs"),
+        sum(col("tok_all")).as("raw_toks"),
+        sum(col("n_kept")).as("kept_docs"),
+        sum(col("tok_kept")).as("kept_toks"),
+        sum(when(col("n_kept") > 0L, 1L).otherwise(0L)).as("ded_docs"),
+        sum(when(col("n_kept") > 0L, col("min_kept_tok"))).as("ded_toks"))
+      .select(expr(
+        "stack(3," +
+          " '1_raw', raw_docs, raw_toks," +
+          " '2_quality_kept', kept_docs, kept_toks," +
+          " '3_deduped', ded_docs, ded_toks)" +
+          " AS (stage, n_docs, n_tokens)"))
+  }
 
   /** q21 with the two countDistincts replaced by a (orderkey, suppkey)
     * pre-aggregation — removes the Expand×3 multi-distinct plan; values

@@ -4538,4 +4538,48 @@ class PipelineSpec extends AnyFunSuite {
         s"tail drop $id must point at its base caption's canonical doc")
     }
   }
+
+  test("curation funnel: one-pass fold equals the three-branch staging reference") {
+    // r18 restructure guard: curationFunnel folds all three stages out
+    // of one per-content-hash pre-aggregate; this pins it to the
+    // definitionally-staged reference on a frame with every edge the
+    // fold must honor — exact duplicates (kept and dropped copies of
+    // the same text), quality-dropped rows, and differing token counts
+    // among copies of one hash (min must win in the dedup stage).
+    import org.apache.spark.sql.functions._
+    val mk = (id: Long, text: String) => (id, text)
+    val dupA = "the quick brown fox jumps over a lazy dog and the " +
+      "calm river bends east of this old stone mill where is the " +
+      "miller now and what of his patient grey cat"
+    val uniqB = "a long meandering tale of the coast and its many " +
+      "harbors is told every winter by the keeper of a small light " +
+      "whose logs are full of storms and quiet mornings"
+    val rows = Seq(
+      mk(1L, dupA),             // kept, duplicate content A
+      mk(2L, dupA),             // kept, duplicate content A
+      mk(3L, "tiny"),           // dropped (too short)
+      mk(4L, uniqB),            // kept, unique content B
+      mk(5L, ("zq wv " * 40).trim)) // dropped (no stopwords)
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")))
+    val got = graft.exts.TextAnalysis.curationFunnel(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: stage the pipeline literally
+    val sig = graft.exts.TextAnalysis.qualitySignals(docs)
+      .select(col("text"), col("n_tokens").cast("long").as("n_tokens"),
+        col("keep"))
+    val kept = sig.filter(col("keep"))
+    def agg2(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(count(lit(1)), sum(col("n_tokens"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val ded = kept.groupBy(md5(col("text")))
+      .agg(min(col("n_tokens")).as("n_tokens"))
+    assert(got("1_raw") === agg2(sig))
+    assert(got("2_quality_kept") === agg2(kept))
+    assert(got("3_deduped") === agg2(ded))
+    // and the dedup stage actually deduplicated the planted copies
+    assert(got("3_deduped")._1 < got("2_quality_kept")._1)
+  }
 }
