@@ -83,8 +83,11 @@ object AbProbe {
     SparkEntry.queries ++ Map[String, (SparkSession, String) => DataFrame](
       "lm_old" -> ((s, dir) => lmScoresOld(Tables.load(s, dir, "documents"))),
       "rho_old" -> ((s, dir) => rhoSelectOld(Tables.load(s, dir, "documents"))),
+      "rho_r18" -> ((s, dir) => rhoSelectR18(Tables.load(s, dir, "documents"))),
       "bpe_nockpt" -> ((s, dir) =>
         bpeTrainNoCkpt(Tables.load(s, dir, "documents"))),
+      "bpe_r18" -> ((s, dir) =>
+        bpeTrainR18(Tables.load(s, dir, "documents"))),
       "mmr_spark_old" -> ((s, dir) =>
         mmrSparkOld(Tables.load(s, dir, "embeddings"))),
       "ensemble_ckpt" -> ((s, dir) => ensembleCkpt(s, dir)),
@@ -212,6 +215,43 @@ object AbProbe {
       .select(col("source_a"), col("source_b"), col("n_shared"),
         expr("n_shared * 1000 div least(n_a, n_b)")
           .as("containment_x1000"))
+  }
+
+  /** The r18 bpeTrain (verbatim): per-round lazy 1-row checkpoint of
+    * the winning rule consumed via crossJoin(broadcast(...)) — frozen
+    * for the r19 A/B and diff against the driver-collected rule loop. */
+  private def bpeTrainR18(docs: DataFrame,
+      rounds: Int = graft.exts.TextAnalysis.BpeRounds): DataFrame = {
+    var enc = docs.select(
+      concat(lit(" "), concat_ws("  ", words2(col("text"))), lit(" "))
+        .as("enc"))
+    var rules = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = enc
+        .select(words2(col("enc")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(element_at(w, i) AS pa," +
+            "             element_at(w, i + 1) AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1)
+        .select(lit(r).as("round"), col("pa"), col("pb"),
+          concat(col("pa"), lit("_"), col("pb")).as("merged"), col("cnt"))
+        .localCheckpoint(false)
+      rules = rules :+ best
+      if (r < rounds) {
+        enc = enc.crossJoin(broadcast(best.select(col("pa"), col("pb"),
+            col("merged"))))
+          .select(expr(
+            "replace(enc, ' ' || pa || '  ' || pb || ' '," +
+              " ' ' || merged || ' ')").as("enc"))
+          .localCheckpoint(false)
+      }
+    }
+    rules.reduce(_ unionByName _)
   }
 
   /** bpeTrain with the per-round corpus checkpoint REMOVED: round r's
@@ -344,6 +384,42 @@ object AbProbe {
       .select(col("doc_id"), col("n_bigrams"),
         expr("ppm_mass div n_bigrams").as("lm_score_ppm"),
         expr("novel_occ * 1000 div n_bigrams").as("novel_frac_x1000"))
+  }
+
+  /** The r18 rhoSelect (model-first, but source attached by a corpus-
+    * scale join and the global counts aggregated from tfs directly) —
+    * frozen for the r19 A/B and diff. */
+  private def rhoSelectR18(docs: DataFrame): DataFrame = {
+    val tfs = bigramTf(docs)
+      .join(docs.select(col("doc_id"), col("source"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+    val gbg = tfs.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("g_bg"))
+    val gctx = gbg.groupBy(col("w1")).agg(sum(col("g_bg")).as("g_ctx"))
+    val sbg = tfs.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("s_bg"))
+    val sctx = sbg.groupBy(col("source"), col("w1"))
+      .agg(sum(col("s_bg")).as("s_ctx"))
+    val model = sbg
+      .join(gbg.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(gctx.hint("shuffle_hash"), Seq("w1"))
+      .join(sctx.hint("shuffle_hash"), Seq("source", "w1"))
+      .withColumn("g_ppm", expr("(g_bg * 1000000) div g_ctx"))
+      .withColumn("s_ppm", expr("(s_bg * 1000000) div s_ctx"))
+      .select(col("source"), col("w1"), col("w2"),
+        col("g_ppm"), col("s_ppm"))
+    tfs
+      .join(model.hint("shuffle_hash"), Seq("source", "w1", "w2"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("g_ppm")).as("gmass"),
+        sum(col("tf") * col("s_ppm")).as("smass"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("gmass div n_bigrams").as("global_ppm"),
+        expr("smass div n_bigrams").as("source_ppm"))
+      .withColumn("excess_ppm", col("source_ppm") - col("global_ppm"))
+      .withColumn("keep", expr("CAST(CASE WHEN source_ppm * 1000 >" +
+        s" global_ppm * ${graft.exts.TextAnalysis.RhoMarginPermille} THEN 1 ELSE 0 END AS BIGINT)"))
   }
 
   private def rhoSelectOld(docs: DataFrame): DataFrame = {

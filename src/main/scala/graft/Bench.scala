@@ -311,5 +311,17 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // stdout already has it
     spark.stop()
+    // MEASUREMENT-CONTRACT FIX (r18 verdict #1): the driver retains only
+    // the LAST 2000 chars of stdout and json-parses from that tail. The
+    // full line above is ~12 KB (the 237-key map alone is ~5.5 KB), so
+    // it has truncated mid-line in EVERY round — BENCH_r01..r18 all have
+    // parsed:null and PERF per_query/scaling never populated. The full
+    // line keeps printing (and lands intact in BENCHDETAIL.json); this
+    // COMPACT summary line prints LAST so it sits whole inside the tail
+    // window (~550 chars + sbt's ~90-char epilogue < 2000). Headline
+    // figures are identical to the full line's; "detail" points at the
+    // complete per-query record.
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"passes":$passes,"pass_order":"pass_major","session_shift":${f3(sessionShift)},"sweep_totals":$sweepsJson,"reconciled_n":${inconsistent.size},"errors":$errs,"slowest":$slowest,"detail":"$detail"}"""
+    println(compact)
   }
 }

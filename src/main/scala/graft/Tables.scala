@@ -22,25 +22,15 @@ object Tables {
     * resolves fresh metadata instead of serving a stale plan — and the
     * walk costs ~0.06 ms, three orders cheaper than what it avoids. Only
     * METADATA (the resolved logical plan) is reused; every execution
-    * still scans the parquet bytes. Sessions are weakly keyed so a
-    * closed session's entries are collectable. */
-  private val memo =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    * still scans the parquet bytes. Eviction is EXPLICIT
+    * ([[SessionMemo]], r18 ADVICE): weak session keys could never
+    * collect, because the cached DataFrames strongly reference their
+    * own session. */
+  private val memo = new SessionMemo[DataFrame](maxPerSession = 256)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val bySession = memo.synchronized {
-      var m = memo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        memo.put(spark, m)
-      }
-      m
-    }
+    val bySession = memo.map(spark)
     val key = s"$dir|$name|${version(dir, name)}"
-    // Bound per-session entries: rewrite-churning tests would otherwise
-    // accumulate one stale plan per (table, version).
-    if (bySession.size > 256) bySession.clear()
     bySession.computeIfAbsent(key,
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }

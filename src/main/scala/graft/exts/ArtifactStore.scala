@@ -298,32 +298,27 @@ object ArtifactStore {
     * entry's payload is write-once (atomic publish; a corpus rewrite
     * mints a NEW version-keyed path), so the resolved plan is reusable
     * with no version walk; [[evict]]/[[sweep]]/[[clear]] drop matching
-    * entries so a deleted-and-rebuilt path resolves fresh. Metadata
-    * only — every execution still scans the parquet bytes. */
+    * entries so a deleted-and-rebuilt path resolves fresh. WRITE-ONCE
+    * is a requirement on callers of the public load() entry points
+    * (Bm25Index/LmIndex/…): an in-place parquet overwrite at the same
+    * path within a session would serve a stale file index — store-
+    * minted paths are version-keyed so internal use can never hit
+    * this; external doctoring must go through evict()/clear() (the
+    * ArtifactStoreSpec seam). Metadata only — every execution still
+    * scans the parquet bytes. Eviction is EXPLICIT ([[SessionMemo]],
+    * r18 ADVICE): weak session keys could never collect, because the
+    * cached DataFrames strongly reference their own session. */
   private val readMemo =
-    new java.util.WeakHashMap[SparkSession,
-      ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]()
+    new graft.SessionMemo[org.apache.spark.sql.DataFrame](
+      maxPerSession = 512)
 
   def readCached(spark: SparkSession,
-      path: String): org.apache.spark.sql.DataFrame = {
-    val bySession = readMemo.synchronized {
-      var m = readMemo.get(spark)
-      if (m == null) {
-        m = new ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-        readMemo.put(spark, m)
-      }
-      m
-    }
-    if (bySession.size > 512) bySession.clear()
-    bySession.computeIfAbsent(path, p => spark.read.parquet(p))
-  }
+      path: String): org.apache.spark.sql.DataFrame =
+    readMemo.map(spark)
+      .computeIfAbsent(path, p => spark.read.parquet(p))
 
   private def dropReads(pathPrefix: String): Unit =
-    readMemo.synchronized {
-      readMemo.values.forEach { m =>
-        m.keySet.removeIf(_.startsWith(pathPrefix))
-      }
-    }
+    readMemo.forEachMap(_.keySet.removeIf(_.startsWith(pathPrefix)))
 
   /** Evict ONE committed entry (its directory and the memo key) — the
     * scoped form Bench's cold pass uses: it drops exactly the bench
@@ -381,6 +376,6 @@ object ArtifactStore {
     * use [[evict]] to remove those). */
   private[graft] def clear(): Unit = {
     memo.clear()
-    readMemo.synchronized(readMemo.clear())
+    readMemo.clear()
   }
 }

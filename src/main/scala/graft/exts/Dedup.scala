@@ -134,7 +134,11 @@ object Dedup {
     // by construction (the distinct-caption chain) — there the extra
     // checkpoint job costs more than the replays it saves (the r17
     // graph_triangles small-frame lesson).
-    val sh = if (materialize) sh0.localCheckpoint(true) else sh0
+    // Ckpt.eager (r19): local by default; spark.graft.checkpoint.reliable
+    // routes to a reliable checkpoint() for cluster resilience — and note
+    // the materialization runs AT CONSTRUCTION (explain-only paths pay
+    // the scan; lazy cells race under concurrent consumers, r15 lesson).
+    val sh = if (materialize) Ckpt.eager(sh0) else sh0
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -474,7 +478,7 @@ object Dedup {
     // 2.1→1.5 s, shuffle 15.3→11.3 MB. At corpus scale the trade only
     // widens — a replay re-scans the corpus text; the cached frame is
     // (source, 8-byte hash) distinct rows, spilling to executor disk.
-    val sh = sh0.join(hot, Seq("sh"), "left_anti").localCheckpoint(true)
+    val sh = Ckpt.eager(sh0.join(hot, Seq("sh"), "left_anti"))
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -755,7 +759,8 @@ object Dedup {
     var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct()
+    edges = Ckpt.eager(edges)
 
     def round(es: DataFrame, large: Boolean): DataFrame = {
       val m = es.groupBy(col("u"))
@@ -777,8 +782,9 @@ object Dedup {
       val next = round(afterLarge, large = false)
         // restore symmetry for the next round's neighborhoods
         .select(col("u"), col("v"))
-      val sym = next.unionByName(next.select(col("v").as("u"), col("u").as("v")))
-        .distinct().localCheckpoint(true)
+      val sym = Ckpt.eager(
+        next.unionByName(next.select(col("v").as("u"), col("u").as("v")))
+          .distinct())
       // Both sides are distinct sets, so equality = equal cardinality +
       // one-direction containment: one exceptAll join per round instead
       // of two (counts over the localCheckpointed frames are cheap).

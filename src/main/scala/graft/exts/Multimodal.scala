@@ -427,8 +427,7 @@ object Multimodal {
     // checkpoint on an exchange-free frame with >1 consumer lets the
     // consumers race the unmaterialized cell and re-run the decode
     // concurrently (measured here: 2.6 s/run lazy vs sibling-band eager)
-    val sig = ahashStats(pngAssetsWithDups(spark, dir)).toDF()
-      .localCheckpoint(true)
+    val sig = Ckpt.eager(ahashStats(pngAssetsWithDups(spark, dir)).toDF())
     val keys = Seq("width", "height", "gray_sum", "ahash")
     val igrp = sig.join(
         sig.groupBy(keys.map(col): _*)
@@ -440,8 +439,8 @@ object Multimodal {
         caps.groupBy(col("m")).agg(min(col("doc_id")).as("cap_gid"))
           .hint("shuffle_hash"), Seq("m"))
       .select(col("doc_id"), col("cap_gid"))
-    val grouped = igrp.join(cgrp.hint("shuffle_hash"), Seq("doc_id"))
-      .localCheckpoint(true)
+    val grouped = Ckpt.eager(
+      igrp.join(cgrp.hint("shuffle_hash"), Seq("doc_id")))
     val pairs = grouped.filter(col("doc_id") =!= col("img_gid"))
       .select(least(col("doc_id"), col("img_gid")).as("a_id"),
         greatest(col("doc_id"), col("img_gid")).as("b_id"))
@@ -534,9 +533,8 @@ object Multimodal {
       .select(col("doc_id"), col("caption"), col("m_gid"))
     // distinct-caption-sized from here down; eager checkpoint — the
     // frame feeds the pair self-join (3 scans) and the label join-back
-    val dcap = caps.groupBy(col("caption"))
-      .agg(min(col("doc_id")).as("rep"))
-      .localCheckpoint(true)
+    val dcap = Ckpt.eager(caps.groupBy(col("caption"))
+      .agg(min(col("doc_id")).as("rep")))
     val nearPairs = Dedup.ngramJaccardPairsCapped(
       dcap.select(col("rep").as("doc_id"), col("caption").as("text")),
       // distinct-caption frame: bounded by construction, skip the
@@ -575,8 +573,7 @@ object Multimodal {
     * (AwsTableManagementMetricsEvaluator.java:108-140), applied to the
     * corpus-audit view of the VLM pair matrix. */
   def mmCaptionPairsNear(spark: SparkSession, dir: String): DataFrame = {
-    val sig = ahashStats(pngAssetsWithDups(spark, dir)).toDF()
-      .localCheckpoint(true)
+    val sig = Ckpt.eager(ahashStats(pngAssetsWithDups(spark, dir)).toDF())
     val keys = Seq("width", "height", "gray_sum", "ahash")
     val igrp = sig.join(
         sig.groupBy(keys.map(col): _*)
@@ -584,8 +581,8 @@ object Multimodal {
         keys)
       .select(col("doc_id"), col("img_gid"))
     val cgrp = captionNearGroups(captionsNear(spark, dir))
-    val grouped = igrp.join(cgrp.hint("shuffle_hash"), Seq("doc_id"))
-      .localCheckpoint(true)
+    val grouped = Ckpt.eager(
+      igrp.join(cgrp.hint("shuffle_hash"), Seq("doc_id")))
     val pairs = grouped.filter(col("doc_id") =!= col("img_gid"))
       .select(least(col("doc_id"), col("img_gid")).as("a_id"),
         greatest(col("doc_id"), col("img_gid")).as("b_id"))

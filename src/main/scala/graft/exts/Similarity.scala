@@ -554,7 +554,7 @@ object Similarity {
     * column-pruned parquet scans of a 2-column artifact stay cheaper
     * than one serialized local checkpoint round-trip). */
   def graphTriangles(corpus0: DataFrame, k: Int = KnnGraphK): DataFrame =
-    graphTrianglesFromEdges(knnGraph(corpus0, k).localCheckpoint(true))
+    graphTrianglesFromEdges(Ckpt.eager(knnGraph(corpus0, k)))
 
   /** [[graphTriangles]] over a PREBUILT edge frame (one the caller can
     * afford to have scanned three times — an artifact, a serving

@@ -432,9 +432,9 @@ object TextAnalysis {
     * [[lmHead]] is the KenLM-style pruning that keeps a shipped model
     * broadcast-sized. Docs with fewer than two tokens have no bigrams
     * and are excluded on both engines. */
-  /** Per-doc bigram term frequencies — shared base of [[lmScores]] /
-    * [[lmScoreWith]]. */
-  private def bigramTf(docs: DataFrame): DataFrame =
+  /** Per-doc bigram term frequencies, reference HOF form (kept for the
+    * FunctionsSpec identity pin; production uses [[bigramTf]]). */
+  private[graft] def bigramTf0(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
@@ -442,6 +442,21 @@ object TextAnalysis {
         "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
           " (x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** [[bigramTf0]] with the interpreted HOF pair explode replaced by the
+    * compiled [[graft.functions.BigramPairs]] pass (r19, guide §4:
+    * zip_with/transform lambdas are CodegenFallback and were the entire
+    * map-side CPU of this family) — pairs, groups and tf identical
+    * (FunctionsSpec pins the expression to the HOF form; the oracle pins
+    * every consumer). */
+  private[graft] def bigramTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.Signatures.bigram_pairs(col("text")))
+          .as("b"))
+      .select(col("doc_id"), col("b.pa").as("w1"), col("b.pb").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
 
@@ -555,37 +570,47 @@ object TextAnalysis {
     * clears the margin. All arithmetic is the integer ppm contract of
     * [[lmScores]], so both engines agree bit-for-bit.
     *
-    * Scale shape (r18): global counts reduce to the Heaps-bounded
-    * (w₁,w₂)/(w₁) frames and source counts to their (source, ·) splits,
-    * all map-side-combinable hash aggregates; both models' ppm are
-    * assembled bigram-side, and the corpus-scale tf stream is joined
-    * ONCE on (source, w₁, w₂) as a SHUFFLE-HASH build (never a pinned
+    * Scale shape (r18, tightened r19): source rides the bigram
+    * aggregate itself — `source` is functionally dependent on `doc_id`,
+    * so grouping by (doc, source, w₁, w₂) yields the exact same groups
+    * and tf values while the old corpus-scale (bigram ⋈ docs)
+    * shuffle-hash join and its doc-keyed exchange disappear outright.
+    * The GLOBAL counts then derive from the per-source counts (every
+    * doc has exactly one source, so g_bg = Σ_source s_bg — identical
+    * integers), which turns the second corpus-scale aggregate into a
+    * bigram-grain rollup of sbg whose exchange ReuseExchange serves
+    * from sbg's own shuffle. Both models' ppm are assembled
+    * bigram-side, and the corpus-scale tf stream is joined ONCE on
+    * (source, w₁, w₂) as a SHUFFLE-HASH build (never a pinned
     * broadcast — that would OOM at exactly the scale the apply path is
     * for, the [[lmScoreWith]] lesson; never sort-merge — nothing needs
     * the sort; AQE still demotes to broadcast when the runtime size
     * fits); the per-doc rollup is one hash aggregate. Docs under 2
     * words have no bigrams and are absent, exactly like [[lmScores]]. */
   def rhoSelect(docs: DataFrame): DataFrame = {
-    val tfs = bigramTf(docs)
-      .join(docs.select(col("doc_id"), col("source"))
-        .hint("shuffle_hash"), Seq("doc_id"))
-    // r18 restructure, values unchanged: both models' ppm are assembled
-    // at BIGRAM grain and the corpus-scale tf stream is joined ONCE on
-    // (source, w1, w2) — the previous shape ran FOUR corpus-scale
-    // shuffle-hash joins where this runs one; the three model joins
-    // below are bigram-scale. The count frames are NOT materialized
-    // (an eager localCheckpoint of sbg was measured here at 2-3× the
-    // recompute baseline — distinct-bigram frames track corpus token
-    // volume too closely to cache, the lmScores/r9-shingle verdict), so
-    // each aggregate branch replays the codegen'd scan+explode chain —
-    // the documented family trade.
-    val gbg = tfs.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("tf")).as("g_bg"))
-    val gctx = gbg.groupBy(col("w1")).agg(sum(col("g_bg")).as("g_ctx"))
+    // bigramTf with source carried through the explode (same groups,
+    // same tf — doc_id determines source); the count frames are NOT
+    // materialized (an eager localCheckpoint of sbg was measured at
+    // 2-3× the recompute baseline — distinct-bigram frames track corpus
+    // token volume too closely to cache, the lmScores/r9-shingle
+    // verdict), so the two remaining corpus passes (sbg's partial
+    // aggregate + the final probe) replay the codegen'd scan+explode
+    // chain — the documented family trade.
+    val tfs = docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.Signatures.bigram_pairs(col("text")))
+          .as("b"))
+      .select(col("doc_id"), col("source"), col("b.pa").as("w1"),
+        col("b.pb").as("w2"))
+      .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
     val sbg = tfs.groupBy(col("source"), col("w1"), col("w2"))
       .agg(sum(col("tf")).as("s_bg"))
     val sctx = sbg.groupBy(col("source"), col("w1"))
       .agg(sum(col("s_bg")).as("s_ctx"))
+    val gbg = sbg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("s_bg")).as("g_bg"))
+    val gctx = gbg.groupBy(col("w1")).agg(sum(col("g_bg")).as("g_ctx"))
     val model = sbg
       .join(gbg.hint("shuffle_hash"), Seq("w1", "w2"))
       .join(gctx.hint("shuffle_hash"), Seq("w1"))
@@ -622,12 +647,13 @@ object TextAnalysis {
     * Deterministic top-N: count desc, pair asc. */
   def bpePairCounts(spark: SparkSession, dir: String,
       topN: Int = 30): DataFrame =
+    // one compiled pass per document (graft.functions.CharPairs, r19) —
+    // the staged words-explode + interpreted transform(substring) form
+    // produced the same pair multiset with two generators and a
+    // CodegenFallback lambda in the map side
     Tables.load(spark, dir, "documents")
-      .select(explode(words(col("text"))).as("word"))
-      .filter(length(col("word")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(word) - 1)," +
-          " i -> substring(word, i, 2))")).as("pair"))
+      .select(explode(
+        graft.functions.Signatures.char_pairs(col("text"))).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
@@ -1078,49 +1104,94 @@ object TextAnalysis {
     *
     * Scale shape per round: one map-side-combined pair-count aggregate
     * (the exchange carries distinct-pair rows, bounded by vocabulary²,
-    * not corpus size), a 1-row broadcast of the winning rule, and one
-    * codegen'd projection rewriting the stream. Rounds are inherently
-    * sequential (BPE is an iterative algorithm); `localCheckpoint`
-    * truncates the lineage each round so round r costs one corpus pass,
-    * not 2^r. The driver never holds corpus data — only the 1-row rule
-    * crosses stages, by broadcast. */
+    * not corpus size) whose 1-ROW winner collects to the driver (the
+    * mmr/kcenter bounded-collect discipline — never corpus data), and
+    * one codegen'd projection rewriting the stream with the rule inlined
+    * as LITERALS. Rounds are inherently sequential (BPE is an iterative
+    * algorithm); `localCheckpoint` truncates the lineage each round so
+    * round r costs one corpus pass, not 2^r.
+    *
+    * r19 restructure (values identical, AbProbe diff + oracle): the
+    * winning rule used to be a lazy-checkpointed 1-row frame consumed
+    * via crossJoin(broadcast(...)) — at 6 rounds that is 6 broadcast
+    * builds plus their AQE stage barriers of pure dispatch latency, and
+    * the r19 instrument showed the key LATENCY-bound, not CPU-bound
+    * (task 1.65 s across 32 cores vs 2.6 s wall, 0.2 MB shuffle).
+    * Collecting the single winner row per round removes the broadcast
+    * machinery outright and makes the final merge table a local
+    * relation; the corpus-side plan (count pass, literal replace,
+    * per-round checkpoint) is unchanged, so at 100 TB the data path is
+    * the same — only per-round control flow moved to the driver. */
   def bpeTrain(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
     var enc = docs.select(
       concat(lit(" "), concat_ws("  ", words(col("text"))), lit(" "))
         .as("enc"))
-    var rules = Vector.empty[DataFrame]
-    for (r <- 1 to rounds) {
+    // MEASURED AND REJECTED (r19): repartitioning the encoded stream to
+    // core count before the round loop (the corpus arrives as one
+    // parquet row group = one scan task). Per-stage instrument: each of
+    // the 6 rounds' single-task pass costs ~0.25 s CPU TOTAL, and the
+    // fan-out replaced it with 8-32 tasks of ~0.15-0.3 s EACH
+    // (row-independent per-task floor at this data size) — task time
+    // 1.7 s → 60-90 s and wall 2.6 → 3.3-3.9 s. At sf0.1 the key is
+    // round-SEQUENCE-bound, not CPU-bound; at lake scale the scan
+    // already yields parallel splits, so the fan-out is pure loss at
+    // every scale.
+    val bestSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("pa",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("pb",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("merged",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    var rules = Vector.empty[org.apache.spark.sql.Row]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val best = enc
-        .select(words(col("enc")).as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(w) - 1)," +
-            " i -> struct(element_at(w, i) AS pa," +
-            "             element_at(w, i + 1) AS pb))")).as("p"))
+        .select(explode(
+          graft.functions.Signatures.bigram_pairs(col("enc"))).as("p"))
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pa"), col("pb"))
         .limit(1)
         .select(lit(r).as("round"), col("pa"), col("pb"),
           concat(col("pa"), lit("_"), col("pb")).as("merged"), col("cnt"))
-        // LAZY 1-row checkpoint: computed once on first use (the next
-        // round's pair count, or the final union), then served from
-        // cache to the other consumer — eager checkpoints here cost one
-        // extra driver-latency job per round, and the LAST round's
-        // rewritten corpus is never needed at all
-        .localCheckpoint(false)
-      rules = rules :+ best
-      if (r < rounds) {
-        enc = enc.crossJoin(broadcast(best.select(col("pa"), col("pb"),
-            col("merged"))))
-          .select(expr(
-            "replace(enc, ' ' || pa || '  ' || pb || ' '," +
-              " ' ' || merged || ' ')").as("enc"))
-          .localCheckpoint(false)
+        .collect()
+      if (best.isEmpty) {
+        // no adjacent pair anywhere (all docs under 2 tokens): every
+        // later round is empty too — same rows the broadcast form
+        // produced (its crossJoin with the empty rule emptied the
+        // stream and every later round)
+        exhausted = true
+      } else {
+        rules = rules :+ best.head
+        if (r < rounds) {
+          val pa = best.head.getString(1)
+          val pb = best.head.getString(2)
+          val merged = best.head.getString(3)
+          enc = enc.select(expr(
+            s"replace(enc, ' ' || ${sqlLit(pa)} || '  ' || ${sqlLit(pb)}" +
+              s" || ' ', ' ' || ${sqlLit(merged)} || ' ')").as("enc"))
+            // lazy: materialized inside the NEXT round's count job —
+            // the last round's rewritten corpus is never needed at all
+            .localCheckpoint(false)
+        }
       }
+      r += 1
     }
-    rules.reduce(_ unionByName _)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rules: _*), bestSchema)
   }
+
+  /** A SQL string literal for a token (tokens are whitespace-free, but
+    * quoting stays robust anyway). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.load(spark, dir, "documents"))
@@ -1272,12 +1343,17 @@ object TextAnalysis {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), col("n_tokens"))).as("tok_kept"),
         min(when(col("keep"), col("n_tokens"))).as("min_kept_tok"))
+    // doc counts coalesce to 0 on an EMPTY corpus (r18 ADVICE): the
+    // pre-fold staged form counted with count(lit(1)) — never null —
+    // while sum over zero pre-aggregate rows is null; token sums were
+    // null on empty input in both forms, so only the counts coalesce.
     byH.agg(
-        sum(col("n_all")).as("raw_docs"),
+        coalesce(sum(col("n_all")), lit(0L)).as("raw_docs"),
         sum(col("tok_all")).as("raw_toks"),
-        sum(col("n_kept")).as("kept_docs"),
+        coalesce(sum(col("n_kept")), lit(0L)).as("kept_docs"),
         sum(col("tok_kept")).as("kept_toks"),
-        sum(when(col("n_kept") > 0L, 1L).otherwise(0L)).as("ded_docs"),
+        coalesce(sum(when(col("n_kept") > 0L, 1L).otherwise(0L)), lit(0L))
+          .as("ded_docs"),
         sum(when(col("n_kept") > 0L, col("min_kept_tok"))).as("ded_toks"))
       .select(expr(
         "stack(3," +

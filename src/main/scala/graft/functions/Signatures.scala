@@ -68,6 +68,59 @@ object SigImpl {
     new GenericArrayData(out)
   }
 
+  /** Adjacent word pairs (bigrams) in stream order — semantics identical
+    * to exploding `zip_with(slice(w, 1, n-1), slice(w, 2, n-1), struct)`
+    * (equivalently `transform(sequence(1, n-1), i -> struct(w[i],
+    * w[i+1]))`) over `split(trim(t), "\s+")` with a `size(w) >= 2`
+    * guard: a sub-2-token document yields an empty array. Spark's
+    * higher-order functions are CodegenFallback (interpreted lambdas) —
+    * this native pass exists because the bigram explode is the entire
+    * map-side CPU of the bigram-LM family (lmScores/rhoSelect/bpeTrain
+    * rounds). */
+  def bigramPairs(text: UTF8String): ArrayData = {
+    val words = tokenize(text.toString)
+    if (words.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - 1)
+    var i = 0
+    while (i < words.length - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(words(i)),
+          UTF8String.fromString(words(i + 1))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent CHARACTER pairs within each whitespace token (words under
+    * 2 chars contribute none), all tokens' pairs concatenated in stream
+    * order — semantics identical to exploding words then exploding
+    * `transform(sequence(1, length(word) - 1), i -> substring(word, i,
+    * 2))` (the [[graft.exts.TextAnalysis.bpePairCounts]] shape), fused
+    * into ONE compiled pass per document. */
+  def charPairs(text: UTF8String): ArrayData = {
+    val words = tokenize(text.toString)
+    var n = 0
+    var w = 0
+    while (w < words.length) {
+      if (words(w).length >= 2) n += words(w).length - 1
+      w += 1
+    }
+    val out = new Array[Any](n)
+    var k = 0
+    w = 0
+    while (w < words.length) {
+      val s = words(w)
+      var i = 0
+      while (i + 2 <= s.length) {
+        out(k) = UTF8String.fromString(s.substring(i, i + 2))
+        k += 1
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** FNV-1a 64-bit over a string's chars, reduced mod P (non-negative). */
   private def hashMod(s: String): Long = {
     var h = -3750763034362895579L // FNV offset basis
@@ -368,6 +421,39 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Adjacent-word-pair expression: `array<struct<pa:string,pb:string>>`
+  * (empty for sub-2-token documents) — the compiled form of the bigram
+  * explode (see [[SigImpl.bigramPairs]]). */
+case class BigramPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pa", StringType, nullable = true),
+      StructField("pb", StringType, nullable = true))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.bigramPairs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.bigramPairs($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramPairs =
+    copy(child = newChild)
+}
+
+/** Within-word adjacent-character-pair expression: `array<string>`
+  * (see [[SigImpl.charPairs]]). */
+case class CharPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    SigImpl.charPairs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.charPairs($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): CharPairs =
+    copy(child = newChild)
+}
+
 /** Repetition-stats expression: `array<bigint>` of
   * [n_tokens, top_word_count, n_bigrams, distinct_bigrams]. */
 case class RepetitionStats(child: Expression) extends UnaryExpression {
@@ -438,6 +524,10 @@ object Signatures {
     ExpressionUtils.column(SimHashPoly(ExpressionUtils.expression(c)))
   def shingle_set(c: Column): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(c)))
+  def bigram_pairs(c: Column): Column =
+    ExpressionUtils.column(BigramPairs(ExpressionUtils.expression(c)))
+  def char_pairs(c: Column): Column =
+    ExpressionUtils.column(CharPairs(ExpressionUtils.expression(c)))
   def repetition_stats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
   def hash_embed(c: Column): Column =
