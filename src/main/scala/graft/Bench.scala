@@ -15,6 +15,19 @@ object Bench {
       // were paying ~20-30% janino cost that query-major's back-to-back
       // passes hid). Size it to hold the whole suite's stages.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // SORT-BASED shuffle writer even at low reduce counts (r19). With
+      // R ≤ 200 (here R = cores) Spark defaults to the bypass-merge
+      // writer: every map task opens, writes and merges R separate
+      // spill files — measured as a 40-120 ms CPU floor PER TASK on
+      // this suite's small exchanges (TaskFloor probe: a 32-task
+      // hash-agg stage over 3,200 rows cost 2.6 s of task CPU; with the
+      // sort writer 0.5 s; an exchange-fed pair-count stage fell
+      // 7.1 → 0.8 s run). At lake scale R is in the thousands, where
+      // Spark ALWAYS takes the sort-writer path — this pins the bench
+      // to the at-scale code path instead of a local-small-R special
+      // case. Parameterised so the driver's contract stays tunable.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
       // AQE coalescing stays at the parallelism-first DEFAULT. The r18
       // A/B (SCALE.md r18) measured size-first coalescing
       // (coalescePartitions.parallelismFirst=false) at 64 MB and 4 MB

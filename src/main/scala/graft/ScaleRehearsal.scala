@@ -38,6 +38,9 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     build(spark, src, out)
+    // "buildonly": stop after materializing the sf1 corpus (the r19
+    // CoreSweep scaling probe times its own query set on it)
+    if (args.length > 2 && args(2) == "buildonly") { spark.stop(); return }
     // dedup_semantic's within-cell pair search is quadratic in cell size,
     // so its centroid count scales with the corpus (k ∝ n keeps cells the
     // same size and total pair work linear) — the knob a 100 TB run turns.

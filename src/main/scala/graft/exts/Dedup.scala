@@ -633,22 +633,33 @@ object Dedup {
       val relaxed = comp.unionByName(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(false)
-      // pointer halving: every label is itself a node id present in the
-      // frame, so one self-join pulls the label's current label — a
-      // chain of length d collapses in log₂(d) rounds
-      val next = relaxed
-        .join(relaxed
-            .select(col("doc_id").as("comp"), col("comp").as("comp2"))
-            .hint("shuffle_hash"),
-          Seq("comp"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("comp2"), col("comp")))
-            .as("comp"))
-        .localCheckpoint(false)
-      val sumNext = checksum(next)
-      converged = sumNext.compareTo(sumPrev) == 0
-      sumPrev = sumNext
-      comp = next
+      // CONVERGENCE is tested on the RELAX output (r19): labels only
+      // ever decrease, and sum(relaxed_r) ≤ sum(halved_{r-1}) ≤
+      // sum(relaxed_{r-1}), so equality of the outer sums forces both
+      // the halving and the relax step to have changed nothing — the
+      // relax fixpoint IS the component fixpoint. Testing here (instead
+      // of after the halving join, the pre-r19 shape) skips the final
+      // round's halving self-join + checkpoint entirely; round count
+      // and the fixpoint labels are unchanged.
+      val sumRelaxed = checksum(relaxed)
+      if (sumRelaxed.compareTo(sumPrev) == 0) {
+        converged = true
+        comp = relaxed
+      } else {
+        sumPrev = sumRelaxed
+        // pointer halving: every label is itself a node id present in
+        // the frame, so one self-join pulls the label's current label —
+        // a chain of length d collapses in log₂(d) rounds
+        comp = relaxed
+          .join(relaxed
+              .select(col("doc_id").as("comp"), col("comp").as("comp2"))
+              .hint("shuffle_hash"),
+            Seq("comp"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("comp2"), col("comp")))
+              .as("comp"))
+          .localCheckpoint(false)
+      }
     }
     (comp.select(col("doc_id"), col("comp").as("component"),
       (col("doc_id") === col("comp")).as("is_canonical")), rounds)

@@ -239,10 +239,15 @@ object TextAnalysis {
           Seq("term"), "left_semi")
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
     }
-    val cand = tf.join(broadcast(qterms), "term")
-    val contrib = (if (excludeSelf)
-        cand.filter(col("doc_id") =!= col("query_id")) else cand)
-      .join(broadcast(dfrBatch), "term")
+    // r19: the per-term contribution c = idf(df) · tfnorm(tf, dl) does
+    // not depend on the QUERY at all, so it is computed ONCE per
+    // surviving (doc, term) posting — BEFORE the query join fans each
+    // posting out to every query sharing the term (guide §1.2 per-task
+    // work: the chain of integer divisions ran per CANDIDATE row,
+    // |batch| × df(term) times; now it runs df(term) times). The inner
+    // joins commute, so the candidate set and every value are
+    // unchanged.
+    val scored = tf.join(broadcast(dfrBatch), "term")
       .crossJoin(broadcast(stats))
       .withColumn("k_x1000", expr(
         s"($Bm25K1x1000 * ((1000 - $Bm25Bx1000) + " +
@@ -251,7 +256,11 @@ object TextAnalysis {
         s"(tf * ${Bm25K1x1000 + 1000} * 1000) div (tf * 1000 + k_x1000)"))
       .withColumn("idf_x1000",
         expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
-      .withColumn("c", expr("(idf_x1000 * tfnorm_x1000) div 1000"))
+      .select(col("term"), col("doc_id"),
+        expr("(idf_x1000 * tfnorm_x1000) div 1000").as("c"))
+    val cand = scored.join(broadcast(qterms), "term")
+    val contrib = if (excludeSelf)
+        cand.filter(col("doc_id") =!= col("query_id")) else cand
     contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score"))
       .groupBy(col("query_id"))

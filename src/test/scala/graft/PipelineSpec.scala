@@ -4021,16 +4021,36 @@ class PipelineSpec extends AnyFunSuite {
 
   test("bucketed index layouts: term/src probes prune partitions; rows unchanged") {
     import org.apache.spark.sql.functions.col
-    // BM25: the batch's term-hash buckets reach the postings scan as
-    // PartitionFilters (directory-level pruning before any file IO);
-    // the score equality vs an unpruned inline index is pinned by the
-    // "bm25 index" spec above and by the hash-green bm25_batch oracle.
-    val scored = graft.exts.Bm25Index.scoreBatch(spark, dir,
-      Dedup.incomingBatch(spark, dir))
-    assert(scored.collect().nonEmpty)
-    val bplan = scored.queryExecution.executedPlan.toString
-    assert(bplan.contains("PartitionFilters") && bplan.contains("t_bucket"),
-      s"no term-bucket partition filter in:\n$bplan")
+    // BM25, selective batch: the batch's term-hash buckets reach the
+    // postings scan as PartitionFilters (directory-level pruning before
+    // any file IO); the score equality vs an unpruned inline index is
+    // pinned by the "bm25 index" spec above and by the hash-green
+    // bm25_batch oracle.
+    import spark.implicits._
+    // plan Location strings truncate at 100 chars by default, hiding
+    // which postings directory a scan reads — widen for the assertions
+    val prevMeta = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val narrow = Seq((900001L, "spark query")).toDF("doc_id", "text")
+      val narrowScored = graft.exts.Bm25Index.scoreBatch(spark, dir, narrow)
+      assert(narrowScored.collect().nonEmpty)
+      val nplan = narrowScored.queryExecution.executedPlan.toString
+      assert(nplan.contains("PartitionFilters") && nplan.contains("t_bucket"),
+        s"no term-bucket partition filter in:\n$nplan")
+      assert(!nplan.contains("postings_fwd"),
+        s"selective batch must use the term-bucketed copy:\n$nplan")
+      // BM25, full-vocabulary batch (every bucket probed — term pruning
+      // moot): the FORWARD doc-clustered copy serves the scan, so the
+      // per-(query, doc) partial aggregation completes map-side (r19).
+      val scored = graft.exts.Bm25Index.scoreBatch(spark, dir,
+        Dedup.incomingBatch(spark, dir))
+      assert(scored.collect().nonEmpty)
+      val bplan = scored.queryExecution.executedPlan.toString
+      assert(bplan.contains("postings_fwd"),
+        s"full-vocabulary batch must read the forward (doc-clustered) " +
+          s"postings copy:\n$bplan")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevMeta)
     // kNN: a src-keyed lookup prunes to its sources' buckets and equals
     // the whole-graph filter row-for-row
     val srcs = Seq(1L, 5L, 33L)
