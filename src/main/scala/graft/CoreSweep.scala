@@ -23,6 +23,9 @@ object CoreSweep {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
+      // same engine shape as Bench (see the rationale there)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up, as in Bench
