@@ -25,6 +25,9 @@ object AbProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
+      // same engine shape as Bench (see the rationale there)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -94,6 +97,7 @@ object AbProbe {
       "q21_preagg" -> ((s, dir) => q21PreAgg(s, dir)),
       "funnel_one" -> ((s, dir) => funnelOnePass(
         graft.exts.Dedup.corpusWithExactDups(s, dir))),
+      "mm_near_seq" -> ((s, dir) => mmNearSeq(s, dir)),
       "overlap_ckpt" -> ((s, dir) => {
         val base = Tables.load(s, dir, "documents")
           .select(col("source"), col("text"))
@@ -215,6 +219,48 @@ object AbProbe {
       .select(col("source_a"), col("source_b"), col("n_shared"),
         expr("n_shared * 1000 div least(n_a, n_b)")
           .as("containment_x1000"))
+  }
+
+  /** mmCaptionPairsNear with the SEQUENTIAL construction (decode
+    * checkpoint strictly before the caption near tier — the pre-r19
+    * shape) for the overlap A/B. */
+  private def mmNearSeq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.exts.{Ckpt, Multimodal}
+    val sig = Ckpt.eager(
+      Multimodal.ahashStats(Multimodal.pngAssetsWithDups(spark, dir)).toDF())
+    val keys = Seq("width", "height", "gray_sum", "ahash")
+    val igrp = sig.join(
+        sig.groupBy(keys.map(col): _*)
+          .agg(min(col("doc_id")).as("img_gid")).hint("shuffle_hash"),
+        keys)
+      .select(col("doc_id"), col("img_gid"))
+    val cgrp = Multimodal.captionNearGroups(
+      Multimodal.captionsNear(spark, dir))
+    val grouped = Ckpt.eager(
+      igrp.join(cgrp.hint("shuffle_hash"), Seq("doc_id")))
+    val pairs = grouped.filter(col("doc_id") =!= col("img_gid"))
+      .select(least(col("doc_id"), col("img_gid")).as("a_id"),
+        greatest(col("doc_id"), col("img_gid")).as("b_id"))
+      .unionByName(grouped.filter(col("doc_id") =!= col("cap_gid"))
+        .select(least(col("doc_id"), col("cap_gid")).as("a_id"),
+          greatest(col("doc_id"), col("cap_gid")).as("b_id")))
+      .distinct()
+    val aSide = grouped.select(col("doc_id").as("a_id"),
+      col("img_gid").as("a_ig"), col("m_gid").as("a_mg"),
+      col("cap_gid").as("a_cg"))
+    val bSide = grouped.select(col("doc_id").as("b_id"),
+      col("img_gid").as("b_ig"), col("m_gid").as("b_mg"),
+      col("cap_gid").as("b_cg"))
+    pairs.join(aSide.hint("shuffle_hash"), Seq("a_id"))
+      .join(bSide.hint("shuffle_hash"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("a_ig") === col("b_ig")).cast("long").as("img_dup"),
+        (col("a_mg") === col("b_mg")).cast("long").as("cap_dup"),
+        (col("a_cg") === col("b_cg")).cast("long").as("cap_dup_near"),
+        when(col("a_ig") === col("b_ig") && col("a_cg") === col("b_cg"),
+            lit("both"))
+          .when(col("a_ig") === col("b_ig"), lit("img_only"))
+          .otherwise(lit("cap_only")).as("cell"))
   }
 
   /** The r18 bpeTrain (verbatim): per-round lazy 1-row checkpoint of

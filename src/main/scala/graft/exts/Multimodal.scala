@@ -434,6 +434,8 @@ object Multimodal {
           .agg(min(col("doc_id")).as("img_gid")).hint("shuffle_hash"),
         keys)
       .select(col("doc_id"), col("img_gid"))
+    // the caption tier here is exchange-light and lazy (no eager job
+    // chain to overlap — unlike the NEAR variant's component loop)
     val caps = captions(spark, dir).withColumn("m", md5(col("caption")))
     val cgrp = caps.join(
         caps.groupBy(col("m")).agg(min(col("doc_id")).as("cap_gid"))
@@ -573,6 +575,14 @@ object Multimodal {
     * (AwsTableManagementMetricsEvaluator.java:108-140), applied to the
     * corpus-audit view of the VLM pair matrix. */
   def mmCaptionPairsNear(spark: SparkSession, dir: String): DataFrame = {
+    // MEASURED AND REJECTED (r19): overlapping the decode checkpoint
+    // with the caption near tier on a pool thread (guide §2.6 — the two
+    // eager chains are independent). AbProbe interleaved vs the frozen
+    // sequential shape (mm_near_seq): IDENTICAL rows, wall a wash
+    // (1.75-2.84 vs 1.79-3.12 s) — the 32-partition decode checkpoint
+    // finishes too fast to hide behind the component loop at this
+    // scale, and a construction-time thread is complexity with no
+    // measured return. Sequential construction stays.
     val sig = Ckpt.eager(ahashStats(pngAssetsWithDups(spark, dir)).toDF())
     val keys = Seq("width", "height", "gray_sum", "ahash")
     val igrp = sig.join(
